@@ -1,0 +1,401 @@
+"""FIXTURES.md group A — span-structure conformance, transcribed from the
+reference's golden integration tests (/root/reference/tests/*; the test_case!
+macro asserts exact (errors, matches) pairs, tests/helpers/mod.rs:5–30).
+
+Pure-Python tests of the conformance core (compiler + evaluator) — no Ray.
+"""
+
+import pytest
+
+from mdvalidate_ray import compile_schema, evaluate_spans
+from mdvalidate_ray.schema.spec import SchemaError, ViolationKind
+
+
+def span(kind, text="", media_ref="", offset=0):
+    return {"kind": kind, "text": text, "media_ref": media_ref, "offset": offset}
+
+
+def spans(*items):
+    out = []
+    for i, it in enumerate(items):
+        s = dict(it)
+        s["offset"] = i
+        out.append(s)
+    return out
+
+
+def run(schema_text, *doc_spans):
+    return evaluate_spans(spans(*doc_spans), compile_schema(schema_text))
+
+
+def kinds(result):
+    return [v["kind"] for v in result.violations]
+
+
+# --- A1 heading-literal (reference tests/headings.rs `heading_literal`) -----
+
+def test_a1_heading_literal_pass():
+    r = run("# Hi", span("heading1", "Hi"))
+    assert r.passed and r.captures == {}
+
+
+def test_a1_heading_literal_fail():
+    r = run("# Hi", span("heading1", "Bye"))
+    assert not r.passed
+    assert kinds(r) == [ViolationKind.CONTENT_LITERAL]
+    assert r.violations[0]["expected"] == "Hi"
+    assert r.violations[0]["actual"] == "Bye"
+
+
+# --- A2 heading-matcher (tests/headings.rs `heading_matcher`) ---------------
+
+def test_a2_heading_matcher():
+    r = run(r"# `name:/\w+/`", span("heading1", "Alice"))
+    assert r.passed
+    assert r.captures == {"name": "Alice"}
+
+
+# --- A3 heading-level-mismatch (tests/headings.rs `heading_mismatch`) -------
+
+def test_a3_heading_level_mismatch():
+    r = run("# Hi", span("heading2", "Hi"))
+    assert not r.passed
+    assert kinds(r) == [ViolationKind.NODE_TYPE_MISMATCH]
+    assert r.violations[0]["expected"] == "heading1"
+    assert r.violations[0]["actual"] == "heading2"
+
+
+# --- A4 text-matcher-prefix (tests/matchers.rs `matcher_with_prefix`) -------
+
+def test_a4_matcher_with_prefix():
+    r = run(r"hi `name:/\w+/`", span("paragraph"), span("text", "hi Bob"))
+    assert r.passed
+    assert r.captures == {"name": "Bob"}
+
+
+def test_a4_prefix_mismatch():
+    r = run(r"hi `name:/\w+/`", span("paragraph"), span("text", "yo Bob"))
+    assert not r.passed
+    assert kinds(r) == [ViolationKind.CONTENT_PREFIX]
+
+
+# --- A5 matcher-mismatch (tests/matchers.rs `matcher_mismatch`) -------------
+
+def test_a5_matcher_mismatch():
+    r = run("`name:/[a-z]+/`", span("paragraph"), span("text", "123"))
+    assert not r.passed
+    v = r.violations[0]
+    assert v["kind"] == ViolationKind.CONTENT_MATCHER
+    assert v["expected"] == "^[a-z]+"
+    assert v["actual"] == "123"
+
+
+# --- A6 literal-mismatch (tests/textual.rs `textual_mismatch`) --------------
+
+def test_a6_literal_mismatch():
+    r = run("hello", span("paragraph"), span("text", "hi"))
+    assert not r.passed
+    assert kinds(r) == [ViolationKind.CONTENT_LITERAL]
+
+
+# --- A7 list-repeat-bounds (lists.rs:205–264) -------------------------------
+
+@pytest.mark.parametrize("n", [2, 3, 4])
+def test_a7_list_repeat_in_bounds(n):
+    items = [span("list_item", f"word{i}") for i in range(n)]
+    r = run(r"- `item:/\w+/`{2,4}", *items)
+    assert r.passed
+    assert r.captures == {"item": [f"word{i}" for i in range(n)]}
+
+
+def test_a7_list_repeat_too_few():
+    r = run(r"- `item:/\w+/`{2,4}", span("list_item", "only"))
+    assert not r.passed
+    assert ViolationKind.CHILDREN_LENGTH in kinds(r)
+
+
+def test_a7_list_repeat_too_many():
+    items = [span("list_item", f"w{i}") for i in range(5)]
+    r = run(r"- `item:/\w+/`{2,4}", *items)
+    assert not r.passed
+    assert ViolationKind.CHILDREN_LENGTH in kinds(r)
+
+
+# --- A8 nested-list captures, unpack-same-id rule (lists.rs:343–390;
+#     walkers/node_walker.rs test :120–140) --------------------------------
+
+def test_a8_nested_list_captures():
+    schema = "- `item1:/\\w+/`{1,1}\n  - `item2:/\\w+/`{2,2}"
+    r = run(
+        schema,
+        span("list_item", "apple"),
+        span("list_item", "\tbanana"),
+        span("list_item", "\tcherry"),
+    )
+    assert r.passed, r.violations
+    assert r.captures == {"item1": ["apple", {"item2": ["banana", "cherry"]}]}
+
+
+def test_a8_same_id_unpacks():
+    schema = "- `item:/\\w+/`{1,1}\n  - `item:/\\w+/`{2,2}"
+    r = run(
+        schema,
+        span("list_item", "apple"),
+        span("list_item", "\tbanana"),
+        span("list_item", "\tcherry"),
+    )
+    assert r.passed, r.violations
+    assert r.captures == {"item": ["apple", "banana", "cherry"]}
+
+
+# --- A9 unbounded-not-last → schema compile error (errors.rs:218–259) -------
+
+def test_a9_unbounded_repeater_must_be_last():
+    with pytest.raises(SchemaError) as e:
+        compile_schema("- `a:/./`{,}\n- `b:/./`{,2}")
+    assert e.value.kind == SchemaError.REPEATING_UNBOUNDED
+
+
+# --- A10 repeated-paragraph (containers.rs:270–378) -------------------------
+
+@pytest.mark.parametrize("n", [2, 3])
+def test_a10_repeated_paragraph(n):
+    doc = []
+    for i in range(n):
+        doc += [span("paragraph"), span("text", f"para {i}")]
+    r = run("`description`{2,3}", *doc)
+    assert r.passed
+    assert r.captures == {"description": [f"para {i}" for i in range(n)]}
+
+
+def test_a10_repeated_paragraph_too_few():
+    r = run("`description`{2,3}", span("paragraph"), span("text", "only one"))
+    assert not r.passed
+    assert ViolationKind.NOT_ENOUGH_REPEATING_PARAGRAPHS in kinds(r)
+
+
+# --- A11 code-block (tests/code.rs; tests/misc.rs:40–72) --------------------
+
+def test_a11_code_block():
+    schema = "```{lang:/\\w+/}\n{code}\n```"
+    r = run(schema, span("code_lang", "python"),
+            span("code_body", 'print("hi")'))
+    assert r.passed, r.violations
+    assert r.captures == {"lang": "python", "code": 'print("hi")'}
+
+
+def test_a11_code_block_literal_lang():
+    schema = "```python\n{code}\n```"
+    r = run(schema, span("code_lang", "rust"), span("code_body", "fn main(){}"))
+    assert not r.passed
+    assert ViolationKind.CONTENT_LITERAL in kinds(r)
+
+
+# --- A12/A13 link destination (tests/links.rs) ------------------------------
+
+def test_a12_link_dest_matcher():
+    r = run(r"[hi]({foo:/\w+/})", span("paragraph"),
+            span("link", "hi", media_ref="hello"))
+    assert r.passed, r.violations
+    assert r.captures == {"foo": "hello"}
+
+
+def test_a13_link_dest_mismatch():
+    r = run("[hi](https://example.com)", span("paragraph"),
+            span("link", "hi", media_ref="https://different.com"))
+    assert not r.passed
+    v = r.violations[0]
+    assert v["kind"] == ViolationKind.CONTENT_LITERAL
+    assert v["expected"] == "https://example.com"
+    assert v["actual"] == "https://different.com"
+
+
+# --- A14 table-repeated-rows (tests/tables.rs:31–116) -----------------------
+
+TABLE_SCHEMA = (
+    "| Item | Price |\n"
+    "| --- | --- |\n"
+    "| `item:/\\w+/` | `price:/\\d+/` |{,3}"
+)
+
+
+def test_a14_table_repeated_rows():
+    doc = [
+        span("table_header_cell", "Item"), span("table_header_cell", "Price"),
+        span("table_cell", "apple"), span("table_cell", "3"),
+        span("table_cell", "pear"), span("table_cell", "5"),
+        span("table_cell", "fig"), span("table_cell", "7"),
+    ]
+    r = run(TABLE_SCHEMA, *doc)
+    assert r.passed, r.violations
+    assert r.captures == {"item": ["apple", "pear", "fig"],
+                          "price": ["3", "5", "7"]}
+
+
+def test_a14_table_bad_price():
+    doc = [
+        span("table_header_cell", "Item"), span("table_header_cell", "Price"),
+        span("table_cell", "apple"), span("table_cell", "cheap"),
+    ]
+    r = run(TABLE_SCHEMA, *doc)
+    assert not r.passed
+    assert ViolationKind.CONTENT_MATCHER in kinds(r)
+
+
+# --- A15 quote-matcher (tests/quotes.rs `blockquote_with_matcher`) ----------
+
+def test_a15_quote_matcher():
+    r = run("> This is `code:/.*/`", span("quote"),
+            span("text", "This is test123"))
+    assert r.passed, r.violations
+    assert r.captures == {"code": "test123"}
+
+
+# --- A16 structure-extra-node (tests/misc.rs `node_children_mismatch`) ------
+
+def test_a16_input_has_extra_node():
+    r = run("", span("heading1", "Hi"))
+    assert not r.passed
+    assert kinds(r) == [ViolationKind.STRUCT_INPUT_HAS_CHILD]
+
+
+def test_a16_schema_has_extra_node():
+    r = run("# Hi")  # no spans at all
+    assert not r.passed
+    assert kinds(r) == [ViolationKind.STRUCT_SCHEMA_HAS_CHILD]
+
+
+# --- A17 list-kind classing (compare_node_kinds.rs:35–63) -------------------
+
+def test_a17_ordered_vs_unordered_fails():
+    r = run("- a", span("ordered_list_item", "a"))
+    assert not r.passed
+    v = r.violations[0]
+    assert v["kind"] == ViolationKind.NODE_TYPE_MISMATCH
+    assert v["expected"] == "tight_list(-)"
+    assert v["actual"] == "tight_list(1.)"
+
+
+@pytest.mark.parametrize("marker", ["-", "*", "+"])
+def test_a17_unordered_markers_same_class(marker):
+    r = run(f"{marker} a", span("list_item", "a"))
+    assert r.passed, r.violations
+
+
+# --- A18 cell-trim (ts_utils.rs:15–24) --------------------------------------
+
+def test_a18_cells_compared_trimmed():
+    schema = "| Name |\n| --- |\n| Bob |"
+    doc = [span("table_header_cell", "  Name  "), span("table_cell", " Bob ")]
+    r = run(schema, *doc)
+    assert r.passed, r.violations
+
+
+# --- A19 kitchen-sink (tests/misc.rs:40–72) ---------------------------------
+
+def test_a19_kitchen_sink():
+    schema = (
+        "# `title:/\\w+/`\n"
+        "\n"
+        "| K | V |\n"
+        "| --- | --- |\n"
+        "| `k:/\\w+/` | `v:/\\d+/` |{,2}\n"
+        "\n"
+        "- `thing:/\\w+/`{2,3}\n"
+        "\n"
+        "```{lang:/\\w+/}\n"
+        "{body}\n"
+        "```"
+    )
+    doc = [
+        span("heading1", "Report"),
+        span("table_header_cell", "K"), span("table_header_cell", "V"),
+        span("table_cell", "a"), span("table_cell", "1"),
+        span("table_cell", "b"), span("table_cell", "2"),
+        span("list_item", "x"), span("list_item", "y"),
+        span("code_lang", "sql"), span("code_body", "select 1"),
+    ]
+    r = run(schema, *doc)
+    assert r.passed, r.violations
+    assert r.captures == {
+        "title": "Report", "k": ["a", "b"], "v": ["1", "2"],
+        "thing": ["x", "y"], "lang": "sql", "body": "select 1",
+    }
+
+
+# --- compile-time schema errors (errors.rs:191–263) -------------------------
+
+def test_multiple_matchers_in_container_rejected():
+    with pytest.raises(SchemaError) as e:
+        compile_schema(r"`a:/\w+/` and `b:/\w+/`")
+    assert e.value.kind == SchemaError.MULTIPLE_MATCHERS
+
+
+def test_unclosed_matcher_rejected():
+    with pytest.raises(SchemaError) as e:
+        compile_schema("start `oops")
+    assert e.value.kind == SchemaError.UNCLOSED_MATCHER
+
+
+def test_bad_regex_rejected():
+    with pytest.raises(SchemaError) as e:
+        compile_schema("`x:/[unclosed/`")
+    assert e.value.kind == SchemaError.MATCHER_ERROR
+
+
+def test_literal_bang_with_reps_rejected():
+    with pytest.raises(SchemaError) as e:
+        compile_schema("`code`!{2,3}")
+    assert e.value.kind == SchemaError.INVALID_EXTRAS
+
+
+def test_repeating_matcher_in_text_container_rejected():
+    with pytest.raises(SchemaError) as e:
+        compile_schema(r"prefix `x:/\w+/`{2,3} suffix")
+    assert e.value.kind == SchemaError.REPEATING_IN_TEXT
+
+
+# --- literal inline code `text`! (matchers.rs:604–775) ----------------------
+
+def test_literal_code_span():
+    r = run("run `make`! now",
+            span("paragraph"), span("text", "run "),
+            span("code_span", "make"), span("text", " now"))
+    assert r.passed, r.violations
+
+
+def test_literal_code_span_mismatch():
+    r = run("run `make`! now",
+            span("paragraph"), span("text", "run "),
+            span("code_span", "cmake"), span("text", " now"))
+    assert not r.passed
+    assert ViolationKind.CONTENT_LITERAL in kinds(r)
+
+
+# --- emphasis / strong ------------------------------------------------------
+
+def test_emphasis_and_strong():
+    r = run("plain *em* **bold**",
+            span("paragraph"), span("text", "plain "),
+            span("emphasis", "em"), span("text", " "),
+            span("strong_emphasis", "bold"))
+    assert r.passed, r.violations
+
+
+def test_emphasis_kind_mismatch():
+    r = run("*em*", span("paragraph"), span("strong_emphasis", "em"))
+    assert not r.passed
+    assert ViolationKind.NODE_TYPE_MISMATCH in kinds(r)
+
+
+# --- ruler ------------------------------------------------------------------
+
+def test_ruler():
+    r = run("---", span("ruler"))
+    assert r.passed
+
+
+def test_ruler_mismatch():
+    r = run("---", span("paragraph"), span("text", "x"))
+    assert not r.passed
+    assert ViolationKind.NODE_TYPE_MISMATCH in kinds(r)
