@@ -38,6 +38,12 @@ class SchemaError(ValueError):
     def __init__(self, kind: str, message: str):
         super().__init__(f"{kind}: {message}")
         self.kind = kind
+        self.detail = message
+
+    def __reduce__(self):
+        # default Exception pickling breaks on multi-arg __init__; Ray ships
+        # exceptions between processes, so keep this picklable
+        return (SchemaError, (self.kind, self.detail))
 
 
 # ---------------------------------------------------------------------------

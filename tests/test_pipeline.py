@@ -1,0 +1,93 @@
+"""End-to-end Ray Data validation pipeline tests.
+
+Covers FIXTURES.md B6 (batch-size invariance — the analog of the
+reference's chunk-size robustness tests, /root/reference/src/cmd.rs:274–398:
+chunking must not change the verdict) and verdict parity between the Ray
+actor-pool stage and direct driver-side evaluation.
+"""
+
+import json
+
+import pytest
+
+from mdvalidate_ray.corpus import (
+    arrow_documents,
+    expected_fail_mode,
+    flagship_schema_text,
+    ray_documents,
+)
+from mdvalidate_ray.stages.validate import (
+    ConstraintEvaluator,
+    validate_dataset,
+    violations_dataset,
+)
+
+N_DOCS = 120
+
+EXPECTED_KIND_BY_MODE = {
+    "wrong_heading_level": "node_type_mismatch",
+    "bad_table_value": "content_mismatch_matcher",
+    "too_many_list_items": "children_length_mismatch",
+    "trailing_extra_span": "malformed_structure_input_has_child",
+    "missing_code_body": "malformed_structure_schema_has_child",
+    "bad_intro_case": "not_enough_nodes_for_repeating_paragraph",
+}
+
+
+def test_ray_corpus_matches_driver_corpus(ray_session):
+    ray_tbl = ray_documents(N_DOCS, override_num_blocks=4).sort("doc_id").to_pandas()
+    local_tbl = arrow_documents(N_DOCS).to_pandas().sort_values("doc_id")
+    assert list(ray_tbl["doc_id"]) == list(local_tbl["doc_id"])
+    assert ray_tbl["spans"].map(len).tolist() == local_tbl["spans"].map(len).tolist()
+
+
+def test_pipeline_verdicts_match_planted_modes(ray_session):
+    # dup_every huge → no planted duplicate ids, so doc_id ↔ index is 1:1
+    ds = ray_documents(N_DOCS, override_num_blocks=4, dup_every=10**9)
+    validated = validate_dataset(ds, flagship_schema_text(), batch_size=32)
+    rows = {r["doc_id"]: r for r in validated.take_all()}
+    assert len(rows) == N_DOCS
+    for i in range(N_DOCS):
+        doc_id = f"doc{i:012d}"
+        mode = expected_fail_mode(i)
+        r = rows[doc_id]
+        assert r["passed"] == (mode is None), (i, mode, r["violations"])
+        if mode is not None:
+            kinds = {v["kind"] for v in r["violations"]}
+            assert EXPECTED_KIND_BY_MODE[mode] in kinds, (i, mode, kinds)
+        else:
+            caps = json.loads(r["captures"])
+            assert caps["title"].startswith("Doc ")
+            assert isinstance(caps["tag"], list) and caps["tag"]
+
+
+def test_violations_dataset_flat(ray_session):
+    ds = ray_documents(N_DOCS, override_num_blocks=2)
+    validated = validate_dataset(ds, flagship_schema_text(), batch_size=64)
+    viols = violations_dataset(validated).take_all()
+    assert viols, "expected planted violations"
+    expected_docs = {f"doc{i:012d}" for i in range(N_DOCS)
+                     if expected_fail_mode(i) is not None}
+    assert {v["doc_id"] for v in viols} == expected_docs
+    assert all(set(v) == {"doc_id", "constraint_id", "kind", "expected",
+                          "actual", "span_index"} for v in viols)
+
+
+@pytest.mark.parametrize("batch_size", [1, 32, 4096])
+def test_b6_batch_size_invariance(ray_session, batch_size):
+    """B6: verdicts identical at batch_size 1, 32, 4096 (reference analog:
+    chunk sizes 1..=9 must not change the result, cmd.rs:385–398)."""
+    ds = ray_documents(60, override_num_blocks=3)
+    validated = validate_dataset(ds, flagship_schema_text(),
+                                 batch_size=batch_size)
+    got = sorted(
+        (r["doc_id"], r["passed"], r["captures"], r["n_violations"])
+        for r in validated.take_all())
+    evaluator = ConstraintEvaluator(flagship_schema_text())
+    expected_tbl = evaluator(arrow_documents(60))
+    expected = sorted(zip(
+        expected_tbl.column("doc_id").to_pylist(),
+        expected_tbl.column("passed").to_pylist(),
+        expected_tbl.column("captures").to_pylist(),
+        expected_tbl.column("n_violations").to_pylist()))
+    assert got == expected
