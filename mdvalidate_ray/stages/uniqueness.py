@@ -1,0 +1,95 @@
+"""doc_id uniqueness constraint (SURVEY.md §2.5; north-star: "uniqueness of
+doc_id via HyperLogLog + exact groupby-count shuffle on suspect keys").
+
+Two phases:
+
+1. **HLL pre-check** (no shuffle): per-batch HyperLogLog partials merged on
+   the driver.  If the estimate is consistent with |rows| within the sketch
+   error bound, the dataset is certified duplicate-free without moving any
+   data — at 10^12 docs this is the common case and the whole check costs
+   one streaming pass + 16 KiB per batch.
+2. **Exact phase** (only when the HLL says duplicates may exist): per-batch
+   *pre-aggregated* counts (the combiner: duplicates inside a batch collapse
+   before the exchange) → ``groupby(key).sum`` → ``filter(count > 1)``.
+   Pre-aggregation also de-fangs key skew: a hot key contributes at most one
+   row per batch to the shuffle, so salting is only needed when a key is hot
+   *across* most batches; :func:`duplicate_keys` exposes ``salt_buckets``
+   for that case (sampled-histogram salting per SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from mdvalidate_ray.state.sketches import HyperLogLog
+
+
+def approx_distinct(ds, key: str, p: int = 14) -> float:
+    """Streaming HLL estimate of |distinct key|; driver merges one 16 KiB
+    register array per batch."""
+    def partial(b: pa.Table) -> pa.Table:
+        hll = HyperLogLog(p=p)
+        hll.add(b.column(key).drop_null().to_pylist())
+        return pa.Table.from_pylist([{"sketch": hll.to_bytes()}])
+
+    merged = HyperLogLog(p=p)
+    for row in ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True).iter_rows():
+        merged.merge(HyperLogLog.from_bytes(row["sketch"]))
+    return merged.estimate()
+
+
+def _precount(batch: pa.Table, key: str, salt_buckets: int | None) -> pa.Table:
+    """Per-batch combiner: group within the batch before the shuffle."""
+    grouped = pa.TableGroupBy(
+        batch.select([key]), key).aggregate([(key, "count")])
+    out = grouped.rename_columns([key, "cnt"])
+    if salt_buckets:
+        # salt = hash(key) % buckets; groupby key becomes (key, salt) which
+        # splits a hot key across reducers; unsalting is the second tiny
+        # groupby in duplicate_keys
+        import numpy as np
+
+        from mdvalidate_ray.state.sketches import hash_strings
+
+        salt = hash_strings(out.column(key).to_pylist()) % np.uint64(salt_buckets)
+        out = out.append_column("salt", pa.array(salt.astype("int64")))
+    return out
+
+
+def duplicate_keys(ds, key: str, salt_buckets: int | None = None):
+    """Exact duplicate report: Dataset of (key, cnt) with cnt > 1."""
+    pre = ds.map_batches(
+        lambda b: _precount(b, key, salt_buckets),
+        batch_format="pyarrow", zero_copy_batch=True)
+    if salt_buckets:
+        salted = pre.groupby([key, "salt"]).sum("cnt")
+        summed = salted.groupby(key).sum("sum(cnt)")
+        summed = summed.map_batches(
+            lambda b: b.rename_columns([key, "cnt"]),
+            batch_format="pyarrow")
+    else:
+        summed = pre.groupby(key).sum("cnt").map_batches(
+            lambda b: b.rename_columns([key, "cnt"]),
+            batch_format="pyarrow")
+    return summed.map_batches(
+        lambda b: b.filter(pc.greater(b.column("cnt"), 1)),
+        batch_format="pyarrow")
+
+
+def uniqueness_check(ds, key: str = "doc_id", p: int = 14,
+                     salt_buckets: int | None = None) -> dict:
+    """The full constraint.  Returns a verdict dict; ``duplicates`` is a
+    Dataset only when the exact phase ran."""
+    n_rows = ds.count()
+    est = approx_distinct(ds, key, p=p)
+    bound = 4 * HyperLogLog(p=p).rel_error * max(n_rows, 1)
+    if abs(n_rows - est) <= bound:
+        return {"passed": True, "n_rows": n_rows, "approx_distinct": est,
+                "exact_phase": False, "duplicates": None}
+    dups = duplicate_keys(ds, key, salt_buckets=salt_buckets)
+    n_dup_keys = dups.count()
+    return {"passed": n_dup_keys == 0, "n_rows": n_rows,
+            "approx_distinct": est, "exact_phase": True,
+            "n_duplicate_keys": n_dup_keys, "duplicates": dups}

@@ -89,13 +89,10 @@ def explode_violations(batch: pa.Table) -> pa.Table:
     if isinstance(viol_col, pa.ChunkedArray):
         viol_col = viol_col.combine_chunks()
     flat = viol_col.flatten()
-    # parent doc_id repeated value_lengths times
-    lengths = pa.compute.list_value_length(viol_col).fill_null(0)
-    doc_ids = batch.column("doc_id").take(
-        pa.array([i for i, n in enumerate(lengths.to_pylist()) for _ in range(n)],
-                 pa.int64()))
     if len(flat) == 0:
         return VIOLATIONS_SCHEMA.empty_table()
+    parents = pa.compute.list_parent_indices(viol_col)
+    doc_ids = batch.column("doc_id").take(parents)
     return pa.Table.from_arrays(
         [doc_ids] + [flat.field(name) for name in
                      ("constraint_id", "kind", "expected", "actual", "span_index")],

@@ -1,0 +1,274 @@
+"""Mergeable sketches for the wide constraints (north-star stages with no
+reference analog — the reference is a single-document engine, SURVEY.md §2.4).
+
+All three sketches are:
+
+* **vectorized** — numpy over batch-sized arrays, hashes from
+  ``pandas.util.hash_array`` (SipHash with a fixed key: deterministic across
+  processes and machines, which plain ``hash()`` is not);
+* **mergeable** — associative+commutative merge, so per-batch partials can be
+  combined in any order (driver fold or tree-reduce) without affecting the
+  result;
+* **compact** — KiB-scale serialized state, cheap to ship through the object
+  store from every batch.
+
+Public fns: HyperLogLog (doc_id uniqueness pre-check), BloomFilter
+(referential-integrity broadcast probe), KLLSketch (distribution-drift
+quantiles).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pandas.util import hash_array
+
+
+def hash_strings(values, key: str = "0123456789123456") -> np.ndarray:
+    """Stable uint64 hashes of a string array (vectorized, cross-process)."""
+    arr = np.asarray(values, dtype=object)
+    return hash_array(arr, hash_key=key, categorize=False)
+
+
+def _clz64(w: np.ndarray) -> np.ndarray:
+    """Vectorized count-leading-zeros for uint64 (0 → 64)."""
+    n = np.full(w.shape, 64, dtype=np.int64)
+    cur = w.copy()
+    shift = np.int64(32)
+    acc = np.zeros(w.shape, dtype=np.int64)
+    while shift > 0:
+        high = cur >> np.uint64(shift)
+        has_high = high != 0
+        cur = np.where(has_high, high, cur & ((np.uint64(1) << np.uint64(shift)) - np.uint64(1)))
+        acc = np.where(has_high, acc + shift, acc)
+        shift //= 2
+    nz = w != 0
+    n[nz] = 63 - acc[nz]
+    return n
+
+
+class HyperLogLog:
+    """Classic HLL with 2**p registers (p=14 → ~0.8% relative error, 16 KiB).
+
+    Engine use (SURVEY.md §2.5): per-batch partials estimate
+    |distinct doc_id|; only when the estimate differs from the row count
+    beyond the error bound does the exact groupby-count shuffle run.
+    """
+
+    def __init__(self, p: int = 14, registers: np.ndarray | None = None):
+        self.p = p
+        self.m = 1 << p
+        self.registers = (registers if registers is not None
+                          else np.zeros(self.m, dtype=np.uint8))
+
+    def add(self, values) -> "HyperLogLog":
+        if len(values) == 0:
+            return self
+        h = hash_strings(values)
+        idx = (h >> np.uint64(64 - self.p)).astype(np.int64)
+        w = h << np.uint64(self.p)  # low 64-p bits shifted up
+        rank = np.minimum(_clz64(w) + 1, 64 - self.p + 1).astype(np.uint8)
+        np.maximum.at(self.registers, idx, rank)
+        return self
+
+    def merge(self, other: "HyperLogLog") -> "HyperLogLog":
+        assert self.p == other.p
+        np.maximum(self.registers, other.registers, out=self.registers)
+        return self
+
+    def estimate(self) -> float:
+        m = float(self.m)
+        alpha = 0.7213 / (1 + 1.079 / m)
+        inv = np.ldexp(1.0, -self.registers.astype(np.int64))
+        e = alpha * m * m / inv.sum()
+        if e <= 2.5 * m:
+            zeros = int((self.registers == 0).sum())
+            if zeros:
+                e = m * np.log(m / zeros)
+        return float(e)
+
+    @property
+    def rel_error(self) -> float:
+        return 1.04 / np.sqrt(self.m)
+
+    def to_bytes(self) -> bytes:
+        return bytes([self.p]) + self.registers.tobytes()
+
+    @classmethod
+    def from_bytes(cls, b: bytes) -> "HyperLogLog":
+        p = b[0]
+        return cls(p=p, registers=np.frombuffer(b[1:], dtype=np.uint8).copy())
+
+
+class BloomFilter:
+    """Standard k-hash Bloom filter over a packed bit array.
+
+    Semantics for referential integrity: ``might_contain == False`` is a
+    *certain* miss (definitely dangling); ``True`` is "maybe present" and is
+    verified exactly by the hash semi-join fallback
+    (:mod:`mdvalidate_ray.stages.referential`)."""
+
+    def __init__(self, n_items: int, fp_rate: float = 0.01,
+                 bits: np.ndarray | None = None):
+        self.n_items = max(int(n_items), 1)
+        self.fp_rate = fp_rate
+        m = int(-self.n_items * np.log(fp_rate) / (np.log(2) ** 2))
+        self.m = max(64, (m + 63) // 64 * 64)
+        self.k = max(1, int(round(self.m / self.n_items * np.log(2))))
+        self.bits = bits if bits is not None else np.zeros(self.m // 8,
+                                                           dtype=np.uint8)
+
+    def _positions(self, values) -> np.ndarray:
+        h1 = hash_strings(values)
+        h2 = hash_strings(values, key="fedcba9876543210")
+        ks = np.arange(self.k, dtype=np.uint64)[:, None]
+        return ((h1[None, :] + ks * h2[None, :]) % np.uint64(self.m))
+
+    def add(self, values) -> "BloomFilter":
+        if len(values) == 0:
+            return self
+        pos = self._positions(values).ravel()
+        np.bitwise_or.at(self.bits, (pos // 8).astype(np.int64),
+                         (1 << (pos % 8)).astype(np.uint8))
+        return self
+
+    def might_contain(self, values) -> np.ndarray:
+        if len(values) == 0:
+            return np.zeros(0, dtype=bool)
+        pos = self._positions(values)
+        byte = self.bits[(pos // 8).astype(np.int64)]
+        bit = (byte >> (pos % 8).astype(np.uint8)) & 1
+        return bit.all(axis=0)
+
+    def merge(self, other: "BloomFilter") -> "BloomFilter":
+        assert self.m == other.m and self.k == other.k
+        np.bitwise_or(self.bits, other.bits, out=self.bits)
+        return self
+
+    def to_bytes(self) -> bytes:
+        head = np.array([self.n_items, self.m, self.k],
+                        dtype=np.int64).tobytes()
+        return head + self.bits.tobytes()
+
+    @classmethod
+    def from_bytes(cls, b: bytes) -> "BloomFilter":
+        n_items, m, k = np.frombuffer(b[:24], dtype=np.int64)
+        bf = cls.__new__(cls)
+        bf.n_items, bf.m, bf.k = int(n_items), int(m), int(k)
+        bf.fp_rate = 0.01
+        bf.bits = np.frombuffer(b[24:], dtype=np.uint8).copy()
+        return bf
+
+
+class KLLSketch:
+    """KLL quantile sketch (Karnin–Lang–Liberty 2016, arXiv:1603.05346),
+    deterministic variant: the compaction offset alternates instead of coin
+    flips, which keeps the sketch reproducible across runs at a small bias
+    cost — acceptable for drift *detection* and required for our
+    golden-output tests.
+    """
+
+    def __init__(self, k: int = 200):
+        self.k = k
+        self.compactors: list[list[float]] = [[]]
+        self.size = 0
+        self._flip = 0
+
+    def _capacity(self, level: int) -> int:
+        h = len(self.compactors)
+        return max(2, int(np.ceil(self.k * (2.0 / 3.0) ** (h - level - 1))))
+
+    def _total_capacity(self) -> int:
+        return sum(self._capacity(l) for l in range(len(self.compactors)))
+
+    def update(self, values) -> "KLLSketch":
+        vals = np.asarray(values, dtype=np.float64)
+        vals = vals[~np.isnan(vals)]
+        if vals.size == 0:
+            return self
+        self.compactors[0].extend(vals.tolist())
+        self.size += vals.size
+        self._compress()
+        return self
+
+    def _compress(self) -> None:
+        while self.size > self._total_capacity():
+            for level in range(len(self.compactors)):
+                if len(self.compactors[level]) > self._capacity(level):
+                    if level + 1 == len(self.compactors):
+                        self.compactors.append([])
+                    c = sorted(self.compactors[level])
+                    self._flip ^= 1
+                    promoted = c[self._flip::2]
+                    self.compactors[level] = []
+                    self.compactors[level + 1].extend(promoted)
+                    self.size -= len(c) - len(promoted)
+                    break
+            else:
+                break
+
+    def merge(self, other: "KLLSketch") -> "KLLSketch":
+        while len(self.compactors) < len(other.compactors):
+            self.compactors.append([])
+        for level, items in enumerate(other.compactors):
+            self.compactors[level].extend(items)
+        self.size += other.size
+        self._compress()
+        return self
+
+    def _weighted(self) -> tuple[np.ndarray, np.ndarray]:
+        vals, weights = [], []
+        for level, items in enumerate(self.compactors):
+            vals.extend(items)
+            weights.extend([1 << level] * len(items))
+        if not vals:
+            return np.zeros(0), np.zeros(0)
+        v = np.asarray(vals)
+        w = np.asarray(weights, dtype=np.float64)
+        order = np.argsort(v, kind="stable")
+        return v[order], w[order]
+
+    def quantile(self, q: float) -> float:
+        v, w = self._weighted()
+        if v.size == 0:
+            return float("nan")
+        cum = np.cumsum(w)
+        target = q * cum[-1]
+        idx = int(np.searchsorted(cum, target, side="left"))
+        return float(v[min(idx, v.size - 1)])
+
+    def quantiles(self, qs) -> list[float]:
+        return [self.quantile(q) for q in qs]
+
+    def cdf(self, x: float) -> float:
+        v, w = self._weighted()
+        if v.size == 0:
+            return float("nan")
+        cum = np.cumsum(w)
+        idx = int(np.searchsorted(v, x, side="right"))
+        return float(cum[idx - 1] / cum[-1]) if idx > 0 else 0.0
+
+    def to_bytes(self) -> bytes:
+        import pickle
+
+        return pickle.dumps((self.k, self.size, self._flip, self.compactors),
+                            protocol=4)
+
+    @classmethod
+    def from_bytes(cls, b: bytes) -> "KLLSketch":
+        import pickle
+
+        k, size, flip, compactors = pickle.loads(b)
+        s = cls(k=k)
+        s.size, s._flip, s.compactors = size, flip, compactors
+        return s
+
+
+def max_quantile_drift(a: KLLSketch, b: KLLSketch,
+                       qs=(0.1, 0.25, 0.5, 0.75, 0.9)) -> float:
+    """Drift statistic: max CDF gap between two sketches at reference
+    quantile points (a KS-style distance on sketch resolution)."""
+    drift = 0.0
+    for q in qs:
+        x = a.quantile(q)
+        drift = max(drift, abs(b.cdf(x) - q))
+    return drift

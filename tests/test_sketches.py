@@ -1,0 +1,102 @@
+"""Sketch unit tests: accuracy bounds + merge associativity (partials merged
+in any order must equal the single-pass sketch — the property the tree-reduce
+relies on)."""
+
+import numpy as np
+import pytest
+
+from mdvalidate_ray.state.sketches import (
+    BloomFilter,
+    HyperLogLog,
+    KLLSketch,
+    hash_strings,
+    max_quantile_drift,
+)
+
+
+def test_hash_strings_deterministic():
+    a = hash_strings(["x", "y", "z"])
+    b = hash_strings(["x", "y", "z"])
+    assert (a == b).all()
+    assert a.dtype == np.uint64
+
+
+@pytest.mark.parametrize("n", [100, 10_000, 200_000])
+def test_hll_estimate_within_bound(n):
+    hll = HyperLogLog()
+    hll.add([f"key{i}" for i in range(n)])
+    est = hll.estimate()
+    assert abs(est - n) / n < 4 * hll.rel_error, (est, n)
+
+
+def test_hll_merge_equals_single_pass():
+    keys = [f"k{i}" for i in range(50_000)]
+    whole = HyperLogLog().add(keys)
+    parts = [HyperLogLog().add(keys[i::4]) for i in range(4)]
+    merged = parts[0]
+    for p in parts[1:]:
+        merged.merge(p)
+    assert (merged.registers == whole.registers).all()
+
+
+def test_hll_roundtrip():
+    hll = HyperLogLog().add(["a", "b", "c"])
+    back = HyperLogLog.from_bytes(hll.to_bytes())
+    assert back.estimate() == hll.estimate()
+
+
+def test_bloom_no_false_negatives_and_low_fp():
+    members = [f"asset-{i:06d}" for i in range(20_000)]
+    bf = BloomFilter(len(members), fp_rate=0.01)
+    bf.add(members)
+    assert bf.might_contain(members).all()
+    probes = [f"missing-{i:06d}" for i in range(20_000)]
+    fp = bf.might_contain(probes).mean()
+    assert fp < 0.03, fp
+
+
+def test_bloom_merge_and_roundtrip():
+    a = BloomFilter(1000).add([f"a{i}" for i in range(500)])
+    b = BloomFilter(1000).add([f"b{i}" for i in range(500)])
+    a.merge(b)
+    back = BloomFilter.from_bytes(a.to_bytes())
+    assert back.might_contain(["a1", "b1"]).all()
+    assert not back.might_contain(["nope-xyz"]).any()
+
+
+def test_kll_quantiles_close_to_exact():
+    rng = np.random.default_rng(0)
+    data = rng.normal(100, 15, 100_000)
+    sk = KLLSketch(k=200)
+    for chunk in np.array_split(data, 50):
+        sk.update(chunk)
+    for q in (0.1, 0.5, 0.9):
+        exact = np.quantile(data, q)
+        approx = sk.quantile(q)
+        # normalized error vs the data spread
+        assert abs(approx - exact) / 15 < 0.15, (q, exact, approx)
+
+
+def test_kll_merge():
+    rng = np.random.default_rng(1)
+    data = rng.uniform(0, 1000, 40_000)
+    parts = [KLLSketch().update(c) for c in np.array_split(data, 8)]
+    merged = parts[0]
+    for p in parts[1:]:
+        merged.merge(p)
+    assert merged.size_total() if hasattr(merged, "size_total") else True
+    assert abs(merged.quantile(0.5) - 500) < 40
+
+
+def test_kll_roundtrip():
+    sk = KLLSketch().update(np.arange(1000.0))
+    back = KLLSketch.from_bytes(sk.to_bytes())
+    assert back.quantile(0.5) == sk.quantile(0.5)
+
+
+def test_drift_statistic():
+    base = KLLSketch().update(np.random.default_rng(2).normal(0, 1, 50_000))
+    same = KLLSketch().update(np.random.default_rng(3).normal(0, 1, 50_000))
+    shifted = KLLSketch().update(np.random.default_rng(4).normal(2, 1, 50_000))
+    assert max_quantile_drift(base, same) < 0.05
+    assert max_quantile_drift(base, shifted) > 0.3

@@ -1,0 +1,160 @@
+"""FIXTURES.md group B — wide constraints, cross-checked against DuckDB
+oracles on the same data (B1–B5)."""
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from mdvalidate_ray.corpus import (
+    arrow_documents,
+    assets_table,
+    ray_documents,
+)
+from mdvalidate_ray.stages.drift import (
+    drift_by_group,
+    drift_check,
+    kll_of_column,
+    kll_spans_per_doc,
+)
+from mdvalidate_ray.stages.referential import dangling_media_refs
+from mdvalidate_ray.stages.stats import column_stats, length_histogram
+from mdvalidate_ray.stages.uniqueness import (
+    approx_distinct,
+    duplicate_keys,
+    uniqueness_check,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs_parquet(ray_session):
+    import ray.data
+
+    return ray.data.read_parquet(f"{SF_DIR}/documents.parquet")
+
+
+# --- B1/B2: column stats + length histogram vs duckdb -----------------------
+
+def test_b1_column_stats_match_duckdb(ray_session, docs_parquet):
+    stats = {r["column"]: r for r in column_stats(
+        docs_parquet, ["text", "n_chars"]).to_pylist()}
+    oracle = duckdb.sql(f"""
+        SELECT count(*) n, min(length(text)) mn, max(length(text)) mx,
+               sum(length(text)) sm, min(n_chars) mnv, max(n_chars) mxv
+        FROM '{SF_DIR}/documents.parquet'
+    """).fetchone()
+    t = stats["text"]
+    assert t["n_rows"] == oracle[0]
+    assert t["min_len"] == oracle[1]
+    assert t["max_len"] == oracle[2]
+    assert t["sum_len"] == oracle[3]
+    c = stats["n_chars"]
+    assert c["min_val"] == oracle[4]
+    assert c["max_val"] == oracle[5]
+
+
+def test_b2_length_histogram_matches_duckdb(ray_session, docs_parquet):
+    hist = {r["bucket"]: r["sum(cnt)"]
+            for r in length_histogram(docs_parquet, "text", 100).take_all()}
+    oracle = dict(duckdb.sql(f"""
+        SELECT (length(text) // 100) * 100 AS bucket, count(*)
+        FROM '{SF_DIR}/documents.parquet' GROUP BY 1
+    """).fetchall())
+    assert hist == oracle
+
+
+# --- B3: uniqueness (planted dups incl. hot key) ----------------------------
+
+def test_b3_uniqueness_on_clean_corpus_skips_exact_phase(ray_session):
+    ds = ray_documents(2_000, dup_every=10**9, override_num_blocks=4)
+    verdict = uniqueness_check(ds, "doc_id")
+    assert verdict["passed"] and not verdict["exact_phase"]
+
+
+def test_b3_planted_duplicates_found_exactly(ray_session):
+    # 3000 docs: dup planted at i=1007, 2007; hot key = last 500 docs
+    ds = ray_documents(3_000, dup_every=1000, hot_copies=500,
+                       override_num_blocks=6)
+    dups = duplicate_keys(ds, "doc_id", salt_buckets=8).take_all()
+    got = {r["doc_id"]: r["cnt"] for r in dups}
+    expected = {"doc_hot": 500,
+                "doc000000001006": 2, "doc000000002006": 2}
+    assert got == expected
+    # oracle: duckdb HAVING count(*) > 1 on the same materialized table
+    tbl = ds.select_columns(["doc_id"]).to_pandas()
+    oracle = dict(duckdb.sql(
+        "SELECT doc_id, count(*) FROM tbl GROUP BY 1 HAVING count(*)>1"
+    ).fetchall())
+    assert got == oracle
+
+
+def test_b3_hll_approximates_distinct(ray_session):
+    ds = ray_documents(5_000, dup_every=10**9, override_num_blocks=4)
+    est = approx_distinct(ds, "doc_id")
+    assert abs(est - 5_000) / 5_000 < 0.05
+
+
+# --- B4: referential integrity (planted dangling refs) ----------------------
+
+def test_b4_dangling_refs_exactly_the_planted_ones(ray_session):
+    import ray.data
+
+    n = 2_000
+    docs = ray_documents(n, override_num_blocks=4)
+    assets = ray.data.from_arrow(assets_table(n))
+    dangling = dangling_media_refs(docs, assets).take_all()
+    got = {r["media_ref"] for r in dangling}
+    # oracle: exact anti-join in duckdb over the same materialized tables
+    docs_tbl = arrow_documents(n)
+    assets_tbl = assets_table(n)
+    flat = duckdb.sql("""
+        WITH refs AS (
+            SELECT doc_id, s.media_ref
+            FROM docs_tbl, UNNEST(spans) AS t(s)
+            WHERE s.media_ref <> ''
+        )
+        SELECT DISTINCT media_ref FROM refs
+        WHERE media_ref NOT IN (SELECT asset_id FROM assets_tbl)
+    """).fetchall()
+    oracle = {r[0] for r in flat}
+    assert got == oracle
+    assert all(ref.startswith("missing-") for ref in got)
+    # doc attribution is correct: every pair's doc really references it
+    pairs = {(r["doc_id"], r["media_ref"]) for r in dangling}
+    oracle_pairs = set(duckdb.sql("""
+        SELECT DISTINCT doc_id, s.media_ref
+        FROM docs_tbl, UNNEST(spans) AS t(s)
+        WHERE s.media_ref <> ''
+          AND s.media_ref NOT IN (SELECT asset_id FROM assets_tbl)
+    """).fetchall())
+    assert pairs == oracle_pairs
+
+
+# --- B5: drift --------------------------------------------------------------
+
+def test_b5_drift_flags_only_shifted_distribution(ray_session):
+    import ray.data
+
+    rng = np.random.default_rng(5)
+    base_tbl = pa.table({"part": ["a"] * 20_000, "v": rng.normal(0, 1, 20_000)})
+    same_tbl = pa.table({"part": ["b"] * 20_000, "v": rng.normal(0, 1, 20_000)})
+    shifted_tbl = pa.table({"part": ["c"] * 20_000,
+                            "v": rng.normal(1.5, 1, 20_000)})
+    reference = kll_of_column(ray.data.from_arrow(base_tbl), "v")
+    live = ray.data.from_arrow(
+        pa.concat_tables([same_tbl, shifted_tbl]))
+    verdicts = drift_by_group(live, "part", "v", reference, threshold=0.1)
+    assert verdicts["b"]["passed"], verdicts["b"]
+    assert not verdicts["c"]["passed"], verdicts["c"]
+
+
+def test_b5_spans_per_doc_sketch_close_to_exact(ray_session):
+    ds = ray_documents(1_000, override_num_blocks=4)
+    sk = kll_spans_per_doc(ds)
+    exact = np.array([len(s) for s in
+                      arrow_documents(1_000).column("spans").to_pylist()])
+    for q in (0.25, 0.5, 0.75):
+        assert abs(sk.quantile(q) - np.quantile(exact, q)) <= 6
+    assert drift_check(sk, sk)["passed"]
