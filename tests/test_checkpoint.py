@@ -1,0 +1,90 @@
+"""FIXTURES.md B7: kill after k partitions, resume from checkpoints, global
+output identical to an uninterrupted run."""
+
+import json
+import os
+
+import pytest
+
+from mdvalidate_ray.corpus import flagship_schema_text
+from mdvalidate_ray.pipelines.checkpoint import (
+    global_report,
+    load_manifest,
+    run_checkpointed,
+)
+
+N_DOCS = 240
+N_PARTS = 6
+
+
+def _slice(k, per):
+    import ray.data
+
+    from mdvalidate_ray.corpus import documents_batch
+
+    ds = ray.data.range(per, override_num_blocks=2)
+    start = k * per
+    return ds.map_batches(
+        lambda b: documents_batch(b["id"] + start, N_DOCS),
+        batch_format="numpy")
+
+
+def _lineage(k):
+    per = N_DOCS // N_PARTS
+    return {"kind": "synthetic_range", "start": k * per, "end": (k + 1) * per}
+
+
+def _read_all_verdicts(out_dir):
+    import ray.data
+
+    ds = ray.data.read_parquet(os.path.join(out_dir, "verdicts"))
+    rows = sorted(
+        (r["doc_id"], r["passed"], r["captures"], r["n_violations"])
+        for r in ds.take_all())
+    return rows
+
+
+def test_b7_resume_equals_uninterrupted(ray_session, tmp_path):
+    schema = flagship_schema_text()
+    uninterrupted = str(tmp_path / "full")
+    recs = run_checkpointed(lambda k: _slice(k, N_DOCS // N_PARTS), _lineage,
+                            N_PARTS, uninterrupted, schema)
+    assert len(recs) == N_PARTS
+
+    # simulated failure: only 2 partitions complete
+    resumed = str(tmp_path / "resumed")
+    partial = run_checkpointed(lambda k: _slice(k, N_DOCS // N_PARTS),
+                               _lineage, N_PARTS, resumed, schema,
+                               max_partitions=2)
+    assert len(partial) == 2
+    assert len(load_manifest(resumed)) == 2
+    report_partial = global_report(resumed, N_PARTS)
+    assert not report_partial["complete"]
+
+    # resume: remaining 4 partitions run; the 2 finished ones are skipped
+    resumed_recs = run_checkpointed(lambda k: _slice(k, N_DOCS // N_PARTS),
+                                    _lineage, N_PARTS, resumed, schema)
+    assert len(resumed_recs) == N_PARTS
+
+    assert _read_all_verdicts(resumed) == _read_all_verdicts(uninterrupted)
+
+    ra = global_report(resumed, N_PARTS)
+    rb = global_report(uninterrupted, N_PARTS)
+    ra_parts, rb_parts = ra.pop("partitions"), rb.pop("partitions")
+    assert ra == rb
+    assert ra_parts == rb_parts
+
+
+def test_manifest_carries_lineage_and_metrics(ray_session, tmp_path):
+    out = str(tmp_path / "m")
+    run_checkpointed(lambda k: _slice(k, N_DOCS // N_PARTS), _lineage,
+                     2, out, flagship_schema_text())
+    with open(os.path.join(out, "manifest.jsonl")) as f:
+        recs = [json.loads(l) for l in f]
+    assert len(recs) == 2
+    for rec in recs:
+        assert rec["lineage"]["kind"] == "synthetic_range"
+        assert rec["rows"] == N_DOCS // N_PARTS
+        assert rec["status"] == "done"
+        assert rec["hll"] and rec["kll"]
+        assert rec["n_passed"] + rec["n_violations"] >= rec["rows"] * 0.9

@@ -1,0 +1,258 @@
+"""Training-data operators: text analysis, dedup family, similarity search,
+multimodal plumbing — over the real testdata tables."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(ray_session):
+    import ray.data
+
+    return ray.data.read_parquet(f"{SF_DIR}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def embeddings(ray_session):
+    import ray.data
+
+    return ray.data.read_parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+# --- text -------------------------------------------------------------------
+
+def test_token_counts_match_python(docs):
+    from mdvalidate_ray.functions.text import add_token_counts
+
+    out = docs.map_batches(add_token_counts, batch_format="pyarrow").take(50)
+    for r in out:
+        assert r["n_tokens"] == len(r["text"].split())
+        assert r["n_subwords"] >= r["n_tokens"]
+
+
+def test_quality_components(docs):
+    from mdvalidate_ray.functions.text import add_quality
+
+    out = docs.map_batches(add_quality, batch_format="pyarrow").take(50)
+    for r in out:
+        t = r["text"]
+        assert r["punct_ratio"] == pytest.approx(
+            sum(c in ".,!?;:" for c in t) / max(len(t), 1))
+        assert 0.0 <= r["quality_score"] <= 1.0
+
+
+def test_langid_accuracy(ray_session):
+    """The testdata `lang` column is a synthetic label uncorrelated with
+    the (always-English word-salad) text, so language ID is asserted on
+    constructed texts of known language instead."""
+    import ray.data
+
+    from mdvalidate_ray.functions.text import LanguageId
+
+    samples = [
+        ("en", "the cat sat on the mat and it is a fine day for a walk"),
+        ("es", "el perro y el gato se fueron por la calle de la ciudad"),
+        ("fr", "le chien et le chat sont dans la maison des voisins"),
+        ("de", "der Hund und die Katze sind in dem Haus und das ist gut"),
+        ("zh", "这是一个中文句子用来测试语言识别功能的正确性"),
+    ] * 4
+    tbl = pa.table({"doc_id": list(range(len(samples))),
+                    "text": [t for _, t in samples],
+                    "lang": [l for l, _ in samples]})
+    out = ray.data.from_arrow(tbl).map_batches(
+        LanguageId, concurrency=2, batch_format="pyarrow").take_all()
+    acc = sum(r["pred_lang"] == r["lang"] for r in out) / len(out)
+    assert acc == 1.0, [(r["lang"], r["pred_lang"]) for r in out]
+
+
+def test_fingerprints_stable(docs):
+    from mdvalidate_ray.functions.text import add_fingerprints
+
+    a = docs.map_batches(add_fingerprints, batch_format="pyarrow").take(20)
+    b = docs.map_batches(add_fingerprints, batch_format="pyarrow").take(20)
+    assert [r["fp_md5"] for r in a] == [r["fp_md5"] for r in b]
+    assert [r["fp_roll"] for r in a] == [r["fp_roll"] for r in b]
+
+
+# --- dedup ------------------------------------------------------------------
+
+def _with_planted_dups(docs):
+    """Corpus ∪ near-copies: every 10th doc duplicated exactly, every 25th
+    with its first word changed (near-dup)."""
+    import pyarrow.compute as pc
+
+    def _mod_is_zero(b, m):
+        ids = b.column("doc_id")
+        return b.filter(pc.equal(
+            pc.subtract(ids, pc.multiply(pc.divide(ids, m), m)), 0))
+
+    def exact_copy(b: pa.Table) -> pa.Table:
+        b = _mod_is_zero(b, 10)
+        return b.set_column(0, "doc_id", pc.add(b.column("doc_id"), 1_000_000))
+
+    def near_copy(b: pa.Table) -> pa.Table:
+        b = _mod_is_zero(b, 25)
+        return b.set_column(0, "doc_id", pc.add(b.column("doc_id"), 2_000_000)) \
+                .set_column(1, "text", pa.array(
+                    ["changed " + " ".join(t.split()[1:])
+                     for t in b.column("text").to_pylist()]))
+
+    exact = docs.map_batches(exact_copy, batch_format="pyarrow")
+    near = docs.map_batches(near_copy, batch_format="pyarrow")
+    return docs.union(exact).union(near)
+
+
+def test_exact_duplicate_groups(ray_session, docs):
+    from mdvalidate_ray.functions.dedup import exact_duplicate_groups
+
+    aug = _with_planted_dups(docs)
+    groups = exact_duplicate_groups(aug, "text", "doc_id").take_all()
+    # every group is {i, i+1_000_000} for i % 10 == 0
+    assert groups, "expected planted exact duplicates"
+    for g in groups:
+        ids = sorted(int(d) for d in g["doc_ids"])
+        assert len(ids) == 2 and ids[1] == ids[0] + 1_000_000
+        assert ids[0] % 10 == 0
+    assert len(groups) == 50  # 500 docs / 10
+
+
+def test_minhash_finds_near_duplicates(ray_session, docs):
+    """The synthetic corpus has NATURAL near-dups (short texts, tiny
+    vocabulary), so assert soundness (every reported pair verifies) and
+    recall against brute-force ground truth rather than an exact pair set."""
+    from mdvalidate_ray.functions.dedup import (
+        jaccard,
+        minhash_near_duplicates,
+        verify_pairs_jaccard,
+    )
+
+    aug = _with_planted_dups(docs)
+    pairs = minhash_near_duplicates(aug, threshold=0.85)
+    verified = verify_pairs_jaccard(pairs, aug, threshold=0.8).to_pylist()
+    # doc_a/doc_b are ordered as STRINGS in the pair contract; normalize
+    # numerically for comparison with the int-keyed ground truth
+    got = {tuple(sorted((int(r["doc_a"]), int(r["doc_b"]))))
+           for r in verified}
+    for r in verified:            # soundness: exact jaccard re-checked
+        assert r["jaccard"] >= 0.8
+
+    # ground truth on a slice: all pairs with true jaccard >= 0.9
+    rows = {r["doc_id"]: r["text"] for r in aug.take_all()}
+    sample_ids = sorted(rows)[:300]
+    truth = set()
+    for i, a in enumerate(sample_ids):
+        for b in sample_ids[i + 1:]:
+            if jaccard(rows[a], rows[b]) >= 0.9:
+                truth.add((min(int(a), int(b)), max(int(a), int(b))))
+    assert truth, "expected natural+planted near-dups in ground truth"
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.8, (recall, len(truth))
+
+
+def test_simhash_near_duplicates(ray_session, docs):
+    from mdvalidate_ray.functions.dedup import simhash_near_duplicates
+
+    aug = _with_planted_dups(docs)
+    pairs = simhash_near_duplicates(aug, max_hamming=3).take_all()
+    got = {tuple(sorted((int(r["doc_a"]), int(r["doc_b"])))) for r in pairs}
+    # identical texts have identical simhash (hamming 0): every planted
+    # exact-dup pair must be found unless its bucket is degenerate
+    exact_pairs = {(i, i + 1_000_000) for i in range(0, 500, 10)}
+    found = len(exact_pairs & got) / len(exact_pairs)
+    assert found >= 0.9, found
+    for r in pairs:
+        assert r["hamming"] <= 3
+
+
+# --- similarity -------------------------------------------------------------
+
+def test_knn_brute_force_matches_numpy(embeddings):
+    from mdvalidate_ray.functions.similarity import knn_brute_force
+
+    rows = embeddings.take_all()
+    m = np.asarray([r["embedding"] for r in rows], dtype=np.float32)
+    ids = np.asarray([r["vec_id"] for r in rows])
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    queries = m[:3]
+    got = knn_brute_force(embeddings, queries, k=5).to_pylist()
+    for qi in range(3):
+        scores = mn @ mn[qi]
+        top = ids[np.argsort(-scores)[:5]]
+        got_keys = [r["key"] for r in got if r["query_id"] == qi]
+        assert set(got_keys) == set(int(t) for t in top)
+        assert got_keys[0] == int(ids[qi])  # self is nearest
+
+
+def test_knn_ivf_recall(embeddings):
+    from mdvalidate_ray.functions.similarity import (
+        knn_brute_force,
+        knn_ivf,
+    )
+
+    rows = embeddings.take(3)
+    queries = np.asarray([r["embedding"] for r in rows], dtype=np.float32)
+    exact = knn_brute_force(embeddings, queries, k=10).to_pylist()
+    approx = knn_ivf(embeddings, queries, k=10, n_clusters=8,
+                     nprobe=4).to_pylist()
+    for qi in range(3):
+        e = {r["key"] for r in exact if r["query_id"] == qi}
+        a = {r["key"] for r in approx if r["query_id"] == qi}
+        assert len(e & a) / 10 >= 0.5  # recall@10 with half the clusters
+
+
+def test_embedding_near_duplicates_threshold(embeddings):
+    from mdvalidate_ray.functions.similarity import embedding_near_duplicates
+
+    pairs = embedding_near_duplicates(embeddings, threshold=0.99).to_pylist()
+    # synthetic embeddings: near-identical pairs only if planted; just
+    # assert the contract (sorted keys, cosine >= threshold)
+    for r in pairs:
+        assert r["key_a"] < r["key_b"]
+        assert r["cosine"] >= 0.99
+
+
+# --- media ------------------------------------------------------------------
+
+def test_media_decode_and_features(ray_session):
+    import ray.data
+
+    from mdvalidate_ray.functions.media import (
+        decode_media,
+        extract_features,
+        synth_media_batch,
+    )
+
+    tbl = synth_media_batch([f"asset-{i:04d}" for i in range(100)],
+                            ["image/png"] * 100)
+    ds = ray.data.from_arrow(tbl)
+    decoded = decode_media(ds).take_all()
+    assert len(decoded) == 100
+    for r in decoded:
+        assert r["ok"] and 16 <= r["width"] <= 512 and 16 <= r["height"] <= 512
+        assert r["n_bytes"] > 14
+    feats = extract_features(ds).take_all()
+    assert len(feats) == 100
+    for r in feats[:5]:
+        v = np.asarray(r["feature"])
+        assert v.shape == (32,)
+        assert abs(np.linalg.norm(v) - 1.0) < 1e-5
+
+
+def test_media_decode_strict_raises_on_real_format(ray_session):
+    import ray.data
+
+    from mdvalidate_ray.functions.media import DecodeStage
+
+    png = pa.Table.from_arrays(
+        [pa.array(["a"]), pa.array(["image/png"]),
+         pa.array([b"\x89PNG\r\n\x1a\n...."], pa.binary())],
+        names=["asset_id", "mime", "payload"])
+    stage = DecodeStage(strict=True)
+    with pytest.raises(NotImplementedError):
+        stage(png)
+    lenient = DecodeStage(strict=False)
+    out = lenient(png)
+    assert out.column("ok").to_pylist() == [False]
