@@ -1,16 +1,12 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract for the Ray-Data-native validation engine.
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship validation pipeline on sf0.001;
+``queries()`` exposes one callable per operator family (SURVEY.md §2 +
+the training-data operators); ``oracle_sql()`` gives the DuckDB twin for
+every SQL-expressible query (same column names, same rounding).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported; nothing
+here (or in mdvalidate_ray) calls ray.init / ray.shutdown.
 """
 
 from __future__ import annotations
@@ -18,27 +14,176 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+from mdvalidate_ray import queries as Q
+
+SF_SMOKE = "/root/testdata/sf0.001"
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline: synthesize the spans corpus at sf0.001 scale, run
+    span-structure validation + wide constraints, return the verdicts."""
+    import ray.data
+
+    from mdvalidate_ray.corpus import assets_table
+    from mdvalidate_ray.pipelines.validate_pipeline import full_suite
+
+    n, docs = Q._corpus(SF_SMOKE)
+    assets = ray.data.from_arrow(assets_table(n))
+    suite = full_suite(docs, assets)
+    # materialize the wide-constraint verdicts (small); return the verdict
+    # table (doc_id, passed, captures, n_spans, n_violations)
+    suite["uniqueness"].pop("duplicates", None)
+    return suite["validated"].select_columns(
+        ["doc_id", "passed", "captures", "n_spans", "n_violations"])
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # validation engine (rows-only; span walk is not SQL-expressible)
+        "validate_verdicts": Q.validate_verdicts,
+        "validate_violations": Q.validate_violations,
+        "dangling_media": Q.dangling_media,
+        "drift_by_lang": Q.drift_by_lang,
+        # wide constraints with SQL oracles
+        "stats_text": Q.stats_text,
+        "hist_text_len": Q.hist_text_len,
+        "dup_orderkeys": Q.dup_orderkeys,
+        "orphan_events": Q.orphan_events,
+        "quantiles_nchars": Q.quantiles_nchars,
+        # relational demos
+        "q1_pricing": Q.q1_pricing,
+        "top_customers": Q.top_customers,
+        "events_daily": Q.events_daily,
+        "part_type_stats": Q.part_type_stats,
+        # dedup / text
+        "dedup_exact": Q.dedup_exact,
+        "token_counts": Q.token_counts,
+        "quality": Q.quality,
+        "fingerprints": Q.fingerprints,
+        "lang_pred_counts": Q.lang_pred_counts,
+        "minhash_pairs": Q.minhash_pairs,
+        "simhash_pairs": Q.simhash_pairs,
+        # similarity
+        "knn": Q.knn,
+        "embedding_dups": Q.embedding_dups,
+        # multimodal plumbing
+        "media_decode": Q.media_decode,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "stats_text": """
+            SELECT count(*)::BIGINT AS n_rows,
+                   coalesce(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END), 0)::BIGINT AS n_null,
+                   coalesce(sum(CASE WHEN text = '' THEN 1 ELSE 0 END), 0)::BIGINT AS n_empty,
+                   min(length(text))::BIGINT AS min_len,
+                   max(length(text))::BIGINT AS max_len,
+                   sum(length(text))::BIGINT AS sum_len
+            FROM documents
+        """,
+        "hist_text_len": """
+            SELECT ((length(text) // 100) * 100)::BIGINT AS bucket,
+                   count(*)::BIGINT AS cnt
+            FROM documents GROUP BY 1
+        """,
+        "dup_orderkeys": """
+            SELECT l_orderkey, count(*)::BIGINT AS cnt
+            FROM lineitem GROUP BY 1 HAVING count(*) > 1
+        """,
+        "orphan_events": """
+            SELECT DISTINCT user_id FROM events
+            WHERE user_id NOT IN (SELECT c_custkey FROM customer)
+        """,
+        "quantiles_nchars": """
+            SELECT quantile_disc(n_chars, 0.25)::BIGINT AS q25,
+                   quantile_disc(n_chars, 0.50)::BIGINT AS q50,
+                   quantile_disc(n_chars, 0.75)::BIGINT AS q75,
+                   quantile_disc(n_chars, 0.90)::BIGINT AS q90
+            FROM documents
+        """,
+        "q1_pricing": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity) * 100)::BIGINT AS sum_qty_c100,
+                   round(sum(l_extendedprice) * 100)::BIGINT AS sum_base_price_c100,
+                   round(avg(l_discount) * 10000)::BIGINT AS avg_disc_bp,
+                   count(*)::BIGINT AS count_order
+            FROM lineitem GROUP BY 1, 2
+        """,
+        "top_customers": """
+            SELECT o_custkey, c_name,
+                   round(sum(o_totalprice) * 100)::BIGINT AS revenue_c100,
+                   count(*)::BIGINT AS n_orders
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY 1, 2
+            ORDER BY sum(o_totalprice) DESC, o_custkey
+            LIMIT 10
+        """,
+        "events_daily": """
+            SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+                   count(*)::BIGINT AS cnt
+            FROM events GROUP BY 1, 2
+        """,
+        "part_type_stats": """
+            SELECT p_type,
+                   round(avg(p_retailprice) * 100)::BIGINT AS avg_price_c100,
+                   count(*)::BIGINT AS n
+            FROM part GROUP BY 1
+        """,
+        "dedup_exact": """
+            WITH aug AS (
+                SELECT text FROM documents
+                UNION ALL
+                SELECT text FROM documents WHERE doc_id % 10 = 0
+            )
+            SELECT md5(text) AS fp_md5, count(*)::BIGINT AS cnt
+            FROM aug GROUP BY 1 HAVING count(*) > 1
+        """,
+        "token_counts": """
+            SELECT doc_id,
+                   len(regexp_split_to_array(trim(text), '\\s+'))::BIGINT AS n_tokens
+            FROM documents
+        """,
+        "quality": """
+            SELECT doc_id,
+                   round(length(regexp_replace(text, '[^.,!?;:]', '', 'g'))
+                         / greatest(length(text), 1)::DOUBLE, 6) AS punct_ratio,
+                   round(length(regexp_replace(text, '[^0-9]', '', 'g'))
+                         / greatest(length(text), 1)::DOUBLE, 6) AS digit_ratio,
+                   round(length(regexp_replace(text, '[^A-Z]', '', 'g'))
+                         / greatest(length(text), 1)::DOUBLE, 6) AS upper_ratio
+            FROM documents
+        """,
+        "fingerprints": """
+            SELECT doc_id,
+                   md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp_md5
+            FROM documents
+        """,
+        "knn": """
+            WITH q AS (
+                SELECT vec_id AS qid, embedding AS qe
+                FROM embeddings WHERE vec_id < 3
+            ),
+            s AS (
+                SELECT q.qid, e.vec_id,
+                       list_cosine_similarity(q.qe, e.embedding) AS sim
+                FROM q CROSS JOIN embeddings e
+            ),
+            r AS (
+                SELECT qid, vec_id, sim,
+                       row_number() OVER (PARTITION BY qid
+                                          ORDER BY sim DESC, vec_id) AS rn
+                FROM s
+            )
+            SELECT qid AS query_id, vec_id AS key,
+                   round(sim::DOUBLE * 1000)::BIGINT AS score_m
+            FROM r WHERE rn <= 5
+        """,
+        "embedding_dups": """
+            SELECT a.vec_id AS key_a, b.vec_id AS key_b,
+                   round(list_cosine_similarity(a.embedding, b.embedding)::DOUBLE
+                         * 1000)::BIGINT AS cosine_m
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45
+        """,
+    }

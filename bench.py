@@ -1,0 +1,223 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Default mode: one process, `ray.init(address="local",
+num_cpus=$RAY_GRAFT_CPUS or 32)`, runs the headline validation suite over a
+deterministic spans corpus derived from $GRAFT_SF_DIR (default
+/root/testdata/sf0.1) plus a set of catalog queries, and prints ONE JSON
+line: {"metric", "value", "unit", "queries", "sf", "num_cpus", ...}.
+
+`--scaling`: runs the headline pipeline in two FRESH subprocesses
+(num_cpus=8 and num_cpus=32) on the SAME cached corpus and reports both
+throughputs plus scaling efficiency = (docs_sec_32 / docs_sec_8) / 4 —
+the sandbox evidence protocol for the north_rule's two-cluster-size
+criterion (see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+DOCS_MULTIPLIER = int(os.environ.get("BENCH_DOCS_MULT", "20"))
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def corpus_dir(num_docs: int) -> str:
+    return f"/tmp/mdv_bench_corpus_{num_docs}"
+
+
+def ensure_corpus(num_docs: int) -> str:
+    """Materialize the bench corpus parquet once; reused across scaling
+    subprocesses so every run reads identical input."""
+    import ray
+
+    from mdvalidate_ray.corpus import assets_table, ray_documents
+
+    path = corpus_dir(num_docs)
+    marker = os.path.join(path, "_DONE")
+    if os.path.exists(marker):
+        return path
+    log(f"synthesizing bench corpus: {num_docs} docs -> {path}")
+    t0 = time.monotonic()
+    ds = ray_documents(num_docs, override_num_blocks=max(32, num_docs // 4000))
+    ds.write_parquet(os.path.join(path, "documents"))
+    import pyarrow.parquet as pq
+
+    pq.write_table(assets_table(num_docs), os.path.join(path, "assets.parquet"))
+    with open(marker, "w") as f:
+        f.write(str(num_docs))
+    log(f"corpus synthesized in {time.monotonic() - t0:.1f}s")
+    return path
+
+
+def run_headline(num_docs: int, num_cpus: int) -> dict:
+    """read parquet → validate (actor pool) → write verdicts → wide
+    constraints (HLL uniqueness, Bloom referential, KLL drift sketch)."""
+    import ray
+    import ray.data
+
+    from mdvalidate_ray.corpus import flagship_schema_text
+    from mdvalidate_ray.stages.referential import dangling_media_refs
+    from mdvalidate_ray.stages.drift import kll_spans_per_doc
+    from mdvalidate_ray.stages.uniqueness import uniqueness_check
+    from mdvalidate_ray.stages.validate import validate_dataset
+
+    path = corpus_dir(num_docs)
+    out_dir = f"/tmp/mdv_bench_out_{num_cpus}"
+    import shutil
+
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+    t0 = time.monotonic()
+    docs = ray.data.read_parquet(os.path.join(path, "documents"))
+    validated = validate_dataset(
+        docs, flagship_schema_text(), batch_size=256,
+        concurrency=(1, num_cpus))
+    validated.write_parquet(out_dir)
+    t_validate = time.monotonic() - t0
+
+    t1 = time.monotonic()
+    docs = ray.data.read_parquet(os.path.join(path, "documents"))
+    uniq = uniqueness_check(docs, "doc_id")
+    t_uniq = time.monotonic() - t1
+
+    t2 = time.monotonic()
+    docs = ray.data.read_parquet(os.path.join(path, "documents"))
+    assets = ray.data.read_parquet(os.path.join(path, "assets.parquet"))
+    n_dangling = dangling_media_refs(docs, assets,
+                                     concurrency=(1, num_cpus)).count()
+    t_ri = time.monotonic() - t2
+
+    t3 = time.monotonic()
+    docs = ray.data.read_parquet(os.path.join(path, "documents"))
+    sketch = kll_spans_per_doc(docs)
+    t_drift = time.monotonic() - t3
+
+    total = time.monotonic() - t0
+    return {
+        "num_docs": num_docs,
+        "wall_sec": round(total, 3),
+        "docs_per_sec": round(num_docs / total, 1),
+        "validate_sec": round(t_validate, 3),
+        "uniqueness_sec": round(t_uniq, 3),
+        "referential_sec": round(t_ri, 3),
+        "drift_sec": round(t_drift, 3),
+        "uniqueness_passed": bool(uniq["passed"]) if uniq else None,
+        "n_dangling": int(n_dangling),
+        "spans_q50": sketch.quantile(0.5),
+    }
+
+
+QUERY_NAMES = [
+    "stats_text", "hist_text_len", "dup_orderkeys", "quantiles_nchars",
+    "q1_pricing", "top_customers", "events_daily",
+    "dedup_exact", "token_counts", "fingerprints",
+    "minhash_pairs", "knn", "embedding_dups",
+]
+
+
+def run_queries(sf_dir: str) -> dict:
+    import __ray_entry__ as entrymod
+
+    fns = entrymod.queries()
+    out = {}
+    for name in QUERY_NAMES:
+        t0 = time.monotonic()
+        res = fns[name](sf_dir)
+        if hasattr(res, "count") and not hasattr(res, "num_rows"):
+            res.count()            # consume lazy Datasets
+        out[name] = round(time.monotonic() - t0, 3)
+        log(f"query {name}: {out[name]}s")
+    return out
+
+
+def main_single(include_queries: bool = True) -> dict:
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False)
+    try:
+        import pyarrow.parquet as pq
+
+        base_rows = pq.ParquetFile(
+            f"{SF_DIR}/documents.parquet").metadata.num_rows
+        num_docs = base_rows * DOCS_MULTIPLIER
+        ensure_corpus(num_docs)
+        headline = run_headline(num_docs, NUM_CPUS)
+        queries = run_queries(SF_DIR) if include_queries else {}
+        result = {
+            "metric": "validated docs/sec (full constraint suite)",
+            "value": headline["wall_sec"],
+            "unit": "sec",
+            "docs_per_sec": headline["docs_per_sec"],
+            "headline": headline,
+            "queries": queries,
+            "sf": SF_DIR,
+            "num_cpus": NUM_CPUS,
+        }
+        return result
+    finally:
+        ray.shutdown()
+
+
+def main_scaling() -> dict:
+    """Fresh process per parallelism level, same cached corpus."""
+    import pyarrow.parquet as pq
+
+    base_rows = pq.ParquetFile(f"{SF_DIR}/documents.parquet").metadata.num_rows
+    num_docs = base_rows * DOCS_MULTIPLIER
+
+    # materialize the corpus once (own session)
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False)
+    try:
+        ensure_corpus(num_docs)
+    finally:
+        ray.shutdown()
+
+    results = {}
+    for cpus in (8, 32):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus),
+                   GRAFT_SF_DIR=SF_DIR, BENCH_DOCS_MULT=str(DOCS_MULTIPLIER))
+        log(f"--- scaling run: num_cpus={cpus} ---")
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--headline-only"],
+            env=env, capture_output=True, text=True, timeout=3600)
+        if proc.returncode != 0:
+            log(proc.stderr[-2000:])
+            raise RuntimeError(f"scaling run at {cpus} cpus failed")
+        line = proc.stdout.strip().splitlines()[-1]
+        results[cpus] = json.loads(line)
+    d8 = results[8]["docs_per_sec"]
+    d32 = results[32]["docs_per_sec"]
+    efficiency = (d32 / d8) / 4
+    return {
+        "metric": "N->4N scaling efficiency (docs/sec at 8 vs 32 cpus)",
+        "value": round(efficiency, 3),
+        "unit": "efficiency",
+        "docs_per_sec_8": d8,
+        "docs_per_sec_32": d32,
+        "headline_8": results[8]["headline"],
+        "headline_32": results[32]["headline"],
+        "sf": SF_DIR,
+        "num_cpus": 32,
+        "queries": {},
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(main_scaling()))
+    elif "--headline-only" in sys.argv:
+        print(json.dumps(main_single(include_queries=False)))
+    else:
+        print(json.dumps(main_single()))

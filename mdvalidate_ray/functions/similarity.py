@@ -44,13 +44,15 @@ class _TopKPartial:
     its local top-k rows per query."""
 
     def __init__(self, queries: np.ndarray, k: int, column: str, key: str):
-        self.q = _normalize(np.asarray(queries, dtype=np.float32))
+        # float64 so scores match a double-precision SQL oracle bit-for-bit
+        # after rounding
+        self.q = _normalize(np.asarray(queries, dtype=np.float64))
         self.k = k
         self.column = column
         self.key = key
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        m = _normalize(_batch_matrix(batch, self.column).astype(np.float32))
+        m = _normalize(_batch_matrix(batch, self.column).astype(np.float64))
         keys = batch.column(self.key).to_pylist()
         scores = self.q @ m.T                      # (n_queries, batch)
         k = min(self.k, m.shape[0])
@@ -175,7 +177,7 @@ def embedding_near_duplicates(ds, threshold: float = 0.95, *,
     (same pair-emission contract)."""
     rows = ds.select_columns([key, column]).take_all()
     keys = np.array([r[key] for r in rows])
-    m = _normalize(np.asarray([r[column] for r in rows], dtype=np.float32))
+    m = _normalize(np.asarray([r[column] for r in rows], dtype=np.float64))
     sims = m @ m.T
     iu = np.triu_indices(len(keys), k=1)
     mask = sims[iu] >= threshold

@@ -1,0 +1,380 @@
+"""Query catalog backing ``__ray_entry__.queries()``.
+
+Every function takes ``sf_dir`` (a /root/testdata/sf* directory) and returns
+a Dataset / pyarrow Table.  Functions with a DuckDB oracle must produce the
+SAME column names and value types as their SQL twin in
+``__ray_entry__.oracle_sql()`` — aggregates are rounded identically on both
+sides so float summation order cannot break the value-hash compare.
+
+The validation-engine queries synthesize the spans-shaped corpus (the
+BASELINE.json input_hint shape) deterministically, sized from the sf tier's
+``documents`` row count; they are rows-only checks (the span walk is not
+SQL-expressible).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _read(sf_dir: str, table: str):
+    import ray.data
+
+    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet")
+
+
+def _docs_count(sf_dir: str) -> int:
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+
+
+def _corpus(sf_dir: str, **kw):
+    from mdvalidate_ray.corpus import ray_documents
+
+    n = _docs_count(sf_dir)
+    blocks = max(4, n // 250)
+    return n, ray_documents(n, override_num_blocks=blocks, **kw)
+
+
+# --- validation engine (rows-only; the span walk is not SQL) ----------------
+
+def validate_verdicts(sf_dir: str):
+    from mdvalidate_ray.corpus import flagship_schema_text
+    from mdvalidate_ray.stages.validate import validate_dataset
+
+    _, docs = _corpus(sf_dir)
+    validated = validate_dataset(docs, flagship_schema_text())
+    return validated.select_columns(
+        ["doc_id", "passed", "captures", "n_spans", "n_violations"])
+
+
+def validate_violations(sf_dir: str):
+    from mdvalidate_ray.corpus import flagship_schema_text
+    from mdvalidate_ray.stages.validate import (
+        validate_dataset,
+        violations_dataset,
+    )
+
+    _, docs = _corpus(sf_dir)
+    return violations_dataset(validate_dataset(docs, flagship_schema_text()))
+
+
+def dangling_media(sf_dir: str):
+    import ray.data
+
+    from mdvalidate_ray.corpus import assets_table
+    from mdvalidate_ray.stages.referential import dangling_media_refs
+
+    n, docs = _corpus(sf_dir)
+    assets = ray.data.from_arrow(assets_table(n))
+    return dangling_media_refs(docs, assets)
+
+
+def drift_by_lang(sf_dir: str):
+    """Drift of n_chars per lang group vs the whole corpus (statistic is a
+    deterministic sketch computation; rows-only)."""
+    from mdvalidate_ray.stages.drift import drift_by_group, kll_of_column
+
+    docs = _read(sf_dir, "documents")
+    reference = kll_of_column(docs, "n_chars")
+    verdicts = drift_by_group(docs, "lang", "n_chars", reference,
+                              threshold=0.15)
+    return pa.Table.from_pylist(
+        [{"lang": g, "statistic": round(v["statistic"], 4),
+          "passed": v["passed"]} for g, v in sorted(verdicts.items())])
+
+
+# --- wide constraints with SQL oracles --------------------------------------
+
+def stats_text(sf_dir: str):
+    from mdvalidate_ray.stages.stats import column_stats
+
+    t = column_stats(_read(sf_dir, "documents"), ["text"]).to_pylist()[0]
+    return pa.Table.from_pylist([{
+        "n_rows": t["n_rows"], "n_null": t["n_null"],
+        "n_empty": t["n_empty"], "min_len": t["min_len"],
+        "max_len": t["max_len"], "sum_len": t["sum_len"],
+    }])
+
+
+def hist_text_len(sf_dir: str):
+    from mdvalidate_ray.stages.stats import length_histogram
+
+    h = length_histogram(_read(sf_dir, "documents"), "text", 100)
+    return h.map_batches(
+        lambda b: pa.Table.from_arrays(
+            [b.column("bucket").cast(pa.int64()),
+             b.column("sum(cnt)").cast(pa.int64())],
+            names=["bucket", "cnt"]),
+        batch_format="pyarrow")
+
+
+def dup_orderkeys(sf_dir: str):
+    from mdvalidate_ray.stages.uniqueness import duplicate_keys
+
+    return duplicate_keys(_read(sf_dir, "lineitem"), "l_orderkey")
+
+
+def orphan_events(sf_dir: str):
+    """events.user_id ∄ customer.c_custkey — generic bloom+exact-antijoin
+    over int keys (empty on TPC-H-consistent data, and the oracle agrees)."""
+    from mdvalidate_ray.functions.relational import broadcast_join
+
+    customers = _read(sf_dir, "customer").select_columns(
+        ["c_custkey"]).to_arrow_refs()
+    import ray
+
+    small = pa.concat_tables([ray.get(r) for r in customers])
+    small = small.append_column("present", pa.array([True] * len(small)))
+    small = small.rename_columns(["user_id", "present"])
+    joined = broadcast_join(
+        _read(sf_dir, "events").select_columns(["user_id"]), small,
+        "user_id", join_type="left outer")
+    orphans = joined.map_batches(
+        lambda b: b.filter(pc.is_null(b.column("present")))
+                   .select(["user_id"]),
+        batch_format="pyarrow")
+    # materialize with an explicit schema: an empty Dataset drops its
+    # schema on to_pandas, which would break the empty-vs-empty compare
+    keys = sorted({r["user_id"] for r in orphans.take_all()})
+    return pa.Table.from_arrays([pa.array(keys, pa.int64())],
+                                names=["user_id"])
+
+
+def quantiles_nchars(sf_dir: str):
+    from mdvalidate_ray.functions.relational import exact_quantiles
+
+    q25, q50, q75, q90 = exact_quantiles(
+        _read(sf_dir, "documents"), "n_chars", [0.25, 0.5, 0.75, 0.9])
+    return pa.Table.from_pylist(
+        [{"q25": q25, "q50": q50, "q75": q75, "q90": q90}])
+
+
+# --- relational demos (groupby / join / sort / limit) -----------------------
+
+def q1_pricing(sf_dir: str):
+    from ray.data.aggregate import Count, Mean, Sum
+
+    li = _read(sf_dir, "lineitem")
+    agg = li.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("l_quantity", alias_name="s_qty"),
+        Sum("l_extendedprice", alias_name="s_price"),
+        Mean("l_discount", alias_name="m_disc"),
+        Count(alias_name="count_order"),
+    )
+    # money/aggregate floats compare as scaled integers: double rounding is
+    # not bit-stable across engines, integer cents are
+    return agg.map_batches(
+        lambda b: pa.Table.from_arrays(
+            [b.column("l_returnflag"), b.column("l_linestatus"),
+             pc.round(pc.multiply(b.column("s_qty"), 100.0), 0).cast(pa.int64()),
+             pc.round(pc.multiply(b.column("s_price"), 100.0), 0).cast(pa.int64()),
+             pc.round(pc.multiply(b.column("m_disc"), 10000.0), 0).cast(pa.int64()),
+             b.column("count_order").cast(pa.int64())],
+            names=["l_returnflag", "l_linestatus", "sum_qty_c100",
+                   "sum_base_price_c100", "avg_disc_bp", "count_order"]),
+        batch_format="pyarrow")
+
+
+def top_customers(sf_dir: str):
+    import ray
+
+    from ray.data.aggregate import Count, Sum
+    from mdvalidate_ray.functions.relational import broadcast_join
+
+    cust = pa.concat_tables(
+        [ray.get(r) for r in _read(sf_dir, "customer").select_columns(
+            ["c_custkey", "c_name"]).to_arrow_refs()])
+    cust = cust.rename_columns(["o_custkey", "c_name"])
+    joined = broadcast_join(
+        _read(sf_dir, "orders").select_columns(["o_custkey", "o_totalprice"]),
+        cust, "o_custkey")
+    agg = joined.groupby(["o_custkey", "c_name"]).aggregate(
+        Sum("o_totalprice", alias_name="rev"),
+        Count(alias_name="n_orders"),
+    )
+    rows = agg.take_all()
+    rows.sort(key=lambda r: (-r["rev"], r["o_custkey"]))
+    top = rows[:10]
+    return pa.Table.from_pylist([{
+        "o_custkey": r["o_custkey"], "c_name": r["c_name"],
+        "revenue_c100": int(round(r["rev"] * 100)),
+        "n_orders": r["n_orders"],
+    } for r in top])
+
+
+def events_daily(sf_dir: str):
+    ev = _read(sf_dir, "events")
+
+    def add_day(b: pa.Table) -> pa.Table:
+        day = pc.strftime(b.column("ts"), format="%Y-%m-%d")
+        return pa.Table.from_arrays(
+            [b.column("event_type"), day], names=["event_type", "day"])
+
+    agg = ev.map_batches(add_day, batch_format="pyarrow") \
+            .groupby(["event_type", "day"]).count()
+    return agg.map_batches(
+        lambda b: pa.Table.from_arrays(
+            [b.column("event_type"), b.column("day"),
+             b.column("count()").cast(pa.int64())],
+            names=["event_type", "day", "cnt"]),
+        batch_format="pyarrow")
+
+
+def part_type_stats(sf_dir: str):
+    from ray.data.aggregate import Count, Mean
+
+    agg = _read(sf_dir, "part").groupby("p_type").aggregate(
+        Mean("p_retailprice", alias_name="m_price"),
+        Count(alias_name="n"),
+    )
+    return agg.map_batches(
+        lambda b: pa.Table.from_arrays(
+            [b.column("p_type"),
+             pc.round(pc.multiply(b.column("m_price"), 100.0), 0).cast(pa.int64()),
+             b.column("n").cast(pa.int64())],
+            names=["p_type", "avg_price_c100", "n"]),
+        batch_format="pyarrow")
+
+
+# --- dedup / text over documents --------------------------------------------
+
+def _augmented_docs(sf_dir: str):
+    """documents ∪ copies of every 10th doc (doc_id + 1_000_000) — the
+    deterministic dup-planting both Ray and SQL construct identically."""
+    docs = _read(sf_dir, "documents")
+
+    def copies(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id")
+        mod = pc.subtract(ids, pc.multiply(pc.divide(ids, 10), 10))
+        b = b.filter(pc.equal(mod, 0))
+        return b.set_column(0, "doc_id", pc.add(b.column("doc_id"),
+                                                1_000_000))
+
+    return docs.union(docs.map_batches(copies, batch_format="pyarrow"))
+
+
+def dedup_exact(sf_dir: str):
+    from mdvalidate_ray.functions.dedup import exact_duplicate_groups
+
+    groups = exact_duplicate_groups(_augmented_docs(sf_dir), "text",
+                                    "doc_id")
+    return groups.map_batches(
+        lambda b: b.select(["fp_md5", "cnt"]),
+        batch_format="pyarrow")
+
+
+def token_counts(sf_dir: str):
+    from mdvalidate_ray.functions.text import add_token_counts
+
+    out = _read(sf_dir, "documents").map_batches(
+        lambda b: add_token_counts(b).select(["doc_id", "n_tokens"]),
+        batch_format="pyarrow")
+    return out
+
+
+def quality(sf_dir: str):
+    from mdvalidate_ray.functions.text import add_quality
+
+    def pick(b: pa.Table) -> pa.Table:
+        b = add_quality(b)
+        return pa.Table.from_arrays(
+            [b.column("doc_id"),
+             pc.round(b.column("punct_ratio"), 6),
+             pc.round(b.column("digit_ratio"), 6),
+             pc.round(b.column("upper_ratio"), 6)],
+            names=["doc_id", "punct_ratio", "digit_ratio", "upper_ratio"])
+
+    return _read(sf_dir, "documents").map_batches(pick,
+                                                  batch_format="pyarrow")
+
+
+def fingerprints(sf_dir: str):
+    from mdvalidate_ray.functions.text import add_fingerprints
+
+    return _read(sf_dir, "documents").map_batches(
+        lambda b: add_fingerprints(b).select(["doc_id", "fp_md5"]),
+        batch_format="pyarrow")
+
+
+def lang_pred_counts(sf_dir: str):
+    from mdvalidate_ray.functions.text import LanguageId
+
+    out = _read(sf_dir, "documents").map_batches(
+        LanguageId, concurrency=(1, 4), batch_format="pyarrow")
+    agg = out.groupby("pred_lang").count()
+    return agg.map_batches(
+        lambda b: pa.Table.from_arrays(
+            [b.column("pred_lang"), b.column("count()").cast(pa.int64())],
+            names=["pred_lang", "cnt"]),
+        batch_format="pyarrow")
+
+
+def minhash_pairs(sf_dir: str):
+    from mdvalidate_ray.functions.dedup import (
+        minhash_near_duplicates,
+        verify_pairs_jaccard,
+    )
+
+    docs = _augmented_docs(sf_dir)
+    pairs = minhash_near_duplicates(docs, threshold=0.9)
+    verified = verify_pairs_jaccard(pairs, docs, threshold=0.9)
+    return verified.set_column(
+        2, "jaccard", pc.round(verified.column("jaccard"), 4))
+
+
+def simhash_pairs(sf_dir: str):
+    from mdvalidate_ray.functions.dedup import simhash_near_duplicates
+
+    return simhash_near_duplicates(_augmented_docs(sf_dir), max_hamming=2)
+
+
+# --- similarity over embeddings ---------------------------------------------
+
+def knn(sf_dir: str):
+    import numpy as np
+
+    from mdvalidate_ray.functions.similarity import knn_brute_force
+
+    emb = _read(sf_dir, "embeddings")
+    qrows = sorted(emb.take(16), key=lambda r: r["vec_id"])[:3]
+    queries = np.asarray([r["embedding"] for r in qrows], dtype=np.float64)
+    out = knn_brute_force(emb, queries, k=5)
+    # rank excluded (float noise may swap near-equal ranks) and score
+    # compared as integer millis: DuckDB's list_cosine_similarity returns
+    # float32, so only scaled-integer compare is bit-stable
+    return pa.Table.from_arrays(
+        [pa.array([qrows[r["query_id"]]["vec_id"] for r in out.to_pylist()],
+                  pa.int64()),
+         out.column("key"),
+         pc.round(pc.multiply(out.column("score"), 1000.0), 0).cast(pa.int64())],
+        names=["query_id", "key", "score_m"])
+
+
+def embedding_dups(sf_dir: str):
+    from mdvalidate_ray.functions.similarity import embedding_near_duplicates
+
+    # 0.45 sits below the synthetic-embedding max offdiag cosine (~0.51)
+    # so the check is non-degenerate at every sf tier
+    pairs = embedding_near_duplicates(_read(sf_dir, "embeddings"),
+                                      threshold=0.45)
+    return pairs.set_column(
+        2, "cosine_m",
+        pc.round(pc.multiply(pairs.column("cosine"), 1000.0), 0).cast(pa.int64()))
+
+
+# --- multimodal plumbing (rows-only) ----------------------------------------
+
+def media_decode(sf_dir: str):
+    import ray.data
+
+    from mdvalidate_ray.corpus import assets_table
+    from mdvalidate_ray.functions.media import decode_media, synth_media_batch
+
+    n = _docs_count(sf_dir)
+    assets = assets_table(n)
+    media = synth_media_batch(assets.column("asset_id").to_pylist(),
+                              assets.column("mime").to_pylist())
+    return decode_media(ray.data.from_arrow(media))

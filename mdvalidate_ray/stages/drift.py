@@ -22,6 +22,17 @@ def _sketch_batch(values, k: int) -> bytes:
     return KLLSketch(k=k).update(values).to_bytes()
 
 
+def _merge_sorted(partials: list[bytes], k: int) -> KLLSketch:
+    """Merge partial sketches in canonical (sorted-bytes) order: KLL
+    compaction is order-dependent, and Ray's streaming executor delivers
+    partials in nondeterministic order — sorting restores run-to-run
+    determinism given the same partial set."""
+    merged = KLLSketch(k=k)
+    for b in sorted(partials):
+        merged.merge(KLLSketch.from_bytes(b))
+    return merged
+
+
 def kll_of_column(ds, column: str, k: int = 200) -> KLLSketch:
     """Merged KLL sketch of a numeric column — one streaming pass."""
     def partial(b: pa.Table) -> pa.Table:
@@ -29,11 +40,9 @@ def kll_of_column(ds, column: str, k: int = 200) -> KLLSketch:
             zero_copy_only=False)
         return pa.Table.from_pylist([{"sketch": _sketch_batch(vals, k)}])
 
-    merged = KLLSketch(k=k)
-    for row in ds.map_batches(partial, batch_format="pyarrow",
-                              zero_copy_batch=True).iter_rows():
-        merged.merge(KLLSketch.from_bytes(row["sketch"]))
-    return merged
+    rows = ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True).take_all()
+    return _merge_sorted([r["sketch"] for r in rows], k)
 
 
 def kll_spans_per_doc(ds, k: int = 200) -> KLLSketch:
@@ -46,11 +55,9 @@ def kll_spans_per_doc(ds, k: int = 200) -> KLLSketch:
             zero_copy_only=False)
         return pa.Table.from_pylist([{"sketch": _sketch_batch(counts, k)}])
 
-    merged = KLLSketch(k=k)
-    for row in ds.map_batches(partial, batch_format="pyarrow",
-                              zero_copy_batch=True).iter_rows():
-        merged.merge(KLLSketch.from_bytes(row["sketch"]))
-    return merged
+    rows = ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True).take_all()
+    return _merge_sorted([r["sketch"] for r in rows], k)
 
 
 def kll_by_group(ds, group_col: str, value_col: str,
@@ -69,15 +76,11 @@ def kll_by_group(ds, group_col: str, value_col: str,
             rows, schema=pa.schema([("group", pa.string()),
                                     ("sketch", pa.binary())]))
 
-    merged: dict[str, KLLSketch] = {}
+    by_group: dict[str, list[bytes]] = {}
     for row in ds.map_batches(partial, batch_format="pyarrow",
-                              zero_copy_batch=True).iter_rows():
-        sk = KLLSketch.from_bytes(row["sketch"])
-        if row["group"] in merged:
-            merged[row["group"]].merge(sk)
-        else:
-            merged[row["group"]] = sk
-    return merged
+                              zero_copy_batch=True).take_all():
+        by_group.setdefault(row["group"], []).append(row["sketch"])
+    return {g: _merge_sorted(bs, k) for g, bs in by_group.items()}
 
 
 def _split_by(tbl: pa.Table, col: str):
