@@ -55,6 +55,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_customers": Q.top_customers,
         "events_daily": Q.events_daily,
         "part_type_stats": Q.part_type_stats,
+        "top_events": Q.top_events,
+        "distinct_sources": Q.distinct_sources,
+        "stats_by_source": Q.stats_by_source,
         # dedup / text
         "dedup_exact": Q.dedup_exact,
         "token_counts": Q.token_counts,
@@ -123,6 +126,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
                    count(*)::BIGINT AS cnt
             FROM events GROUP BY 1, 2
+        """,
+        "top_events": """
+            SELECT event_id, round(value * 1000)::BIGINT AS value_m
+            FROM events ORDER BY value DESC, event_id LIMIT 100
+        """,
+        "distinct_sources": """
+            SELECT DISTINCT source FROM documents
+        """,
+        "stats_by_source": """
+            SELECT source, count(*)::BIGINT AS n,
+                   sum(length(text))::BIGINT AS sum_len,
+                   min(length(text))::BIGINT AS min_len,
+                   max(length(text))::BIGINT AS max_len
+            FROM documents GROUP BY 1
         """,
         "part_type_stats": """
             SELECT p_type,

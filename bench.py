@@ -80,8 +80,8 @@ def run_headline(num_docs: int, num_cpus: int) -> dict:
     t0 = time.monotonic()
     docs = ray.data.read_parquet(os.path.join(path, "documents"))
     validated = validate_dataset(
-        docs, flagship_schema_text(), batch_size=256,
-        concurrency=(1, num_cpus))
+        docs, flagship_schema_text(), batch_size=1024,
+        concurrency=(max(1, num_cpus * 3 // 4), max(2, num_cpus - 2)))
     validated.write_parquet(out_dir)
     t_validate = time.monotonic() - t0
 
@@ -93,8 +93,9 @@ def run_headline(num_docs: int, num_cpus: int) -> dict:
     t2 = time.monotonic()
     docs = ray.data.read_parquet(os.path.join(path, "documents"))
     assets = ray.data.read_parquet(os.path.join(path, "assets.parquet"))
-    n_dangling = dangling_media_refs(docs, assets,
-                                     concurrency=(1, num_cpus)).count()
+    n_dangling = dangling_media_refs(
+        docs, assets,
+        concurrency=(max(1, num_cpus // 2), max(2, num_cpus - 2))).count()
     t_ri = time.monotonic() - t2
 
     t3 = time.monotonic()

@@ -1,0 +1,165 @@
+"""CLI — the engine's analog of the reference's ``mdv <schema> <input>
+[output] [-f|--fast-fail] [-q|--quiet]`` (reference: src/main.rs:16–31).
+
+Two modes, chosen by the input path:
+
+* **single-document mode** (``input`` is a ``.md`` file or ``-`` for
+  stdin): parse the markdown into spans, evaluate in-process (no Ray —
+  same latency profile as the reference's one-doc-per-process design),
+  print the captures JSON on success or pretty violation reports on
+  stderr, exit 0/1 (reference src/main.rs:85–90, cmd.rs:152–178).
+* **corpus mode** (``input`` is a parquet file/dir): run the distributed
+  pipeline (validate → verdicts/violations parquet under ``output``),
+  print a summary, exit 0/1 on global pass/fail.  ``--fast-fail`` aborts
+  after the first batch that contains violations (driver-side early stop,
+  the batch analog of cmd.rs:118–121).
+
+The CLI owns its Ray session (guarded init) — the only places allowed to.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _read_text(path: str) -> str:
+    if path == "-":
+        return sys.stdin.read()
+    with open(path, encoding="utf-8") as f:
+        return f.read()
+
+
+def print_violation_report(violations: list, quiet: bool,
+                           out=sys.stderr) -> None:
+    """Small pretty-printer for violation samples — the batch analog of the
+    reference's ariadne reports (errors.rs:543–559)."""
+    if quiet:
+        return
+    for v in violations:
+        doc = f"[{v['doc_id']}] " if "doc_id" in v else ""
+        print(f"{doc}{v['kind']} at span {v['span_index']} "
+              f"({v['constraint_id']}): expected {v['expected']!r}, "
+              f"got {v['actual']!r}", file=out)
+
+
+def run_single(schema_text: str, input_path: str, output, args) -> int:
+    from mdvalidate_ray.evaluate.evaluator import evaluate_spans
+    from mdvalidate_ray.schema.compiler import compile_schema
+    from mdvalidate_ray.sources.markdown import markdown_to_spans
+
+    compiled = compile_schema(schema_text)
+    spans = markdown_to_spans(_read_text(input_path))
+    result = evaluate_spans(spans, compiled)
+    if result.passed:
+        print(result.captures_json(), file=output)
+        if not args.quiet:
+            print("validation passed", file=sys.stderr)
+        return 0
+    print_violation_report(
+        [dict(v) for v in result.violations], args.quiet)
+    return 1
+
+
+def run_corpus(schema_text: str, input_path: str, out_dir, args) -> int:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False)
+    import ray.data
+
+    from mdvalidate_ray.stages.validate import (
+        validate_dataset,
+        violations_dataset,
+    )
+
+    docs = ray.data.read_parquet(input_path)
+    if args.text_column:
+        from mdvalidate_ray.sources.markdown import markdown_batch_to_documents
+
+        docs = docs.map_batches(
+            lambda b: markdown_batch_to_documents(
+                b, text_column=args.text_column),
+            batch_format="pyarrow")
+    validated = validate_dataset(docs, schema_text)
+
+    errored = False
+    if args.fast_fail:
+        for b in validated.iter_batches(batch_format="pyarrow",
+                                        batch_size=1024):
+            nv = sum(b.column("n_violations").to_pylist())
+            if nv:
+                import pyarrow.compute as pc
+
+                from mdvalidate_ray.stages.validate import explode_violations
+
+                sample = explode_violations(b).slice(0, 10).to_pylist()
+                print_violation_report(sample, args.quiet)
+                errored = True
+                break
+        return 1 if errored else 0
+
+    if out_dir:
+        validated.write_parquet(f"{out_dir}/verdicts")
+        viols = violations_dataset(
+            ray.data.read_parquet(f"{out_dir}/verdicts"))
+        viols.write_parquet(f"{out_dir}/violations")
+        n_viol = ray.data.read_parquet(f"{out_dir}/violations").count()
+        n = ray.data.read_parquet(f"{out_dir}/verdicts").count()
+    else:
+        rows = validated.select_columns(
+            ["doc_id", "passed", "n_violations"]).take_all()
+        n = len(rows)
+        n_viol = sum(r["n_violations"] for r in rows)
+    if not args.quiet:
+        print(f"{n} documents validated, {n_viol} violations",
+              file=sys.stderr)
+    return 1 if n_viol else 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(
+        prog="mdv-ray",
+        description="Ray-Data-native markdown-schema constraint validation")
+    p.add_argument("schema", help="mdschema file ('-' = stdin)")
+    p.add_argument("input", help=".md file / '-' (single-doc) or parquet "
+                                 "path (corpus)")
+    p.add_argument("output", nargs="?", default=None,
+                   help="output file (single-doc captures JSON) or "
+                        "directory (corpus verdicts/violations parquet)")
+    p.add_argument("-f", "--fast-fail", action="store_true",
+                   help="exit on first violation")
+    p.add_argument("-q", "--quiet", action="store_true")
+    p.add_argument("--text-column", default=None,
+                   help="corpus mode: treat INPUT as raw markdown text in "
+                        "this column and flatten it to spans first")
+    args = p.parse_args(argv)
+
+    try:
+        schema_text = _read_text(args.schema)
+    except OSError as e:
+        print(f"error: cannot read schema {args.schema}: {e.strerror}",
+              file=sys.stderr)
+        return 2
+    try:
+        from mdvalidate_ray.schema.compiler import compile_schema
+
+        compile_schema(schema_text)
+    except Exception as e:
+        print(f"error: invalid schema: {e}", file=sys.stderr)
+        return 2
+    single = args.input == "-" or args.input.endswith((".md", ".markdown"))
+    if single:
+        out = sys.stdout if args.output in (None, "-") else \
+            open(args.output, "w", encoding="utf-8")
+        try:
+            return run_single(schema_text, args.input, out, args)
+        finally:
+            if out is not sys.stdout:
+                out.close()
+    return run_corpus(schema_text, args.input, args.output, args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

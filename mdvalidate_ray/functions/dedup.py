@@ -81,26 +81,50 @@ def jaccard(a: str, b: str, k: int = 3) -> float:
 
 
 class MinHasher:
-    """num_perm universal hashes over shingle hashes, vectorized.
+    """num_perm multiplicative hashes over shingle hashes, fully vectorized.
 
-    Coefficients are seeded constants → identical across actors/processes."""
+    The permutation family is ``(a*h + b) mod 2**64`` with odd ``a`` —
+    native uint64 wrap-around arithmetic, so the whole batch computes as
+    one (num_perm × total_shingles) numpy op instead of per-doc object-int
+    math.  Coefficients are seeded constants → identical across
+    actors/processes."""
 
     def __init__(self, num_perm: int = 64, k: int = 3, seed: int = 1234):
         rng = np.random.default_rng(seed)
-        self.a = rng.integers(1, _MERSENNE, num_perm, dtype=np.int64).astype(object)
-        self.b = rng.integers(0, _MERSENNE, num_perm, dtype=np.int64).astype(object)
+        self.a = (rng.integers(1, 1 << 62, num_perm, dtype=np.uint64)
+                  | np.uint64(1))
+        self.b = rng.integers(0, 1 << 62, num_perm, dtype=np.uint64)
         self.num_perm = num_perm
         self.k = k
 
+    def signature_batch(self, texts: list) -> np.ndarray:
+        """(n_docs, num_perm) signatures with ONE hash call for the whole
+        batch and per-doc mins via ``np.minimum.reduceat``."""
+        all_shingles: list[str] = []
+        bounds = [0]
+        for t in texts:
+            all_shingles.extend(word_shingles(t, self.k))
+            bounds.append(len(all_shingles))
+        n = len(texts)
+        out = np.full((n, self.num_perm), np.iinfo(np.uint64).max,
+                      dtype=np.uint64)
+        if not all_shingles:
+            return out
+        h = hash_strings(all_shingles)
+        with np.errstate(over="ignore"):
+            vals = self.a[:, None] * h[None, :] + self.b[:, None]
+        starts = np.asarray(bounds[:-1])
+        nonempty = np.asarray([bounds[i + 1] > bounds[i] for i in range(n)])
+        if nonempty.any():
+            # reduceat over non-empty segments only (empty segments would
+            # alias the next segment's first element)
+            seg_starts = starts[nonempty]
+            mins = np.minimum.reduceat(vals, seg_starts, axis=1)
+            out[nonempty] = mins.T
+        return out
+
     def signature(self, text: str) -> np.ndarray:
-        sh = word_shingles(text, self.k)
-        if not sh:
-            return np.full(self.num_perm, np.iinfo(np.uint64).max,
-                           dtype=np.uint64)
-        base = hash_strings(sh).astype(object)  # python ints: no overflow
-        # (num_perm, n_shingles) universal hash, min over shingles
-        vals = (self.a[:, None] * base[None, :] + self.b[:, None]) % _MERSENNE
-        return np.asarray(vals.min(axis=1), dtype=np.uint64)
+        return self.signature_batch([text])[0]
 
     @staticmethod
     def est_similarity(sig_a: np.ndarray, sig_b: np.ndarray) -> float:
@@ -122,21 +146,23 @@ class MinHashStage:
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch.column(self.column).to_pylist()
         keys = batch.column(self.key).cast(pa.string()).to_pylist()
-        out_band, out_bucket, out_key, out_sig = [], [], [], []
-        for key, text in zip(keys, texts):
-            sig = self.mh.signature(text)
-            for b in range(self.bands):
-                chunk = sig[b * self.rows_per_band:(b + 1) * self.rows_per_band]
-                bucket = int(hash_strings(["|".join(map(str, chunk))])[0])
-                out_band.append(b)
-                out_bucket.append(bucket)
-                out_key.append(key)
-                out_sig.append(sig.tobytes())
+        n = len(texts)
+        sigs = self.mh.signature_batch(texts)          # (n, num_perm)
+        # band buckets: FNV-style fold over each band's chunk, vectorized
+        # across (docs × bands) in rows_per_band uint64 ops
+        chunks = sigs.reshape(n, self.bands, self.rows_per_band)
+        with np.errstate(over="ignore"):
+            bucket = np.full((n, self.bands), 1469598103934665603,
+                             dtype=np.uint64)
+            for j in range(self.rows_per_band):
+                bucket = bucket * np.uint64(1099511628211) ^ chunks[:, :, j]
+        sig_bytes = [sigs[i].tobytes() for i in range(n)]
+        out_key = np.repeat(np.arange(n), self.bands)
         return pa.Table.from_arrays(
-            [pa.array(out_band, pa.int32()),
-             pa.array(np.array(out_bucket, dtype=np.uint64)),
-             pa.array(out_key, pa.string()),
-             pa.array(out_sig, pa.binary())],
+            [pa.array(np.tile(np.arange(self.bands, dtype=np.int32), n)),
+             pa.array(bucket.ravel()),
+             pa.array([keys[i] for i in out_key], pa.string()),
+             pa.array([sig_bytes[i] for i in out_key], pa.binary())],
             names=["band", "bucket", "doc_id", "sig"])
 
 
@@ -188,15 +214,35 @@ def minhash_near_duplicates(ds, *, threshold: float = 0.8,
 
 # --- SimHash ----------------------------------------------------------------
 
-def simhash64(text: str) -> int:
-    tokens = (text or "").lower().split()
-    if not tokens:
-        return 0
-    hs = hash_strings(tokens)
+def simhash_batch(texts: list) -> np.ndarray:
+    """(n,) uint64 simhashes — one hash call for the whole batch, per-doc
+    bit-vote accumulation via ``np.add.reduceat``."""
+    all_tokens: list[str] = []
+    bounds = [0]
+    for t in texts:
+        all_tokens.extend((t or "").lower().split())
+        bounds.append(len(all_tokens))
+    n = len(texts)
+    out = np.zeros(n, dtype=np.uint64)
+    if not all_tokens:
+        return out
+    hs = hash_strings(all_tokens)
     bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
             & np.uint64(1)).astype(np.int64)
-    acc = (2 * bits - 1).sum(axis=0)
-    return int("".join("1" if v > 0 else "0" for v in acc[::-1]), 2)
+    votes = 2 * bits - 1                      # (total_tokens, 64)
+    starts = np.asarray(bounds[:-1])
+    nonempty = np.asarray([bounds[i + 1] > bounds[i] for i in range(n)])
+    if nonempty.any():
+        acc = np.add.reduceat(votes, starts[nonempty], axis=0)
+        sig_bits = (acc > 0).astype(np.uint64)
+        weights = np.uint64(1) << np.arange(64, dtype=np.uint64)
+        out[nonempty] = (sig_bits * weights[None, :]).sum(axis=1,
+                                                          dtype=np.uint64)
+    return out
+
+
+def simhash64(text: str) -> int:
+    return int(simhash_batch([text])[0])
 
 
 class SimHashStage:
@@ -207,19 +253,18 @@ class SimHashStage:
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch.column(self.column).to_pylist()
         keys = batch.column(self.key).cast(pa.string()).to_pylist()
-        rows_chunk, rows_val, rows_key, rows_sim = [], [], [], []
-        for kk, t in zip(keys, texts):
-            sh = simhash64(t)
-            for c in range(4):
-                rows_chunk.append(c)
-                rows_val.append((sh >> (16 * c)) & 0xFFFF)
-                rows_key.append(kk)
-                rows_sim.append(sh)
+        n = len(texts)
+        sims = simhash_batch(texts)                    # (n,) uint64
+        chunk_ids = np.tile(np.arange(4, dtype=np.int32), n)
+        shifts = (chunk_ids.astype(np.uint64) * np.uint64(16))
+        sims_rep = np.repeat(sims, 4)
+        values = ((sims_rep >> shifts) & np.uint64(0xFFFF)).astype(np.int32)
+        key_idx = np.repeat(np.arange(n), 4)
         return pa.Table.from_arrays(
-            [pa.array(rows_chunk, pa.int32()),
-             pa.array(rows_val, pa.int32()),
-             pa.array(rows_key, pa.string()),
-             pa.array(np.array(rows_sim, dtype=np.uint64))],
+            [pa.array(chunk_ids),
+             pa.array(values),
+             pa.array([keys[i] for i in key_idx], pa.string()),
+             pa.array(sims_rep)],
             names=["chunk", "value", "doc_id", "simhash"])
 
 

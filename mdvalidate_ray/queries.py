@@ -184,22 +184,24 @@ def top_customers(sf_dir: str):
     from ray.data.aggregate import Count, Sum
     from mdvalidate_ray.functions.relational import broadcast_join
 
-    cust = pa.concat_tables(
-        [ray.get(r) for r in _read(sf_dir, "customer").select_columns(
-            ["c_custkey", "c_name"]).to_arrow_refs()])
-    cust = cust.rename_columns(["o_custkey", "c_name"])
-    joined = broadcast_join(
-        _read(sf_dir, "orders").select_columns(["o_custkey", "o_totalprice"]),
-        cust, "o_custkey")
-    agg = joined.groupby(["o_custkey", "c_name"]).aggregate(
+    # aggregate on the int key FIRST (smaller shuffle, no string key),
+    # then attach names to the tiny top-k result — the join never touches
+    # the fact table
+    agg = _read(sf_dir, "orders").select_columns(
+        ["o_custkey", "o_totalprice"]).groupby("o_custkey").aggregate(
         Sum("o_totalprice", alias_name="rev"),
         Count(alias_name="n_orders"),
     )
     rows = agg.take_all()
     rows.sort(key=lambda r: (-r["rev"], r["o_custkey"]))
     top = rows[:10]
+    cust = pa.concat_tables(
+        [ray.get(r) for r in _read(sf_dir, "customer").select_columns(
+            ["c_custkey", "c_name"]).to_arrow_refs()])
+    names = dict(zip(cust.column("c_custkey").to_pylist(),
+                     cust.column("c_name").to_pylist()))
     return pa.Table.from_pylist([{
-        "o_custkey": r["o_custkey"], "c_name": r["c_name"],
+        "o_custkey": r["o_custkey"], "c_name": names[r["o_custkey"]],
         "revenue_c100": int(round(r["rev"] * 100)),
         "n_orders": r["n_orders"],
     } for r in top])
@@ -220,6 +222,68 @@ def events_daily(sf_dir: str):
             [b.column("event_type"), b.column("day"),
              b.column("count()").cast(pa.int64())],
             names=["event_type", "day", "cnt"]),
+        batch_format="pyarrow")
+
+
+def top_events(sf_dir: str):
+    """Distributed sort demo: ds.sort on (value desc, event_id asc) —
+    deterministic under ties — then limit."""
+    ev = _read(sf_dir, "events").select_columns(["event_id", "value"])
+    top = ev.sort(["value", "event_id"], descending=[True, False]).limit(100)
+    return top.map_batches(
+        lambda b: pa.Table.from_arrays(
+            [b.column("event_id"),
+             pc.round(pc.multiply(b.column("value"), 1000.0), 0).cast(pa.int64())],
+            names=["event_id", "value_m"]),
+        batch_format="pyarrow")
+
+
+def distinct_sources(sf_dir: str):
+    """Set-op demo (DISTINCT): per-batch dedup combiner → tiny groupby."""
+    docs = _read(sf_dir, "documents").select_columns(["source"])
+    pre = docs.map_batches(
+        lambda b: pa.TableGroupBy(b, "source").aggregate([])
+                    .rename_columns(["source"]),
+        batch_format="pyarrow")
+    agg = pre.groupby("source").count()
+    return agg.map_batches(lambda b: b.select(["source"]),
+                           batch_format="pyarrow")
+
+
+def stats_by_source(sf_dir: str):
+    """Per-group (per-partition-key) column stats — FIXTURES B1's
+    per-partition form: per-batch partials → groupby(source) fold of the
+    partial columns, so the shuffle moves only partial rows."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    docs = _read(sf_dir, "documents").select_columns(["source", "text"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        lens = pc.utf8_length(b.column("text")).cast(pa.int64())
+        tbl = pa.Table.from_arrays(
+            [b.column("source"), lens,
+             pa.array([1] * len(b), pa.int64())],
+            names=["source", "len", "one"])
+        g = pa.TableGroupBy(tbl, "source").aggregate(
+            [("one", "sum"), ("len", "sum"), ("len", "min"), ("len", "max")])
+        return g.rename_columns(["source", "n", "sum_len", "min_len",
+                                 "max_len"])
+
+    partials = docs.map_batches(partial, batch_format="pyarrow",
+                                zero_copy_batch=True)
+    agg = partials.groupby("source").aggregate(
+        Sum("n", alias_name="n"),
+        Sum("sum_len", alias_name="sum_len"),
+        Min("min_len", alias_name="min_len"),
+        Max("max_len", alias_name="max_len"),
+    )
+    return agg.map_batches(
+        lambda b: pa.Table.from_arrays(
+            [b.column("source"), b.column("n").cast(pa.int64()),
+             b.column("sum_len").cast(pa.int64()),
+             b.column("min_len").cast(pa.int64()),
+             b.column("max_len").cast(pa.int64())],
+            names=["source", "n", "sum_len", "min_len", "max_len"]),
         batch_format="pyarrow")
 
 

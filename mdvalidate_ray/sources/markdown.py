@@ -1,0 +1,168 @@
+"""Markdown document → span-sequence flattener.
+
+The reference parses input documents with tree-sitter-markdown (reference:
+src/mdschema/validation/ts_utils.rs:97–108); our engine's input contract is
+the flattened span table, so this module is the ingestion analog: it turns
+real Markdown text into `(kind, text, media_ref, offset)` span rows with the
+same flattening conventions the evaluator expects
+(:mod:`mdvalidate_ray.evaluate.evaluator` module docstring).
+
+This makes the CLI a drop-in analog of the reference's ``mdv schema input``:
+markdown files in, verdict + violations + captures out — and at scale, a
+``map_batches`` stage that converts a raw-text corpus column into the spans
+shape (one stateless task per batch, no shuffle).
+"""
+
+from __future__ import annotations
+
+import re
+
+import pyarrow as pa
+
+from mdvalidate_ray.corpus import DOCUMENTS_SCHEMA
+
+_HEADING_RE = re.compile(r"^(#{1,6})\s+(.*)$")
+_RULER_RE = re.compile(r"^(-{3,}|\*{3,}|_{3,})\s*$")
+_LIST_RE = re.compile(r"^(\s*)([-*+]|\d+\.)\s+(.*)$")
+_LINK_RE = re.compile(r"(!?)\[([^\]]*)\]\(([^)]*)\)")
+_CODE_SPAN_RE = re.compile(r"`([^`]*)`")
+_STRONG_RE = re.compile(r"\*\*([^*]+)\*\*")
+_EM_RE = re.compile(r"\*([^*]+)\*")
+
+
+def _indent_depth(ws: str) -> int:
+    return ws.count("\t") + ws.replace("\t", "").count("  ")
+
+
+def _flatten_inline(text: str, add) -> None:
+    """Emit inline child spans for one textual container."""
+    pos = 0
+    tokens = []
+    for m in sorted(
+        list(_LINK_RE.finditer(text)) + list(_CODE_SPAN_RE.finditer(text))
+        + list(_STRONG_RE.finditer(text)) + list(_EM_RE.finditer(text)),
+        key=lambda m: m.start(),
+    ):
+        if m.start() < pos:
+            continue  # overlapping (e.g. * inside **) — keep first match
+        tokens.append(m)
+        pos = m.end()
+    pos = 0
+    for m in tokens:
+        if m.start() > pos:
+            add("text", text[pos:m.start()])
+        if m.re is _LINK_RE:
+            kind = "image" if m.group(1) else "link"
+            add(kind, m.group(2), media_ref=m.group(3))
+        elif m.re is _CODE_SPAN_RE:
+            add("code_span", m.group(1))
+        elif m.re is _STRONG_RE:
+            add("strong_emphasis", m.group(1))
+        else:
+            add("emphasis", m.group(1))
+        pos = m.end()
+    if pos < len(text):
+        add("text", text[pos:])
+
+
+def markdown_to_spans(text: str) -> list[dict]:
+    """One markdown document → span dicts (kind, text, media_ref, offset)."""
+    spans: list[dict] = []
+
+    def add(kind, t="", media_ref=""):
+        spans.append({"kind": kind, "text": t, "media_ref": media_ref,
+                      "offset": len(spans)})
+
+    lines = text.split("\n")
+    i, n = 0, len(lines)
+    in_table = False
+    while i < n:
+        line = lines[i]
+        if not line.strip():
+            in_table = False
+            i += 1
+            continue
+        hm = _HEADING_RE.match(line)
+        if hm:
+            add(f"heading{len(hm.group(1))}", hm.group(2).strip())
+            i += 1
+            continue
+        if _RULER_RE.match(line.strip()) and not _LIST_RE.match(line):
+            add("ruler")
+            i += 1
+            continue
+        if line.strip().startswith("```"):
+            info = line.strip()[3:].strip()
+            add("code_lang", info)
+            body = []
+            i += 1
+            while i < n and not lines[i].strip().startswith("```"):
+                body.append(lines[i])
+                i += 1
+            i += 1
+            add("code_body", "\n".join(body))
+            continue
+        lm = _LIST_RE.match(line)
+        if lm:
+            while i < n:
+                m2 = _LIST_RE.match(lines[i])
+                if not m2:
+                    break
+                depth = _indent_depth(m2.group(1))
+                ordered = m2.group(2)[0].isdigit()
+                add("ordered_list_item" if ordered else "list_item",
+                    "\t" * depth + m2.group(3))
+                i += 1
+            continue
+        if line.lstrip().startswith(">"):
+            content = []
+            while i < n and lines[i].lstrip().startswith(">"):
+                content.append(lines[i].lstrip()[1:].lstrip())
+                i += 1
+            add("quote")
+            _flatten_inline("\n".join(content), add)
+            continue
+        if line.lstrip().startswith("|"):
+            rows = []
+            while i < n and lines[i].lstrip().startswith("|"):
+                cells = [c.strip() for c in
+                         lines[i].strip().strip("|").split("|")]
+                rows.append(cells)
+                i += 1
+            header = rows[0] if rows else []
+            body_rows = rows[1:]
+            if body_rows and all(re.match(r"^:?-{3,}:?$", c)
+                                 for c in body_rows[0]):
+                body_rows = body_rows[1:]
+            for c in header:
+                add("table_header_cell", c)
+            for row in body_rows:
+                for c in row:
+                    add("table_cell", c)
+            in_table = False
+            continue
+        # paragraph
+        para = []
+        while i < n and lines[i].strip() and not (
+            _HEADING_RE.match(lines[i]) or _LIST_RE.match(lines[i])
+            or lines[i].lstrip().startswith((">", "|", "```"))
+            or _RULER_RE.match(lines[i].strip())
+        ):
+            para.append(lines[i].strip())
+            i += 1
+        add("paragraph")
+        _flatten_inline("\n".join(para), add)
+    return spans
+
+
+def markdown_batch_to_documents(batch: pa.Table, *, text_column: str = "text",
+                                id_column: str = "doc_id") -> pa.Table:
+    """Stateless map_batches body: raw-text corpus → the spans-shaped
+    documents table (ingestion at scale)."""
+    ids = batch.column(id_column).cast(pa.string()).to_pylist()
+    texts = batch.column(text_column).to_pylist()
+    span_lists = [markdown_to_spans(t or "") for t in texts]
+    return pa.Table.from_arrays(
+        [pa.array(ids, pa.string()),
+         pa.array(span_lists, DOCUMENTS_SCHEMA.field("spans").type)],
+        schema=DOCUMENTS_SCHEMA)

@@ -79,60 +79,132 @@ def build_bloom(assets_ds, column: str = "asset_id", n_items: int | None = None,
 
 class BloomProbe:
     """Actor-pool stage: constructor receives the serialized Bloom once per
-    actor (broadcast); ``__call__`` partitions each refs batch into
-    ``hit`` (maybe-valid) / miss (certainly dangling)."""
+    actor (broadcast); ``__call__`` tags each refs batch with an
+    ``in_bloom`` column.  ONE probe pool feeds both consumers (definite
+    danglings and exact-join suspects) through stateless downstream
+    filters — two separate pools would each reserve min-actors and can
+    together starve the task operators sharing the CPU budget."""
 
-    def __init__(self, bloom_bytes: bytes, keep: str):
+    def __init__(self, bloom_bytes: bytes):
         self.bloom = BloomFilter.from_bytes(bloom_bytes)
-        self.keep_hits = keep == "hits"
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         refs = batch.column("media_ref").to_pylist()
         hits = self.bloom.might_contain(refs)
-        mask = pa.array(hits if self.keep_hits else ~np.asarray(hits))
-        return batch.filter(mask)
+        return batch.append_column("in_bloom",
+                                   pa.array(np.asarray(hits, dtype=bool)))
 
 
-def _probe(refs_ds, bloom: BloomFilter, keep: str, concurrency):
+def _probe(refs_ds, bloom: BloomFilter, concurrency):
     return refs_ds.map_batches(
         BloomProbe,
-        fn_constructor_kwargs={"bloom_bytes": bloom.to_bytes(), "keep": keep},
+        fn_constructor_kwargs={"bloom_bytes": bloom.to_bytes()},
         batch_format="pyarrow", zero_copy_batch=True,
         concurrency=concurrency)
 
 
-def exact_antijoin(refs_ds, assets_ds, key_col: str = "asset_id"):
-    """Hash semi-join fallback: tagged union co-partitioned on media_ref;
-    emit probe rows whose group contains no asset row."""
+def exact_antijoin(refs_ds, assets_ds, key_col: str = "asset_id",
+                   n_buckets: int = 256):
+    """Hash semi-join fallback: tagged union co-partitioned on
+    ``hash(media_ref) % n_buckets`` — a fixed-fanout exchange — with a
+    vectorized ``is_in`` anti-join inside each bucket group.  Bucketing
+    (instead of grouping by raw ref) bounds the number of Python group
+    calls at ``n_buckets`` regardless of key cardinality."""
+    from mdvalidate_ray.state.sketches import hash_strings
+
+    def _bucket(col) -> pa.Array:
+        vals = col.to_pylist()
+        if not vals:
+            return pa.array([], pa.int64())
+        return pa.array((hash_strings(vals) % np.uint64(n_buckets))
+                        .astype("int64"))
+
     tagged_refs = refs_ds.map_batches(
         lambda b: b.append_column("is_asset",
-                                  pa.array([False] * len(b), pa.bool_())),
+                                  pa.array([False] * len(b), pa.bool_()))
+                   .append_column("bucket", _bucket(b.column("media_ref"))),
         batch_format="pyarrow")
     tagged_assets = assets_ds.map_batches(
         lambda b: pa.Table.from_arrays(
             [pa.array([""] * len(b), pa.string()),
              b.column(key_col).cast(pa.string()),
-             pa.array([True] * len(b), pa.bool_())],
-            names=["doc_id", "media_ref", "is_asset"]),
+             pa.array([True] * len(b), pa.bool_()),
+             _bucket(b.column(key_col).cast(pa.string()))],
+            names=["doc_id", "media_ref", "is_asset", "bucket"]),
         batch_format="pyarrow")
 
     def emit_dangling(group: pa.Table) -> pa.Table:
-        if pc.any(group.column("is_asset")).as_py():
+        is_asset = group.column("is_asset")
+        probes = group.filter(pc.invert(is_asset))
+        asset_keys = group.filter(is_asset).column("media_ref")
+        if len(probes) == 0:
             return REFS_SCHEMA.empty_table()
-        return group.filter(
-            pc.invert(group.column("is_asset"))).select(["doc_id", "media_ref"])
+        miss = pc.invert(pc.is_in(probes.column("media_ref"),
+                                  value_set=asset_keys.combine_chunks()))
+        return probes.filter(miss).select(["doc_id", "media_ref"])
 
     return (tagged_refs.union(tagged_assets)
-            .groupby("media_ref")
+            .groupby("bucket")
             .map_groups(emit_dangling, batch_format="pyarrow"))
 
 
+class ExactKeyProbe:
+    """Actor-pool stage for the small-asset tier: the full asset key set is
+    broadcast once per actor and each batch anti-probes it with a
+    vectorized ``is_in`` — exact, zero shuffle."""
+
+    def __init__(self, keys: pa.Array):
+        self.keys = keys
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        miss = pc.invert(pc.is_in(batch.column("media_ref"),
+                                  value_set=self.keys))
+        return batch.filter(miss).select(["doc_id", "media_ref"])
+
+
 def dangling_media_refs(docs_ds, assets_ds, *, fp_rate: float = 0.01,
-                        concurrency=(1, 8)):
-    """Full constraint → Dataset of (doc_id, media_ref) dangling pairs."""
+                        concurrency=(1, 8),
+                        broadcast_threshold: int = 5_000_000):
+    """Full constraint → Dataset of (doc_id, media_ref) dangling pairs.
+
+    Tiered by asset cardinality:
+
+    * ``|assets| <= broadcast_threshold`` — broadcast the exact key set
+      (an Arrow array; ~60 MB per million 50-byte keys) and anti-probe
+      per batch.  Exact, no shuffle, no Bloom needed.
+    * larger — broadcast a Bloom (|assets|×~10 bits regardless of key
+      width), report certain misses immediately, verify maybe-hits with
+      the co-partitioned hash anti-join.
+    """
+    n_assets = assets_ds.count()
+    refs0 = media_refs_dataset(docs_ds)
+    if n_assets <= broadcast_threshold:
+        import ray
+
+        key_tbl = pa.concat_tables(
+            [ray.get(r) for r in
+             assets_ds.select_columns(["asset_id"]).to_arrow_refs()])
+        keys = key_tbl.column("asset_id").cast(pa.string()).combine_chunks()
+        return refs0.map_batches(
+            ExactKeyProbe, fn_constructor_kwargs={"keys": keys},
+            batch_format="pyarrow", zero_copy_batch=True,
+            concurrency=concurrency)
+
     bloom = build_bloom(assets_ds, fp_rate=fp_rate)
-    refs = media_refs_dataset(docs_ds)
-    definite = _probe(refs, bloom, keep="misses", concurrency=concurrency)
-    suspects = _probe(refs, bloom, keep="hits", concurrency=concurrency)
+    refs = refs0
+    # materialize the tagged refs: both downstream branches consume them,
+    # and without a barrier each branch would re-execute the probe lineage
+    # (two actor pools, double work, and together they can starve the
+    # shared CPU budget).  Refs are a small fraction of the corpus —
+    # blocks stay in the object store and spill if needed.
+    tagged = _probe(refs, bloom, concurrency=concurrency).materialize()
+    definite = tagged.map_batches(
+        lambda b: b.filter(pc.invert(b.column("in_bloom")))
+                   .select(["doc_id", "media_ref"]),
+        batch_format="pyarrow")
+    suspects = tagged.map_batches(
+        lambda b: b.filter(b.column("in_bloom"))
+                   .select(["doc_id", "media_ref"]),
+        batch_format="pyarrow")
     fallback = exact_antijoin(suspects, assets_ds)
     return definite.union(fallback)

@@ -61,10 +61,25 @@ class ConstraintEvaluator:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         doc_ids = batch.column("doc_id").to_pylist()
-        span_lists = batch.column("spans").to_pylist()
+        # field-wise flatten + dict rebuild is ~3x faster than struct
+        # to_pylist (measured): one C-level to_pylist per primitive child
+        # instead of per-span dict assembly inside Arrow
+        spans_col = batch.column("spans")
+        if isinstance(spans_col, pa.ChunkedArray):
+            spans_col = spans_col.combine_chunks()
+        flat = spans_col.flatten()
+        kinds = flat.field("kind").to_pylist()
+        texts = flat.field("text").to_pylist()
+        refs = flat.field("media_ref").to_pylist()
+        offs = flat.field("offset").to_pylist()
+        offsets = spans_col.offsets.to_pylist()
         passed, captures, nspans, nviol, viols = [], [], [], [], []
-        for spans in span_lists:
-            r = evaluate_spans(spans or [], self.compiled)
+        for i in range(len(spans_col)):
+            s, e = offsets[i], offsets[i + 1]
+            spans = [{"kind": k, "text": t, "media_ref": m, "offset": o}
+                     for k, t, m, o in zip(kinds[s:e], texts[s:e],
+                                           refs[s:e], offs[s:e])]
+            r = evaluate_spans(spans, self.compiled)
             passed.append(r.passed)
             captures.append(
                 json.dumps(r.captures, sort_keys=True, separators=(",", ":")))
@@ -99,13 +114,16 @@ def explode_violations(batch: pa.Table) -> pa.Table:
         schema=VIOLATIONS_SCHEMA)
 
 
-def validate_dataset(ds, schema_text: str, *, batch_size: int = 256,
+def validate_dataset(ds, schema_text: str, *, batch_size: int = 1024,
                      concurrency=None, num_cpus: float = 1.0):
     """documents Dataset → validated Dataset (verdicts + nested violations).
 
-    ``concurrency=None`` sizes an autoscaling actor pool ``(1, cluster
-    CPUs)``; at a fixed cluster size pass ``concurrency=(min, max)``
-    explicitly per stage."""
+    ``concurrency=None`` sizes the pool to ~3/4 of cluster CPUs with a high
+    floor (an autoscaling pool starting at 1 ramps too slowly for
+    short-to-medium stages) while leaving headroom for the read/write TASK
+    operators that share the CPU budget — a pool pinned to every CPU
+    starves them and stalls the pipeline.  At a fixed cluster size pass
+    ``concurrency=(min, max)`` explicitly per stage."""
     # schema-authoring errors are compile-time: fail on the driver before
     # any data is read (SURVEY.md §2.6; reference errors.rs:191–263)
     compile_schema(schema_text)
@@ -114,7 +132,9 @@ def validate_dataset(ds, schema_text: str, *, batch_size: int = 256,
 
         total = int(ray.cluster_resources().get("CPU", 8)) if \
             ray.is_initialized() else 8
-        concurrency = (1, max(2, int(total // max(num_cpus, 0.25))))
+        workers = max(1, int(total // max(num_cpus, 0.25)))
+        hi = max(2, workers - 2)
+        concurrency = (max(1, min(hi, workers * 3 // 4)), hi)
     return ds.map_batches(
         ConstraintEvaluator,
         fn_constructor_kwargs={"schema_text": schema_text},

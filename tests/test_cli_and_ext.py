@@ -1,0 +1,158 @@
+"""CLI (reference `mdv` analog), markdown→spans ingestion, plug-in
+constraints, and sampled hot-key detection."""
+
+import json
+import subprocess
+import sys
+
+import pyarrow as pa
+import pytest
+
+SCHEMA = """# `title:/\\w+/`
+
+Intro with a [link]({url:/https:.*/}) here.
+
+- `tag:/\\w+/`{1,3}
+
+```{lang:/\\w+/}
+{body}
+```
+"""
+
+GOOD_DOC = """# Hello
+
+Intro with a [link](https://example.com) here.
+
+- alpha
+- beta
+
+```python
+print("hi")
+```
+"""
+
+BAD_DOC = GOOD_DOC.replace("# Hello", "## Hello")
+
+
+@pytest.fixture()
+def files(tmp_path):
+    s = tmp_path / "schema.md"
+    g = tmp_path / "good.md"
+    b = tmp_path / "bad.md"
+    s.write_text(SCHEMA)
+    g.write_text(GOOD_DOC)
+    b.write_text(BAD_DOC)
+    return s, g, b
+
+
+def _run(*argv, stdin=None):
+    return subprocess.run(
+        [sys.executable, "-m", "mdvalidate_ray.cli", *map(str, argv)],
+        capture_output=True, text=True, input=stdin, cwd="/root/repo")
+
+
+def test_cli_single_doc_pass(files):
+    s, g, _ = files
+    r = _run(s, g)
+    assert r.returncode == 0, r.stderr
+    caps = json.loads(r.stdout)
+    assert caps["title"] == "Hello"
+    assert caps["tag"] == ["alpha", "beta"]
+    assert caps["url"] == "https://example.com"
+    assert caps["lang"] == "python" and caps["body"] == 'print("hi")'
+
+
+def test_cli_single_doc_fail_exit_code_and_report(files):
+    s, _, b = files
+    r = _run(s, b)
+    assert r.returncode == 1
+    assert "node_type_mismatch" in r.stderr
+    assert r.stdout == ""
+
+
+def test_cli_stdin(files):
+    s, _, _ = files
+    r = _run(s, "-", stdin=GOOD_DOC)
+    assert r.returncode == 0, r.stderr
+    assert json.loads(r.stdout)["title"] == "Hello"
+
+
+def test_cli_quiet(files):
+    s, _, b = files
+    r = _run(s, b, "-q")
+    assert r.returncode == 1
+    assert r.stderr.strip() == ""
+
+
+def test_markdown_roundtrip_matches_corpus_conventions():
+    from mdvalidate_ray.evaluate.evaluator import evaluate_spans
+    from mdvalidate_ray.schema.compiler import compile_schema
+    from mdvalidate_ray.sources.markdown import markdown_to_spans
+
+    spans = markdown_to_spans(GOOD_DOC)
+    kinds = [s["kind"] for s in spans]
+    assert kinds[0] == "heading1"
+    assert "link" in kinds and "list_item" in kinds
+    assert kinds[-2:] == ["code_lang", "code_body"]
+    r = evaluate_spans(spans, compile_schema(SCHEMA))
+    assert r.passed, r.violations
+
+
+def test_markdown_table_and_nested_list():
+    from mdvalidate_ray.sources.markdown import markdown_to_spans
+
+    md = ("| A | B |\n| --- | --- |\n| 1 | 2 |\n\n"
+          "- top\n  - nested\n\n> quoted *em*\n")
+    spans = markdown_to_spans(md)
+    by_kind = {}
+    for s in spans:
+        by_kind.setdefault(s["kind"], []).append(s["text"])
+    assert by_kind["table_header_cell"] == ["A", "B"]
+    assert by_kind["table_cell"] == ["1", "2"]
+    assert by_kind["list_item"] == ["top", "\tnested"]
+    assert "quote" in by_kind
+    assert by_kind["emphasis"] == ["em"]
+
+
+def test_plugin_constraint(ray_session):
+    from mdvalidate_ray.corpus import ray_documents
+    from mdvalidate_ray.stages.plugins import (
+        apply_plugins,
+        registered_constraints,
+    )
+
+    assert "span_count_bounds" in registered_constraints()
+    ds = ray_documents(100, override_num_blocks=2)
+    viols = apply_plugins(ds, [("span_count_bounds",
+                                {"min": 0, "max": 60})]).take_all()
+    assert viols, "expected docs with > 60 spans"
+    for v in viols:
+        assert v["kind"] == "span_count_out_of_bounds"
+        assert int(v["actual"]) > 60
+
+
+def test_plugin_registry_rejects_bad_class():
+    from mdvalidate_ray.stages.plugins import register_constraint
+
+    with pytest.raises(TypeError):
+        @register_constraint("bad")
+        class Bad:
+            pass
+
+
+def test_hot_key_detection(ray_session):
+    import ray.data
+
+    from mdvalidate_ray.stages.skew import auto_salt_buckets, detect_hot_keys
+
+    n = 40_000
+    keys = ["hot"] * (n // 2) + [f"k{i}" for i in range(n // 2)]
+    ds = ray.data.from_arrow(pa.table({"k": keys})).random_shuffle(seed=7)
+    hot = detect_hot_keys(ds, "k", sample_fraction=0.2, hot_threshold=5_000)
+    assert hot == ["hot"], hot
+    assert auto_salt_buckets(ds, "k", sample_fraction=0.2,
+                             hot_threshold=5_000) >= 8
+    cold = ray.data.from_arrow(
+        pa.table({"k": [f"k{i}" for i in range(10_000)]}))
+    assert detect_hot_keys(cold, "k", sample_fraction=0.2,
+                           hot_threshold=5_000) == []
