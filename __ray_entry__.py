@@ -58,6 +58,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_events": Q.top_events,
         "distinct_sources": Q.distinct_sources,
         "stats_by_source": Q.stats_by_source,
+        "events_asof_orders": Q.events_asof_orders,
         # dedup / text
         "dedup_exact": Q.dedup_exact,
         "token_counts": Q.token_counts,
@@ -140,6 +141,21 @@ def oracle_sql() -> dict[str, str]:
                    min(length(text))::BIGINT AS min_len,
                    max(length(text))::BIGINT AS max_len
             FROM documents GROUP BY 1
+        """,
+        "events_asof_orders": """
+            WITH ranked AS (
+                SELECT e.event_id, o.o_orderkey, o.o_totalprice,
+                       row_number() OVER (
+                           PARTITION BY e.event_id
+                           ORDER BY o.o_orderdate DESC, o.o_orderkey DESC
+                       ) AS rn
+                FROM events e
+                JOIN orders o
+                  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+            )
+            SELECT event_id, o_orderkey,
+                   round(o_totalprice * 100)::BIGINT AS price_c100
+            FROM ranked WHERE rn = 1
         """,
         "part_type_stats": """
             SELECT p_type,

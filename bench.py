@@ -24,7 +24,10 @@ import time
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-DOCS_MULTIPLIER = int(os.environ.get("BENCH_DOCS_MULT", "20"))
+# sf0.1 documents has 5000 rows; ×200 → the 10^6-doc bench tier from
+# FIXTURES.md. Smaller corpora are dominated by fixed costs (pool spin-up,
+# per-stage reads) and understate scaling efficiency.
+DOCS_MULTIPLIER = int(os.environ.get("BENCH_DOCS_MULT", "200"))
 
 
 def log(msg: str) -> None:
@@ -61,13 +64,15 @@ def ensure_corpus(num_docs: int) -> str:
 
 def run_headline(num_docs: int, num_cpus: int) -> dict:
     """read parquet → validate (actor pool) → write verdicts → wide
-    constraints (HLL uniqueness, Bloom referential, KLL drift sketch)."""
+    constraints computed FROM the verdicts table (doc_id / n_spans /
+    media_refs carried through), so the 2.5 GB corpus is scanned once and
+    the follow-up passes read only the ~100 MB verdict columns."""
     import ray
     import ray.data
 
     from mdvalidate_ray.corpus import flagship_schema_text
-    from mdvalidate_ray.stages.referential import dangling_media_refs
-    from mdvalidate_ray.stages.drift import kll_spans_per_doc
+    from mdvalidate_ray.stages.drift import kll_of_column
+    from mdvalidate_ray.stages.referential import check_refs, refs_from_validated
     from mdvalidate_ray.stages.uniqueness import uniqueness_check
     from mdvalidate_ray.stages.validate import validate_dataset
 
@@ -80,27 +85,30 @@ def run_headline(num_docs: int, num_cpus: int) -> dict:
     t0 = time.monotonic()
     docs = ray.data.read_parquet(os.path.join(path, "documents"))
     validated = validate_dataset(
-        docs, flagship_schema_text(), batch_size=1024,
+        docs, flagship_schema_text(), batch_size=None,
         concurrency=(max(1, num_cpus * 3 // 4), max(2, num_cpus - 2)))
-    validated.write_parquet(out_dir)
+    # dictionary encoding is wasted CPU on long unique strings (captures
+    # JSON); lz4 encodes faster than snappy at similar size
+    validated.write_parquet(out_dir, use_dictionary=False, compression="lz4")
     t_validate = time.monotonic() - t0
 
     t1 = time.monotonic()
-    docs = ray.data.read_parquet(os.path.join(path, "documents"))
-    uniq = uniqueness_check(docs, "doc_id")
+    verdicts = ray.data.read_parquet(out_dir, columns=["doc_id"])
+    uniq = uniqueness_check(verdicts, "doc_id")
     t_uniq = time.monotonic() - t1
 
     t2 = time.monotonic()
-    docs = ray.data.read_parquet(os.path.join(path, "documents"))
+    verdicts = ray.data.read_parquet(out_dir,
+                                     columns=["doc_id", "media_refs"])
     assets = ray.data.read_parquet(os.path.join(path, "assets.parquet"))
-    n_dangling = dangling_media_refs(
-        docs, assets,
+    n_dangling = check_refs(
+        refs_from_validated(verdicts), assets,
         concurrency=(max(1, num_cpus // 2), max(2, num_cpus - 2))).count()
     t_ri = time.monotonic() - t2
 
     t3 = time.monotonic()
-    docs = ray.data.read_parquet(os.path.join(path, "documents"))
-    sketch = kll_spans_per_doc(docs)
+    verdicts = ray.data.read_parquet(out_dir, columns=["n_spans"])
+    sketch = kll_of_column(verdicts, "n_spans")
     t_drift = time.monotonic() - t3
 
     total = time.monotonic() - t0
@@ -169,6 +177,33 @@ def main_single(include_queries: bool = True) -> dict:
         ray.shutdown()
 
 
+def hw_control(workers: int, n_docs: int = 1000, iters: int = 3) -> float:
+    """Pure-multiprocessing evaluator throughput (no Ray): measures the
+    shared-box hardware ceiling (all-core clock + memory contention) that
+    bounds ANY engine's 8-vs-32-CPU efficiency on one machine.  A real
+    N->4N *node* comparison does not pay this penalty."""
+    import multiprocessing as mp
+
+    ctx = mp.get_context("spawn")
+    with ctx.Pool(workers) as pool:
+        rates = pool.map(_hw_worker, [(n_docs, iters)] * workers)
+    return sum(rates)
+
+
+def _hw_worker(args) -> float:
+    n_docs, iters = args
+    from mdvalidate_ray.corpus import arrow_documents, flagship_schema_text
+    from mdvalidate_ray.stages.validate import ConstraintEvaluator
+
+    tbl = arrow_documents(n_docs)
+    ev = ConstraintEvaluator(flagship_schema_text())
+    ev(tbl.slice(0, 50))
+    t0 = time.monotonic()
+    for _ in range(iters):
+        ev(tbl)
+    return n_docs * iters / (time.monotonic() - t0)
+
+
 def main_scaling() -> dict:
     """Fresh process per parallelism level, same cached corpus."""
     import pyarrow.parquet as pq
@@ -185,11 +220,23 @@ def main_scaling() -> dict:
     finally:
         ray.shutdown()
 
+    def warm_cache(path: str) -> None:
+        """Read the corpus once so both legs start page-cache-hot; without
+        this the first (8-CPU) leg pays cold-read costs the second doesn't,
+        biasing the efficiency ratio."""
+        import glob
+
+        for f in glob.glob(os.path.join(path, "documents", "*.parquet")):
+            with open(f, "rb") as fh:
+                while fh.read(1 << 24):
+                    pass
+
     results = {}
     for cpus in (8, 32):
         env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus),
                    GRAFT_SF_DIR=SF_DIR, BENCH_DOCS_MULT=str(DOCS_MULTIPLIER))
         log(f"--- scaling run: num_cpus={cpus} ---")
+        warm_cache(corpus_dir(num_docs))
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--headline-only"],
             env=env, capture_output=True, text=True, timeout=3600)
@@ -201,12 +248,20 @@ def main_scaling() -> dict:
     d8 = results[8]["docs_per_sec"]
     d32 = results[32]["docs_per_sec"]
     efficiency = (d32 / d8) / 4
+    log("--- hardware-ceiling control (pure multiprocessing, no Ray) ---")
+    hw8 = hw_control(8)
+    hw32 = hw_control(32)
+    hw_ceiling = (hw32 / hw8) / 4
     return {
         "metric": "N->4N scaling efficiency (docs/sec at 8 vs 32 cpus)",
         "value": round(efficiency, 3),
         "unit": "efficiency",
         "docs_per_sec_8": d8,
         "docs_per_sec_32": d32,
+        "hw_control_docs_per_sec_8": round(hw8, 1),
+        "hw_control_docs_per_sec_32": round(hw32, 1),
+        "hw_ceiling_efficiency": round(hw_ceiling, 3),
+        "efficiency_vs_hw_ceiling": round(efficiency / hw_ceiling, 3),
         "headline_8": results[8]["headline"],
         "headline_32": results[32]["headline"],
         "sf": SF_DIR,

@@ -377,7 +377,9 @@ def _eval_list(ctx: _Ctx, cid: str, tmpl: ListTemplate,
                     if nested:
                         _append_nested(values, rm.capture_id, nested)
                 elif cand.children:
-                    ctx.violate(item_cid, ViolationKind.STRUCT_INPUT_HAS_CHILD,
+                    # input nested deeper than the schema allows
+                    # (reference NodeListTooDeep, errors.rs:320–397)
+                    ctx.violate(item_cid, ViolationKind.LIST_TOO_DEEP,
                                 "no nested list", "nested list",
                                 cand.children[0].span)
                 di += 1
@@ -414,7 +416,7 @@ def _eval_list(ctx: _Ctx, cid: str, tmpl: ListTemplate,
                 for k, v in nested.items():
                     _join_into(local, k, v)
             elif cand.children:
-                ctx.violate(item_cid, ViolationKind.STRUCT_INPUT_HAS_CHILD,
+                ctx.violate(item_cid, ViolationKind.LIST_TOO_DEEP,
                             "no nested list", "nested list",
                             cand.children[0].span)
             di += 1

@@ -67,3 +67,82 @@ def exact_quantiles(ds, column: str, qs, *, as_int: bool = True) -> list:
         v = values[min(idx, len(values) - 1)]
         out.append(int(v) if as_int else float(v))
     return out
+
+
+class AsofJoiner:
+    """Broadcast as-of join stage (an operator Ray Data lacks; SURVEY.md
+    §2 "custom operators").
+
+    Semantics: for each left row, pick the right row with the greatest
+    ``right_time <= left_time`` for the same key; ties broken by the
+    greatest ``tiebreak`` column (deterministic — DuckDB's bare ASOF JOIN
+    leaves ties unspecified, so oracles must encode the same rule with a
+    row_number window).  Left rows with no match are dropped (inner).
+
+    The right side is broadcast through the actor constructor and indexed
+    once per actor: key → (sorted times, tiebreak-ordered row indices).
+    Partitioning assumption: the right side fits in worker memory; when it
+    does not, co-partition both sides on the key with
+    ``groupby(key).map_groups`` and run the same merge per group.
+    """
+
+    def __init__(self, right: pa.Table, key: str, right_time: str,
+                 tiebreak: str, value_cols: list[str]):
+        import collections
+
+        self.value_cols = value_cols
+        keys = right.column(key).to_pylist()
+        times = right.column(right_time).to_pylist()
+        ties = right.column(tiebreak).to_pylist()
+        values = {c: right.column(c).to_pylist() for c in value_cols}
+        buckets: dict = collections.defaultdict(list)
+        for i, k in enumerate(keys):
+            buckets[k].append((times[i], ties[i], i))
+        self.index = {}
+        for k, rows in buckets.items():
+            rows.sort()  # by (time, tiebreak): last match wins both rules
+            self.index[k] = (
+                [r[0] for r in rows],
+                [{c: values[c][r[2]] for c in value_cols} for r in rows],
+            )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import bisect
+
+        lkey = batch.column(self._lkey).to_pylist()
+        ltime = batch.column(self._ltime).to_pylist()
+        keep, matches = [], []
+        for i, (k, t) in enumerate(zip(lkey, ltime)):
+            entry = self.index.get(k)
+            if entry is None:
+                continue
+            times, rows = entry
+            pos = bisect.bisect_right(times, t)
+            if pos == 0:
+                continue
+            keep.append(i)
+            matches.append(rows[pos - 1])
+        left = batch.take(pa.array(keep, pa.int64()))
+        out = left
+        for c in self.value_cols:
+            out = out.append_column(c, pa.array([m[c] for m in matches]))
+        return out
+
+
+def asof_join_broadcast(left_ds, right: pa.Table, *, key: str,
+                        left_time: str, right_time: str, tiebreak: str,
+                        value_cols: list[str], left_key: str | None = None,
+                        concurrency=(1, 8)):
+    """left Dataset ⋈asof broadcast right table (see :class:`AsofJoiner`)."""
+    cls_kwargs = dict(right=right, key=key, right_time=right_time,
+                      tiebreak=tiebreak, value_cols=value_cols)
+
+    class _Bound(AsofJoiner):
+        _lkey = left_key or key
+        _ltime = left_time
+
+    _Bound.__name__ = "AsofJoiner"
+    return left_ds.map_batches(
+        _Bound, fn_constructor_kwargs=cls_kwargs,
+        batch_format="pyarrow", zero_copy_batch=True,
+        concurrency=concurrency)

@@ -66,7 +66,7 @@ def run_checkpointed(
     out_dir: str,
     schema_text: str,
     *,
-    batch_size: int = 256,
+    batch_size: int | None = None,
     concurrency=None,
     max_partitions: int | None = None,
 ) -> list[dict]:

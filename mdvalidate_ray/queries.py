@@ -287,6 +287,31 @@ def stats_by_source(sf_dir: str):
         batch_format="pyarrow")
 
 
+def events_asof_orders(sf_dir: str):
+    """As-of join: each event matched to the customer's latest order at or
+    before the event time (deterministic tie-break on o_orderkey)."""
+    import ray
+
+    from mdvalidate_ray.functions.relational import asof_join_broadcast
+
+    orders = pa.concat_tables(
+        [ray.get(r) for r in _read(sf_dir, "orders").select_columns(
+            ["o_custkey", "o_orderdate", "o_orderkey", "o_totalprice"])
+         .to_arrow_refs()])
+    joined = asof_join_broadcast(
+        _read(sf_dir, "events").select_columns(["event_id", "user_id", "ts"]),
+        orders, key="o_custkey", left_key="user_id", left_time="ts",
+        right_time="o_orderdate", tiebreak="o_orderkey",
+        value_cols=["o_orderkey", "o_totalprice"])
+    return joined.map_batches(
+        lambda b: pa.Table.from_arrays(
+            [b.column("event_id"), b.column("o_orderkey"),
+             pc.round(pc.multiply(b.column("o_totalprice"), 100.0), 0)
+               .cast(pa.int64())],
+            names=["event_id", "o_orderkey", "price_c100"]),
+        batch_format="pyarrow")
+
+
 def part_type_stats(sf_dir: str):
     from ray.data.aggregate import Count, Mean
 

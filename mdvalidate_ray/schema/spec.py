@@ -59,6 +59,7 @@ class ViolationKind:
     CONTENT_MATCHER = "content_mismatch_matcher"
     CHILDREN_LENGTH = "children_length_mismatch"
     WRONG_LIST_COUNT = "wrong_list_count"
+    LIST_TOO_DEEP = "node_list_too_deep"
     NOT_ENOUGH_REPEATING_PARAGRAPHS = "not_enough_nodes_for_repeating_paragraph"
     STRUCT_INPUT_HAS_CHILD = "malformed_structure_input_has_child"
     STRUCT_SCHEMA_HAS_CHILD = "malformed_structure_schema_has_child"

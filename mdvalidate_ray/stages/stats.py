@@ -143,3 +143,35 @@ def spans_null_stats(ds) -> pa.Table:
         c = row["column"]
         acc[c] = _merge2(acc[c], row) if c in acc else dict(row)
     return pa.Table.from_pylist(list(acc.values()))
+
+
+def null_violations(ds):
+    """Emit a `null_violation` row per span whose kind or text is NULL
+    (FIXTURES.md engine-level kind; pure Arrow, no Python row loop)."""
+    from mdvalidate_ray.stages.validate import VIOLATIONS_SCHEMA
+
+    def per_batch(b: pa.Table) -> pa.Table:
+        spans = b.column("spans")
+        if isinstance(spans, pa.ChunkedArray):
+            spans = spans.combine_chunks()
+        flat = spans.flatten()
+        parents = pc.list_parent_indices(spans)
+        bad = pc.or_kleene(pc.is_null(flat.field("kind")),
+                           pc.is_null(flat.field("text")))
+        bad = pc.fill_null(bad, True)
+        if not pc.any(bad).as_py():
+            return VIOLATIONS_SCHEMA.empty_table()
+        doc_ids = b.column("doc_id").take(parents.filter(bad))
+        offsets = pc.fill_null(flat.field("offset").filter(bad), -1)
+        n = len(doc_ids)
+        return pa.Table.from_arrays(
+            [doc_ids,
+             pa.array(["nulls"] * n),
+             pa.array(["null_violation"] * n),
+             pa.array(["non-null kind/text"] * n),
+             pa.array(["null"] * n),
+             offsets.cast(pa.int32())],
+            schema=VIOLATIONS_SCHEMA)
+
+    return ds.map_batches(per_batch, batch_format="pyarrow",
+                          zero_copy_batch=True)

@@ -399,3 +399,13 @@ def test_ruler_mismatch():
     r = run("---", span("paragraph"), span("text", "x"))
     assert not r.passed
     assert ViolationKind.NODE_TYPE_MISMATCH in kinds(r)
+
+
+# --- NodeListTooDeep (errors.rs NodeListTooDeep) ----------------------------
+
+def test_list_nested_deeper_than_schema():
+    r = run("- `item:/\\w+/`{1,2}",
+            span("list_item", "top"),
+            span("list_item", "\tnested"))
+    assert not r.passed
+    assert ViolationKind.LIST_TOO_DEEP in kinds(r)

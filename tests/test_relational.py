@@ -1,0 +1,72 @@
+"""Relational operators: broadcast join, as-of join, exact quantiles, IO
+gating."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def test_broadcast_join_inner(ray_session):
+    import ray.data
+
+    from mdvalidate_ray.functions.relational import broadcast_join
+
+    big = ray.data.from_arrow(pa.table({"k": [1, 2, 3, 4, 2], "v": list(range(5))}))
+    small = pa.table({"k": [2, 3], "name": ["two", "three"]})
+    out = broadcast_join(big, small, "k").take_all()
+    assert sorted((r["k"], r["name"]) for r in out) == \
+        [(2, "two"), (2, "two"), (3, "three")]
+
+
+def test_asof_join_semantics(ray_session):
+    import ray.data
+
+    from mdvalidate_ray.functions.relational import asof_join_broadcast
+
+    left = ray.data.from_arrow(pa.table({
+        "id": [1, 2, 3, 4],
+        "k": [10, 10, 10, 99],
+        "t": [5, 2, 0, 7],
+    }))
+    right = pa.table({
+        "k": [10, 10, 10],
+        "rt": [1, 3, 3],          # two rows tie at rt=3
+        "ord": [100, 101, 102],   # tie-break: greatest ord wins
+        "val": ["a", "b", "c"],
+    })
+    out = asof_join_broadcast(left, right, key="k", left_key="k",
+                              left_time="t", right_time="rt",
+                              tiebreak="ord", value_cols=["ord", "val"])
+    rows = {r["id"]: (r["ord"], r["val"]) for r in out.take_all()}
+    assert rows[1] == (102, "c")     # t=5 → rt=3, tie → ord 102
+    assert rows[2] == (100, "a")     # t=2 → rt=1
+    assert 3 not in rows             # t=0 → no rt <= 0 → dropped
+    assert 4 not in rows             # key 99 absent → dropped
+
+
+def test_exact_quantiles_match_numpy(ray_session):
+    import ray.data
+
+    from mdvalidate_ray.functions.relational import exact_quantiles
+
+    rng = np.random.default_rng(3)
+    vals = rng.integers(0, 1000, 20_000)
+    ds = ray.data.from_arrow(pa.table({"x": vals}))
+    got = exact_quantiles(ds, "x", [0.25, 0.5, 0.9])
+    s = np.sort(vals)
+    for q, g in zip([0.25, 0.5, 0.9], got):
+        # quantile_disc: value at 1-indexed position ceil(q*n)
+        assert g == int(s[int(np.ceil(q * len(s))) - 1])
+
+
+def test_io_lance_gated(tmp_path, ray_session):
+    import pyarrow.parquet as pq
+
+    from mdvalidate_ray.sources.io import have_lance, read_documents
+
+    p = tmp_path / "t.parquet"
+    pq.write_table(pa.table({"a": [1, 2]}), p)
+    assert read_documents(str(p)).count() == 2
+    if not have_lance():
+        with pytest.raises(ImportError):
+            read_documents("/nonexistent/data.lance")

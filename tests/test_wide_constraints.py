@@ -162,3 +162,26 @@ def test_b5_spans_per_doc_sketch_close_to_exact(ray_session):
     for q in (0.25, 0.5, 0.75):
         assert abs(sk.quantile(q) - np.quantile(exact, q)) <= 6
     assert drift_check(sk, sk)["passed"]
+
+
+def test_b1_null_violations_flag_planted_nulls(ray_session):
+    import ray.data
+
+    from mdvalidate_ray.corpus import DOCUMENTS_SCHEMA
+    from mdvalidate_ray.stages.stats import null_violations
+
+    spans_type = DOCUMENTS_SCHEMA.field("spans").type
+    tbl = pa.Table.from_arrays(
+        [pa.array(["d0", "d1", "d2"]),
+         pa.array([
+             [{"kind": "heading1", "text": "ok", "media_ref": "", "offset": 0}],
+             [{"kind": "paragraph", "text": None, "media_ref": "", "offset": 0},
+              {"kind": None, "text": "x", "media_ref": "", "offset": 1}],
+             [{"kind": "text", "text": "fine", "media_ref": "", "offset": 0}],
+         ], spans_type)],
+        schema=DOCUMENTS_SCHEMA)
+    out = null_violations(ray.data.from_arrow(tbl)).take_all()
+    assert [(v["doc_id"], v["span_index"]) for v in
+            sorted(out, key=lambda v: v["span_index"])] == \
+        [("d1", 0), ("d1", 1)]
+    assert all(v["kind"] == "null_violation" for v in out)
