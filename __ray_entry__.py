@@ -59,6 +59,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_sources": Q.distinct_sources,
         "stats_by_source": Q.stats_by_source,
         "events_asof_orders": Q.events_asof_orders,
+        "user_sessions": Q.user_sessions,
+        "q3_order_revenue": Q.q3_order_revenue,
         # dedup / text
         "dedup_exact": Q.dedup_exact,
         "token_counts": Q.token_counts,
@@ -156,6 +158,39 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, o_orderkey,
                    round(o_totalprice * 100)::BIGINT AS price_c100
             FROM ranked WHERE rn = 1
+        """,
+        "user_sessions": """
+            WITH marked AS (
+                SELECT user_id, ts, value,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                              OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS new_s
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ),
+            sess AS (
+                SELECT user_id, ts, value,
+                       sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                        ROWS UNBOUNDED PRECEDING) - 1
+                           AS session_id
+                FROM marked
+            )
+            SELECT user_id, session_id::BIGINT AS session_id,
+                   count(*)::BIGINT AS n_events,
+                   epoch_us(min(ts))::BIGINT AS start_us,
+                   epoch_us(max(ts))::BIGINT AS end_us,
+                   round(sum(value) * 1000)::BIGINT AS sum_value_m
+            FROM sess GROUP BY 1, 2
+        """,
+        "q3_order_revenue": """
+            SELECT l_orderkey,
+                   round(sum(l_extendedprice * (1 - l_discount)) * 100)::BIGINT
+                       AS revenue_c100
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE o_orderdate < DATE '1996-01-01'
+            GROUP BY 1
+            ORDER BY sum(l_extendedprice * (1 - l_discount)) DESC, l_orderkey
+            LIMIT 20
         """,
         "part_type_stats": """
             SELECT p_type,

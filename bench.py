@@ -128,7 +128,8 @@ def run_headline(num_docs: int, num_cpus: int) -> dict:
 
 QUERY_NAMES = [
     "stats_text", "hist_text_len", "dup_orderkeys", "quantiles_nchars",
-    "q1_pricing", "top_customers", "events_daily",
+    "q1_pricing", "q3_order_revenue", "top_customers", "events_daily",
+    "events_asof_orders", "user_sessions",
     "dedup_exact", "token_counts", "fingerprints",
     "minhash_pairs", "knn", "embedding_dups",
 ]

@@ -34,6 +34,13 @@ nested-list "unpack same-id" rule (validators/lists.rs:343–390).
 Rows are complete documents, matching the reference's authoritative EOF pass
 (validator.rs:161–168); the streaming partial-match tolerances are
 deliberately out of scope for the batch engine (SURVEY.md §2.7).
+
+Known flattening limitation: two ADJACENT sibling lists (no other block
+between them) are indistinguishable in the flat span encoding — their
+``list_item`` runs merge, so a schema with two consecutive list blocks
+sees one long list.  Paragraphs/quotes/tables are unaffected (they carry
+marker spans or kind changes).  Schema authors: separate sibling lists
+with any other block, as one would in renderable markdown anyway.
 """
 
 from __future__ import annotations

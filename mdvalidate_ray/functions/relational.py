@@ -146,3 +146,52 @@ def asof_join_broadcast(left_ds, right: pa.Table, *, key: str,
         _Bound, fn_constructor_kwargs=cls_kwargs,
         batch_format="pyarrow", zero_copy_batch=True,
         concurrency=concurrency)
+
+
+def sessionize(events_ds, *, key: str, time_col: str,
+               gap_seconds: float, agg_value: str | None = None):
+    """Session windows: consecutive events of one key belong to one session
+    while the gap between them is ≤ ``gap_seconds`` (the classic streaming
+    session-window semantics, computed batch-side).
+
+    Plan: co-partition on the key (``groupby(key).map_groups``) — the only
+    exchange — then a vectorized sort + diff + cumsum per group.  Output:
+    one row per session with start/end, event count and optional value sum.
+    Partitioning assumption: one key's events fit in a group (true for
+    user-level sessions; salt by day first for pathological keys).
+    """
+    import numpy as np
+
+    out_fields = [(key, pa.int64()), ("session_id", pa.int64()),
+                  ("n_events", pa.int64()),
+                  ("start_ts", pa.timestamp("us")),
+                  ("end_ts", pa.timestamp("us"))]
+    if agg_value:
+        out_fields.append(("sum_value", pa.float64()))
+    out_schema = pa.schema(out_fields)
+
+    def per_key(group: pa.Table) -> pa.Table:
+        order = pc.sort_indices(group, sort_keys=[(time_col, "ascending")])
+        g = group.take(order)
+        ts = g.column(time_col).cast(pa.int64()).to_numpy(
+            zero_copy_only=False)  # µs
+        gaps = np.diff(ts, prepend=ts[0] if len(ts) else 0)
+        new_session = gaps > gap_seconds * 1_000_000
+        session_ids = np.cumsum(new_session)
+        vals = (g.column(agg_value).to_numpy(zero_copy_only=False)
+                if agg_value else None)
+        rows = []
+        kval = g.column(key)[0].as_py()
+        for sid in range(session_ids.max() + 1 if len(ts) else 0):
+            mask = session_ids == sid
+            row = {key: kval, "session_id": int(sid),
+                   "n_events": int(mask.sum()),
+                   "start_ts": int(ts[mask].min()),
+                   "end_ts": int(ts[mask].max())}
+            if agg_value:
+                row["sum_value"] = float(vals[mask].sum())
+            rows.append(row)
+        return pa.Table.from_pylist(rows, schema=out_schema)
+
+    return events_ds.groupby(key).map_groups(per_key,
+                                             batch_format="pyarrow")

@@ -312,6 +312,62 @@ def events_asof_orders(sf_dir: str):
         batch_format="pyarrow")
 
 
+def user_sessions(sf_dir: str):
+    """Session windows over events (30-min gap) per user."""
+    from mdvalidate_ray.functions.relational import sessionize
+
+    sess = sessionize(
+        _read(sf_dir, "events").select_columns(["user_id", "ts", "value"]),
+        key="user_id", time_col="ts", gap_seconds=1800, agg_value="value")
+    return sess.map_batches(
+        lambda b: pa.Table.from_arrays(
+            [b.column("user_id"), b.column("session_id"),
+             b.column("n_events"),
+             b.column("start_ts").cast(pa.int64()),
+             b.column("end_ts").cast(pa.int64()),
+             pc.round(pc.multiply(b.column("sum_value"), 1000.0), 0)
+               .cast(pa.int64())],
+            names=["user_id", "session_id", "n_events", "start_us",
+                   "end_us", "sum_value_m"]),
+        batch_format="pyarrow")
+
+
+def q3_order_revenue(sf_dir: str):
+    """Q3-style: top-20 orders by discounted revenue among pre-1996 orders.
+    Broadcast semi-join (filtered order keys) → groupby → driver top-k."""
+    import ray
+
+    from ray.data.aggregate import Sum
+
+    cutoff_keys = pa.concat_tables(
+        [ray.get(r) for r in _read(sf_dir, "orders").select_columns(
+            ["o_orderkey", "o_orderdate"]).to_arrow_refs()])
+    import datetime
+
+    mask = pc.less(cutoff_keys.column("o_orderdate"),
+                   pa.scalar(datetime.datetime(1996, 1, 1)))
+    keys = cutoff_keys.filter(mask).column("o_orderkey").combine_chunks()
+
+    li = _read(sf_dir, "lineitem").select_columns(
+        ["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def semi(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_in(b.column("l_orderkey"), value_set=keys))
+        rev = pc.multiply(b.column("l_extendedprice"),
+                          pc.subtract(pa.scalar(1.0), b.column("l_discount")))
+        return pa.Table.from_arrays([b.column("l_orderkey"), rev],
+                                    names=["l_orderkey", "rev"])
+
+    agg = li.map_batches(semi, batch_format="pyarrow",
+                         zero_copy_batch=True)             .groupby("l_orderkey").aggregate(Sum("rev", alias_name="rev"))
+    rows = agg.take_all()
+    rows.sort(key=lambda r: (-r["rev"], r["l_orderkey"]))
+    return pa.Table.from_pylist([{
+        "l_orderkey": r["l_orderkey"],
+        "revenue_c100": int(round(r["rev"] * 100)),
+    } for r in rows[:20]])
+
+
 def part_type_stats(sf_dir: str):
     from ray.data.aggregate import Count, Mean
 

@@ -1,0 +1,139 @@
+"""Property-based conformance: random (schema, conforming document) pairs
+must validate; targeted mutations must produce the matching violation kind.
+
+This generalizes the reference's golden-pair testing (every test_case! is
+one hand-written (schema, doc, expectation) triple) to generated triples —
+the batch analog of its chunk-size robustness sweep (cmd.rs:204–429)."""
+
+import string
+
+from hypothesis import given, settings, strategies as st
+
+from mdvalidate_ray import compile_schema, evaluate_spans
+from mdvalidate_ray.schema.spec import ViolationKind
+
+WORD = st.text(alphabet=string.ascii_lowercase, min_size=1, max_size=8)
+WORDS = st.lists(WORD, min_size=1, max_size=5).map(" ".join)
+
+
+@st.composite
+def heading_block(draw):
+    level = draw(st.integers(1, 6))
+    use_matcher = draw(st.booleans())
+    text = draw(WORDS)
+    if use_matcher:
+        schema = "#" * level + " `t:/[a-z ]+/`"
+        captures = {"t": text}
+    else:
+        schema = "#" * level + " " + text
+        captures = {}
+    return schema, [(f"heading{level}", text, "")], captures
+
+
+@st.composite
+def paragraph_block(draw):
+    prefix = draw(WORDS)
+    use_matcher = draw(st.booleans())
+    if use_matcher:
+        word = draw(WORD)
+        schema = f"{prefix} `w:/[a-z]+/`"
+        doc = [("paragraph", "", ""), ("text", f"{prefix} {word}", "")]
+        return schema, doc, {"w": word}
+    schema = prefix
+    return schema, [("paragraph", "", ""), ("text", prefix, "")], {}
+
+
+@st.composite
+def list_block(draw):
+    lo = draw(st.integers(1, 3))
+    hi = draw(st.integers(lo, 5))
+    n = draw(st.integers(lo, hi))
+    items = [draw(WORD) + str(i) for i in range(n)]
+    schema = f"- `it:/\\w+/`{{{lo},{hi}}}"
+    doc = [("list_item", it, "") for it in items]
+    return schema, doc, {"it": items}
+
+
+@st.composite
+def code_block(draw):
+    lang = draw(WORD)
+    body = draw(WORDS)
+    schema = "```{lang:/[a-z]+/}\n{body}\n```"
+    return schema, [("code_lang", lang, ""), ("code_body", body, "")], \
+        {"lang": lang, "body": body}
+
+
+@st.composite
+def ruler_block(draw):
+    return "---", [("ruler", "", "")], {}
+
+
+@st.composite
+def document(draw):
+    raw = draw(st.lists(
+        st.one_of(heading_block(), paragraph_block(), list_block(),
+                  code_block(), ruler_block()),
+        min_size=1, max_size=6))
+    # adjacent sibling lists merge in the flat encoding (documented
+    # limitation) — drop a list block that directly follows another
+    blocks = []
+    for b in raw:
+        if blocks and b[0].startswith("- ") and blocks[-1][0].startswith("- "):
+            continue
+        blocks.append(b)
+    schema_text = "\n\n".join(b[0] for b in blocks)
+    spans = []
+    captures: dict = {}
+    for _, doc_spans, caps in blocks:
+        for kind, text, ref in doc_spans:
+            spans.append({"kind": kind, "text": text, "media_ref": ref,
+                          "offset": len(spans)})
+        for k, v in caps.items():
+            if k in captures and isinstance(captures[k], list) \
+                    and isinstance(v, list):
+                captures[k] = captures[k] + v
+            else:
+                captures[k] = v
+    return schema_text, spans, captures
+
+
+@settings(max_examples=120, deadline=None)
+@given(document())
+def test_conforming_documents_pass(doc):
+    schema_text, spans, expected_captures = doc
+    r = evaluate_spans(spans, compile_schema(schema_text))
+    assert r.passed, (schema_text, spans, r.violations)
+    assert r.captures == expected_captures
+
+
+@settings(max_examples=80, deadline=None)
+@given(document())
+def test_extra_trailing_span_fails(doc):
+    schema_text, spans, _ = doc
+    spans = spans + [{"kind": "ruler", "text": "", "media_ref": "",
+                      "offset": len(spans)}]
+    # a trailing ruler only conforms if the schema happens to end with a
+    # ruler block — exclude that case
+    if schema_text.rstrip().endswith("---"):
+        return
+    r = evaluate_spans(spans, compile_schema(schema_text))
+    assert not r.passed
+    assert any(v["kind"] in (ViolationKind.STRUCT_INPUT_HAS_CHILD,
+                             ViolationKind.NODE_TYPE_MISMATCH,
+                             ViolationKind.CHILDREN_LENGTH)
+               for v in r.violations)
+
+
+@settings(max_examples=80, deadline=None)
+@given(document(), st.data())
+def test_dropping_a_block_fails(doc, data):
+    schema_text, spans, _ = doc
+    if not spans:
+        return
+    if "{" in schema_text:
+        return  # repetition/captures may legally absorb a dropped span
+    r0 = evaluate_spans(spans, compile_schema(schema_text))
+    assert r0.passed
+    spans2 = spans[:-1]
+    r = evaluate_spans(spans2, compile_schema(schema_text))
+    assert not r.passed, (schema_text, spans2)
