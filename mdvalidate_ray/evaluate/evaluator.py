@@ -95,6 +95,11 @@ class _Ctx:
     pos: int = 0
     violations: list = field(default_factory=list)
     captures: dict = field(default_factory=dict)
+    # per-evaluation cache of _flatten_unit results keyed by id(parts):
+    # inline templates are static per schema, and repeated table rows /
+    # list items hit the same template once per row — caching removes the
+    # dominant re-flatten cost (measured ~63k calls per 1k docs)
+    flat_cache: dict = field(default_factory=dict)
 
     def peek(self) -> Optional[dict]:
         return self.spans[self.pos] if self.pos < len(self.spans) else None
@@ -143,8 +148,13 @@ def _join_into(obj: dict, key: str, value) -> None:
 # (MatcherVsTextValidator, reference matchers.rs:36–431)
 # ---------------------------------------------------------------------------
 
-def _flatten_unit(parts: list) -> tuple[str, Optional[Matcher], str]:
+def _flatten_unit(parts: list, cache: Optional[dict] = None
+                  ) -> tuple[str, Optional[Matcher], str]:
     """Split a run of Literal/MatcherPart into (prefix, matcher, suffix)."""
+    if cache is not None:
+        hit = cache.get(id(parts))
+        if hit is not None:
+            return hit
     prefix_parts: list[str] = []
     suffix_parts: list[str] = []
     matcher: Optional[Matcher] = None
@@ -157,18 +167,27 @@ def _flatten_unit(parts: list) -> tuple[str, Optional[Matcher], str]:
             # flattened textual content in heading context
             inner = "".join(x.text for x in p.parts if isinstance(x, Literal))
             (suffix_parts if matcher is not None else prefix_parts).append(inner)
-    return "".join(prefix_parts), matcher, "".join(suffix_parts)
+    out = "".join(prefix_parts), matcher, "".join(suffix_parts)
+    if cache is not None:
+        cache[id(parts)] = out
+    return out
 
 
 def _match_text_unit(ctx: _Ctx, cid: str, parts: list, text: str,
-                     span: Optional[dict], trim: bool = False) -> Optional[str]:
+                     span: Optional[dict], trim: bool = False,
+                     cacheable: bool = False) -> Optional[str]:
     """Match a textual unit against ``text``.  Returns the captured value (if
     the unit has an identified matcher) or None.  Emits violations.
 
     Table cells compare whitespace-trimmed (reference ts_utils.rs:15–24,
     matchers.rs:352–361) — ``trim=True``.
+
+    ``cacheable`` MUST only be set when ``parts`` is a template-owned list
+    (table cells, list items) — the cache keys on id(), and ephemeral
+    lists (paragraph units from _group_units) can reuse a freed address.
     """
-    prefix, matcher, suffix = _flatten_unit(parts)
+    prefix, matcher, suffix = _flatten_unit(
+        parts, ctx.flat_cache if cacheable else None)
     if trim:
         text = text.strip()
         prefix = prefix.lstrip() if matcher is None else prefix
@@ -344,12 +363,53 @@ def _list_class_str(ordered: bool, marker: str = "") -> str:
     return f"tight_list({marker or ('1.' if ordered else '-')})"
 
 
+def _try_fast_list(ctx: _Ctx, tmpl: ListTemplate) -> Optional[dict]:
+    """Vectorized fast path for the dominant shape: ONE repeated-matcher
+    item, no nesting, unordered==unordered flat doc items.  Returns the
+    capture dict on full success, None to fall back to the interpreter
+    (which recomputes from the same cursor and emits exact violations)."""
+    if len(tmpl.items) != 1 or tmpl.items[0].children is not None:
+        return None
+    rm = tmpl.items[0].repeat_matcher
+    if rm is None or rm.is_literal_code:
+        return None
+    want_kind = "ordered_list_item" if tmpl.ordered else "list_item"
+    spans = ctx.spans
+    pos = ctx.pos
+    texts = []
+    while pos < len(spans):
+        k = spans[pos]["kind"]
+        if k not in LIST_KINDS:
+            break
+        t = spans[pos]["text"]
+        if k != want_kind or t.startswith("\t"):
+            return None            # wrong class or nested → interpreter
+        texts.append(t)
+        pos += 1
+    n = len(texts)
+    if n < rm.min_items or (not rm.unbounded and n > rm.max_items):
+        return None
+    if rm.pattern is not None:
+        regex = rm.regex
+        for t in texts:
+            m = regex.match(t)
+            if m is None or m.group(0) != t:
+                return None
+    ctx.pos = pos
+    # zero-consumption repetition records no capture key (matcher never
+    # matched — reference join_values of zero matches adds nothing)
+    return {rm.capture_id: list(texts)} if (rm.capture_id and texts) else {}
+
+
 def _eval_list(ctx: _Ctx, cid: str, tmpl: ListTemplate,
                doc_items: Optional[list] = None) -> dict:
     """Evaluate one (possibly nested) list.  Returns the capture object
     produced at this level so callers can apply the nested-capture
     unpack-same-id rule (lists.rs:343–390)."""
     if doc_items is None:
+        fast = _try_fast_list(ctx, tmpl)
+        if fast is not None:
+            return fast
         doc_items = _parse_doc_list(ctx)
     local: dict = {}
 
@@ -405,7 +465,7 @@ def _eval_list(ctx: _Ctx, cid: str, tmpl: ListTemplate,
                             f"{len(doc_items) - di + consumed} list items",
                             doc_items[di].span)
                 di = len(doc_items)
-            if rm.capture_id is not None:
+            if rm.capture_id is not None and values:
                 _join_into(local, rm.capture_id, values)
         else:
             if di >= len(doc_items):
@@ -416,8 +476,10 @@ def _eval_list(ctx: _Ctx, cid: str, tmpl: ListTemplate,
                             f"{len(doc_items)} list items", None)
                 break
             cand = doc_items[di]
-            sub = _Ctx(spans=[], captures=local, violations=ctx.violations)
-            _match_text_unit(sub, item_cid, titem.inline, cand.text, cand.span)
+            sub = _Ctx(spans=[], captures=local, violations=ctx.violations,
+                       flat_cache=ctx.flat_cache)
+            _match_text_unit(sub, item_cid, titem.inline, cand.text,
+                             cand.span, cacheable=True)
             if titem.children is not None:
                 nested = _eval_list(ctx, item_cid, titem.children, cand.children)
                 for k, v in nested.items():
@@ -453,7 +515,66 @@ def _append_nested(values: list, parent_id: Optional[str], nested: dict) -> None
 # reference validators/tables.rs:27–546)
 # ---------------------------------------------------------------------------
 
+def _try_fast_table(ctx: _Ctx, tmpl: TableTemplate) -> bool:
+    """Vectorized fast path: literal header cells + exactly one repeated
+    row template whose cells are each a single regex/bare matcher.
+    Returns True when fully matched (captures committed, cursor moved);
+    False falls back to the interpreter from the original cursor."""
+    if len(tmpl.rows) != 1 or not tmpl.rows[0].repeated:
+        return False
+    row_tmpl = tmpl.rows[0]
+    header_flat = []
+    for cell in tmpl.header:
+        if len(cell) != 1 or not isinstance(cell[0], Literal):
+            return False
+        header_flat.append(cell[0].text.strip())
+    matchers = []
+    for cell in row_tmpl.cells:
+        if len(cell) != 1 or not isinstance(cell[0], MatcherPart):
+            return False
+        m = cell[0].matcher
+        if m.is_literal_code:
+            return False
+        matchers.append(m)
+    ncols = len(tmpl.header)
+    if len(matchers) != ncols:
+        return False
+    spans = ctx.spans
+    pos = ctx.pos
+    hdr = []
+    while pos < len(spans) and spans[pos]["kind"] == "table_header_cell":
+        hdr.append(spans[pos]["text"].strip())
+        pos += 1
+    if hdr != header_flat:
+        return False
+    cells = []
+    while pos < len(spans) and spans[pos]["kind"] == "table_cell":
+        cells.append(spans[pos]["text"].strip())
+        pos += 1
+    if ncols == 0 or len(cells) % ncols != 0:
+        return False
+    nrows = len(cells) // ncols
+    if nrows < row_tmpl.min_rep or (row_tmpl.max_rep != UNBOUNDED
+                                    and nrows > row_tmpl.max_rep):
+        return False
+    cols = [cells[c::ncols] for c in range(ncols)]
+    for m, col in zip(matchers, cols):
+        if m.pattern is not None:
+            regex = m.regex
+            for t in col:
+                mm = regex.match(t)
+                if mm is None or mm.group(0) != t:
+                    return False
+    ctx.pos = pos
+    for m, col in zip(matchers, cols):
+        if m.capture_id and col:
+            _join_into(ctx.captures, m.capture_id, list(col))
+    return True
+
+
 def _eval_table(ctx: _Ctx, cid: str, tmpl: TableTemplate) -> None:
+    if _try_fast_table(ctx, tmpl):
+        return
     header_spans = []
     while True:
         s = ctx.peek()
@@ -468,7 +589,7 @@ def _eval_table(ctx: _Ctx, cid: str, tmpl: TableTemplate) -> None:
         return
     for ci, (cell_tmpl, span) in enumerate(zip(tmpl.header, header_spans)):
         _match_text_unit(ctx, f"{cid}.header.cell{ci}", cell_tmpl,
-                         span["text"], span, trim=True)
+                         span["text"], span, trim=True, cacheable=True)
 
     cell_spans = []
     while True:
@@ -530,12 +651,13 @@ def _eval_table_row(ctx: _Ctx, row_cid: str, row_tmpl: TableRowTemplate,
                     row: list) -> None:
     for ci, (cell_tmpl, span) in enumerate(zip(row_tmpl.cells, row)):
         cell_cid = f"{row_cid}.cell{ci}"
-        sub = _Ctx(spans=[], violations=ctx.violations)
+        sub = _Ctx(spans=[], violations=ctx.violations,
+                   flat_cache=ctx.flat_cache)
         val = _match_text_unit(sub, cell_cid, cell_tmpl, span["text"], span,
-                               trim=True)
+                               trim=True, cacheable=True)
         # repeated rows accumulate per-cell column arrays
         # (tables.rs:245–376: {"item": [...], "price": [...]})
-        _, matcher, _ = _flatten_unit(cell_tmpl)
+        _, matcher, _ = _flatten_unit(cell_tmpl, ctx.flat_cache)
         if matcher is not None and matcher.capture_id and val is not None:
             if row_tmpl.repeated:
                 _join_into(ctx.captures, matcher.capture_id, [val])
@@ -624,7 +746,8 @@ def evaluate_spans(spans: list, schema: CompiledSchema) -> EvalResult:
                             ViolationKind.NOT_ENOUGH_REPEATING_PARAGRAPHS,
                             f">= {m.min_items} paragraphs",
                             f"{consumed} paragraphs", ctx.peek())
-            ctx.capture(m.capture_id, values)
+            if values:
+                ctx.capture(m.capture_id, values)
 
         elif isinstance(block, Paragraph):
             if span["kind"] != "paragraph":

@@ -91,3 +91,23 @@ def test_b6_batch_size_invariance(ray_session, batch_size):
         expected_tbl.column("captures").to_pylist(),
         expected_tbl.column("n_violations").to_pylist()))
     assert got == expected
+
+
+def test_fast_paths_match_interpreter():
+    """Differential: the vectorized list/table fast paths must produce
+    bit-identical output to the pure interpreter (monkeypatched off) over
+    a corpus containing every planted failure mode."""
+    import mdvalidate_ray.evaluate.evaluator as EV
+
+    tbl = arrow_documents(600)
+    fast = ConstraintEvaluator(flagship_schema_text())(tbl)
+    orig_list, orig_table = EV._try_fast_list, EV._try_fast_table
+    EV._try_fast_list = lambda ctx, tmpl: None
+    EV._try_fast_table = lambda ctx, tmpl: False
+    try:
+        slow = ConstraintEvaluator(flagship_schema_text())(tbl)
+    finally:
+        EV._try_fast_list, EV._try_fast_table = orig_list, orig_table
+    for col in ("doc_id", "passed", "captures", "n_violations",
+                "violations"):
+        assert fast.column(col).to_pylist() == slow.column(col).to_pylist(), col
