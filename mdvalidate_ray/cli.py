@@ -74,6 +74,13 @@ def run_corpus(schema_text: str, input_path: str, out_dir, args) -> int:
         violations_dataset,
     )
 
+    if args.checkpoint:
+        if not out_dir:
+            print("error: --checkpoint requires an OUTPUT directory",
+                  file=sys.stderr)
+            return 2
+        return _run_checkpointed_cli(schema_text, input_path, out_dir, args)
+
     docs = ray.data.read_parquet(input_path)
     if args.text_column:
         from mdvalidate_ray.sources.markdown import markdown_batch_to_documents
@@ -118,6 +125,41 @@ def run_corpus(schema_text: str, input_path: str, out_dir, args) -> int:
     return 1 if n_viol else 0
 
 
+def _run_checkpointed_cli(schema_text: str, input_path: str, out_dir: str,
+                          args) -> int:
+    """Checkpointed corpus validation: the input's parquet files are split
+    into K partitions; finished partitions are skipped on re-run."""
+    import glob
+    import json
+    import os
+
+    import ray.data
+
+    from mdvalidate_ray.pipelines.checkpoint import (
+        global_report,
+        run_checkpointed,
+    )
+
+    files = sorted(glob.glob(os.path.join(input_path, "*.parquet")))
+    if not files and os.path.isfile(input_path):
+        files = [input_path]
+    if not files:
+        print(f"error: no parquet files under {input_path}", file=sys.stderr)
+        return 2
+    k = min(args.partitions, len(files))
+    groups = [files[i::k] for i in range(k)]
+
+    run_checkpointed(
+        lambda i: ray.data.read_parquet(groups[i]),
+        lambda i: {"kind": "parquet_files", "files": groups[i]},
+        k, out_dir, schema_text)
+    report = global_report(out_dir, k)
+    if not args.quiet:
+        print(json.dumps({kk: vv for kk, vv in report.items()
+                          if kk != "partitions"}), file=sys.stderr)
+    return 0 if report["complete"] and report["n_violations"] == 0 else 1
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(
         prog="mdv-ray",
@@ -134,6 +176,12 @@ def main(argv=None) -> int:
     p.add_argument("--text-column", default=None,
                    help="corpus mode: treat INPUT as raw markdown text in "
                         "this column and flatten it to spans first")
+    p.add_argument("--checkpoint", action="store_true",
+                   help="corpus mode: run partition-by-partition with a "
+                        "resumable manifest under OUTPUT (re-running skips "
+                        "finished partitions)")
+    p.add_argument("--partitions", type=int, default=8,
+                   help="number of checkpoint partitions (with --checkpoint)")
     args = p.parse_args(argv)
 
     try:

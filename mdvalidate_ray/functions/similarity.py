@@ -189,3 +189,85 @@ def embedding_near_duplicates(ds, threshold: float = 0.95, *,
     return pa.Table.from_pylist(out, schema=pa.schema(
         [("key_a", pa.int64()), ("key_b", pa.int64()),
          ("cosine", pa.float64())]))
+
+
+class _HyperplaneLSH:
+    """Sign-random-projection stage: each vector → per-band bucket keys.
+
+    For unit vectors, P[sign match per bit] = 1 − θ/π; banding b bits per
+    band makes near-duplicate pairs (θ small) collide in ≥1 band with high
+    probability while far pairs rarely do — the scale path for
+    embedding near-dup: only (band, bucket, key, vector) rows shuffle,
+    never the full pairwise matrix."""
+
+    def __init__(self, dim: int, n_bits: int = 32, bands: int = 8,
+                 seed: int = 99, column: str = "embedding",
+                 key: str = "vec_id"):
+        assert n_bits % bands == 0
+        rng = np.random.default_rng(seed)
+        self.planes = rng.standard_normal((dim, n_bits)).astype(np.float64)
+        self.bands = bands
+        self.bits_per_band = n_bits // bands
+        self.column = column
+        self.key = key
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _normalize(_batch_matrix(batch, self.column).astype(np.float64))
+        keys = batch.column(self.key).to_pylist()
+        bits = (m @ self.planes) > 0                  # (n, n_bits)
+        n = m.shape[0]
+        chunks = bits.reshape(n, self.bands, self.bits_per_band)
+        weights = (1 << np.arange(self.bits_per_band)).astype(np.uint64)
+        buckets = (chunks.astype(np.uint64) * weights[None, None, :]).sum(
+            axis=2)                                   # (n, bands)
+        key_idx = np.repeat(np.arange(n), self.bands)
+        return pa.Table.from_arrays(
+            [pa.array(np.tile(np.arange(self.bands, dtype=np.int32), n)),
+             pa.array(buckets.ravel()),
+             pa.array([keys[i] for i in key_idx], pa.int64()),
+             pa.array([m[i].tobytes() for i in key_idx], pa.binary())],
+            names=["band", "bucket", "key", "vec"])
+
+
+def embedding_near_duplicates_lsh(ds, threshold: float = 0.9, *,
+                                  column: str = "embedding",
+                                  key: str = "vec_id", n_bits: int = 32,
+                                  bands: int = 8, max_bucket: int = 5000,
+                                  concurrency=(1, 8)) -> pa.Table:
+    """Scale path for cosine near-dup pairs: hyperplane-LSH banding →
+    bucket groupby → exact cosine verification inside each bucket.
+    Same output contract as :func:`embedding_near_duplicates`."""
+    dim = len(ds.take(1)[0][column])
+    banded = ds.map_batches(
+        _HyperplaneLSH,
+        fn_constructor_kwargs=dict(dim=dim, n_bits=n_bits, bands=bands,
+                                   column=column, key=key),
+        batch_format="pyarrow", zero_copy_batch=True,
+        concurrency=concurrency)
+
+    pair_schema = pa.schema([("key_a", pa.int64()), ("key_b", pa.int64()),
+                             ("cosine", pa.float64())])
+
+    def emit(group: pa.Table) -> pa.Table:
+        n = len(group)
+        if n < 2 or n > max_bucket:
+            return pair_schema.empty_table()
+        keys_ = np.asarray(group.column("key").to_pylist())
+        vecs = np.stack([np.frombuffer(b, dtype=np.float64)
+                         for b in group.column("vec").to_pylist()])
+        sims = vecs @ vecs.T
+        iu = np.triu_indices(n, k=1)
+        mask = sims[iu] >= threshold
+        rows = [{"key_a": int(min(a, b)), "key_b": int(max(a, b)),
+                 "cosine": float(s)}
+                for a, b, s in zip(keys_[iu[0][mask]], keys_[iu[1][mask]],
+                                   sims[iu][mask]) if a != b]
+        return pa.Table.from_pylist(rows, schema=pair_schema)
+
+    pairs = banded.groupby(["band", "bucket"]).map_groups(
+        emit, batch_format="pyarrow")
+    deduped = pairs.groupby(["key_a", "key_b"]).map_groups(
+        lambda g: g.slice(0, 1), batch_format="pyarrow")
+    out = deduped.take_all()
+    out.sort(key=lambda r: (r["key_a"], r["key_b"]))
+    return pa.Table.from_pylist(out, schema=pair_schema)

@@ -153,8 +153,8 @@ def global_report(out_dir: str, num_partitions: int) -> dict:
             "passed": rec["n_violations"] == 0,
         })
     est_distinct = hll.estimate()
-    dup_suspect = complete and rows > 0 and \
-        abs(rows - est_distinct) > 4 * hll.rel_error * rows
+    dup_suspect = bool(complete and rows > 0
+                       and abs(rows - est_distinct) > 4 * hll.rel_error * rows)
     return {
         "complete": complete,
         "n_partitions_done": len(done),

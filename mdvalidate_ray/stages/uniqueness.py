@@ -79,17 +79,30 @@ def duplicate_keys(ds, key: str, salt_buckets: int | None = None):
 
 
 def uniqueness_check(ds, key: str = "doc_id", p: int = 14,
-                     salt_buckets: int | None = None) -> dict:
+                     salt_buckets: int | None = None,
+                     auto_salt: bool = True) -> dict:
     """The full constraint.  Returns a verdict dict; ``duplicates`` is a
-    Dataset only when the exact phase ran."""
+    Dataset only when the exact phase ran.
+
+    ``auto_salt``: when the exact phase runs and no explicit
+    ``salt_buckets`` is given, sample per-batch key histograms and salt
+    only if hot keys are detected (SURVEY.md §4)."""
     n_rows = ds.count()
     est = approx_distinct(ds, key, p=p)
     bound = 4 * HyperLogLog(p=p).rel_error * max(n_rows, 1)
     if abs(n_rows - est) <= bound:
         return {"passed": True, "n_rows": n_rows, "approx_distinct": est,
                 "exact_phase": False, "duplicates": None}
+    if salt_buckets is None and auto_salt:
+        from mdvalidate_ray.stages.skew import auto_salt_buckets
+
+        # hot = a key holding more than ~2% of all rows (it would make a
+        # single reducer the straggler); floor avoids salting tiny corpora
+        salt_buckets = auto_salt_buckets(
+            ds, key, hot_threshold=max(1_000, n_rows // 50))
     dups = duplicate_keys(ds, key, salt_buckets=salt_buckets)
     n_dup_keys = dups.count()
     return {"passed": n_dup_keys == 0, "n_rows": n_rows,
             "approx_distinct": est, "exact_phase": True,
+            "salt_buckets": salt_buckets,
             "n_duplicate_keys": n_dup_keys, "duplicates": dups}

@@ -88,7 +88,7 @@ class HyperLogLog:
 
     @property
     def rel_error(self) -> float:
-        return 1.04 / np.sqrt(self.m)
+        return float(1.04 / np.sqrt(self.m))
 
     def to_bytes(self) -> bytes:
         return bytes([self.p]) + self.registers.tobytes()

@@ -256,3 +256,34 @@ def test_media_decode_strict_raises_on_real_format(ray_session):
     lenient = DecodeStage(strict=False)
     out = lenient(png)
     assert out.column("ok").to_pylist() == [False]
+
+
+def test_embedding_lsh_finds_planted_near_dups(ray_session, embeddings):
+    """LSH scale path recall vs brute force on a corpus with planted
+    near-identical vectors."""
+    import ray.data
+
+    from mdvalidate_ray.functions.similarity import (
+        embedding_near_duplicates,
+        embedding_near_duplicates_lsh,
+    )
+
+    rows = embeddings.take(200)
+    base = np.asarray([r["embedding"] for r in rows], dtype=np.float32)
+    rng = np.random.default_rng(11)
+    # plant near-dups: 40 vectors + tiny noise, new ids
+    noisy = base[:40] + rng.normal(0, 0.01, base[:40].shape).astype(np.float32)
+    ids = [r["vec_id"] for r in rows] + [10_000 + i for i in range(40)]
+    vecs = np.concatenate([base, noisy]).tolist()
+    tbl = pa.table({"vec_id": pa.array(ids, pa.int64()),
+                    "embedding": pa.array(vecs, pa.list_(pa.float32()))})
+    ds = ray.data.from_arrow(tbl)
+
+    exact = {(r["key_a"], r["key_b"])
+             for r in embedding_near_duplicates(ds, 0.95).to_pylist()}
+    approx = {(r["key_a"], r["key_b"])
+              for r in embedding_near_duplicates_lsh(ds, 0.95).to_pylist()}
+    assert exact, "expected planted near-dup pairs"
+    assert approx <= exact                      # sound: only true pairs
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.9, recall

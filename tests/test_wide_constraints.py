@@ -185,3 +185,13 @@ def test_b1_null_violations_flag_planted_nulls(ray_session):
             sorted(out, key=lambda v: v["span_index"])] == \
         [("d1", 0), ("d1", 1)]
     assert all(v["kind"] == "null_violation" for v in out)
+
+
+def test_b3_auto_salting_on_hot_key(ray_session):
+    ds = ray_documents(4_000, dup_every=10**9, hot_copies=1_500,
+                       override_num_blocks=8)
+    verdict = uniqueness_check(ds, "doc_id")
+    assert verdict["exact_phase"] and not verdict["passed"]
+    assert verdict["salt_buckets"] and verdict["salt_buckets"] >= 8
+    dups = {r["doc_id"]: r["cnt"] for r in verdict["duplicates"].take_all()}
+    assert dups == {"doc_hot": 1_500}
