@@ -150,10 +150,19 @@ def run_queries(sf_dir: str) -> dict:
     return out
 
 
+def _quiet_data_context() -> None:
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+
 def main_single(include_queries: bool = True) -> dict:
     import ray
 
-    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False)
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             logging_level="ERROR")
+    _quiet_data_context()
     try:
         import pyarrow.parquet as pq
 
@@ -215,7 +224,9 @@ def main_scaling() -> dict:
     # materialize the corpus once (own session)
     import ray
 
-    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False)
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             logging_level="ERROR")
+    _quiet_data_context()
     try:
         ensure_corpus(num_docs)
     finally:

@@ -135,13 +135,15 @@ class MinHashStage:
     """Actor stage: text → (band, bucket, doc_id, signature) rows."""
 
     def __init__(self, num_perm: int = 64, bands: int = 16, k: int = 3,
-                 column: str = "text", key: str = "doc_id"):
+                 column: str = "text", key: str = "doc_id",
+                 n_parts: int = 128):
         assert num_perm % bands == 0
         self.mh = MinHasher(num_perm=num_perm, k=k)
         self.bands = bands
         self.rows_per_band = num_perm // bands
         self.column = column
         self.key = key
+        self.n_parts = n_parts
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch.column(self.column).to_pylist()
@@ -158,58 +160,78 @@ class MinHashStage:
                 bucket = bucket * np.uint64(1099511628211) ^ chunks[:, :, j]
         sig_bytes = [sigs[i].tobytes() for i in range(n)]
         out_key = np.repeat(np.arange(n), self.bands)
+        # coarse co-partition key: shuffling on (band,bucket) directly makes
+        # one Python map_groups call per fine bucket (tens of thousands);
+        # hashing down to n_parts coarse groups keeps the exchange identical
+        # in volume but bounds group calls, with fine grouping done
+        # vectorized inside the group (same trick as referential.py)
+        band_ids = np.tile(np.arange(self.bands, dtype=np.uint64), n)
+        part = (bucket.ravel() ^ band_ids) % np.uint64(self.n_parts)
         return pa.Table.from_arrays(
-            [pa.array(np.tile(np.arange(self.bands, dtype=np.int32), n)),
+            [pa.array(part.astype(np.int64)),
+             pa.array(np.tile(np.arange(self.bands, dtype=np.int32), n)),
              pa.array(bucket.ravel()),
              pa.array([keys[i] for i in out_key], pa.string()),
              pa.array([sig_bytes[i] for i in out_key], pa.binary())],
-            names=["band", "bucket", "doc_id", "sig"])
+            names=["part", "band", "bucket", "doc_id", "sig"])
 
 
 def minhash_near_duplicates(ds, *, threshold: float = 0.8,
                             num_perm: int = 64, bands: int = 16, k: int = 3,
                             column: str = "text", key: str = "doc_id",
-                            max_bucket: int = 5000, concurrency=(1, 8)):
+                            max_bucket: int = 5000, n_parts: int = 128,
+                            concurrency=(1, 8)):
     """Near-dup pairs (doc_a < doc_b, est_jaccard ≥ threshold)."""
     banded = ds.map_batches(
         MinHashStage,
         fn_constructor_kwargs=dict(num_perm=num_perm, bands=bands, k=k,
-                                   column=column, key=key),
+                                   column=column, key=key,
+                                   n_parts=n_parts),
         batch_format="pyarrow", zero_copy_batch=True,
         concurrency=concurrency)
 
     pair_schema = pa.schema([("doc_a", pa.string()), ("doc_b", pa.string()),
                              ("est_jaccard", pa.float64())])
 
-    def emit_pairs(g: pa.Table) -> pa.Table:
-        n = len(g)
-        if n < 2 or n > max_bucket:  # degenerate band bucket; skip
-            return pair_schema.empty_table()
-        ids = g.column("doc_id").to_pylist()
-        sigs = [np.frombuffer(s, dtype=np.uint64)
-                for s in g.column("sig").to_pylist()]
+    def emit_pairs(part_group: pa.Table) -> pa.Table:
+        """One coarse partition: group by fine (band,bucket) in-memory,
+        emit candidate pairs per fine bucket."""
+        import collections
+
+        bands_ = part_group.column("band").to_pylist()
+        buckets_ = part_group.column("bucket").to_pylist()
+        ids_ = part_group.column("doc_id").to_pylist()
+        sigs_ = part_group.column("sig").to_pylist()
+        fine: dict = collections.defaultdict(list)
+        for i in range(len(ids_)):
+            fine[(bands_[i], buckets_[i])].append(i)
         rows = []
         seen = set()
-        for i in range(n):
-            for j in range(i + 1, n):
-                a, b = sorted((ids[i], ids[j]))
-                if a == b or (a, b) in seen:
-                    continue
-                seen.add((a, b))
-                est = MinHasher.est_similarity(sigs[i], sigs[j])
-                if est >= threshold:
-                    rows.append({"doc_a": a, "doc_b": b, "est_jaccard": est})
+        for members in fine.values():
+            n = len(members)
+            if n < 2 or n > max_bucket:
+                continue
+            sigs = [np.frombuffer(sigs_[i], dtype=np.uint64)
+                    for i in members]
+            for x in range(n):
+                for y in range(x + 1, n):
+                    a, b = sorted((ids_[members[x]], ids_[members[y]]))
+                    if a == b or (a, b) in seen:
+                        continue
+                    seen.add((a, b))
+                    est = MinHasher.est_similarity(sigs[x], sigs[y])
+                    if est >= threshold:
+                        rows.append({"doc_a": a, "doc_b": b,
+                                     "est_jaccard": est})
         return pa.Table.from_pylist(rows, schema=pair_schema)
 
-    pairs = banded.groupby(["band", "bucket"]).map_groups(
-        emit_pairs, batch_format="pyarrow")
+    pairs = banded.groupby("part").map_groups(emit_pairs,
+                                              batch_format="pyarrow")
 
-    # a pair can surface from several bands → dedup on (doc_a, doc_b)
-    def dedup_pairs(g: pa.Table) -> pa.Table:
-        return g.slice(0, 1)
-
+    # a pair can surface from several coarse partitions (different bands)
+    # → dedup on (doc_a, doc_b); tiny input (candidate pairs only)
     return pairs.groupby(["doc_a", "doc_b"]).map_groups(
-        dedup_pairs, batch_format="pyarrow")
+        lambda g: g.slice(0, 1), batch_format="pyarrow")
 
 
 # --- SimHash ----------------------------------------------------------------
