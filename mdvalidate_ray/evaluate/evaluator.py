@@ -610,13 +610,15 @@ def _eval_table(ctx: _Ctx, cid: str, tmpl: TableTemplate) -> None:
         if row_tmpl.repeated:
             consumed = 0
             max_n = row_tmpl.max_rep
-            # probe-stop only when a later ("sandwich") row template exists
-            # to take over (tables.rs:483–546); otherwise cell mismatches
-            # must surface as violations, not silent non-consumption
-            has_followup = ti + 1 < len(tmpl.rows)
-            while ri < len(doc_rows) and (max_n == UNBOUNDED or consumed < max_n):
-                if has_followup and not _row_matches(row_tmpl, doc_rows[ri]):
-                    break
+            # sandwich rows (tables.rs:483–546): later row templates RESERVE
+            # doc rows, so a repeated row may only consume up to
+            # len(doc_rows) - reserved — otherwise a matching literal footer
+            # would be swallowed by the repetition
+            reserved = sum((t.min_rep if t.repeated else 1)
+                           for t in tmpl.rows[ti + 1:])
+            budget = len(doc_rows) - ri - reserved
+            while (ri < len(doc_rows) and consumed < budget
+                   and (max_n == UNBOUNDED or consumed < max_n)):
                 _eval_table_row(ctx, row_cid, row_tmpl, doc_rows[ri])
                 ri += 1
                 consumed += 1
@@ -635,16 +637,6 @@ def _eval_table(ctx: _Ctx, cid: str, tmpl: TableTemplate) -> None:
         ctx.violate(cid, ViolationKind.CHILDREN_LENGTH,
                     f"{ri} data rows", f"{len(doc_rows)} data rows",
                     doc_rows[ri][0])
-
-
-def _row_matches(row_tmpl: TableRowTemplate, row: list) -> bool:
-    """Peek: does this doc row satisfy the repeated row template?  Used to
-    stop consumption at the first non-matching row so a trailing literal
-    ("sandwich") row can take over (tables.rs:483–546)."""
-    probe = _Ctx(spans=[])
-    for cell_tmpl, span in zip(row_tmpl.cells, row):
-        _match_text_unit(probe, "probe", cell_tmpl, span["text"], span, trim=True)
-    return not probe.violations
 
 
 def _eval_table_row(ctx: _Ctx, row_cid: str, row_tmpl: TableRowTemplate,

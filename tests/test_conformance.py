@@ -409,3 +409,38 @@ def test_list_nested_deeper_than_schema():
             span("list_item", "\tnested"))
     assert not r.passed
     assert ViolationKind.LIST_TOO_DEEP in kinds(r)
+
+
+# --- sandwich table rows (tables.rs:483–546) --------------------------------
+
+def test_table_sandwich_literal_footer_after_repeated_rows():
+    schema = ("| Item | Price |\n"
+              "| --- | --- |\n"
+              "| `item:/\\w+/` | `price:/\\d+/` |{,3}\n"
+              "| Total | `total:/\\d+/` |")
+    doc = [
+        span("table_header_cell", "Item"), span("table_header_cell", "Price"),
+        span("table_cell", "apple"), span("table_cell", "3"),
+        span("table_cell", "pear"), span("table_cell", "5"),
+        span("table_cell", "Total"), span("table_cell", "8"),
+    ]
+    r = run(schema, *doc)
+    assert r.passed, r.violations
+    assert r.captures == {"item": ["apple", "pear"], "price": ["3", "5"],
+                          "total": "8"}
+
+
+def test_table_sandwich_missing_footer_fails():
+    schema = ("| Item | Price |\n"
+              "| --- | --- |\n"
+              "| `item:/\\w+/` | `price:/\\d+/` |{,3}\n"
+              "| Total | `total:/\\d+/` |")
+    doc = [
+        span("table_header_cell", "Item"), span("table_header_cell", "Price"),
+        span("table_cell", "apple"), span("table_cell", "3"),
+    ]
+    r = run(schema, *doc)
+    # the reservation rule hands the only doc row to the literal footer
+    # template, which rejects "apple" vs "Total"
+    assert not r.passed
+    assert ViolationKind.CONTENT_LITERAL in kinds(r)
