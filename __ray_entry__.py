@@ -59,6 +59,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_sources": Q.distinct_sources,
         "stats_by_source": Q.stats_by_source,
         "events_asof_orders": Q.events_asof_orders,
+        "events_sliding": Q.events_sliding,
+        "quality_filter_counts": Q.quality_filter_counts,
         "user_sessions": Q.user_sessions,
         "q3_order_revenue": Q.q3_order_revenue,
         # dedup / text
@@ -143,6 +145,26 @@ def oracle_sql() -> dict[str, str]:
                    min(length(text))::BIGINT AS min_len,
                    max(length(text))::BIGINT AS max_len
             FROM documents GROUP BY 1
+        """,
+        "quality_filter_counts": """
+            SELECT source, count(*)::BIGINT AS kept
+            FROM documents
+            WHERE len(regexp_split_to_array(trim(text), '\\s+'))
+                  BETWEEN 20 AND 40
+            GROUP BY 1
+        """,
+        "events_sliding": """
+            WITH assigned AS (
+                SELECT event_type,
+                       (epoch_us(ts) // 3600000000) * 3600000000 AS w
+                FROM events
+                UNION ALL
+                SELECT event_type,
+                       ((epoch_us(ts) // 3600000000) - 1) * 3600000000 AS w
+                FROM events
+            )
+            SELECT event_type, w AS window_start_us, count(*)::BIGINT AS cnt
+            FROM assigned GROUP BY 1, 2
         """,
         "events_asof_orders": """
             WITH ranked AS (

@@ -195,3 +195,67 @@ def sessionize(events_ds, *, key: str, time_col: str,
 
     return events_ds.groupby(key).map_groups(per_key,
                                              batch_format="pyarrow")
+
+
+def sliding_window_counts(events_ds, *, time_col: str, group_col: str,
+                          window_seconds: int, step_seconds: int):
+    """Sliding-window counts: each event contributes to every window of
+    length ``window_seconds`` advancing by ``step_seconds`` that covers it.
+
+    Per-batch the window assignment is a vectorized fan-out (an event lands
+    in ``window/step`` windows) followed by an in-batch combiner, so the
+    groupby exchange moves (group, window, partial-count) rows only.
+    """
+    import numpy as np
+
+    fanout = window_seconds // step_seconds
+    step_us = step_seconds * 1_000_000
+
+    def assign(b: pa.Table) -> pa.Table:
+        ts = b.column(time_col).cast(pa.int64()).to_numpy(
+            zero_copy_only=False)                     # µs
+        groups = b.column(group_col).to_pylist()
+        last = (ts // step_us) * step_us              # latest window start
+        starts = last[:, None] - (np.arange(fanout) * step_us)[None, :]
+        n = len(ts)
+        tbl = pa.Table.from_arrays(
+            [pa.array([groups[i] for i in np.repeat(np.arange(n), fanout)],
+                      pa.string()),
+             pa.array(starts.ravel()),
+             pa.array(np.ones(n * fanout, dtype=np.int64))],
+            names=[group_col, "window_start_us", "cnt"])
+        g = pa.TableGroupBy(tbl, [group_col, "window_start_us"]).aggregate(
+            [("cnt", "sum")])
+        return g.rename_columns([group_col, "window_start_us", "cnt"])
+
+    agg = events_ds.map_batches(assign, batch_format="pyarrow",
+                                zero_copy_batch=True) \
+                   .groupby([group_col, "window_start_us"]).sum("cnt")
+    return agg.map_batches(
+        lambda b: pa.Table.from_arrays(
+            [b.column(group_col), b.column("window_start_us"),
+             b.column("sum(cnt)").cast(pa.int64())],
+            names=[group_col, "window_start_us", "cnt"]),
+        batch_format="pyarrow")
+
+
+def write_bucketed(ds, path: str, *, key: str, n_buckets: int = 64,
+                   **write_kwargs):
+    """Hash-bucketed partition-keyed parquet layout: rows with the same key
+    always land in the same ``bucket=K/`` directory, so later joins or
+    groupbys on that key can co-read buckets without an all-to-all
+    exchange, and a failed write can be resumed per bucket."""
+    from mdvalidate_ray.state.sketches import hash_strings
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        keys = [str(v) for v in b.column(key).to_pylist()]
+        bucket = (hash_strings(keys) % np.uint64(n_buckets)).astype("int64")
+        return b.append_column("bucket", pa.array(bucket))
+
+    with_bucket = ds.map_batches(add_bucket, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+    with_bucket.write_parquet(path, partition_cols=["bucket"],
+                              **write_kwargs)
+    return path

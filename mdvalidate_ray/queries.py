@@ -368,6 +368,38 @@ def q3_order_revenue(sf_dir: str):
     } for r in rows[:20]])
 
 
+def events_sliding(sf_dir: str):
+    """Sliding-window counts: 2-hour windows stepping hourly per event
+    type (each event lands in two windows)."""
+    from mdvalidate_ray.functions.relational import sliding_window_counts
+
+    return sliding_window_counts(
+        _read(sf_dir, "events").select_columns(["event_type", "ts"]),
+        time_col="ts", group_col="event_type",
+        window_seconds=7200, step_seconds=3600)
+
+
+def quality_filter_counts(sf_dir: str):
+    """End-to-end filter pipeline: token-count gate -> per-source survivor
+    counts (the shape of a training-data quality filter)."""
+    from mdvalidate_ray.functions.text import add_token_counts
+
+    def gate(b: pa.Table) -> pa.Table:
+        b = add_token_counts(b)
+        keep = pc.and_(pc.greater_equal(b.column("n_tokens"), 20),
+                       pc.less_equal(b.column("n_tokens"), 40))
+        return b.filter(keep).select(["source"])
+
+    docs = _read(sf_dir, "documents").select_columns(["source", "text"])
+    agg = docs.map_batches(gate, batch_format="pyarrow",
+                           zero_copy_batch=True).groupby("source").count()
+    return agg.map_batches(
+        lambda b: pa.Table.from_arrays(
+            [b.column("source"), b.column("count()").cast(pa.int64())],
+            names=["source", "kept"]),
+        batch_format="pyarrow")
+
+
 def part_type_stats(sf_dir: str):
     from ray.data.aggregate import Count, Mean
 

@@ -70,3 +70,54 @@ def test_io_lance_gated(tmp_path, ray_session):
     if not have_lance():
         with pytest.raises(ImportError):
             read_documents("/nonexistent/data.lance")
+
+
+def test_sliding_window_counts(ray_session):
+    import datetime
+
+    import ray.data
+
+    from mdvalidate_ray.functions.relational import sliding_window_counts
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    for minute in (0, 30, 70, 130):   # events at :00, :30, 1:10, 2:10
+        rows.append({"t": base + datetime.timedelta(minutes=minute),
+                     "g": "a"})
+    tbl = pa.Table.from_pylist(rows).set_column(
+        0, "t", pa.array([r["t"] for r in rows], pa.timestamp("us")))
+    out = sliding_window_counts(
+        ray.data.from_arrow(tbl), time_col="t", group_col="g",
+        window_seconds=7200, step_seconds=3600)
+    got = {(r["window_start_us"], r["cnt"]) for r in out.take_all()}
+    us = lambda h: int((base + datetime.timedelta(hours=h)
+                        - datetime.datetime(1970, 1, 1)).total_seconds() * 1e6)
+    # window [-1h,1h): events 0,30 → but start -1h covers [..,1h): 2 events
+    # window [0,2h): 0,30,70 → 3; window [1h,3h): 70,130 → 2;
+    # window [2h,4h): 130 → 1
+    assert got == {(us(-1), 2), (us(0), 3), (us(1), 2), (us(2), 1)}
+
+
+def test_write_bucketed_colocates_keys(ray_session, tmp_path):
+    import glob
+
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from mdvalidate_ray.functions.relational import write_bucketed
+
+    tbl = pa.table({"k": [f"key{i % 7}" for i in range(1000)],
+                    "v": list(range(1000))})
+    out = str(tmp_path / "bucketed")
+    write_bucketed(ray.data.from_arrow(tbl).repartition(4), out,
+                   key="k", n_buckets=4)
+    seen: dict[str, set] = {}
+    for f in glob.glob(f"{out}/**/*.parquet", recursive=True):
+        bucket = [p for p in f.split("/") if p.startswith("bucket=")][0]
+        for kk in pq.read_table(f, columns=["k"]).column("k").to_pylist():
+            seen.setdefault(kk, set()).add(bucket)
+    # every key lives in exactly one bucket directory
+    assert all(len(b) == 1 for b in seen.values()), seen
+    total = sum(pq.ParquetFile(f).metadata.num_rows
+                for f in glob.glob(f"{out}/**/*.parquet", recursive=True))
+    assert total == 1000
