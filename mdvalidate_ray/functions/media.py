@@ -15,6 +15,8 @@ object store spill (SURVEY.md §4).
 
 from __future__ import annotations
 
+import zlib
+
 import numpy as np
 import pyarrow as pa
 
@@ -33,7 +35,9 @@ def synth_media_batch(asset_ids: list[str], mimes: list[str],
     + body.  Stands in for real image bytes end-to-end."""
     payloads = []
     for aid in asset_ids:
-        rng = np.random.default_rng((seed, hash(aid) & 0x7FFFFFFF))
+        # crc32, not builtin hash(): hash() is randomized per process
+        # (PYTHONHASHSEED), which would break the determinism contract.
+        rng = np.random.default_rng((seed, zlib.crc32(aid.encode())))
         w, h = int(rng.integers(16, 512)), int(rng.integers(16, 512))
         body = rng.integers(0, 256, int(rng.integers(64, 1024)),
                             dtype=np.uint8).tobytes()

@@ -79,54 +79,182 @@ class AsofJoiner:
     leaves ties unspecified, so oracles must encode the same rule with a
     row_number window).  Left rows with no match are dropped (inner).
 
-    The right side is broadcast through the actor constructor and indexed
-    once per actor: key → (sorted times, tiebreak-ordered row indices).
-    Partitioning assumption: the right side fits in worker memory; when it
-    does not, co-partition both sides on the key with
-    ``groupby(key).map_groups`` and run the same merge per group.
+    The right side is broadcast through the actor constructor and sorted
+    once per actor; the per-batch probe is a single vectorized
+    ``pandas.merge_asof`` (C searchsorted under the hood) — no Python
+    per-row loop.  Partitioning assumption: the right side fits in worker
+    memory; when it does not, use :func:`asof_join_partitioned`, which
+    co-partitions both sides on a hash bucket of the key and runs the same
+    vectorized merge per bucket.
     """
 
     def __init__(self, right: pa.Table, key: str, right_time: str,
                  tiebreak: str, value_cols: list[str]):
-        import collections
-
+        self.key = key
+        self.right_time = right_time
         self.value_cols = value_cols
-        keys = right.column(key).to_pylist()
-        times = right.column(right_time).to_pylist()
-        ties = right.column(tiebreak).to_pylist()
-        values = {c: right.column(c).to_pylist() for c in value_cols}
-        buckets: dict = collections.defaultdict(list)
-        for i, k in enumerate(keys):
-            buckets[k].append((times[i], ties[i], i))
-        self.index = {}
-        for k, rows in buckets.items():
-            rows.sort()  # by (time, tiebreak): last match wins both rules
-            self.index[k] = (
-                [r[0] for r in rows],
-                [{c: values[c][r[2]] for c in value_cols} for r in rows],
-            )
+        self.value_fields = [right.schema.field(c) for c in value_cols]
+        self.right = _sorted_asof_right(right, key, right_time, tiebreak,
+                                        value_cols)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        import bisect
+        out_schema = pa.schema(
+            list(batch.schema)
+            + [f for f in self.value_fields
+               if f.name not in batch.schema.names])
+        return _asof_probe(batch, self.right, left_key=self._lkey,
+                           left_time=self._ltime, key=self.key,
+                           right_time=self.right_time,
+                           value_cols=self.value_cols,
+                           out_schema=out_schema)
 
-        lkey = batch.column(self._lkey).to_pylist()
-        ltime = batch.column(self._ltime).to_pylist()
-        keep, matches = [], []
-        for i, (k, t) in enumerate(zip(lkey, ltime)):
-            entry = self.index.get(k)
-            if entry is None:
-                continue
-            times, rows = entry
-            pos = bisect.bisect_right(times, t)
-            if pos == 0:
-                continue
-            keep.append(i)
-            matches.append(rows[pos - 1])
-        left = batch.take(pa.array(keep, pa.int64()))
-        out = left
-        for c in self.value_cols:
-            out = out.append_column(c, pa.array([m[c] for m in matches]))
-        return out
+
+def _sorted_asof_right(right: pa.Table, key: str, right_time: str,
+                       tiebreak: str, value_cols: list[str]):
+    """Right side as a pandas frame sorted by (time, tiebreak) — stably, so
+    among equal (key, time) rows merge_asof's last-match rule picks the
+    greatest tiebreak."""
+    cols = [key, right_time, tiebreak] + [c for c in value_cols
+                                          if c not in (key, right_time,
+                                                       tiebreak)]
+    df = right.select(list(dict.fromkeys(cols))).to_pandas()
+    return df.sort_values([right_time, tiebreak], kind="stable",
+                          ignore_index=True)
+
+
+def _asof_probe(batch: pa.Table, right_df, *, left_key: str,
+                left_time: str, key: str, right_time: str,
+                value_cols: list[str], out_schema: pa.Schema) -> pa.Table:
+    """Vectorized as-of probe of one Arrow batch against the pre-sorted
+    right frame; returns left columns + value_cols (inner semantics).
+    The probe is one ``pandas.merge_asof`` call — C searchsorted, no
+    Python row loop."""
+    import pandas as pd
+
+    if batch.num_rows == 0 or len(right_df) == 0:
+        return out_schema.empty_table()
+
+    left = batch.to_pandas()
+    order = left[left_time].to_numpy().argsort(kind="stable")
+    left_sorted = left.iloc[order]
+    rcols = list(dict.fromkeys([key, right_time] + value_cols))
+    merged = pd.merge_asof(
+        left_sorted, right_df[rcols],
+        left_on=left_time, right_on=right_time,
+        left_by=left_key, right_by=key,
+        direction="backward", allow_exact_matches=True,
+        suffixes=("", "__r"))
+    # unmatched left rows carry NaN in the right-side time column — the
+    # right side never has nulls there, so this is a safe inner-join mask
+    probe_col = (f"{right_time}__r" if f"{right_time}__r" in merged.columns
+                 else right_time)
+    matched = merged[merged[probe_col].notna()]
+    out_names = [f.name for f in out_schema]
+    return pa.Table.from_pandas(
+        matched[out_names], preserve_index=False).cast(out_schema)
+
+
+def asof_join(left_ds, right_ds, *, key: str, left_time: str,
+              right_time: str, tiebreak: str, value_cols: list[str],
+              left_key: str | None = None,
+              broadcast_threshold: int = 5_000_000, n_parts: int = 64,
+              concurrency=(1, 8)):
+    """Tiered as-of join (mirrors referential.py's broadcast/Bloom tiers):
+    right sides up to ``broadcast_threshold`` rows are materialized once
+    and broadcast to an actor pool (:class:`AsofJoiner`); larger right
+    sides never touch the driver — both sides co-partition on a hash
+    bucket of the key (:func:`asof_join_partitioned`)."""
+    import ray
+
+    n_right = right_ds.count()
+    if n_right <= broadcast_threshold:
+        rcols = list(dict.fromkeys([key, right_time, tiebreak] + value_cols))
+        right = pa.concat_tables([
+            ray.get(r) for r in
+            right_ds.select_columns(rcols).to_arrow_refs()])
+        return asof_join_broadcast(
+            left_ds, right, key=key, left_key=left_key,
+            left_time=left_time, right_time=right_time,
+            tiebreak=tiebreak, value_cols=value_cols,
+            concurrency=concurrency)
+    return asof_join_partitioned(
+        left_ds, right_ds, key=key, left_key=left_key,
+        left_time=left_time, right_time=right_time, tiebreak=tiebreak,
+        value_cols=value_cols, n_parts=n_parts)
+
+
+def asof_join_partitioned(left_ds, right_ds, *, key: str, left_time: str,
+                          right_time: str, tiebreak: str,
+                          value_cols: list[str], left_key: str | None = None,
+                          n_parts: int = 64):
+    """Co-partitioned as-of join — the large-right-side tier.
+
+    Both sides gain a coarse hash bucket of the key (``hash(key) %
+    n_parts``), union into one tagged stream, and ONE
+    ``groupby(bucket).map_groups`` runs the same vectorized
+    ``merge_asof`` per bucket.  Group-call count is bounded by
+    ``n_parts`` (not by distinct keys), the only exchange is the bucket
+    groupby, and neither side is ever materialized on the driver.
+    Partitioning assumption: one bucket's rows (both sides) fit in a
+    worker's heap — size ``n_parts`` ≈ total_rows / 5M at corpus scale.
+    """
+    from mdvalidate_ray.state.sketches import hash_strings
+
+    left_key = left_key or key
+    l_schema = left_ds.schema().base_schema
+    r_schema = right_ds.schema().base_schema
+    value_fields = [r_schema.field(c) for c in value_cols]
+    out_schema = pa.schema(
+        list(l_schema) + [f for f in value_fields
+                          if f.name not in l_schema.names])
+    rcols = list(dict.fromkeys([key, right_time, tiebreak] + value_cols))
+    l_names = list(l_schema.names)
+    unified = pa.schema(
+        [("_side", pa.int8()), ("_bucket", pa.int64())]
+        + list(l_schema)
+        + [r_schema.field(c) for c in rcols if c not in l_schema.names])
+
+    def _tag(side: int, key_col: str):
+        def tag(b: pa.Table) -> pa.Table:
+            import numpy as np
+
+            keys = [str(v) for v in b.column(key_col).to_pylist()]
+            bucket = (hash_strings(keys) % np.uint64(n_parts)).astype("int64")
+            cols = []
+            for f in unified:
+                if f.name == "_side":
+                    cols.append(pa.array(
+                        np.full(b.num_rows, side, dtype=np.int8)))
+                elif f.name == "_bucket":
+                    cols.append(pa.array(bucket))
+                elif f.name in b.schema.names:
+                    cols.append(b.column(f.name).cast(f.type))
+                else:
+                    cols.append(pa.nulls(b.num_rows, f.type))
+            return pa.Table.from_arrays(cols, schema=unified)
+        return tag
+
+    tagged = left_ds.map_batches(
+        _tag(0, left_key), batch_format="pyarrow", zero_copy_batch=True
+    ).union(right_ds.select_columns(rcols).map_batches(
+        _tag(1, key), batch_format="pyarrow", zero_copy_batch=True))
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        left_part = g.filter(
+            pc.equal(g.column("_side"), 0)).select(l_names)
+        right_part = g.filter(
+            pc.equal(g.column("_side"), 1)).select(rcols)
+        right_df = _sorted_asof_right(right_part, key, right_time,
+                                      tiebreak, value_cols)
+        return _asof_probe(left_part, right_df, left_key=left_key,
+                           left_time=left_time, key=key,
+                           right_time=right_time, value_cols=value_cols,
+                           out_schema=out_schema)
+
+    return tagged.groupby("_bucket").map_groups(
+        per_bucket, batch_format="pyarrow")
 
 
 def asof_join_broadcast(left_ds, right: pa.Table, *, key: str,
@@ -208,6 +336,11 @@ def sliding_window_counts(events_ds, *, time_col: str, group_col: str,
     """
     import numpy as np
 
+    if window_seconds % step_seconds:
+        raise ValueError(
+            f"window_seconds ({window_seconds}) must be a multiple of "
+            f"step_seconds ({step_seconds}); a fractional fanout would "
+            "silently under-count windows partially covering an event")
     fanout = window_seconds // step_seconds
     step_us = step_seconds * 1_000_000
 

@@ -54,12 +54,15 @@ class _TopKPartial:
     def __call__(self, batch: pa.Table) -> pa.Table:
         m = _normalize(_batch_matrix(batch, self.column).astype(np.float64))
         keys = batch.column(self.key).to_pylist()
+        keys_np = np.asarray(keys, dtype=np.int64)
         scores = self.q @ m.T                      # (n_queries, batch)
         k = min(self.k, m.shape[0])
-        idx = np.argpartition(-scores, k - 1, axis=1)[:, :k]
         rows = []
         for qi in range(self.q.shape[0]):
-            for j in idx[qi]:
+            # lexsort: highest score first, and on exact score ties the
+            # SMALLER key — matches the oracle's ORDER BY sim DESC, id ASC
+            order = np.lexsort((keys_np, -scores[qi]))[:k]
+            for j in order:
                 rows.append({"query_id": qi, "key": keys[int(j)],
                              "score": float(scores[qi, int(j)])})
         return pa.Table.from_pylist(rows, schema=pa.schema(
@@ -81,14 +84,17 @@ def knn_brute_force(ds, queries: np.ndarray, k: int = 10, *,
     heaps: dict[int, list] = {}
     for row in partials.iter_rows():
         h = heaps.setdefault(row["query_id"], [])
-        item = (row["score"], row["key"])
+        # (score, -key): on score ties the smaller key sorts HIGHER, so the
+        # kept set matches the oracle's ORDER BY sim DESC, vec_id ASC
+        item = (row["score"], -row["key"])
         if len(h) < k:
             heapq.heappush(h, item)
         elif item > h[0]:
             heapq.heapreplace(h, item)
     out = []
     for qi in sorted(heaps):
-        ranked = sorted(heaps[qi], key=lambda t: (-t[0], t[1]))
+        ranked = sorted(((s, -nk) for s, nk in heaps[qi]),
+                        key=lambda t: (-t[0], t[1]))
         for rank, (score, kk) in enumerate(ranked):
             out.append({"query_id": qi, "rank": rank, "key": kk,
                         "score": score})

@@ -289,18 +289,15 @@ def stats_by_source(sf_dir: str):
 
 def events_asof_orders(sf_dir: str):
     """As-of join: each event matched to the customer's latest order at or
-    before the event time (deterministic tie-break on o_orderkey)."""
-    import ray
+    before the event time (deterministic tie-break on o_orderkey).
+    Tiered: broadcast below the threshold, co-partitioned above."""
+    from mdvalidate_ray.functions.relational import asof_join
 
-    from mdvalidate_ray.functions.relational import asof_join_broadcast
-
-    orders = pa.concat_tables(
-        [ray.get(r) for r in _read(sf_dir, "orders").select_columns(
-            ["o_custkey", "o_orderdate", "o_orderkey", "o_totalprice"])
-         .to_arrow_refs()])
-    joined = asof_join_broadcast(
+    joined = asof_join(
         _read(sf_dir, "events").select_columns(["event_id", "user_id", "ts"]),
-        orders, key="o_custkey", left_key="user_id", left_time="ts",
+        _read(sf_dir, "orders").select_columns(
+            ["o_custkey", "o_orderdate", "o_orderkey", "o_totalprice"]),
+        key="o_custkey", left_key="user_id", left_time="ts",
         right_time="o_orderdate", tiebreak="o_orderkey",
         value_cols=["o_orderkey", "o_totalprice"])
     return joined.map_batches(

@@ -46,15 +46,16 @@ def _precount(batch: pa.Table, key: str, salt_buckets: int | None) -> pa.Table:
         batch.select([key]), key).aggregate([(key, "count")])
     out = grouped.rename_columns([key, "cnt"])
     if salt_buckets:
-        # salt = hash(key) % buckets; groupby key becomes (key, salt) which
-        # splits a hot key across reducers; unsalting is the second tiny
-        # groupby in duplicate_keys
+        # Key-INDEPENDENT salt: a hot key's per-batch rows must land on
+        # different reducers, so the salt cannot be a function of the key
+        # (hash(key) % buckets would send every row of the hot key to one
+        # reducer — a no-op mitigation).  Any salt is correct (the second
+        # groupby in duplicate_keys unsalts by summing), so a random draw
+        # per precounted row is fine.
         import numpy as np
 
-        from mdvalidate_ray.state.sketches import hash_strings
-
-        salt = hash_strings(out.column(key).to_pylist()) % np.uint64(salt_buckets)
-        out = out.append_column("salt", pa.array(salt.astype("int64")))
+        salt = np.random.randint(0, salt_buckets, size=out.num_rows)
+        out = out.append_column("salt", pa.array(salt, pa.int64()))
     return out
 
 
@@ -80,9 +81,21 @@ def duplicate_keys(ds, key: str, salt_buckets: int | None = None):
 
 def uniqueness_check(ds, key: str = "doc_id", p: int = 14,
                      salt_buckets: int | None = None,
-                     auto_salt: bool = True) -> dict:
+                     auto_salt: bool = True, strict: bool = True) -> dict:
     """The full constraint.  Returns a verdict dict; ``duplicates`` is a
     Dataset only when the exact phase ran.
+
+    A sketch can prove duplicates *exist* (estimate far below |rows|) but
+    never their *absence* — the HLL error bound (~3.2% at p=14) would let
+    any duplicate rate below it pass silently.  So:
+
+    - ``strict=True`` (default): the exact phase ALWAYS runs; the HLL
+      estimate is reported but never certifies uniqueness on its own.
+    - ``strict=False`` (sketch-resolution mode, for cheap monitoring at
+      10^12-doc scale): when the estimate is consistent with |rows| the
+      check returns early with ``verdict="no_duplicates_at_sketch_resolution"``
+      and the bound exposed in ``sketch_bound`` — an explicitly weaker
+      claim, not a proof of absence.
 
     ``auto_salt``: when the exact phase runs and no explicit
     ``salt_buckets`` is given, sample per-batch key histograms and salt
@@ -90,8 +103,11 @@ def uniqueness_check(ds, key: str = "doc_id", p: int = 14,
     n_rows = ds.count()
     est = approx_distinct(ds, key, p=p)
     bound = 4 * HyperLogLog(p=p).rel_error * max(n_rows, 1)
-    if abs(n_rows - est) <= bound:
-        return {"passed": True, "n_rows": n_rows, "approx_distinct": est,
+    if not strict and abs(n_rows - est) <= bound:
+        return {"passed": True,
+                "verdict": "no_duplicates_at_sketch_resolution",
+                "sketch_bound": bound, "n_rows": n_rows,
+                "approx_distinct": est,
                 "exact_phase": False, "duplicates": None}
     if salt_buckets is None and auto_salt:
         from mdvalidate_ray.stages.skew import auto_salt_buckets
@@ -102,7 +118,8 @@ def uniqueness_check(ds, key: str = "doc_id", p: int = 14,
             ds, key, hot_threshold=max(1_000, n_rows // 50))
     dups = duplicate_keys(ds, key, salt_buckets=salt_buckets)
     n_dup_keys = dups.count()
-    return {"passed": n_dup_keys == 0, "n_rows": n_rows,
+    return {"passed": n_dup_keys == 0, "verdict": "exact",
+            "n_rows": n_rows,
             "approx_distinct": est, "exact_phase": True,
             "salt_buckets": salt_buckets,
             "n_duplicate_keys": n_dup_keys, "duplicates": dups}

@@ -44,6 +44,46 @@ def test_asof_join_semantics(ray_session):
     assert 4 not in rows             # key 99 absent → dropped
 
 
+def test_asof_join_partitioned_matches_broadcast(ray_session):
+    """The co-partitioned tier (right side too big to broadcast) must give
+    identical results to the broadcast tier on the same randomized input —
+    exercised through the tier-picking front-end with a threshold of 0 so
+    the partitioned path is the one that runs."""
+    import ray.data
+
+    from mdvalidate_ray.functions.relational import (
+        asof_join,
+        asof_join_broadcast,
+    )
+
+    rng = np.random.default_rng(7)
+    n_left, n_right = 500, 300
+    left_tbl = pa.table({
+        "id": np.arange(n_left),
+        "k": rng.integers(0, 40, n_left),
+        "t": rng.integers(0, 1000, n_left),
+    })
+    right_tbl = pa.table({
+        "k": rng.integers(0, 40, n_right),
+        "rt": rng.integers(0, 1000, n_right),
+        "ord": np.arange(n_right),
+        "val": rng.normal(size=n_right),
+    })
+    left = ray.data.from_arrow(left_tbl).repartition(8)
+    right = ray.data.from_arrow(right_tbl).repartition(4)
+
+    part = asof_join(left, right, key="k", left_key="k", left_time="t",
+                     right_time="rt", tiebreak="ord",
+                     value_cols=["ord", "val"],
+                     broadcast_threshold=0, n_parts=8)
+    bc = asof_join_broadcast(left, right_tbl, key="k", left_key="k",
+                             left_time="t", right_time="rt",
+                             tiebreak="ord", value_cols=["ord", "val"])
+    got = sorted((r["id"], r["ord"]) for r in part.take_all())
+    want = sorted((r["id"], r["ord"]) for r in bc.take_all())
+    assert got == want and len(got) > 100
+
+
 def test_exact_quantiles_match_numpy(ray_session):
     import ray.data
 

@@ -67,10 +67,25 @@ def test_b2_length_histogram_matches_duckdb(ray_session, docs_parquet):
 
 # --- B3: uniqueness (planted dups incl. hot key) ----------------------------
 
-def test_b3_uniqueness_on_clean_corpus_skips_exact_phase(ray_session):
+def test_b3_uniqueness_sketch_mode_skips_exact_phase(ray_session):
+    # non-strict (sketch-resolution) mode may short-circuit, but must say
+    # so: the verdict is explicitly weaker than a proof of absence
     ds = ray_documents(2_000, dup_every=10**9, override_num_blocks=4)
-    verdict = uniqueness_check(ds, "doc_id")
+    verdict = uniqueness_check(ds, "doc_id", strict=False)
     assert verdict["passed"] and not verdict["exact_phase"]
+    assert verdict["verdict"] == "no_duplicates_at_sketch_resolution"
+    assert verdict["sketch_bound"] > 0
+
+
+def test_b3_uniqueness_strict_catches_sub_bound_dup_rate(ray_session):
+    # 2000 docs with ONE duplicate pair: far below the ~3.2% HLL error
+    # bound, so a sketch-certified pass would silently miss it — strict
+    # mode must run the exact phase and fail
+    ds = ray_documents(2_000, dup_every=1000, override_num_blocks=4)
+    verdict = uniqueness_check(ds, "doc_id")
+    assert verdict["exact_phase"]
+    assert not verdict["passed"]
+    assert verdict["n_duplicate_keys"] >= 1
 
 
 def test_b3_planted_duplicates_found_exactly(ray_session):
