@@ -249,6 +249,81 @@ def oracle_sql() -> dict[str, str]:
                    md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp_md5
             FROM documents
         """,
+        "minhash_pairs": """
+            WITH aug AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 1000000, text FROM documents
+                WHERE doc_id % 10 = 0
+            ),
+            words AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(text), '\\s+'),
+                                   x -> x <> '') AS w
+                FROM aug
+            ),
+            sh AS (
+                SELECT doc_id,
+                       CASE WHEN len(w) = 0 THEN CAST([] AS VARCHAR[])
+                            WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                            ELSE list_distinct(list_transform(
+                                range(1, len(w) - 1),
+                                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+                       END AS s
+                FROM words
+            ),
+            pairs AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       len(list_intersect(a.s, b.s)) AS inter,
+                       len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))
+                           AS uni
+                FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            )
+            SELECT doc_a, doc_b,
+                   round(10000.0 * CASE WHEN uni = 0 THEN 1.0
+                                        ELSE inter::DOUBLE / uni END)::BIGINT
+                       AS jac_bp
+            FROM pairs
+            WHERE CASE WHEN uni = 0 THEN 1.0
+                       ELSE inter::DOUBLE / uni END >= 0.9
+        """,
+        "simhash_pairs": """
+            WITH aug AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 1000000, text FROM documents
+                WHERE doc_id % 10 = 0
+            ),
+            tok AS (
+                SELECT a.doc_id, md5_number_lower(t.w) AS h
+                FROM aug a,
+                     unnest(list_filter(
+                         string_split_regex(lower(a.text), '\\s+'),
+                         x -> x <> '')) AS t(w)
+            ),
+            votes AS (
+                SELECT doc_id, bits.b AS bit,
+                       sum(CASE WHEN (h >> bits.b) & 1 = 1
+                                THEN 1 ELSE -1 END) AS v
+                FROM tok, (SELECT unnest(range(0, 64)) AS b) bits
+                GROUP BY doc_id, bits.b
+            ),
+            sig AS (
+                SELECT doc_id,
+                       CAST(sum(CASE WHEN v > 0
+                                     THEN CAST(1 AS UBIGINT) << bit
+                                     ELSE 0 END) AS UBIGINT) AS s
+                FROM votes GROUP BY doc_id
+            ),
+            sigall AS (
+                SELECT a.doc_id, coalesce(s.s, CAST(0 AS UBIGINT)) AS s
+                FROM aug a LEFT JOIN sig s ON a.doc_id = s.doc_id
+            )
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   bit_count(xor(a.s, b.s))::BIGINT AS hamming
+            FROM sigall a JOIN sigall b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.s, b.s)) <= 2
+        """,
         "knn": """
             WITH q AS (
                 SELECT vec_id AS qid, embedding AS qe

@@ -63,54 +63,97 @@ def ensure_corpus(num_docs: int) -> str:
 
 
 def run_headline(num_docs: int, num_cpus: int) -> dict:
-    """read parquet → validate (actor pool) → write verdicts → wide
-    constraints computed FROM the verdicts table (doc_id / n_spans /
-    media_refs carried through), so the 2.5 GB corpus is scanned once and
-    the follow-up passes read only the ~100 MB verdict columns."""
+    """read parquet → validate (actor pool) → materialize the verdict
+    stream ONCE (object store, spillable) → then, in parallel:
+
+    * thread A writes the two parquet sinks — NARROW verdicts (doc_id,
+      passed, captures, n_spans, n_violations; no nested violations, no
+      media_refs — they were ~half the encode cost) and a flat violations
+      table (rows only for actual violations, ~10% of docs);
+    * thread B runs the wide constraints straight off the materialized
+      stream (fused HLL+KLL sketch pass, then referential integrity) —
+      no parquet re-read at all.
+
+    The overlap keeps the box saturated through the formerly-serial write
+    tail, which is what the 8→32 scaling efficiency was losing to."""
     import ray
     import ray.data
 
     from mdvalidate_ray.corpus import flagship_schema_text
     from mdvalidate_ray.stages.referential import check_refs, refs_from_validated
     from mdvalidate_ray.stages.uniqueness import sketch_pass
-    from mdvalidate_ray.stages.validate import validate_dataset
+    from mdvalidate_ray.stages.validate import (
+        validate_dataset,
+        violations_dataset,
+    )
 
     path = corpus_dir(num_docs)
     out_dir = f"/tmp/mdv_bench_out_{num_cpus}"
+    viol_dir = f"/tmp/mdv_bench_viol_{num_cpus}"
     import shutil
 
     shutil.rmtree(out_dir, ignore_errors=True)
+    shutil.rmtree(viol_dir, ignore_errors=True)
 
     t0 = time.monotonic()
-    docs = ray.data.read_parquet(os.path.join(path, "documents"))
+    # one read task per 4000-row file: Ray otherwise coalesces pairs of
+    # files into 8000-row tasks, and the 2x task-size skew costs ~10% at
+    # 32 CPUs (straggler waves); a FIXED-size pool beats an autoscaling
+    # (min,max) one by ~25% — autoscale ramps too slowly and late actors
+    # pay their startup mid-run
+    n_files = max(1, num_docs // 4000)
+    docs = ray.data.read_parquet(os.path.join(path, "documents"),
+                                 override_num_blocks=n_files)
     validated = validate_dataset(
         docs, flagship_schema_text(), batch_size=None,
-        concurrency=(max(1, num_cpus * 3 // 4), max(2, num_cpus - 2)))
-    # dictionary encoding is wasted CPU on long unique strings (captures
-    # JSON); lz4 encodes faster than snappy at similar size
-    validated.write_parquet(out_dir, use_dictionary=False, compression="lz4")
+        concurrency=max(2, num_cpus - 2))
+    mat = validated.materialize()
     t_validate = time.monotonic() - t0
 
-    # uniqueness + drift share ONE pass over the verdict columns
-    # (combined HLL+KLL partials); referential runs off the same narrow
-    # read with its own (shuffle-bearing) plan
     t1 = time.monotonic()
-    verdicts = ray.data.read_parquet(out_dir, columns=["doc_id", "n_spans"])
-    hll, sketch = sketch_pass(verdicts, "doc_id", "n_spans")
+    timings = {}
+    errors = []
+
+    def writes():
+        try:
+            tw = time.monotonic()
+            # dictionary encoding is wasted CPU on long unique strings
+            # (captures JSON); lz4 encodes faster than snappy at same size
+            mat.select_columns(
+                ["doc_id", "passed", "captures", "n_spans", "n_violations"]
+            ).write_parquet(out_dir, use_dictionary=False, compression="lz4")
+            violations_dataset(mat).write_parquet(
+                viol_dir, use_dictionary=False, compression="lz4")
+            timings["write_sec"] = time.monotonic() - tw
+        except BaseException as e:   # surface in main thread
+            errors.append(e)
+
+    import threading
+
+    th = threading.Thread(target=writes)
+    th.start()
+
+    # uniqueness + drift share ONE pass over the verdict columns
+    # (combined HLL+KLL partials); referential runs off the same
+    # materialized stream with its own (shuffle-bearing) plan
+    tu = time.monotonic()
+    hll, sketch = sketch_pass(mat.select_columns(["doc_id", "n_spans"]),
+                              "doc_id", "n_spans")
     n_rows = num_docs
     bound = 4 * hll.rel_error * n_rows
     uniq = {"passed": abs(n_rows - hll.estimate()) <= bound}
-    t_uniq = time.monotonic() - t1
+    t_uniq = time.monotonic() - tu
 
-    t2 = time.monotonic()
-    verdicts = ray.data.read_parquet(out_dir,
-                                     columns=["doc_id", "media_refs"])
+    tr = time.monotonic()
     assets = ray.data.read_parquet(os.path.join(path, "assets.parquet"))
     n_dangling = check_refs(
-        refs_from_validated(verdicts), assets,
-        concurrency=(max(1, num_cpus // 2), max(2, num_cpus - 2))).count()
-    t_ri = time.monotonic() - t2
-    t_drift = 0.0
+        refs_from_validated(mat.select_columns(["doc_id", "media_refs"])),
+        assets).count()
+    t_ri = time.monotonic() - tr
+    th.join()
+    if errors:
+        raise errors[0]
+    t_tail = time.monotonic() - t1
 
     total = time.monotonic() - t0
     return {
@@ -118,9 +161,11 @@ def run_headline(num_docs: int, num_cpus: int) -> dict:
         "wall_sec": round(total, 3),
         "docs_per_sec": round(num_docs / total, 1),
         "validate_sec": round(t_validate, 3),
+        "tail_sec": round(t_tail, 3),
+        "write_sec": round(timings.get("write_sec", -1.0), 3),
         "uniqueness_sec": round(t_uniq, 3),
         "referential_sec": round(t_ri, 3),
-        "drift_sec": round(t_drift, 3),
+        "drift_sec": 0.0,
         "uniqueness_passed": bool(uniq["passed"]) if uniq else None,
         "n_dangling": int(n_dangling),
         "spans_q50": sketch.quantile(0.5),
@@ -188,31 +233,43 @@ def main_single(include_queries: bool = True) -> dict:
         ray.shutdown()
 
 
-def hw_control(workers: int, n_docs: int = 1000, iters: int = 3) -> float:
+def hw_control(workers: int, n_docs: int = 4000, n_tables: int = 8,
+               iters: int = 2) -> float:
     """Pure-multiprocessing evaluator throughput (no Ray): measures the
     shared-box hardware ceiling (all-core clock + memory contention) that
     bounds ANY engine's 8-vs-32-CPU efficiency on one machine.  A real
-    N->4N *node* comparison does not pay this penalty."""
+    N->4N *node* comparison does not pay this penalty.
+
+    Each worker cycles through ``n_tables`` DISTINCT 4000-doc blocks so
+    the data streams from DRAM like the real pipeline (a single cached
+    1000-doc table measured a cache-resident 0.91 'ceiling' that the
+    DRAM-bound engine cannot see — the control must share the engine's
+    memory profile to be a ceiling at all)."""
     import multiprocessing as mp
 
     ctx = mp.get_context("spawn")
     with ctx.Pool(workers) as pool:
-        rates = pool.map(_hw_worker, [(n_docs, iters)] * workers)
+        rates = pool.map(_hw_worker,
+                         [(n_docs, n_tables, iters, w)
+                          for w in range(workers)])
     return sum(rates)
 
 
 def _hw_worker(args) -> float:
-    n_docs, iters = args
+    n_docs, n_tables, iters, wid = args
     from mdvalidate_ray.corpus import arrow_documents, flagship_schema_text
     from mdvalidate_ray.stages.validate import ConstraintEvaluator
 
-    tbl = arrow_documents(n_docs)
+    # distinct seed per (worker, table): no cross-process page sharing
+    tables = [arrow_documents(n_docs, seed=1000 + wid * 100 + k)
+              for k in range(n_tables)]
     ev = ConstraintEvaluator(flagship_schema_text())
-    ev(tbl.slice(0, 50))
+    ev(tables[0].slice(0, 50))
     t0 = time.monotonic()
     for _ in range(iters):
-        ev(tbl)
-    return n_docs * iters / (time.monotonic() - t0)
+        for t in tables:
+            ev(t)
+    return n_docs * n_tables * iters / (time.monotonic() - t0)
 
 
 def main_scaling() -> dict:

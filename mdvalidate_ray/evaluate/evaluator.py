@@ -691,6 +691,13 @@ def evaluate_spans(spans: list, schema: CompiledSchema) -> EvalResult:
     for bi, block in enumerate(schema.blocks):
         cid = f"b{bi}"
         span = ctx.peek()
+        if span is not None and span["kind"] == "list_break":
+            # list_break marks the boundary between ADJACENT sibling lists
+            # (distinct list nodes in the reference's tree) — consume the
+            # marker; _parse_doc_list stops at it, so the two lists
+            # validate separately
+            ctx.take()
+            span = ctx.peek()
         if span is None:
             # SchemaHasChildInputDoesnt (nodes.rs:174–221)
             ctx.violate(cid, ViolationKind.STRUCT_SCHEMA_HAS_CHILD,
@@ -806,8 +813,11 @@ def evaluate_spans(spans: list, schema: CompiledSchema) -> EvalResult:
             ctx.take()
 
     if ctx.pos < len(ctx.spans):
-        # InputHasChildSchemaDoesnt (nodes.rs:174–221)
+        # InputHasChildSchemaDoesnt (nodes.rs:174–221); report the content
+        # span, not a list_break separator
         extra = ctx.spans[ctx.pos]
+        if extra["kind"] == "list_break" and ctx.pos + 1 < len(ctx.spans):
+            extra = ctx.spans[ctx.pos + 1]
         ctx.violate("doc", ViolationKind.STRUCT_INPUT_HAS_CHILD,
                     "end of document", extra["kind"], extra)
 

@@ -30,35 +30,50 @@ _MERSENNE = (1 << 61) - 1
 
 # --- exact dedup ------------------------------------------------------------
 
-def exact_duplicate_groups(ds, column: str = "text", key: str = "doc_id"):
+def exact_duplicate_groups(ds, column: str = "text", key: str = "doc_id",
+                           n_parts: int = 128):
     """Groups of byte-identical documents → Dataset (fp_md5, cnt, doc_ids).
 
-    The shuffle payload is (hash, id) — pre-grouped per batch."""
+    The shuffle payload is (hash, id); the exchange key is a coarse
+    ``hash(fp) % n_parts`` partition, so the number of Python group calls
+    is bounded by ``n_parts`` (NOT by distinct documents — at corpus scale
+    one ``map_groups`` call per distinct md5 would dominate).  Fine
+    grouping by md5 happens vectorized inside each coarse group."""
     import hashlib
 
     def to_pairs(b: pa.Table) -> pa.Table:
         hashes = [hashlib.md5((t or "").encode()).hexdigest()
                   for t in b.column(column).to_pylist()]
+        part = (hash_strings(hashes) % np.uint64(n_parts)).astype("int64")
         return pa.Table.from_arrays(
-            [pa.array(hashes), b.column(key).cast(pa.string())],
-            names=["fp_md5", key])
+            [pa.array(part), pa.array(hashes),
+             b.column(key).cast(pa.string())],
+            names=["part", "fp_md5", key])
 
     pairs = ds.map_batches(to_pairs, batch_format="pyarrow",
                            zero_copy_batch=True)
 
-    def emit_groups(g: pa.Table) -> pa.Table:
-        if len(g) < 2:
-            return pa.schema([("fp_md5", pa.string()), ("cnt", pa.int64()),
-                              ("doc_ids", pa.list_(pa.string()))]).empty_table()
-        ids = sorted(g.column(key).to_pylist())
-        return pa.Table.from_pylist([{
-            "fp_md5": g.column("fp_md5")[0].as_py(),
-            "cnt": len(g),
-            "doc_ids": ids,
-        }])
+    out_schema = pa.schema([("fp_md5", pa.string()), ("cnt", pa.int64()),
+                            ("doc_ids", pa.list_(pa.string()))])
 
-    return pairs.groupby("fp_md5").map_groups(emit_groups,
-                                              batch_format="pyarrow")
+    def emit_groups(g: pa.Table) -> pa.Table:
+        # vectorized dup detection inside the coarse partition: count per
+        # md5, keep only md5s with cnt > 1, then build the (small) id lists
+        counts = pa.TableGroupBy(g.select(["fp_md5"]), "fp_md5").aggregate(
+            [([], "count_all")])
+        dup_mask = pc.greater(counts.column("count_all"), 1)
+        dup_fps = counts.filter(dup_mask).column("fp_md5")
+        if len(dup_fps) == 0:
+            return out_schema.empty_table()
+        sus = g.filter(pc.is_in(g.column("fp_md5"), value_set=dup_fps))
+        df = sus.to_pandas()
+        rows = [{"fp_md5": fp, "cnt": len(ids), "doc_ids": sorted(ids)}
+                for fp, ids in df.groupby("fp_md5")[key].apply(list).items()]
+        rows.sort(key=lambda r: r["fp_md5"])
+        return pa.Table.from_pylist(rows, schema=out_schema)
+
+    return pairs.groupby("part").map_groups(emit_groups,
+                                            batch_format="pyarrow")
 
 
 # --- shingles + MinHash -----------------------------------------------------
@@ -132,11 +147,18 @@ class MinHasher:
 
 
 class MinHashStage:
-    """Actor stage: text → (band, bucket, doc_id, signature) rows."""
+    """Actor stage: text → (band, bucket, doc_id[, signature]) rows.
+
+    ``emit_sig=False`` drops the signature from the banded rows — the
+    512-byte signature otherwise rides every one of the ``bands`` rows
+    per doc, inflating the exchange ~8–16×.  Without signatures the
+    bucket pairs are *candidates* to be verified by exact n-gram jaccard
+    (:func:`verify_pairs_jaccard`), which is also the more precise
+    filter."""
 
     def __init__(self, num_perm: int = 64, bands: int = 16, k: int = 3,
                  column: str = "text", key: str = "doc_id",
-                 n_parts: int = 128):
+                 n_parts: int = 128, emit_sig: bool = True):
         assert num_perm % bands == 0
         self.mh = MinHasher(num_perm=num_perm, k=k)
         self.bands = bands
@@ -144,6 +166,7 @@ class MinHashStage:
         self.column = column
         self.key = key
         self.n_parts = n_parts
+        self.emit_sig = emit_sig
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch.column(self.column).to_pylist()
@@ -158,7 +181,6 @@ class MinHashStage:
                              dtype=np.uint64)
             for j in range(self.rows_per_band):
                 bucket = bucket * np.uint64(1099511628211) ^ chunks[:, :, j]
-        sig_bytes = [sigs[i].tobytes() for i in range(n)]
         out_key = np.repeat(np.arange(n), self.bands)
         # coarse co-partition key: shuffling on (band,bucket) directly makes
         # one Python map_groups call per fine bucket (tens of thousands);
@@ -167,31 +189,49 @@ class MinHashStage:
         # vectorized inside the group (same trick as referential.py)
         band_ids = np.tile(np.arange(self.bands, dtype=np.uint64), n)
         part = (bucket.ravel() ^ band_ids) % np.uint64(self.n_parts)
-        return pa.Table.from_arrays(
-            [pa.array(part.astype(np.int64)),
-             pa.array(np.tile(np.arange(self.bands, dtype=np.int32), n)),
-             pa.array(bucket.ravel()),
-             pa.array([keys[i] for i in out_key], pa.string()),
-             pa.array([sig_bytes[i] for i in out_key], pa.binary())],
-            names=["part", "band", "bucket", "doc_id", "sig"])
+        arrays = [pa.array(part.astype(np.int64)),
+                  pa.array(np.tile(np.arange(self.bands, dtype=np.int32), n)),
+                  pa.array(bucket.ravel()),
+                  pa.array([keys[i] for i in out_key], pa.string())]
+        names = ["part", "band", "bucket", "doc_id"]
+        if self.emit_sig:
+            sig_bytes = [sigs[i].tobytes() for i in range(n)]
+            arrays.append(pa.array([sig_bytes[i] for i in out_key],
+                                   pa.binary()))
+            names.append("sig")
+        return pa.Table.from_arrays(arrays, names=names)
 
 
 def minhash_near_duplicates(ds, *, threshold: float = 0.8,
                             num_perm: int = 64, bands: int = 16, k: int = 3,
                             column: str = "text", key: str = "doc_id",
                             max_bucket: int = 5000, n_parts: int = 128,
+                            verify: str = "signature",
                             concurrency=(1, 8)):
-    """Near-dup pairs (doc_a < doc_b, est_jaccard ≥ threshold)."""
+    """Near-dup pairs.
+
+    ``verify="signature"``: today's single-stage contract — signatures ride
+    the banded rows, pairs filtered by estimated jaccard ≥ threshold;
+    output (doc_a, doc_b, est_jaccard).  ``verify="none"``: the lean
+    exchange — no signatures shuffle (~8× smaller), every bucket-cohabiting
+    pair is a candidate; output (doc_a, doc_b).  Pipe candidates through
+    :func:`verify_pairs_jaccard` for the exact filter (the scale path)."""
+    emit_sig = verify == "signature"
     banded = ds.map_batches(
         MinHashStage,
         fn_constructor_kwargs=dict(num_perm=num_perm, bands=bands, k=k,
                                    column=column, key=key,
-                                   n_parts=n_parts),
+                                   n_parts=n_parts, emit_sig=emit_sig),
         batch_format="pyarrow", zero_copy_batch=True,
         concurrency=concurrency)
 
-    pair_schema = pa.schema([("doc_a", pa.string()), ("doc_b", pa.string()),
-                             ("est_jaccard", pa.float64())])
+    if emit_sig:
+        pair_schema = pa.schema([("doc_a", pa.string()),
+                                 ("doc_b", pa.string()),
+                                 ("est_jaccard", pa.float64())])
+    else:
+        pair_schema = pa.schema([("doc_a", pa.string()),
+                                 ("doc_b", pa.string())])
 
     def emit_pairs(part_group: pa.Table) -> pa.Table:
         """One coarse partition: group by fine (band,bucket) in-memory,
@@ -201,7 +241,7 @@ def minhash_near_duplicates(ds, *, threshold: float = 0.8,
         bands_ = part_group.column("band").to_pylist()
         buckets_ = part_group.column("bucket").to_pylist()
         ids_ = part_group.column("doc_id").to_pylist()
-        sigs_ = part_group.column("sig").to_pylist()
+        sigs_ = (part_group.column("sig").to_pylist() if emit_sig else None)
         fine: dict = collections.defaultdict(list)
         for i in range(len(ids_)):
             fine[(bands_[i], buckets_[i])].append(i)
@@ -211,18 +251,21 @@ def minhash_near_duplicates(ds, *, threshold: float = 0.8,
             n = len(members)
             if n < 2 or n > max_bucket:
                 continue
-            sigs = [np.frombuffer(sigs_[i], dtype=np.uint64)
-                    for i in members]
+            sigs = ([np.frombuffer(sigs_[i], dtype=np.uint64)
+                     for i in members] if emit_sig else None)
             for x in range(n):
                 for y in range(x + 1, n):
                     a, b = sorted((ids_[members[x]], ids_[members[y]]))
                     if a == b or (a, b) in seen:
                         continue
                     seen.add((a, b))
-                    est = MinHasher.est_similarity(sigs[x], sigs[y])
-                    if est >= threshold:
-                        rows.append({"doc_a": a, "doc_b": b,
-                                     "est_jaccard": est})
+                    if emit_sig:
+                        est = MinHasher.est_similarity(sigs[x], sigs[y])
+                        if est >= threshold:
+                            rows.append({"doc_a": a, "doc_b": b,
+                                         "est_jaccard": est})
+                    else:
+                        rows.append({"doc_a": a, "doc_b": b})
         return pa.Table.from_pylist(rows, schema=pair_schema)
 
     pairs = banded.groupby("part").map_groups(emit_pairs,
@@ -236,9 +279,29 @@ def minhash_near_duplicates(ds, *, threshold: float = 0.8,
 
 # --- SimHash ----------------------------------------------------------------
 
-def simhash_batch(texts: list) -> np.ndarray:
+def _md5_token_hashes(tokens: list[str]) -> np.ndarray:
+    """uint64 token hashes = lower 8 bytes of md5, little-endian — exactly
+    DuckDB's ``md5_number_lower``, so a SQL oracle can recompute the same
+    simhash.  Hashes are computed once per UNIQUE token (hashlib C code),
+    then gathered — vocabulary ≪ token count in real corpora."""
+    import hashlib
+
+    uniq, inv = np.unique(np.asarray(tokens, dtype=object),
+                          return_inverse=True)
+    uh = np.fromiter(
+        (int.from_bytes(hashlib.md5(t.encode()).digest()[8:16], "little")
+         for t in uniq),
+        dtype=np.uint64, count=len(uniq))
+    return uh[inv]
+
+
+def simhash_batch(texts: list, hash_fn: str = "fast") -> np.ndarray:
     """(n,) uint64 simhashes — one hash call for the whole batch, per-doc
-    bit-vote accumulation via ``np.add.reduceat``."""
+    bit-vote accumulation via ``np.add.reduceat``.
+
+    ``hash_fn="fast"`` uses the vectorized SipHash-style family;
+    ``hash_fn="md5"`` uses md5-lower-64 token hashes (slower, but
+    bit-reproducible in SQL via ``md5_number_lower`` — the oracle mode)."""
     all_tokens: list[str] = []
     bounds = [0]
     for t in texts:
@@ -248,7 +311,8 @@ def simhash_batch(texts: list) -> np.ndarray:
     out = np.zeros(n, dtype=np.uint64)
     if not all_tokens:
         return out
-    hs = hash_strings(all_tokens)
+    hs = (_md5_token_hashes(all_tokens) if hash_fn == "md5"
+          else hash_strings(all_tokens))
     bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
             & np.uint64(1)).astype(np.int64)
     votes = 2 * bits - 1                      # (total_tokens, 64)
@@ -268,15 +332,17 @@ def simhash64(text: str) -> int:
 
 
 class SimHashStage:
-    def __init__(self, column: str = "text", key: str = "doc_id"):
+    def __init__(self, column: str = "text", key: str = "doc_id",
+                 hash_fn: str = "fast"):
         self.column = column
         self.key = key
+        self.hash_fn = hash_fn
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch.column(self.column).to_pylist()
         keys = batch.column(self.key).cast(pa.string()).to_pylist()
         n = len(texts)
-        sims = simhash_batch(texts)                    # (n,) uint64
+        sims = simhash_batch(texts, self.hash_fn)      # (n,) uint64
         chunk_ids = np.tile(np.arange(4, dtype=np.int32), n)
         shifts = (chunk_ids.astype(np.uint64) * np.uint64(16))
         sims_rep = np.repeat(sims, 4)
@@ -292,10 +358,17 @@ class SimHashStage:
 
 def simhash_near_duplicates(ds, *, max_hamming: int = 3,
                             column: str = "text", key: str = "doc_id",
-                            max_bucket: int = 5000, concurrency=(1, 8)):
-    """Pairs with hamming(simhash) ≤ max_hamming (pigeonhole banding)."""
+                            max_bucket: int = 5000, hash_fn: str = "fast",
+                            concurrency=(1, 8)):
+    """Pairs with hamming(simhash) ≤ max_hamming (pigeonhole banding).
+
+    Recall is EXACT for ``max_hamming ≤ 3``: with 4×16-bit chunks, any
+    pair within hamming 3 shares at least one whole chunk (pigeonhole),
+    so it lands in a common bucket and exact hamming verification keeps
+    it.  ``hash_fn="md5"`` makes the simhash itself reproducible in SQL."""
     banded = ds.map_batches(
-        SimHashStage, fn_constructor_kwargs=dict(column=column, key=key),
+        SimHashStage,
+        fn_constructor_kwargs=dict(column=column, key=key, hash_fn=hash_fn),
         batch_format="pyarrow", zero_copy_batch=True, concurrency=concurrency)
 
     pair_schema = pa.schema([("doc_a", pa.string()), ("doc_b", pa.string()),
@@ -329,32 +402,113 @@ def simhash_near_duplicates(ds, *, max_hamming: int = 3,
 
 def verify_pairs_jaccard(pairs_ds, docs_ds, *, k: int = 3,
                          threshold: float = 0.8,
-                         column: str = "text", key: str = "doc_id"):
-    """Exact n-gram Jaccard for candidate pairs.  The text lookup is a
-    broadcast of the *candidate docs only* (ids ∪ from pairs — a tiny set
-    relative to the corpus), not a corpus shuffle."""
-    wanted = set()
-    pair_rows = pairs_ds.take_all()
-    for r in pair_rows:
-        wanted.add(r["doc_a"])
-        wanted.add(r["doc_b"])
-    if not wanted:
-        return pa.Table.from_pylist([], schema=pa.schema(
-            [("doc_a", pa.string()), ("doc_b", pa.string()),
-             ("jaccard", pa.float64())]))
-    texts = {}
-    for b in docs_ds.iter_batches(batch_format="pyarrow", batch_size=4096):
-        keys = b.column(key).cast(pa.string()).to_pylist()
-        vals = b.column(column).to_pylist()
-        for kk, t in zip(keys, vals):
-            if kk in wanted:
-                texts[kk] = t
-    out = []
-    for r in pair_rows:
-        j = jaccard(texts.get(r["doc_a"], ""), texts.get(r["doc_b"], ""), k)
-        if j >= threshold:
-            out.append({"doc_a": r["doc_a"], "doc_b": r["doc_b"],
-                        "jaccard": j})
-    return pa.Table.from_pylist(out, schema=pa.schema(
-        [("doc_a", pa.string()), ("doc_b", pa.string()),
-         ("jaccard", pa.float64())]))
+                         column: str = "text", key: str = "doc_id",
+                         n_parts: int = 64):
+    """Exact n-gram Jaccard for candidate pairs — fully distributed.
+
+    The corpus is never materialized on (or streamed through) the driver:
+
+    1. candidate doc ids (the tiny side: 2 ids per candidate pair) are
+       broadcast into a corpus-side ``map_batches`` filter → a
+       (doc_id, text) stream of candidate docs only;
+    2. pair slots ((pair_id, slot, doc_id) — two rows per pair) union with
+       that stream and co-partition on ``hash(doc_id) % n_parts``; one
+       vectorized pandas merge per coarse group attaches texts to slots;
+    3. slot rows co-partition again on ``pair_id % n_parts``; each pair's
+       two slots meet and exact jaccard filters ≥ threshold.
+
+    Only candidate-sized data shuffles; group calls are bounded by
+    ``n_parts`` per stage.  Driver holds the pair list itself (candidate
+    pairs ≪ corpus — the broadcast-tier assumption, as in referential.py).
+    """
+    import ray.data
+
+    out_schema = pa.schema([("doc_a", pa.string()), ("doc_b", pa.string()),
+                            ("jaccard", pa.float64())])
+    pair_rows = (pairs_ds.take_all() if hasattr(pairs_ds, "take_all")
+                 else pairs_ds.to_pylist())
+    if not pair_rows:
+        return out_schema.empty_table()
+    wanted = frozenset(r["doc_a"] for r in pair_rows) | \
+        frozenset(r["doc_b"] for r in pair_rows)
+
+    slot_schema = pa.schema([("part", pa.int64()), ("side", pa.int8()),
+                             ("doc_id", pa.string()),
+                             ("pair_id", pa.int64()), ("slot", pa.int8()),
+                             ("text", pa.string())])
+
+    def _part_of(ids: list[str]) -> np.ndarray:
+        return (hash_strings(ids) % np.uint64(n_parts)).astype("int64")
+
+    slot_rows = []
+    for i, r in enumerate(pair_rows):
+        slot_rows.append({"doc_id": r["doc_a"], "pair_id": i, "slot": 0})
+        slot_rows.append({"doc_id": r["doc_b"], "pair_id": i, "slot": 1})
+    ids = [r["doc_id"] for r in slot_rows]
+    slots_tbl = pa.Table.from_arrays(
+        [pa.array(_part_of(ids)),
+         pa.array(np.zeros(len(ids), dtype=np.int8)),
+         pa.array(ids, pa.string()),
+         pa.array([r["pair_id"] for r in slot_rows], pa.int64()),
+         pa.array([r["slot"] for r in slot_rows], pa.int8()),
+         pa.nulls(len(ids), pa.string())],
+        schema=slot_schema)
+
+    wanted_arr = pa.array(sorted(wanted), pa.string())
+
+    def tag_texts(b: pa.Table) -> pa.Table:
+        keys = b.column(key).cast(pa.string())
+        mask = pc.is_in(keys, value_set=wanted_arr)
+        kept = b.filter(mask)
+        kk = kept.column(key).cast(pa.string()).to_pylist()
+        return pa.Table.from_arrays(
+            [pa.array(_part_of(kk)),
+             pa.array(np.ones(len(kk), dtype=np.int8)),
+             pa.array(kk, pa.string()),
+             pa.nulls(len(kk), pa.int64()),
+             pa.nulls(len(kk), pa.int8()),
+             kept.column(column).cast(pa.string())],
+        schema=slot_schema)
+
+    texts = docs_ds.map_batches(tag_texts, batch_format="pyarrow",
+                                zero_copy_batch=True)
+    unioned = ray.data.from_arrow(slots_tbl).union(texts)
+
+    mid_schema = pa.schema([("part2", pa.int64()), ("pair_id", pa.int64()),
+                            ("slot", pa.int8()), ("doc_id", pa.string()),
+                            ("text", pa.string())])
+
+    def attach(g: pa.Table) -> pa.Table:
+        df = g.to_pandas()
+        sdf = df[df["side"] == 0][["doc_id", "pair_id", "slot"]]
+        tdf = df[df["side"] == 1][["doc_id", "text"]].drop_duplicates(
+            subset="doc_id")
+        merged = sdf.merge(tdf, on="doc_id", how="left")
+        merged["text"] = merged["text"].fillna("")
+        # pair_id/slot came through a nullable union → pandas floats
+        merged["pair_id"] = merged["pair_id"].astype("int64")
+        merged["slot"] = merged["slot"].astype("int8")
+        merged["part2"] = merged["pair_id"] % n_parts
+        return pa.Table.from_pandas(
+            merged[["part2", "pair_id", "slot", "doc_id", "text"]],
+            preserve_index=False).cast(mid_schema)
+
+    mid = unioned.groupby("part").map_groups(attach, batch_format="pyarrow")
+
+    def score(g: pa.Table) -> pa.Table:
+        df = g.to_pandas()
+        rows = []
+        for _, pair in df.groupby("pair_id"):
+            by_slot = {s: (d, t) for s, d, t in zip(
+                pair["slot"], pair["doc_id"], pair["text"])}
+            a_id, a_txt = by_slot.get(0, ("", ""))
+            b_id, b_txt = by_slot.get(1, ("", ""))
+            j = jaccard(a_txt, b_txt, k)
+            if j >= threshold:
+                rows.append({"doc_a": a_id, "doc_b": b_id, "jaccard": j})
+        return pa.Table.from_pylist(rows, schema=out_schema)
+
+    verified = mid.groupby("part2").map_groups(score, batch_format="pyarrow")
+    out = verified.take_all()                  # final pairs: tiny
+    out.sort(key=lambda r: (r["doc_a"], r["doc_b"]))
+    return pa.Table.from_pylist(out, schema=out_schema)

@@ -276,6 +276,130 @@ def asof_join_broadcast(left_ds, right: pa.Table, *, key: str,
         concurrency=concurrency)
 
 
+def topk_table(ds, k: int, sort_keys: list[tuple[str, str]]) -> pa.Table:
+    """Distributed top-k WITHOUT a full sort: each batch contributes its
+    local top-k (one vectorized ``sort_indices`` + slice), the driver
+    merges the (#batches × k) survivors.  Replaces both
+    ``sort().limit(k)`` (an all-to-all exchange of the whole table) and
+    ``take_all()`` + driver sort (an unbounded driver materialization).
+
+    ``sort_keys``: [(column, "ascending"|"descending"), ...].
+    """
+    import ray
+
+    def partial(b: pa.Table) -> pa.Table:
+        if b.num_rows <= k:
+            return b
+        idx = pc.sort_indices(b, sort_keys=sort_keys)
+        return b.take(idx.slice(0, k))
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    tbls = [t for t in ray.get(parts.to_arrow_refs()) if t.num_rows]
+    if not tbls:
+        return ds.schema().base_schema.empty_table()
+    merged = pa.concat_tables(tbls).combine_chunks()
+    idx = pc.sort_indices(merged, sort_keys=sort_keys)
+    return merged.take(idx.slice(0, min(k, merged.num_rows)))
+
+
+def semi_join_keys(ds, keys_ds, *, left_key: str, right_key: str,
+                   broadcast_threshold: int = 5_000_000,
+                   fp_rate: float = 0.01, n_buckets: int = 256,
+                   concurrency=(1, 8)):
+    """Keep rows of ``ds`` whose ``left_key`` appears in
+    ``keys_ds[right_key]`` — the semi-join twin of referential.py's
+    tiered anti-join:
+
+    * ``|keys| <= broadcast_threshold``: the exact key set broadcasts to
+      an actor pool; per-batch vectorized ``is_in``.  No shuffle.
+    * larger: a Bloom filter broadcasts (fixed ~10 bits/key); certain
+      misses drop immediately with no exchange, and only the Bloom's
+      maybe-hits (true hits + ~fp_rate false positives) co-partition with
+      the key rows on ``hash(key) % n_buckets`` for exact verification.
+    """
+    n_keys = keys_ds.count()
+    if n_keys <= broadcast_threshold:
+        import ray
+
+        key_tbl = pa.concat_tables(
+            [ray.get(r) for r in
+             keys_ds.select_columns([right_key]).to_arrow_refs()])
+        keys = key_tbl.column(right_key).combine_chunks()
+        # task-based probe, keys broadcast once via ray.put (see
+        # referential.check_refs — avoids actor-pool spin-up)
+        keys_ref = ray.put(keys)
+
+        def probe(batch: pa.Table) -> pa.Table:
+            ks = ray.get(keys_ref)
+            return batch.filter(pc.is_in(batch.column(left_key),
+                                         value_set=ks))
+
+        return ds.map_batches(probe, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+    from mdvalidate_ray.stages.referential import build_bloom
+    from mdvalidate_ray.state.sketches import BloomFilter, hash_strings
+
+    bloom = build_bloom(keys_ds, column=right_key, n_items=n_keys,
+                        fp_rate=fp_rate)
+
+    class _BloomKeep:
+        def __init__(self, bloom_bytes: bytes):
+            self.bloom = BloomFilter.from_bytes(bloom_bytes)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            vals = [str(v) for v in batch.column(left_key).to_pylist()]
+            hits = self.bloom.might_contain(vals)
+            return batch.filter(pa.array(np.asarray(hits, dtype=bool)))
+
+    maybe = ds.map_batches(
+        _BloomKeep, fn_constructor_kwargs={"bloom_bytes": bloom.to_bytes()},
+        batch_format="pyarrow", zero_copy_batch=True,
+        concurrency=concurrency)
+
+    l_schema = ds.schema().base_schema
+    unified = pa.schema([("_bucket", pa.int64()), ("_is_key", pa.bool_())]
+                        + list(l_schema))
+
+    def _bucketed(is_key: bool, col_name: str):
+        def tag(b: pa.Table) -> pa.Table:
+            vals = [str(v) for v in b.column(col_name).to_pylist()]
+            bucket = ((hash_strings(vals) % np.uint64(n_buckets))
+                      .astype("int64") if vals else
+                      np.zeros(0, dtype="int64"))
+            cols = [pa.array(bucket),
+                    pa.array(np.full(b.num_rows, is_key, dtype=bool))]
+            for f in l_schema:
+                if f.name in b.schema.names:
+                    cols.append(b.column(f.name).cast(f.type))
+                elif f.name == left_key:
+                    cols.append(b.column(col_name).cast(f.type))
+                else:
+                    cols.append(pa.nulls(b.num_rows, f.type))
+            return pa.Table.from_arrays(cols, schema=unified)
+        return tag
+
+    tagged = maybe.map_batches(
+        _bucketed(False, left_key), batch_format="pyarrow",
+        zero_copy_batch=True
+    ).union(keys_ds.select_columns([right_key]).map_batches(
+        _bucketed(True, right_key), batch_format="pyarrow",
+        zero_copy_batch=True))
+
+    def emit_present(group: pa.Table) -> pa.Table:
+        is_key = group.column("_is_key")
+        probes = group.filter(pc.invert(is_key))
+        if len(probes) == 0:
+            return l_schema.empty_table()
+        key_vals = group.filter(is_key).column(left_key).combine_chunks()
+        hit = pc.is_in(probes.column(left_key), value_set=key_vals)
+        return probes.filter(hit).select(l_schema.names)
+
+    return tagged.groupby("_bucket").map_groups(emit_present,
+                                                batch_format="pyarrow")
+
+
 def sessionize(events_ds, *, key: str, time_col: str,
                gap_seconds: float, agg_value: str | None = None):
     """Session windows: consecutive events of one key belong to one session

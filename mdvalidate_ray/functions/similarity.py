@@ -170,31 +170,91 @@ def knn_ivf(ds, queries: np.ndarray, k: int = 10, *, n_clusters: int = 16,
                            concurrency=concurrency)
 
 
+_PAIR_SCHEMA = pa.schema([("key_a", pa.int64()), ("key_b", pa.int64()),
+                          ("cosine", pa.float64())])
+
+
+class _BlockPairScorer:
+    """Actor stage over a Dataset of (i, j) block-index pairs: fetch the
+    two normalized blocks from the object store (cached per actor) and
+    emit all cross-block pairs with cosine ≥ threshold via one matmul."""
+
+    def __init__(self, refs: list, threshold: float):
+        self.refs = refs
+        self.threshold = threshold
+        self._cache: dict = {}
+
+    def _block(self, i: int):
+        if i not in self._cache:
+            import ray
+
+            t = ray.get(self.refs[i])
+            keys = np.asarray(t.column("key").to_pylist(), dtype=np.int64)
+            vecs = (np.stack([np.frombuffer(b, dtype=np.float64)
+                              for b in t.column("vec").to_pylist()])
+                    if len(t) else np.zeros((0, 1)))
+            self._cache[i] = (keys, vecs)
+        return self._cache[i]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows = []
+        for i, j in zip(batch.column("i").to_pylist(),
+                        batch.column("j").to_pylist()):
+            ka, va = self._block(i)
+            kb, vb = self._block(j)
+            if not len(ka) or not len(kb):
+                continue
+            sims = va @ vb.T
+            if i == j:
+                xi, yi = np.triu_indices(len(ka), k=1)
+            else:
+                xi, yi = np.unravel_index(np.arange(sims.size), sims.shape)
+            mask = sims[xi, yi] >= self.threshold
+            for a, b, s in zip(ka[xi[mask]], kb[yi[mask]],
+                               sims[xi[mask], yi[mask]]):
+                rows.append({"key_a": int(min(a, b)),
+                             "key_b": int(max(a, b)), "cosine": float(s)})
+        return pa.Table.from_pylist(rows, schema=_PAIR_SCHEMA)
+
+
 def embedding_near_duplicates(ds, threshold: float = 0.95, *,
                               column: str = "embedding",
                               key: str = "vec_id",
                               concurrency=(1, 8)) -> pa.Table:
-    """All pairs with cosine ≥ threshold.
+    """All pairs with cosine ≥ threshold — EXACT, distributed.
 
-    Test-scale implementation: one matmul per (batch × full matrix chunk)
-    via self-join of batch partials — here done with a broadcast of the
-    full (normalized) matrix because the embeddings table is the small
-    side.  At corpus scale swap the broadcast for LSH hyperplane banding
-    (same pair-emission contract)."""
-    rows = ds.select_columns([key, column]).take_all()
-    keys = np.array([r[key] for r in rows])
-    m = _normalize(np.asarray([r[column] for r in rows], dtype=np.float64))
-    sims = m @ m.T
-    iu = np.triu_indices(len(keys), k=1)
-    mask = sims[iu] >= threshold
-    out = [{"key_a": int(min(a, b)), "key_b": int(max(a, b)),
-            "cosine": float(s)}
-           for a, b, s in zip(keys[iu[0][mask]], keys[iu[1][mask]],
-                              sims[iu][mask])]
+    Block cross-join: the embeddings are normalized once per block
+    (``map_batches``), materialized to the object store, and a Dataset of
+    B(B+1)/2 block-index pairs drives one matmul per block pair in an
+    actor pool — the corpus never transits the driver (only the qualifying
+    pairs do).  Cost is inherently O(n²) flops spread over the cluster; at
+    corpus scale and high thresholds use
+    :func:`embedding_near_duplicates_lsh`, which prunes candidate
+    generation to LSH buckets (sub-quadratic) at the price of a recall
+    guarantee that only holds for tight thresholds."""
+    import ray
+    import ray.data
+
+    def prep(b: pa.Table) -> pa.Table:
+        m = _normalize(_batch_matrix(b, column).astype(np.float64))
+        return pa.Table.from_arrays(
+            [b.column(key).cast(pa.int64()),
+             pa.array([m[i].tobytes() for i in range(m.shape[0])],
+                      pa.binary())],
+            names=["key", "vec"])
+
+    normalized = ds.map_batches(prep, batch_format="pyarrow",
+                                zero_copy_batch=True).materialize()
+    refs = normalized.to_arrow_refs()
+    nb = len(refs)
+    items = [{"i": i, "j": j} for i in range(nb) for j in range(i, nb)]
+    pairs_ds = ray.data.from_items(items).map_batches(
+        _BlockPairScorer,
+        fn_constructor_kwargs=dict(refs=refs, threshold=threshold),
+        batch_format="pyarrow", concurrency=concurrency)
+    out = pairs_ds.take_all()                 # qualifying pairs only: tiny
     out.sort(key=lambda r: (r["key_a"], r["key_b"]))
-    return pa.Table.from_pylist(out, schema=pa.schema(
-        [("key_a", pa.int64()), ("key_b", pa.int64()),
-         ("cosine", pa.float64())]))
+    return pa.Table.from_pylist(out, schema=_PAIR_SCHEMA)
 
 
 class _HyperplaneLSH:

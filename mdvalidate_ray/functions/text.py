@@ -129,23 +129,62 @@ class LanguageId:
 
 # --- fingerprinting ---------------------------------------------------------
 
+_ROLL_P = np.uint64(1099511628211)
+_roll_powers = np.ones(1, dtype=np.uint64)
+
+
+def _rolling_hashes(norms: list[bytes]) -> np.ndarray:
+    """64-bit polynomial rolling hash per byte string, fully vectorized:
+    h = Σ (b_i + 1) · P^(n-1-i)  (mod 2^64).  The +1 keeps trailing NUL
+    bytes significant; wrap-around uint64 arithmetic is the modulus.  One
+    numpy expression hashes the whole batch — no per-byte Python loop."""
+    global _roll_powers
+
+    n_docs = len(norms)
+    lens = np.fromiter((len(b) for b in norms), dtype=np.int64,
+                       count=n_docs)
+    out = np.zeros(n_docs, dtype=np.uint64)
+    total = int(lens.sum())
+    if total == 0:
+        return out
+    maxlen = int(lens.max())
+    if maxlen > len(_roll_powers):            # grow the shared power table
+        powers = np.empty(maxlen, dtype=np.uint64)
+        p = np.uint64(1)
+        with np.errstate(over="ignore"):
+            for k in range(maxlen):
+                powers[k] = p
+                p = p * _ROLL_P
+        _roll_powers = powers
+    buf = np.frombuffer(b"".join(norms), dtype=np.uint8).astype(np.uint64)
+    ends = np.cumsum(lens)
+    starts = ends - lens
+    doc_of = np.repeat(np.arange(n_docs), lens)
+    expo = ends[doc_of] - 1 - np.arange(total)
+    nonempty = lens > 0
+    with np.errstate(over="ignore"):
+        terms = (buf + np.uint64(1)) * _roll_powers[expo]
+        # reduceat over non-empty segments only (an empty segment would
+        # alias the next segment's first element)
+        sums = np.add.reduceat(terms, starts[nonempty])
+    out[nonempty] = sums
+    return out
+
+
 def add_fingerprints(batch: pa.Table, column: str = "text") -> pa.Table:
     """Two fingerprints per doc:
 
     * ``fp_md5`` — md5 of whitespace-normalized lowercase text (exact-dup
       key; oracle: ``md5(lower(regexp_replace(text, '\\s+', ' ', 'g')))``)
-    * ``fp_roll`` — 64-bit polynomial rolling hash of the same normalization
-      (cheap engine-side key; rows-only check)
+    * ``fp_roll`` — 64-bit polynomial rolling hash of the same
+      normalization (cheap engine-side key; rows-only check), vectorized
+      across the batch via :func:`_rolling_hashes`
     """
     texts = batch.column(column).to_pylist()
-    md5s, rolls = [], []
+    md5s, norms = [], []
     for t in texts:
-        norm = _WS_RE.sub(" ", (t or "").lower())
-        md5s.append(hashlib.md5(norm.encode()).hexdigest())
-        h = 1469598103934665603  # FNV-1a, 64-bit
-        for b in norm.encode():
-            h = ((h * 1099511628211) ^ b) & 0xFFFFFFFFFFFFFFFF
-        rolls.append(h)
+        norm = _WS_RE.sub(" ", (t or "").lower()).encode()
+        norms.append(norm)
+        md5s.append(hashlib.md5(norm).hexdigest())
     return batch.append_column("fp_md5", pa.array(md5s, pa.string())) \
-                .append_column("fp_roll", pa.array(
-                    np.array(rolls, dtype=np.uint64)))
+                .append_column("fp_roll", pa.array(_rolling_hashes(norms)))

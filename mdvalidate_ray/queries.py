@@ -182,19 +182,19 @@ def top_customers(sf_dir: str):
     import ray
 
     from ray.data.aggregate import Count, Sum
-    from mdvalidate_ray.functions.relational import broadcast_join
+    from mdvalidate_ray.functions.relational import topk_table
 
     # aggregate on the int key FIRST (smaller shuffle, no string key),
     # then attach names to the tiny top-k result — the join never touches
-    # the fact table
+    # the fact table; top-k is per-batch partial + driver merge, so the
+    # per-customer aggregate never materializes on the driver
     agg = _read(sf_dir, "orders").select_columns(
         ["o_custkey", "o_totalprice"]).groupby("o_custkey").aggregate(
         Sum("o_totalprice", alias_name="rev"),
         Count(alias_name="n_orders"),
     )
-    rows = agg.take_all()
-    rows.sort(key=lambda r: (-r["rev"], r["o_custkey"]))
-    top = rows[:10]
+    top = topk_table(agg, 10, [("rev", "descending"),
+                               ("o_custkey", "ascending")]).to_pylist()
     cust = pa.concat_tables(
         [ray.get(r) for r in _read(sf_dir, "customer").select_columns(
             ["c_custkey", "c_name"]).to_arrow_refs()])
@@ -226,16 +226,19 @@ def events_daily(sf_dir: str):
 
 
 def top_events(sf_dir: str):
-    """Distributed sort demo: ds.sort on (value desc, event_id asc) —
-    deterministic under ties — then limit."""
+    """Top-100 events by value: per-batch partial top-k + driver merge —
+    no all-to-all sort of the whole table (ties broken by event_id asc,
+    deterministic)."""
+    from mdvalidate_ray.functions.relational import topk_table
+
     ev = _read(sf_dir, "events").select_columns(["event_id", "value"])
-    top = ev.sort(["value", "event_id"], descending=[True, False]).limit(100)
-    return top.map_batches(
-        lambda b: pa.Table.from_arrays(
-            [b.column("event_id"),
-             pc.round(pc.multiply(b.column("value"), 1000.0), 0).cast(pa.int64())],
-            names=["event_id", "value_m"]),
-        batch_format="pyarrow")
+    top = topk_table(ev, 100, [("value", "descending"),
+                               ("event_id", "ascending")])
+    return pa.Table.from_arrays(
+        [top.column("event_id"),
+         pc.round(pc.multiply(top.column("value"), 1000.0), 0)
+           .cast(pa.int64())],
+        names=["event_id", "value_m"])
 
 
 def distinct_sources(sf_dir: str):
@@ -331,38 +334,44 @@ def user_sessions(sf_dir: str):
 
 def q3_order_revenue(sf_dir: str):
     """Q3-style: top-20 orders by discounted revenue among pre-1996 orders.
-    Broadcast semi-join (filtered order keys) → groupby → driver top-k."""
-    import ray
-
-    from ray.data.aggregate import Sum
-
-    cutoff_keys = pa.concat_tables(
-        [ray.get(r) for r in _read(sf_dir, "orders").select_columns(
-            ["o_orderkey", "o_orderdate"]).to_arrow_refs()])
+    Tiered semi-join on the filtered order keys (broadcast exact set
+    below the threshold, Bloom + co-partitioned verify above) → groupby →
+    partial top-k merge — no unbounded driver materialization anywhere."""
     import datetime
 
-    mask = pc.less(cutoff_keys.column("o_orderdate"),
-                   pa.scalar(datetime.datetime(1996, 1, 1)))
-    keys = cutoff_keys.filter(mask).column("o_orderkey").combine_chunks()
+    from ray.data.aggregate import Sum
+    from mdvalidate_ray.functions.relational import (
+        semi_join_keys,
+        topk_table,
+    )
+
+    cutoff = pa.scalar(datetime.datetime(1996, 1, 1))
+    keys_ds = _read(sf_dir, "orders").select_columns(
+        ["o_orderkey", "o_orderdate"]).map_batches(
+        lambda b: b.filter(pc.less(b.column("o_orderdate"), cutoff))
+                   .select(["o_orderkey"]),
+        batch_format="pyarrow", zero_copy_batch=True)
 
     li = _read(sf_dir, "lineitem").select_columns(
         ["l_orderkey", "l_extendedprice", "l_discount"])
+    kept = semi_join_keys(li, keys_ds, left_key="l_orderkey",
+                          right_key="o_orderkey")
 
-    def semi(b: pa.Table) -> pa.Table:
-        b = b.filter(pc.is_in(b.column("l_orderkey"), value_set=keys))
+    def revenue(b: pa.Table) -> pa.Table:
         rev = pc.multiply(b.column("l_extendedprice"),
                           pc.subtract(pa.scalar(1.0), b.column("l_discount")))
         return pa.Table.from_arrays([b.column("l_orderkey"), rev],
                                     names=["l_orderkey", "rev"])
 
-    agg = li.map_batches(semi, batch_format="pyarrow",
-                         zero_copy_batch=True)             .groupby("l_orderkey").aggregate(Sum("rev", alias_name="rev"))
-    rows = agg.take_all()
-    rows.sort(key=lambda r: (-r["rev"], r["l_orderkey"]))
+    agg = kept.map_batches(revenue, batch_format="pyarrow",
+                           zero_copy_batch=True) \
+              .groupby("l_orderkey").aggregate(Sum("rev", alias_name="rev"))
+    top = topk_table(agg, 20, [("rev", "descending"),
+                               ("l_orderkey", "ascending")]).to_pylist()
     return pa.Table.from_pylist([{
         "l_orderkey": r["l_orderkey"],
         "revenue_c100": int(round(r["rev"] * 100)),
-    } for r in rows[:20]])
+    } for r in top])
 
 
 def events_sliding(sf_dir: str):
@@ -487,22 +496,51 @@ def lang_pred_counts(sf_dir: str):
 
 
 def minhash_pairs(sf_dir: str):
+    """MinHash+LSH candidates (lean exchange: no signatures shuffle) →
+    exact distributed n-gram-jaccard verify.  The DuckDB oracle recomputes
+    the same 3-word-shingle jaccard for ALL pairs, so this checks both
+    precision (every emitted pair is real) and recall (LSH banding with
+    16×4 permutations misses a j≥0.9 pair with P < 1e-7)."""
     from mdvalidate_ray.functions.dedup import (
         minhash_near_duplicates,
         verify_pairs_jaccard,
     )
 
     docs = _augmented_docs(sf_dir)
-    pairs = minhash_near_duplicates(docs, threshold=0.9)
-    verified = verify_pairs_jaccard(pairs, docs, threshold=0.9)
-    return verified.set_column(
-        2, "jaccard", pc.round(verified.column("jaccard"), 4))
+    candidates = minhash_near_duplicates(docs, threshold=0.9, verify="none")
+    verified = verify_pairs_jaccard(candidates, docs, threshold=0.9)
+    # pair keys are strings ordered lexicographically inside the operator;
+    # normalize to numeric (doc_a < doc_b as ints) for the SQL compare
+    a = pc.cast(verified.column("doc_a"), pa.int64())
+    b = pc.cast(verified.column("doc_b"), pa.int64())
+    return pa.Table.from_arrays(
+        [pc.min_element_wise(a, b), pc.max_element_wise(a, b),
+         # half_towards_infinity = DuckDB round()'s half-away-from-zero
+         # policy (jaccard is never negative here)
+         pc.round(pc.multiply(verified.column("jaccard"), 10000.0),
+                  0, round_mode="half_towards_infinity").cast(pa.int64())],
+        names=["doc_a", "doc_b", "jac_bp"])
 
 
 def simhash_pairs(sf_dir: str):
+    """SimHash near-dup pairs with md5-lower-64 token hashes — the hash
+    DuckDB's ``md5_number_lower`` computes, so the oracle rebuilds the
+    exact simhash in SQL; pigeonhole banding guarantees full recall at
+    hamming ≤ 3, making the pair set exactly SQL-checkable."""
     from mdvalidate_ray.functions.dedup import simhash_near_duplicates
 
-    return simhash_near_duplicates(_augmented_docs(sf_dir), max_hamming=2)
+    pairs = simhash_near_duplicates(_augmented_docs(sf_dir), max_hamming=2,
+                                    hash_fn="md5")
+    tbl = pa.Table.from_pylist(
+        pairs.take_all(), schema=pa.schema(
+            [("doc_a", pa.string()), ("doc_b", pa.string()),
+             ("hamming", pa.int32())]))
+    a = pc.cast(tbl.column("doc_a"), pa.int64())
+    b = pc.cast(tbl.column("doc_b"), pa.int64())
+    return pa.Table.from_arrays(
+        [pc.min_element_wise(a, b), pc.max_element_wise(a, b),
+         tbl.column("hamming").cast(pa.int64())],
+        names=["doc_a", "doc_b", "hamming"])
 
 
 # --- similarity over embeddings ---------------------------------------------

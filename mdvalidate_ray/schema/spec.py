@@ -66,6 +66,13 @@ class ViolationKind:
     STRUCT_TABLE_CELLS = "malformed_structure_mismatching_table_cells"
     STRUCT_MISSING_LIST_CONTENT = "malformed_structure_missing_list_item_content"
     STRUCT_EXTRA_LIST_ITEM = "malformed_structure_had_extra_list_item"
+    # Declared for vocabulary parity with the reference (errors.rs:356–359)
+    # but never emitted: the reference DECLARES NonRepeatingMatcherInList-
+    # Context yet constructs it nowhere — its actual runtime behavior for a
+    # non-repeating matcher in a list item is the textual fallback
+    # (lists.rs:742 `Ok(matcher) if matcher.is_repeated() ... Ok(_) => None`
+    # → single-item literal/matcher validation), which this engine matches.
+    NON_REPEATING_MATCHER_IN_LIST = "non_repeating_matcher_in_list_context"
     # engine-level wide-constraint kinds (no reference analog)
     NULL_VIOLATION = "null_violation"
     DUPLICATE_DOC_ID = "duplicate_doc_id"

@@ -104,13 +104,39 @@ def markdown_to_spans(text: str) -> list[dict]:
             continue
         lm = _LIST_RE.match(line)
         if lm:
+            # Adjacent sibling lists are DISTINCT list nodes in the
+            # reference's tree (tree-sitter gives each its own node;
+            # lists.rs validates them separately).  Per CommonMark a new
+            # list starts when the top-level marker CLASS changes
+            # ("- a" then "* b" or "1. c"); a blank line between items of
+            # the same marker continues one (loose) list.  Emit a
+            # ``list_break`` marker span at each boundary so the flat
+            # encoding does not merge siblings.
+            def _marker_class(marker: str) -> str:
+                return "1." if marker[0].isdigit() else marker[0]
+
+            _last_list_marker: list = [None]
             while i < n:
                 m2 = _LIST_RE.match(lines[i])
                 if not m2:
+                    if i < n and not lines[i].strip():
+                        # blank line: list continues only if the next
+                        # non-blank line is another list item
+                        j = i + 1
+                        while j < n and not lines[j].strip():
+                            j += 1
+                        if j < n and _LIST_RE.match(lines[j]):
+                            i = j
+                            continue
                     break
                 depth = _indent_depth(m2.group(1))
-                ordered = m2.group(2)[0].isdigit()
-                add("ordered_list_item" if ordered else "list_item",
+                cls = _marker_class(m2.group(2))
+                if depth == 0:
+                    if _last_list_marker[0] is not None and \
+                            _last_list_marker[0] != cls:
+                        add("list_break")
+                    _last_list_marker[0] = cls
+                add("ordered_list_item" if cls == "1." else "list_item",
                     "\t" * depth + m2.group(3))
                 i += 1
             continue

@@ -211,10 +211,20 @@ def check_refs(refs0, assets_ds, *, fp_rate: float = 0.01,
             [ray.get(r) for r in
              assets_ds.select_columns(["asset_id"]).to_arrow_refs()])
         keys = key_tbl.column("asset_id").cast(pa.string()).combine_chunks()
-        return refs0.map_batches(
-            ExactKeyProbe, fn_constructor_kwargs={"keys": keys},
-            batch_format="pyarrow", zero_copy_batch=True,
-            concurrency=concurrency)
+        # TASK-based probe with an explicit ray.put broadcast: the key set
+        # lives in plasma once, each task reads it zero-copy.  Tasks reuse
+        # the warm worker pool — no per-stage actor spawn (an actor pool
+        # here paid ~1-2s of process startup for a 2-3s stage).
+        keys_ref = ray.put(keys)
+
+        def probe(batch: pa.Table) -> pa.Table:
+            ks = ray.get(keys_ref)
+            miss = pc.invert(pc.is_in(batch.column("media_ref"),
+                                      value_set=ks))
+            return batch.filter(miss).select(["doc_id", "media_ref"])
+
+        return refs0.map_batches(probe, batch_format="pyarrow",
+                                 zero_copy_batch=True)
 
     bloom = build_bloom(assets_ds, fp_rate=fp_rate)
     refs = refs0

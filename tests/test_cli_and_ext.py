@@ -156,3 +156,22 @@ def test_hot_key_detection(ray_session):
         pa.table({"k": [f"k{i}" for i in range(10_000)]}))
     assert detect_hot_keys(cold, "k", sample_fraction=0.2,
                            hot_threshold=5_000) == []
+
+
+# --- markdown list-boundary flattening --------------------------------------
+
+def test_markdown_same_marker_lists_stay_one_list():
+    from mdvalidate_ray.sources.markdown import markdown_to_spans
+
+    for text in ["- a\n- b\n", "- a\n\n- b\n"]:
+        ks = [s["kind"] for s in markdown_to_spans(text)]
+        assert ks == ["list_item", "list_item"], (text, ks)
+
+
+def test_markdown_marker_change_splits_lists():
+    from mdvalidate_ray.sources.markdown import markdown_to_spans
+
+    for text in ["- a\n* b\n", "1. a\n\n- b\n", "- a\n\n1. b\n"]:
+        ks = [s["kind"] for s in markdown_to_spans(text)]
+        assert "list_break" in ks, (text, ks)
+        assert ks.count("list_break") == 1

@@ -444,3 +444,58 @@ def test_table_sandwich_missing_footer_fails():
     # template, which rejects "apple" vs "Total"
     assert not r.passed
     assert ViolationKind.CONTENT_LITERAL in kinds(r)
+
+
+# --- adjacent sibling lists (reference: distinct list nodes; lists.rs) ------
+
+def test_adjacent_sibling_lists_validate_separately():
+    # two schema lists, two doc lists separated by a list_break marker:
+    # each list validates against its own template
+    schema = "- `a:/\\w+/`{1,3}\n\n1. `b:/\\w+/`{1,3}\n"
+    r = run(schema,
+            span("list_item", "one"), span("list_item", "two"),
+            span("list_break"),
+            span("ordered_list_item", "three"))
+    assert r.passed, r.violations
+    assert r.captures == {"a": ["one", "two"], "b": ["three"]}
+
+
+def test_adjacent_lists_do_not_merge_into_one_template():
+    # ONE schema list but TWO adjacent doc lists: the second list must NOT
+    # silently extend the first (the reference keeps them distinct nodes)
+    schema = "- `a:/\\w+/`{1,9}\n"
+    r = run(schema,
+            span("list_item", "one"),
+            span("list_break"),
+            span("list_item", "two"))
+    assert not r.passed
+    assert r.captures.get("a") == ["one"]
+    assert ViolationKind.STRUCT_INPUT_HAS_CHILD in kinds(r)
+
+
+def test_same_class_lists_without_break_merge_as_before():
+    # no marker → one list (the loose-list case): both items match
+    schema = "- `a:/\\w+/`{1,9}\n"
+    r = run(schema, span("list_item", "one"), span("list_item", "two"))
+    assert r.passed, r.violations
+    assert r.captures == {"a": ["one", "two"]}
+
+
+# --- non-repeating matcher in a list item -----------------------------------
+# The reference DECLARES NonRepeatingMatcherInListContext (errors.rs:356)
+# but never constructs it; its runtime behavior is the textual fallback
+# (lists.rs:742: a non-repeated matcher extracts as None → literal/textual
+# validation of the single item).  These pin our matching behavior.
+
+def test_non_repeating_matcher_in_list_single_item_matches():
+    r = run("- `x:/\\w+/`\n", span("list_item", "hello"))
+    assert r.passed, r.violations
+    assert r.captures == {"x": "hello"}
+
+
+def test_non_repeating_matcher_in_list_two_items_fails():
+    # textual fallback implies exact sibling-count equality for literal
+    # lists (lists.rs:406-455): a second item is a structure violation
+    r = run("- `x:/\\w+/`\n", span("list_item", "hello"),
+            span("list_item", "world"))
+    assert not r.passed

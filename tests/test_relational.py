@@ -84,6 +84,44 @@ def test_asof_join_partitioned_matches_broadcast(ray_session):
     assert got == want and len(got) > 100
 
 
+def test_topk_table_matches_full_sort(ray_session):
+    import ray.data
+
+    from mdvalidate_ray.functions.relational import topk_table
+
+    rng = np.random.default_rng(11)
+    vals = rng.normal(size=5000)
+    ids = np.arange(5000)
+    ds = ray.data.from_arrow(pa.table({"id": ids, "v": vals})).repartition(16)
+    got = topk_table(ds, 25, [("v", "descending"), ("id", "ascending")])
+    order = np.lexsort((ids, -vals))[:25]
+    assert got.column("id").to_pylist() == [int(i) for i in ids[order]]
+
+
+def test_semi_join_keys_bloom_tier_matches_broadcast(ray_session):
+    """Force the Bloom + co-partitioned verify tier (threshold 0) and
+    check it keeps exactly the same rows as the broadcast tier."""
+    import ray.data
+
+    from mdvalidate_ray.functions.relational import semi_join_keys
+
+    rng = np.random.default_rng(5)
+    left = pa.table({"k": rng.integers(0, 500, 2000),
+                     "payload": rng.normal(size=2000)})
+    keys = pa.table({"rk": np.arange(0, 500, 3)})   # every 3rd key present
+    lds = ray.data.from_arrow(left).repartition(8)
+    kds = ray.data.from_arrow(keys).repartition(2)
+
+    bloom = semi_join_keys(lds, kds, left_key="k", right_key="rk",
+                           broadcast_threshold=0, n_buckets=16)
+    bcast = semi_join_keys(lds, kds, left_key="k", right_key="rk",
+                           broadcast_threshold=10**9)
+    got = sorted((r["k"], round(r["payload"], 9)) for r in bloom.take_all())
+    want = sorted((r["k"], round(r["payload"], 9)) for r in bcast.take_all())
+    assert got == want and len(got) > 100
+    assert all(k % 3 == 0 for k, _ in got)
+
+
 def test_exact_quantiles_match_numpy(ray_session):
     import ray.data
 
