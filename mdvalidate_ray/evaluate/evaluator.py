@@ -662,6 +662,38 @@ def _eval_table_row(ctx: _Ctx, row_cid: str, row_tmpl: TableRowTemplate,
 # reference walkers/validators/nodes.rs:37–251)
 # ---------------------------------------------------------------------------
 
+def _eval_quote_blocks(ctx: _Ctx, cid: str, block) -> None:
+    """Quote body with nested block templates: collect the body spans up
+    to the matching ``quote_end`` marker (nesting-aware) and run the
+    standard block walk on them.  Documents using the legacy inline-only
+    quote encoding (no ``quote_end``) fall back to the inline children."""
+    save = ctx.pos
+    body: list = []
+    depth, found = 1, False
+    while ctx.pos < len(ctx.spans):
+        s = ctx.spans[ctx.pos]
+        if s["kind"] == "quote":
+            depth += 1
+        elif s["kind"] == "quote_end":
+            depth -= 1
+            if depth == 0:
+                ctx.pos += 1
+                found = True
+                break
+        body.append(s)
+        ctx.pos += 1
+    if not found:
+        ctx.pos = save
+        body = _collect_children(ctx)
+    sub = _Ctx(spans=body, violations=ctx.violations,
+               captures=ctx.captures, flat_cache=ctx.flat_cache)
+    _eval_blocks(sub, block.blocks, f"{cid}.")
+    if sub.pos < len(body):
+        extra = body[sub.pos]
+        sub.violate(cid, ViolationKind.STRUCT_INPUT_HAS_CHILD,
+                    "end of quote", extra["kind"], extra)
+
+
 def _block_expected_kind(block) -> str:
     if isinstance(block, Heading):
         return f"heading{block.level}"
@@ -688,8 +720,28 @@ def evaluate_spans(spans: list, schema: CompiledSchema) -> EvalResult:
     (src/cmd.rs:152–178, README.md:105–137).
     """
     ctx = _Ctx(spans=spans)
-    for bi, block in enumerate(schema.blocks):
-        cid = f"b{bi}"
+    _eval_blocks(ctx, schema.blocks, "")
+
+    if ctx.pos < len(ctx.spans):
+        # InputHasChildSchemaDoesnt (nodes.rs:174–221); report the content
+        # span, not a list_break separator
+        extra = ctx.spans[ctx.pos]
+        if extra["kind"] == "list_break" and ctx.pos + 1 < len(ctx.spans):
+            extra = ctx.spans[ctx.pos + 1]
+        ctx.violate("doc", ViolationKind.STRUCT_INPUT_HAS_CHILD,
+                    "end of document", extra["kind"], extra)
+
+    return EvalResult(passed=not ctx.violations, violations=ctx.violations,
+                      captures=ctx.captures)
+
+
+def _eval_blocks(ctx: _Ctx, blocks: list, prefix: str) -> None:
+    """Walk a block-template sequence against the ctx's span cursor.
+    Top-level documents AND nested quote bodies share this walk (the
+    reference's QuoteVsQuote delegates its children back to container
+    validation, quotes.rs:63–66)."""
+    for bi, block in enumerate(blocks):
+        cid = f"{prefix}b{bi}"
         span = ctx.peek()
         if span is not None and span["kind"] == "list_break":
             # list_break marks the boundary between ADJACENT sibling lists
@@ -775,7 +827,10 @@ def evaluate_spans(spans: list, schema: CompiledSchema) -> EvalResult:
                 ctx.take()
                 continue
             ctx.take()
-            _eval_inline_container(ctx, cid, block.inline)
+            if getattr(block, "blocks", None) is not None:
+                _eval_quote_blocks(ctx, cid, block)
+            else:
+                _eval_inline_container(ctx, cid, block.inline)
 
         elif isinstance(block, CodeBlock):
             if span["kind"] != "code_lang":
@@ -811,15 +866,3 @@ def evaluate_spans(spans: list, schema: CompiledSchema) -> EvalResult:
                 ctx.violate(cid, ViolationKind.NODE_TYPE_MISMATCH, "ruler",
                             span["kind"], span)
             ctx.take()
-
-    if ctx.pos < len(ctx.spans):
-        # InputHasChildSchemaDoesnt (nodes.rs:174–221); report the content
-        # span, not a list_break separator
-        extra = ctx.spans[ctx.pos]
-        if extra["kind"] == "list_break" and ctx.pos + 1 < len(ctx.spans):
-            extra = ctx.spans[ctx.pos + 1]
-        ctx.violate("doc", ViolationKind.STRUCT_INPUT_HAS_CHILD,
-                    "end of document", extra["kind"], extra)
-
-    return EvalResult(passed=not ctx.violations, violations=ctx.violations,
-                      captures=ctx.captures)

@@ -106,12 +106,16 @@ def run_checkpointed(
         hll = HyperLogLog()
         kll = KLLSketch()
         rows = n_passed = n_viol = 0
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
         for b in back.iter_batches(batch_format="pyarrow", batch_size=8192):
             rows += len(b)
-            n_passed += int(b.column("passed").to_pandas().sum())
-            n_viol += int(b.column("n_violations").to_pandas().sum())
+            n_passed += int(pc.sum(pc.cast(b.column("passed"),
+                                           pa.int64())).as_py() or 0)
+            n_viol += int(pc.sum(b.column("n_violations")).as_py() or 0)
             hll.add(b.column("doc_id").to_pylist())
-            kll.update(b.column("n_spans").to_pandas().to_numpy())
+            kll.update(b.column("n_spans").to_numpy(zero_copy_only=False))
         rec = {
             "partition_id": k,
             "lineage": lineage(k),

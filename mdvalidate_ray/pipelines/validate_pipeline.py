@@ -46,22 +46,33 @@ def full_suite(docs_ds, assets_ds=None, *, schema_text: str | None = None,
 def verdict_summary(validated) -> dict:
     """Small global reduction over the validated dataset: pass/fail counts
     (the distributed analog of the reference's exit-code fold,
-    reference src/cmd.rs:152–178)."""
-    import ray.data  # noqa: F401
-    from ray.data.aggregate import Count, Sum
+    reference src/cmd.rs:152–178).
 
-    agg = validated.aggregate(
-        Count(),
-        Sum("n_violations", alias_name="total_violations"),
-        Sum("n_spans", alias_name="total_spans"),
-    )
-    n_passed = validated.filter(expr="passed == True").count()
+    ONE streaming pass: per-batch partial counts folded on the driver —
+    the previous aggregate + filter().count() pair executed the upstream
+    lineage twice."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def partial(b: pa.Table) -> pa.Table:
+        return pa.Table.from_pylist([{
+            "rows": b.num_rows,
+            "n_passed": pc.sum(pc.cast(b.column("passed"),
+                                       pa.int64())).as_py() or 0,
+            "violations": pc.sum(b.column("n_violations")).as_py() or 0,
+            "spans": pc.sum(b.column("n_spans")).as_py() or 0,
+        }])
+
+    rows = validated.map_batches(partial, batch_format="pyarrow",
+                                 zero_copy_batch=True).take_all()
+    total = {k: sum(r[k] for r in rows)
+             for k in ("rows", "n_passed", "violations", "spans")}
     return {
-        "rows": agg["count()"],
-        "n_passed": n_passed,
-        "n_failed": agg["count()"] - n_passed,
-        "total_violations": agg["total_violations"],
-        "total_spans": agg["total_spans"],
+        "rows": total["rows"],
+        "n_passed": total["n_passed"],
+        "n_failed": total["rows"] - total["n_passed"],
+        "total_violations": total["violations"],
+        "total_spans": total["spans"],
     }
 
 

@@ -142,6 +142,23 @@ def parse_curly(text: str) -> Union[Literal, Matcher]:
     return Literal(text)
 
 
+def _find_em_close(text: str, start: int) -> int:
+    """Index of the ``*`` closing an emphasis opened just before ``start``,
+    treating any interior ``**…**`` strong run as opaque."""
+    j, n = start, len(text)
+    while j < n:
+        if text[j] == "*":
+            if j + 1 < n and text[j + 1] == "*":
+                k = text.find("**", j + 2)
+                if k == -1:
+                    return -1
+                j = k + 2
+                continue
+            return j
+        j += 1
+    return -1
+
+
 def parse_inline(text: str, allow_repeating: bool = False) -> list:
     """Parse one textual container's content into inline parts.
 
@@ -197,7 +214,12 @@ def parse_inline(text: str, allow_repeating: bool = False) -> list:
         if ch == "*":
             strong = i + 1 < n and text[i + 1] == "*"
             delim = "**" if strong else "*"
-            end = text.find(delim, i + len(delim))
+            if strong:
+                end = text.find(delim, i + len(delim))
+            else:
+                # nested-aware close: `*a **b** c*` must close at the LAST
+                # star, skipping the inner strong's delimiters
+                end = _find_em_close(text, i + 1)
             if end != -1:
                 inner = parse_inline(text[i + len(delim):end])
                 flush()
@@ -329,14 +351,38 @@ def _compile_table(lines: list[str]) -> TableTemplate:
     return table
 
 
+def _quote_is_blocky(content: list[str]) -> bool:
+    """True when a quote body contains block-level constructs (nested
+    blocks inside quotes validate recursively, like the reference's
+    QuoteVsQuote → ContainerVsContainer delegation, quotes.rs:19–67)."""
+    seen_text = blank_after_text = False
+    for raw in content:
+        s = raw.strip()
+        if not s:
+            blank_after_text = blank_after_text or seen_text
+            continue
+        if (_HEADING_RE.match(raw) or _LIST_RE.match(raw)
+                or _FENCE_RE.match(s) or s.startswith((">", "|"))
+                or _RULER_RE.match(s)):
+            return True
+        if blank_after_text:
+            return True          # multiple paragraphs
+        seen_text = True
+    return False
+
+
 def compile_schema(text: str) -> CompiledSchema:
     """Compile mdschema ``text`` into a :class:`CompiledSchema`.
 
     The driver calls this once per run; the result ships to every evaluator
     actor (the Ray analog of "schema parsed once, immutable thereafter",
     validator.rs:59–62)."""
+    return CompiledSchema(blocks=_parse_blocks(text.split("\n")),
+                          source=text)
+
+
+def _parse_blocks(lines: list[str]) -> list:
     blocks: list = []
-    lines = text.split("\n")
     i, n = 0, len(lines)
     while i < n:
         line = lines[i]
@@ -388,7 +434,14 @@ def compile_schema(text: str) -> CompiledSchema:
             while i < n and lines[i].lstrip().startswith(">"):
                 content.append(lines[i].lstrip()[1:].lstrip())
                 i += 1
-            blocks.append(Quote(inline=parse_inline("\n".join(content))))
+            if _quote_is_blocky(content):
+                # nested blocks inside the quote: compile recursively
+                # (reference QuoteVsQuote delegates the quote's children
+                # to container validation, quotes.rs:63–66)
+                blocks.append(Quote(inline=[],
+                                    blocks=_parse_blocks(content)))
+            else:
+                blocks.append(Quote(inline=parse_inline("\n".join(content))))
             continue
         if line.lstrip().startswith("|"):
             tbl_lines = []
@@ -420,4 +473,4 @@ def compile_schema(text: str) -> CompiledSchema:
                         SchemaError.REPEATING_IN_TEXT,
                         "repeating matcher must be alone in its paragraph")
             blocks.append(Paragraph(inline=parts))
-    return CompiledSchema(blocks=blocks, source=text)
+    return blocks

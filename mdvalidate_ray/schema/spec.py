@@ -231,6 +231,10 @@ class ListTemplate:
 @dataclass
 class Quote:
     inline: list
+    # nested block templates when the quote body holds block-level
+    # constructs (lists, code, multiple paragraphs, nested quotes);
+    # None → plain inline-container quote
+    blocks: Optional[list] = None
 
 
 @dataclass

@@ -25,22 +25,32 @@ _HEADING_RE = re.compile(r"^(#{1,6})\s+(.*)$")
 _RULER_RE = re.compile(r"^(-{3,}|\*{3,}|_{3,})\s*$")
 _LIST_RE = re.compile(r"^(\s*)([-*+]|\d+\.)\s+(.*)$")
 _LINK_RE = re.compile(r"(!?)\[([^\]]*)\]\(([^)]*)\)")
+_REFLINK_RE = re.compile(r"(!?)\[([^\]]*)\]\[([^\]]*)\]")
+_LINKDEF_RE = re.compile(r"^\s*\[([^\]]+)\]:\s*(\S+)(?:\s+.*)?$")
 _CODE_SPAN_RE = re.compile(r"`([^`]*)`")
 _STRONG_RE = re.compile(r"\*\*([^*]+)\*\*")
-_EM_RE = re.compile(r"\*([^*]+)\*")
+# nested-aware: `*a **b** c*` matches as ONE emphasis spanning the inner
+# strong (whose markers are stripped when the span text is emitted — the
+# evaluator compares flattened text, matching the schema compiler's
+# _flatten_unit)
+_EM_RE = re.compile(r"\*((?:[^*\n]|\*\*[^*\n]+\*\*)+)\*(?!\*)")
+_SETEXT_RE = re.compile(r"^(=+|-+)\s*$")
 
 
 def _indent_depth(ws: str) -> int:
     return ws.count("\t") + ws.replace("\t", "").count("  ")
 
 
-def _flatten_inline(text: str, add) -> None:
-    """Emit inline child spans for one textual container."""
+def _flatten_inline(text: str, add, linkdefs: dict | None = None) -> None:
+    """Emit inline child spans for one textual container.  ``linkdefs``
+    resolves reference-style links ``[text][label]`` / ``[text][]``
+    against the document's link reference definitions."""
     pos = 0
     tokens = []
     for m in sorted(
         list(_LINK_RE.finditer(text)) + list(_CODE_SPAN_RE.finditer(text))
-        + list(_STRONG_RE.finditer(text)) + list(_EM_RE.finditer(text)),
+        + list(_STRONG_RE.finditer(text)) + list(_EM_RE.finditer(text))
+        + (list(_REFLINK_RE.finditer(text)) if linkdefs else []),
         key=lambda m: m.start(),
     ):
         if m.start() < pos:
@@ -54,12 +64,17 @@ def _flatten_inline(text: str, add) -> None:
         if m.re is _LINK_RE:
             kind = "image" if m.group(1) else "link"
             add(kind, m.group(2), media_ref=m.group(3))
+        elif m.re is _REFLINK_RE:
+            kind = "image" if m.group(1) else "link"
+            label = (m.group(3) or m.group(2)).lower()
+            add(kind, m.group(2), media_ref=linkdefs.get(label, ""))
         elif m.re is _CODE_SPAN_RE:
             add("code_span", m.group(1))
         elif m.re is _STRONG_RE:
             add("strong_emphasis", m.group(1))
         else:
-            add("emphasis", m.group(1))
+            # strip interior strong markers: flattened-text compare
+            add("emphasis", m.group(1).replace("**", ""))
         pos = m.end()
     if pos < len(text):
         add("text", text[pos:])
@@ -73,7 +88,16 @@ def markdown_to_spans(text: str) -> list[dict]:
         spans.append({"kind": kind, "text": t, "media_ref": media_ref,
                       "offset": len(spans)})
 
-    lines = text.split("\n")
+    # pass 1: collect link reference definitions ("[label]: url") and drop
+    # those lines — references resolve during inline flattening
+    linkdefs: dict[str, str] = {}
+    lines = []
+    for raw in text.split("\n"):
+        dm = _LINKDEF_RE.match(raw)
+        if dm and not _LIST_RE.match(raw):
+            linkdefs.setdefault(dm.group(1).lower(), dm.group(2))
+        else:
+            lines.append(raw)
     i, n = 0, len(lines)
     in_table = False
     while i < n:
@@ -141,12 +165,23 @@ def markdown_to_spans(text: str) -> list[dict]:
                 i += 1
             continue
         if line.lstrip().startswith(">"):
+            from mdvalidate_ray.schema.compiler import _quote_is_blocky
+
             content = []
             while i < n and lines[i].lstrip().startswith(">"):
                 content.append(lines[i].lstrip()[1:].lstrip())
                 i += 1
             add("quote")
-            _flatten_inline("\n".join(content), add)
+            if _quote_is_blocky(content):
+                # nested blocks inside the quote: flatten recursively and
+                # close with a quote_end marker so the evaluator can scope
+                # the body (reference: block_quote children are full block
+                # nodes, quotes.rs:63–66)
+                for s in markdown_to_spans("\n".join(content)):
+                    add(s["kind"], s["text"], s["media_ref"])
+                add("quote_end")
+            else:
+                _flatten_inline("\n".join(content), add, linkdefs)
             continue
         if line.lstrip().startswith("|"):
             rows = []
@@ -167,17 +202,45 @@ def markdown_to_spans(text: str) -> list[dict]:
                     add("table_cell", c)
             in_table = False
             continue
-        # paragraph
+        # indented code block (4-space indent, CommonMark)
+        if line.startswith("    ") and line.strip():
+            body = []
+            while i < n and (lines[i].startswith("    ")
+                             or not lines[i].strip()):
+                if not lines[i].strip():
+                    # blank line continues the block only if more indented
+                    # code follows
+                    j = i
+                    while j < n and not lines[j].strip():
+                        j += 1
+                    if j >= n or not lines[j].startswith("    "):
+                        break
+                    body.extend("" for _ in range(j - i))
+                    i = j
+                    continue
+                body.append(lines[i][4:])
+                i += 1
+            add("code_lang", "")
+            add("code_body", "\n".join(body))
+            continue
+        # paragraph (a trailing setext underline turns it into a heading)
         para = []
         while i < n and lines[i].strip() and not (
             _HEADING_RE.match(lines[i]) or _LIST_RE.match(lines[i])
             or lines[i].lstrip().startswith((">", "|", "```"))
             or _RULER_RE.match(lines[i].strip())
+            or (para and _SETEXT_RE.match(lines[i].strip()))
         ):
             para.append(lines[i].strip())
             i += 1
+        if para and i < n and _SETEXT_RE.match(lines[i].strip()):
+            underline = lines[i].strip()
+            add("heading1" if underline[0] == "=" else "heading2",
+                " ".join(para))
+            i += 1
+            continue
         add("paragraph")
-        _flatten_inline("\n".join(para), add)
+        _flatten_inline("\n".join(para), add, linkdefs)
     return spans
 
 

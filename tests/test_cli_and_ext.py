@@ -175,3 +175,55 @@ def test_markdown_marker_change_splits_lists():
         ks = [s["kind"] for s in markdown_to_spans(text)]
         assert "list_break" in ks, (text, ks)
         assert ks.count("list_break") == 1
+
+
+def test_markdown_setext_headings():
+    from mdvalidate_ray.sources.markdown import markdown_to_spans
+
+    got = [(s["kind"], s["text"]) for s in
+           markdown_to_spans("Title\n=====\n\nBody\n----\n")]
+    assert got == [("heading1", "Title"), ("heading2", "Body")]
+    # blank-line-separated dash run stays a ruler
+    ks = [s["kind"] for s in markdown_to_spans("Foo\n\n---\n")]
+    assert ks == ["paragraph", "text", "ruler"]
+
+
+def test_markdown_indented_code_block():
+    from mdvalidate_ray.sources.markdown import markdown_to_spans
+
+    spans = markdown_to_spans("    line 1\n    line 2\n")
+    assert [s["kind"] for s in spans] == ["code_lang", "code_body"]
+    assert spans[1]["text"] == "line 1\nline 2"
+
+
+def test_markdown_nested_emphasis_flattens():
+    from mdvalidate_ray import compile_schema, evaluate_spans
+    from mdvalidate_ray.sources.markdown import markdown_to_spans
+
+    spans = markdown_to_spans("*a **b** c*\n")
+    assert [(s["kind"], s["text"]) for s in spans] == \
+        [("paragraph", ""), ("emphasis", "a b c")]
+    r = evaluate_spans(spans, compile_schema("*a **b** c*\n"))
+    assert r.passed, r.violations
+
+
+def test_markdown_nested_quote_blocks_roundtrip():
+    from mdvalidate_ray import compile_schema, evaluate_spans
+    from mdvalidate_ray.sources.markdown import markdown_to_spans
+
+    md = "> # Inner\n>\n> - a\n> - b\n\nAfter\n"
+    schema = "> # `h:/\\w+/`\n>\n> - `x:/\\w+/`{1,4}\n\nAfter\n"
+    r = evaluate_spans(markdown_to_spans(md), compile_schema(schema))
+    assert r.passed, r.violations
+    assert r.captures == {"h": "Inner", "x": ["a", "b"]}
+
+
+def test_markdown_link_reference_definitions():
+    from mdvalidate_ray.sources.markdown import markdown_to_spans
+
+    md = ("See [the docs][docs] and ![pic][]\n\n"
+          "[docs]: https://example.com/d\n[pic]: asset-img-1\n")
+    got = [(s["kind"], s["text"], s["media_ref"])
+           for s in markdown_to_spans(md) if s["kind"] in ("link", "image")]
+    assert got == [("link", "the docs", "https://example.com/d"),
+                   ("image", "pic", "asset-img-1")]

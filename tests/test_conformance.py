@@ -499,3 +499,41 @@ def test_non_repeating_matcher_in_list_two_items_fails():
     r = run("- `x:/\\w+/`\n", span("list_item", "hello"),
             span("list_item", "world"))
     assert not r.passed
+
+
+# --- nested blocks inside quotes (quotes.rs:63-66 container delegation) -----
+
+def test_quote_with_nested_blocks():
+    schema = "> # `h:/\\w+/`\n>\n> - `x:/\\w+/`{1,4}\n"
+    doc = [
+        span("quote"),
+        span("heading1", "Inner"),
+        span("list_item", "a"), span("list_item", "b"),
+        span("quote_end"),
+    ]
+    r = run(schema, *doc)
+    assert r.passed, r.violations
+    assert r.captures == {"h": "Inner", "x": ["a", "b"]}
+
+
+def test_quote_nested_blocks_missing_child_fails():
+    schema = "> # Title\n>\n> - item\n"
+    r = run(schema, span("quote"), span("heading1", "Title"),
+            span("quote_end"))
+    assert not r.passed
+    assert ViolationKind.STRUCT_SCHEMA_HAS_CHILD in kinds(r)
+
+
+def test_quote_nested_extra_child_fails():
+    schema = "> # Title\n>\n> - item\n"   # blocky: heading + list
+    r = run(schema, span("quote"), span("heading1", "Title"),
+            span("list_item", "item"), span("paragraph"),
+            span("text", "extra"), span("quote_end"))
+    assert not r.passed
+    assert ViolationKind.STRUCT_INPUT_HAS_CHILD in kinds(r)
+
+
+def test_quote_inline_still_inline():
+    # a single-paragraph quote stays an inline container (no regression)
+    r = run("> hello\n", span("quote"), span("text", "hello"))
+    assert r.passed, r.violations
