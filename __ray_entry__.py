@@ -63,6 +63,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_filter_counts": Q.quality_filter_counts,
         "user_sessions": Q.user_sessions,
         "q3_order_revenue": Q.q3_order_revenue,
+        "q5_local_supplier_volume": Q.q5_local_supplier_volume,
+        "q6_forecast_revenue": Q.q6_forecast_revenue,
         # dedup / text
         "dedup_exact": Q.dedup_exact,
         "token_counts": Q.token_counts,
@@ -213,6 +215,31 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1
             ORDER BY sum(l_extendedprice * (1 - l_discount)) DESC, l_orderkey
             LIMIT 20
+        """,
+        "q5_local_supplier_volume": """
+            SELECT n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)) * 100)::BIGINT
+                       AS revenue_c100
+            FROM customer
+            JOIN orders   ON c_custkey = o_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation   ON s_nationkey = n_nationkey
+            JOIN region   ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+              AND c_nationkey = s_nationkey
+              AND o_orderdate >= DATE '1996-01-01'
+              AND o_orderdate < DATE '1997-01-01'
+            GROUP BY 1
+        """,
+        "q6_forecast_revenue": """
+            SELECT coalesce(round(sum(l_extendedprice * l_discount) * 100),
+                            0)::BIGINT AS revenue_c100
+            FROM lineitem
+            WHERE l_shipdate >= DATE '1996-01-01'
+              AND l_shipdate < DATE '1997-01-01'
+              AND l_discount BETWEEN 0.05 AND 0.07
+              AND l_quantity < 24
         """,
         "part_type_stats": """
             SELECT p_type,

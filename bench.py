@@ -174,10 +174,11 @@ def run_headline(num_docs: int, num_cpus: int) -> dict:
 
 QUERY_NAMES = [
     "stats_text", "hist_text_len", "dup_orderkeys", "quantiles_nchars",
-    "q1_pricing", "q3_order_revenue", "top_customers", "events_daily",
-    "events_asof_orders", "user_sessions",
+    "q1_pricing", "q3_order_revenue", "q5_local_supplier_volume",
+    "q6_forecast_revenue", "top_customers", "top_events", "events_daily",
+    "events_asof_orders", "events_sliding", "user_sessions",
     "dedup_exact", "token_counts", "fingerprints",
-    "minhash_pairs", "knn", "embedding_dups",
+    "minhash_pairs", "simhash_pairs", "knn", "embedding_dups",
 ]
 
 

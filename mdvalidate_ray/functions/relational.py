@@ -170,7 +170,7 @@ def asof_join(left_ds, right_ds, *, key: str, left_time: str,
     if n_right <= broadcast_threshold:
         rcols = list(dict.fromkeys([key, right_time, tiebreak] + value_cols))
         right = pa.concat_tables([
-            ray.get(r) for r in
+            ray.get(r).select(rcols) for r in
             right_ds.select_columns(rcols).to_arrow_refs()])
         return asof_join_broadcast(
             left_ds, right, key=key, left_key=left_key,
@@ -323,7 +323,7 @@ def semi_join_keys(ds, keys_ds, *, left_key: str, right_key: str,
         import ray
 
         key_tbl = pa.concat_tables(
-            [ray.get(r) for r in
+            [ray.get(r).select([right_key]) for r in
              keys_ds.select_columns([right_key]).to_arrow_refs()])
         keys = key_tbl.column(right_key).combine_chunks()
         # task-based probe, keys broadcast once via ray.put (see
@@ -401,18 +401,24 @@ def semi_join_keys(ds, keys_ds, *, left_key: str, right_key: str,
 
 
 def sessionize(events_ds, *, key: str, time_col: str,
-               gap_seconds: float, agg_value: str | None = None):
+               gap_seconds: float, agg_value: str | None = None,
+               n_parts: int = 64):
     """Session windows: consecutive events of one key belong to one session
     while the gap between them is ≤ ``gap_seconds`` (the classic streaming
     session-window semantics, computed batch-side).
 
-    Plan: co-partition on the key (``groupby(key).map_groups``) — the only
-    exchange — then a vectorized sort + diff + cumsum per group.  Output:
-    one row per session with start/end, event count and optional value sum.
-    Partitioning assumption: one key's events fit in a group (true for
-    user-level sessions; salt by day first for pathological keys).
+    Plan: co-partition on a coarse ``hash(key) % n_parts`` bucket — ONE
+    exchange, and the number of Python group calls is bounded by
+    ``n_parts``, not by distinct keys (grouping by the raw key paid one
+    ``map_groups`` call per user — billions of calls at corpus scale).
+    Inside each bucket the whole (key, time)-sorted frame sessionizes
+    vectorized: one diff + cumsum across ALL keys at once, then a single
+    pandas groupby-agg.  Partitioning assumption: one bucket's events fit
+    in a worker's heap (size n_parts ≈ total_rows / 5M).
     """
     import numpy as np
+
+    from mdvalidate_ray.state.sketches import hash_strings
 
     out_fields = [(key, pa.int64()), ("session_id", pa.int64()),
                   ("n_events", pa.int64()),
@@ -421,32 +427,56 @@ def sessionize(events_ds, *, key: str, time_col: str,
     if agg_value:
         out_fields.append(("sum_value", pa.float64()))
     out_schema = pa.schema(out_fields)
+    gap_us = int(gap_seconds * 1_000_000)
 
-    def per_key(group: pa.Table) -> pa.Table:
-        order = pc.sort_indices(group, sort_keys=[(time_col, "ascending")])
-        g = group.take(order)
-        ts = g.column(time_col).cast(pa.int64()).to_numpy(
-            zero_copy_only=False)  # µs
-        gaps = np.diff(ts, prepend=ts[0] if len(ts) else 0)
-        new_session = gaps > gap_seconds * 1_000_000
-        session_ids = np.cumsum(new_session)
-        vals = (g.column(agg_value).to_numpy(zero_copy_only=False)
-                if agg_value else None)
-        rows = []
-        kval = g.column(key)[0].as_py()
-        for sid in range(session_ids.max() + 1 if len(ts) else 0):
-            mask = session_ids == sid
-            row = {key: kval, "session_id": int(sid),
-                   "n_events": int(mask.sum()),
-                   "start_ts": int(ts[mask].min()),
-                   "end_ts": int(ts[mask].max())}
-            if agg_value:
-                row["sum_value"] = float(vals[mask].sum())
-            rows.append(row)
-        return pa.Table.from_pylist(rows, schema=out_schema)
+    def tag(b: pa.Table) -> pa.Table:
+        vals = [str(v) for v in b.column(key).to_pylist()]
+        bucket = ((hash_strings(vals) % np.uint64(n_parts)).astype("int64")
+                  if vals else np.zeros(0, dtype="int64"))
+        return b.append_column("_bucket", pa.array(bucket))
 
-    return events_ds.groupby(key).map_groups(per_key,
-                                             batch_format="pyarrow")
+    def per_bucket(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return out_schema.empty_table()
+        df = g.to_pandas()
+        df["_ts"] = df[time_col].astype("int64")          # µs
+        df = df.sort_values([key, "_ts"], kind="stable", ignore_index=True)
+        ts = df["_ts"].to_numpy()
+        keys_np = df[key].to_numpy()
+        new_key = np.empty(len(df), dtype=bool)
+        new_key[0] = True
+        new_key[1:] = keys_np[1:] != keys_np[:-1]
+        gap_break = np.empty(len(df), dtype=bool)
+        gap_break[0] = True
+        gap_break[1:] = (ts[1:] - ts[:-1]) > gap_us
+        new_session = new_key | gap_break
+        sid_global = np.cumsum(new_session) - 1
+        df["_sid"] = sid_global
+        aggs = {key: (key, "first"), "n_events": ("_sid", "size"),
+                "start_ts": ("_ts", "min"), "end_ts": ("_ts", "max")}
+        if agg_value:
+            aggs["sum_value"] = (agg_value, "sum")
+        out = df.groupby("_sid", sort=True).agg(**aggs)
+        # per-key ordinal session ids (0-based, time order)
+        out["session_id"] = out.groupby(key).cumcount()
+        cols = {key: pa.array(out[key].to_numpy(), pa.int64()),
+                "session_id": pa.array(out["session_id"].to_numpy(),
+                                       pa.int64()),
+                "n_events": pa.array(out["n_events"].to_numpy(), pa.int64()),
+                "start_ts": pa.array(out["start_ts"].to_numpy(),
+                                     pa.timestamp("us")),
+                "end_ts": pa.array(out["end_ts"].to_numpy(),
+                                   pa.timestamp("us"))}
+        if agg_value:
+            cols["sum_value"] = pa.array(out["sum_value"].to_numpy(),
+                                         pa.float64())
+        return pa.Table.from_arrays(list(cols.values()),
+                                    schema=out_schema)
+
+    tagged = events_ds.map_batches(tag, batch_format="pyarrow",
+                                   zero_copy_batch=True)
+    return tagged.groupby("_bucket").map_groups(per_bucket,
+                                                batch_format="pyarrow")
 
 
 def sliding_window_counts(events_ds, *, time_col: str, group_col: str,

@@ -122,11 +122,13 @@ def orphan_events(sf_dir: str):
     over int keys (empty on TPC-H-consistent data, and the oracle agrees)."""
     from mdvalidate_ray.functions.relational import broadcast_join
 
-    customers = _read(sf_dir, "customer").select_columns(
-        ["c_custkey"]).to_arrow_refs()
     import ray
 
-    small = pa.concat_tables([ray.get(r) for r in customers])
+    customers = _read(sf_dir, "customer").select_columns(
+        ["c_custkey"]).to_arrow_refs()
+    # per-block re-select: to_arrow_refs can hand back un-projected blocks
+    small = pa.concat_tables([ray.get(r).select(["c_custkey"])
+                              for r in customers])
     small = small.append_column("present", pa.array([True] * len(small)))
     small = small.rename_columns(["user_id", "present"])
     joined = broadcast_join(
@@ -196,7 +198,8 @@ def top_customers(sf_dir: str):
     top = topk_table(agg, 10, [("rev", "descending"),
                                ("o_custkey", "ascending")]).to_pylist()
     cust = pa.concat_tables(
-        [ray.get(r) for r in _read(sf_dir, "customer").select_columns(
+        [ray.get(r).select(["c_custkey", "c_name"])
+         for r in _read(sf_dir, "customer").select_columns(
             ["c_custkey", "c_name"]).to_arrow_refs()])
     names = dict(zip(cust.column("c_custkey").to_pylist(),
                      cust.column("c_name").to_pylist()))
@@ -420,6 +423,120 @@ def part_type_stats(sf_dir: str):
              b.column("n").cast(pa.int64())],
             names=["p_type", "avg_price_c100", "n"]),
         batch_format="pyarrow")
+
+
+def q6_forecast_revenue(sf_dir: str):
+    """Q6-style: filtered revenue sum — pure per-batch filter + partial
+    aggregate, ZERO shuffle (the combiner collapses each batch to one
+    row; the driver folds #batches scalars)."""
+    import datetime
+
+    lo = pa.scalar(datetime.datetime(1996, 1, 1))
+    hi = pa.scalar(datetime.datetime(1997, 1, 1))
+
+    def part(b: pa.Table) -> pa.Table:
+        mask = pc.and_(
+            pc.and_(pc.greater_equal(b.column("l_shipdate"), lo),
+                    pc.less(b.column("l_shipdate"), hi)),
+            pc.and_(
+                pc.and_(pc.greater_equal(b.column("l_discount"), 0.05),
+                        pc.less_equal(b.column("l_discount"), 0.07)),
+                pc.less(b.column("l_quantity"), 24.0)))
+        b = b.filter(mask)
+        rev = pc.sum(pc.multiply(b.column("l_extendedprice"),
+                                 b.column("l_discount"))).as_py() or 0.0
+        return pa.Table.from_pylist([{"rev": rev}])
+
+    li = _read(sf_dir, "lineitem").select_columns(
+        ["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"])
+    total = sum(r["rev"] for r in
+                li.map_batches(part, batch_format="pyarrow",
+                               zero_copy_batch=True).take_all())
+    return pa.Table.from_pylist(
+        [{"revenue_c100": int(round(total * 100))}],
+        schema=pa.schema([("revenue_c100", pa.int64())]))
+
+
+def q5_local_supplier_volume(sf_dir: str):
+    """Q5-style: revenue per nation where customer and supplier share the
+    nation, for one region and year.  All four non-fact tables are small
+    sides: they broadcast once into a per-batch Arrow join chain over the
+    lineitem stream, then a per-batch partial aggregate shuffles only
+    (nationkey, partial-sum) rows.  At corpus scale the orders map is the
+    first side to outgrow broadcast — swap it for the co-partitioned
+    union+bucket groupby join (asof_join_partitioned's shape)."""
+    import datetime
+
+    import ray
+
+    def _driver_table(name, cols):
+        # re-select per block: to_arrow_refs can hand back blocks that
+        # bypassed the Project (observed when block count ≈ CPU count)
+        return pa.concat_tables(
+            [ray.get(r).select(cols) for r in
+             _read(sf_dir, name).select_columns(cols).to_arrow_refs()])
+
+    region = _driver_table("region", ["r_regionkey", "r_name"])
+    nation = _driver_table("nation", ["n_nationkey", "n_name",
+                                      "n_regionkey"])
+    asia_keys = region.filter(
+        pc.equal(region.column("r_name"), "ASIA")).column("r_regionkey")
+    nations = nation.filter(
+        pc.is_in(nation.column("n_regionkey"), value_set=asia_keys))
+    supplier = _driver_table("supplier", ["s_suppkey", "s_nationkey"])
+    customer = _driver_table("customer", ["c_custkey", "c_nationkey"])
+    orders = _driver_table("orders", ["o_orderkey", "o_custkey",
+                                      "o_orderdate"])
+    lo = pa.scalar(datetime.datetime(1996, 1, 1))
+    hi = pa.scalar(datetime.datetime(1997, 1, 1))
+    orders = orders.filter(
+        pc.and_(pc.greater_equal(orders.column("o_orderdate"), lo),
+                pc.less(orders.column("o_orderdate"), hi))
+    ).select(["o_orderkey", "o_custkey"])
+
+    class _Q5Join:
+        def __init__(self, orders, supplier, customer, nations):
+            self.orders = orders
+            self.supplier = supplier
+            self.customer = customer
+            self.asia_nat = nations.column("n_nationkey")
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            j = b.join(self.orders, keys=["l_orderkey"],
+                       right_keys=["o_orderkey"], join_type="inner")
+            j = j.join(self.supplier, keys=["l_suppkey"],
+                       right_keys=["s_suppkey"], join_type="inner")
+            j = j.join(self.customer, keys=["o_custkey"],
+                       right_keys=["c_custkey"], join_type="inner")
+            mask = pc.and_(
+                pc.equal(j.column("c_nationkey"), j.column("s_nationkey")),
+                pc.is_in(j.column("s_nationkey"), value_set=self.asia_nat))
+            j = j.filter(mask)
+            rev = pc.multiply(j.column("l_extendedprice"),
+                              pc.subtract(pa.scalar(1.0),
+                                          j.column("l_discount")))
+            t = pa.Table.from_arrays(
+                [j.column("s_nationkey"), rev], names=["n_nationkey", "rev"])
+            g = pa.TableGroupBy(t, "n_nationkey").aggregate([("rev", "sum")])
+            return g.rename_columns(["n_nationkey", "rev"])
+
+    li = _read(sf_dir, "lineitem").select_columns(
+        ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"])
+    agg = li.map_batches(
+        _Q5Join,
+        fn_constructor_kwargs=dict(orders=orders, supplier=supplier,
+                                   customer=customer, nations=nations),
+        batch_format="pyarrow", zero_copy_batch=True,
+        concurrency=(1, 8)).groupby("n_nationkey").sum("rev")
+    rows = agg.take_all()                      # ≤ |nations| rows
+    names = dict(zip(nations.column("n_nationkey").to_pylist(),
+                     nations.column("n_name").to_pylist()))
+    out = [{"n_name": names[r["n_nationkey"]],
+            "revenue_c100": int(round(r["sum(rev)"] * 100))}
+           for r in rows]
+    out.sort(key=lambda r: r["n_name"])
+    return pa.Table.from_pylist(out, schema=pa.schema(
+        [("n_name", pa.string()), ("revenue_c100", pa.int64())]))
 
 
 # --- dedup / text over documents --------------------------------------------

@@ -208,7 +208,7 @@ def check_refs(refs0, assets_ds, *, fp_rate: float = 0.01,
         import ray
 
         key_tbl = pa.concat_tables(
-            [ray.get(r) for r in
+            [ray.get(r).select(["asset_id"]) for r in
              assets_ds.select_columns(["asset_id"]).to_arrow_refs()])
         keys = key_tbl.column("asset_id").cast(pa.string()).combine_chunks()
         # TASK-based probe with an explicit ray.put broadcast: the key set
