@@ -268,7 +268,17 @@ def oracle_sql() -> dict[str, str]:
                    round(length(regexp_replace(text, '[^0-9]', '', 'g'))
                          / greatest(length(text), 1)::DOUBLE, 6) AS digit_ratio,
                    round(length(regexp_replace(text, '[^A-Z]', '', 'g'))
-                         / greatest(length(text), 1)::DOUBLE, 6) AS upper_ratio
+                         / greatest(length(text), 1)::DOUBLE, 6) AS upper_ratio,
+                   round(len(list_filter(
+                             list_filter(string_split_regex(trim(text), '\\s+'),
+                                         x -> x <> ''),
+                             w -> lower(w) IN ('a','an','and','are','as','at',
+                                               'be','by','for','in','is','it',
+                                               'of','on','that','the','this',
+                                               'to','was','with')))
+                         / greatest(len(list_filter(
+                             string_split_regex(trim(text), '\\s+'),
+                             x -> x <> '')), 1)::DOUBLE, 6) AS stopword_ratio
             FROM documents
         """,
         "fingerprints": """

@@ -363,21 +363,39 @@ def _list_class_str(ordered: bool, marker: str = "") -> str:
     return f"tight_list({marker or ('1.' if ordered else '-')})"
 
 
+def _fast_list_info(tmpl: ListTemplate):
+    """Template-side eligibility for the list fast path, cached on the
+    (immutable) template — see :func:`_fast_table_info`."""
+    cached = getattr(tmpl, "_fast_info", "unset")
+    if cached != "unset":
+        return cached
+    info = None
+    if len(tmpl.items) == 1 and tmpl.items[0].children is None:
+        rm = tmpl.items[0].repeat_matcher
+        if rm is not None and not rm.is_literal_code:
+            info = (rm, "ordered_list_item" if tmpl.ordered
+                    else "list_item")
+    try:
+        tmpl._fast_info = info
+    except AttributeError:
+        pass
+    return info
+
+
 def _try_fast_list(ctx: _Ctx, tmpl: ListTemplate) -> Optional[dict]:
     """Vectorized fast path for the dominant shape: ONE repeated-matcher
     item, no nesting, unordered==unordered flat doc items.  Returns the
     capture dict on full success, None to fall back to the interpreter
     (which recomputes from the same cursor and emits exact violations)."""
-    if len(tmpl.items) != 1 or tmpl.items[0].children is not None:
+    info = _fast_list_info(tmpl)
+    if info is None:
         return None
-    rm = tmpl.items[0].repeat_matcher
-    if rm is None or rm.is_literal_code:
-        return None
-    want_kind = "ordered_list_item" if tmpl.ordered else "list_item"
+    rm, want_kind = info
     spans = ctx.spans
     pos = ctx.pos
+    nspans = len(spans)
     texts = []
-    while pos < len(spans):
+    while pos < nspans:
         k = spans[pos]["kind"]
         if k not in LIST_KINDS:
             break
@@ -390,10 +408,10 @@ def _try_fast_list(ctx: _Ctx, tmpl: ListTemplate) -> Optional[dict]:
     if n < rm.min_items or (not rm.unbounded and n > rm.max_items):
         return None
     if rm.pattern is not None:
-        regex = rm.regex
+        match = rm.regex.match
         for t in texts:
-            m = regex.match(t)
-            if m is None or m.group(0) != t:
+            m = match(t)
+            if m is None or m.end() != len(t):
                 return None
     ctx.pos = pos
     # zero-consumption repetition records no capture key (matcher never
@@ -515,55 +533,86 @@ def _append_nested(values: list, parent_id: Optional[str], nested: dict) -> None
 # reference validators/tables.rs:27–546)
 # ---------------------------------------------------------------------------
 
+def _fast_table_info(tmpl: TableTemplate):
+    """Template-side eligibility + prepared data for the table fast path,
+    computed ONCE per (immutable) template and cached on it — this prep
+    was ~25% of evaluator time when recomputed per document."""
+    cached = getattr(tmpl, "_fast_info", "unset")
+    if cached != "unset":
+        return cached
+    info = None
+    while True:   # single-pass computation with early bail
+        if len(tmpl.rows) != 1 or not tmpl.rows[0].repeated:
+            break
+        row_tmpl = tmpl.rows[0]
+        header_flat = []
+        ok = True
+        for cell in tmpl.header:
+            if len(cell) != 1 or not isinstance(cell[0], Literal):
+                ok = False
+                break
+            header_flat.append(cell[0].text.strip())
+        if not ok:
+            break
+        matchers = []
+        for cell in row_tmpl.cells:
+            if len(cell) != 1 or not isinstance(cell[0], MatcherPart):
+                ok = False
+                break
+            m = cell[0].matcher
+            if m.is_literal_code:
+                ok = False
+                break
+            matchers.append(m)
+        ncols = len(tmpl.header)
+        if not ok or len(matchers) != ncols or ncols == 0:
+            break
+        info = (header_flat, matchers, ncols, row_tmpl.min_rep,
+                row_tmpl.max_rep)
+        break
+    try:
+        tmpl._fast_info = info
+    except AttributeError:      # frozen/slots template: just recompute
+        pass
+    return info
+
+
 def _try_fast_table(ctx: _Ctx, tmpl: TableTemplate) -> bool:
     """Vectorized fast path: literal header cells + exactly one repeated
     row template whose cells are each a single regex/bare matcher.
     Returns True when fully matched (captures committed, cursor moved);
     False falls back to the interpreter from the original cursor."""
-    if len(tmpl.rows) != 1 or not tmpl.rows[0].repeated:
+    info = _fast_table_info(tmpl)
+    if info is None:
         return False
-    row_tmpl = tmpl.rows[0]
-    header_flat = []
-    for cell in tmpl.header:
-        if len(cell) != 1 or not isinstance(cell[0], Literal):
-            return False
-        header_flat.append(cell[0].text.strip())
-    matchers = []
-    for cell in row_tmpl.cells:
-        if len(cell) != 1 or not isinstance(cell[0], MatcherPart):
-            return False
-        m = cell[0].matcher
-        if m.is_literal_code:
-            return False
-        matchers.append(m)
-    ncols = len(tmpl.header)
-    if len(matchers) != ncols:
-        return False
+    header_flat, matchers, ncols, min_rep, max_rep = info
     spans = ctx.spans
     pos = ctx.pos
+    n = len(spans)
     hdr = []
-    while pos < len(spans) and spans[pos]["kind"] == "table_header_cell":
+    while pos < n and spans[pos]["kind"] == "table_header_cell":
         hdr.append(spans[pos]["text"].strip())
         pos += 1
     if hdr != header_flat:
         return False
     cells = []
-    while pos < len(spans) and spans[pos]["kind"] == "table_cell":
+    while pos < n and spans[pos]["kind"] == "table_cell":
         cells.append(spans[pos]["text"].strip())
         pos += 1
-    if ncols == 0 or len(cells) % ncols != 0:
+    if len(cells) % ncols != 0:
         return False
     nrows = len(cells) // ncols
-    if nrows < row_tmpl.min_rep or (row_tmpl.max_rep != UNBOUNDED
-                                    and nrows > row_tmpl.max_rep):
+    if nrows < min_rep or (max_rep != UNBOUNDED and nrows > max_rep):
         return False
     cols = [cells[c::ncols] for c in range(ncols)]
     for m, col in zip(matchers, cols):
         if m.pattern is not None:
-            regex = m.regex
+            match = m.regex.match
             for t in col:
-                mm = regex.match(t)
-                if mm is None or mm.group(0) != t:
+                mm = match(t)
+                # end() != len(t): same full-consumption test as
+                # group(0) != t, without building the match string
+                if mm is None or mm.end() != len(t):
                     return False
     ctx.pos = pos
     for m, col in zip(matchers, cols):
@@ -774,24 +823,43 @@ def _eval_blocks(ctx: _Ctx, blocks: list, prefix: str) -> None:
 
         elif isinstance(block, RepeatedParagraph):
             # consumes m..n consecutive input paragraphs into an array
-            # capture (containers.rs:270–378)
+            # capture (containers.rs:270–378).  Direct scan over the span
+            # array — no per-paragraph peek/take/child-collect overhead
+            # (this is the hottest block type in the flagship corpus:
+            # 1..MAX_INTROS intro paragraphs + gallery paragraphs per doc)
             m = block.matcher
+            spans_ = ctx.spans
+            pos = ctx.pos
+            nspans = len(spans_)
+            max_n = m.max_items
+            rmatch = m.regex.match if m.pattern is not None else None
             values: list = []
             consumed = 0
-            while (m.max_items == UNBOUNDED or consumed < m.max_items):
-                s = ctx.peek()
-                if s is None or s["kind"] != "paragraph":
-                    break
-                save = ctx.pos
-                ctx.take()
-                children = _collect_children(ctx)
-                text = "".join(c["text"] for c in children)
-                matched = m.match_text(text)
-                if matched is None or (m.pattern is not None and matched != text):
-                    ctx.pos = save
-                    break
-                values.append(matched)
+            while (max_n == UNBOUNDED or consumed < max_n) and \
+                    pos < nspans and spans_[pos]["kind"] == "paragraph":
+                k = pos + 1
+                if k < nspans and spans_[k]["kind"] in INLINE_KINDS:
+                    if (k + 1 < nspans
+                            and spans_[k + 1]["kind"] in INLINE_KINDS):
+                        parts = []
+                        while k < nspans and \
+                                spans_[k]["kind"] in INLINE_KINDS:
+                            parts.append(spans_[k]["text"])
+                            k += 1
+                        text = "".join(parts)
+                    else:
+                        text = spans_[k]["text"]
+                        k += 1
+                else:
+                    text = ""
+                if rmatch is not None:
+                    mm = rmatch(text)
+                    if mm is None or mm.end() != len(text):
+                        break
+                values.append(text)
+                pos = k
                 consumed += 1
+            ctx.pos = pos
             if consumed < m.min_items:
                 ctx.violate(cid,
                             ViolationKind.NOT_ENOUGH_REPEATING_PARAGRAPHS,

@@ -77,18 +77,35 @@ def add_quality(batch: pa.Table, column: str = "text") -> pa.Table:
     nonspace = pc.cast(pc.utf8_length(
         pc.replace_substring_regex(texts, r"\s+", "")), pa.float64())
     mean_word = pc.divide(nonspace, n_words)
+    # stopword ratio (fluency signal): fraction of words that are English
+    # stopwords — fully Arrow: flatten the token lists, is_in against the
+    # broadcast stopword set, scatter-add per document
+    flat_tok = tokens.combine_chunks() if isinstance(
+        tokens, pa.ChunkedArray) else tokens
+    words_flat = pc.utf8_lower(flat_tok.flatten())
+    is_stop = pc.is_in(words_flat, value_set=_EN_STOPWORDS_ARR)
+    parents = pc.list_parent_indices(flat_tok)
+    stops = np.zeros(len(batch), dtype=np.int64)
+    np.add.at(stops, parents.to_numpy(zero_copy_only=False),
+              pc.cast(is_stop, pa.int8()).to_numpy(zero_copy_only=False))
+    stop_ratio = pc.divide(pa.array(stops.astype("float64")), n_words)
     penalty = pc.add(pc.add(pc.multiply(punct, 2.0), digit),
                      pc.multiply(upper, 0.5))
     score = pc.max_element_wise(
         pc.subtract(pa.scalar(1.0), pc.min_element_wise(penalty, 1.0)), 0.0)
     for name, arr in [("punct_ratio", punct), ("digit_ratio", digit),
                       ("upper_ratio", upper), ("mean_word_len", mean_word),
+                      ("stopword_ratio", stop_ratio),
                       ("quality_score", score)]:
         batch = batch.append_column(name, pc.cast(arr, pa.float64()))
     return batch
 
 
 # --- language identification ------------------------------------------------
+
+_EN_STOPWORDS_ARR = pa.array(sorted(
+    {"the", "and", "of", "to", "a", "in", "is", "that", "it", "for",
+     "on", "with", "as", "was", "at", "by", "an", "be", "this", "are"}))
 
 _STOPWORDS = {
     "en": {"the", "and", "of", "to", "a", "in", "is", "that", "it", "for"},

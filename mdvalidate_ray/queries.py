@@ -584,8 +584,10 @@ def quality(sf_dir: str):
             [b.column("doc_id"),
              pc.round(b.column("punct_ratio"), 6),
              pc.round(b.column("digit_ratio"), 6),
-             pc.round(b.column("upper_ratio"), 6)],
-            names=["doc_id", "punct_ratio", "digit_ratio", "upper_ratio"])
+             pc.round(b.column("upper_ratio"), 6),
+             pc.round(b.column("stopword_ratio"), 6)],
+            names=["doc_id", "punct_ratio", "digit_ratio", "upper_ratio",
+                   "stopword_ratio"])
 
     return _read(sf_dir, "documents").map_batches(pick,
                                                   batch_format="pyarrow")

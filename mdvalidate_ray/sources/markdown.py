@@ -143,6 +143,15 @@ def markdown_to_spans(text: str) -> list[dict]:
             while i < n:
                 m2 = _LIST_RE.match(lines[i])
                 if not m2:
+                    # hanging-indent continuation: a non-blank line indented
+                    # ≥2 spaces continues the previous item's paragraph
+                    # (CommonMark soft break, joined with a space)
+                    if (lines[i].strip() and lines[i][:2] == "  "
+                            and spans and spans[-1]["kind"] in
+                            ("list_item", "ordered_list_item")):
+                        spans[-1]["text"] += " " + lines[i].strip()
+                        i += 1
+                        continue
                     if i < n and not lines[i].strip():
                         # blank line: list continues only if the next
                         # non-blank line is another list item

@@ -227,3 +227,12 @@ def test_markdown_link_reference_definitions():
            for s in markdown_to_spans(md) if s["kind"] in ("link", "image")]
     assert got == [("link", "the docs", "https://example.com/d"),
                    ("image", "pic", "asset-img-1")]
+
+
+def test_markdown_list_item_continuation_lines():
+    from mdvalidate_ray.sources.markdown import markdown_to_spans
+
+    got = [(s["kind"], s["text"]) for s in
+           markdown_to_spans("- a long item\n  continued here\n- second\n")]
+    assert got == [("list_item", "a long item continued here"),
+                   ("list_item", "second")]
