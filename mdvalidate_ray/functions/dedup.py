@@ -202,11 +202,30 @@ class MinHashStage:
         return pa.Table.from_arrays(arrays, names=names)
 
 
+_STAGE_CACHE: dict = {}
+
+
+def _minhash_stage_fn(batch: pa.Table, **params) -> pa.Table:
+    key = ("mh",) + tuple(sorted(params.items()))
+    stage = _STAGE_CACHE.get(key)
+    if stage is None:
+        stage = _STAGE_CACHE.setdefault(key, MinHashStage(**params))
+    return stage(batch)
+
+
+def _simhash_stage_fn(batch: pa.Table, **params) -> pa.Table:
+    key = ("sh",) + tuple(sorted(params.items()))
+    stage = _STAGE_CACHE.get(key)
+    if stage is None:
+        stage = _STAGE_CACHE.setdefault(key, SimHashStage(**params))
+    return stage(batch)
+
+
 def minhash_near_duplicates(ds, *, threshold: float = 0.8,
                             num_perm: int = 64, bands: int = 16, k: int = 3,
                             column: str = "text", key: str = "doc_id",
                             max_bucket: int = 5000, n_parts: int = 128,
-                            verify: str = "signature",
+                            verify: str = "signature", dedup: bool = True,
                             concurrency=(1, 8)):
     """Near-dup pairs.
 
@@ -217,13 +236,16 @@ def minhash_near_duplicates(ds, *, threshold: float = 0.8,
     pair is a candidate; output (doc_a, doc_b).  Pipe candidates through
     :func:`verify_pairs_jaccard` for the exact filter (the scale path)."""
     emit_sig = verify == "signature"
+    # TASK-based banding: the stage is stateless given its seeded
+    # constants (cached per worker process), so plain tasks scale to every
+    # free CPU instead of capping at the actor-pool size
+    import functools
+
     banded = ds.map_batches(
-        MinHashStage,
-        fn_constructor_kwargs=dict(num_perm=num_perm, bands=bands, k=k,
-                                   column=column, key=key,
-                                   n_parts=n_parts, emit_sig=emit_sig),
-        batch_format="pyarrow", zero_copy_batch=True,
-        concurrency=concurrency)
+        functools.partial(_minhash_stage_fn, num_perm=num_perm,
+                          bands=bands, k=k, column=column, key=key,
+                          n_parts=n_parts, emit_sig=emit_sig),
+        batch_format="pyarrow", zero_copy_batch=True)
 
     if emit_sig:
         pair_schema = pa.schema([("doc_a", pa.string()),
@@ -271,6 +293,10 @@ def minhash_near_duplicates(ds, *, threshold: float = 0.8,
     pairs = banded.groupby("part").map_groups(emit_pairs,
                                               batch_format="pyarrow")
 
+    if not dedup:
+        # downstream verify_pairs_jaccard dedups on the driver — skip the
+        # (doc_a, doc_b) exchange entirely
+        return pairs
     # a pair can surface from several coarse partitions (different bands)
     # → dedup on (doc_a, doc_b); tiny input (candidate pairs only)
     return pairs.groupby(["doc_a", "doc_b"]).map_groups(
@@ -366,10 +392,12 @@ def simhash_near_duplicates(ds, *, max_hamming: int = 3,
     pair within hamming 3 shares at least one whole chunk (pigeonhole),
     so it lands in a common bucket and exact hamming verification keeps
     it.  ``hash_fn="md5"`` makes the simhash itself reproducible in SQL."""
+    import functools
+
     banded = ds.map_batches(
-        SimHashStage,
-        fn_constructor_kwargs=dict(column=column, key=key, hash_fn=hash_fn),
-        batch_format="pyarrow", zero_copy_batch=True, concurrency=concurrency)
+        functools.partial(_simhash_stage_fn, column=column, key=key,
+                          hash_fn=hash_fn),
+        batch_format="pyarrow", zero_copy_batch=True)
 
     pair_schema = pa.schema([("doc_a", pa.string()), ("doc_b", pa.string()),
                              ("hamming", pa.int32())])
@@ -403,34 +431,70 @@ def simhash_near_duplicates(ds, *, max_hamming: int = 3,
 def verify_pairs_jaccard(pairs_ds, docs_ds, *, k: int = 3,
                          threshold: float = 0.8,
                          column: str = "text", key: str = "doc_id",
-                         n_parts: int = 64):
-    """Exact n-gram Jaccard for candidate pairs — fully distributed.
+                         n_parts: int = 64,
+                         broadcast_threshold: int = 200_000):
+    """Exact n-gram Jaccard for candidate pairs.  The corpus is never
+    materialized on (or streamed through) the driver; two tiers:
 
-    The corpus is never materialized on (or streamed through) the driver:
+    * ``|candidate docs| ≤ broadcast_threshold``: the corpus-side filter
+      (broadcast id set) selects candidate texts DISTRIBUTED; only that
+      small result collects to the driver, which scores pairs locally —
+      one corpus pass, zero shuffles.
+    * larger: fully-distributed —
+      1. pair slots ((pair_id, slot, doc_id) — two rows per pair) union
+         with the filtered text stream and co-partition on
+         ``hash(doc_id) % n_parts``; one vectorized pandas merge per
+         coarse group attaches texts to slots;
+      2. slot rows co-partition again on ``pair_id % n_parts``; each
+         pair's two slots meet and exact jaccard filters ≥ threshold.
+      Only candidate-sized data shuffles; group calls are bounded by
+      ``n_parts`` per stage.
 
-    1. candidate doc ids (the tiny side: 2 ids per candidate pair) are
-       broadcast into a corpus-side ``map_batches`` filter → a
-       (doc_id, text) stream of candidate docs only;
-    2. pair slots ((pair_id, slot, doc_id) — two rows per pair) union with
-       that stream and co-partition on ``hash(doc_id) % n_parts``; one
-       vectorized pandas merge per coarse group attaches texts to slots;
-    3. slot rows co-partition again on ``pair_id % n_parts``; each pair's
-       two slots meet and exact jaccard filters ≥ threshold.
-
-    Only candidate-sized data shuffles; group calls are bounded by
-    ``n_parts`` per stage.  Driver holds the pair list itself (candidate
-    pairs ≪ corpus — the broadcast-tier assumption, as in referential.py).
+    Duplicate candidate pairs are deduped here (so upstream LSH emitters
+    need not pay their own dedup exchange).
     """
     import ray.data
 
     out_schema = pa.schema([("doc_a", pa.string()), ("doc_b", pa.string()),
                             ("jaccard", pa.float64())])
-    pair_rows = (pairs_ds.take_all() if hasattr(pairs_ds, "take_all")
-                 else pairs_ds.to_pylist())
+    raw_rows = (pairs_ds.take_all() if hasattr(pairs_ds, "take_all")
+                else pairs_ds.to_pylist())
+    seen = set()
+    pair_rows = []
+    for r in raw_rows:
+        t = (r["doc_a"], r["doc_b"])
+        if t not in seen:
+            seen.add(t)
+            pair_rows.append(r)
     if not pair_rows:
         return out_schema.empty_table()
     wanted = frozenset(r["doc_a"] for r in pair_rows) | \
         frozenset(r["doc_b"] for r in pair_rows)
+
+    if len(wanted) <= broadcast_threshold:
+        wanted_arr0 = pa.array(sorted(wanted), pa.string())
+
+        def keep(b: pa.Table) -> pa.Table:
+            keys = b.column(key).cast(pa.string())
+            kept = b.filter(pc.is_in(keys, value_set=wanted_arr0))
+            return pa.Table.from_arrays(
+                [kept.column(key).cast(pa.string()),
+                 kept.column(column).cast(pa.string())],
+                names=["k", "t"])
+
+        texts = {}
+        for r in docs_ds.map_batches(keep, batch_format="pyarrow",
+                                     zero_copy_batch=True).take_all():
+            texts[r["k"]] = r["t"]
+        out = []
+        for r in pair_rows:
+            j = jaccard(texts.get(r["doc_a"], ""),
+                        texts.get(r["doc_b"], ""), k)
+            if j >= threshold:
+                out.append({"doc_a": r["doc_a"], "doc_b": r["doc_b"],
+                            "jaccard": j})
+        out.sort(key=lambda r: (r["doc_a"], r["doc_b"]))
+        return pa.Table.from_pylist(out, schema=out_schema)
 
     slot_schema = pa.schema([("part", pa.int64()), ("side", pa.int8()),
                              ("doc_id", pa.string()),

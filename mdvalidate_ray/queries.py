@@ -625,8 +625,12 @@ def minhash_pairs(sf_dir: str):
         verify_pairs_jaccard,
     )
 
-    docs = _augmented_docs(sf_dir)
-    candidates = minhash_near_duplicates(docs, threshold=0.9, verify="none")
+    # two consumers (banding, text lookup) — materialize once so the
+    # union+copies lineage doesn't re-execute (at corpus scale you would
+    # instead re-read from storage; blocks here are small and spillable)
+    docs = _augmented_docs(sf_dir).materialize()
+    candidates = minhash_near_duplicates(docs, threshold=0.9, verify="none",
+                                         dedup=False)
     verified = verify_pairs_jaccard(candidates, docs, threshold=0.9)
     # pair keys are strings ordered lexicographically inside the operator;
     # normalize to numeric (doc_a < doc_b as ints) for the SQL compare
