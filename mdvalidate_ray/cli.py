@@ -44,21 +44,49 @@ def print_violation_report(violations: list, quiet: bool,
               f"got {v['actual']!r}", file=out)
 
 
+def print_source_report(violations: list, spans: list, source: str,
+                        input_path: str, out=sys.stderr) -> None:
+    """Source-context error report for single-document mode — the analog
+    of the reference's ariadne reports (errors.rs:543–947): each violation
+    points at the offending source line with a caret label."""
+    src_lines = source.split("\n")
+    by_offset = {s["offset"]: s for s in spans}
+    for v in violations:
+        span = by_offset.get(v["span_index"])
+        line_no = span.get("line") if span else None
+        print(f"error[{v['kind']}] ({v['constraint_id']})", file=out)
+        if line_no and 1 <= line_no <= len(src_lines):
+            src = src_lines[line_no - 1]
+            gutter = f"{line_no:>4} "
+            print(f"  --> {input_path}:{line_no}", file=out)
+            print(f"{gutter}| {src}", file=out)
+            print(f"{' ' * len(gutter)}| {'^' * max(len(src.strip()), 1)} "
+                  f"expected {v['expected']!r}, got {v['actual']!r}",
+                  file=out)
+        else:
+            print(f"  at span {v['span_index']}: expected "
+                  f"{v['expected']!r}, got {v['actual']!r}", file=out)
+        print(file=out)
+
+
 def run_single(schema_text: str, input_path: str, output, args) -> int:
     from mdvalidate_ray.evaluate.evaluator import evaluate_spans
     from mdvalidate_ray.schema.compiler import compile_schema
     from mdvalidate_ray.sources.markdown import markdown_to_spans
 
     compiled = compile_schema(schema_text)
-    spans = markdown_to_spans(_read_text(input_path))
+    source = _read_text(input_path)
+    spans = markdown_to_spans(source)
     result = evaluate_spans(spans, compiled)
     if result.passed:
         print(result.captures_json(), file=output)
         if not args.quiet:
             print("validation passed", file=sys.stderr)
         return 0
-    print_violation_report(
-        [dict(v) for v in result.violations], args.quiet)
+    if not args.quiet:
+        print_source_report([dict(v) for v in result.violations],
+                            spans, source,
+                            input_path if input_path != "-" else "<stdin>")
     return 1
 
 

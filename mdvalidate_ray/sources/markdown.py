@@ -81,26 +81,35 @@ def _flatten_inline(text: str, add, linkdefs: dict | None = None) -> None:
 
 
 def markdown_to_spans(text: str) -> list[dict]:
-    """One markdown document → span dicts (kind, text, media_ref, offset)."""
+    """One markdown document → span dicts (kind, text, media_ref, offset).
+
+    Each span also carries a ``line`` key (1-based source line of the
+    block it belongs to) for the CLI's source-context error reports; the
+    Arrow documents schema ignores it (struct conversion drops unknown
+    keys), so the storage contract is unchanged."""
     spans: list[dict] = []
+    cur_line = [1]
 
     def add(kind, t="", media_ref=""):
         spans.append({"kind": kind, "text": t, "media_ref": media_ref,
-                      "offset": len(spans)})
+                      "offset": len(spans), "line": cur_line[0]})
 
     # pass 1: collect link reference definitions ("[label]: url") and drop
     # those lines — references resolve during inline flattening
     linkdefs: dict[str, str] = {}
     lines = []
-    for raw in text.split("\n"):
+    orig_line = []
+    for ln, raw in enumerate(text.split("\n"), start=1):
         dm = _LINKDEF_RE.match(raw)
         if dm and not _LIST_RE.match(raw):
             linkdefs.setdefault(dm.group(1).lower(), dm.group(2))
         else:
             lines.append(raw)
+            orig_line.append(ln)
     i, n = 0, len(lines)
     in_table = False
     while i < n:
+        cur_line[0] = orig_line[i]
         line = lines[i]
         if not line.strip():
             in_table = False
@@ -162,6 +171,7 @@ def markdown_to_spans(text: str) -> list[dict]:
                             i = j
                             continue
                     break
+                cur_line[0] = orig_line[i]
                 depth = _indent_depth(m2.group(1))
                 cls = _marker_class(m2.group(2))
                 if depth == 0:

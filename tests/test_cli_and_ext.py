@@ -236,3 +236,18 @@ def test_markdown_list_item_continuation_lines():
            markdown_to_spans("- a long item\n  continued here\n- second\n")]
     assert got == [("list_item", "a long item continued here"),
                    ("list_item", "second")]
+
+
+def test_cli_source_context_report(tmp_path, capsys):
+    from mdvalidate_ray.cli import main
+
+    schema = tmp_path / "s.md"
+    schema.write_text("# `t:/Report .*/`\n")
+    doc = tmp_path / "d.md"
+    doc.write_text("# Wrong\n")
+    rc = main([str(schema), str(doc)])
+    assert rc == 1
+    err = capsys.readouterr().err
+    assert f"--> {doc}:1" in err
+    assert "# Wrong" in err and "^" in err
+    assert "expected" in err
