@@ -49,6 +49,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hist_text_len": Q.hist_text_len,
         "dup_orderkeys": Q.dup_orderkeys,
         "orphan_events": Q.orphan_events,
+        "dangling_parts": Q.dangling_parts,
         "quantiles_nchars": Q.quantiles_nchars,
         # relational demos
         "q1_pricing": Q.q1_pricing,
@@ -104,6 +105,15 @@ def oracle_sql() -> dict[str, str]:
         "orphan_events": """
             SELECT DISTINCT user_id FROM events
             WHERE user_id NOT IN (SELECT c_custkey FROM customer)
+        """,
+        "dangling_parts": """
+            WITH kept AS (
+                SELECT p_partkey FROM part
+                WHERE p_partkey <= (SELECT (count(*) * 95) // 100 FROM part)
+            )
+            SELECT DISTINCT l_orderkey, l_partkey
+            FROM lineitem
+            WHERE l_partkey NOT IN (SELECT p_partkey FROM kept)
         """,
         "quantiles_nchars": """
             SELECT quantile_disc(n_chars, 0.25)::BIGINT AS q25,

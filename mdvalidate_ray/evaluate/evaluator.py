@@ -35,12 +35,11 @@ Rows are complete documents, matching the reference's authoritative EOF pass
 (validator.rs:161–168); the streaming partial-match tolerances are
 deliberately out of scope for the batch engine (SURVEY.md §2.7).
 
-Known flattening limitation: two ADJACENT sibling lists (no other block
-between them) are indistinguishable in the flat span encoding — their
-``list_item`` runs merge, so a schema with two consecutive list blocks
-sees one long list.  Paragraphs/quotes/tables are unaffected (they carry
-marker spans or kind changes).  Schema authors: separate sibling lists
-with any other block, as one would in renderable markdown anyway.
+Boundary markers: a ``list_break`` span separates ADJACENT sibling lists
+(distinct list nodes in the reference's tree — emitted by the markdown
+flattener on a top-level marker-class change) and a ``quote`` span's
+nested BLOCK body is closed by a ``quote_end`` marker; both markers are
+transparent to content matching and only scope the block walk.
 """
 
 from __future__ import annotations
@@ -112,8 +111,8 @@ class _Ctx:
 
     def span_index(self, span: Optional[dict]) -> int:
         if span is None:
-            return self.spans[-1]["offset"] if self.spans else -1
-        return span["offset"]
+            return self.spans[-1][3] if self.spans else -1
+        return span[3]
 
     def violate(self, cid: str, kind: str, expected: str, actual: str,
                 span: Optional[dict]) -> None:
@@ -287,7 +286,7 @@ def _collect_children(ctx: _Ctx) -> list:
     children = []
     while True:
         s = ctx.peek()
-        if s is None or s["kind"] not in INLINE_KINDS:
+        if s is None or s[0] not in INLINE_KINDS:
             break
         children.append(ctx.take())
     return children
@@ -302,21 +301,21 @@ def _eval_inline_container(ctx: _Ctx, cid: str, parts: list) -> None:
                     children[0] if children else None)
         # still pairwise-match the overlap for better reports
     for (kind, payload), span in zip(units, children):
-        if span["kind"] != kind:
+        if span[0] != kind:
             ctx.violate(cid, ViolationKind.NODE_TYPE_MISMATCH, kind,
-                        span["kind"], span)
+                        span[0], span)
             continue
         if kind == "text":
-            _match_text_unit(ctx, cid, payload, span["text"], span)
+            _match_text_unit(ctx, cid, payload, span[1], span)
         elif kind in ("emphasis", "strong_emphasis"):
-            _match_text_unit(ctx, cid, payload, span["text"], span)
+            _match_text_unit(ctx, cid, payload, span[1], span)
         elif kind == "code_span":
-            if span["text"] != payload.text:
+            if span[1] != payload.text:
                 ctx.violate(cid, ViolationKind.CONTENT_LITERAL, payload.text,
-                            span["text"], span)
+                            span[1], span)
         else:  # link / image
-            _match_scalar(ctx, cid, payload.text, span["text"], span)
-            _match_scalar(ctx, cid, payload.dest, span["media_ref"], span)
+            _match_scalar(ctx, cid, payload.text, span[1], span)
+            _match_scalar(ctx, cid, payload.dest, span[2], span)
 
 
 # ---------------------------------------------------------------------------
@@ -337,13 +336,13 @@ def _parse_doc_list(ctx: _Ctx) -> list:
     items: list[tuple[int, _DocListItem]] = []
     while True:
         s = ctx.peek()
-        if s is None or s["kind"] not in LIST_KINDS:
+        if s is None or s[0] not in LIST_KINDS:
             break
         ctx.take()
-        raw = s["text"]
+        raw = s[1]
         depth = len(raw) - len(raw.lstrip("\t"))
         items.append((depth, _DocListItem(
-            span=s, text=raw[depth:], ordered=(s["kind"] == "ordered_list_item"))))
+            span=s, text=raw[depth:], ordered=(s[0] == "ordered_list_item"))))
     roots: list[_DocListItem] = []
     stack: list[tuple[int, _DocListItem]] = []
     for depth, item in items:
@@ -396,10 +395,10 @@ def _try_fast_list(ctx: _Ctx, tmpl: ListTemplate) -> Optional[dict]:
     nspans = len(spans)
     texts = []
     while pos < nspans:
-        k = spans[pos]["kind"]
+        k = spans[pos][0]
         if k not in LIST_KINDS:
             break
-        t = spans[pos]["text"]
+        t = spans[pos][1]
         if k != want_kind or t.startswith("\t"):
             return None            # wrong class or nested → interpreter
         texts.append(t)
@@ -590,14 +589,14 @@ def _try_fast_table(ctx: _Ctx, tmpl: TableTemplate) -> bool:
     pos = ctx.pos
     n = len(spans)
     hdr = []
-    while pos < n and spans[pos]["kind"] == "table_header_cell":
-        hdr.append(spans[pos]["text"].strip())
+    while pos < n and spans[pos][0] == "table_header_cell":
+        hdr.append(spans[pos][1].strip())
         pos += 1
     if hdr != header_flat:
         return False
     cells = []
-    while pos < n and spans[pos]["kind"] == "table_cell":
-        cells.append(spans[pos]["text"].strip())
+    while pos < n and spans[pos][0] == "table_cell":
+        cells.append(spans[pos][1].strip())
         pos += 1
     if len(cells) % ncols != 0:
         return False
@@ -627,7 +626,7 @@ def _eval_table(ctx: _Ctx, cid: str, tmpl: TableTemplate) -> None:
     header_spans = []
     while True:
         s = ctx.peek()
-        if s is None or s["kind"] != "table_header_cell":
+        if s is None or s[0] != "table_header_cell":
             break
         header_spans.append(ctx.take())
     ncols = len(tmpl.header)
@@ -638,12 +637,12 @@ def _eval_table(ctx: _Ctx, cid: str, tmpl: TableTemplate) -> None:
         return
     for ci, (cell_tmpl, span) in enumerate(zip(tmpl.header, header_spans)):
         _match_text_unit(ctx, f"{cid}.header.cell{ci}", cell_tmpl,
-                         span["text"], span, trim=True, cacheable=True)
+                         span[1], span, trim=True, cacheable=True)
 
     cell_spans = []
     while True:
         s = ctx.peek()
-        if s is None or s["kind"] != "table_cell":
+        if s is None or s[0] != "table_cell":
             break
         cell_spans.append(ctx.take())
     if ncols and len(cell_spans) % ncols != 0:
@@ -694,7 +693,7 @@ def _eval_table_row(ctx: _Ctx, row_cid: str, row_tmpl: TableRowTemplate,
         cell_cid = f"{row_cid}.cell{ci}"
         sub = _Ctx(spans=[], violations=ctx.violations,
                    flat_cache=ctx.flat_cache)
-        val = _match_text_unit(sub, cell_cid, cell_tmpl, span["text"], span,
+        val = _match_text_unit(sub, cell_cid, cell_tmpl, span[1], span,
                                trim=True, cacheable=True)
         # repeated rows accumulate per-cell column arrays
         # (tables.rs:245–376: {"item": [...], "price": [...]})
@@ -721,9 +720,9 @@ def _eval_quote_blocks(ctx: _Ctx, cid: str, block) -> None:
     depth, found = 1, False
     while ctx.pos < len(ctx.spans):
         s = ctx.spans[ctx.pos]
-        if s["kind"] == "quote":
+        if s[0] == "quote":
             depth += 1
-        elif s["kind"] == "quote_end":
+        elif s[0] == "quote_end":
             depth -= 1
             if depth == 0:
                 ctx.pos += 1
@@ -740,7 +739,7 @@ def _eval_quote_blocks(ctx: _Ctx, cid: str, block) -> None:
     if sub.pos < len(body):
         extra = body[sub.pos]
         sub.violate(cid, ViolationKind.STRUCT_INPUT_HAS_CHILD,
-                    "end of quote", extra["kind"], extra)
+                    "end of quote", extra[0], extra)
 
 
 def _block_expected_kind(block) -> str:
@@ -767,7 +766,15 @@ def evaluate_spans(spans: list, schema: CompiledSchema) -> EvalResult:
     Returns (passed, violations, captures) — the tabular form of the
     reference's ``(exit code, Vec<ValidationError>, matches JSON)`` triple
     (src/cmd.rs:152–178, README.md:105–137).
-    """
+
+    Accepts span DICTS (the public contract) or the internal tuple form
+    ``(kind, text, media_ref, offset)`` — the hot path
+    (:class:`~mdvalidate_ray.stages.validate.ConstraintEvaluator`) builds
+    tuples straight from Arrow columns via ``zip`` (C-level, no per-span
+    Python object assembly)."""
+    if spans and isinstance(spans[0], dict):
+        spans = [(s["kind"], s["text"], s.get("media_ref"),
+                  s.get("offset", i)) for i, s in enumerate(spans)]
     ctx = _Ctx(spans=spans)
     _eval_blocks(ctx, schema.blocks, "")
 
@@ -775,10 +782,10 @@ def evaluate_spans(spans: list, schema: CompiledSchema) -> EvalResult:
         # InputHasChildSchemaDoesnt (nodes.rs:174–221); report the content
         # span, not a list_break separator
         extra = ctx.spans[ctx.pos]
-        if extra["kind"] == "list_break" and ctx.pos + 1 < len(ctx.spans):
+        if extra[0] == "list_break" and ctx.pos + 1 < len(ctx.spans):
             extra = ctx.spans[ctx.pos + 1]
         ctx.violate("doc", ViolationKind.STRUCT_INPUT_HAS_CHILD,
-                    "end of document", extra["kind"], extra)
+                    "end of document", extra[0], extra)
 
     return EvalResult(passed=not ctx.violations, violations=ctx.violations,
                       captures=ctx.captures)
@@ -792,7 +799,7 @@ def _eval_blocks(ctx: _Ctx, blocks: list, prefix: str) -> None:
     for bi, block in enumerate(blocks):
         cid = f"{prefix}b{bi}"
         span = ctx.peek()
-        if span is not None and span["kind"] == "list_break":
+        if span is not None and span[0] == "list_break":
             # list_break marks the boundary between ADJACENT sibling lists
             # (distinct list nodes in the reference's tree) — consume the
             # marker; _parse_doc_list stops at it, so the two lists
@@ -806,20 +813,20 @@ def _eval_blocks(ctx: _Ctx, blocks: list, prefix: str) -> None:
             continue
 
         if isinstance(block, Heading):
-            if span["kind"] not in HEADING_KINDS:
+            if span[0] not in HEADING_KINDS:
                 ctx.violate(cid, ViolationKind.NODE_TYPE_MISMATCH,
-                            f"heading{block.level}", span["kind"], span)
+                            f"heading{block.level}", span[0], span)
                 ctx.take()
                 continue
-            if span["kind"] != f"heading{block.level}":
+            if span[0] != f"heading{block.level}":
                 # heading-level mismatch is a kind mismatch
                 # (validators/headings.rs:24–137)
                 ctx.violate(cid, ViolationKind.NODE_TYPE_MISMATCH,
-                            f"heading{block.level}", span["kind"], span)
+                            f"heading{block.level}", span[0], span)
                 ctx.take()
                 continue
             ctx.take()
-            _match_text_unit(ctx, cid, block.inline, span["text"], span)
+            _match_text_unit(ctx, cid, block.inline, span[1], span)
 
         elif isinstance(block, RepeatedParagraph):
             # consumes m..n consecutive input paragraphs into an array
@@ -836,19 +843,19 @@ def _eval_blocks(ctx: _Ctx, blocks: list, prefix: str) -> None:
             values: list = []
             consumed = 0
             while (max_n == UNBOUNDED or consumed < max_n) and \
-                    pos < nspans and spans_[pos]["kind"] == "paragraph":
+                    pos < nspans and spans_[pos][0] == "paragraph":
                 k = pos + 1
-                if k < nspans and spans_[k]["kind"] in INLINE_KINDS:
+                if k < nspans and spans_[k][0] in INLINE_KINDS:
                     if (k + 1 < nspans
-                            and spans_[k + 1]["kind"] in INLINE_KINDS):
+                            and spans_[k + 1][0] in INLINE_KINDS):
                         parts = []
                         while k < nspans and \
-                                spans_[k]["kind"] in INLINE_KINDS:
-                            parts.append(spans_[k]["text"])
+                                spans_[k][0] in INLINE_KINDS:
+                            parts.append(spans_[k][1])
                             k += 1
                         text = "".join(parts)
                     else:
-                        text = spans_[k]["text"]
+                        text = spans_[k][1]
                         k += 1
                 else:
                     text = ""
@@ -869,19 +876,19 @@ def _eval_blocks(ctx: _Ctx, blocks: list, prefix: str) -> None:
                 ctx.capture(m.capture_id, values)
 
         elif isinstance(block, Paragraph):
-            if span["kind"] != "paragraph":
+            if span[0] != "paragraph":
                 ctx.violate(cid, ViolationKind.NODE_TYPE_MISMATCH, "paragraph",
-                            span["kind"], span)
+                            span[0], span)
                 ctx.take()
                 continue
             ctx.take()
             _eval_inline_container(ctx, cid, block.inline)
 
         elif isinstance(block, ListTemplate):
-            if span["kind"] not in LIST_KINDS:
+            if span[0] not in LIST_KINDS:
                 ctx.violate(cid, ViolationKind.NODE_TYPE_MISMATCH,
                             _list_class_str(block.ordered, block.marker),
-                            span["kind"], span)
+                            span[0], span)
                 ctx.take()
                 continue
             captured = _eval_list(ctx, cid, block)
@@ -889,9 +896,9 @@ def _eval_blocks(ctx: _Ctx, blocks: list, prefix: str) -> None:
                 ctx.capture(k, v)
 
         elif isinstance(block, Quote):
-            if span["kind"] != "quote":
+            if span[0] != "quote":
                 ctx.violate(cid, ViolationKind.NODE_TYPE_MISMATCH, "quote",
-                            span["kind"], span)
+                            span[0], span)
                 ctx.take()
                 continue
             ctx.take()
@@ -901,36 +908,36 @@ def _eval_blocks(ctx: _Ctx, blocks: list, prefix: str) -> None:
                 _eval_inline_container(ctx, cid, block.inline)
 
         elif isinstance(block, CodeBlock):
-            if span["kind"] != "code_lang":
+            if span[0] != "code_lang":
                 ctx.violate(cid, ViolationKind.NODE_TYPE_MISMATCH, "code_lang",
-                            span["kind"], span)
+                            span[0], span)
                 ctx.take()
                 continue
             lang_span = ctx.take()
             if block.lang is not None:
                 _match_scalar(ctx, f"{cid}.lang", block.lang,
-                              lang_span["text"], lang_span)
+                              lang_span[1], lang_span)
             body_span = ctx.peek()
-            if body_span is None or body_span["kind"] != "code_body":
+            if body_span is None or body_span[0] != "code_body":
                 ctx.violate(cid, ViolationKind.STRUCT_SCHEMA_HAS_CHILD,
                             "code_body",
-                            body_span["kind"] if body_span else "end of document",
+                            body_span[0] if body_span else "end of document",
                             body_span)
                 continue
             ctx.take()
             _match_scalar(ctx, f"{cid}.body", block.body,
-                          body_span["text"], body_span)
+                          body_span[1], body_span)
 
         elif isinstance(block, TableTemplate):
-            if span["kind"] != "table_header_cell":
+            if span[0] != "table_header_cell":
                 ctx.violate(cid, ViolationKind.NODE_TYPE_MISMATCH,
-                            "table_header_cell", span["kind"], span)
+                            "table_header_cell", span[0], span)
                 ctx.take()
                 continue
             _eval_table(ctx, cid, block)
 
         elif isinstance(block, Ruler):
-            if span["kind"] != "ruler":
+            if span[0] != "ruler":
                 ctx.violate(cid, ViolationKind.NODE_TYPE_MISMATCH, "ruler",
-                            span["kind"], span)
+                            span[0], span)
             ctx.take()

@@ -145,6 +145,51 @@ def orphan_events(sf_dir: str):
                                 names=["user_id"])
 
 
+def dangling_parts(sf_dir: str):
+    """Referential integrity through the REAL tiered machinery
+    (stages/referential.check_refs: broadcast exact-key probe ≤ threshold,
+    Bloom + co-partitioned anti-join above): lineitem.l_partkey must
+    exist in part.p_partkey.  A negative-control set is planted by
+    excluding the last 5% of part keys from the 'asset' side, so the
+    check is non-degenerate and the oracle can recompute the exact
+    dangling pairs."""
+    from mdvalidate_ray.stages.referential import check_refs
+
+    part_keys = _read(sf_dir, "part").select_columns(["p_partkey"])
+    n_parts_total = part_keys.count()
+    cutoff = (n_parts_total * 95) // 100
+
+    def keep_assets(b: pa.Table) -> pa.Table:
+        kept = b.filter(pc.less_equal(b.column("p_partkey"), cutoff))
+        return pa.Table.from_arrays(
+            [pc.cast(kept.column("p_partkey"), pa.string())],
+            names=["asset_id"])
+
+    assets = part_keys.map_batches(keep_assets, batch_format="pyarrow")
+
+    refs = _read(sf_dir, "lineitem").select_columns(
+        ["l_orderkey", "l_partkey"]).map_batches(
+        lambda b: pa.Table.from_arrays(
+            [pc.cast(b.column("l_orderkey"), pa.string()),
+             pc.cast(b.column("l_partkey"), pa.string())],
+            names=["doc_id", "media_ref"]),
+        batch_format="pyarrow")
+
+    dangling = check_refs(refs, assets)
+    out = dangling.map_batches(
+        lambda b: pa.Table.from_arrays(
+            [pc.cast(b.column("doc_id"), pa.int64()),
+             pc.cast(b.column("media_ref"), pa.int64())],
+            names=["l_orderkey", "l_partkey"]),
+        batch_format="pyarrow")
+    rows = sorted({(r["l_orderkey"], r["l_partkey"])
+                   for r in out.take_all()})
+    return pa.Table.from_arrays(
+        [pa.array([r[0] for r in rows], pa.int64()),
+         pa.array([r[1] for r in rows], pa.int64())],
+        names=["l_orderkey", "l_partkey"])
+
+
 def quantiles_nchars(sf_dir: str):
     from mdvalidate_ray.functions.relational import exact_quantiles
 

@@ -102,9 +102,8 @@ class ConstraintEvaluator:
         passed, captures, nspans, nviol, viols = [], [], [], [], []
         for i in range(len(spans_col)):
             s, e = offsets[i], offsets[i + 1]
-            spans = [{"kind": k, "text": t, "media_ref": m, "offset": o}
-                     for k, t, m, o in zip(kinds[s:e], texts[s:e],
-                                           refs[s:e], offs[s:e])]
+            # tuple spans built by zip — C-level, no per-span dict/objects
+            spans = list(zip(kinds[s:e], texts[s:e], refs[s:e], offs[s:e]))
             r = evaluate_spans(spans, self.compiled)
             passed.append(r.passed)
             captures.append(
