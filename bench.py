@@ -80,8 +80,7 @@ def run_headline(num_docs: int, num_cpus: int) -> dict:
     import ray.data
 
     from mdvalidate_ray.corpus import flagship_schema_text
-    from mdvalidate_ray.stages.referential import check_refs, refs_from_validated
-    from mdvalidate_ray.stages.uniqueness import sketch_pass
+    from mdvalidate_ray.stages.uniqueness import sketch_and_refs_pass
     from mdvalidate_ray.stages.validate import (
         validate_dataset,
         violations_dataset,
@@ -114,43 +113,54 @@ def run_headline(num_docs: int, num_cpus: int) -> dict:
     timings = {}
     errors = []
 
-    def writes():
-        try:
-            tw = time.monotonic()
-            # dictionary encoding is wasted CPU on long unique strings
-            # (captures JSON); lz4 encodes faster than snappy at same size
-            mat.select_columns(
-                ["doc_id", "passed", "captures", "n_spans", "n_violations"]
-            ).write_parquet(out_dir, use_dictionary=False, compression="lz4")
-            violations_dataset(mat).write_parquet(
-                viol_dir, use_dictionary=False, compression="lz4")
-            timings["write_sec"] = time.monotonic() - tw
-        except BaseException as e:   # surface in main thread
-            errors.append(e)
+    def run_write(name, fn):
+        def body():
+            try:
+                tw = time.monotonic()
+                fn()
+                timings[name] = time.monotonic() - tw
+            except BaseException as e:   # surface in main thread
+                errors.append(e)
+        return body
 
     import threading
 
-    th = threading.Thread(target=writes)
-    th.start()
+    # three-way overlap: each tail consumer is its own Dataset execution
+    # with ~1s fixed startup, so running them serially made the tail a
+    # flat sum; concurrently the tail ≈ the slowest one (the verdict
+    # write, which on one box is disk-bandwidth-bound)
+    threads = [
+        threading.Thread(target=run_write("write_verdicts_sec", lambda:
+            mat.select_columns(
+                ["doc_id", "passed", "captures", "n_spans", "n_violations"]
+            ).write_parquet(out_dir, use_dictionary=False,
+                            compression="lz4"))),
+        threading.Thread(target=run_write("write_violations_sec", lambda:
+            violations_dataset(mat).write_parquet(
+                viol_dir, use_dictionary=False, compression="lz4"))),
+    ]
+    for th in threads:
+        th.start()
 
-    # uniqueness + drift share ONE pass over the verdict columns
-    # (combined HLL+KLL partials); referential runs off the same
-    # materialized stream with its own (shuffle-bearing) plan
+    # uniqueness + drift + referential in ONE fused pass over the
+    # materialized verdict columns (broadcast exact-key probe tier —
+    # the asset table is small relative to the corpus)
     tu = time.monotonic()
-    hll, sketch = sketch_pass(mat.select_columns(["doc_id", "n_spans"]),
-                              "doc_id", "n_spans")
+    import pyarrow.parquet as pq
+
+    asset_keys = pq.read_table(
+        os.path.join(path, "assets.parquet"),
+        columns=["asset_id"]).column("asset_id").combine_chunks()
+    hll, sketch, n_dangling, _sample = sketch_and_refs_pass(
+        mat.select_columns(["doc_id", "n_spans", "media_refs"]),
+        "doc_id", "n_spans", "media_refs", asset_keys)
     n_rows = num_docs
     bound = 4 * hll.rel_error * n_rows
     uniq = {"passed": abs(n_rows - hll.estimate()) <= bound}
-    t_uniq = time.monotonic() - tu
+    t_wide = time.monotonic() - tu
 
-    tr = time.monotonic()
-    assets = ray.data.read_parquet(os.path.join(path, "assets.parquet"))
-    n_dangling = check_refs(
-        refs_from_validated(mat.select_columns(["doc_id", "media_refs"])),
-        assets).count()
-    t_ri = time.monotonic() - tr
-    th.join()
+    for th in threads:
+        th.join()
     if errors:
         raise errors[0]
     t_tail = time.monotonic() - t1
@@ -162,9 +172,12 @@ def run_headline(num_docs: int, num_cpus: int) -> dict:
         "docs_per_sec": round(num_docs / total, 1),
         "validate_sec": round(t_validate, 3),
         "tail_sec": round(t_tail, 3),
-        "write_sec": round(timings.get("write_sec", -1.0), 3),
-        "uniqueness_sec": round(t_uniq, 3),
-        "referential_sec": round(t_ri, 3),
+        "write_sec": round(timings.get("write_verdicts_sec", -1.0), 3),
+        "write_violations_sec": round(
+            timings.get("write_violations_sec", -1.0), 3),
+        "uniqueness_sec": round(t_wide, 3),
+        "referential_sec": 0.0,   # fused into the wide pass
+        "wide_pass_sec": round(t_wide, 3),
         "drift_sec": 0.0,
         "uniqueness_passed": bool(uniq["passed"]) if uniq else None,
         "n_dangling": int(n_dangling),
