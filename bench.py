@@ -324,12 +324,18 @@ def main_scaling() -> dict:
                    GRAFT_SF_DIR=SF_DIR, BENCH_DOCS_MULT=str(DOCS_MULTIPLIER))
         log(f"--- scaling run: num_cpus={cpus} ---")
         warm_cache(corpus_dir(num_docs))
-        proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--headline-only"],
-            env=env, capture_output=True, text=True, timeout=3600)
-        if proc.returncode != 0:
+        for attempt in (1, 2):
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--headline-only"],
+                env=env, capture_output=True, text=True, timeout=3600)
+            if proc.returncode == 0:
+                break
+            # transient env flakes (e.g. fsspec lazy-import races) get one
+            # retry; a persistent failure still aborts loudly
             log(proc.stderr[-2000:])
-            raise RuntimeError(f"scaling run at {cpus} cpus failed")
+            if attempt == 2:
+                raise RuntimeError(f"scaling run at {cpus} cpus failed")
         line = proc.stdout.strip().splitlines()[-1]
         results[cpus].append(json.loads(line))
     d8 = sum(r["docs_per_sec"] for r in results[8]) / len(results[8])
