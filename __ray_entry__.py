@@ -76,6 +76,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_pairs": Q.simhash_pairs,
         # similarity
         "knn": Q.knn,
+        "knn_ivf": Q.knn_ivf,
         "embedding_dups": Q.embedding_dups,
         # multimodal plumbing
         "media_decode": Q.media_decode,

@@ -906,6 +906,13 @@ def _eval_blocks(ctx: _Ctx, blocks: list, prefix: str) -> None:
                 _eval_quote_blocks(ctx, cid, block)
             else:
                 _eval_inline_container(ctx, cid, block.inline)
+                # the markdown flattener closes EVERY quote body with a
+                # quote_end marker (uniform encoding keeps the blocky
+                # body scan's nesting count correct); hand-built span
+                # sequences without the marker are still accepted
+                nxt = ctx.peek()
+                if nxt is not None and nxt[0] == "quote_end":
+                    ctx.take()
 
         elif isinstance(block, CodeBlock):
             if span[0] != "code_lang":

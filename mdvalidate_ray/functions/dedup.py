@@ -225,8 +225,7 @@ def minhash_near_duplicates(ds, *, threshold: float = 0.8,
                             num_perm: int = 64, bands: int = 16, k: int = 3,
                             column: str = "text", key: str = "doc_id",
                             max_bucket: int = 5000, n_parts: int = 128,
-                            verify: str = "signature", dedup: bool = True,
-                            concurrency=(1, 8)):
+                            verify: str = "signature", dedup: bool = True):
     """Near-dup pairs.
 
     ``verify="signature"``: today's single-stage contract — signatures ride
@@ -384,8 +383,7 @@ class SimHashStage:
 
 def simhash_near_duplicates(ds, *, max_hamming: int = 3,
                             column: str = "text", key: str = "doc_id",
-                            max_bucket: int = 5000, hash_fn: str = "fast",
-                            concurrency=(1, 8)):
+                            max_bucket: int = 5000, hash_fn: str = "fast"):
     """Pairs with hamming(simhash) ≤ max_hamming (pigeonhole banding).
 
     Recall is EXACT for ``max_hamming ≤ 3``: with 4×16-bit chunks, any

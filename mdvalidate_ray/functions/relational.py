@@ -166,19 +166,22 @@ def asof_join(left_ds, right_ds, *, key: str, left_time: str,
     bucket of the key (:func:`asof_join_partitioned`)."""
     import ray
 
-    n_right = right_ds.count()
+    rcols = list(dict.fromkeys([key, right_time, tiebreak] + value_cols))
+    # materialize ONCE: count() for the tier decision and the collect /
+    # co-partition consumer would otherwise each re-execute the right
+    # side's lineage
+    right_mat = right_ds.select_columns(rcols).materialize()
+    n_right = right_mat.count()
     if n_right <= broadcast_threshold:
-        rcols = list(dict.fromkeys([key, right_time, tiebreak] + value_cols))
         right = pa.concat_tables([
-            ray.get(r).select(rcols) for r in
-            right_ds.select_columns(rcols).to_arrow_refs()])
+            ray.get(r).select(rcols) for r in right_mat.to_arrow_refs()])
         return asof_join_broadcast(
             left_ds, right, key=key, left_key=left_key,
             left_time=left_time, right_time=right_time,
             tiebreak=tiebreak, value_cols=value_cols,
             concurrency=concurrency)
     return asof_join_partitioned(
-        left_ds, right_ds, key=key, left_key=left_key,
+        left_ds, right_mat, key=key, left_key=left_key,
         left_time=left_time, right_time=right_time, tiebreak=tiebreak,
         value_cols=value_cols, n_parts=n_parts)
 
@@ -318,13 +321,17 @@ def semi_join_keys(ds, keys_ds, *, left_key: str, right_key: str,
       maybe-hits (true hits + ~fp_rate false positives) co-partition with
       the key rows on ``hash(key) % n_buckets`` for exact verification.
     """
-    n_keys = keys_ds.count()
+    # materialize ONCE (count for the tier decision + the collect/bloom
+    # consumer would otherwise re-execute the key lineage)
+    keys_mat = keys_ds.select_columns([right_key]).materialize()
+    keys_ds = keys_mat
+    n_keys = keys_mat.count()
     if n_keys <= broadcast_threshold:
         import ray
 
         key_tbl = pa.concat_tables(
             [ray.get(r).select([right_key]) for r in
-             keys_ds.select_columns([right_key]).to_arrow_refs()])
+             keys_mat.to_arrow_refs()])
         keys = key_tbl.column(right_key).combine_chunks()
         # task-based probe, keys broadcast once via ray.put (see
         # referential.check_refs — avoids actor-pool spin-up)

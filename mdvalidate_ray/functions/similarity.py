@@ -179,13 +179,17 @@ class _BlockPairScorer:
     two normalized blocks from the object store (cached per actor) and
     emit all cross-block pairs with cosine ≥ threshold via one matmul."""
 
+    _MAX_CACHED_BLOCKS = 16   # LRU bound: without it each actor would
+    # asymptotically hold the whole normalized matrix
+
     def __init__(self, refs: list, threshold: float):
         self.refs = refs
         self.threshold = threshold
-        self._cache: dict = {}
+        self._cache: dict = {}   # insertion-ordered → cheap LRU
 
     def _block(self, i: int):
-        if i not in self._cache:
+        hit = self._cache.pop(i, None)
+        if hit is None:
             import ray
 
             t = ray.get(self.refs[i])
@@ -193,8 +197,11 @@ class _BlockPairScorer:
             vecs = (np.stack([np.frombuffer(b, dtype=np.float64)
                               for b in t.column("vec").to_pylist()])
                     if len(t) else np.zeros((0, 1)))
-            self._cache[i] = (keys, vecs)
-        return self._cache[i]
+            hit = (keys, vecs)
+            if len(self._cache) >= self._MAX_CACHED_BLOCKS:
+                self._cache.pop(next(iter(self._cache)))
+        self._cache[i] = hit      # re-insert = most recently used
+        return hit
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         rows = []

@@ -18,6 +18,20 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 
+
+def _half_away(x: float) -> int:
+    """DuckDB round() policy: half away from zero (Python round() is
+    banker's/half-to-even — a sum landing exactly on .5 would diverge)."""
+    import math
+
+    return int(math.floor(x + 0.5)) if x >= 0 else int(math.ceil(x - 0.5))
+
+
+def _pc_round(arr, ndigits: int = 0):
+    """pyarrow round with DuckDB's half-away-from-zero policy
+    (Arrow calls it half_towards_infinity = greater magnitude)."""
+    return pc.round(arr, ndigits, round_mode="half_towards_infinity")
+
 def _read(sf_dir: str, table: str):
     import ray.data
 
@@ -216,9 +230,9 @@ def q1_pricing(sf_dir: str):
     return agg.map_batches(
         lambda b: pa.Table.from_arrays(
             [b.column("l_returnflag"), b.column("l_linestatus"),
-             pc.round(pc.multiply(b.column("s_qty"), 100.0), 0).cast(pa.int64()),
-             pc.round(pc.multiply(b.column("s_price"), 100.0), 0).cast(pa.int64()),
-             pc.round(pc.multiply(b.column("m_disc"), 10000.0), 0).cast(pa.int64()),
+             _pc_round(pc.multiply(b.column("s_qty"), 100.0)).cast(pa.int64()),
+             _pc_round(pc.multiply(b.column("s_price"), 100.0)).cast(pa.int64()),
+             _pc_round(pc.multiply(b.column("m_disc"), 10000.0)).cast(pa.int64()),
              b.column("count_order").cast(pa.int64())],
             names=["l_returnflag", "l_linestatus", "sum_qty_c100",
                    "sum_base_price_c100", "avg_disc_bp", "count_order"]),
@@ -250,7 +264,7 @@ def top_customers(sf_dir: str):
                      cust.column("c_name").to_pylist()))
     return pa.Table.from_pylist([{
         "o_custkey": r["o_custkey"], "c_name": names[r["o_custkey"]],
-        "revenue_c100": int(round(r["rev"] * 100)),
+        "revenue_c100": _half_away(r["rev"] * 100),
         "n_orders": r["n_orders"],
     } for r in top])
 
@@ -284,7 +298,7 @@ def top_events(sf_dir: str):
                                ("event_id", "ascending")])
     return pa.Table.from_arrays(
         [top.column("event_id"),
-         pc.round(pc.multiply(top.column("value"), 1000.0), 0)
+         _pc_round(pc.multiply(top.column("value"), 1000.0))
            .cast(pa.int64())],
         names=["event_id", "value_m"])
 
@@ -354,7 +368,7 @@ def events_asof_orders(sf_dir: str):
     return joined.map_batches(
         lambda b: pa.Table.from_arrays(
             [b.column("event_id"), b.column("o_orderkey"),
-             pc.round(pc.multiply(b.column("o_totalprice"), 100.0), 0)
+             _pc_round(pc.multiply(b.column("o_totalprice"), 100.0))
                .cast(pa.int64())],
             names=["event_id", "o_orderkey", "price_c100"]),
         batch_format="pyarrow")
@@ -373,7 +387,7 @@ def user_sessions(sf_dir: str):
              b.column("n_events"),
              b.column("start_ts").cast(pa.int64()),
              b.column("end_ts").cast(pa.int64()),
-             pc.round(pc.multiply(b.column("sum_value"), 1000.0), 0)
+             _pc_round(pc.multiply(b.column("sum_value"), 1000.0))
                .cast(pa.int64())],
             names=["user_id", "session_id", "n_events", "start_us",
                    "end_us", "sum_value_m"]),
@@ -418,7 +432,7 @@ def q3_order_revenue(sf_dir: str):
                                ("l_orderkey", "ascending")]).to_pylist()
     return pa.Table.from_pylist([{
         "l_orderkey": r["l_orderkey"],
-        "revenue_c100": int(round(r["rev"] * 100)),
+        "revenue_c100": _half_away(r["rev"] * 100),
     } for r in top])
 
 
@@ -464,7 +478,7 @@ def part_type_stats(sf_dir: str):
     return agg.map_batches(
         lambda b: pa.Table.from_arrays(
             [b.column("p_type"),
-             pc.round(pc.multiply(b.column("m_price"), 100.0), 0).cast(pa.int64()),
+             _pc_round(pc.multiply(b.column("m_price"), 100.0)).cast(pa.int64()),
              b.column("n").cast(pa.int64())],
             names=["p_type", "avg_price_c100", "n"]),
         batch_format="pyarrow")
@@ -498,7 +512,7 @@ def q6_forecast_revenue(sf_dir: str):
                 li.map_batches(part, batch_format="pyarrow",
                                zero_copy_batch=True).take_all())
     return pa.Table.from_pylist(
-        [{"revenue_c100": int(round(total * 100))}],
+        [{"revenue_c100": _half_away(total * 100)}],
         schema=pa.schema([("revenue_c100", pa.int64())]))
 
 
@@ -577,7 +591,7 @@ def q5_local_supplier_volume(sf_dir: str):
     names = dict(zip(nations.column("n_nationkey").to_pylist(),
                      nations.column("n_name").to_pylist()))
     out = [{"n_name": names[r["n_nationkey"]],
-            "revenue_c100": int(round(r["sum(rev)"] * 100))}
+            "revenue_c100": _half_away(r["sum(rev)"] * 100)}
            for r in rows]
     out.sort(key=lambda r: r["n_name"])
     return pa.Table.from_pylist(out, schema=pa.schema(
@@ -627,10 +641,10 @@ def quality(sf_dir: str):
         b = add_quality(b)
         return pa.Table.from_arrays(
             [b.column("doc_id"),
-             pc.round(b.column("punct_ratio"), 6),
-             pc.round(b.column("digit_ratio"), 6),
-             pc.round(b.column("upper_ratio"), 6),
-             pc.round(b.column("stopword_ratio"), 6)],
+             _pc_round(b.column("punct_ratio"), 6),
+             _pc_round(b.column("digit_ratio"), 6),
+             _pc_round(b.column("upper_ratio"), 6),
+             _pc_round(b.column("stopword_ratio"), 6)],
             names=["doc_id", "punct_ratio", "digit_ratio", "upper_ratio",
                    "stopword_ratio"])
 
@@ -729,7 +743,30 @@ def knn(sf_dir: str):
         [pa.array([qrows[r["query_id"]]["vec_id"] for r in out.to_pylist()],
                   pa.int64()),
          out.column("key"),
-         pc.round(pc.multiply(out.column("score"), 1000.0), 0).cast(pa.int64())],
+         _pc_round(pc.multiply(out.column("score"), 1000.0)).cast(pa.int64())],
+        names=["query_id", "key", "score_m"])
+
+
+def knn_ivf(sf_dir: str):
+    """IVF-pruned approximate nearest neighbours (the ANN scale path):
+    k-means centroids from a sample, per-batch cluster assignment prunes
+    the stream, exact scoring on the surviving vectors.  Deterministic
+    (fixed seeds) but approximate — rows-only check; the recall-vs-exact
+    contract is pinned by test_functions.test_ivf_recall."""
+    import numpy as np
+
+    from mdvalidate_ray.functions.similarity import knn_ivf as _ivf
+
+    emb = _read(sf_dir, "embeddings")
+    qrows = sorted(emb.take(16), key=lambda r: r["vec_id"])[:3]
+    queries = np.asarray([r["embedding"] for r in qrows], dtype=np.float64)
+    out = _ivf(emb, queries, k=5, n_clusters=8, nprobe=4)
+    return pa.Table.from_arrays(
+        [pa.array([qrows[r["query_id"]]["vec_id"] for r in out.to_pylist()],
+                  pa.int64()),
+         out.column("key"),
+         _pc_round(pc.multiply(out.column("score"), 1000.0))
+           .cast(pa.int64())],
         names=["query_id", "key", "score_m"])
 
 
@@ -742,7 +779,7 @@ def embedding_dups(sf_dir: str):
                                       threshold=0.45)
     return pairs.set_column(
         2, "cosine_m",
-        pc.round(pc.multiply(pairs.column("cosine"), 1000.0), 0).cast(pa.int64()))
+        _pc_round(pc.multiply(pairs.column("cosine"), 1000.0)).cast(pa.int64()))
 
 
 # --- multimodal plumbing (rows-only) ----------------------------------------

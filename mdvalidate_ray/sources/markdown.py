@@ -80,13 +80,48 @@ def _flatten_inline(text: str, add, linkdefs: dict | None = None) -> None:
         add("text", text[pos:])
 
 
-def markdown_to_spans(text: str) -> list[dict]:
+def _collect_linkdefs(all_lines: list[str]) -> tuple[set, dict]:
+    """Pass 1: find link reference definitions ('[label]: url').
+
+    CODE-AWARE: lines inside fenced code blocks or 4-space-indented code
+    are never definitions (stripping them corrupted code bodies), and a
+    definition cannot interrupt a paragraph (CommonMark) — it must follow
+    a blank line, the document start, or another definition.  Returns the
+    set of recognized definition line indices plus the label → url map."""
+    def_idx: set[int] = set()
+    defs: dict[str, str] = {}
+    in_fence = False
+    prev_blank_or_def = True
+    for idx, raw in enumerate(all_lines):
+        stripped = raw.strip()
+        if stripped.startswith("```"):
+            in_fence = not in_fence
+            prev_blank_or_def = False
+            continue
+        if in_fence or raw.startswith("    "):
+            prev_blank_or_def = not stripped
+            continue
+        dm = _LINKDEF_RE.match(raw)
+        if dm and prev_blank_or_def and not _LIST_RE.match(raw):
+            def_idx.add(idx)
+            defs.setdefault(dm.group(1).lower(), dm.group(2))
+            continue                       # a def keeps prev_blank_or_def
+        prev_blank_or_def = not stripped
+    return def_idx, defs
+
+
+def markdown_to_spans(text: str,
+                      _outer_linkdefs: dict | None = None) -> list[dict]:
     """One markdown document → span dicts (kind, text, media_ref, offset).
 
     Each span also carries a ``line`` key (1-based source line of the
     block it belongs to) for the CLI's source-context error reports; the
     Arrow documents schema ignores it (struct conversion drops unknown
-    keys), so the storage contract is unchanged."""
+    keys), so the storage contract is unchanged.
+
+    ``_outer_linkdefs``: internal — definitions inherited from the
+    enclosing document when flattening a nested quote body (reference
+    definitions are document-global)."""
     spans: list[dict] = []
     cur_line = [1]
 
@@ -94,18 +129,16 @@ def markdown_to_spans(text: str) -> list[dict]:
         spans.append({"kind": kind, "text": t, "media_ref": media_ref,
                       "offset": len(spans), "line": cur_line[0]})
 
-    # pass 1: collect link reference definitions ("[label]: url") and drop
-    # those lines — references resolve during inline flattening
-    linkdefs: dict[str, str] = {}
+    all_lines = text.split("\n")
+    def_idx, linkdefs = _collect_linkdefs(all_lines)
+    if _outer_linkdefs:
+        linkdefs = {**_outer_linkdefs, **linkdefs}
     lines = []
     orig_line = []
-    for ln, raw in enumerate(text.split("\n"), start=1):
-        dm = _LINKDEF_RE.match(raw)
-        if dm and not _LIST_RE.match(raw):
-            linkdefs.setdefault(dm.group(1).lower(), dm.group(2))
-        else:
+    for idx, raw in enumerate(all_lines):
+        if idx not in def_idx:
             lines.append(raw)
-            orig_line.append(ln)
+            orig_line.append(idx + 1)
     i, n = 0, len(lines)
     in_table = False
     while i < n:
@@ -192,15 +225,20 @@ def markdown_to_spans(text: str) -> list[dict]:
                 i += 1
             add("quote")
             if _quote_is_blocky(content):
-                # nested blocks inside the quote: flatten recursively and
-                # close with a quote_end marker so the evaluator can scope
-                # the body (reference: block_quote children are full block
+                # nested blocks inside the quote: flatten recursively
+                # (inheriting the document's link definitions) and close
+                # with a quote_end marker so the evaluator can scope the
+                # body (reference: block_quote children are full block
                 # nodes, quotes.rs:63–66)
-                for s in markdown_to_spans("\n".join(content)):
+                for s in markdown_to_spans("\n".join(content),
+                                           _outer_linkdefs=linkdefs):
                     add(s["kind"], s["text"], s["media_ref"])
-                add("quote_end")
             else:
                 _flatten_inline("\n".join(content), add, linkdefs)
+            # EVERY quote body closes with quote_end so the evaluator's
+            # nesting-aware body scan never miscounts an inline quote
+            # nested inside a blocky one
+            add("quote_end")
             continue
         if line.lstrip().startswith("|"):
             rows = []
