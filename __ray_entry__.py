@@ -44,6 +44,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "validate_violations": Q.validate_violations,
         "dangling_media": Q.dangling_media,
         "drift_by_lang": Q.drift_by_lang,
+        "drift_tdigest": Q.drift_tdigest,
         # wide constraints with SQL oracles
         "stats_text": Q.stats_text,
         "hist_text_len": Q.hist_text_len,

@@ -100,6 +100,29 @@ def drift_by_lang(sf_dir: str):
           "passed": v["passed"]} for g, v in sorted(verdicts.items())])
 
 
+def drift_tdigest(sf_dir: str):
+    """Per-source drift of n_chars vs the whole corpus using t-digest
+    sketches (the tail-accurate sibling of the KLL family; deterministic,
+    rows-only — sketch statistics are not SQL-expressible)."""
+    from mdvalidate_ray.stages.drift import (
+        drift_check_td,
+        tdigest_by_group,
+        tdigest_of_column,
+    )
+
+    docs = _read(sf_dir, "documents").select_columns(["source", "n_chars"])
+    reference = tdigest_of_column(docs, "n_chars")
+    groups = tdigest_by_group(docs, "source", "n_chars")
+    out = []
+    for src, live in sorted(groups.items()):
+        v = drift_check_td(live, reference, threshold=0.2)
+        out.append({"source": src, "statistic": round(v["statistic"], 4),
+                    "passed": v["passed"]})
+    return pa.Table.from_pylist(out, schema=pa.schema(
+        [("source", pa.string()), ("statistic", pa.float64()),
+         ("passed", pa.bool_())]))
+
+
 # --- wide constraints with SQL oracles --------------------------------------
 
 def stats_text(sf_dir: str):

@@ -15,7 +15,12 @@ from __future__ import annotations
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from mdvalidate_ray.state.sketches import KLLSketch, max_quantile_drift
+from mdvalidate_ray.state.sketches import (
+    KLLSketch,
+    TDigest,
+    max_quantile_drift,
+    max_quantile_drift_td,
+)
 
 
 def _sketch_batch(values, k: int) -> bytes:
@@ -86,6 +91,62 @@ def kll_by_group(ds, group_col: str, value_col: str,
 def _split_by(tbl: pa.Table, col: str):
     for val in pc.unique(tbl.column(col)).to_pylist():
         yield tbl.filter(pc.equal(tbl.column(col), val))
+
+
+def tdigest_of_column(ds, column: str, delta: int = 100) -> TDigest:
+    """Merged t-digest of a numeric column — same tree-reduce shape as
+    :func:`kll_of_column`; tails are tighter than KLL's uniform bound
+    (north-star: "streaming KLL/t-digest sketches")."""
+    def partial(b: pa.Table) -> pa.Table:
+        vals = b.column(column).drop_null().cast(pa.float64()).to_numpy(
+            zero_copy_only=False)
+        return pa.Table.from_pylist(
+            [{"sketch": TDigest(delta=delta).update(vals).to_bytes()}])
+
+    rows = ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True).take_all()
+    merged = TDigest(delta=delta)
+    for b in sorted(r["sketch"] for r in rows):   # canonical order
+        merged.merge(TDigest.from_bytes(b))
+    return merged
+
+
+def tdigest_by_group(ds, group_col: str, value_col: str,
+                     delta: int = 100) -> dict[str, TDigest]:
+    """One t-digest per group value — single pass, (group, sketch) partial
+    rows folded on the driver (same shape as :func:`kll_by_group`)."""
+    def partial(b: pa.Table) -> pa.Table:
+        rows = []
+        for g_tbl in _split_by(b, group_col):
+            vals = g_tbl.column(value_col).drop_null().cast(
+                pa.float64()).to_numpy(zero_copy_only=False)
+            rows.append({"group": str(g_tbl.column(group_col)[0].as_py()),
+                         "sketch": TDigest(delta=delta).update(vals)
+                         .to_bytes()})
+        return pa.Table.from_pylist(
+            rows, schema=pa.schema([("group", pa.string()),
+                                    ("sketch", pa.binary())]))
+
+    by_group: dict[str, list[bytes]] = {}
+    for row in ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True).take_all():
+        by_group.setdefault(row["group"], []).append(row["sketch"])
+    out = {}
+    for g, bs in by_group.items():
+        merged = TDigest(delta=delta)
+        for b in sorted(bs):
+            merged.merge(TDigest.from_bytes(b))
+        out[g] = merged
+    return out
+
+
+def drift_check_td(live: TDigest, reference: TDigest,
+                   threshold: float = 0.1) -> dict:
+    stat = max_quantile_drift_td(reference, live)
+    return {"passed": stat <= threshold, "statistic": stat,
+            "threshold": threshold,
+            "live_quantiles": live.quantiles([0.1, 0.5, 0.9]),
+            "reference_quantiles": reference.quantiles([0.1, 0.5, 0.9])}
 
 
 def drift_check(live: KLLSketch, reference: KLLSketch,

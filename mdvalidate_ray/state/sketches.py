@@ -272,3 +272,133 @@ def max_quantile_drift(a: KLLSketch, b: KLLSketch,
         x = a.quantile(q)
         drift = max(drift, abs(b.cdf(x) - q))
     return drift
+
+
+class TDigest:
+    """Mergeable t-digest (Dunning's merging-digest variant) — the second
+    quantile-sketch family named by the north star ("streaming KLL /
+    t-digest sketches merged in a tree-reduce").
+
+    Centroids (mean, weight) are kept sorted by mean and compressed with
+    the scale function k(q) = δ/(2π)·asin(2q−1), which bounds centroid
+    weight near the median while keeping the tails at near-unit weight —
+    so extreme quantiles stay accurate where KLL's uniform guarantee is
+    looser.  Deterministic: updates buffer then compress in sorted order,
+    and merges should be folded in canonical sorted-bytes order like
+    KLL partials.
+    """
+
+    def __init__(self, delta: int = 100):
+        self.delta = delta
+        self.means = np.zeros(0, dtype=np.float64)
+        self.weights = np.zeros(0, dtype=np.float64)
+
+    # scale function and its inverse limit per-centroid weight by the
+    # local quantile density
+    def _k(self, q: np.ndarray) -> np.ndarray:
+        return self.delta / (2 * np.pi) * np.arcsin(2 * np.clip(q, 0, 1) - 1)
+
+    def update(self, values) -> "TDigest":
+        vals = np.asarray(values, dtype=np.float64)
+        vals = vals[~np.isnan(vals)]
+        if len(vals) == 0:
+            return self
+        self.means = np.concatenate([self.means, vals])
+        self.weights = np.concatenate(
+            [self.weights, np.ones(len(vals), dtype=np.float64)])
+        self._compress()
+        return self
+
+    def merge(self, other: "TDigest") -> "TDigest":
+        self.means = np.concatenate([self.means, other.means])
+        self.weights = np.concatenate([self.weights, other.weights])
+        self._compress()
+        return self
+
+    def _compress(self) -> None:
+        if len(self.means) == 0:
+            return
+        order = np.argsort(self.means, kind="stable")
+        means, weights = self.means[order], self.weights[order]
+        total = weights.sum()
+        out_means: list[float] = []
+        out_weights: list[float] = []
+        acc_m, acc_w, q_left = means[0], weights[0], 0.0
+        for m, w in zip(means[1:], weights[1:]):
+            q_right = q_left + (acc_w + w) / total
+            if self._k(np.array([q_right]))[0] - \
+                    self._k(np.array([q_left]))[0] <= 1.0:
+                # merge into the running centroid (weighted mean)
+                acc_m = (acc_m * acc_w + m * w) / (acc_w + w)
+                acc_w += w
+            else:
+                out_means.append(acc_m)
+                out_weights.append(acc_w)
+                q_left += acc_w / total
+                acc_m, acc_w = m, w
+        out_means.append(acc_m)
+        out_weights.append(acc_w)
+        self.means = np.asarray(out_means, dtype=np.float64)
+        self.weights = np.asarray(out_weights, dtype=np.float64)
+
+    def quantile(self, q: float) -> float:
+        if len(self.means) == 0:
+            return float("nan")
+        if len(self.means) == 1:
+            return float(self.means[0])
+        total = self.weights.sum()
+        target = q * total
+        cum = np.cumsum(self.weights) - self.weights / 2.0
+        if target <= cum[0]:
+            return float(self.means[0])
+        if target >= cum[-1]:
+            return float(self.means[-1])
+        i = int(np.searchsorted(cum, target) - 1)
+        frac = (target - cum[i]) / (cum[i + 1] - cum[i])
+        return float(self.means[i] + frac * (self.means[i + 1]
+                                             - self.means[i]))
+
+    def quantiles(self, qs) -> list[float]:
+        return [self.quantile(q) for q in qs]
+
+    def cdf(self, x: float) -> float:
+        if len(self.means) == 0:
+            return float("nan")
+        total = self.weights.sum()
+        cum = np.cumsum(self.weights) - self.weights / 2.0
+        if x <= self.means[0]:
+            return 0.0
+        if x >= self.means[-1]:
+            return 1.0
+        i = int(np.searchsorted(self.means, x) - 1)
+        frac = (x - self.means[i]) / max(self.means[i + 1]
+                                         - self.means[i], 1e-300)
+        return float((cum[i] + frac * (cum[i + 1] - cum[i])) / total)
+
+    def to_bytes(self) -> bytes:
+        import struct
+
+        head = struct.pack("<id", self.delta, 0.0)
+        return head + self.means.tobytes() + self.weights.tobytes()
+
+    @classmethod
+    def from_bytes(cls, b: bytes) -> "TDigest":
+        import struct
+
+        delta, _ = struct.unpack_from("<id", b, 0)
+        body = b[12:]
+        n = len(body) // 16
+        td = cls(delta=delta)
+        td.means = np.frombuffer(body[:8 * n], dtype=np.float64).copy()
+        td.weights = np.frombuffer(body[8 * n:], dtype=np.float64).copy()
+        return td
+
+
+def max_quantile_drift_td(reference: "TDigest", live: "TDigest",
+                          qs=None) -> float:
+    """Max |CDF gap| between two t-digests at fixed quantile probes —
+    the same KS-style statistic used for KLL drift."""
+    if qs is None:
+        qs = [i / 20 for i in range(1, 20)]
+    gaps = [abs(live.cdf(reference.quantile(q)) - q) for q in qs]
+    return float(max(gaps))

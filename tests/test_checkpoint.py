@@ -88,3 +88,35 @@ def test_manifest_carries_lineage_and_metrics(ray_session, tmp_path):
         assert rec["status"] == "done"
         assert rec["hll"] and rec["kll"]
         assert rec["n_passed"] + rec["n_violations"] >= rec["rows"] * 0.9
+
+
+def test_job_entrypoint_runs_and_resumes(ray_session, tmp_path):
+    """jobs/validate_job.py — the ray-job-submit entrypoint — must run the
+    checkpointed suite, report closed-form verdict counts, and skip
+    finished partitions on re-run."""
+    import json
+    import subprocess
+    import sys
+
+    import pyarrow.parquet as pq
+    import ray
+
+    from mdvalidate_ray.corpus import assets_table, ray_documents
+
+    corpus = tmp_path / "corpus"
+    out = tmp_path / "out"
+    ray_documents(1000, override_num_blocks=4).write_parquet(str(corpus))
+    pq.write_table(assets_table(1000), str(tmp_path / "assets.parquet"))
+
+    cmd = [sys.executable, "jobs/validate_job.py",
+           "--input", str(corpus), "--assets",
+           str(tmp_path / "assets.parquet"),
+           "--output", str(out), "--partitions", "2", "--local-cpus", "4"]
+    p1 = subprocess.run(cmd, capture_output=True, text=True, timeout=300)
+    rep = json.loads(p1.stdout.strip().splitlines()[-1])
+    assert rep["complete"] and rep["rows"] == 1000
+    assert rep["n_failed"] == 100          # closed form: i % 10 == 3
+    assert p1.returncode == 1              # violations present
+    p2 = subprocess.run(cmd, capture_output=True, text=True, timeout=300)
+    rep2 = json.loads(p2.stdout.strip().splitlines()[-1])
+    assert rep2 == rep                     # resume: identical report

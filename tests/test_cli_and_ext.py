@@ -251,3 +251,22 @@ def test_cli_source_context_report(tmp_path, capsys):
     assert f"--> {doc}:1" in err
     assert "# Wrong" in err and "^" in err
     assert "expected" in err
+
+
+def test_markdown_linkdef_not_stripped_from_code_blocks():
+    from mdvalidate_ray.sources.markdown import markdown_to_spans
+
+    s = markdown_to_spans("```text\n[label]: http://x\ncode line\n```")
+    body = [x["text"] for x in s if x["kind"] == "code_body"]
+    assert body == ["[label]: http://x\ncode line"]
+    s2 = markdown_to_spans("    [a]: b\n    code\n")
+    assert [x["text"] for x in s2 if x["kind"] == "code_body"] == \
+        ["[a]: b\ncode"]
+
+
+def test_markdown_linkdefs_reach_nested_quote_bodies():
+    from mdvalidate_ray.sources.markdown import markdown_to_spans
+
+    s = markdown_to_spans("> See [docs][d]\n>\n> - a\n\n[d]: http://x\n")
+    links = [(x["kind"], x["media_ref"]) for x in s if x["kind"] == "link"]
+    assert links == [("link", "http://x")]

@@ -537,3 +537,14 @@ def test_quote_inline_still_inline():
     # a single-paragraph quote stays an inline container (no regression)
     r = run("> hello\n", span("quote"), span("text", "hello"))
     assert r.passed, r.violations
+
+
+def test_inline_quote_nested_inside_blocky_quote():
+    # regression: the blocky body scan must not miscount an inline quote
+    # (every quote body closes with quote_end in the uniform encoding)
+    from mdvalidate_ray.sources.markdown import markdown_to_spans
+
+    md = "> # Inner\n>\n> > hello\n"
+    r = evaluate_spans(markdown_to_spans(md),
+                       compile_schema("> # Inner\n>\n> > hello\n"))
+    assert r.passed, r.violations

@@ -100,3 +100,61 @@ def test_drift_statistic():
     shifted = KLLSketch().update(np.random.default_rng(4).normal(2, 1, 50_000))
     assert max_quantile_drift(base, same) < 0.05
     assert max_quantile_drift(base, shifted) > 0.3
+
+
+# --- t-digest ---------------------------------------------------------------
+
+def test_tdigest_quantile_accuracy_and_merge():
+    import numpy as np
+
+    from mdvalidate_ray.state.sketches import TDigest
+
+    rng = np.random.default_rng(0)
+    vals = rng.normal(100, 15, 100_000)
+    # partials merged in canonical sorted-bytes order (the engine's rule)
+    parts = [TDigest().update(vals[i::8]) for i in range(8)]
+    merged = TDigest()
+    for b in sorted(p.to_bytes() for p in parts):
+        merged.merge(TDigest.from_bytes(b))
+    exact = np.quantile(vals, [0.01, 0.5, 0.99])
+    got = merged.quantiles([0.01, 0.5, 0.99])
+    # t-digest tails: within 0.05 sigma at p01/p99, tighter at median
+    assert abs(got[1] - exact[1]) < 0.2
+    assert abs(got[0] - exact[0]) < 1.0 and abs(got[2] - exact[2]) < 1.0
+    # deterministic roundtrip
+    again = TDigest.from_bytes(merged.to_bytes())
+    assert again.quantiles([0.25, 0.75]) == merged.quantiles([0.25, 0.75])
+
+
+def test_tdigest_drift_statistic():
+    import numpy as np
+
+    from mdvalidate_ray.state.sketches import (
+        TDigest,
+        max_quantile_drift_td,
+    )
+
+    rng = np.random.default_rng(1)
+    ref = TDigest().update(rng.normal(0, 1, 50_000))
+    same = TDigest().update(rng.normal(0, 1, 50_000))
+    shifted = TDigest().update(rng.normal(1.0, 1, 50_000))
+    assert max_quantile_drift_td(ref, same) < 0.05
+    assert max_quantile_drift_td(ref, shifted) > 0.2
+
+
+def test_tdigest_of_column_matches_duckdb_quantiles(ray_session):
+    import duckdb
+    import ray.data
+
+    from mdvalidate_ray.stages.drift import tdigest_of_column
+
+    ds = ray.data.read_parquet("/root/testdata/sf0.001/documents.parquet")
+    td = tdigest_of_column(ds, "n_chars")
+    df = duckdb.sql("SELECT n_chars FROM "
+                    "'/root/testdata/sf0.001/documents.parquet'").df()
+    import numpy as np
+
+    exact = np.quantile(df["n_chars"].to_numpy(), [0.1, 0.5, 0.9])
+    got = td.quantiles([0.1, 0.5, 0.9])
+    for e, g in zip(exact, got):
+        assert abs(e - g) <= max(3.0, 0.02 * e), (e, g)
