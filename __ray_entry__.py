@@ -57,6 +57,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_customers": Q.top_customers,
         "events_daily": Q.events_daily,
         "part_type_stats": Q.part_type_stats,
+        "props_k_stats": Q.props_k_stats,
         "top_events": Q.top_events,
         "distinct_sources": Q.distinct_sources,
         "stats_by_source": Q.stats_by_source,
@@ -227,6 +228,16 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1
             ORDER BY sum(l_extendedprice * (1 - l_discount)) DESC, l_orderkey
             LIMIT 20
+        """,
+        "props_k_stats": """
+            SELECT event_type, count(*)::BIGINT AS n,
+                   sum(CAST(json_extract_string(props, '$.k') AS BIGINT))::BIGINT
+                       AS sum_k,
+                   max(CAST(json_extract_string(props, '$.k') AS BIGINT))::BIGINT
+                       AS max_k
+            FROM events
+            WHERE json_extract_string(props, '$.k') IS NOT NULL
+            GROUP BY 1
         """,
         "q5_local_supplier_volume": """
             SELECT n_name,

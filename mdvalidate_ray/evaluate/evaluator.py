@@ -332,10 +332,15 @@ class _DocListItem:
 
 def _parse_doc_list(ctx: _Ctx) -> list:
     """Consume the run of list_item spans, rebuilding nesting from leading
-    tabs (depth encoding)."""
+    tabs (depth encoding).  ``item_extra`` spans (paragraphs of a
+    multi-paragraph item beyond the first — which the reference never
+    validates, lists.rs:568–581) are consumed transparently."""
     items: list[tuple[int, _DocListItem]] = []
     while True:
         s = ctx.peek()
+        if s is not None and s[0] == "item_extra":
+            ctx.take()
+            continue
         if s is None or s[0] not in LIST_KINDS:
             break
         ctx.take()
@@ -396,6 +401,8 @@ def _try_fast_list(ctx: _Ctx, tmpl: ListTemplate) -> Optional[dict]:
     texts = []
     while pos < nspans:
         k = spans[pos][0]
+        if k == "item_extra":
+            return None            # loose item → interpreter handles it
         if k not in LIST_KINDS:
             break
         t = spans[pos][1]

@@ -491,6 +491,38 @@ def quality_filter_counts(sf_dir: str):
         batch_format="pyarrow")
 
 
+def props_k_stats(sf_dir: str):
+    """Semi-structured extraction: pull the integer field ``k`` out of the
+    JSON ``props`` column (vectorized ``pc.extract_regex`` — at scale a
+    JSON kernel slots into the same per-batch stage) and aggregate per
+    event type.  Shuffle moves only per-batch partial rows."""
+    from ray.data.aggregate import Count, Max, Sum
+
+    ev = _read(sf_dir, "events").select_columns(["event_type", "props"])
+
+    def extract(b: pa.Table) -> pa.Table:
+        ex = pc.extract_regex(b.column("props"),
+                              r'"k":\s*(?P<k>-?\d+)')
+        k = pc.cast(pc.struct_field(ex, "k"), pa.int64())
+        t = pa.Table.from_arrays([b.column("event_type"), k],
+                                 names=["event_type", "k"])
+        return t.filter(pc.is_valid(t.column("k")))
+
+    agg = ev.map_batches(extract, batch_format="pyarrow",
+                         zero_copy_batch=True) \
+            .groupby("event_type").aggregate(
+        Count(alias_name="n"),
+        Sum("k", alias_name="sum_k"),
+        Max("k", alias_name="max_k"))
+    return agg.map_batches(
+        lambda b: pa.Table.from_arrays(
+            [b.column("event_type"), b.column("n").cast(pa.int64()),
+             b.column("sum_k").cast(pa.int64()),
+             b.column("max_k").cast(pa.int64())],
+            names=["event_type", "n", "sum_k", "max_k"]),
+        batch_format="pyarrow")
+
+
 def part_type_stats(sf_dir: str):
     from ray.data.aggregate import Count, Mean
 

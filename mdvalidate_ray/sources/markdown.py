@@ -195,13 +195,34 @@ def markdown_to_spans(text: str,
                         i += 1
                         continue
                     if i < n and not lines[i].strip():
-                        # blank line: list continues only if the next
-                        # non-blank line is another list item
+                        # blank line: the list continues if the next
+                        # non-blank line is another list item, or an
+                        # indented paragraph belonging to the SAME item
+                        # (a multi-paragraph/loose item).  The reference
+                        # validates only an item's FIRST paragraph
+                        # (lists.rs:568–581: marker → next sibling must
+                        # be THE paragraph), so extra item paragraphs
+                        # flatten as validation-transparent `item_extra`
+                        # spans — preserved in the data, ignored by the
+                        # block walk, verdicts match the reference.
                         j = i + 1
                         while j < n and not lines[j].strip():
                             j += 1
                         if j < n and _LIST_RE.match(lines[j]):
                             i = j
+                            continue
+                        if j < n and lines[j][:2] == "  " and \
+                                lines[j].strip() and spans and \
+                                spans[-1]["kind"] in ("list_item",
+                                                      "ordered_list_item"):
+                            para = []
+                            i = j
+                            while i < n and lines[i].strip() and \
+                                    lines[i][:2] == "  " and \
+                                    not _LIST_RE.match(lines[i]):
+                                para.append(lines[i].strip())
+                                i += 1
+                            add("item_extra", " ".join(para))
                             continue
                     break
                 cur_line[0] = orig_line[i]

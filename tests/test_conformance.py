@@ -548,3 +548,19 @@ def test_inline_quote_nested_inside_blocky_quote():
     r = evaluate_spans(markdown_to_spans(md),
                        compile_schema("> # Inner\n>\n> > hello\n"))
     assert r.passed, r.violations
+
+
+def test_multi_paragraph_list_item_matches_reference_behavior():
+    # the reference validates only an item's FIRST paragraph
+    # (lists.rs:568-581: marker -> next sibling must be THE paragraph);
+    # extra item paragraphs flatten as transparent item_extra spans
+    from mdvalidate_ray.sources.markdown import markdown_to_spans
+
+    md = "- item one\n\n  extra para\n- item two\n\nAfter\n"
+    spans = markdown_to_spans(md)
+    kinds = [s["kind"] for s in spans]
+    assert kinds == ["list_item", "item_extra", "list_item",
+                     "paragraph", "text"]
+    r = evaluate_spans(spans, compile_schema("- `x:/[\\w ]+/`{1,3}\n\nAfter\n"))
+    assert r.passed, r.violations
+    assert r.captures == {"x": ["item one", "item two"]}
