@@ -82,6 +82,23 @@ def main(argv=None) -> int:
     k = min(args.partitions, len(files))
     groups = [files[i::k] for i in range(k)]
 
+    # resume safety: a finished partition is only skipped if its recorded
+    # lineage matches today's file assignment — otherwise an input-dir
+    # change would silently leave new files unvalidated while the report
+    # still claims complete
+    from mdvalidate_ray.pipelines.checkpoint import load_manifest
+
+    done = load_manifest(args.output)
+    for pid, rec in done.items():
+        expected = {"kind": "parquet_files", "files": groups[pid]} \
+            if pid < k else None
+        if rec.get("lineage") != expected:
+            print(f"error: partition {pid} was completed with a different "
+                  f"input file set (lineage mismatch) — the input dir "
+                  f"changed since the last run; use a fresh --output",
+                  file=sys.stderr)
+            return 2
+
     run_checkpointed(
         lambda i: ray.data.read_parquet(groups[i]),
         lambda i: {"kind": "parquet_files", "files": groups[i]},

@@ -6,10 +6,14 @@ Scale shapes (the part that matters at 100 TB):
   → ``groupby(hash).sum`` of tiny (hash, cnt) rows; only the pre-aggregated
   keys shuffle, never the text.
 * **MinHash+LSH** — signatures are computed per batch (vectorized numpy:
-  one (num_perm × shingles) universal-hash matrix per actor), banded, and
-  only (band, bucket, doc_id, signature) rows shuffle — the classic
-  shingle→minhash→band→bucket groupby.  Candidate pairs are verified by
-  signature similarity inside ``map_groups``; texts never co-locate.
+  one (num_perm × shingles) universal-hash matrix, cached per worker),
+  banded, and only LEAN (band, bucket, doc_id) rows shuffle — the classic
+  shingle→minhash→band→bucket groupby without the ~8× signature payload.
+  Bucket-cohabiting pairs are candidates verified by exact n-gram jaccard
+  (:func:`verify_pairs_jaccard`, tiered: driver-local over the filtered
+  candidate texts, or fully distributed via two candidate-sized
+  co-partitions); the legacy ``verify="signature"`` mode keeps signatures
+  in the exchange and filters by estimated similarity instead.
 * **SimHash** — 64-bit signatures; near-dup candidates by pigeonhole on
   4×16-bit chunks (hamming ≤ 3 ⇒ at least one chunk equal), verified by
   exact hamming distance in the bucket group.

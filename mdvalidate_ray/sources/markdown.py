@@ -211,14 +211,18 @@ def markdown_to_spans(text: str,
                         if j < n and _LIST_RE.match(lines[j]):
                             i = j
                             continue
-                        if j < n and lines[j][:2] == "  " and \
+                        def _indented(s: str) -> bool:
+                            return s[:2] == "  " or s[:1] == "\t"
+
+                        if j < n and _indented(lines[j]) and \
                                 lines[j].strip() and spans and \
                                 spans[-1]["kind"] in ("list_item",
-                                                      "ordered_list_item"):
+                                                      "ordered_list_item",
+                                                      "item_extra"):
                             para = []
                             i = j
                             while i < n and lines[i].strip() and \
-                                    lines[i][:2] == "  " and \
+                                    _indented(lines[i]) and \
                                     not _LIST_RE.match(lines[i]):
                                 para.append(lines[i].strip())
                                 i += 1

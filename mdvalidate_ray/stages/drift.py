@@ -40,14 +40,8 @@ def _merge_sorted(partials: list[bytes], k: int) -> KLLSketch:
 
 def kll_of_column(ds, column: str, k: int = 200) -> KLLSketch:
     """Merged KLL sketch of a numeric column — one streaming pass."""
-    def partial(b: pa.Table) -> pa.Table:
-        vals = b.column(column).drop_null().cast(pa.float64()).to_numpy(
-            zero_copy_only=False)
-        return pa.Table.from_pylist([{"sketch": _sketch_batch(vals, k)}])
-
-    rows = ds.map_batches(partial, batch_format="pyarrow",
-                          zero_copy_batch=True).take_all()
-    return _merge_sorted([r["sketch"] for r in rows], k)
+    return _sketch_of_column(ds, column, lambda: KLLSketch(k=k),
+                             KLLSketch.from_bytes)
 
 
 def kll_spans_per_doc(ds, k: int = 200) -> KLLSketch:
@@ -70,22 +64,8 @@ def kll_by_group(ds, group_col: str, value_col: str,
     """One sketch per group value (small-cardinality groups: partition key,
     source, language).  Partials are (group, sketch) rows — the driver fold
     replaces a groupby shuffle because sketches, not rows, move."""
-    def partial(b: pa.Table) -> pa.Table:
-        rows = []
-        for g_tbl in _split_by(b, group_col):
-            vals = g_tbl.column(value_col).drop_null().cast(
-                pa.float64()).to_numpy(zero_copy_only=False)
-            rows.append({"group": str(g_tbl.column(group_col)[0].as_py()),
-                         "sketch": _sketch_batch(vals, k)})
-        return pa.Table.from_pylist(
-            rows, schema=pa.schema([("group", pa.string()),
-                                    ("sketch", pa.binary())]))
-
-    by_group: dict[str, list[bytes]] = {}
-    for row in ds.map_batches(partial, batch_format="pyarrow",
-                              zero_copy_batch=True).take_all():
-        by_group.setdefault(row["group"], []).append(row["sketch"])
-    return {g: _merge_sorted(bs, k) for g, bs in by_group.items()}
+    return _sketch_by_group(ds, group_col, value_col,
+                            lambda: KLLSketch(k=k), KLLSketch.from_bytes)
 
 
 def _split_by(tbl: pa.Table, col: str):
@@ -93,36 +73,41 @@ def _split_by(tbl: pa.Table, col: str):
         yield tbl.filter(pc.equal(tbl.column(col), val))
 
 
-def tdigest_of_column(ds, column: str, delta: int = 100) -> TDigest:
-    """Merged t-digest of a numeric column — same tree-reduce shape as
-    :func:`kll_of_column`; tails are tighter than KLL's uniform bound
-    (north-star: "streaming KLL/t-digest sketches")."""
+# generic one-pass column/group sketchers shared by the KLL and t-digest
+# families: (make_sketch, from_bytes) parameterize the fold, and partials
+# always merge in canonical sorted-bytes order (the determinism rule —
+# compaction is order-dependent and the streaming executor delivers
+# partials in nondeterministic order)
+
+def _fold_sorted(blobs, make_sketch, from_bytes):
+    merged = make_sketch()
+    for b in sorted(blobs):
+        merged.merge(from_bytes(b))
+    return merged
+
+
+def _sketch_of_column(ds, column: str, make_sketch, from_bytes):
     def partial(b: pa.Table) -> pa.Table:
         vals = b.column(column).drop_null().cast(pa.float64()).to_numpy(
             zero_copy_only=False)
         return pa.Table.from_pylist(
-            [{"sketch": TDigest(delta=delta).update(vals).to_bytes()}])
+            [{"sketch": make_sketch().update(vals).to_bytes()}])
 
     rows = ds.map_batches(partial, batch_format="pyarrow",
                           zero_copy_batch=True).take_all()
-    merged = TDigest(delta=delta)
-    for b in sorted(r["sketch"] for r in rows):   # canonical order
-        merged.merge(TDigest.from_bytes(b))
-    return merged
+    return _fold_sorted((r["sketch"] for r in rows), make_sketch,
+                        from_bytes)
 
 
-def tdigest_by_group(ds, group_col: str, value_col: str,
-                     delta: int = 100) -> dict[str, TDigest]:
-    """One t-digest per group value — single pass, (group, sketch) partial
-    rows folded on the driver (same shape as :func:`kll_by_group`)."""
+def _sketch_by_group(ds, group_col: str, value_col: str, make_sketch,
+                     from_bytes):
     def partial(b: pa.Table) -> pa.Table:
         rows = []
         for g_tbl in _split_by(b, group_col):
             vals = g_tbl.column(value_col).drop_null().cast(
                 pa.float64()).to_numpy(zero_copy_only=False)
             rows.append({"group": str(g_tbl.column(group_col)[0].as_py()),
-                         "sketch": TDigest(delta=delta).update(vals)
-                         .to_bytes()})
+                         "sketch": make_sketch().update(vals).to_bytes()})
         return pa.Table.from_pylist(
             rows, schema=pa.schema([("group", pa.string()),
                                     ("sketch", pa.binary())]))
@@ -131,13 +116,25 @@ def tdigest_by_group(ds, group_col: str, value_col: str,
     for row in ds.map_batches(partial, batch_format="pyarrow",
                               zero_copy_batch=True).take_all():
         by_group.setdefault(row["group"], []).append(row["sketch"])
-    out = {}
-    for g, bs in by_group.items():
-        merged = TDigest(delta=delta)
-        for b in sorted(bs):
-            merged.merge(TDigest.from_bytes(b))
-        out[g] = merged
-    return out
+    return {g: _fold_sorted(bs, make_sketch, from_bytes)
+            for g, bs in by_group.items()}
+
+
+def tdigest_of_column(ds, column: str, delta: int = 100) -> TDigest:
+    """Merged t-digest of a numeric column — same tree-reduce shape as
+    :func:`kll_of_column`; tails are tighter than KLL's uniform bound
+    (north-star: "streaming KLL/t-digest sketches")."""
+    return _sketch_of_column(ds, column, lambda: TDigest(delta=delta),
+                             TDigest.from_bytes)
+
+
+def tdigest_by_group(ds, group_col: str, value_col: str,
+                     delta: int = 100) -> dict[str, TDigest]:
+    """One t-digest per group value — single pass, (group, sketch) partial
+    rows folded on the driver (same shape as :func:`kll_by_group`)."""
+    return _sketch_by_group(ds, group_col, value_col,
+                            lambda: TDigest(delta=delta),
+                            TDigest.from_bytes)
 
 
 def drift_check_td(live: TDigest, reference: TDigest,

@@ -295,8 +295,16 @@ class TDigest:
 
     # scale function and its inverse limit per-centroid weight by the
     # local quantile density
-    def _k(self, q: np.ndarray) -> np.ndarray:
-        return self.delta / (2 * np.pi) * np.arcsin(2 * np.clip(q, 0, 1) - 1)
+    def _k(self, q: float) -> float:
+        import math
+
+        return self.delta / (2 * math.pi) * math.asin(
+            2 * min(max(q, 0.0), 1.0) - 1)
+
+    def _k_inv(self, y: float) -> float:
+        import math
+
+        return (math.sin(2 * math.pi * y / self.delta) + 1) / 2
 
     def update(self, values) -> "TDigest":
         vals = np.asarray(values, dtype=np.float64)
@@ -316,25 +324,33 @@ class TDigest:
         return self
 
     def _compress(self) -> None:
+        """Merging-digest compression (Dunning): accumulate sorted
+        centroids up to the q-limit given by k⁻¹(k(q₀)+1) — scalar math
+        only, one asin/sin pair per OUTPUT centroid (~δ/2 of them), no
+        per-input array allocation."""
         if len(self.means) == 0:
             return
         order = np.argsort(self.means, kind="stable")
-        means, weights = self.means[order], self.weights[order]
-        total = weights.sum()
+        means = self.means[order].tolist()
+        weights = self.weights[order].tolist()
+        total = sum(weights)
+        k_top = self._k(1.0)
         out_means: list[float] = []
         out_weights: list[float] = []
-        acc_m, acc_w, q_left = means[0], weights[0], 0.0
+        acc_m, acc_w = means[0], weights[0]
+        w_emitted = 0.0
+        y = self._k(0.0) + 1.0
+        q_limit = 1.0 if y >= k_top else self._k_inv(y)
         for m, w in zip(means[1:], weights[1:]):
-            q_right = q_left + (acc_w + w) / total
-            if self._k(np.array([q_right]))[0] - \
-                    self._k(np.array([q_left]))[0] <= 1.0:
-                # merge into the running centroid (weighted mean)
+            if (w_emitted + acc_w + w) / total <= q_limit:
                 acc_m = (acc_m * acc_w + m * w) / (acc_w + w)
                 acc_w += w
             else:
                 out_means.append(acc_m)
                 out_weights.append(acc_w)
-                q_left += acc_w / total
+                w_emitted += acc_w
+                y = self._k(w_emitted / total) + 1.0
+                q_limit = 1.0 if y >= k_top else self._k_inv(y)
                 acc_m, acc_w = m, w
         out_means.append(acc_m)
         out_weights.append(acc_w)

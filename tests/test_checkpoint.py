@@ -108,7 +108,10 @@ def test_job_entrypoint_runs_and_resumes(ray_session, tmp_path):
     ray_documents(1000, override_num_blocks=4).write_parquet(str(corpus))
     pq.write_table(assets_table(1000), str(tmp_path / "assets.parquet"))
 
-    cmd = [sys.executable, "jobs/validate_job.py",
+    from pathlib import Path
+
+    job = Path(__file__).resolve().parents[1] / "jobs" / "validate_job.py"
+    cmd = [sys.executable, str(job),
            "--input", str(corpus), "--assets",
            str(tmp_path / "assets.parquet"),
            "--output", str(out), "--partitions", "2", "--local-cpus", "4"]

@@ -564,3 +564,17 @@ def test_multi_paragraph_list_item_matches_reference_behavior():
     r = evaluate_spans(spans, compile_schema("- `x:/[\\w ]+/`{1,3}\n\nAfter\n"))
     assert r.passed, r.violations
     assert r.captures == {"x": ["item one", "item two"]}
+
+
+def test_loose_item_multiple_extras_and_tab_indent():
+    # review regressions: 3+-paragraph loose items and tab-indented
+    # continuations must stay inside the item (transparent extras)
+    from mdvalidate_ray.sources.markdown import markdown_to_spans
+
+    md = "- item one\n\n  extra a\n\n  extra b\n- item two\n\nAfter\n"
+    kinds = [s["kind"] for s in markdown_to_spans(md)]
+    assert kinds == ["list_item", "item_extra", "item_extra", "list_item",
+                     "paragraph", "text"]
+    md2 = "- item one\n\n\textra a\n- item two\n"
+    kinds2 = [s["kind"] for s in markdown_to_spans(md2)]
+    assert kinds2 == ["list_item", "item_extra", "list_item"]
