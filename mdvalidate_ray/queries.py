@@ -33,9 +33,16 @@ def _pc_round(arr, ndigits: int = 0):
     return pc.round(arr, ndigits, round_mode="half_towards_infinity")
 
 def _read(sf_dir: str, table: str):
+    import pyarrow.parquet as pq
     import ray.data
 
-    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet")
+    path = f"{sf_dir}/{table}.parquet"
+    # the sf testdata files are single-row-group parquet: without a split
+    # hint the whole table decodes in ONE read task and every downstream
+    # map stage starts single-threaded until the first exchange
+    n_rows = pq.ParquetFile(path).metadata.num_rows
+    kw = {"override_num_blocks": 16} if n_rows > 100_000 else {}
+    return ray.data.read_parquet(path, **kw)
 
 
 def _docs_count(sf_dir: str) -> int:
@@ -269,13 +276,22 @@ def top_customers(sf_dir: str):
     from mdvalidate_ray.functions.relational import topk_table
 
     # aggregate on the int key FIRST (smaller shuffle, no string key),
-    # then attach names to the tiny top-k result — the join never touches
-    # the fact table; top-k is per-batch partial + driver merge, so the
-    # per-customer aggregate never materializes on the driver
+    # with a per-batch combiner so the exchange moves (custkey, partial)
+    # rows instead of raw orders; then attach names to the tiny top-k
+    # result — the join never touches the fact table, and top-k is
+    # per-batch partial + driver merge (nothing unbounded on the driver)
+    def precombine(b: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(b.select(["o_custkey", "o_totalprice"]),
+                            "o_custkey").aggregate(
+            [("o_totalprice", "sum"), ("o_totalprice", "count")])
+        return g.rename_columns(["o_custkey", "rev_p", "n_p"])
+
     agg = _read(sf_dir, "orders").select_columns(
-        ["o_custkey", "o_totalprice"]).groupby("o_custkey").aggregate(
-        Sum("o_totalprice", alias_name="rev"),
-        Count(alias_name="n_orders"),
+        ["o_custkey", "o_totalprice"]).map_batches(
+        precombine, batch_format="pyarrow", zero_copy_batch=True
+    ).groupby("o_custkey").aggregate(
+        Sum("rev_p", alias_name="rev"),
+        Sum("n_p", alias_name="n_orders"),
     )
     top = topk_table(agg, 10, [("rev", "descending"),
                                ("o_custkey", "ascending")]).to_pylist()
