@@ -625,28 +625,58 @@ def q5_local_supplier_volume(sf_dir: str):
     ).select(["o_orderkey", "o_custkey"])
 
     class _Q5Join:
+        """Per-actor sorted-key lookup tables built ONCE (an Arrow
+        ``Table.join`` per batch would rebuild the 150k-row orders hash
+        table on every call); the per-batch probe is three vectorized
+        ``np.searchsorted`` gathers + one in-batch partial aggregate."""
+
         def __init__(self, orders, supplier, customer, nations):
-            self.orders = orders
-            self.supplier = supplier
-            self.customer = customer
-            self.asia_nat = nations.column("n_nationkey")
+            import numpy as np
+
+            def sorted_map(tbl, key, val):
+                k = tbl.column(key).to_numpy()
+                v = tbl.column(val).to_numpy()
+                o = np.argsort(k, kind="stable")
+                return k[o], v[o]
+
+            self.okeys, self.ocust = sorted_map(orders, "o_orderkey",
+                                                "o_custkey")
+            self.skeys, self.snat = sorted_map(supplier, "s_suppkey",
+                                               "s_nationkey")
+            self.ckeys, self.cnat = sorted_map(customer, "c_custkey",
+                                               "c_nationkey")
+            self.asia = np.asarray(
+                nations.column("n_nationkey").to_pylist())
+
+        @staticmethod
+        def _lookup(keys, vals, probe):
+            import numpy as np
+
+            idx = np.searchsorted(keys, probe)
+            idx_c = np.minimum(idx, len(keys) - 1)
+            hit = keys[idx_c] == probe
+            return vals[idx_c], hit
 
         def __call__(self, b: pa.Table) -> pa.Table:
-            j = b.join(self.orders, keys=["l_orderkey"],
-                       right_keys=["o_orderkey"], join_type="inner")
-            j = j.join(self.supplier, keys=["l_suppkey"],
-                       right_keys=["s_suppkey"], join_type="inner")
-            j = j.join(self.customer, keys=["o_custkey"],
-                       right_keys=["c_custkey"], join_type="inner")
-            mask = pc.and_(
-                pc.equal(j.column("c_nationkey"), j.column("s_nationkey")),
-                pc.is_in(j.column("s_nationkey"), value_set=self.asia_nat))
-            j = j.filter(mask)
-            rev = pc.multiply(j.column("l_extendedprice"),
-                              pc.subtract(pa.scalar(1.0),
-                                          j.column("l_discount")))
+            import numpy as np
+
+            lkey = b.column("l_orderkey").to_numpy()
+            lsupp = b.column("l_suppkey").to_numpy()
+            ocust, hit_o = self._lookup(self.okeys, self.ocust, lkey)
+            snat, hit_s = self._lookup(self.skeys, self.snat, lsupp)
+            cnat, hit_c = self._lookup(self.ckeys, self.cnat, ocust)
+            mask = (hit_o & hit_s & hit_c & (snat == cnat)
+                    & np.isin(snat, self.asia))
+            if not mask.any():
+                return pa.schema([("n_nationkey", pa.int64()),
+                                  ("rev", pa.float64())]).empty_table()
+            price = b.column("l_extendedprice").to_numpy()[mask]
+            disc = b.column("l_discount").to_numpy()[mask]
+            rev = price * (1.0 - disc)
+            nat = snat[mask]
             t = pa.Table.from_arrays(
-                [j.column("s_nationkey"), rev], names=["n_nationkey", "rev"])
+                [pa.array(nat.astype("int64")), pa.array(rev)],
+                names=["n_nationkey", "rev"])
             g = pa.TableGroupBy(t, "n_nationkey").aggregate([("rev", "sum")])
             return g.rename_columns(["n_nationkey", "rev"])
 
