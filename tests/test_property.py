@@ -10,7 +10,7 @@ import string
 from hypothesis import given, settings, strategies as st
 
 from mdvalidate_ray import compile_schema, evaluate_spans
-from mdvalidate_ray.schema.spec import ViolationKind
+from mdvalidate_ray.schema.spec import SchemaError, ViolationKind
 
 WORD = st.text(alphabet=string.ascii_lowercase, min_size=1, max_size=8)
 WORDS = st.lists(WORD, min_size=1, max_size=5).map(" ".join)
@@ -137,3 +137,63 @@ def test_dropping_a_block_fails(doc, data):
     spans2 = spans[:-1]
     r = evaluate_spans(spans2, compile_schema(schema_text))
     assert not r.passed, (schema_text, spans2)
+
+
+# --- markdown flattener robustness ------------------------------------------
+
+@st.composite
+def _random_markdown(draw):
+    parts = draw(st.lists(st.sampled_from([
+        "# Title", "## Sub", "Title\n=====", "para text", "*em* and **st**",
+        "- item a\n- item b", "1. one\n2. two", "- wrap\n  cont",
+        "- loose\n\n  extra", "> quoted", "> # Inner\n>\n> - q1",
+        "```py\ncode\n```", "    indented code", "---",
+        "| A | B |\n| --- | --- |\n| 1 | 2 |",
+        "See [x][d] now", "[d]: http://u", "text `span` end",
+        "![img](asset-1)", "",
+    ]), min_size=1, max_size=8))
+    return "\n\n".join(parts)
+
+
+@settings(max_examples=60, deadline=None)
+@given(_random_markdown())
+def test_markdown_flattener_total_and_deterministic(md):
+    """The flattener must be total (no crash on any composition of
+    supported constructs), deterministic, and produce only known span
+    kinds with well-formed quote_end nesting."""
+    from mdvalidate_ray.sources.markdown import markdown_to_spans
+
+    s1 = markdown_to_spans(md)
+    s2 = markdown_to_spans(md)
+    assert s1 == s2
+    known = {"paragraph", "text", "emphasis", "strong_emphasis",
+             "code_span", "link", "image", "quote", "quote_end",
+             "list_item", "ordered_list_item", "list_break", "item_extra",
+             "code_lang", "code_body", "ruler", "table_header_cell",
+             "table_cell"} | {f"heading{i}" for i in range(1, 7)}
+    depth = 0
+    for sp in s1:
+        assert sp["kind"] in known, sp
+        if sp["kind"] == "quote":
+            depth += 1
+        elif sp["kind"] == "quote_end":
+            depth -= 1
+            assert depth >= 0, "unbalanced quote_end"
+    # every quote is closed (uniform encoding)
+    assert depth == 0
+
+
+@settings(max_examples=30, deadline=None)
+@given(_random_markdown())
+def test_markdown_evaluates_against_itself(md):
+    """A document validated against the schema compiled from the SAME
+    markdown text must never crash; plain literal documents (no matcher
+    syntax, no constructs the compiler treats differently) should pass."""
+    from mdvalidate_ray.sources.markdown import markdown_to_spans
+
+    try:
+        schema = compile_schema(md)
+    except SchemaError:
+        return                      # markdown that is not a valid schema
+    r = evaluate_spans(markdown_to_spans(md), schema)
+    assert isinstance(r.passed, bool)
