@@ -217,12 +217,39 @@ def _quiet_data_context() -> None:
     ctx.enable_progress_bars = False
 
 
+def _pin_fsspec_http_stub() -> None:
+    """Defuse a threaded-import race in Ray's write path.
+
+    ``path_util._is_http_filesystem`` lazily imports
+    ``fsspec.implementations.http`` and catches only ModuleNotFoundError
+    (aiohttp is absent here, so the import always fails).  When two
+    writer THREADS race that failing import, one can observe a
+    partially-initialized module and get a plain ImportError instead —
+    uncaught, killing the write.  Pre-installing a stub module with a
+    sentinel ``HTTPFileSystem`` makes the import always succeed and the
+    isinstance check correctly False, deterministically."""
+    import sys
+    import types
+
+    try:
+        import fsspec.implementations.http  # noqa: F401
+    except Exception:
+        mod = types.ModuleType("fsspec.implementations.http")
+
+        class HTTPFileSystem:          # sentinel: matches no real fs
+            pass
+
+        mod.HTTPFileSystem = HTTPFileSystem
+        sys.modules["fsspec.implementations.http"] = mod
+
+
 def main_single(include_queries: bool = True) -> dict:
     import ray
 
     ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
              logging_level="ERROR")
     _quiet_data_context()
+    _pin_fsspec_http_stub()
     try:
         import pyarrow.parquet as pq
 
@@ -299,6 +326,7 @@ def main_scaling() -> dict:
     ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
              logging_level="ERROR")
     _quiet_data_context()
+    _pin_fsspec_http_stub()
     try:
         ensure_corpus(num_docs)
     finally:
