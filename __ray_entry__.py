@@ -74,6 +74,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality": Q.quality,
         "fingerprints": Q.fingerprints,
         "lang_pred_counts": Q.lang_pred_counts,
+        "split_counts": Q.split_counts,
         "minhash_pairs": Q.minhash_pairs,
         "simhash_pairs": Q.simhash_pairs,
         # similarity
@@ -308,6 +309,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp_md5
             FROM documents
+        """,
+        "split_counts": """
+            SELECT CASE WHEN md5_number_lower('split' || doc_id::VARCHAR)
+                             % 10000 < 9000
+                        THEN 'train' ELSE 'test' END AS split,
+                   count(*)::BIGINT AS cnt
+            FROM documents GROUP BY 1
         """,
         "minhash_pairs": """
             WITH aug AS (

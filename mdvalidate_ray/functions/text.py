@@ -205,3 +205,35 @@ def add_fingerprints(batch: pa.Table, column: str = "text") -> pa.Table:
         md5s.append(hashlib.md5(norm).hexdigest())
     return batch.append_column("fp_md5", pa.array(md5s, pa.string())) \
                 .append_column("fp_roll", pa.array(_rolling_hashes(norms)))
+
+
+# --- deterministic dataset splitting ----------------------------------------
+
+def add_split(batch: pa.Table, key: str = "doc_id",
+              train_bp: int = 9000, salt: str = "split") -> pa.Table:
+    """Deterministic train/test assignment: md5-lower-64 of
+    ``salt || key`` modulo 10000 < ``train_bp`` → 'train', else 'test'.
+
+    Properties a training-data pipeline needs: stable under repartition/
+    re-run (pure function of the key), cluster-order independent, and
+    SQL-reproducible (DuckDB: ``md5_number_lower(salt || key) % 10000``)
+    so the split is auditable outside the engine."""
+    from mdvalidate_ray.functions.dedup import _md5_token_hashes
+
+    keys = [salt + str(v) for v in batch.column(key).to_pylist()]
+    h = _md5_token_hashes(keys) % np.uint64(10000)
+    is_train = h < np.uint64(train_bp)
+    split = np.where(is_train, "train", "test")
+    return batch.append_column("split", pa.array(split.astype(object),
+                                                 pa.string()))
+
+
+def train_test_split(ds, key: str = "doc_id", train_bp: int = 9000,
+                     salt: str = "split"):
+    """(train Dataset, test Dataset) — two lazy filtered views over ONE
+    split-tagged stream; no shuffle, no materialization."""
+    tagged = ds.map_batches(
+        lambda b: add_split(b, key=key, train_bp=train_bp, salt=salt),
+        batch_format="pyarrow", zero_copy_batch=True)
+    return (tagged.filter(expr="split == 'train'"),
+            tagged.filter(expr="split == 'test'"))

@@ -107,6 +107,30 @@ def drift_by_lang(sf_dir: str):
           "passed": v["passed"]} for g, v in sorted(verdicts.items())])
 
 
+def split_counts(sf_dir: str):
+    """Deterministic train/test sharding (md5-lower-64 of salt+key mod
+    10000): per-split document counts.  The hash is DuckDB's
+    ``md5_number_lower``, so the oracle reproduces the exact assignment
+    — the split is auditable outside the engine."""
+    from mdvalidate_ray.functions.text import add_split
+
+    docs = _read(sf_dir, "documents").select_columns(["doc_id"])
+
+    def count_splits(b: pa.Table) -> pa.Table:
+        b = add_split(b, key="doc_id", train_bp=9000)
+        g = pa.TableGroupBy(b.select(["split"]), "split").aggregate(
+            [([], "count_all")])
+        return g.rename_columns(["split", "cnt"])
+
+    agg = docs.map_batches(count_splits, batch_format="pyarrow",
+                           zero_copy_batch=True).groupby("split").sum("cnt")
+    return agg.map_batches(
+        lambda b: pa.Table.from_arrays(
+            [b.column("split"), b.column("sum(cnt)").cast(pa.int64())],
+            names=["split", "cnt"]),
+        batch_format="pyarrow")
+
+
 def drift_tdigest(sf_dir: str):
     """Per-source drift of n_chars vs the whole corpus using t-digest
     sketches (the tail-accurate sibling of the KLL family; deterministic,

@@ -287,3 +287,20 @@ def test_embedding_lsh_finds_planted_near_dups(ray_session, embeddings):
     assert approx <= exact                      # sound: only true pairs
     recall = len(approx & exact) / len(exact)
     assert recall >= 0.9, recall
+
+
+def test_train_test_split_deterministic_and_disjoint(ray_session, docs):
+    from mdvalidate_ray.functions.text import train_test_split
+
+    train, test = train_test_split(docs, train_bp=8000)
+    tr = {r["doc_id"] for r in train.select_columns(["doc_id"]).take_all()}
+    te = {r["doc_id"] for r in test.select_columns(["doc_id"]).take_all()}
+    assert tr and te and not (tr & te)
+    assert len(tr) + len(te) == docs.count()
+    # stable under re-run and repartition
+    train2, _ = train_test_split(docs.repartition(7), train_bp=8000)
+    tr2 = {r["doc_id"] for r in train2.select_columns(["doc_id"]).take_all()}
+    assert tr == tr2
+    # roughly the requested fraction
+    frac = len(tr) / (len(tr) + len(te))
+    assert 0.7 < frac < 0.9
