@@ -75,6 +75,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprints": Q.fingerprints,
         "lang_pred_counts": Q.lang_pred_counts,
         "split_counts": Q.split_counts,
+        "top_words": Q.top_words,
         "minhash_pairs": Q.minhash_pairs,
         "simhash_pairs": Q.simhash_pairs,
         # similarity
@@ -309,6 +310,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp_md5
             FROM documents
+        """,
+        "top_words": """
+            SELECT w AS word, count(*)::BIGINT AS cnt
+            FROM (
+                SELECT unnest(list_filter(
+                    string_split_regex(lower(trim(text)), '\\s+'),
+                    x -> x <> '')) AS w
+                FROM documents
+            )
+            GROUP BY 1
+            ORDER BY cnt DESC, word ASC
+            LIMIT 25
         """,
         "split_counts": """
             SELECT CASE WHEN md5_number_lower('split' || doc_id::VARCHAR)

@@ -107,6 +107,39 @@ def drift_by_lang(sf_dir: str):
           "passed": v["passed"]} for g, v in sorted(verdicts.items())])
 
 
+def top_words(sf_dir: str):
+    """Corpus vocabulary report: top-25 words by occurrence.  Per-batch
+    ``value_counts`` combiner (a hot word contributes ONE row per batch
+    to the exchange — skew-proof), tiny ``groupby(word).sum``, then the
+    partial-top-k merge.  Ties break on the word for determinism."""
+    from mdvalidate_ray.functions.relational import topk_table
+
+    docs = _read(sf_dir, "documents").select_columns(["text"])
+
+    def wc(b: pa.Table) -> pa.Table:
+        texts = pc.utf8_lower(pc.utf8_trim_whitespace(
+            pc.cast(b.column("text"), pa.string())))
+        tokens = pc.split_pattern_regex(texts, r"\s+")
+        flat = tokens.combine_chunks() if isinstance(
+            tokens, pa.ChunkedArray) else tokens
+        words = flat.flatten()
+        words = words.filter(pc.not_equal(words, ""))
+        vc = words.value_counts()
+        return pa.Table.from_arrays(
+            [vc.field("values"), vc.field("counts").cast(pa.int64())],
+            names=["word", "cnt"])
+
+    agg = docs.map_batches(wc, batch_format="pyarrow",
+                           zero_copy_batch=True).groupby("word").sum("cnt")
+    named = agg.map_batches(
+        lambda b: pa.Table.from_arrays(
+            [b.column("word"), b.column("sum(cnt)").cast(pa.int64())],
+            names=["word", "cnt"]),
+        batch_format="pyarrow")
+    return topk_table(named, 25, [("cnt", "descending"),
+                                  ("word", "ascending")])
+
+
 def split_counts(sf_dir: str):
     """Deterministic train/test sharding (md5-lower-64 of salt+key mod
     10000): per-split document counts.  The hash is DuckDB's
