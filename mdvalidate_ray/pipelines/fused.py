@@ -1,0 +1,227 @@
+"""ONE-PASS constraint suite: validate + both parquet sinks + every wide
+constraint's partials inside a single streaming ``map_batches`` operator.
+
+The round-1 suite ran read → validate → ``materialize()`` → (write verdicts
+‖ write violations ‖ fused sketch pass).  Overlapping the three tail
+consumers helped, but the tail itself stayed a FLAT ~5 s at any CPU count
+(three extra Dataset executions, a full object-store materialization, and a
+verdict-parquet burst write against one disk) — the single largest
+scaling-efficiency loss in the 8→32-CPU protocol (BASELINE.md).
+
+This module removes the tail instead of overlapping it.  One actor-pool
+stage does, per zero-copy Arrow batch:
+
+1. span-structure validation (the :class:`ConstraintEvaluator` interpreter);
+2. writes the batch's NARROW verdict rows straight to partitioned parquet
+   (one file per input block, named by the block's first/last doc_id →
+   idempotent under Ray task retries and resumable: a re-run can skip
+   blocks whose file already exists);
+3. writes the batch's exploded violation rows the same way (only ~10% of
+   docs carry violations, so this sink is small);
+4. folds the batch into the wide-constraint partials — HyperLogLog over
+   ``doc_id`` (uniqueness), KLL over spans-per-doc (drift), and the
+   broadcast referential probe of ``media_refs`` against the asset key set
+   (``ray.get`` once per ACTOR in ``__init__``, zero-copy from plasma);
+
+and returns ONE summary row (~20 KiB of serialized sketches).  The driver
+folds the per-block rows into the suite report — for a 10^6-doc corpus
+that is 250 rows ≈ 5 MB through the object store instead of a 1 GB
+materialized verdict stream, and at 10^12 docs it is the only shape that
+works at all: no mid-pipeline materialization, no burst write, no second
+pass over anything.  Disk/object-store output bandwidth is consumed evenly
+across the whole run (~60 MB/s here vs a ~900 MB burst), so the write
+never serializes behind compute — on a multi-node cluster each node
+streams to its own local sink, which is exactly the N→4N-scalable layout
+the north rule asks for.
+
+Reference lifecycle parity: read → validate → report per document
+(reference src/cmd.rs:104–178) — here per block, with the exit-code fold
+(`n_failed`) and the wide-constraint verdicts in one report dict.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from mdvalidate_ray.stages.validate import (
+    ConstraintEvaluator,
+    explode_violations,
+)
+from mdvalidate_ray.state.sketches import HyperLogLog, KLLSketch
+
+PARTIAL_SCHEMA = pa.schema([
+    ("rows", pa.int64()),
+    ("n_passed", pa.int64()),
+    ("n_violations", pa.int64()),
+    ("n_spans", pa.int64()),
+    ("hll", pa.binary()),
+    ("kll", pa.binary()),
+    ("n_dangling", pa.int64()),
+    ("dangling_sample", pa.string()),   # JSON list, ≤10 refs
+    ("verdict_file", pa.string()),
+    ("violations_file", pa.string()),
+])
+
+
+class FusedSuiteWorker:
+    """Actor-pool callable: one batch in → verdict/violation files out +
+    one partial-summary row.  All per-run state (compiled schema, asset
+    key set) is built once per actor in ``__init__``."""
+
+    def __init__(self, schema_text: str, out_dir: str, viol_dir: str,
+                 asset_keys_ref=None, hll_p: int = 14, kll_k: int = 200,
+                 compression: str = "lz4", skip_existing: bool = False):
+        self.ev = ConstraintEvaluator(schema_text)
+        self.out_dir = out_dir
+        self.viol_dir = viol_dir
+        self.hll_p = hll_p
+        self.kll_k = kll_k
+        self.compression = compression
+        self.skip_existing = skip_existing
+        if asset_keys_ref is not None:
+            import ray
+
+            keys = ray.get(asset_keys_ref)   # zero-copy plasma read, once
+            if isinstance(keys, pa.ChunkedArray):
+                keys = keys.combine_chunks()
+            self.asset_keys = keys
+        else:
+            self.asset_keys = None
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.parquet as pq
+
+        if batch.num_rows == 0:
+            return PARTIAL_SCHEMA.empty_table()
+        validated = self.ev(batch)
+
+        # --- sinks: one file per input block, content-keyed name --------
+        ids = validated.column("doc_id")
+        stem = f"{ids[0].as_py()}-{ids[-1].as_py()}-{validated.num_rows}"
+        vfile = os.path.join(self.out_dir, f"verdicts-{stem}.parquet")
+        if not (self.skip_existing and os.path.exists(vfile)):
+            pq.write_table(
+                validated.select(["doc_id", "passed", "captures",
+                                  "n_spans", "n_violations"]),
+                vfile, compression=self.compression, use_dictionary=False)
+        viol = explode_violations(validated)
+        viol_file = ""
+        if viol.num_rows:
+            viol_file = os.path.join(self.viol_dir,
+                                     f"violations-{stem}.parquet")
+            if not (self.skip_existing and os.path.exists(viol_file)):
+                pq.write_table(viol, viol_file,
+                               compression=self.compression,
+                               use_dictionary=False)
+
+        # --- wide-constraint partials -----------------------------------
+        hll = HyperLogLog(p=self.hll_p)
+        hll.add(ids.drop_null().to_pylist())
+        kll = KLLSketch(k=self.kll_k).update(
+            validated.column("n_spans").cast(pa.float64()).to_numpy(
+                zero_copy_only=False))
+        n_dangling = 0
+        sample: list = []
+        if self.asset_keys is not None:
+            refs = validated.column("media_refs")
+            if isinstance(refs, pa.ChunkedArray):
+                refs = refs.combine_chunks()
+            flat = refs.flatten()
+            miss = flat.filter(pc.invert(
+                pc.is_in(flat, value_set=self.asset_keys)))
+            n_dangling = len(miss)
+            sample = miss.slice(0, 10).to_pylist()
+        n_passed = pc.sum(pc.cast(validated.column("passed"),
+                                  pa.int64())).as_py() or 0
+        return pa.Table.from_pylist([{
+            "rows": validated.num_rows,
+            "n_passed": n_passed,
+            "n_violations": pc.sum(
+                validated.column("n_violations")).as_py() or 0,
+            "n_spans": pc.sum(validated.column("n_spans")).as_py() or 0,
+            "hll": hll.to_bytes(),
+            "kll": kll.to_bytes(),
+            "n_dangling": n_dangling,
+            "dangling_sample": json.dumps(sample),
+            "verdict_file": vfile,
+            "violations_file": viol_file,
+        }], schema=PARTIAL_SCHEMA)
+
+
+def run_fused_suite(docs_ds, schema_text: str, out_dir: str, viol_dir: str,
+                    asset_keys=None, *, batch_size: int | None = None,
+                    concurrency=None, num_cpus: float = 1.0,
+                    hll_p: int = 14, kll_k: int = 200,
+                    compression: str = "lz4",
+                    skip_existing: bool = False) -> dict:
+    """Run the whole constraint suite in ONE streaming pass.
+
+    Returns the suite report: verdict counts, uniqueness (HLL estimate +
+    bound), drift sketch (KLL), referential (dangling count + sample),
+    and the written file lists.  ``asset_keys`` is a pyarrow Array (or
+    ChunkedArray) of valid asset ids, broadcast once via ``ray.put``;
+    ``None`` skips the referential probe.  ``skip_existing=True`` makes a
+    re-run resume: blocks whose verdict file already exists skip the
+    (re-)write but still fold into the report.
+    """
+    import ray
+
+    from mdvalidate_ray.schema.compiler import compile_schema
+
+    compile_schema(schema_text)   # driver-side fail-fast on schema errors
+    os.makedirs(out_dir, exist_ok=True)
+    os.makedirs(viol_dir, exist_ok=True)
+    keys_ref = ray.put(asset_keys) if asset_keys is not None else None
+    if concurrency is None:
+        total = int(ray.cluster_resources().get("CPU", 8)) if \
+            ray.is_initialized() else 8
+        concurrency = max(2, int(total // max(num_cpus, 0.25)) - 2)
+    partials = docs_ds.map_batches(
+        FusedSuiteWorker,
+        fn_constructor_kwargs={
+            "schema_text": schema_text, "out_dir": out_dir,
+            "viol_dir": viol_dir, "asset_keys_ref": keys_ref,
+            "hll_p": hll_p, "kll_k": kll_k, "compression": compression,
+            "skip_existing": skip_existing,
+        },
+        batch_size=batch_size, batch_format="pyarrow",
+        zero_copy_batch=True, num_cpus=num_cpus,
+        concurrency=concurrency,
+    ).take_all()
+
+    merged_hll = HyperLogLog(p=hll_p)
+    for r in partials:
+        merged_hll.merge(HyperLogLog.from_bytes(r["hll"]))
+    merged_kll = KLLSketch(k=kll_k)
+    for b in sorted(r["kll"] for r in partials):   # canonical merge order
+        merged_kll.merge(KLLSketch.from_bytes(b))
+    rows = sum(r["rows"] for r in partials)
+    n_passed = sum(r["n_passed"] for r in partials)
+    n_dangling = sum(r["n_dangling"] for r in partials)
+    sample = [s for r in partials
+              for s in json.loads(r["dangling_sample"])][:10]
+    est = merged_hll.estimate()
+    bound = 4 * merged_hll.rel_error * max(rows, 1)
+    return {
+        "rows": rows,
+        "n_passed": n_passed,
+        "n_failed": rows - n_passed,
+        "total_violations": sum(r["n_violations"] for r in partials),
+        "total_spans": sum(r["n_spans"] for r in partials),
+        "uniqueness": {
+            "approx_distinct": est,
+            "sketch_bound": bound,
+            "passed": abs(rows - est) <= bound,
+            "verdict": "no_duplicates_at_sketch_resolution",
+        },
+        "spans_sketch": merged_kll,
+        "referential": {"n_dangling": n_dangling, "sample": sample,
+                        "passed": n_dangling == 0},
+        "verdict_files": [r["verdict_file"] for r in partials],
+        "violations_files": [r["violations_file"] for r in partials
+                             if r["violations_file"]],
+    }
