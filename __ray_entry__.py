@@ -78,10 +78,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_words": Q.top_words,
         "minhash_pairs": Q.minhash_pairs,
         "simhash_pairs": Q.simhash_pairs,
+        # scrubbing / mixing / decontamination
+        "redact_digits": Q.redact_digits,
+        "mixture_counts": Q.mixture_counts,
+        "contamination_pairs": Q.contamination_pairs,
+        # window / ranking / sampling
+        "top_suppliers_per_nation": Q.top_suppliers_per_nation,
+        "supplier_moving_qty": Q.supplier_moving_qty,
+        "len_quantiles_by_source": Q.len_quantiles_by_source,
+        "sample_strata_counts": Q.sample_strata_counts,
         # similarity
         "knn": Q.knn,
         "knn_ivf": Q.knn_ivf,
         "embedding_dups": Q.embedding_dups,
+        "kmeans_clusters": Q.kmeans_clusters,
         # multimodal plumbing
         "media_decode": Q.media_decode,
     }
@@ -404,6 +414,73 @@ def oracle_sql() -> dict[str, str]:
                    bit_count(xor(a.s, b.s))::BIGINT AS hamming
             FROM sigall a JOIN sigall b ON a.doc_id < b.doc_id
             WHERE bit_count(xor(a.s, b.s)) <= 2
+        """,
+        "redact_digits": """
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '[0-9]+'))::BIGINT AS n_hits,
+                   length(regexp_replace(text, '[0-9]+', '#', 'g'))::BIGINT
+                       AS red_len
+            FROM documents
+        """,
+        "mixture_counts": """
+            SELECT source, count(*)::BIGINT AS cnt
+            FROM documents
+            WHERE md5_number_lower('mix' || doc_id::VARCHAR) % 10000 <
+                  CASE WHEN length(source) = 4 THEN 2000 ELSE 500 END
+            GROUP BY source
+        """,
+        "contamination_pairs": """
+            WITH aug AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 1000000, text FROM documents
+                WHERE doc_id % 10 = 0
+            ),
+            tagged AS (
+                SELECT doc_id::VARCHAR AS id, md5(coalesce(text, '')) AS fp,
+                       md5_number_lower('split' || doc_id::VARCHAR)
+                           % 10000 < 9000 AS is_train
+                FROM aug
+            )
+            SELECT a.id AS train_id, b.id AS test_id, a.fp AS fp
+            FROM tagged a JOIN tagged b ON a.fp = b.fp
+            WHERE a.is_train AND NOT b.is_train
+        """,
+        "top_suppliers_per_nation": """
+            SELECT s_nationkey, s_suppkey, s_acctbal, rk FROM (
+                SELECT s_nationkey, s_suppkey, s_acctbal,
+                       row_number() OVER (
+                           PARTITION BY s_nationkey
+                           ORDER BY s_acctbal DESC, s_suppkey
+                       )::BIGINT AS rk
+                FROM supplier
+            ) WHERE rk <= 3
+        """,
+        "supplier_moving_qty": """
+            SELECT l_suppkey, l_orderkey, l_linenumber,
+                   sum(l_quantity::BIGINT) OVER w AS mov_sum,
+                   count(*) OVER w AS n_win
+            FROM lineitem
+            WINDOW w AS (PARTITION BY l_suppkey
+                         ORDER BY l_shipdate, l_orderkey, l_linenumber
+                         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        """,
+        "len_quantiles_by_source": """
+            SELECT source, 0.25 AS q, quantile_cont(n_chars, 0.25) AS q_value
+            FROM documents GROUP BY source
+            UNION ALL
+            SELECT source, 0.5 AS q, quantile_cont(n_chars, 0.5) AS q_value
+            FROM documents GROUP BY source
+            UNION ALL
+            SELECT source, 0.75 AS q, quantile_cont(n_chars, 0.75) AS q_value
+            FROM documents GROUP BY source
+        """,
+        "sample_strata_counts": """
+            SELECT source, count(*)::BIGINT AS cnt
+            FROM documents
+            WHERE md5_number_lower('sample' || doc_id::VARCHAR)
+                  % 10000 < 1000
+            GROUP BY source
         """,
         "knn": """
             WITH q AS (

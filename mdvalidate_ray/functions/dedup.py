@@ -578,3 +578,82 @@ def verify_pairs_jaccard(pairs_ds, docs_ds, *, k: int = 3,
     out = verified.take_all()                  # final pairs: tiny
     out.sort(key=lambda r: (r["doc_a"], r["doc_b"]))
     return pa.Table.from_pylist(out, schema=out_schema)
+
+
+def cross_split_exact_overlap(docs_ds, *, key: str = "doc_id",
+                              text_col: str = "text",
+                              split_key: str | None = None,
+                              train_bp: int = 9000, salt: str = "split",
+                              broadcast_threshold: int = 5_000_000):
+    """Train/test contamination check: every (train_id, test_id) pair
+    whose ``text_col`` is byte-identical across the split boundary —
+    the decontamination primitive a training-data pipeline runs before
+    every training job.
+
+    Plan (broadcast tier): ONE pass tags each row with its deterministic
+    split (md5 of ``salt || split_key``, same rule as
+    :func:`~mdvalidate_ray.functions.text.add_split`) and md5 text
+    fingerprint; the TEST side (the small side — eval sets are orders of
+    magnitude smaller than the corpus) is collected as a fp → [test_id]
+    map and broadcast via ``ray.put``; a second streaming probe emits
+    matches from train-side batches.  Nothing train-side ever leaves the
+    workers.  Above ``broadcast_threshold`` test rows, co-partition both
+    sides on ``hash(fp) % n_parts`` instead (the bucketed anti-join tier
+    in stages/referential.py is the template).
+
+    Returns a Dataset of (train_id, test_id, fp) rows.
+    """
+    import hashlib
+
+    import ray
+
+    split_key = split_key or key
+    out_schema = pa.schema([("train_id", pa.string()),
+                            ("test_id", pa.string()),
+                            ("fp", pa.string())])
+
+    def tag(batch: pa.Table) -> pa.Table:
+        ids = [str(v) for v in batch.column(key).to_pylist()]
+        sk = [salt + str(v) for v in batch.column(split_key).to_pylist()]
+        h = _md5_token_hashes(sk) % np.uint64(10000)
+        fps = [hashlib.md5(t.encode() if t else b"").hexdigest()
+               for t in batch.column(text_col).to_pylist()]
+        return pa.Table.from_arrays(
+            [pa.array(ids, pa.string()), pa.array(fps, pa.string()),
+             pa.array(h < np.uint64(train_bp), pa.bool_())],
+            names=[key, "fp", "is_train"])
+
+    tagged = docs_ds.map_batches(tag, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+    test_fp: dict = {}
+    n_test = 0
+    for b in tagged.filter(expr="is_train == False").iter_batches(
+            batch_format="pyarrow"):
+        for i, f in zip(b.column(key).to_pylist(),
+                        b.column("fp").to_pylist()):
+            test_fp.setdefault(f, []).append(i)
+            n_test += 1
+    if n_test > broadcast_threshold:
+        raise ValueError(
+            f"test side has {n_test} rows > broadcast_threshold="
+            f"{broadcast_threshold}; use a co-partitioned fp join "
+            "(hash(fp) % n_parts groupby) for test sets this large")
+    fp_ref = ray.put(test_fp)
+
+    def probe(batch: pa.Table) -> pa.Table:
+        lookup = ray.get(fp_ref)
+        train = batch.filter(batch.column("is_train"))
+        out_train, out_test, out_fp = [], [], []
+        for i, f in zip(train.column(key).to_pylist(),
+                        train.column("fp").to_pylist()):
+            for t in lookup.get(f, ()):
+                out_train.append(i)
+                out_test.append(t)
+                out_fp.append(f)
+        return pa.Table.from_arrays(
+            [pa.array(out_train, pa.string()),
+             pa.array(out_test, pa.string()),
+             pa.array(out_fp, pa.string())], schema=out_schema)
+
+    return tagged.map_batches(probe, batch_format="pyarrow",
+                              zero_copy_batch=True)

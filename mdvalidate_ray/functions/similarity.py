@@ -344,3 +344,124 @@ def embedding_near_duplicates_lsh(ds, threshold: float = 0.9, *,
     out = deduped.take_all()
     out.sort(key=lambda r: (r["key_a"], r["key_b"]))
     return pa.Table.from_pylist(out, schema=pair_schema)
+
+
+class _KMeansPartial:
+    """Per-batch Lloyd partials against broadcast centroids: (sum vector,
+    count, inertia) per cluster.  One task wave per iteration; only
+    k × dim floats per batch cross the wire — the combiner shape that
+    makes Lloyd iterations shuffle-free."""
+
+    def __init__(self, centroids_ref, column: str):
+        import ray
+
+        self.c = ray.get(centroids_ref)   # once per actor, zero-copy
+        self.column = column
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        x = _batch_matrix(batch, self.column).astype(np.float64)
+        d2 = (
+            (x * x).sum(axis=1)[:, None]
+            - 2.0 * (x @ self.c.T)
+            + (self.c * self.c).sum(axis=1)[None, :]
+        )
+        assign = np.argmin(d2, axis=1)
+        k, dim = self.c.shape
+        sums = np.zeros((k, dim), dtype=np.float64)
+        np.add.at(sums, assign, x)
+        counts = np.bincount(assign, minlength=k).astype(np.int64)
+        inertia = float(d2[np.arange(len(x)), assign].sum())
+        return pa.Table.from_pylist([{
+            "sums": sums.reshape(-1).tolist(),
+            "counts": counts.tolist(),
+            "inertia": inertia,
+        }])
+
+
+def _kmeanspp(sample: np.ndarray, k: int, rng) -> np.ndarray:
+    """Greedy k-means++ over a (small) sample matrix: first seed = the
+    point nearest the sample mean (deterministic), each next seed drawn
+    by D² weighting with the given RNG."""
+    n = sample.shape[0]
+    if n <= k:
+        out = np.zeros((k, sample.shape[1]))
+        out[:n] = sample
+        return out
+    first = int(np.argmin(((sample - sample.mean(axis=0)) ** 2).sum(axis=1)))
+    chosen = [first]
+    d2 = ((sample - sample[first]) ** 2).sum(axis=1)
+    for _ in range(1, k):
+        p = d2 / d2.sum() if d2.sum() > 0 else None
+        nxt = int(rng.choice(n, p=p))
+        chosen.append(nxt)
+        d2 = np.minimum(d2, ((sample - sample[nxt]) ** 2).sum(axis=1))
+    return sample[chosen].copy()
+
+
+def kmeans_fit(ds, *, column: str = "embedding", key: str = "vec_id",
+               k: int = 8, iters: int = 5, concurrency=None) -> dict:
+    """Distributed Lloyd k-means over the FULL dataset (unlike
+    :class:`IVFIndex`, which fits on a driver-side sample).
+
+    Per iteration: broadcast the centroids (``ray.put`` once, read once
+    per actor), one ``map_batches`` pass emits per-batch partial
+    (sums, counts, inertia), the driver folds ~#batches tiny rows and
+    updates the k × dim centroid matrix.  Nothing corpus-sized ever
+    reaches the driver and there is no shuffle — the only all-batch
+    traffic is k×dim doubles each way per iteration.
+
+    Deterministic AND partition-invariant: seeding draws the 64·k rows
+    with the smallest md5-hash of ``key`` (a distributed partial top-k on
+    a pure key function — the same rows regardless of block layout; a
+    hash-ordered prefix is an unbiased pseudo-random sample), then runs
+    greedy k-means++ on that sample with a fixed RNG on the driver.
+    Naive smallest-key seeding collapses onto whatever region happens to
+    own the low ids — k-means++ spread is what makes blob recovery
+    reliable.  Float folds happen in a canonical batch-partial order.
+    Empty clusters keep their previous centroid.
+
+    Returns {"centroids", "sizes", "inertia_per_iter"}.
+    """
+    import ray
+
+    from mdvalidate_ray.functions.dedup import _md5_token_hashes
+    from mdvalidate_ray.functions.relational import topk_table
+
+    def add_hash(b: pa.Table) -> pa.Table:
+        ks = [str(v) for v in b.column(key).to_pylist()]
+        h = (_md5_token_hashes(ks).astype("uint64") if ks
+             else np.zeros(0, dtype="uint64"))
+        return b.append_column("_h", pa.array(h.astype("int64")))
+
+    hashed = ds.select_columns([key, column]).map_batches(
+        add_hash, batch_format="pyarrow", zero_copy_batch=True)
+    seed_rows = topk_table(hashed, 64 * k, [("_h", "ascending"),
+                                            (key, "ascending")])
+    sample = _batch_matrix(seed_rows, column).astype(np.float64)
+    rng = np.random.default_rng(0)
+    centroids = _kmeanspp(sample, k, rng)
+    inertia_per_iter: list[float] = []
+    sizes = np.zeros(k, dtype=np.int64)
+    for _ in range(iters):
+        ref = ray.put(centroids)
+        parts = ds.map_batches(
+            _KMeansPartial,
+            fn_constructor_kwargs=dict(centroids_ref=ref, column=column),
+            batch_format="pyarrow", zero_copy_batch=True,
+            concurrency=concurrency or (1, 8),
+        ).take_all()
+        dim = centroids.shape[1]
+        sums = np.zeros((k, dim), dtype=np.float64)
+        counts = np.zeros(k, dtype=np.int64)
+        inertia = 0.0
+        # canonical fold order → bit-identical results across runs
+        for p in sorted(parts, key=lambda r: (r["inertia"], r["counts"])):
+            sums += np.asarray(p["sums"], dtype=np.float64).reshape(k, dim)
+            counts += np.asarray(p["counts"], dtype=np.int64)
+            inertia += p["inertia"]
+        nonempty = counts > 0
+        centroids[nonempty] = sums[nonempty] / counts[nonempty, None]
+        inertia_per_iter.append(inertia)
+        sizes = counts
+    return {"centroids": centroids, "sizes": sizes,
+            "inertia_per_iter": inertia_per_iter}

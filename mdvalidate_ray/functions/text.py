@@ -237,3 +237,69 @@ def train_test_split(ds, key: str = "doc_id", train_bp: int = 9000,
         batch_format="pyarrow", zero_copy_batch=True)
     return (tagged.filter(expr="split == 'train'"),
             tagged.filter(expr="split == 'test'"))
+
+
+def sample_deterministic(ds, key: str = "doc_id", rate_bp: int = 1000,
+                         salt: str = "sample"):
+    """Deterministic ``rate_bp``/10000 sample: keep rows where
+    md5-lower-64 of ``salt || key`` mod 10000 < ``rate_bp``.
+
+    The workhorse of corpus curation at scale — a pure streaming filter
+    (no shuffle, no RNG state, no driver coordination) whose membership
+    is stable under re-runs, repartitioning and cluster size, and
+    reproducible outside the engine (DuckDB:
+    ``md5_number_lower(salt || key) % 10000 < rate_bp``).  Stratify by
+    running it unchanged within any grouping — membership depends only
+    on the key."""
+    from mdvalidate_ray.functions.dedup import _md5_token_hashes
+
+    def keep(batch: pa.Table) -> pa.Table:
+        keys = [salt + str(v) for v in batch.column(key).to_pylist()]
+        if not keys:
+            return batch
+        h = _md5_token_hashes(keys) % np.uint64(10000)
+        return batch.filter(pa.array(h < np.uint64(rate_bp)))
+
+    return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def redact(batch: pa.Table, column: str = "text",
+           pattern: str = r"[0-9]+", replacement: str = "#",
+           out_col: str | None = None, count_col: str | None = "n_hits"):
+    """Vectorized regex redaction/scrubbing (PII patterns, markup strip,
+    normalization): pure ``pyarrow.compute`` kernels, zero Python per-row
+    work.  Appends the redacted column and (optionally) a per-row match
+    count — the audit trail a scrubbing pipeline needs."""
+    col = batch.column(column)
+    red = pc.replace_substring_regex(col, pattern=pattern,
+                                     replacement=replacement)
+    out = batch.append_column(out_col or f"{column}_redacted", red)
+    if count_col:
+        out = out.append_column(
+            count_col, pc.count_substring_regex(col, pattern=pattern))
+    return out
+
+
+def weighted_mixture(ds, *, group_col: str, key: str,
+                     rates_bp: dict, default_bp: int = 0,
+                     salt: str = "mix"):
+    """Per-group deterministic sampling rates — the corpus-mixing
+    primitive (e.g. keep 100% of wiki, 25% of web, 5% of logs).
+    Membership is a pure function of (salt, key): stable under re-runs
+    and repartitioning, nested across rates, SQL-auditable.  The rate
+    table is a tiny dict captured in the task closure (broadcast by Ray
+    with the function, not re-shipped per batch)."""
+    from mdvalidate_ray.functions.dedup import _md5_token_hashes
+
+    def keep(batch: pa.Table) -> pa.Table:
+        keys = [salt + str(v) for v in batch.column(key).to_pylist()]
+        if not keys:
+            return batch
+        h = _md5_token_hashes(keys) % np.uint64(10000)
+        groups = batch.column(group_col).to_pylist()
+        thresh = np.fromiter(
+            (rates_bp.get(g, default_bp) for g in groups),
+            dtype=np.uint64, count=len(groups))
+        return batch.filter(pa.array(h < thresh))
+
+    return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)

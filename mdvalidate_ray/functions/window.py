@@ -1,0 +1,181 @@
+"""Keyed window operators: top-N per group (ranking), grouped moving
+aggregates, and exact per-group quantiles.
+
+These are the window functions (``row_number() OVER``, ``sum() OVER (…
+ROWS BETWEEN)``, ``quantile_cont … GROUP BY``) a training-data pipeline
+reaches for constantly — per-source best documents, per-key rolling
+volumes, per-stratum length percentiles.  Ray Data has no window
+operator, so each is built from the engine's standard co-partition
+pattern (same as sessionize / the bucketed anti-join):
+
+* ONE exchange on a coarse ``hash(key) % n_parts`` bucket — the number of
+  Python group calls is bounded by ``n_parts``, never by distinct keys
+  (at 10^9 keys a per-key ``map_groups`` would make one Python call per
+  key);
+* all per-group logic inside a bucket is vectorized over the whole
+  bucket frame at once (sort + shifted-array compares), not a per-group
+  loop;
+* where semantics allow (top-N), a per-batch combiner bounds the
+  exchange: each input batch forwards at most N rows per group it has
+  seen, so the shuffle carries O(N × groups) rows, not the whole table.
+
+Partitioning assumption (documented per the brief): one bucket's rows
+fit in a worker's heap — size ``n_parts ≈ total_rows / 5M``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from mdvalidate_ray.state.sketches import hash_strings
+
+
+def _bucket_of(col, n_parts: int) -> pa.Array:
+    vals = [str(v) for v in col.to_pylist()]
+    if not vals:
+        return pa.array(np.zeros(0, dtype="int64"))
+    return pa.array((hash_strings(vals) % np.uint64(n_parts))
+                    .astype("int64"))
+
+
+def _topn_take(tbl: pa.Table, group_key: str, sort_keys, n: int) -> pa.Table:
+    """Vectorized per-group head-N of one in-memory table: one global
+    sort, then a shifted-array group-boundary scan (no per-group loop)."""
+    idx = pc.sort_indices(tbl, sort_keys=sort_keys)
+    s = tbl.take(idx)
+    keys = s.column(group_key).to_numpy(zero_copy_only=False)
+    new_grp = np.empty(len(keys), dtype=bool)
+    if len(keys):
+        new_grp[0] = True
+        new_grp[1:] = keys[1:] != keys[:-1]
+    # rank within group = position since the last group boundary
+    grp_id = np.cumsum(new_grp) - 1
+    pos = np.arange(len(keys)) - np.maximum.accumulate(
+        np.where(new_grp, np.arange(len(keys)), 0))
+    keep = pos < n
+    out = s.filter(pa.array(keep))
+    rk = pos[keep] + 1
+    _ = grp_id
+    return out.append_column("rk", pa.array(rk.astype("int64")))
+
+
+def top_n_per_group(ds, *, group_key: str, order_col: str, n: int,
+                    descending: bool = True, tie_col: str | None = None,
+                    n_parts: int = 32):
+    """Top-N rows per group with a 1-based ``rk`` rank column —
+    ``row_number() OVER (PARTITION BY group ORDER BY order_col)`` ≤ N.
+
+    Deterministic: ties on ``order_col`` break by ``tie_col`` ascending
+    (pass the group's unique id).  Per-batch combiner first, then one
+    coarse-bucket exchange."""
+    order_dir = "descending" if descending else "ascending"
+    sort_keys = [(group_key, "ascending"), (order_col, order_dir)]
+    if tie_col:
+        sort_keys.append((tie_col, "ascending"))
+
+    def combine(b: pa.Table) -> pa.Table:
+        local = _topn_take(b, group_key, sort_keys, n)
+        local = local.drop_columns(["rk"])
+        return local.append_column(
+            "_bucket", _bucket_of(local.column(group_key), n_parts))
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["_bucket"])
+        return _topn_take(g, group_key, sort_keys, n)
+
+    pre = ds.map_batches(combine, batch_format="pyarrow",
+                         zero_copy_batch=True)
+    return pre.groupby("_bucket").map_groups(per_bucket,
+                                             batch_format="pyarrow")
+
+
+def grouped_moving_sum(ds, *, key: str, order_cols: list[str],
+                       value_col: str, window_rows: int,
+                       n_parts: int = 32):
+    """Per-key moving-window sum + count over ``window_rows`` rows
+    (``SUM(value) OVER (PARTITION BY key ORDER BY order_cols ROWS BETWEEN
+    window_rows-1 PRECEDING AND CURRENT ROW)``), emitted as ``mov_sum``
+    (int64 — keep the value column integer-valued for cross-engine exact
+    parity) and ``n_win``.
+
+    Moving windows need each key's full ordered history co-located, so
+    there is no per-batch combiner — one coarse-bucket exchange, then a
+    fully vectorized pass per bucket: sort once, and for each shift
+    s < window_rows add ``v[i-s]`` wherever ``key[i-s] == key[i]``
+    (rows are key-sorted, so equality at distance s implies the whole
+    window back to s is the same key).  O(window × bucket_rows), no
+    Python per-row or per-group loop."""
+    assert window_rows >= 1
+
+    def tag(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "_bucket", _bucket_of(b.column(key), n_parts))
+
+    sort_keys = [(key, "ascending")] + [(c, "ascending")
+                                        for c in order_cols]
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["_bucket"])
+        idx = pc.sort_indices(g, sort_keys=sort_keys)
+        s = g.take(idx)
+        keys = s.column(key).to_numpy(zero_copy_only=False)
+        v = s.column(value_col).cast(pa.int64()).to_numpy(
+            zero_copy_only=False).copy()
+        mov = v.copy()
+        n_win = np.ones(len(v), dtype=np.int64)
+        for sh in range(1, window_rows):
+            if sh >= len(v):
+                break
+            same = keys[sh:] == keys[:-sh]
+            mov[sh:][same] += v[:-sh][same]
+            n_win[sh:][same] += 1
+        return s.append_column("mov_sum", pa.array(mov)) \
+                .append_column("n_win", pa.array(n_win))
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    return tagged.groupby("_bucket").map_groups(per_bucket,
+                                                batch_format="pyarrow")
+
+
+def group_quantiles(ds, *, group_key: str, value_col: str,
+                    qs: list[float], n_parts: int = 16):
+    """EXACT per-group quantiles (linear interpolation — matches both
+    ``np.quantile`` and DuckDB ``quantile_cont`` bit-for-bit on the same
+    doubles).  Output rows: (group, q, value).
+
+    Exactness requires co-locating each group's values: one coarse-bucket
+    exchange of (group, value) pairs only (columns pruned before the
+    shuffle).  For high-cardinality heavy groups, or when approximate
+    tails suffice, use the mergeable t-digest/KLL path in stages/drift.py
+    instead — this operator is for the low-cardinality strata case
+    (sources, languages, shards), where each group's values fit
+    comfortably in a bucket."""
+    def tag(b: pa.Table) -> pa.Table:
+        b = b.select([group_key, value_col])
+        return b.append_column(
+            "_bucket", _bucket_of(b.column(group_key), n_parts))
+
+    out_schema = pa.schema([(group_key, pa.string()), ("q", pa.float64()),
+                            ("q_value", pa.float64())])
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        groups, q_out, v_out = [], [], []
+        gb = g.to_pandas().groupby(group_key, sort=True)[value_col]
+        for name, vals in gb:
+            arr = vals.to_numpy(dtype=np.float64)
+            qv = np.quantile(arr, qs)
+            for q, v in zip(qs, qv):
+                groups.append(str(name))
+                q_out.append(q)
+                v_out.append(float(v))
+        return pa.Table.from_arrays(
+            [pa.array(groups, pa.string()), pa.array(q_out, pa.float64()),
+             pa.array(v_out, pa.float64())], schema=out_schema)
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    return tagged.groupby("_bucket").map_groups(per_bucket,
+                                                batch_format="pyarrow")

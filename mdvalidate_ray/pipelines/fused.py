@@ -67,6 +67,41 @@ PARTIAL_SCHEMA = pa.schema([
 ])
 
 
+# Per-worker-PROCESS state cache for the task-based mode.  Ray reuses
+# worker processes across tasks, so a module-level cache gives tasks the
+# same setup amortization as an actor pool — without the pool's spin-up
+# wave (N actors importing + constructing before the first batch flows),
+# which is a FLAT cost that hits the 32-CPU leg of the scaling protocol
+# ~5× harder than the 8-CPU leg (same seconds, much shorter run).
+# Schema compile is sub-millisecond (measured), so even a cold miss per
+# process is free; the asset-key ray.get is a zero-copy plasma read
+# cached by ObjectRef.
+_PROC_CACHE: dict = {}
+
+
+def _cached_evaluator(schema_text: str) -> ConstraintEvaluator:
+    ev = _PROC_CACHE.get(("ev", schema_text))
+    if ev is None:
+        ev = ConstraintEvaluator(schema_text)
+        _PROC_CACHE[("ev", schema_text)] = ev
+    return ev
+
+
+def _cached_keys(keys_ref):
+    if keys_ref is None:
+        return None
+    import ray
+
+    k = ("keys", keys_ref.hex())
+    keys = _PROC_CACHE.get(k)
+    if keys is None:
+        keys = ray.get(keys_ref)
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        _PROC_CACHE[k] = keys
+    return keys
+
+
 class FusedSuiteWorker:
     """Actor-pool callable: one batch in → verdict/violation files out +
     one partial-summary row.  All per-run state (compiled schema, asset
@@ -93,63 +128,84 @@ class FusedSuiteWorker:
             self.asset_keys = None
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        import pyarrow.parquet as pq
+        return _fused_batch(batch, ev=self.ev, asset_keys=self.asset_keys,
+                            out_dir=self.out_dir, viol_dir=self.viol_dir,
+                            hll_p=self.hll_p, kll_k=self.kll_k,
+                            compression=self.compression,
+                            skip_existing=self.skip_existing)
 
-        if batch.num_rows == 0:
-            return PARTIAL_SCHEMA.empty_table()
-        validated = self.ev(batch)
 
-        # --- sinks: one file per input block, content-keyed name --------
-        ids = validated.column("doc_id")
-        stem = f"{ids[0].as_py()}-{ids[-1].as_py()}-{validated.num_rows}"
-        vfile = os.path.join(self.out_dir, f"verdicts-{stem}.parquet")
-        if not (self.skip_existing and os.path.exists(vfile)):
-            pq.write_table(
-                validated.select(["doc_id", "passed", "captures",
-                                  "n_spans", "n_violations"]),
-                vfile, compression=self.compression, use_dictionary=False)
-        viol = explode_violations(validated)
-        viol_file = ""
-        if viol.num_rows:
-            viol_file = os.path.join(self.viol_dir,
-                                     f"violations-{stem}.parquet")
-            if not (self.skip_existing and os.path.exists(viol_file)):
-                pq.write_table(viol, viol_file,
-                               compression=self.compression,
-                               use_dictionary=False)
+def fused_task_batch(batch: pa.Table, *, schema_text: str, out_dir: str,
+                     viol_dir: str, asset_keys_ref=None, hll_p: int = 14,
+                     kll_k: int = 200, compression: str = "lz4",
+                     skip_existing: bool = False) -> pa.Table:
+    """Task-pool form of the fused suite batch: per-process caches stand
+    in for actor state (see _PROC_CACHE note above)."""
+    return _fused_batch(batch, ev=_cached_evaluator(schema_text),
+                        asset_keys=_cached_keys(asset_keys_ref),
+                        out_dir=out_dir, viol_dir=viol_dir, hll_p=hll_p,
+                        kll_k=kll_k, compression=compression,
+                        skip_existing=skip_existing)
 
-        # --- wide-constraint partials -----------------------------------
-        hll = HyperLogLog(p=self.hll_p)
-        hll.add(ids.drop_null().to_pylist())
-        kll = KLLSketch(k=self.kll_k).update(
-            validated.column("n_spans").cast(pa.float64()).to_numpy(
-                zero_copy_only=False))
-        n_dangling = 0
-        sample: list = []
-        if self.asset_keys is not None:
-            refs = validated.column("media_refs")
-            if isinstance(refs, pa.ChunkedArray):
-                refs = refs.combine_chunks()
-            flat = refs.flatten()
-            miss = flat.filter(pc.invert(
-                pc.is_in(flat, value_set=self.asset_keys)))
-            n_dangling = len(miss)
-            sample = miss.slice(0, 10).to_pylist()
-        n_passed = pc.sum(pc.cast(validated.column("passed"),
-                                  pa.int64())).as_py() or 0
-        return pa.Table.from_pylist([{
-            "rows": validated.num_rows,
-            "n_passed": n_passed,
-            "n_violations": pc.sum(
-                validated.column("n_violations")).as_py() or 0,
-            "n_spans": pc.sum(validated.column("n_spans")).as_py() or 0,
-            "hll": hll.to_bytes(),
-            "kll": kll.to_bytes(),
-            "n_dangling": n_dangling,
-            "dangling_sample": json.dumps(sample),
-            "verdict_file": vfile,
-            "violations_file": viol_file,
-        }], schema=PARTIAL_SCHEMA)
+
+def _fused_batch(batch: pa.Table, *, ev, asset_keys, out_dir: str,
+                 viol_dir: str, hll_p: int, kll_k: int, compression: str,
+                 skip_existing: bool) -> pa.Table:
+    import pyarrow.parquet as pq
+
+    if batch.num_rows == 0:
+        return PARTIAL_SCHEMA.empty_table()
+    validated = ev(batch)
+
+    # --- sinks: one file per input block, content-keyed name ------------
+    ids = validated.column("doc_id")
+    stem = f"{ids[0].as_py()}-{ids[-1].as_py()}-{validated.num_rows}"
+    vfile = os.path.join(out_dir, f"verdicts-{stem}.parquet")
+    if not (skip_existing and os.path.exists(vfile)):
+        pq.write_table(
+            validated.select(["doc_id", "passed", "captures",
+                              "n_spans", "n_violations"]),
+            vfile, compression=compression, use_dictionary=False)
+    viol = explode_violations(validated)
+    viol_file = ""
+    if viol.num_rows:
+        viol_file = os.path.join(viol_dir, f"violations-{stem}.parquet")
+        if not (skip_existing and os.path.exists(viol_file)):
+            pq.write_table(viol, viol_file, compression=compression,
+                           use_dictionary=False)
+
+    # --- wide-constraint partials ----------------------------------------
+    hll = HyperLogLog(p=hll_p)
+    hll.add(ids.drop_null().to_pylist())
+    kll = KLLSketch(k=kll_k).update(
+        validated.column("n_spans").cast(pa.float64()).to_numpy(
+            zero_copy_only=False))
+    n_dangling = 0
+    sample: list = []
+    if asset_keys is not None:
+        refs = validated.column("media_refs")
+        if isinstance(refs, pa.ChunkedArray):
+            refs = refs.combine_chunks()
+        flat = refs.flatten()
+        miss = flat.filter(pc.invert(
+            pc.is_in(flat, value_set=asset_keys)))
+        n_dangling = len(miss)
+        sample = miss.slice(0, 10).to_pylist()
+    n_passed = pc.sum(pc.cast(validated.column("passed"),
+                              pa.int64())).as_py() or 0
+    return pa.Table.from_pylist([{
+        "rows": validated.num_rows,
+        "n_passed": n_passed,
+        "n_violations": pc.sum(
+            validated.column("n_violations")).as_py() or 0,
+        "n_spans": pc.sum(validated.column("n_spans")).as_py() or 0,
+        "hll": hll.to_bytes(),
+        "kll": kll.to_bytes(),
+        "n_dangling": n_dangling,
+        "dangling_sample": json.dumps(sample),
+        "verdict_file": vfile,
+        "violations_file": viol_file,
+    }], schema=PARTIAL_SCHEMA)
 
 
 def run_fused_suite(docs_ds, schema_text: str, out_dir: str, viol_dir: str,
@@ -157,7 +213,8 @@ def run_fused_suite(docs_ds, schema_text: str, out_dir: str, viol_dir: str,
                     concurrency=None, num_cpus: float = 1.0,
                     hll_p: int = 14, kll_k: int = 200,
                     compression: str = "lz4",
-                    skip_existing: bool = False) -> dict:
+                    skip_existing: bool = False,
+                    mode: str = "tasks") -> dict:
     """Run the whole constraint suite in ONE streaming pass.
 
     Returns the suite report: verdict counts, uniqueness (HLL estimate +
@@ -167,6 +224,14 @@ def run_fused_suite(docs_ds, schema_text: str, out_dir: str, viol_dir: str,
     ``None`` skips the referential probe.  ``skip_existing=True`` makes a
     re-run resume: blocks whose verdict file already exists skip the
     (re-)write but still fold into the report.
+
+    ``mode="tasks"`` (default) runs the stage as a plain task pool with
+    per-worker-process state caches: setup is sub-millisecond here, and a
+    task pool has no actor spin-up wave — a flat cost that lands ~5×
+    harder on the short high-CPU leg of the N→4N scaling protocol than
+    on the long low-CPU leg.  ``mode="actors"`` keeps the fixed actor
+    pool (sized via ``concurrency``) for genuinely expensive per-worker
+    setup (big models, large dictionaries).
     """
     import ray
 
@@ -176,22 +241,30 @@ def run_fused_suite(docs_ds, schema_text: str, out_dir: str, viol_dir: str,
     os.makedirs(out_dir, exist_ok=True)
     os.makedirs(viol_dir, exist_ok=True)
     keys_ref = ray.put(asset_keys) if asset_keys is not None else None
-    if concurrency is None:
-        total = int(ray.cluster_resources().get("CPU", 8)) if \
-            ray.is_initialized() else 8
-        concurrency = max(2, int(total // max(num_cpus, 0.25)) - 2)
-    partials = docs_ds.map_batches(
-        FusedSuiteWorker,
-        fn_constructor_kwargs={
-            "schema_text": schema_text, "out_dir": out_dir,
-            "viol_dir": viol_dir, "asset_keys_ref": keys_ref,
-            "hll_p": hll_p, "kll_k": kll_k, "compression": compression,
-            "skip_existing": skip_existing,
-        },
-        batch_size=batch_size, batch_format="pyarrow",
-        zero_copy_batch=True, num_cpus=num_cpus,
-        concurrency=concurrency,
-    ).take_all()
+    fn_kwargs = {
+        "schema_text": schema_text, "out_dir": out_dir,
+        "viol_dir": viol_dir, "asset_keys_ref": keys_ref,
+        "hll_p": hll_p, "kll_k": kll_k, "compression": compression,
+        "skip_existing": skip_existing,
+    }
+    if mode == "tasks":
+        partials = docs_ds.map_batches(
+            fused_task_batch, fn_kwargs=fn_kwargs,
+            batch_size=batch_size, batch_format="pyarrow",
+            zero_copy_batch=True, num_cpus=num_cpus,
+        ).take_all()
+    else:
+        if concurrency is None:
+            total = int(ray.cluster_resources().get("CPU", 8)) if \
+                ray.is_initialized() else 8
+            concurrency = max(2, int(total // max(num_cpus, 0.25)) - 2)
+        partials = docs_ds.map_batches(
+            FusedSuiteWorker,
+            fn_constructor_kwargs=fn_kwargs,
+            batch_size=batch_size, batch_format="pyarrow",
+            zero_copy_batch=True, num_cpus=num_cpus,
+            concurrency=concurrency,
+        ).take_all()
 
     merged_hll = HyperLogLog(p=hll_p)
     for r in partials:

@@ -953,3 +953,156 @@ def media_decode(sf_dir: str):
     media = synth_media_batch(assets.column("asset_id").to_pylist(),
                               assets.column("mime").to_pylist())
     return decode_media(ray.data.from_arrow(media))
+
+
+# --- window / ranking operators ----------------------------------------------
+
+def top_suppliers_per_nation(sf_dir: str):
+    """Top-3 suppliers by account balance per nation — the classic
+    windowed ``row_number() OVER (PARTITION BY … ORDER BY …) <= N``,
+    computed shuffle-light: per-batch top-N combiner, then one coarse
+    bucket exchange (functions/window.py)."""
+    from mdvalidate_ray.functions.window import top_n_per_group
+
+    sup = _read(sf_dir, "supplier").select_columns(
+        ["s_nationkey", "s_suppkey", "s_acctbal"])
+    out = top_n_per_group(sup, group_key="s_nationkey",
+                          order_col="s_acctbal", n=3, descending=True,
+                          tie_col="s_suppkey", n_parts=8)
+    return out.map_batches(
+        lambda b: b.select(["s_nationkey", "s_suppkey", "s_acctbal", "rk"]),
+        batch_format="pyarrow")
+
+
+def supplier_moving_qty(sf_dir: str):
+    """Per-supplier 3-row moving quantity over shipment order —
+    ``SUM(qty) OVER (PARTITION BY suppkey ORDER BY shipdate… ROWS 2
+    PRECEDING)``.  Integer-valued quantities keep the cross-engine
+    comparison exact (no float window-fold association issues)."""
+    from mdvalidate_ray.functions.window import grouped_moving_sum
+
+    li = _read(sf_dir, "lineitem").select_columns(
+        ["l_suppkey", "l_shipdate", "l_orderkey", "l_linenumber",
+         "l_quantity"])
+    out = grouped_moving_sum(
+        li, key="l_suppkey",
+        order_cols=["l_shipdate", "l_orderkey", "l_linenumber"],
+        value_col="l_quantity", window_rows=3, n_parts=32)
+    return out.map_batches(
+        lambda b: b.select(["l_suppkey", "l_orderkey", "l_linenumber",
+                            "mov_sum", "n_win"]),
+        batch_format="pyarrow")
+
+
+def len_quantiles_by_source(sf_dir: str):
+    """Exact per-source document-length quantiles (0.25/0.5/0.75) —
+    linear interpolation matching DuckDB quantile_cont bit-for-bit.
+    The exact co-located path for low-cardinality strata; the mergeable
+    sketch path for heavy groups is drift_by_lang/drift_tdigest."""
+    from mdvalidate_ray.functions.window import group_quantiles
+
+    docs = _read(sf_dir, "documents")
+    return group_quantiles(docs, group_key="source", value_col="n_chars",
+                           qs=[0.25, 0.5, 0.75], n_parts=4)
+
+
+def sample_strata_counts(sf_dir: str):
+    """Deterministic 10% corpus sample (md5 of salted doc_id), counted
+    per source stratum — membership is a pure key function: stable under
+    re-runs, repartitioning and cluster size, and reproducible in SQL."""
+    from mdvalidate_ray.functions.text import sample_deterministic
+
+    docs = _read(sf_dir, "documents").select_columns(["doc_id", "source"])
+    kept = sample_deterministic(docs, key="doc_id", rate_bp=1000,
+                                salt="sample")
+
+    def cnt(b: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(b.select(["source"]), "source").aggregate(
+            [([], "count_all")])
+        return g.rename_columns(["source", "cnt"])
+
+    agg = kept.map_batches(cnt, batch_format="pyarrow",
+                           zero_copy_batch=True).groupby("source").sum("cnt")
+    return agg.map_batches(
+        lambda b: pa.Table.from_arrays(
+            [b.column("source"), b.column("sum(cnt)").cast(pa.int64())],
+            names=["source", "cnt"]),
+        batch_format="pyarrow")
+
+
+def kmeans_clusters(sf_dir: str):
+    """Distributed full-corpus Lloyd k-means over the embedding column:
+    centroids broadcast per iteration, per-batch partial sums folded on
+    the driver (k×dim floats per batch — no shuffle, nothing corpus-sized
+    on the driver).  Deterministic seeding from the k smallest vec_ids.
+    Iterative + float-fold — no SQL oracle; determinism and monotone
+    inertia are pinned by tests."""
+    from mdvalidate_ray.functions.similarity import kmeans_fit
+
+    emb = _read(sf_dir, "embeddings")
+    fit = kmeans_fit(emb, column="embedding", key="vec_id", k=8, iters=5)
+    import numpy as np
+
+    norms = np.linalg.norm(fit["centroids"], axis=1)
+    return pa.Table.from_arrays(
+        [pa.array(range(8), pa.int64()),
+         pa.array(fit["sizes"], pa.int64()),
+         pa.array(np.round(norms, 3), pa.float64())],
+        names=["cluster_id", "n", "centroid_norm"])
+
+
+def redact_digits(sf_dir: str):
+    """Vectorized regex scrubbing audit: per-document redaction hit count
+    and post-redaction length — the PII-scrub primitive, run as pure
+    Arrow kernels (replace/count_substring_regex) over the stream."""
+    from mdvalidate_ray.functions.text import redact
+
+    docs = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+
+    def do(b: pa.Table) -> pa.Table:
+        r = redact(b, column="text", pattern=r"[0-9]+", replacement="#")
+        return pa.Table.from_arrays(
+            [r.column("doc_id"),
+             r.column("n_hits").cast(pa.int64()),
+             pc.utf8_length(r.column("text_redacted")).cast(pa.int64())],
+            names=["doc_id", "n_hits", "red_len"])
+
+    return docs.map_batches(do, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def mixture_counts(sf_dir: str):
+    """Weighted corpus mixture: keep 20% of documents from sources
+    src0–src9 and 5% from the rest, membership a pure (salt, doc_id)
+    function — counted per source.  The deterministic mixing primitive
+    for combining corpora at fixed ratios."""
+    from mdvalidate_ray.functions.text import weighted_mixture
+
+    docs = _read(sf_dir, "documents").select_columns(["doc_id", "source"])
+    rates = {f"src{i}": (2000 if i < 10 else 500) for i in range(20)}
+    kept = weighted_mixture(docs, group_col="source", key="doc_id",
+                            rates_bp=rates, salt="mix")
+
+    def cnt(b: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(b.select(["source"]), "source").aggregate(
+            [([], "count_all")])
+        return g.rename_columns(["source", "cnt"])
+
+    agg = kept.map_batches(cnt, batch_format="pyarrow",
+                           zero_copy_batch=True).groupby("source").sum("cnt")
+    return agg.map_batches(
+        lambda b: pa.Table.from_arrays(
+            [b.column("source"), b.column("sum(cnt)").cast(pa.int64())],
+            names=["source", "cnt"]),
+        batch_format="pyarrow")
+
+
+def contamination_pairs(sf_dir: str):
+    """Train/test decontamination: exact cross-split text overlap over
+    the augmented corpus (planted byte-identical copies guarantee hits).
+    Broadcast tier: the test split's fp→ids map ships once via ray.put;
+    train-side text never leaves the workers."""
+    from mdvalidate_ray.functions.dedup import cross_split_exact_overlap
+
+    docs = _augmented_docs(sf_dir)
+    return cross_split_exact_overlap(docs, key="doc_id", text_col="text",
+                                     train_bp=9000, salt="split")

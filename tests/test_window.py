@@ -1,0 +1,166 @@
+"""Window-operator family (functions/window.py), distributed k-means
+(similarity.kmeans_fit) and the deterministic sampler
+(text.sample_deterministic): semantics pinned against brute-force
+in-memory references, plus the partition-invariance properties the
+coarse-bucket plans rely on.
+"""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from mdvalidate_ray.functions.window import (
+    group_quantiles,
+    grouped_moving_sum,
+    top_n_per_group,
+)
+
+
+def _mk_table(n=500, n_keys=17, seed=9):
+    rng = np.random.default_rng(seed)
+    return pa.table({
+        "k": rng.integers(0, n_keys, n).astype("int64"),
+        "ord": rng.integers(0, 10_000, n).astype("int64"),
+        "uid": np.arange(n, dtype="int64"),
+        "v": rng.integers(0, 50, n).astype("int64"),
+    })
+
+
+@pytest.mark.parametrize("blocks", [1, 7])
+def test_top_n_per_group_matches_pandas(ray_session, blocks):
+    import ray.data
+
+    tbl = _mk_table()
+    ds = ray.data.from_arrow(tbl).repartition(blocks)
+    got = top_n_per_group(ds, group_key="k", order_col="ord", n=3,
+                          descending=True, tie_col="uid",
+                          n_parts=5).to_pandas()
+    got = got.sort_values(["k", "rk"]).reset_index(drop=True)
+
+    df = tbl.to_pandas().sort_values(["k", "ord", "uid"],
+                                     ascending=[True, False, True])
+    want = df.groupby("k").head(3).copy()
+    want["rk"] = want.groupby("k").cumcount() + 1
+    want = want.sort_values(["k", "rk"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[["k", "ord", "uid", "v", "rk"]],
+        want[["k", "ord", "uid", "v", "rk"]], check_dtype=False)
+
+
+def test_top_n_ascending_and_small_groups(ray_session):
+    import ray.data
+
+    tbl = pa.table({"k": pa.array([1, 1, 2], pa.int64()),
+                    "ord": pa.array([5, 3, 9], pa.int64()),
+                    "uid": pa.array([0, 1, 2], pa.int64())})
+    got = top_n_per_group(ray.data.from_arrow(tbl), group_key="k",
+                          order_col="ord", n=2, descending=False,
+                          tie_col="uid").to_pandas()
+    got = got.sort_values(["k", "rk"]).reset_index(drop=True)
+    assert got["ord"].tolist() == [3, 5, 9]
+    assert got["rk"].tolist() == [1, 2, 1]
+
+
+@pytest.mark.parametrize("blocks", [1, 7])
+def test_grouped_moving_sum_matches_pandas(ray_session, blocks):
+    import ray.data
+
+    tbl = _mk_table(n=400, n_keys=11)
+    ds = ray.data.from_arrow(tbl).repartition(blocks)
+    got = grouped_moving_sum(ds, key="k", order_cols=["ord", "uid"],
+                             value_col="v", window_rows=3,
+                             n_parts=4).to_pandas()
+    got = got.sort_values(["k", "ord", "uid"]).reset_index(drop=True)
+
+    df = tbl.to_pandas().sort_values(["k", "ord", "uid"],
+                                     ignore_index=True)
+    g = df.groupby("k")["v"]
+    df["mov_sum"] = g.rolling(3, min_periods=1).sum() \
+                     .reset_index(level=0, drop=True).astype("int64")
+    df["n_win"] = g.rolling(3, min_periods=1).count() \
+                   .reset_index(level=0, drop=True).astype("int64")
+    pd.testing.assert_frame_equal(
+        got[["k", "ord", "uid", "mov_sum", "n_win"]],
+        df[["k", "ord", "uid", "mov_sum", "n_win"]], check_dtype=False)
+
+
+def test_grouped_moving_sum_window_one_is_identity(ray_session):
+    import ray.data
+
+    tbl = _mk_table(n=100, n_keys=5)
+    got = grouped_moving_sum(ray.data.from_arrow(tbl), key="k",
+                             order_cols=["uid"], value_col="v",
+                             window_rows=1).to_pandas()
+    got = got.sort_values("uid").reset_index(drop=True)
+    assert (got["mov_sum"] == got["v"]).all()
+    assert (got["n_win"] == 1).all()
+
+
+@pytest.mark.parametrize("blocks", [1, 5])
+def test_group_quantiles_matches_numpy(ray_session, blocks):
+    import ray.data
+
+    rng = np.random.default_rng(4)
+    tbl = pa.table({
+        "src": pa.array([f"s{int(i)}" for i in rng.integers(0, 4, 300)]),
+        "val": pa.array(rng.integers(0, 1000, 300).astype("int64")),
+    })
+    ds = ray.data.from_arrow(tbl).repartition(blocks)
+    got = group_quantiles(ds, group_key="src", value_col="val",
+                          qs=[0.25, 0.5, 0.9], n_parts=3).to_pandas()
+    df = tbl.to_pandas()
+    for (src, q), sub in got.groupby(["src", "q"]):
+        vals = df.loc[df["src"] == src, "val"].to_numpy(dtype=float)
+        assert sub["q_value"].iloc[0] == np.quantile(vals, q), (src, q)
+    assert len(got) == 4 * 3
+
+
+def test_sample_deterministic_stable_and_stratifiable(ray_session):
+    import ray.data
+
+    from mdvalidate_ray.functions.text import sample_deterministic
+
+    tbl = pa.table({"doc_id": pa.array(range(2000), pa.int64()),
+                    "src": pa.array(["a", "b"] * 1000)})
+    a = sample_deterministic(ray.data.from_arrow(tbl), key="doc_id",
+                             rate_bp=1000).to_pandas()
+    # re-run under a different partitioning → identical membership
+    b = sample_deterministic(
+        ray.data.from_arrow(tbl).repartition(7), key="doc_id",
+        rate_bp=1000).to_pandas()
+    assert sorted(a["doc_id"]) == sorted(b["doc_id"])
+    # ~10% with binomial slack
+    assert 0.06 < len(a) / 2000 < 0.14
+    # a larger rate strictly contains the smaller one (nested samples)
+    c = sample_deterministic(ray.data.from_arrow(tbl), key="doc_id",
+                             rate_bp=3000).to_pandas()
+    assert set(a["doc_id"]) <= set(c["doc_id"])
+
+
+def test_kmeans_fit_deterministic_and_monotone(ray_session):
+    import ray.data
+
+    from mdvalidate_ray.functions.similarity import kmeans_fit
+
+    rng = np.random.default_rng(11)
+    # three well-separated blobs
+    blobs = np.concatenate([
+        rng.normal(0, 0.05, (60, 8)) + np.eye(8)[0] * 3,
+        rng.normal(0, 0.05, (60, 8)) + np.eye(8)[1] * 3,
+        rng.normal(0, 0.05, (60, 8)) + np.eye(8)[2] * 3,
+    ]).astype(np.float32)
+    tbl = pa.table({"vec_id": pa.array(range(180), pa.int64()),
+                    "embedding": pa.array(blobs.tolist(),
+                                          pa.list_(pa.float32()))})
+    ds = ray.data.from_arrow(tbl).repartition(4)
+    fit1 = kmeans_fit(ds, k=3, iters=4)
+    fit2 = kmeans_fit(ds.repartition(2), k=3, iters=4)
+    # deterministic across runs and partitionings
+    np.testing.assert_array_equal(fit1["sizes"], fit2["sizes"])
+    np.testing.assert_allclose(fit1["centroids"], fit2["centroids"])
+    # Lloyd inertia is non-increasing
+    inert = fit1["inertia_per_iter"]
+    assert all(a >= b - 1e-9 for a, b in zip(inert, inert[1:]))
+    # blobs recovered: each cluster holds one blob
+    assert sorted(fit1["sizes"].tolist()) == [60, 60, 60]
