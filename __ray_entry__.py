@@ -94,6 +94,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_clusters": Q.kmeans_clusters,
         # multimodal plumbing
         "media_decode": Q.media_decode,
+        "media_frames": Q.media_frames,
     }
 
 

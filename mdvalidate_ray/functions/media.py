@@ -129,3 +129,102 @@ def extract_features(ds, *, dim: int = 32, batch_size: int = 64,
     return ds.map_batches(FeatureStage, fn_constructor_kwargs={"dim": dim},
                           batch_size=batch_size, batch_format="pyarrow",
                           zero_copy_batch=True, concurrency=concurrency)
+
+
+class ResizeStage:
+    """payload → payload with target dimensions (image resize analog).
+
+    The fake format resize rewrites the header dims and scales the body
+    length proportionally (deterministic); a real implementation slots a
+    codec into the same 1-row-in → 1-row-out shape.  ``strict`` matches
+    :class:`DecodeStage`."""
+
+    def __init__(self, width: int, height: int, strict: bool = True):
+        self.w = width
+        self.h = height
+        self.strict = strict
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = []
+        for payload in batch.column("payload").to_pylist():
+            if payload[:len(_MAGIC)] != _MAGIC:
+                if self.strict:
+                    raise NotImplementedError(
+                        "real image resize is stubbed in this environment; "
+                        "plug a codec into ResizeStage")
+                out.append(payload)
+                continue
+            w0 = int.from_bytes(payload[10:12], "big")
+            h0 = int.from_bytes(payload[12:14], "big")
+            body = payload[14:]
+            scale = (self.w * self.h) / max(w0 * h0, 1)
+            n = max(1, min(len(body), int(len(body) * scale)))
+            out.append(_MAGIC + self.w.to_bytes(2, "big")
+                       + self.h.to_bytes(2, "big") + body[:n])
+        return batch.set_column(
+            batch.schema.get_field_index("payload"), "payload",
+            pa.array(out, pa.binary()))
+
+
+FRAME_SCHEMA = pa.schema([
+    ("asset_id", pa.string()),
+    ("frame_index", pa.int32()),
+    ("frame", pa.binary()),
+])
+
+_FRAME_BYTES = 64
+
+
+class FrameSampleStage:
+    """video payload → every ``stride``-th frame as its OWN output row —
+    the 1-row-in → N-rows-out fan-out shape (video decoding's dominant
+    pattern).  Output rows are small and uniform, so downstream stages
+    re-batch naturally; Ray Data handles the row-count change because
+    map_batches output length is free.
+
+    Fake format: the body is treated as concatenated fixed-size frames;
+    a real implementation slots pyav into the same stage."""
+
+    def __init__(self, stride: int = 2, strict: bool = True):
+        assert stride >= 1
+        self.stride = stride
+        self.strict = strict
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, idxs, frames = [], [], []
+        for aid, payload in zip(batch.column("asset_id").to_pylist(),
+                                batch.column("payload").to_pylist()):
+            if payload[:len(_MAGIC)] != _MAGIC:
+                if self.strict:
+                    raise NotImplementedError(
+                        "real video frame extraction is stubbed in this "
+                        "environment; plug pyav into FrameSampleStage")
+                continue
+            body = payload[14:]
+            n_frames = len(body) // _FRAME_BYTES
+            for j in range(0, n_frames, self.stride):
+                ids.append(aid)
+                idxs.append(j)
+                frames.append(body[j * _FRAME_BYTES:(j + 1) * _FRAME_BYTES])
+        return pa.Table.from_arrays(
+            [pa.array(ids, pa.string()), pa.array(idxs, pa.int32()),
+             pa.array(frames, pa.binary())], schema=FRAME_SCHEMA)
+
+
+def resize_media(ds, *, width: int, height: int, strict: bool = True,
+                 batch_size: int = 64, concurrency=(1, 4)):
+    return ds.map_batches(ResizeStage,
+                          fn_constructor_kwargs={"width": width,
+                                                 "height": height,
+                                                 "strict": strict},
+                          batch_size=batch_size, batch_format="pyarrow",
+                          zero_copy_batch=True, concurrency=concurrency)
+
+
+def sample_frames(ds, *, stride: int = 2, strict: bool = True,
+                  batch_size: int = 64, concurrency=(1, 4)):
+    return ds.map_batches(FrameSampleStage,
+                          fn_constructor_kwargs={"stride": stride,
+                                                 "strict": strict},
+                          batch_size=batch_size, batch_format="pyarrow",
+                          zero_copy_batch=True, concurrency=concurrency)

@@ -1106,3 +1106,41 @@ def contamination_pairs(sf_dir: str):
     docs = _augmented_docs(sf_dir)
     return cross_split_exact_overlap(docs, key="doc_id", text_col="text",
                                      train_bp=9000, salt="split")
+
+
+def media_frames(sf_dir: str):
+    """Multimodal fan-out plumbing: synth payloads → resize (1:1 stage) →
+    frame-sample (1→N fan-out rows) → per-asset frame counts.  Codec
+    slots are stubbed (no image/video libs in this container); the Ray
+    shapes — actor stages, binary columns, row-count-changing map — are
+    real.  Rows-only (deterministic fake payloads, no SQL analog)."""
+    import ray.data
+
+    from mdvalidate_ray.corpus import assets_table
+    from mdvalidate_ray.functions.media import (
+        resize_media,
+        sample_frames,
+        synth_media_batch,
+    )
+
+    n = _docs_count(sf_dir)
+    assets = assets_table(n)
+    media = synth_media_batch(assets.column("asset_id").to_pylist()[:100],
+                              assets.column("mime").to_pylist()[:100])
+    ds = resize_media(ray.data.from_arrow(media), width=64, height=64)
+    frames = sample_frames(ds, stride=2)
+
+    def cnt(b: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(b.select(["asset_id"]), "asset_id").aggregate(
+            [([], "count_all")])
+        return g.rename_columns(["asset_id", "n_frames"])
+
+    agg = frames.map_batches(cnt, batch_format="pyarrow",
+                             zero_copy_batch=True) \
+                .groupby("asset_id").sum("n_frames")
+    return agg.map_batches(
+        lambda b: pa.Table.from_arrays(
+            [b.column("asset_id"),
+             b.column("sum(n_frames)").cast(pa.int64())],
+            names=["asset_id", "n_frames"]),
+        batch_format="pyarrow")

@@ -81,30 +81,45 @@ class ConstraintEvaluator:
         flat = spans_col.flatten()
         texts = flat.field("text").to_pylist()
         kd = flat.field("kind").dictionary_encode()
-        vocab = kd.dictionary.to_pylist()
-        kinds = [vocab[i] for i in
-                 kd.indices.to_numpy(zero_copy_only=False)]
+        # numpy object-array gather of SHARED interned strings — ~6x the
+        # speed of a Python list comprehension over 280k indices
+        kinds = np.array(kd.dictionary.to_pylist(), dtype=object)[
+            kd.indices.to_numpy(zero_copy_only=False)].tolist()
         offs = flat.field("offset").to_numpy(
             zero_copy_only=False).tolist()
         ref_col = flat.field("media_ref")
-        refs: list = [None] * len(flat)
-        # sparse fill: non-null refs keep their value (including "", which
-        # link-destination matching distinguishes from absent)
-        all_ridx = pc.indices_nonzero(
-            pc.is_valid(ref_col)).to_numpy().tolist()
-        all_rvals = ref_col.take(
-            pa.array(all_ridx, pa.int64())).to_pylist()
-        for i, v in zip(all_ridx, all_rvals):
-            refs[i] = v
-        ridx = [i for i, v in zip(all_ridx, all_rvals) if v]
-        rvals = [v for v in all_rvals if v]
+        # Sparse fill keyed on the ACTUAL filler: corpora write "" (not
+        # null) for ref-less spans, so filling every non-null value
+        # converted all 286k strings per batch (~380 ms); filling only
+        # the non-empty ~6% costs ~20 ms.  "" must survive in the tuple
+        # (link-destination matching distinguishes "" from absent), so
+        # the template is "" when the column is null-free, None-mixed
+        # otherwise.
+        if ref_col.null_count == 0:
+            refs: list = [""] * len(flat)
+            ridx = pc.indices_nonzero(
+                pc.not_equal(ref_col, "")).to_numpy().tolist()
+            rvals = ref_col.take(pa.array(ridx, pa.int64())).to_pylist()
+            for i, v in zip(ridx, rvals):
+                refs[i] = v
+        else:
+            refs = [None] * len(flat)
+            all_ridx = pc.indices_nonzero(
+                pc.is_valid(ref_col)).to_numpy().tolist()
+            all_rvals = ref_col.take(
+                pa.array(all_ridx, pa.int64())).to_pylist()
+            for i, v in zip(all_ridx, all_rvals):
+                refs[i] = v
+            ridx = [i for i, v in zip(all_ridx, all_rvals) if v]
+            rvals = [v for v in all_rvals if v]
         offsets = spans_col.offsets.to_numpy().tolist()
+        # ONE zip over the whole flat batch, then C-level list slices per
+        # doc — 4000 small zips cost ~2x a single big one (measured)
+        flat_spans = list(zip(kinds, texts, refs, offs))
         passed, captures, nspans, nviol, viols = [], [], [], [], []
         for i in range(len(spans_col)):
             s, e = offsets[i], offsets[i + 1]
-            # tuple spans built by zip — C-level, no per-span dict/objects
-            spans = list(zip(kinds[s:e], texts[s:e], refs[s:e], offs[s:e]))
-            r = evaluate_spans(spans, self.compiled)
+            r = evaluate_spans(flat_spans[s:e], self.compiled)
             passed.append(r.passed)
             captures.append(
                 json.dumps(r.captures, sort_keys=True, separators=(",", ":")))

@@ -304,3 +304,69 @@ def test_train_test_split_deterministic_and_disjoint(ray_session, docs):
     # roughly the requested fraction
     frac = len(tr) / (len(tr) + len(te))
     assert 0.7 < frac < 0.9
+
+
+def test_media_resize_and_frame_sample(ray_session):
+    import ray.data
+
+    from mdvalidate_ray.functions.media import (
+        _FRAME_BYTES,
+        _MAGIC,
+        FrameSampleStage,
+        ResizeStage,
+        resize_media,
+        sample_frames,
+        synth_media_batch,
+    )
+
+    tbl = synth_media_batch([f"asset-{i:04d}" for i in range(40)],
+                            ["video/mp4"] * 40)
+    resized = resize_media(ray.data.from_arrow(tbl), width=64,
+                           height=64).take_all()
+    assert len(resized) == 40
+    for r in resized:
+        p = r["payload"]
+        assert p[:len(_MAGIC)] == _MAGIC
+        assert int.from_bytes(p[10:12], "big") == 64
+        assert int.from_bytes(p[12:14], "big") == 64
+
+    frames = sample_frames(resize_media(ray.data.from_arrow(tbl),
+                                        width=64, height=64),
+                           stride=2).take_all()
+    assert frames, "expected sampled frames"
+    by_asset = {}
+    for f in frames:
+        by_asset.setdefault(f["asset_id"], []).append(f["frame_index"])
+        assert len(f["frame"]) == _FRAME_BYTES
+    # strided, 0-based, even indices only
+    for idxs in by_asset.values():
+        assert sorted(idxs) == idxs
+        assert all(i % 2 == 0 for i in idxs)
+    # parity with a driver-side single-batch run (1-in-N-out semantics)
+    direct = FrameSampleStage(stride=2)(
+        ResizeStage(64, 64)(tbl.slice(0, 5)))
+    got5 = [f for f in frames if f["asset_id"] in set(
+        direct.column("asset_id").to_pylist())]
+    assert len(got5) == direct.num_rows
+
+
+def test_media_resize_strict_raises_on_real_format(ray_session):
+    import pyarrow as pa
+    import pytest as _pt
+
+    from mdvalidate_ray.functions.media import (
+        MEDIA_SCHEMA,
+        FrameSampleStage,
+        ResizeStage,
+    )
+
+    real = pa.Table.from_pylist(
+        [{"asset_id": "a", "mime": "image/png",
+          "payload": b"\x89PNG\r\n\x1a\nxxxx"}], schema=MEDIA_SCHEMA)
+    with _pt.raises(NotImplementedError):
+        ResizeStage(32, 32)(real)
+    with _pt.raises(NotImplementedError):
+        FrameSampleStage()(real)
+    # non-strict: resize passes through, frame-sample skips
+    assert ResizeStage(32, 32, strict=False)(real).num_rows == 1
+    assert FrameSampleStage(strict=False)(real).num_rows == 0
