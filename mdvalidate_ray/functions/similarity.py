@@ -346,36 +346,42 @@ def embedding_near_duplicates_lsh(ds, threshold: float = 0.9, *,
     return pa.Table.from_pylist(out, schema=pair_schema)
 
 
-class _KMeansPartial:
+def _kmeans_partial(batch: pa.Table, *, centroids_ref, column: str
+                    ) -> pa.Table:
     """Per-batch Lloyd partials against broadcast centroids: (sum vector,
-    count, inertia) per cluster.  One task wave per iteration; only
-    k × dim floats per batch cross the wire — the combiner shape that
-    makes Lloyd iterations shuffle-free."""
+    count, inertia) per cluster.  A plain TASK (not an actor pool): the
+    ``ray.get`` of the centroid matrix is a zero-copy plasma read, so
+    per-task setup is free — while an autoscaling actor pool paid its
+    spin-up wave on EVERY Lloyd iteration (measured: the pool start, not
+    the math, dominated small-corpus fits).  Only k × dim floats per
+    batch cross the wire — the combiner shape that makes Lloyd
+    iterations shuffle-free."""
+    import ray
 
-    def __init__(self, centroids_ref, column: str):
-        import ray
-
-        self.c = ray.get(centroids_ref)   # once per actor, zero-copy
-        self.column = column
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        x = _batch_matrix(batch, self.column).astype(np.float64)
-        d2 = (
-            (x * x).sum(axis=1)[:, None]
-            - 2.0 * (x @ self.c.T)
-            + (self.c * self.c).sum(axis=1)[None, :]
-        )
-        assign = np.argmin(d2, axis=1)
-        k, dim = self.c.shape
-        sums = np.zeros((k, dim), dtype=np.float64)
-        np.add.at(sums, assign, x)
-        counts = np.bincount(assign, minlength=k).astype(np.int64)
-        inertia = float(d2[np.arange(len(x)), assign].sum())
+    c = ray.get(centroids_ref) if not isinstance(
+        centroids_ref, np.ndarray) else centroids_ref
+    if batch.num_rows == 0:
+        k, dim = c.shape
         return pa.Table.from_pylist([{
-            "sums": sums.reshape(-1).tolist(),
-            "counts": counts.tolist(),
-            "inertia": inertia,
+            "sums": [0.0] * (k * dim), "counts": [0] * k, "inertia": 0.0,
         }])
+    x = _batch_matrix(batch, column).astype(np.float64)
+    d2 = (
+        (x * x).sum(axis=1)[:, None]
+        - 2.0 * (x @ c.T)
+        + (c * c).sum(axis=1)[None, :]
+    )
+    assign = np.argmin(d2, axis=1)
+    k, dim = c.shape
+    sums = np.zeros((k, dim), dtype=np.float64)
+    np.add.at(sums, assign, x)
+    counts = np.bincount(assign, minlength=k).astype(np.int64)
+    inertia = float(d2[np.arange(len(x)), assign].sum())
+    return pa.Table.from_pylist([{
+        "sums": sums.reshape(-1).tolist(),
+        "counts": counts.tolist(),
+        "inertia": inertia,
+    }])
 
 
 def _kmeanspp(sample: np.ndarray, k: int, rng) -> np.ndarray:
@@ -399,7 +405,8 @@ def _kmeanspp(sample: np.ndarray, k: int, rng) -> np.ndarray:
 
 
 def kmeans_fit(ds, *, column: str = "embedding", key: str = "vec_id",
-               k: int = 8, iters: int = 5, concurrency=None) -> dict:
+               k: int = 8, iters: int = 5, concurrency=None,
+               cache: bool = True) -> dict:
     """Distributed Lloyd k-means over the FULL dataset (unlike
     :class:`IVFIndex`, which fits on a driver-side sample).
 
@@ -420,12 +427,29 @@ def kmeans_fit(ds, *, column: str = "embedding", key: str = "vec_id",
     reliable.  Float folds happen in a canonical batch-partial order.
     Empty clusters keep their previous centroid.
 
+    ``cache=True`` (default) materializes the pruned (key, column)
+    projection into the object store once and runs each Lloyd pass as
+    RAW Ray tasks over the cached block refs — the documented
+    drop-to-raw-tasks case (iterative algorithm, per-iteration
+    broadcast): a Ray Data execution per iteration re-paid the streaming
+    executor's fixed startup five times for milliseconds of math.
+    Right for corpora that fit the cluster's aggregate object store
+    (embedding tables are narrow).  Pass ``cache=False`` at
+    larger-than-store scale: every pass is a streaming ``map_batches``
+    re-read from storage, the only shape that works there.
+
     Returns {"centroids", "sizes", "inertia_per_iter"}.
     """
     import ray
 
     from mdvalidate_ray.functions.dedup import _md5_token_hashes
     from mdvalidate_ray.functions.relational import topk_table
+
+    ds = ds.select_columns([key, column])
+    block_refs = None
+    if cache:
+        ds = ds.materialize()
+        block_refs = ds.to_arrow_refs()   # refs only; blocks stay remote
 
     def add_hash(b: pa.Table) -> pa.Table:
         ks = [str(v) for v in b.column(key).to_pylist()]
@@ -442,14 +466,22 @@ def kmeans_fit(ds, *, column: str = "embedding", key: str = "vec_id",
     centroids = _kmeanspp(sample, k, rng)
     inertia_per_iter: list[float] = []
     sizes = np.zeros(k, dtype=np.int64)
+    part_task = ray.remote(num_cpus=1)(
+        lambda blk, cm, col: _kmeans_partial(
+            blk, centroids_ref=cm, column=col).to_pylist()[0])
     for _ in range(iters):
         ref = ray.put(centroids)
-        parts = ds.map_batches(
-            _KMeansPartial,
-            fn_constructor_kwargs=dict(centroids_ref=ref, column=column),
-            batch_format="pyarrow", zero_copy_batch=True,
-            concurrency=concurrency or (1, 8),
-        ).take_all()
+        if block_refs is not None:
+            # raw task wave over cached blocks: block + centroid args are
+            # ObjectRefs, dereferenced zero-copy inside the task
+            parts = ray.get([part_task.remote(b, ref, column)
+                             for b in block_refs])
+        else:
+            parts = ds.map_batches(
+                _kmeans_partial,
+                fn_kwargs=dict(centroids_ref=ref, column=column),
+                batch_format="pyarrow", zero_copy_batch=True,
+            ).take_all()
         dim = centroids.shape[1]
         sums = np.zeros((k, dim), dtype=np.float64)
         counts = np.zeros(k, dtype=np.int64)
