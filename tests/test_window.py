@@ -164,3 +164,72 @@ def test_kmeans_fit_deterministic_and_monotone(ray_session):
     assert all(a >= b - 1e-9 for a, b in zip(inert, inert[1:]))
     # blobs recovered: each cluster holds one blob
     assert sorted(fit1["sizes"].tolist()) == [60, 60, 60]
+
+
+def test_redact_kernels_and_counts():
+    import pyarrow as pa
+
+    from mdvalidate_ray.functions.text import redact
+
+    b = pa.table({"text": pa.array(["a1b22c", "nodigits", "", "9"])})
+    out = redact(b, pattern=r"[0-9]+", replacement="#")
+    assert out.column("text_redacted").to_pylist() == \
+        ["a#b#c", "nodigits", "", "#"]
+    assert out.column("n_hits").to_pylist() == [2, 0, 0, 1]
+
+
+def test_weighted_mixture_rates_and_stability(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from mdvalidate_ray.functions.text import weighted_mixture
+
+    tbl = pa.table({
+        "doc_id": pa.array(range(4000), pa.int64()),
+        "src": pa.array((["keep"] * 3 + ["rare"]) * 1000),
+    })
+    kept = weighted_mixture(ray.data.from_arrow(tbl), group_col="src",
+                            key="doc_id",
+                            rates_bp={"keep": 5000, "rare": 500}
+                            ).to_pandas()
+    frac_keep = (kept["src"] == "keep").sum() / 3000
+    frac_rare = (kept["src"] == "rare").sum() / 1000
+    assert 0.45 < frac_keep < 0.55
+    assert 0.02 < frac_rare < 0.09
+    # unknown group default_bp=0 -> dropped entirely
+    tbl2 = pa.table({"doc_id": pa.array(range(100), pa.int64()),
+                     "src": pa.array(["unknown"] * 100)})
+    kept2 = weighted_mixture(ray.data.from_arrow(tbl2), group_col="src",
+                             key="doc_id", rates_bp={}).to_pandas()
+    assert len(kept2) == 0
+    # partition-invariant membership
+    again = weighted_mixture(
+        ray.data.from_arrow(tbl).repartition(7), group_col="src",
+        key="doc_id", rates_bp={"keep": 5000, "rare": 500}).to_pandas()
+    assert sorted(again["doc_id"]) == sorted(kept["doc_id"])
+
+
+def test_cross_split_overlap_guard_and_hits(ray_session):
+    import pyarrow as pa
+    import pytest as _pt
+    import ray.data
+
+    from mdvalidate_ray.functions.dedup import cross_split_exact_overlap
+
+    tbl = pa.table({
+        "doc_id": pa.array([str(i) for i in range(200)]),
+        "text": pa.array([f"text-{i % 50}" for i in range(200)]),
+    })
+    ds = ray.data.from_arrow(tbl)
+    pairs = cross_split_exact_overlap(ds, key="doc_id", text_col="text",
+                                      train_bp=5000).to_pandas()
+    # every fp has 4 copies split ~50/50 -> cross-split hits must exist
+    assert len(pairs) > 0
+    assert set(pairs.columns) == {"train_id", "test_id", "fp"}
+    # train and test ids never coincide
+    assert not (set(pairs["train_id"]) & set(pairs["test_id"]))
+    # guard: tiny broadcast threshold raises with guidance
+    with _pt.raises(ValueError, match="co-partitioned"):
+        cross_split_exact_overlap(ds, key="doc_id", text_col="text",
+                                  train_bp=5000, broadcast_threshold=3
+                                  ).to_pandas()
