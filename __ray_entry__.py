@@ -63,6 +63,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stats_by_source": Q.stats_by_source,
         "events_asof_orders": Q.events_asof_orders,
         "events_sliding": Q.events_sliding,
+        "events_in_windows": Q.events_in_windows,
         "quality_filter_counts": Q.quality_filter_counts,
         "user_sessions": Q.user_sessions,
         "q3_order_revenue": Q.q3_order_revenue,
@@ -446,6 +447,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.id AS train_id, b.id AS test_id, a.fp AS fp
             FROM tagged a JOIN tagged b ON a.fp = b.fp
             WHERE a.is_train AND NOT b.is_train
+        """,
+        "events_in_windows": """
+            WITH w AS (
+                SELECT user_id, event_id AS win_id,
+                       ts AS start_ts,
+                       ts + INTERVAL 1 HOUR AS end_ts
+                FROM events WHERE event_id % 50 = 0
+            )
+            SELECT w.user_id, w.win_id,
+                   coalesce(sum(CASE WHEN e.ts >= w.start_ts
+                                      AND e.ts <= w.end_ts
+                                     THEN 1 ELSE 0 END), 0)::BIGINT
+                       AS n_matched
+            FROM w LEFT JOIN events e ON e.user_id = w.user_id
+            GROUP BY w.user_id, w.win_id
         """,
         "top_suppliers_per_nation": """
             SELECT s_nationkey, s_suppkey, s_acctbal, rk FROM (

@@ -1144,3 +1144,36 @@ def media_frames(sf_dir: str):
              b.column("sum(n_frames)").cast(pa.int64())],
             names=["asset_id", "n_frames"]),
         batch_format="pyarrow")
+
+
+def events_in_windows(sf_dir: str):
+    """Keyed RANGE join (as-of's sibling, an operator Ray Data lacks):
+    per-user 'incident windows' — [ts, ts+1h] around every 50th event —
+    counted against all of that user's events with
+    ``e.ts BETWEEN w.start AND w.end``.  One co-partitioning exchange,
+    vectorized composite-key searchsorted probe inside each bucket."""
+    from mdvalidate_ray.functions.relational import range_join_count
+
+    events = _read(sf_dir, "events").select_columns(
+        ["event_id", "ts", "user_id"])
+
+    def windows(b: pa.Table) -> pa.Table:
+        ids = b.column("event_id")
+        mod = pc.subtract(ids, pc.multiply(pc.divide(ids, 50), 50))
+        w = b.filter(pc.equal(mod, 0))
+        start = w.column("ts").cast(pa.timestamp("us"))
+        end = pc.add(start.cast(pa.int64()),
+                     3_600_000_000).cast(pa.timestamp("us"))
+        return pa.Table.from_arrays(
+            [w.column("user_id"), w.column("event_id"), start, end],
+            names=["user_id", "win_id", "start_ts", "end_ts"])
+
+    intervals = events.map_batches(windows, batch_format="pyarrow",
+                                   zero_copy_batch=True)
+    out = range_join_count(events, intervals, key="user_id",
+                           time_col="ts", id_col="win_id",
+                           start_col="start_ts", end_col="end_ts",
+                           n_parts=16)
+    return out.map_batches(
+        lambda b: b.rename_columns(["user_id", "win_id", "n_matched"]),
+        batch_format="pyarrow")

@@ -233,3 +233,43 @@ def test_cross_split_overlap_guard_and_hits(ray_session):
         cross_split_exact_overlap(ds, key="doc_id", text_col="text",
                                   train_bp=5000, broadcast_threshold=3
                                   ).to_pandas()
+
+
+@pytest.mark.parametrize("blocks", [1, 6])
+def test_range_join_count_matches_bruteforce(ray_session, blocks):
+    import ray.data
+
+    from mdvalidate_ray.functions.relational import range_join_count
+
+    rng = np.random.default_rng(7)
+    n_ev, n_iv = 800, 120
+    base = 1_700_000_000_000_000
+    ev = pa.table({
+        "k": rng.integers(0, 25, n_ev).astype("int64"),
+        "ts": pa.array(base + rng.integers(0, 10**9, n_ev),
+                       pa.timestamp("us")),
+    })
+    starts = base + rng.integers(-10**8, 10**9, n_iv)
+    ends = starts + rng.integers(-10**6, 10**8, n_iv)   # some degenerate
+    iv = pa.table({
+        "k": rng.integers(0, 30, n_iv).astype("int64"),  # some keys absent
+        "win_id": np.arange(n_iv, dtype="int64"),
+        "start": pa.array(starts, pa.timestamp("us")),
+        "end": pa.array(ends, pa.timestamp("us")),
+    })
+    got = range_join_count(
+        ray.data.from_arrow(ev).repartition(blocks),
+        ray.data.from_arrow(iv).repartition(max(1, blocks - 1)),
+        key="k", time_col="ts", id_col="win_id",
+        start_col="start", end_col="end", n_parts=5
+    ).to_pandas().sort_values("win_id").reset_index(drop=True)
+    assert len(got) == n_iv
+    edf = ev.to_pandas()
+    # Timestamp.value is ns — compare in ns on both sides
+    edf["ts_ns"] = edf["ts"].astype("datetime64[ns]").astype("int64")
+    for _, r in iv.to_pandas().iterrows():
+        s, e = r["start"].value, r["end"].value
+        want = ((edf["k"] == r["k"]) & (edf["ts_ns"] >= s)
+                & (edf["ts_ns"] <= e)).sum()
+        gotv = got.loc[got["win_id"] == r["win_id"], "n_matched"].iloc[0]
+        assert gotv == want, (r["win_id"], gotv, want)
