@@ -636,9 +636,11 @@ def q6_forecast_revenue(sf_dir: str):
 
     li = _read(sf_dir, "lineitem").select_columns(
         ["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"])
-    total = sum(r["rev"] for r in
-                li.map_batches(part, batch_format="pyarrow",
-                               zero_copy_batch=True).take_all())
+    # canonical fold order: batch arrival order varies run to run, and
+    # float addition order must not (cents rounding sits on .5 edges)
+    total = sum(sorted(r["rev"] for r in
+                       li.map_batches(part, batch_format="pyarrow",
+                                      zero_copy_batch=True).take_all()))
     return pa.Table.from_pylist(
         [{"revenue_c100": _half_away(total * 100)}],
         schema=pa.schema([("revenue_c100", pa.int64())]))
