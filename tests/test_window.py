@@ -273,3 +273,39 @@ def test_range_join_count_matches_bruteforce(ray_session, blocks):
                 & (edf["ts_ns"] <= e)).sum()
         gotv = got.loc[got["win_id"] == r["win_id"], "n_matched"].iloc[0]
         assert gotv == want, (r["win_id"], gotv, want)
+
+
+# --- property tests on the local kernels (no Ray session needed) -------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 5), st.integers(0, 30)),
+                min_size=0, max_size=60),
+       st.integers(1, 4))
+def test_topn_take_property(rows, n):
+    from mdvalidate_ray.functions.window import _topn_take
+
+    tbl = pa.table({
+        "k": pa.array([r[0] for r in rows], pa.int64()),
+        "ord": pa.array([r[1] for r in rows], pa.int64()),
+        "uid": pa.array(range(len(rows)), pa.int64()),
+    })
+    sort_keys = [("k", "ascending"), ("ord", "descending"),
+                 ("uid", "ascending")]
+    got = _topn_take(tbl, "k", sort_keys, n).to_pandas()
+    if not rows:
+        assert len(got) == 0
+        return
+    df = tbl.to_pandas().sort_values(["k", "ord", "uid"],
+                                     ascending=[True, False, True])
+    want = df.groupby("k").head(n)
+    assert len(got) == len(want)
+    # rank always 1..group_size and ordered within group
+    for k, sub in got.groupby("k"):
+        assert sub["rk"].tolist() == list(range(1, len(sub) + 1))
+        # values are the true top-n for the group
+        grp = df[df["k"] == k]
+        assert sub["uid"].tolist() == grp.head(n)["uid"].tolist()
