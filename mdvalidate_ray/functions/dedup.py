@@ -638,15 +638,20 @@ def cross_split_exact_overlap(docs_ds, *, key: str = "doc_id",
             f"test side has {n_test} rows > broadcast_threshold="
             f"{broadcast_threshold}; use a co-partitioned fp join "
             "(hash(fp) % n_parts groupby) for test sets this large")
-    fp_ref = ray.put(test_fp)
+    fp_ref = ray.put((test_fp, pa.array(list(test_fp), pa.string())))
 
     def probe(batch: pa.Table) -> pa.Table:
-        lookup = ray.get(fp_ref)
+        lookup, fp_set = ray.get(fp_ref)
         train = batch.filter(batch.column("is_train"))
+        # vectorized pre-filter: contamination is sparse, so the Python
+        # pair-expansion loop must only ever see actual hits, not every
+        # train row
+        hits = train.filter(pc.is_in(train.column("fp"),
+                                     value_set=fp_set))
         out_train, out_test, out_fp = [], [], []
-        for i, f in zip(train.column(key).to_pylist(),
-                        train.column("fp").to_pylist()):
-            for t in lookup.get(f, ()):
+        for i, f in zip(hits.column(key).to_pylist(),
+                        hits.column("fp").to_pylist()):
+            for t in lookup[f]:
                 out_train.append(i)
                 out_test.append(t)
                 out_fp.append(f)
