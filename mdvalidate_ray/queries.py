@@ -329,7 +329,6 @@ def q1_pricing(sf_dir: str):
 def top_customers(sf_dir: str):
     import ray
 
-    from ray.data.aggregate import Count, Sum
     from mdvalidate_ray.functions.relational import topk_table
 
     # aggregate on the int key FIRST (smaller shuffle, no string key),
@@ -343,13 +342,14 @@ def top_customers(sf_dir: str):
             [("o_totalprice", "sum"), ("o_totalprice", "count")])
         return g.rename_columns(["o_custkey", "rev_p", "n_p"])
 
-    agg = _read(sf_dir, "orders").select_columns(
-        ["o_custkey", "o_totalprice"]).map_batches(
-        precombine, batch_format="pyarrow", zero_copy_batch=True
-    ).groupby("o_custkey").aggregate(
-        Sum("rev_p", alias_name="rev"),
-        Sum("n_p", alias_name="n_orders"),
-    )
+    from mdvalidate_ray.functions.relational import bucketed_group_sum
+
+    agg = bucketed_group_sum(
+        _read(sf_dir, "orders").select_columns(
+            ["o_custkey", "o_totalprice"]).map_batches(
+            precombine, batch_format="pyarrow", zero_copy_batch=True),
+        key="o_custkey", sum_cols=["rev_p", "n_p"],
+        out_names=["rev", "n_orders"])
     top = topk_table(agg, 10, [("rev", "descending"),
                                ("o_custkey", "ascending")]).to_pylist()
     cust = pa.concat_tables(
@@ -497,8 +497,8 @@ def q3_order_revenue(sf_dir: str):
     partial top-k merge — no unbounded driver materialization anywhere."""
     import datetime
 
-    from ray.data.aggregate import Sum
     from mdvalidate_ray.functions.relational import (
+        bucketed_group_sum,
         semi_join_keys,
         topk_table,
     )
@@ -518,12 +518,16 @@ def q3_order_revenue(sf_dir: str):
     def revenue(b: pa.Table) -> pa.Table:
         rev = pc.multiply(b.column("l_extendedprice"),
                           pc.subtract(pa.scalar(1.0), b.column("l_discount")))
-        return pa.Table.from_arrays([b.column("l_orderkey"), rev],
-                                    names=["l_orderkey", "rev"])
+        t = pa.Table.from_arrays([b.column("l_orderkey"), rev],
+                                 names=["l_orderkey", "rev"])
+        # in-batch combiner before the exchange
+        g = pa.TableGroupBy(t, "l_orderkey").aggregate([("rev", "sum")])
+        return g.rename_columns(["l_orderkey", "rev"])
 
-    agg = kept.map_batches(revenue, batch_format="pyarrow",
-                           zero_copy_batch=True) \
-              .groupby("l_orderkey").aggregate(Sum("rev", alias_name="rev"))
+    agg = bucketed_group_sum(
+        kept.map_batches(revenue, batch_format="pyarrow",
+                         zero_copy_batch=True),
+        key="l_orderkey", sum_cols=["rev"])
     top = topk_table(agg, 20, [("rev", "descending"),
                                ("l_orderkey", "ascending")]).to_pylist()
     return pa.Table.from_pylist([{
