@@ -16,8 +16,8 @@ import pyarrow.compute as pc
 
 
 class BroadcastJoiner:
-    """Actor stage: ``small`` (an Arrow table) is a constructor arg —
-    broadcast once per actor — and each batch inner-joins against it."""
+    """Broadcast-join state: ``small`` (an Arrow table) held once per
+    worker; each batch inner-joins against it."""
 
     def __init__(self, small: pa.Table, keys, join_type: str = "inner"):
         self.small = small
@@ -29,14 +29,35 @@ class BroadcastJoiner:
                           join_type=self.join_type)
 
 
+_JOIN_STATE: dict = {}
+
+
+def _broadcast_join_batch(batch: pa.Table, *, small_ref, keys,
+                          join_type: str) -> pa.Table:
+    """Task form: the small side ships once via ``ray.put`` and lives in
+    a per-worker-process cache — actor-pool amortization without the
+    pool's autoscale ramp (which cost seconds per query for state that
+    is a zero-copy plasma read)."""
+    import ray
+
+    k = (small_ref.hex(), str(keys), join_type)
+    st = _JOIN_STATE.get(k)
+    if st is None:
+        st = BroadcastJoiner(ray.get(small_ref), keys, join_type)
+        _JOIN_STATE[k] = st
+    return st(batch)
+
+
 def broadcast_join(ds, small: pa.Table, keys, *, join_type: str = "inner",
-                   concurrency=(1, 8)):
+                   concurrency=None):
+    import ray
+
+    small_ref = ray.put(small)
     return ds.map_batches(
-        BroadcastJoiner,
-        fn_constructor_kwargs={"small": small, "keys": keys,
-                               "join_type": join_type},
-        batch_format="pyarrow", zero_copy_batch=True,
-        concurrency=concurrency)
+        _broadcast_join_batch,
+        fn_kwargs={"small_ref": small_ref, "keys": keys,
+                   "join_type": join_type},
+        batch_format="pyarrow", zero_copy_batch=True)
 
 
 def exact_quantiles(ds, column: str, qs, *, as_int: bool = True) -> list:

@@ -39,9 +39,17 @@ def _batch_matrix(batch: pa.Table, column: str) -> np.ndarray:
     return flat.reshape(len(batch), dim)
 
 
+def _topk_partial_batch(batch: pa.Table, *, queries, k: int, column: str,
+                        key: str) -> pa.Table:
+    """Task form of :class:`_TopKPartial`: the query matrix is tiny and
+    its normalization is microseconds, so a plain task pool (immediate
+    full parallelism, no actor-pool autoscale ramp) wins outright."""
+    return _TopKPartial(queries, k, column, key)(batch)
+
+
 class _TopKPartial:
-    """Actor stage: queries broadcast in the constructor; each batch emits
-    its local top-k rows per query."""
+    """Per-batch local top-k against the (small) query matrix; each batch
+    emits its local top-k rows per query."""
 
     def __init__(self, queries: np.ndarray, k: int, column: str, key: str):
         # float64 so scores match a double-precision SQL oracle bit-for-bit
@@ -76,11 +84,9 @@ def knn_brute_force(ds, queries: np.ndarray, k: int = 10, *,
     """Exact cosine top-k for each query row.  Returns
     (query_id, rank, key, score) sorted by (query_id, rank)."""
     partials = ds.map_batches(
-        _TopKPartial,
-        fn_constructor_kwargs=dict(queries=queries, k=k, column=column,
-                                   key=key),
-        batch_format="pyarrow", zero_copy_batch=True,
-        concurrency=concurrency)
+        _topk_partial_batch,
+        fn_kwargs=dict(queries=queries, k=k, column=column, key=key),
+        batch_format="pyarrow", zero_copy_batch=True)
     heaps: dict[int, list] = {}
     for row in partials.iter_rows():
         h = heaps.setdefault(row["query_id"], [])
@@ -174,9 +180,28 @@ _PAIR_SCHEMA = pa.schema([("key_a", pa.int64()), ("key_b", pa.int64()),
                           ("cosine", pa.float64())])
 
 
+_SCORER_STATE: dict = {}
+
+
+def _block_pair_batch(batch: pa.Table, *, refs_ref, threshold: float
+                      ) -> pa.Table:
+    """Task form of :class:`_BlockPairScorer`: the scorer (with its block
+    LRU) lives in a per-worker-process cache keyed by the broadcast block
+    list, so tasks keep the actor pool's block-decode amortization
+    without its autoscale ramp."""
+    import ray
+
+    k = (refs_ref.hex(), threshold)
+    st = _SCORER_STATE.get(k)
+    if st is None:
+        st = _BlockPairScorer(ray.get(refs_ref), threshold)
+        _SCORER_STATE[k] = st
+    return st(batch)
+
+
 class _BlockPairScorer:
-    """Actor stage over a Dataset of (i, j) block-index pairs: fetch the
-    two normalized blocks from the object store (cached per actor) and
+    """Stage over a Dataset of (i, j) block-index pairs: fetch the
+    two normalized blocks from the object store (cached per worker) and
     emit all cross-block pairs with cosine ≥ threshold via one matmul."""
 
     _MAX_CACHED_BLOCKS = 16   # LRU bound: without it each actor would
@@ -255,10 +280,11 @@ def embedding_near_duplicates(ds, threshold: float = 0.95, *,
     refs = normalized.to_arrow_refs()
     nb = len(refs)
     items = [{"i": i, "j": j} for i in range(nb) for j in range(i, nb)]
+    refs_ref = ray.put(refs)
     pairs_ds = ray.data.from_items(items).map_batches(
-        _BlockPairScorer,
-        fn_constructor_kwargs=dict(refs=refs, threshold=threshold),
-        batch_format="pyarrow", concurrency=concurrency)
+        _block_pair_batch,
+        fn_kwargs=dict(refs_ref=refs_ref, threshold=threshold),
+        batch_format="pyarrow")
     out = pairs_ds.take_all()                 # qualifying pairs only: tiny
     out.sort(key=lambda r: (r["key_a"], r["key_b"]))
     return pa.Table.from_pylist(out, schema=_PAIR_SCHEMA)
