@@ -281,23 +281,45 @@ def asof_join_partitioned(left_ds, right_ds, *, key: str, left_time: str,
         per_bucket, batch_format="pyarrow")
 
 
+_ASOF_STATE: dict = {}
+
+
+def _asof_broadcast_batch(batch: pa.Table, *, right_ref, key: str,
+                          right_time: str, tiebreak: str,
+                          value_cols: list[str], left_key: str,
+                          left_time: str) -> pa.Table:
+    """Task form of the broadcast as-of probe: the sorted right frame
+    builds once per worker PROCESS (cached by broadcast ref) — the same
+    amortization an actor pool gave, without its autoscale ramp."""
+    import ray
+
+    ck = (right_ref.hex(), key, right_time, tiebreak,
+          tuple(value_cols), left_key, left_time)
+    st = _ASOF_STATE.get(ck)
+    if st is None:
+        cls = type("AsofJoiner", (AsofJoiner,),
+                   {"_lkey": left_key, "_ltime": left_time})
+        st = cls(ray.get(right_ref), key, right_time, tiebreak,
+                 value_cols)
+        _ASOF_STATE[ck] = st
+    return st(batch)
+
+
 def asof_join_broadcast(left_ds, right: pa.Table, *, key: str,
                         left_time: str, right_time: str, tiebreak: str,
                         value_cols: list[str], left_key: str | None = None,
-                        concurrency=(1, 8)):
+                        concurrency=None):
     """left Dataset ⋈asof broadcast right table (see :class:`AsofJoiner`)."""
-    cls_kwargs = dict(right=right, key=key, right_time=right_time,
-                      tiebreak=tiebreak, value_cols=value_cols)
+    import ray
 
-    class _Bound(AsofJoiner):
-        _lkey = left_key or key
-        _ltime = left_time
-
-    _Bound.__name__ = "AsofJoiner"
+    right_ref = ray.put(right)
     return left_ds.map_batches(
-        _Bound, fn_constructor_kwargs=cls_kwargs,
-        batch_format="pyarrow", zero_copy_batch=True,
-        concurrency=concurrency)
+        _asof_broadcast_batch,
+        fn_kwargs=dict(right_ref=right_ref, key=key,
+                       right_time=right_time, tiebreak=tiebreak,
+                       value_cols=value_cols, left_key=left_key or key,
+                       left_time=left_time),
+        batch_format="pyarrow", zero_copy_batch=True)
 
 
 def topk_table(ds, k: int, sort_keys: list[tuple[str, str]]) -> pa.Table:
@@ -372,19 +394,23 @@ def semi_join_keys(ds, keys_ds, *, left_key: str, right_key: str,
     bloom = build_bloom(keys_ds, column=right_key, n_items=n_keys,
                         fp_rate=fp_rate)
 
-    class _BloomKeep:
-        def __init__(self, bloom_bytes: bytes):
-            self.bloom = BloomFilter.from_bytes(bloom_bytes)
+    import ray
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            vals = [str(v) for v in batch.column(left_key).to_pylist()]
-            hits = self.bloom.might_contain(vals)
-            return batch.filter(pa.array(np.asarray(hits, dtype=bool)))
+    bloom_ref = ray.put(bloom.to_bytes())
 
-    maybe = ds.map_batches(
-        _BloomKeep, fn_constructor_kwargs={"bloom_bytes": bloom.to_bytes()},
-        batch_format="pyarrow", zero_copy_batch=True,
-        concurrency=concurrency)
+    def bloom_keep(batch: pa.Table) -> pa.Table:
+        # per-process deserialized-Bloom cache (the filter can be 100s of
+        # MB at 10 bits/key; decode once per worker, not per batch)
+        bf = _JOIN_STATE.get(("bloom", bloom_ref.hex()))
+        if bf is None:
+            bf = BloomFilter.from_bytes(ray.get(bloom_ref))
+            _JOIN_STATE[("bloom", bloom_ref.hex())] = bf
+        vals = [str(v) for v in batch.column(left_key).to_pylist()]
+        hits = bf.might_contain(vals)
+        return batch.filter(pa.array(np.asarray(hits, dtype=bool)))
+
+    maybe = ds.map_batches(bloom_keep, batch_format="pyarrow",
+                           zero_copy_batch=True)
 
     l_schema = ds.schema().base_schema
     unified = pa.schema([("_bucket", pa.int64()), ("_is_key", pa.bool_())]
