@@ -37,12 +37,18 @@ def _read(sf_dir: str, table: str):
     import ray.data
 
     path = f"{sf_dir}/{table}.parquet"
-    # the sf testdata files are single-row-group parquet: without a split
-    # hint the whole table decodes in ONE read task and every downstream
-    # map stage starts single-threaded until the first exchange
+    # explicit block sizing both ways: the sf testdata files are
+    # single-row-group parquet, so without a split hint a big table
+    # decodes in ONE read task (downstream stages start single-threaded
+    # until the first exchange) — while Ray's default parallelism slices
+    # a 5k-row table into ~128 blocks of 40 rows, and every downstream
+    # stage then pays ~128 task dispatches for milliseconds of work.
+    # 16 blocks max (dispatch stays trivial), 4 min (CPU-heavy per-doc
+    # stages — simhash banding, fingerprints — must not serialize onto
+    # one task).
     n_rows = pq.ParquetFile(path).metadata.num_rows
-    kw = {"override_num_blocks": 16} if n_rows > 100_000 else {}
-    return ray.data.read_parquet(path, **kw)
+    blocks = min(16, max(4, n_rows // 350))
+    return ray.data.read_parquet(path, override_num_blocks=blocks)
 
 
 def _docs_count(sf_dir: str) -> int:
