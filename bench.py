@@ -149,6 +149,8 @@ QUERY_NAMES = [
     "minhash_pairs", "simhash_pairs", "knn", "embedding_dups",
     "top_suppliers_per_nation", "supplier_moving_qty",
     "len_quantiles_by_source", "sample_strata_counts", "kmeans_clusters",
+    "redact_digits", "mixture_counts", "contamination_pairs",
+    "events_in_windows",
 ]
 
 
