@@ -88,6 +88,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_moving_qty": Q.supplier_moving_qty,
         "len_quantiles_by_source": Q.len_quantiles_by_source,
         "sample_strata_counts": Q.sample_strata_counts,
+        # rollup / pivot / inverted index
+        "orders_rollup": Q.orders_rollup,
+        "priority_pivot": Q.priority_pivot,
+        "doc_frequency": Q.doc_frequency,
         # similarity
         "knn": Q.knn,
         "knn_ivf": Q.knn_ivf,
@@ -462,6 +466,41 @@ def oracle_sql() -> dict[str, str]:
                        AS n_matched
             FROM w LEFT JOIN events e ON e.user_id = w.user_id
             GROUP BY w.user_id, w.win_id
+        """,
+        "orders_rollup": """
+            SELECT o_year, o_orderpriority,
+                   count(*)::BIGINT AS cnt, sum(c100)::BIGINT AS sum_c100
+            FROM (SELECT year(o_orderdate)::BIGINT AS o_year,
+                         o_orderpriority,
+                         CAST(round(o_totalprice * 100) AS BIGINT) AS c100
+                  FROM orders)
+            GROUP BY ROLLUP(o_year, o_orderpriority)
+        """,
+        "priority_pivot": """
+            SELECT year(o_orderdate)::BIGINT AS o_year,
+                   count(*) FILTER (o_orderpriority = '1-URGENT')::BIGINT
+                       AS p_urgent,
+                   count(*) FILTER (o_orderpriority = '2-HIGH')::BIGINT
+                       AS p_high,
+                   count(*) FILTER (o_orderpriority = '3-MEDIUM')::BIGINT
+                       AS p_medium,
+                   count(*) FILTER (o_orderpriority = '4-NOT SPECIFIED')::BIGINT
+                       AS p_notspec,
+                   count(*) FILTER (o_orderpriority = '5-LOW')::BIGINT
+                       AS p_low
+            FROM orders GROUP BY 1
+        """,
+        "doc_frequency": """
+            SELECT w AS word, count(DISTINCT doc_id)::BIGINT AS df
+            FROM (
+                SELECT doc_id, unnest(list_filter(
+                    string_split_regex(lower(trim(text)), '\\s+'),
+                    x -> x <> '')) AS w
+                FROM documents
+            )
+            GROUP BY 1
+            ORDER BY df DESC, word ASC
+            LIMIT 25
         """,
         "top_suppliers_per_nation": """
             SELECT s_nationkey, s_suppkey, s_acctbal, rk FROM (

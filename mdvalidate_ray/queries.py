@@ -1210,3 +1210,165 @@ def events_in_windows(sf_dir: str):
     return out.map_batches(
         lambda b: b.rename_columns(["user_id", "win_id", "n_matched"]),
         batch_format="pyarrow")
+
+
+def doc_frequency(sf_dir: str):
+    """Inverted-index posting sizes: top-25 tokens by DOCUMENT frequency
+    (number of distinct docs containing the token) — the df side of a
+    tf-idf / posting-list build.  Each doc lives in exactly one batch, so
+    an in-batch (doc, word) dedup makes the per-word partial counts
+    EXACT; a hot word then contributes one row per batch to the
+    exchange (skew-proof, same shape as :func:`top_words`), and
+    :func:`~mdvalidate_ray.functions.relational.bucketed_group_sum` +
+    partial top-k finish without a full sort."""
+    import numpy as np
+
+    from mdvalidate_ray.functions.relational import (bucketed_group_sum,
+                                                     topk_table)
+
+    docs = _read(sf_dir, "documents").select_columns(["text"])
+
+    def df_partial(b: pa.Table) -> pa.Table:
+        empty = pa.Table.from_arrays(
+            [pa.array([], pa.string()), pa.array([], pa.int64())],
+            names=["word", "df"])
+        texts = pc.utf8_lower(pc.utf8_trim_whitespace(
+            pc.cast(b.column("text"), pa.string())))
+        tokens = pc.split_pattern_regex(texts, r"\s+")
+        flat = (tokens.combine_chunks()
+                if isinstance(tokens, pa.ChunkedArray) else tokens)
+        words = flat.flatten()
+        parents = pc.list_parent_indices(flat)
+        keep = pc.not_equal(words, "")
+        words = words.filter(keep)
+        parents = parents.filter(keep)
+        if len(words) == 0:
+            return empty
+        enc = words.dictionary_encode()
+        n_words = len(enc.dictionary)
+        codes = np.asarray(enc.indices).astype(np.int64)
+        par = np.asarray(parents).astype(np.int64)
+        # one distinct (doc, word) pair per posting: np.unique on the
+        # fused pair id, then a bincount over the word codes
+        ucodes = np.unique(par * n_words + codes) % n_words
+        dfs = np.bincount(ucodes, minlength=n_words)
+        nz = np.nonzero(dfs)[0]
+        return pa.Table.from_arrays(
+            [enc.dictionary.take(pa.array(nz, pa.int64())),
+             pa.array(dfs[nz], pa.int64())],
+            names=["word", "df"])
+
+    partials = docs.map_batches(df_partial, batch_format="pyarrow",
+                                zero_copy_batch=True)
+    agg = bucketed_group_sum(partials, key="word", sum_cols=["df"],
+                             n_parts=16)
+    return topk_table(agg, 25, [("df", "descending"),
+                                ("word", "ascending")])
+
+
+def _orders_fine_cells(sf_dir: str) -> pa.Table:
+    """Exact (year, priority) order counts + cent-integer price sums.
+
+    Per-batch combiner collapses each block to ≤ |years|×|priorities|
+    partial rows (cents become int64 BEFORE summing, so addition is
+    exact integer math and immune to float ordering);
+    ``bucketed_group_sum`` folds the partials.  The fine grid is
+    bounded (7 years × 5 priorities), so materializing it is O(35)."""
+    import numpy as np
+
+    import ray
+    from mdvalidate_ray.functions.relational import bucketed_group_sum
+
+    orders = _read(sf_dir, "orders").select_columns(
+        ["o_orderdate", "o_orderpriority", "o_totalprice"])
+
+    def part(b: pa.Table) -> pa.Table:
+        yr = pc.year(b.column("o_orderdate")).cast(pa.int64())
+        pri = pc.cast(b.column("o_orderpriority"), pa.string())
+        c100 = pc.cast(_pc_round(pc.multiply(
+            b.column("o_totalprice"), 100.0)), pa.int64())
+        key = pc.binary_join_element_wise(
+            pc.cast(yr, pa.string()), pri, "|")
+        key = key.combine_chunks() if isinstance(
+            key, pa.ChunkedArray) else key
+        enc = key.dictionary_encode()
+        codes = np.asarray(enc.indices).astype(np.int64)
+        n = len(enc.dictionary)
+        cnt = np.bincount(codes, minlength=n).astype(np.int64)
+        sums = np.zeros(n, dtype=np.int64)
+        np.add.at(sums, codes,
+                  np.asarray(c100.combine_chunks() if isinstance(
+                      c100, pa.ChunkedArray) else c100).astype(np.int64))
+        return pa.Table.from_arrays(
+            [enc.dictionary, pa.array(cnt), pa.array(sums)],
+            names=["cell", "cnt", "sum_c100"])
+
+    partials = orders.map_batches(part, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+    agg = bucketed_group_sum(partials, key="cell",
+                             sum_cols=["cnt", "sum_c100"], n_parts=8)
+    tbls = [t for t in ray.get(agg.to_arrow_refs()) if t.num_rows]
+    return pa.concat_tables(tbls).combine_chunks()
+
+
+def orders_rollup(sf_dir: str):
+    """Hierarchical aggregate with ROLLUP margins — (year, priority)
+    cells plus per-year subtotals plus a grand total, the SQL
+    ``GROUP BY ROLLUP`` operator.  The distributed work is one
+    pre-combined exchange (:func:`_orders_fine_cells`); margins are
+    derived on the driver from the bounded fine grid, never from row
+    data."""
+    fine = _orders_fine_cells(sf_dir)
+    cells = fine.column("cell").to_pylist()
+    cnts = fine.column("cnt").to_pylist()
+    sums = fine.column("sum_c100").to_pylist()
+
+    years, pris, out_cnt, out_sum = [], [], [], []
+    by_year: dict[int, list[int]] = {}
+    for cell, c, s in zip(cells, cnts, sums):
+        y_s, pri = cell.split("|", 1)
+        y = int(y_s)
+        years.append(y)
+        pris.append(pri)
+        out_cnt.append(c)
+        out_sum.append(s)
+        t = by_year.setdefault(y, [0, 0])
+        t[0] += c
+        t[1] += s
+    for y, (c, s) in by_year.items():
+        years.append(y)
+        pris.append(None)
+        out_cnt.append(c)
+        out_sum.append(s)
+    years.append(None)
+    pris.append(None)
+    out_cnt.append(sum(cnts))
+    out_sum.append(sum(sums))
+    return pa.Table.from_arrays(
+        [pa.array(years, pa.int64()), pa.array(pris, pa.string()),
+         pa.array(out_cnt, pa.int64()), pa.array(out_sum, pa.int64())],
+        names=["o_year", "o_orderpriority", "cnt", "sum_c100"])
+
+
+def priority_pivot(sf_dir: str):
+    """PIVOT: one row per order-year, one count column per priority
+    class (the conditional-aggregation form — stable output schema).
+    Reuses the pre-combined fine grid; the pivot itself touches only
+    the bounded cell table on the driver."""
+    fine = _orders_fine_cells(sf_dir)
+    grid: dict[int, dict[str, int]] = {}
+    for cell, c in zip(fine.column("cell").to_pylist(),
+                       fine.column("cnt").to_pylist()):
+        y_s, pri = cell.split("|", 1)
+        grid.setdefault(int(y_s), {})[pri] = c
+    pri_cols = {"1-URGENT": "p_urgent", "2-HIGH": "p_high",
+                "3-MEDIUM": "p_medium", "4-NOT SPECIFIED": "p_notspec",
+                "5-LOW": "p_low"}
+    years = sorted(grid)
+    arrays = [pa.array(years, pa.int64())]
+    names = ["o_year"]
+    for pri, col in pri_cols.items():
+        arrays.append(pa.array([grid[y].get(pri, 0) for y in years],
+                               pa.int64()))
+        names.append(col)
+    return pa.Table.from_arrays(arrays, names=names)
