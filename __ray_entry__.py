@@ -92,6 +92,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_rollup": Q.orders_rollup,
         "priority_pivot": Q.priority_pivot,
         "doc_frequency": Q.doc_frequency,
+        "pack_bins": Q.pack_bins,
         # similarity
         "knn": Q.knn,
         "knn_ivf": Q.knn_ivf,
@@ -489,6 +490,30 @@ def oracle_sql() -> dict[str, str]:
                    count(*) FILTER (o_orderpriority = '5-LOW')::BIGINT
                        AS p_low
             FROM orders GROUP BY 1
+        """,
+        "pack_bins": """
+            WITH RECURSIVE toks AS (
+                SELECT source, doc_id,
+                       len(regexp_split_to_array(trim(text), '\\s+'))::BIGINT
+                           AS n_tok,
+                       row_number() OVER (PARTITION BY source
+                                          ORDER BY doc_id) AS rn
+                FROM documents
+            ), pack AS (
+                SELECT source, rn, n_tok, 1::BIGINT AS bin_id, n_tok AS fill
+                FROM toks WHERE rn = 1
+                UNION ALL
+                SELECT t.source, t.rn, t.n_tok,
+                       CASE WHEN p.fill + t.n_tok <= 512
+                            THEN p.bin_id ELSE p.bin_id + 1 END,
+                       CASE WHEN p.fill + t.n_tok <= 512
+                            THEN p.fill + t.n_tok ELSE t.n_tok END
+                FROM pack p JOIN toks t
+                  ON t.source = p.source AND t.rn = p.rn + 1
+            )
+            SELECT source, bin_id, count(*)::BIGINT AS n_docs,
+                   sum(n_tok)::BIGINT AS bin_tokens
+            FROM pack GROUP BY 1, 2
         """,
         "doc_frequency": """
             SELECT w AS word, count(DISTINCT doc_id)::BIGINT AS df

@@ -150,7 +150,8 @@ QUERY_NAMES = [
     "top_suppliers_per_nation", "supplier_moving_qty",
     "len_quantiles_by_source", "sample_strata_counts", "kmeans_clusters",
     "redact_digits", "mixture_counts", "contamination_pairs",
-    "events_in_windows",
+    "events_in_windows", "orders_rollup", "priority_pivot",
+    "doc_frequency", "pack_bins",
 ]
 
 

@@ -752,3 +752,79 @@ def bucketed_group_sum(ds, *, key: str, sum_cols: list[str],
                           zero_copy_batch=True) \
              .groupby("_bucket").map_groups(per_bucket,
                                             batch_format="pyarrow")
+
+
+def pack_sequences(meta_ds, *, key: str, order_col: str, tokens_col: str,
+                   capacity: int, n_parts: int = 8):
+    """Greedy sequential sequence packing — the training-data step that
+    concatenates documents into fixed-capacity token bins to minimize
+    padding.  Within each ``key`` group, rows are scanned in ``order_col``
+    order and appended to the current bin while the bin's token total
+    stays ≤ ``capacity``; overflow opens a new bin, and a single row
+    larger than ``capacity`` occupies a bin alone.  Returns one row per
+    (key, bin) with 1-based ``bin_id``, ``n_docs`` and ``bin_tokens``.
+
+    Plan: only (key, order, n_tok) METADATA shuffles — the document texts
+    never move; a coarse ``hash(key) % n_parts`` co-partition bounds group
+    calls at ``n_parts`` (one call per distinct key would be one per
+    corpus shard at scale).  Inside a bucket the scan is a per-BIN jump
+    loop (``np.searchsorted`` over the token cumsum finds each bin's end
+    in O(log n)), so Python-level iterations equal the number of bins
+    emitted, not the number of rows.  The packing recurrence itself is
+    inherently sequential per key — the reference point for the semantics
+    is first-fit-in-order, the same contract a recursive SQL scan
+    expresses.  Partitioning assumption: one bucket's metadata fits in a
+    worker's heap (~24 bytes/row)."""
+    import numpy as np
+
+    from mdvalidate_ray.state.sketches import hash_strings
+
+    out_schema = pa.schema([(key, pa.string()), ("bin_id", pa.int64()),
+                            ("n_docs", pa.int64()),
+                            ("bin_tokens", pa.int64())])
+
+    def tag(b: pa.Table) -> pa.Table:
+        vals = [str(x) for x in b.column(key).to_pylist()]
+        h = hash_strings(vals) if vals else np.zeros(0, dtype=np.uint64)
+        return b.append_column(
+            "_bucket", pa.array((h % np.uint64(n_parts)).astype("int64")))
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return out_schema.empty_table()
+        g = g.drop_columns(["_bucket"])
+        g = g.take(pc.sort_indices(g, sort_keys=[(key, "ascending"),
+                                                 (order_col, "ascending")]))
+        keys = np.asarray(g.column(key).to_pandas())
+        toks = g.column(tokens_col).to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+        # contiguous key segments after the sort
+        seg_starts = np.flatnonzero(
+            np.r_[True, keys[1:] != keys[:-1]])
+        seg_ends = np.r_[seg_starts[1:], len(keys)]
+        out_key, out_bin, out_docs, out_tok = [], [], [], []
+        for s, e in zip(seg_starts, seg_ends):
+            c = np.cumsum(toks[s:e])
+            start, prev, bin_id = 0, 0, 0
+            n = e - s
+            while start < n:
+                j = int(np.searchsorted(c, prev + capacity, side="right"))
+                if j <= start:          # oversized row: bin of its own
+                    j = start + 1
+                bin_id += 1
+                out_key.append(keys[s])
+                out_bin.append(bin_id)
+                out_docs.append(j - start)
+                out_tok.append(int(c[j - 1] - prev))
+                prev = int(c[j - 1])
+                start = j
+        return pa.Table.from_arrays(
+            [pa.array([str(k) for k in out_key], pa.string()),
+             pa.array(out_bin, pa.int64()),
+             pa.array(out_docs, pa.int64()),
+             pa.array(out_tok, pa.int64())], schema=out_schema)
+
+    return meta_ds.map_batches(tag, batch_format="pyarrow",
+                               zero_copy_batch=True) \
+                  .groupby("_bucket").map_groups(per_bucket,
+                                                 batch_format="pyarrow")

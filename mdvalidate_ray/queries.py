@@ -1372,3 +1372,29 @@ def priority_pivot(sf_dir: str):
                                pa.int64()))
         names.append(col)
     return pa.Table.from_arrays(arrays, names=names)
+
+
+def pack_bins(sf_dir: str):
+    """Sequence packing: greedy first-fit-in-order token bins of capacity
+    512 per source (see :func:`~mdvalidate_ray.functions.relational.
+    pack_sequences`).  Token counts use the same whitespace tokenization
+    as :func:`token_counts`, computed vectorized per batch; only the
+    (source, doc_id, n_tok) metadata enters the exchange."""
+    from mdvalidate_ray.functions.relational import pack_sequences
+
+    docs = _read(sf_dir, "documents").select_columns(
+        ["doc_id", "text", "source"])
+
+    def meta(b: pa.Table) -> pa.Table:
+        toks = pc.list_value_length(pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(pc.cast(b.column("text"), pa.string())),
+            r"\s+"))
+        return pa.Table.from_arrays(
+            [pc.cast(b.column("source"), pa.string()), b.column("doc_id"),
+             pc.cast(toks, pa.int64())],
+            names=["source", "doc_id", "n_tok"])
+
+    metas = docs.map_batches(meta, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    return pack_sequences(metas, key="source", order_col="doc_id",
+                          tokens_col="n_tok", capacity=512, n_parts=8)

@@ -199,3 +199,49 @@ def test_write_bucketed_colocates_keys(ray_session, tmp_path):
     total = sum(pq.ParquetFile(f).metadata.num_rows
                 for f in glob.glob(f"{out}/**/*.parquet", recursive=True))
     assert total == 1000
+
+
+def _pack_reference(rows, capacity):
+    """Row-at-a-time first-fit-in-order — the recursive-SQL semantics."""
+    out = {}
+    by_key = {}
+    for k, _o, t in sorted(rows):
+        by_key.setdefault(k, []).append(t)
+    for k, toks in by_key.items():
+        bin_id, fill = 0, None
+        for t in toks:
+            if fill is None or fill + t > capacity:
+                bin_id += 1
+                fill = t
+                out[(k, bin_id)] = [1, t]
+            else:
+                fill += t
+                out[(k, bin_id)][0] += 1
+                out[(k, bin_id)][1] += t
+    return {k: tuple(v) for k, v in out.items()}
+
+
+def test_pack_sequences_matches_sequential_reference(ray_session):
+    import ray.data
+
+    from mdvalidate_ray.functions.relational import pack_sequences
+
+    rng = np.random.default_rng(7)
+    rows = [(f"s{i % 5}", i, int(t))
+            for i, t in enumerate(rng.integers(1, 90, size=400))]
+    # plant an oversized row (> capacity) mid-stream
+    rows[123] = (rows[123][0], rows[123][1], 5000)
+    ds = ray.data.from_arrow(pa.table({
+        "src": [r[0] for r in rows],
+        "ord": [r[1] for r in rows],
+        "n_tok": [r[2] for r in rows]}))
+    got = pack_sequences(ds, key="src", order_col="ord",
+                         tokens_col="n_tok", capacity=128,
+                         n_parts=3).to_pandas()
+    want = _pack_reference(rows, 128)
+    got_map = {(r.src, r.bin_id): (r.n_docs, r.bin_tokens)
+               for r in got.itertuples()}
+    assert got_map == want
+    # invariants: every bin <= capacity unless it is a lone oversized doc
+    for (_, _), (nd, bt) in got_map.items():
+        assert bt <= 128 or nd == 1
