@@ -64,6 +64,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof_orders": Q.events_asof_orders,
         "events_sliding": Q.events_sliding,
         "events_in_windows": Q.events_in_windows,
+        "daily_active_users": Q.daily_active_users,
         "quality_filter_counts": Q.quality_filter_counts,
         "user_sessions": Q.user_sessions,
         "q3_order_revenue": Q.q3_order_revenue,
@@ -490,6 +491,11 @@ def oracle_sql() -> dict[str, str]:
                    count(*) FILTER (o_orderpriority = '5-LOW')::BIGINT
                        AS p_low
             FROM orders GROUP BY 1
+        """,
+        "daily_active_users": """
+            SELECT strftime(ts, '%Y-%m-%d') AS day,
+                   count(DISTINCT user_id)::BIGINT AS n_users
+            FROM events GROUP BY 1
         """,
         "pack_bins": """
             WITH RECURSIVE toks AS (

@@ -151,7 +151,7 @@ QUERY_NAMES = [
     "len_quantiles_by_source", "sample_strata_counts", "kmeans_clusters",
     "redact_digits", "mixture_counts", "contamination_pairs",
     "events_in_windows", "orders_rollup", "priority_pivot",
-    "doc_frequency", "pack_bins",
+    "doc_frequency", "pack_bins", "daily_active_users",
 ]
 
 

@@ -1398,3 +1398,26 @@ def pack_bins(sf_dir: str):
                              zero_copy_batch=True)
     return pack_sequences(metas, key="source", order_col="doc_id",
                           tokens_col="n_tok", capacity=512, n_parts=8)
+
+
+def daily_active_users(sf_dir: str):
+    """Exact daily COUNT(DISTINCT user_id) over events — the canonical
+    distinct-per-group wide operator, computed skew-proof via
+    :func:`~mdvalidate_ray.functions.relational.group_count_distinct`
+    (in-batch pair dedup → pair-hash co-partition → exact partial-count
+    summation; raw rows never shuffle on the group key)."""
+    from mdvalidate_ray.functions.relational import group_count_distinct
+
+    ev = _read(sf_dir, "events").select_columns(["ts", "user_id"])
+
+    def day_pairs(b: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [pc.strftime(b.column("ts"), format="%Y-%m-%d"),
+             b.column("user_id")],
+            names=["day", "user_id"])
+
+    pairs = ev.map_batches(day_pairs, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    return group_count_distinct(pairs, group_col="day",
+                                distinct_col="user_id",
+                                out_name="n_users")

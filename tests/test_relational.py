@@ -245,3 +245,25 @@ def test_pack_sequences_matches_sequential_reference(ray_session):
     # invariants: every bin <= capacity unless it is a lone oversized doc
     for (_, _), (nd, bt) in got_map.items():
         assert bt <= 128 or nd == 1
+
+
+def test_group_count_distinct_exact(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from mdvalidate_ray.functions.relational import group_count_distinct
+
+    rng = np.random.default_rng(11)
+    g = rng.integers(0, 7, size=2000)
+    v = rng.integers(0, 40, size=2000)
+    # one hot group with many repeated values (the skew case)
+    g[:800] = 3
+    ds = ray.data.from_arrow(pa.table({
+        "grp": [f"g{x}" for x in g], "val": [int(x) for x in v]}))
+    got = group_count_distinct(ds, group_col="grp", distinct_col="val",
+                               n_parts=5, out_name="nd").to_pandas()
+    want = (pd.DataFrame({"grp": [f"g{x}" for x in g], "val": v})
+            .groupby("grp")["val"].nunique().rename("nd").reset_index())
+    got = got.sort_values("grp").reset_index(drop=True)
+    want = want.sort_values("grp").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
