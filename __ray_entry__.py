@@ -65,6 +65,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sliding": Q.events_sliding,
         "events_in_windows": Q.events_in_windows,
         "daily_active_users": Q.daily_active_users,
+        "priority_revenue": Q.priority_revenue,
+        "latest_events": Q.latest_events,
         "quality_filter_counts": Q.quality_filter_counts,
         "user_sessions": Q.user_sessions,
         "q3_order_revenue": Q.q3_order_revenue,
@@ -491,6 +493,19 @@ def oracle_sql() -> dict[str, str]:
                    count(*) FILTER (o_orderpriority = '5-LOW')::BIGINT
                        AS p_low
             FROM orders GROUP BY 1
+        """,
+        "priority_revenue": """
+            SELECT o_orderpriority, count(*)::BIGINT AS cnt,
+                   sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                            AS BIGINT))::BIGINT AS rev_c100
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY 1
+        """,
+        "latest_events": """
+            SELECT user_id, event_id, ts, event_type FROM events
+            QUALIFY row_number() OVER (
+                PARTITION BY user_id
+                ORDER BY ts DESC, event_id DESC) = 1
         """,
         "daily_active_users": """
             SELECT strftime(ts, '%Y-%m-%d') AS day,

@@ -874,3 +874,66 @@ def group_count_distinct(ds, *, group_col: str, distinct_col: str,
                                                 batch_format="pyarrow")
     return bucketed_group_sum(partials, key=group_col, sum_cols=["cnt"],
                               out_names=[out_name], n_parts=16)
+
+
+def hash_join(left_ds, right_ds, *, on: str, right_on: str | None = None,
+              n_parts: int = 32, join_type: str = "inner"):
+    """Large×large equi-join: both sides hash-partition on the key across
+    ``n_parts`` shuffle aggregators (Ray Data's native hash join — the
+    genuine all-to-all exchange).  This is the LAST-RESORT join tier:
+    prefer :func:`broadcast_join` when one side fits in memory
+    (``ray.put`` once, probe per batch, no shuffle) and
+    :func:`semi_join_keys` when only key membership matters (Bloom-sized
+    exchange).  Size ``n_parts`` so one partition of the LARGER side fits
+    in an aggregator's heap (≈ rows / 5M)."""
+    return left_ds.join(
+        right_ds, join_type=join_type, num_partitions=n_parts,
+        on=(on,), right_on=((right_on,) if right_on else None))
+
+
+def latest_per_key(ds, *, key: str, order_cols: list[str],
+                   n_parts: int = 64):
+    """Compaction / upsert resolution: each key's single LATEST row by
+    ``order_cols`` (descending, left-to-right tiebreak) — the CDC
+    "last write wins" and slowly-changing-dimension collapse.
+
+    Per-batch argmax first (sort the block by key + order_cols
+    descending, keep each key's first row — at most one row per (key,
+    block) survives), then ONE coarse ``hash(key) % n_parts`` exchange
+    re-runs the same vectorized argmax per bucket.  A key updated in
+    every block contributes one row per block to the shuffle, never its
+    full history; group calls are bounded by ``n_parts``."""
+    import numpy as np
+
+    from mdvalidate_ray.state.sketches import hash_strings
+
+    def block_latest(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return b
+        sort_keys = [(key, "ascending")] + [(c, "descending")
+                                            for c in order_cols]
+        b = b.take(pc.sort_indices(b, sort_keys=sort_keys))
+        keys = np.asarray(b.column(key).to_pandas())
+        first = np.flatnonzero(np.r_[True, keys[1:] != keys[:-1]])
+        return b.take(pa.array(first, pa.int64()))
+
+    def tag(b: pa.Table) -> pa.Table:
+        col = b.column(key)
+        if pa.types.is_integer(col.type):
+            v = col.to_numpy(zero_copy_only=False).astype(np.uint64)
+            h = (v * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)
+        else:
+            vals = [str(x) for x in col.to_pylist()]
+            h = hash_strings(vals) if vals else np.zeros(0, dtype=np.uint64)
+        return b.append_column(
+            "_bucket", pa.array((h % np.uint64(n_parts)).astype("int64")))
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        return block_latest(g.drop_columns(["_bucket"]))
+
+    return ds.map_batches(block_latest, batch_format="pyarrow",
+                          zero_copy_batch=True) \
+             .map_batches(tag, batch_format="pyarrow",
+                          zero_copy_batch=True) \
+             .groupby("_bucket").map_groups(per_bucket,
+                                            batch_format="pyarrow")

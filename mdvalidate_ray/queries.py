@@ -1421,3 +1421,68 @@ def daily_active_users(sf_dir: str):
     return group_count_distinct(pairs, group_col="day",
                                 distinct_col="user_id",
                                 out_name="n_users")
+
+
+def priority_revenue(sf_dir: str):
+    """Per-priority lineitem revenue — a genuine large×large equi-join
+    (lineitem × orders, neither broadcast) through
+    :func:`~mdvalidate_ray.functions.relational.hash_join`, reduced by
+    an in-batch combiner + bucketed fold so only ≤5 partial rows per
+    block enter the final exchange.  Revenue rounds to integer cents
+    per row BEFORE summation (exact int math, oracle-identical)."""
+    import numpy as np
+
+    from mdvalidate_ray.functions.relational import (bucketed_group_sum,
+                                                     hash_join)
+
+    li = _read(sf_dir, "lineitem").select_columns(
+        ["l_orderkey", "l_extendedprice", "l_discount"])
+    orders = _read(sf_dir, "orders").select_columns(
+        ["o_orderkey", "o_orderpriority"])
+    joined = hash_join(li, orders, on="l_orderkey", right_on="o_orderkey",
+                       n_parts=8)
+
+    def part(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.Table.from_arrays(
+                [pa.array([], pa.string()), pa.array([], pa.int64()),
+                 pa.array([], pa.int64())],
+                names=["o_orderpriority", "cnt", "rev_c100"])
+        rev = pc.cast(_pc_round(pc.multiply(pc.multiply(
+            b.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), b.column("l_discount"))), 100.0)),
+            pa.int64())
+        pri = b.column("o_orderpriority")
+        pri = pri.combine_chunks() if isinstance(
+            pri, pa.ChunkedArray) else pri
+        enc = pri.dictionary_encode()
+        codes = np.asarray(enc.indices).astype(np.int64)
+        n = len(enc.dictionary)
+        cnt = np.bincount(codes, minlength=n).astype(np.int64)
+        sums = np.zeros(n, dtype=np.int64)
+        np.add.at(sums, codes,
+                  np.asarray(rev.combine_chunks() if isinstance(
+                      rev, pa.ChunkedArray) else rev).astype(np.int64))
+        return pa.Table.from_arrays(
+            [enc.dictionary, pa.array(cnt), pa.array(sums)],
+            names=["o_orderpriority", "cnt", "rev_c100"])
+
+    partials = joined.map_batches(part, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+    return bucketed_group_sum(partials, key="o_orderpriority",
+                              sum_cols=["cnt", "rev_c100"], n_parts=4)
+
+
+def latest_events(sf_dir: str):
+    """Per-user latest event — upsert/compaction semantics ("last write
+    wins" by (ts, event_id)) via
+    :func:`~mdvalidate_ray.functions.relational.latest_per_key`."""
+    from mdvalidate_ray.functions.relational import latest_per_key
+
+    ev = _read(sf_dir, "events").select_columns(
+        ["user_id", "event_id", "ts", "event_type"])
+    out = latest_per_key(ev, key="user_id",
+                         order_cols=["ts", "event_id"])
+    return out.map_batches(
+        lambda b: b.select(["user_id", "event_id", "ts", "event_type"]),
+        batch_format="pyarrow")

@@ -267,3 +267,71 @@ def test_group_count_distinct_exact(ray_session):
     got = got.sort_values("grp").reset_index(drop=True)
     want = want.sort_values("grp").reset_index(drop=True)
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_hash_join_matches_broadcast(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from mdvalidate_ray.functions.relational import (broadcast_join,
+                                                     hash_join)
+
+    rng = np.random.default_rng(3)
+    left = pa.table({"k": [int(x) for x in rng.integers(0, 60, 500)],
+                     "v": list(range(500))})
+    right = pa.table({"k2": list(range(50)),
+                      "name": [f"n{i}" for i in range(50)]})
+    got = hash_join(ray.data.from_arrow(left),
+                    ray.data.from_arrow(right.rename_columns(["k2", "name"])),
+                    on="k", right_on="k2", n_parts=4).to_pandas()
+    want = broadcast_join(ray.data.from_arrow(left),
+                          right.rename_columns(["k", "name"]),
+                          "k").to_pandas()
+    got = got[["k", "v", "name"]].sort_values(["k", "v"]) \
+        .reset_index(drop=True)
+    want = want[["k", "v", "name"]].sort_values(["k", "v"]) \
+        .reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_latest_per_key_matches_pandas(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from mdvalidate_ray.functions.relational import latest_per_key
+
+    rng = np.random.default_rng(11)
+    n = 2000
+    tbl = pa.table({
+        "k": [int(x) for x in rng.integers(0, 137, n)],
+        "ver": [int(x) for x in rng.integers(0, 50, n)],
+        "tie": list(range(n)),
+        "payload": [f"p{i}" for i in range(n)],
+    })
+    got = latest_per_key(ray.data.from_arrow(tbl).repartition(7),
+                         key="k", order_cols=["ver", "tie"],
+                         n_parts=5).to_pandas()
+    df = tbl.to_pandas()
+    want = df.sort_values(["k", "ver", "tie"],
+                          ascending=[True, False, False]) \
+             .groupby("k", as_index=False).head(1)
+    got = got.sort_values("k").reset_index(drop=True)[
+        ["k", "ver", "tie", "payload"]]
+    want = want.sort_values("k").reset_index(drop=True)[
+        ["k", "ver", "tie", "payload"]]
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_latest_per_key_string_keys(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from mdvalidate_ray.functions.relational import latest_per_key
+
+    tbl = pa.table({"k": ["a", "b", "a", "c", "b"],
+                    "v": [1, 5, 9, 2, 3]})
+    got = latest_per_key(ray.data.from_arrow(tbl), key="k",
+                         order_cols=["v"], n_parts=3).to_pandas()
+    got = got.sort_values("k").reset_index(drop=True)
+    want = pd.DataFrame({"k": ["a", "b", "c"], "v": [9, 5, 2]})
+    pd.testing.assert_frame_equal(got, want)
