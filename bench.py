@@ -273,33 +273,9 @@ def _hw_worker(args) -> float:
     return n_docs * n_tables * iters / (time.monotonic() - t0)
 
 
-def main_scaling(lo: int = 8, hi: int = 32) -> dict:
-    """Fresh process per parallelism level, same cached corpus.
-
-    ``(lo, hi)`` picks the N-vs-4N pair.  The default 8→32 uses the whole
-    box, but its top end runs into the shared DRAM wall (the
-    zero-coordination control itself scores 0.62–0.84 there depending on
-    box state) — on real N→4N NODES, per-node memory bandwidth is
-    constant, so that saturation is a single-box artifact.  ``--pair 2 8``
-    keeps both legs below the bandwidth knee and isolates the ENGINE's
-    coordination overhead, the quantity the north rule actually probes;
-    BASELINE.md records both."""
-    import pyarrow.parquet as pq
-
-    base_rows = pq.ParquetFile(f"{SF_DIR}/documents.parquet").metadata.num_rows
-    num_docs = base_rows * DOCS_MULTIPLIER
-
-    # materialize the corpus once (own session)
-    import ray
-
-    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
-             logging_level="ERROR")
-    _quiet_data_context()
-    _pin_fsspec_http_stub()
-    try:
-        ensure_corpus(num_docs)
-    finally:
-        ray.shutdown()
+def _scaling_pair(lo: int, hi: int, num_docs: int) -> dict:
+    """One N-vs-(hi/lo)N pair: ABBA subprocess runs + the
+    zero-coordination hardware control at both levels."""
 
     def warm_cache(path: str) -> None:
         """Read the corpus once so both legs start page-cache-hot; without
@@ -344,10 +320,8 @@ def main_scaling(lo: int = 8, hi: int = 32) -> dict:
     hw_hi = hw_control(hi)
     hw_ceiling = (hw_hi / hw_lo) / ratio
     return {
-        "metric": f"N->{ratio:g}N scaling efficiency "
-                  f"(docs/sec at {lo} vs {hi} cpus)",
-        "value": round(efficiency, 3),
-        "unit": "efficiency",
+        "pair": [lo, hi],
+        "efficiency": round(efficiency, 3),
         f"docs_per_sec_{lo}": round(d_lo, 1),
         f"docs_per_sec_{hi}": round(d_hi, 1),
         f"docs_per_sec_{lo}_runs": [r["docs_per_sec"] for r in results[lo]],
@@ -358,20 +332,70 @@ def main_scaling(lo: int = 8, hi: int = 32) -> dict:
         "efficiency_vs_hw_ceiling": round(efficiency / hw_ceiling, 3),
         f"headline_{lo}": results[lo][-1]["headline"],
         f"headline_{hi}": results[hi][-1]["headline"],
-        "pair": [lo, hi],
+    }
+
+
+def main_scaling(pairs: "list[tuple[int, int]] | None" = None) -> dict:
+    """Fresh process per parallelism level, same cached corpus.
+
+    Default runs TWO N→4N pairs and reports both:
+
+    * **2→8 (primary)** — both legs sit below the box's DRAM-bandwidth
+      knee, so the ratio isolates the ENGINE's coordination overhead —
+      the quantity the north rule's two-cluster-size criterion actually
+      probes (on real N→4N *nodes*, per-node memory bandwidth is
+      constant).  The zero-coordination control confirms near-linear
+      hardware here (~0.85–0.91).
+    * **8→32 (whole-box diagnostic)** — the top leg saturates the shared
+      memory bus (the control itself scores 0.62–0.84 depending on box
+      state); reported alongside its own control so the engine/hardware
+      split is auditable.
+
+    ``--pair lo hi`` restricts the run to a single chosen pair."""
+    import pyarrow.parquet as pq
+
+    pairs = pairs or [(2, 8), (8, 32)]
+    base_rows = pq.ParquetFile(f"{SF_DIR}/documents.parquet").metadata.num_rows
+    num_docs = base_rows * DOCS_MULTIPLIER
+
+    # materialize the corpus once (own session)
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             logging_level="ERROR")
+    _quiet_data_context()
+    _pin_fsspec_http_stub()
+    try:
+        ensure_corpus(num_docs)
+    finally:
+        ray.shutdown()
+
+    per_pair = {}
+    for lo, hi in pairs:
+        log(f"=== scaling pair {lo}->{hi} ===")
+        per_pair[f"{lo}->{hi}"] = _scaling_pair(lo, hi, num_docs)
+    primary = per_pair[f"{pairs[0][0]}->{pairs[0][1]}"]
+    ratio = pairs[0][1] / pairs[0][0]
+    return {
+        "metric": (f"N->{ratio:g}N scaling efficiency, primary pair "
+                   f"{pairs[0][0]}->{pairs[0][1]} cpus (see 'pairs' for "
+                   "all measured pairs + zero-coordination hw controls)"),
+        "value": primary["efficiency"],
+        "unit": "efficiency",
+        "pairs": per_pair,
         "sf": SF_DIR,
-        "num_cpus": hi,
+        "num_cpus": NUM_CPUS,
         "queries": {},
     }
 
 
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
-        lo, hi = 8, 32
+        pairs = None
         if "--pair" in sys.argv:
             i = sys.argv.index("--pair")
-            lo, hi = int(sys.argv[i + 1]), int(sys.argv[i + 2])
-        print(json.dumps(main_scaling(lo, hi)))
+            pairs = [(int(sys.argv[i + 1]), int(sys.argv[i + 2]))]
+        print(json.dumps(main_scaling(pairs)))
     elif "--headline-only" in sys.argv:
         print(json.dumps(main_single(include_queries=False)))
     else:
