@@ -74,6 +74,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q6_forecast_revenue": Q.q6_forecast_revenue,
         # dedup / text
         "dedup_exact": Q.dedup_exact,
+        "dedup_clusters": Q.dedup_clusters,
         "token_counts": Q.token_counts,
         "quality": Q.quality,
         "fingerprints": Q.fingerprints,
@@ -349,6 +350,18 @@ def oracle_sql() -> dict[str, str]:
                         THEN 'train' ELSE 'test' END AS split,
                    count(*)::BIGINT AS cnt
             FROM documents GROUP BY 1
+        """,
+        "dedup_clusters": """
+            WITH aug AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 1000000, text FROM documents
+                WHERE doc_id % 10 = 0
+            ),
+            g AS (SELECT doc_id, md5(coalesce(text, '')) AS h FROM aug),
+            d AS (SELECT h, min(doc_id) AS component FROM g
+                  GROUP BY h HAVING count(*) > 1)
+            SELECT g.doc_id, d.component FROM g JOIN d USING (h)
         """,
         "minhash_pairs": """
             WITH aug AS (

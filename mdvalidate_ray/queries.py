@@ -1486,3 +1486,18 @@ def latest_events(sf_dir: str):
     return out.map_batches(
         lambda b: b.select(["user_id", "event_id", "ts", "event_type"]),
         batch_format="pyarrow")
+
+
+def dedup_clusters(sf_dir: str):
+    """Duplicate-cluster resolution: exact-dup pairs over the augmented
+    corpus → :func:`~mdvalidate_ray.functions.dedup.connected_components`
+    → every clustered doc labeled with its component (the min doc_id —
+    the representative a dedup pipeline would keep)."""
+    from mdvalidate_ray.functions.dedup import (connected_components,
+                                                duplicate_group_edges,
+                                                exact_duplicate_groups)
+
+    groups = exact_duplicate_groups(_augmented_docs(sf_dir), "text",
+                                    "doc_id")
+    comp = connected_components(duplicate_group_edges(groups))
+    return comp.rename_columns(["doc_id", "component"])

@@ -370,3 +370,49 @@ def test_media_resize_strict_raises_on_real_format(ray_session):
     # non-strict: resize passes through, frame-sample skips
     assert ResizeStage(32, 32, strict=False)(real).num_rows == 1
     assert FrameSampleStage(strict=False)(real).num_rows == 0
+
+
+def test_connected_components_chain_transitivity(ray_session):
+    """A~B and B~C (without A~C ever emitted) must land in one cluster,
+    and the component label is the smallest member id."""
+    import pyarrow as pa
+    import ray
+
+    from mdvalidate_ray.functions.dedup import connected_components
+
+    # two chains (5-3-9-11, 2-7) + one self-contained pair (20, 21)
+    edges = ray.data.from_arrow(pa.table({
+        "src": pa.array([5, 3, 9, 2, 20], pa.int64()),
+        "dst": pa.array([3, 9, 11, 7, 21], pa.int64()),
+    }))
+    out = connected_components(edges)
+    comp = {int(n): int(c) for n, c in
+            zip(out.column("node").to_pylist(),
+                out.column("component").to_pylist())}
+    assert comp == {3: 3, 5: 3, 9: 3, 11: 3, 2: 2, 7: 2, 20: 20, 21: 20}
+
+
+def test_connected_components_long_chain_and_empty(ray_session):
+    import pyarrow as pa
+    import ray
+
+    from mdvalidate_ray.functions.dedup import connected_components
+
+    # 0-1-2-...-40 in scrambled order: pointer jumping must converge
+    src = list(range(40))
+    dst = [i + 1 for i in src]
+    order = sorted(range(40), key=lambda i: (i * 17) % 40)
+    edges = ray.data.from_arrow(pa.table({
+        "src": pa.array([src[i] for i in order], pa.int64()),
+        "dst": pa.array([dst[i] for i in order], pa.int64()),
+    }))
+    out = connected_components(edges, max_iter=12)
+    assert set(out.column("component").to_pylist()) == {0}
+    assert out.num_rows == 41
+
+    empty = ray.data.from_arrow(pa.table({
+        "src": pa.array([], pa.int64()),
+        "dst": pa.array([], pa.int64()),
+    }))
+    out2 = connected_components(empty)
+    assert out2.num_rows == 0
