@@ -75,6 +75,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # dedup / text
         "dedup_exact": Q.dedup_exact,
         "dedup_clusters": Q.dedup_clusters,
+        "dedup_purge": Q.dedup_purge,
         "token_counts": Q.token_counts,
         "quality": Q.quality,
         "fingerprints": Q.fingerprints,
@@ -92,6 +93,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_moving_qty": Q.supplier_moving_qty,
         "len_quantiles_by_source": Q.len_quantiles_by_source,
         "sample_strata_counts": Q.sample_strata_counts,
+        "zscore_nchars": Q.zscore_nchars,
+        "shuffle_manifest": Q.shuffle_manifest,
+        "repetition": Q.repetition,
         # rollup / pivot / inverted index
         "orders_rollup": Q.orders_rollup,
         "priority_pivot": Q.priority_pivot,
@@ -350,6 +354,56 @@ def oracle_sql() -> dict[str, str]:
                         THEN 'train' ELSE 'test' END AS split,
                    count(*)::BIGINT AS cnt
             FROM documents GROUP BY 1
+        """,
+        "dedup_purge": """
+            WITH aug AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 1000000, text FROM documents
+                WHERE doc_id % 10 = 0
+            ),
+            g AS (SELECT doc_id, md5(coalesce(text, '')) AS h FROM aug)
+            SELECT min(doc_id)::BIGINT AS doc_id FROM g GROUP BY h
+        """,
+        "zscore_nchars": """
+            WITH s AS (
+                SELECT source, count(*)::DOUBLE AS c,
+                       sum(n_chars)::DOUBLE AS s1,
+                       sum(n_chars * n_chars)::DOUBLE AS s2
+                FROM documents GROUP BY source
+            ),
+            m AS (
+                SELECT source, s1 / c AS mean,
+                       sqrt(s2 / c - (s1 / c) * (s1 / c)) AS sd
+                FROM s
+            )
+            SELECT d.doc_id, d.source,
+                   CASE WHEN m.sd > 0
+                        THEN round((d.n_chars - m.mean) / m.sd * 10000,
+                                   0)::BIGINT
+                        ELSE 0 END AS z_bp
+            FROM documents d JOIN m USING (source)
+        """,
+        "shuffle_manifest": """
+            WITH h AS (
+                SELECT doc_id,
+                       md5_number_lower('shuf' || doc_id::VARCHAR) AS hv
+                FROM documents
+            )
+            SELECT doc_id, (hv % 8)::BIGINT AS shard,
+                   (row_number() OVER (PARTITION BY hv % 8
+                                       ORDER BY hv, doc_id) - 1)::BIGINT
+                       AS pos
+            FROM h
+        """,
+        "repetition": """
+            SELECT doc_id,
+                   len(string_split(coalesce(text, ''), ' '))::BIGINT
+                       AS n_words,
+                   (SELECT count(DISTINCT w)
+                    FROM unnest(string_split(coalesce(text, ''), ' '))
+                         AS t(w))::BIGINT AS n_distinct
+            FROM documents
         """,
         "dedup_clusters": """
             WITH aug AS (

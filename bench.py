@@ -152,6 +152,8 @@ QUERY_NAMES = [
     "redact_digits", "mixture_counts", "contamination_pairs",
     "events_in_windows", "orders_rollup", "priority_pivot",
     "doc_frequency", "pack_bins", "daily_active_users",
+    "priority_revenue", "latest_events", "dedup_clusters", "dedup_purge",
+    "zscore_nchars", "shuffle_manifest", "repetition",
 ]
 
 

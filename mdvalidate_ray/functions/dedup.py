@@ -873,3 +873,36 @@ def connected_components(edges_ds, *, col_a: str = "src",
     return pa.Table.from_arrays(
         [pa.array(nodes, pa.int64()), pa.array(labels, pa.int64())],
         names=["node", "component"])
+
+
+def purge_exact_duplicates(ds, column: str = "text", key: str = "doc_id"):
+    """End-to-end exact dedup: the corpus minus every non-representative
+    duplicate (keep = smallest numeric ``key`` per byte-identical group).
+
+    Scale shape: :func:`exact_duplicate_groups` already bounds its output
+    to DUPLICATED documents only (a tiny fraction of any real corpus), so
+    the drop set — every group member except its representative —
+    broadcasts via ``ray.put`` into a streaming ``map_batches`` filter;
+    the corpus itself is never shuffled or materialized.  For a corpus
+    whose duplicate set alone exceeds worker memory, swap the broadcast
+    for the Bloom + co-partitioned anti-join tier in
+    :mod:`mdvalidate_ray.stages.referential` (same contract)."""
+    import ray
+
+    drop: list[int] = []
+    for row in duplicate_group_edges(
+            exact_duplicate_groups(ds, column, key)).take_all():
+        drop.append(int(row["dst"]))          # dst = non-min members
+    drop_ref = ray.put(np.asarray(sorted(drop), dtype=np.int64))
+
+    def keep(b: pa.Table) -> pa.Table:
+        d = ray.get(drop_ref)
+        if len(d) == 0:
+            return b
+        ids = np.asarray(b.column(key).to_pandas(), dtype=np.int64)
+        pos = np.searchsorted(d, ids)
+        hit = (pos < len(d)) & (d[np.minimum(pos, len(d) - 1)] == ids)
+        return b.filter(pa.array(~hit))
+
+    return ds.map_batches(keep, batch_format="pyarrow",
+                          zero_copy_batch=True)

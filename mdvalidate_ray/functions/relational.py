@@ -937,3 +937,106 @@ def latest_per_key(ds, *, key: str, order_cols: list[str],
                           zero_copy_batch=True) \
              .groupby("_bucket").map_groups(per_bucket,
                                             batch_format="pyarrow")
+
+
+def shuffle_shards(ds, *, key: str = "doc_id", n_shards: int = 8,
+                   salt: str = "shuf"):
+    """Deterministic global shuffle for training-data layout:
+    ``(key, shard, pos)`` where ``shard = md5_number_lower(salt||key) %
+    n_shards`` and ``pos`` ranks rows inside the shard by (hash, key).
+
+    ``random_shuffle`` gives a different order every run (useless for
+    resumable jobs) and pays a full unordered all-to-all.  Hashing gives
+    the same statistical decorrelation with ONE deterministic exchange:
+    stable under re-runs, repartitioning and cluster size, and
+    SQL-auditable.  Pick ``n_shards`` so one shard fits a worker (100 TB
+    → ~25k shards of ~4 GB): the per-shard sort is a single in-memory
+    ``np.lexsort`` inside ``map_groups``, group calls bounded by
+    ``n_shards``; writing each group straight to its shard file makes
+    the layout resumable per shard."""
+    from mdvalidate_ray.functions.dedup import _md5_token_hashes
+
+    def tag(b: pa.Table) -> pa.Table:
+        ks = [salt + str(v) for v in b.column(key).to_pylist()]
+        if not ks:
+            return pa.table({key: pa.array([], b.column(key).type),
+                             "_h": pa.array([], pa.uint64()),
+                             "shard": pa.array([], pa.int64())})
+        h = _md5_token_hashes(ks)
+        return pa.Table.from_arrays(
+            [b.column(key), pa.array(h),
+             pa.array((h % np.uint64(n_shards)).astype("int64"))],
+            names=[key, "_h", "shard"])
+
+    def rank(g: pa.Table) -> pa.Table:
+        h = np.asarray(g.column("_h").to_pandas(), dtype=np.uint64)
+        ids = np.asarray(g.column(key).to_pandas())
+        order = np.lexsort((ids, h))
+        pos = np.empty(len(order), dtype=np.int64)
+        pos[order] = np.arange(len(order))
+        return pa.Table.from_arrays(
+            [g.column(key), g.column("shard"), pa.array(pos)],
+            names=[key, "shard", "pos"])
+
+    return (ds.map_batches(tag, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby("shard")
+            .map_groups(rank, batch_format="pyarrow"))
+
+
+def group_zscore(ds, *, group_col: str, value_col: str,
+                 out_col: str = "z_bp", keep_cols: list[str] | None = None):
+    """Per-group z-score normalization in basis points:
+    ``round((x - mean) / std * 10000)`` with population std, emitted as
+    int64 so the value is float-order-proof (inputs are exact integer
+    moments; both engines evaluate the identical double expression).
+
+    Two-phase broadcast shape — the 100-TB-safe form of a windowed
+    ``AVG/STDDEV OVER (PARTITION BY g)``: per-batch integer partials
+    ``(count, sum, sum of squares)`` pre-combine before ONE tiny
+    exchange (rows = distinct groups), the moments broadcast via
+    ``ray.put``, and a second streaming pass annotates every row — the
+    big table is read twice but never shuffled."""
+    import ray
+
+    def partial(b: pa.Table) -> pa.Table:
+        x = b.column(value_col).cast(pa.int64())
+        t = pa.Table.from_arrays(
+            [b.column(group_col), x, pc.multiply(x, x),
+             pa.array(np.ones(b.num_rows, dtype=np.int64))],
+            names=[group_col, "_s1", "_s2", "_c"])
+        g = pa.TableGroupBy(t, group_col).aggregate(
+            [("_s1", "sum"), ("_s2", "sum"), ("_c", "sum")])
+        return g.rename_columns([group_col, "_s1", "_s2", "_c"])
+
+    rows = (ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby(group_col)
+            .sum(["_s1", "_s2", "_c"])
+            .take_all())                     # rows = distinct groups: tiny
+    moments = {}
+    for r in rows:
+        c = float(r["sum(_c)"])
+        mean = float(r["sum(_s1)"]) / c
+        var = float(r["sum(_s2)"]) / c - mean * mean
+        moments[r[group_col]] = (mean, np.sqrt(var) if var > 0 else 0.0)
+    ref = ray.put(moments)
+
+    cols = keep_cols if keep_cols is not None else [group_col]
+
+    def annotate(b: pa.Table) -> pa.Table:
+        mo = ray.get(ref)
+        keys = b.column(group_col).to_pylist()
+        mean = np.asarray([mo[k][0] for k in keys])
+        sd = np.asarray([mo[k][1] for k in keys])
+        x = np.asarray(b.column(value_col).to_pandas(), dtype=np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            z = np.where(sd > 0, (x - mean) / sd * 10000.0, 0.0)
+        # DuckDB round(): half away from zero
+        zi = np.where(z >= 0, np.floor(z + 0.5), np.ceil(z - 0.5))
+        out = b.select(cols)
+        return out.append_column(out_col,
+                                 pa.array(zi.astype(np.int64)))
+
+    return ds.map_batches(annotate, batch_format="pyarrow",
+                          zero_copy_batch=True)

@@ -303,3 +303,35 @@ def weighted_mixture(ds, *, group_col: str, key: str,
         return batch.filter(pa.array(h < thresh))
 
     return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def add_repetition_stats(batch: pa.Table, column: str = "text") -> pa.Table:
+    """Intra-document repetition signal (the C4/Gopher-style quality
+    gate): per row, total word count and DISTINCT word count under an
+    exact single-space split (oracle: ``string_split(text, ' ')`` +
+    ``count`` / ``count(DISTINCT w)``), both int64 so the compare is
+    float-free.  High ``n_words / n_distinct`` flags boilerplate and
+    degenerate generations.
+
+    Fully vectorized: one Arrow split, then token-id factorization and a
+    single ``np.unique`` over packed (row, token-id) int64 pairs — no
+    per-row Python loop."""
+    texts = pc.cast(batch.column(column), pa.string())
+    texts = pc.coalesce(texts, pa.scalar("", pa.string()))
+    toks = pc.split_pattern(texts, " ")
+    toks = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+    n_words = pc.cast(pc.list_value_length(toks), pa.int64())
+    flat = toks.flatten()
+    parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+    # factorize words → small ints, then count unique (row, word) pairs
+    enc = pc.dictionary_encode(flat)
+    if isinstance(enc, pa.ChunkedArray):
+        enc = enc.combine_chunks()
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    packed = parents.astype(np.int64) * (codes.max() + 1 if len(codes) else 1) \
+        + codes
+    uniq_rows = np.unique(packed) // (codes.max() + 1 if len(codes) else 1)
+    n_distinct = np.zeros(batch.num_rows, dtype=np.int64)
+    np.add.at(n_distinct, uniq_rows, 1)
+    return batch.append_column("n_words", n_words) \
+                .append_column("n_distinct", pa.array(n_distinct))

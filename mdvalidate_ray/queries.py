@@ -1501,3 +1501,47 @@ def dedup_clusters(sf_dir: str):
                                     "doc_id")
     comp = connected_components(duplicate_group_edges(groups))
     return comp.rename_columns(["doc_id", "component"])
+
+
+def dedup_purge(sf_dir: str):
+    """Full exact-dedup pipeline over the augmented corpus: the kept
+    doc_ids (one representative — the numeric min — per byte-identical
+    group, plus every unique doc).  The drop set broadcasts; the corpus
+    streams."""
+    from mdvalidate_ray.functions.dedup import purge_exact_duplicates
+
+    kept = purge_exact_duplicates(_augmented_docs(sf_dir), "text", "doc_id")
+    return kept.map_batches(lambda b: b.select(["doc_id"]),
+                            batch_format="pyarrow")
+
+
+def zscore_nchars(sf_dir: str):
+    """Per-source z-score of document length in basis points — the
+    two-phase broadcast form of AVG/STDDEV OVER (PARTITION BY source)."""
+    from mdvalidate_ray.functions.relational import group_zscore
+
+    return group_zscore(_read(sf_dir, "documents"),
+                        group_col="source", value_col="n_chars",
+                        keep_cols=["doc_id", "source"])
+
+
+def shuffle_manifest(sf_dir: str):
+    """Deterministic training-shuffle layout: every doc's shard and its
+    exact position inside the shard (md5-ordered), stable under re-runs
+    and repartitioning."""
+    from mdvalidate_ray.functions.relational import shuffle_shards
+
+    return shuffle_shards(_read(sf_dir, "documents"), key="doc_id",
+                          n_shards=8, salt="shuf")
+
+
+def repetition(sf_dir: str):
+    """Intra-document repetition signal: total vs distinct word counts
+    per doc under an exact single-space split."""
+    from mdvalidate_ray.functions.text import add_repetition_stats
+
+    docs = _read(sf_dir, "documents")
+    return docs.map_batches(
+        lambda b: add_repetition_stats(b).select(
+            ["doc_id", "n_words", "n_distinct"]),
+        batch_format="pyarrow", zero_copy_batch=True)

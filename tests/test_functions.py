@@ -416,3 +416,43 @@ def test_connected_components_long_chain_and_empty(ray_session):
     }))
     out2 = connected_components(empty)
     assert out2.num_rows == 0
+
+
+def test_purge_exact_duplicates_keeps_min_representative(ray_session, docs):
+    from mdvalidate_ray.functions.dedup import purge_exact_duplicates
+
+    aug = _with_planted_dups(docs)          # exact copies +1M, near +2M
+    kept = purge_exact_duplicates(aug, "text", "doc_id")
+    kept_rows = kept.take_all()
+    all_rows = aug.take_all()
+    # planted exact copies (i+1M) always lose to their original
+    assert all(not (1_000_000 <= r["doc_id"] < 2_000_000)
+               for r in kept_rows)
+    # kept set is exactly one representative per distinct text: the
+    # numeric-min doc_id (the corpus also has NATURAL exact dups)
+    by_text = {}
+    for r in all_rows:
+        t = r["text"] or ""
+        by_text[t] = min(by_text.get(t, r["doc_id"]), r["doc_id"])
+    assert sorted(r["doc_id"] for r in kept_rows) == \
+        sorted(by_text.values())
+
+
+def test_repetition_stats_match_naive(docs):
+    import pyarrow as pa
+
+    from mdvalidate_ray.functions.text import add_repetition_stats
+
+    tbl = pa.Table.from_pylist([
+        {"doc_id": 1, "text": "a b a c a b"},
+        {"doc_id": 2, "text": ""},
+        {"doc_id": 3, "text": "x"},
+        {"doc_id": 4, "text": None},
+        {"doc_id": 5, "text": "same same  same"},  # double space -> empty tok
+    ])
+    out = add_repetition_stats(tbl)
+    rows = out.to_pylist()
+    for r in rows:
+        words = (r["text"] or "").split(" ")
+        assert r["n_words"] == len(words), r
+        assert r["n_distinct"] == len(set(words)), r

@@ -335,3 +335,56 @@ def test_latest_per_key_string_keys(ray_session):
     got = got.sort_values("k").reset_index(drop=True)
     want = pd.DataFrame({"k": ["a", "b", "c"], "v": [9, 5, 2]})
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_shuffle_shards_dense_positions_and_stability(ray_session):
+    import pyarrow as pa
+    import ray
+
+    from mdvalidate_ray.functions.relational import shuffle_shards
+
+    tbl = pa.table({"doc_id": pa.array(range(400), pa.int64())})
+    a = shuffle_shards(ray.data.from_arrow(tbl), n_shards=4).take_all()
+    by_shard = {}
+    for r in a:
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    assert set(by_shard) == {0, 1, 2, 3}
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(len(poss)))  # dense 0..n-1
+        assert len(poss) > 50  # roughly balanced
+    # stable under a different partitioning of the same input
+    b = shuffle_shards(
+        ray.data.from_arrow(tbl).repartition(13), n_shards=4).take_all()
+    key = lambda rows: sorted((r["doc_id"], r["shard"], r["pos"])
+                              for r in rows)
+    assert key(a) == key(b)
+
+
+def test_group_zscore_moments(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from mdvalidate_ray.functions.relational import group_zscore
+
+    rng = np.random.default_rng(7)
+    n = 3000
+    g = np.repeat(["a", "b", "c"], n // 3)
+    x = np.concatenate([rng.integers(0, 100, n // 3),
+                        rng.integers(500, 1500, n // 3),
+                        np.full(n // 3, 42)])     # zero-variance group
+    ds = ray.data.from_arrow(pa.table({
+        "grp": pa.array(g), "val": pa.array(x, pa.int64()),
+        "rid": pa.array(range(n), pa.int64())}))
+    out = group_zscore(ds, group_col="grp", value_col="val",
+                       keep_cols=["rid", "grp"]).take_all()
+    assert len(out) == n
+    import collections
+    z = collections.defaultdict(list)
+    for r in out:
+        z[r["grp"]].append(r["z_bp"])
+    for grp in ("a", "b"):
+        arr = np.asarray(z[grp], dtype=np.float64) / 10000.0
+        assert abs(arr.mean()) < 1e-3
+        assert abs(arr.std() - 1.0) < 1e-3
+    assert set(z["c"]) == {0}  # zero variance -> defined as 0
