@@ -100,6 +100,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_rollup": Q.orders_rollup,
         "priority_pivot": Q.priority_pivot,
         "doc_frequency": Q.doc_frequency,
+        "bigram_counts": Q.bigram_counts,
+        "tfidf_top_terms": Q.tfidf_top_terms,
         "pack_bins": Q.pack_bins,
         # similarity
         "knn": Q.knn,
@@ -602,6 +604,45 @@ def oracle_sql() -> dict[str, str]:
             SELECT source, bin_id, count(*)::BIGINT AS n_docs,
                    sum(n_tok)::BIGINT AS bin_tokens
             FROM pack GROUP BY 1, 2
+        """,
+        "bigram_counts": """
+            WITH t AS (
+                SELECT doc_id, unnest(l) AS w,
+                       generate_subscripts(l, 1) AS i
+                FROM (
+                    SELECT doc_id, list_filter(
+                        string_split_regex(lower(trim(text)), '\\s+'),
+                        x -> x <> '') AS l
+                    FROM documents
+                )
+            ),
+            p AS (
+                SELECT w || ' ' || lead(w) OVER (PARTITION BY doc_id
+                                                 ORDER BY i) AS bigram
+                FROM t
+            )
+            SELECT bigram, count(*)::BIGINT AS cnt
+            FROM p WHERE bigram IS NOT NULL
+            GROUP BY 1 ORDER BY cnt DESC, bigram ASC LIMIT 25
+        """,
+        "tfidf_top_terms": """
+            WITH w AS (
+                SELECT doc_id, unnest(list_filter(
+                    string_split_regex(lower(trim(text)), '\\s+'),
+                    x -> x <> '')) AS term
+                FROM documents
+            ),
+            tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf
+                   FROM w GROUP BY 1, 2),
+            df AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df
+                   FROM w GROUP BY 1),
+            n AS (SELECT count(*)::BIGINT AS n FROM documents)
+            SELECT tf.doc_id, tf.term,
+                   (tf.tf * 1000000 * n.n) // df.df AS score
+            FROM tf JOIN df USING (term) CROSS JOIN n
+            QUALIFY row_number() OVER (PARTITION BY tf.doc_id
+                                       ORDER BY score DESC,
+                                                tf.term ASC) <= 3
         """,
         "doc_frequency": """
             SELECT w AS word, count(DISTINCT doc_id)::BIGINT AS df

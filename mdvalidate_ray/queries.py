@@ -1545,3 +1545,156 @@ def repetition(sf_dir: str):
         lambda b: add_repetition_stats(b).select(
             ["doc_id", "n_words", "n_distinct"]),
         batch_format="pyarrow", zero_copy_batch=True)
+
+
+def bigram_counts(sf_dir: str):
+    """Top-25 word bigrams corpus-wide (n-gram LM statistics).  Same
+    skew-proof shape as :func:`top_words`: per-batch vectorized bigram
+    ``value_counts`` combiner (a hot bigram contributes ONE row per
+    batch to the exchange), tiny ``groupby.sum``, partial top-k."""
+    import numpy as np
+
+    from mdvalidate_ray.functions.relational import topk_table
+
+    docs = _read(sf_dir, "documents").select_columns(["text"])
+
+    def bc(b: pa.Table) -> pa.Table:
+        empty = pa.Table.from_arrays(
+            [pa.array([], pa.string()), pa.array([], pa.int64())],
+            names=["bigram", "cnt"])
+        texts = pc.utf8_lower(pc.utf8_trim_whitespace(
+            pc.cast(b.column("text"), pa.string())))
+        tokens = pc.split_pattern_regex(texts, r"\s+")
+        flat = (tokens.combine_chunks()
+                if isinstance(tokens, pa.ChunkedArray) else tokens)
+        words = flat.flatten()
+        parents = pc.list_parent_indices(flat)
+        keep = pc.not_equal(words, "")
+        words = words.filter(keep)
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        parents = np.asarray(parents.filter(keep)).astype(np.int64)
+        if len(words) < 2:
+            return empty
+        same_doc = parents[1:] == parents[:-1]
+        left = words.slice(0, len(words) - 1).filter(pa.array(same_doc))
+        right = words.slice(1).filter(pa.array(same_doc))
+        if len(left) == 0:
+            return empty
+        grams = pc.binary_join_element_wise(left, right, " ")
+        vc = grams.value_counts()
+        return pa.Table.from_arrays(
+            [vc.field("values"), vc.field("counts").cast(pa.int64())],
+            names=["bigram", "cnt"])
+
+    agg = docs.map_batches(bc, batch_format="pyarrow",
+                           zero_copy_batch=True).groupby("bigram").sum("cnt")
+    named = agg.map_batches(
+        lambda b: pa.Table.from_arrays(
+            [b.column("bigram"), b.column("sum(cnt)").cast(pa.int64())],
+            names=["bigram", "cnt"]),
+        batch_format="pyarrow")
+    return topk_table(named, 25, [("cnt", "descending"),
+                                  ("bigram", "ascending")])
+
+
+def tfidf_top_terms(sf_dir: str):
+    """Top-3 tf-idf terms per document — the keyword-extraction side of
+    the inverted index.  Integer-exact scoring so the oracle compare is
+    float-free: ``score = tf * 1_000_000 * n_docs // df`` (the rational
+    tf·(N/df) variant; a monotone transform of tf·N/df for fixed tf).
+
+    Scale shape: pass 1 folds exact per-word document frequencies (the
+    :func:`doc_frequency` combiner, full vocabulary — word-level vocab ≪
+    corpus, ~100 MB at web scale; hash-bucket the join instead if the
+    vocabulary ever outgrows a broadcast); the (df map, n_docs)
+    broadcast once via ``ray.put``; pass 2 streams the corpus, scoring
+    and ranking inside each batch (every doc lives in exactly one row —
+    no exchange at all)."""
+    import numpy as np
+    import ray
+
+    docs = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+    n_docs = _docs_count(sf_dir)
+
+    def df_partial(b: pa.Table) -> pa.Table:
+        texts = pc.utf8_lower(pc.utf8_trim_whitespace(
+            pc.cast(b.column("text"), pa.string())))
+        tokens = pc.split_pattern_regex(texts, r"\s+")
+        flat = (tokens.combine_chunks()
+                if isinstance(tokens, pa.ChunkedArray) else tokens)
+        words = flat.flatten()
+        parents = pc.list_parent_indices(flat)
+        keep = pc.not_equal(words, "")
+        words = words.filter(keep)
+        parents = parents.filter(keep)
+        if len(words) == 0:
+            return pa.Table.from_arrays(
+                [pa.array([], pa.string()), pa.array([], pa.int64())],
+                names=["word", "df"])
+        enc = (words.combine_chunks() if isinstance(words, pa.ChunkedArray)
+               else words).dictionary_encode()
+        n_words = len(enc.dictionary)
+        codes = np.asarray(enc.indices).astype(np.int64)
+        par = np.asarray(parents).astype(np.int64)
+        ucodes = np.unique(par * n_words + codes) % n_words
+        dfs = np.bincount(ucodes, minlength=n_words)
+        nz = np.nonzero(dfs)[0]
+        return pa.Table.from_arrays(
+            [enc.dictionary.take(pa.array(nz, pa.int64())),
+             pa.array(dfs[nz], pa.int64())],
+            names=["word", "df"])
+
+    df_rows = (docs.map_batches(df_partial, batch_format="pyarrow",
+                                zero_copy_batch=True)
+               .groupby("word").sum("df").take_all())
+    df_map = {r["word"]: int(r["sum(df)"]) for r in df_rows}
+    ref = ray.put(df_map)
+
+    def score(b: pa.Table) -> pa.Table:
+        out_schema = pa.schema([("doc_id", pa.int64()),
+                                ("term", pa.string()),
+                                ("score", pa.int64())])
+        dfm = ray.get(ref)
+        texts = pc.utf8_lower(pc.utf8_trim_whitespace(
+            pc.cast(b.column("text"), pa.string())))
+        tokens = pc.split_pattern_regex(texts, r"\s+")
+        flat = (tokens.combine_chunks()
+                if isinstance(tokens, pa.ChunkedArray) else tokens)
+        words = flat.flatten()
+        parents = pc.list_parent_indices(flat)
+        keep = pc.not_equal(words, "")
+        words = words.filter(keep)
+        parents = parents.filter(keep)
+        if len(words) == 0:
+            return out_schema.empty_table()
+        enc = (words.combine_chunks() if isinstance(words, pa.ChunkedArray)
+               else words).dictionary_encode()
+        vocab = enc.dictionary.to_pylist()
+        n_words = len(vocab)
+        codes = np.asarray(enc.indices).astype(np.int64)
+        par = np.asarray(parents).astype(np.int64)
+        # exact per-(doc, word) term counts
+        pair, tf = np.unique(par * n_words + codes, return_counts=True)
+        p_doc, p_code = pair // n_words, pair % n_words
+        dfv = np.asarray([dfm[w] for w in vocab], dtype=np.int64)
+        sc = tf.astype(np.int64) * 1_000_000 * n_docs // dfv[p_code]
+        terms = np.asarray(vocab, dtype=object)[p_code]
+        # rank: (doc asc, score desc, term asc), keep first 3 per doc
+        order = np.lexsort((terms.astype(str), -sc, p_doc))
+        d_sorted = p_doc[order]
+        first = np.concatenate(([True], d_sorted[1:] != d_sorted[:-1]))
+        run_start = np.maximum.accumulate(
+            np.where(first, np.arange(len(order)), 0))
+        rank = np.arange(len(order)) - run_start
+        sel = order[rank < 3]
+        doc_ids = np.asarray(b.column("doc_id").to_pandas(),
+                             dtype=np.int64)
+        return pa.Table.from_arrays(
+            [pa.array(doc_ids[p_doc[sel]]),
+             pa.array([terms[i] for i in sel], pa.string()),
+             pa.array(sc[sel])],
+            schema=out_schema)
+
+    return docs.map_batches(score, batch_format="pyarrow",
+                            zero_copy_batch=True)

@@ -456,3 +456,40 @@ def test_repetition_stats_match_naive(docs):
         words = (r["text"] or "").split(" ")
         assert r["n_words"] == len(words), r
         assert r["n_distinct"] == len(set(words)), r
+
+
+def test_bigram_counts_match_naive(ray_session):
+    import collections
+
+    from mdvalidate_ray import queries as Q
+
+    sf = "/root/testdata/sf0.001"
+    got = {(r["bigram"], r["cnt"])
+           for r in Q.bigram_counts(sf).to_pylist()}
+    import pyarrow.parquet as pq
+    texts = pq.read_table(f"{sf}/documents.parquet",
+                          columns=["text"]).column("text").to_pylist()
+    c = collections.Counter()
+    for t in texts:
+        ws = [w for w in (t or "").lower().strip().split() if w]
+        c.update(zip(ws, ws[1:]))
+    top = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:25]
+    want = {(f"{a} {b}", n) for (a, b), n in top}
+    assert got == want
+
+
+def test_tfidf_top_terms_ranks_rare_terms(ray_session):
+    from mdvalidate_ray import queries as Q
+
+    sf = "/root/testdata/sf0.001"
+    rows = Q.tfidf_top_terms(sf).take_all()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # every doc with text got at most 3 terms, scores positive and
+    # returned in no particular order but internally consistent
+    assert by_doc
+    for doc_id, terms in by_doc.items():
+        assert 1 <= len(terms) <= 3
+        assert all(t["score"] > 0 for t in terms)
+        assert len({t["term"] for t in terms}) == len(terms)
