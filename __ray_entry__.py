@@ -93,6 +93,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_moving_qty": Q.supplier_moving_qty,
         "len_quantiles_by_source": Q.len_quantiles_by_source,
         "sample_strata_counts": Q.sample_strata_counts,
+        "stratified_fixed_k": Q.stratified_fixed_k,
         "zscore_nchars": Q.zscore_nchars,
         "shuffle_manifest": Q.shuffle_manifest,
         "repetition": Q.repetition,
@@ -366,6 +367,15 @@ def oracle_sql() -> dict[str, str]:
             ),
             g AS (SELECT doc_id, md5(coalesce(text, '')) AS h FROM aug)
             SELECT min(doc_id)::BIGINT AS doc_id FROM g GROUP BY h
+        """,
+        "stratified_fixed_k": """
+            SELECT source, doc_id,
+                   row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY md5_number_lower('strat' || doc_id::VARCHAR)
+                                ASC, doc_id ASC)::BIGINT AS rk
+            FROM documents
+            QUALIFY rk <= 5
         """,
         "zscore_nchars": """
             WITH s AS (

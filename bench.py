@@ -154,7 +154,7 @@ QUERY_NAMES = [
     "doc_frequency", "pack_bins", "daily_active_users",
     "priority_revenue", "latest_events", "dedup_clusters", "dedup_purge",
     "zscore_nchars", "shuffle_manifest", "repetition",
-    "bigram_counts", "tfidf_top_terms",
+    "bigram_counts", "tfidf_top_terms", "stratified_fixed_k",
 ]
 
 

@@ -1698,3 +1698,33 @@ def tfidf_top_terms(sf_dir: str):
 
     return docs.map_batches(score, batch_format="pyarrow",
                             zero_copy_batch=True)
+
+
+def stratified_fixed_k(sf_dir: str):
+    """Equal-allocation stratified sample: exactly 5 docs per source,
+    chosen deterministically (lowest md5-lower-64 of ``'strat'||doc_id``
+    first — rate-free cousin of :func:`split_counts`'s hash splits).
+    Composes the md5 key with the skew-proof windowed top-N machinery,
+    so membership is stable under re-runs and repartitioning."""
+    from mdvalidate_ray.functions.dedup import _md5_token_hashes
+    from mdvalidate_ray.functions.window import top_n_per_group
+    import numpy as np
+
+    docs = _read(sf_dir, "documents").select_columns(["doc_id", "source"])
+
+    def hash_key(b: pa.Table) -> pa.Table:
+        ks = ["strat" + str(v) for v in b.column("doc_id").to_pylist()]
+        h = (_md5_token_hashes(ks) if ks
+             else np.empty(0, dtype=np.uint64))
+        # uint64 → int64 bit-preserving order trick unneeded: Arrow sorts
+        # uint64 natively, keep the exact oracle-comparable value
+        return b.append_column("h", pa.array(h, pa.uint64()))
+
+    tagged = docs.map_batches(hash_key, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    out = top_n_per_group(tagged, group_key="source", order_col="h",
+                          n=5, descending=False, tie_col="doc_id",
+                          n_parts=8)
+    return out.map_batches(
+        lambda b: b.select(["source", "doc_id", "rk"]),
+        batch_format="pyarrow")
