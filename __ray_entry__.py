@@ -94,6 +94,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "len_quantiles_by_source": Q.len_quantiles_by_source,
         "sample_strata_counts": Q.sample_strata_counts,
         "stratified_fixed_k": Q.stratified_fixed_k,
+        "user_running_total": Q.user_running_total,
         "zscore_nchars": Q.zscore_nchars,
         "shuffle_manifest": Q.shuffle_manifest,
         "repetition": Q.repetition,
@@ -376,6 +377,16 @@ def oracle_sql() -> dict[str, str]:
                                 ASC, doc_id ASC)::BIGINT AS rk
             FROM documents
             QUALIFY rk <= 5
+        """,
+        "user_running_total": """
+            SELECT event_id, user_id,
+                   SUM(CAST(round(value * 100) AS BIGINT)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING)::BIGINT AS run_sum_c100,
+                   row_number() OVER (
+                       PARTITION BY user_id
+                       ORDER BY ts, event_id)::BIGINT AS rn
+            FROM events
         """,
         "zscore_nchars": """
             WITH s AS (

@@ -140,6 +140,56 @@ def grouped_moving_sum(ds, *, key: str, order_cols: list[str],
                                                 batch_format="pyarrow")
 
 
+def grouped_running_sum(ds, *, key: str, order_cols: list[str],
+                        value_col: str, n_parts: int = 32):
+    """Per-key running total (``SUM(value) OVER (PARTITION BY key ORDER
+    BY order_cols ROWS UNBOUNDED PRECEDING)``), emitted as ``run_sum``
+    with the running row count ``rn`` (= ``row_number()``).
+
+    The value column must already be integer (scale floats to cents
+    upstream) so the fold is order-exact across engines.  Unbounded
+    windows can't use the O(window) shift trick of
+    :func:`grouped_moving_sum`; instead one global cumsum per bucket is
+    rebased at each key boundary — sort once, ``np.cumsum``, subtract
+    the cumsum value carried in from the previous key's segment
+    (``cs - cs[seg_start] + v[seg_start]``) — fully vectorized, no
+    per-group loop.  Same single coarse-bucket exchange and same
+    bucket-fits-in-heap partitioning assumption as the module's other
+    operators."""
+
+    def tag(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "_bucket", _bucket_of(b.column(key), n_parts))
+
+    sort_keys = [(key, "ascending")] + [(c, "ascending")
+                                        for c in order_cols]
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["_bucket"])
+        s = g.take(pc.sort_indices(g, sort_keys=sort_keys))
+        keys = s.column(key).to_numpy(zero_copy_only=False)
+        v = s.column(value_col).cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        n = len(v)
+        if n == 0:
+            return s.append_column("run_sum", pa.array([], pa.int64())) \
+                    .append_column("rn", pa.array([], pa.int64()))
+        change = np.ones(n, dtype=bool)
+        change[1:] = keys[1:] != keys[:-1]
+        seg_start = np.maximum.accumulate(
+            np.where(change, np.arange(n), 0))
+        cs = np.cumsum(v)
+        run = cs - cs[seg_start] + v[seg_start]
+        rn = np.arange(n, dtype=np.int64) - seg_start + 1
+        return s.append_column("run_sum", pa.array(run, pa.int64())) \
+                .append_column("rn", pa.array(rn, pa.int64()))
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    return tagged.groupby("_bucket").map_groups(per_bucket,
+                                                batch_format="pyarrow")
+
+
 def group_quantiles(ds, *, group_key: str, value_col: str,
                     qs: list[float], n_parts: int = 16):
     """EXACT per-group quantiles (linear interpolation — matches both

@@ -1728,3 +1728,32 @@ def stratified_fixed_k(sf_dir: str):
     return out.map_batches(
         lambda b: b.select(["source", "doc_id", "rk"]),
         batch_format="pyarrow")
+
+
+def user_running_total(sf_dir: str):
+    """Per-user running spend — ``SUM(value) OVER (PARTITION BY user_id
+    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)`` plus the running
+    row number.  Values are scaled to cents int64 BEFORE the fold
+    (``_pc_round`` half-away = DuckDB ``round``), so the running total
+    is order-exact across engines — no float association drift."""
+    from mdvalidate_ray.functions.window import grouped_running_sum
+
+    ev = _read(sf_dir, "events").select_columns(
+        ["event_id", "user_id", "ts", "value"])
+
+    def to_cents(b: pa.Table) -> pa.Table:
+        c = _pc_round(pc.multiply(b.column("value"), 100.0)) \
+            .cast(pa.int64())
+        return b.drop_columns(["value"]).append_column("v_c100", c)
+
+    cents = ev.map_batches(to_cents, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    out = grouped_running_sum(cents, key="user_id",
+                              order_cols=["ts", "event_id"],
+                              value_col="v_c100", n_parts=32)
+    return out.map_batches(
+        lambda b: pa.Table.from_arrays(
+            [b.column("event_id"), b.column("user_id"),
+             b.column("run_sum"), b.column("rn")],
+            names=["event_id", "user_id", "run_sum_c100", "rn"]),
+        batch_format="pyarrow")

@@ -309,3 +309,40 @@ def test_topn_take_property(rows, n):
         # values are the true top-n for the group
         grp = df[df["k"] == k]
         assert sub["uid"].tolist() == grp.head(n)["uid"].tolist()
+
+
+@pytest.mark.parametrize("blocks", [1, 7])
+def test_grouped_running_sum_matches_pandas(ray_session, blocks):
+    import ray.data
+
+    from mdvalidate_ray.functions.window import grouped_running_sum
+
+    tbl = _mk_table()
+    ds = ray.data.from_arrow(tbl).repartition(blocks)
+    got = grouped_running_sum(ds, key="k", order_cols=["ord", "uid"],
+                              value_col="v", n_parts=5).to_pandas()
+    got = got.sort_values(["k", "ord", "uid"]).reset_index(drop=True)
+
+    df = tbl.to_pandas().sort_values(["k", "ord", "uid"]) \
+        .reset_index(drop=True)
+    df["run_sum"] = df.groupby("k")["v"].cumsum()
+    df["rn"] = df.groupby("k").cumcount() + 1
+    pd.testing.assert_frame_equal(
+        got[["k", "ord", "uid", "v", "run_sum", "rn"]],
+        df[["k", "ord", "uid", "v", "run_sum", "rn"]],
+        check_dtype=False)
+
+
+def test_grouped_running_sum_single_rows(ray_session):
+    import ray.data
+
+    from mdvalidate_ray.functions.window import grouped_running_sum
+
+    tbl = pa.table({"k": pa.array([7], pa.int64()),
+                    "ord": pa.array([1], pa.int64()),
+                    "v": pa.array([-3], pa.int64())})
+    got = grouped_running_sum(ray.data.from_arrow(tbl), key="k",
+                              order_cols=["ord"], value_col="v",
+                              n_parts=3).to_pandas()
+    assert got["run_sum"].tolist() == [-3]
+    assert got["rn"].tolist() == [1]
