@@ -339,11 +339,15 @@ def topk_table(ds, k: int, sort_keys: list[tuple[str, str]]) -> pa.Table:
         idx = pc.sort_indices(b, sort_keys=sort_keys)
         return b.take(idx.slice(0, k))
 
+    # materialize BEFORE to_arrow_refs: on a lazy dataset to_arrow_refs
+    # runs the plan twice (full pass + a limit-1 schema probe that can't
+    # skip an upstream shuffle); on a materialized one it hands back the
+    # existing block refs
     parts = ds.map_batches(partial, batch_format="pyarrow",
-                           zero_copy_batch=True)
+                           zero_copy_batch=True).materialize()
     tbls = [t for t in ray.get(parts.to_arrow_refs()) if t.num_rows]
     if not tbls:
-        return ds.schema().base_schema.empty_table()
+        return parts.schema().base_schema.empty_table()
     merged = pa.concat_tables(tbls).combine_chunks()
     idx = pc.sort_indices(merged, sort_keys=sort_keys)
     return merged.take(idx.slice(0, min(k, merged.num_rows)))

@@ -1306,7 +1306,8 @@ def _orders_fine_cells(sf_dir: str) -> pa.Table:
     partials = orders.map_batches(part, batch_format="pyarrow",
                                   zero_copy_batch=True)
     agg = bucketed_group_sum(partials, key="cell",
-                             sum_cols=["cnt", "sum_c100"], n_parts=8)
+                             sum_cols=["cnt", "sum_c100"],
+                             n_parts=8).materialize()
     tbls = [t for t in ray.get(agg.to_arrow_refs()) if t.num_rows]
     return pa.concat_tables(tbls).combine_chunks()
 

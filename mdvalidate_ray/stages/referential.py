@@ -203,13 +203,17 @@ def check_refs(refs0, assets_ds, *, fp_rate: float = 0.01,
       width), report certain misses immediately, verify maybe-hits with
       the co-partitioned hash anti-join.
     """
-    n_assets = assets_ds.count()
+    # materialize the key column ONCE: count(), the broadcast collect
+    # and the Bloom build would otherwise each re-run the asset lineage
+    # (and a lazy to_arrow_refs adds its own schema-probe execution)
+    asset_keys = assets_ds.select_columns(["asset_id"]).materialize()
+    n_assets = asset_keys.count()
     if n_assets <= broadcast_threshold:
         import ray
 
         key_tbl = pa.concat_tables(
             [ray.get(r).select(["asset_id"]) for r in
-             assets_ds.select_columns(["asset_id"]).to_arrow_refs()])
+             asset_keys.to_arrow_refs()])
         keys = key_tbl.column("asset_id").cast(pa.string()).combine_chunks()
         # TASK-based probe with an explicit ray.put broadcast: the key set
         # lives in plasma once, each task reads it zero-copy.  Tasks reuse
@@ -226,7 +230,7 @@ def check_refs(refs0, assets_ds, *, fp_rate: float = 0.01,
         return refs0.map_batches(probe, batch_format="pyarrow",
                                  zero_copy_batch=True)
 
-    bloom = build_bloom(assets_ds, fp_rate=fp_rate)
+    bloom = build_bloom(asset_keys, n_items=n_assets, fp_rate=fp_rate)
     refs = refs0
     # materialize the tagged refs: both downstream branches consume them,
     # and without a barrier each branch would re-execute the probe lineage
@@ -242,5 +246,5 @@ def check_refs(refs0, assets_ds, *, fp_rate: float = 0.01,
         lambda b: b.filter(b.column("in_bloom"))
                    .select(["doc_id", "media_ref"]),
         batch_format="pyarrow")
-    fallback = exact_antijoin(suspects, assets_ds)
+    fallback = exact_antijoin(suspects, asset_keys)
     return definite.union(fallback)
