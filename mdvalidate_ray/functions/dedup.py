@@ -130,16 +130,26 @@ class MinHasher:
         if not all_shingles:
             return out
         h = hash_strings(all_shingles)
-        with np.errstate(over="ignore"):
-            vals = self.a[:, None] * h[None, :] + self.b[:, None]
+        # per-permutation 1-D scalar ops, NOT a 2-D uint64 broadcast:
+        # this numpy build routes (num_perm, n) uint64 broadcast
+        # multiplies through a ~100x-slower generic inner loop (measured
+        # 6-9 s vs 0.05 s for 64x260k elements; same pathology BASELINE.md
+        # records for the simhash bit matrix)
         starts = np.asarray(bounds[:-1])
         nonempty = np.asarray([bounds[i + 1] > bounds[i] for i in range(n)])
         if nonempty.any():
             # reduceat over non-empty segments only (empty segments would
-            # alias the next segment's first element)
+            # alias the next segment's first element); one reusable 1-D
+            # buffer instead of a (num_perm, n_shingles) intermediate —
+            # the 2-D version cost ~128 MB of fresh page faults per
+            # worker on top of the slow broadcast
             seg_starts = starts[nonempty]
-            mins = np.minimum.reduceat(vals, seg_starts, axis=1)
-            out[nonempty] = mins.T
+            vals = np.empty(h.size, dtype=np.uint64)
+            with np.errstate(over="ignore"):
+                for p in range(self.num_perm):
+                    np.multiply(h, self.a[p], out=vals)
+                    vals += self.b[p]
+                    out[nonempty, p] = np.minimum.reduceat(vals, seg_starts)
         return out
 
     def signature(self, text: str) -> np.ndarray:
@@ -345,19 +355,26 @@ def simhash_batch(texts: list, hash_fn: str = "fast") -> np.ndarray:
     # bit matrix via unpackbits, NOT a broadcast uint64 shift: numpy's
     # (n,64) uint64 >> broadcast takes ~30s per million tokens on this
     # build (non-SIMD inner loop); unpackbits on the little-endian byte
-    # view is ~17x faster and bit-for-bit identical (column k = bit k)
+    # view is ~17x faster and bit-for-bit identical (column k = bit k).
+    # Stay in uint8 — a ±1 int64 vote matrix costs a 64x-larger
+    # allocation AND an int64 multiply (the other pathological op on
+    # this build); counting set bits per segment and comparing 2*count
+    # against the segment length is the same majority vote.
     bits = np.unpackbits(
         hs.view(np.uint8).reshape(-1, 8)[:, ::-1], axis=1,
-        bitorder="big")[:, ::-1].astype(np.int64)
-    votes = 2 * bits - 1                      # (total_tokens, 64)
+        bitorder="big")[:, ::-1]              # (total_tokens, 64) uint8
     starts = np.asarray(bounds[:-1])
-    nonempty = np.asarray([bounds[i + 1] > bounds[i] for i in range(n)])
+    seg_len = np.diff(bounds)
+    nonempty = seg_len > 0
     if nonempty.any():
-        acc = np.add.reduceat(votes, starts[nonempty], axis=0)
-        sig_bits = (acc > 0).astype(np.uint64)
-        weights = np.uint64(1) << np.arange(64, dtype=np.uint64)
-        out[nonempty] = (sig_bits * weights[None, :]).sum(axis=1,
-                                                          dtype=np.uint64)
+        ones = np.add.reduceat(bits, starts[nonempty], axis=0,
+                               dtype=np.int32)
+        sig_bits = (2 * ones) > seg_len[nonempty, None]
+        # pack the majority bits back to uint64 (inverse of the unpack
+        # above; packbits avoids the slow (n,64) uint64 weight multiply)
+        packed = np.packbits(sig_bits[:, ::-1], axis=1,
+                             bitorder="big")[:, ::-1]
+        out[nonempty] = np.ascontiguousarray(packed).view(np.uint64)[:, 0]
     return out
 
 
