@@ -95,6 +95,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_strata_counts": Q.sample_strata_counts,
         "stratified_fixed_k": Q.stratified_fixed_k,
         "user_running_total": Q.user_running_total,
+        "length_ntile": Q.length_ntile,
         "zscore_nchars": Q.zscore_nchars,
         "shuffle_manifest": Q.shuffle_manifest,
         "repetition": Q.repetition,
@@ -377,6 +378,14 @@ def oracle_sql() -> dict[str, str]:
                                 ASC, doc_id ASC)::BIGINT AS rk
             FROM documents
             QUALIFY rk <= 5
+        """,
+        "length_ntile": """
+            SELECT doc_id,
+                   row_number() OVER (ORDER BY n_chars, doc_id)::BIGINT
+                       AS rk,
+                   ntile(8) OVER (ORDER BY n_chars, doc_id)::BIGINT
+                       AS bucket
+            FROM documents
         """,
         "user_running_total": """
             SELECT event_id, user_id,

@@ -190,6 +190,61 @@ def grouped_running_sum(ds, *, key: str, order_cols: list[str],
                                                 batch_format="pyarrow")
 
 
+def global_rank(ds, *, order_cols: list[str], n_buckets: int | None = None,
+                descending: bool = False):
+    """Global ``row_number() OVER (ORDER BY order_cols)`` as ``rk``, plus
+    (optionally) the SQL ``ntile(n_buckets)`` bucket as ``bucket`` — the
+    length-bucketed-batching / curriculum-ordering primitive.
+
+    The MPP-standard plan: ONE distributed range-partitioning sort (the
+    documented all-to-all — global ranking cannot avoid it), then rank
+    assignment is metadata-only: sorted block row counts come from block
+    metadata (``iter_internal_ref_bundles``, no block fetched to the
+    driver), the driver cumsums them into per-block offsets, and one raw
+    Ray task per block adds ``offset + arange`` — per the brief's
+    escalation rule, raw tasks only because ``map_batches`` cannot see a
+    block's global position.
+
+    ``order_cols`` must end in a unique tiebreak column for a
+    deterministic total order.  ``ntile`` semantics match SQL: the first
+    ``total % n`` buckets get one extra row."""
+    import ray
+    import ray.data
+
+    s = ds.sort(order_cols, descending=descending).materialize()
+    counts, refs = [], []
+    for bundle in s.iter_internal_ref_bundles():
+        for ref, md in bundle.blocks:
+            counts.append(md.num_rows)
+            refs.append(ref)
+    offsets = np.cumsum([0] + counts[:-1])
+    total = int(sum(counts))
+
+    @ray.remote
+    def add_rank(block: pa.Table, offset: int) -> pa.Table:
+        n = block.num_rows
+        rk = offset + np.arange(1, n + 1, dtype=np.int64)
+        out = block.append_column("rk", pa.array(rk))
+        if n_buckets:
+            size_small = total // n_buckets
+            n_big = total % n_buckets
+            big_span = n_big * (size_small + 1)
+            idx0 = rk - 1
+            bucket = np.where(
+                idx0 < big_span,
+                idx0 // (size_small + 1) + 1,
+                # guard size_small=0 (more buckets than rows): all rows
+                # land in the big buckets, the where-branch is unused
+                n_big + (idx0 - big_span) // max(size_small, 1) + 1)
+            out = out.append_column("bucket",
+                                    pa.array(bucket.astype(np.int64)))
+        return out
+
+    ranked = [add_rank.remote(ref, int(off))
+              for ref, off in zip(refs, offsets)]
+    return ray.data.from_arrow_refs(ranked)
+
+
 def group_quantiles(ds, *, group_key: str, value_col: str,
                     qs: list[float], n_parts: int = 16):
     """EXACT per-group quantiles (linear interpolation — matches both

@@ -1758,3 +1758,17 @@ def user_running_total(sf_dir: str):
              b.column("run_sum"), b.column("rn")],
             names=["event_id", "user_id", "run_sum_c100", "rn"]),
         batch_format="pyarrow")
+
+
+def length_ntile(sf_dir: str):
+    """Global length ranking + ntile(8) length buckets over all documents
+    — the curriculum-ordering / length-bucketed-batching primitive
+    (global row_number cannot avoid ONE range-partition sort; rank
+    assignment after it is metadata-only, see window.global_rank)."""
+    from mdvalidate_ray.functions.window import global_rank
+
+    docs = _read(sf_dir, "documents").select_columns(["doc_id", "n_chars"])
+    out = global_rank(docs, order_cols=["n_chars", "doc_id"], n_buckets=8)
+    return out.map_batches(
+        lambda b: b.select(["doc_id", "rk", "bucket"]),
+        batch_format="pyarrow")

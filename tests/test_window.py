@@ -346,3 +346,45 @@ def test_grouped_running_sum_single_rows(ray_session):
                               n_parts=3).to_pandas()
     assert got["run_sum"].tolist() == [-3]
     assert got["rn"].tolist() == [1]
+
+
+@pytest.mark.parametrize("blocks", [1, 7])
+def test_global_rank_and_ntile_match_pandas(ray_session, blocks):
+    import ray.data
+
+    from mdvalidate_ray.functions.window import global_rank
+
+    tbl = _mk_table(n=300, n_keys=9)
+    ds = ray.data.from_arrow(tbl).repartition(blocks)
+    got = global_rank(ds, order_cols=["ord", "uid"],
+                      n_buckets=7).to_pandas()
+    got = got.sort_values("rk").reset_index(drop=True)
+
+    df = tbl.to_pandas().sort_values(["ord", "uid"]).reset_index(drop=True)
+    df["rk"] = np.arange(1, len(df) + 1, dtype="int64")
+    # SQL ntile: first (total % n) buckets get one extra row
+    total, n = len(df), 7
+    size_small, n_big = total // n, total % n
+    big_span = n_big * (size_small + 1)
+    idx0 = df["rk"].values - 1
+    df["bucket"] = np.where(
+        idx0 < big_span, idx0 // (size_small + 1) + 1,
+        n_big + (idx0 - big_span) // max(size_small, 1) + 1).astype("int64")
+    pd.testing.assert_frame_equal(
+        got[["uid", "rk", "bucket"]], df[["uid", "rk", "bucket"]],
+        check_dtype=False)
+
+
+def test_global_rank_descending_no_buckets(ray_session):
+    import ray.data
+
+    from mdvalidate_ray.functions.window import global_rank
+
+    tbl = pa.table({"v": pa.array([3, 1, 2], pa.int64()),
+                    "uid": pa.array([0, 1, 2], pa.int64())})
+    got = global_rank(ray.data.from_arrow(tbl), order_cols=["v", "uid"],
+                      descending=True).to_pandas()
+    got = got.sort_values("rk").reset_index(drop=True)
+    assert got["v"].tolist() == [3, 2, 1]
+    assert got["rk"].tolist() == [1, 2, 3]
+    assert "bucket" not in got.columns
