@@ -96,6 +96,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_fixed_k": Q.stratified_fixed_k,
         "user_running_total": Q.user_running_total,
         "length_ntile": Q.length_ntile,
+        "doc_chunks": Q.doc_chunks,
         "zscore_nchars": Q.zscore_nchars,
         "shuffle_manifest": Q.shuffle_manifest,
         "repetition": Q.repetition,
@@ -378,6 +379,24 @@ def oracle_sql() -> dict[str, str]:
                                 ASC, doc_id ASC)::BIGINT AS rk
             FROM documents
             QUALIFY rk <= 5
+        """,
+        "doc_chunks": """
+            WITH toks AS (
+                SELECT doc_id,
+                       string_split(coalesce(text, ''), ' ') AS t
+                FROM documents
+            ), meta AS (
+                SELECT doc_id, t, len(t) AS n FROM toks
+            ), starts AS (
+                SELECT doc_id, t, n,
+                       unnest(range(0, greatest(n, 1), 40)) AS s
+                FROM meta
+            )
+            SELECT doc_id, (s / 40)::BIGINT AS chunk_id,
+                   array_to_string(t[s + 1 : least(s + 50, n)], ' ')
+                       AS chunk
+            FROM starts
+            WHERE s = 0 OR s < n
         """,
         "length_ntile": """
             SELECT doc_id,

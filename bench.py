@@ -155,7 +155,7 @@ QUERY_NAMES = [
     "priority_revenue", "latest_events", "dedup_clusters", "dedup_purge",
     "zscore_nchars", "shuffle_manifest", "repetition",
     "bigram_counts", "tfidf_top_terms", "stratified_fixed_k",
-    "user_running_total", "length_ntile",
+    "user_running_total", "length_ntile", "doc_chunks",
 ]
 
 

@@ -335,3 +335,45 @@ def add_repetition_stats(batch: pa.Table, column: str = "text") -> pa.Table:
     np.add.at(n_distinct, uniq_rows, 1)
     return batch.append_column("n_words", n_words) \
                 .append_column("n_distinct", pa.array(n_distinct))
+
+
+def chunk_documents(ds, *, chunk_size: int = 50, stride: int = 40,
+                    column: str = "text", key: str = "doc_id"):
+    """Fixed-size token-window chunking with overlap — the
+    context-window prep step (doc → ``ceil(max(n,1)/stride)`` chunks of
+    ``chunk_size`` single-space-split tokens, consecutive chunks sharing
+    ``chunk_size - stride`` tokens).
+
+    Chunk starts are ``range(0, max(n_tokens, 1), stride)`` restricted
+    to ``s == 0 or s < n_tokens`` — every doc (including empty text)
+    emits at least one chunk, and the formula is reproducible in SQL
+    (``string_split`` + ``range`` + array slicing), so the fan-out is
+    exactly oracle-checkable.  Tokenization is ``split(' ')`` to match
+    ``string_split(text, ' ')`` byte-for-byte (consecutive spaces yield
+    empty tokens in both engines).
+
+    Pure map fan-out — no shuffle; output order within a doc is
+    (key, chunk_id)."""
+    assert 0 < stride <= chunk_size
+
+    def fan_out(b: pa.Table) -> pa.Table:
+        keys_out, chunk_ids, chunks = [], [], []
+        keys = b.column(key).to_pylist()
+        texts = b.column(column).to_pylist()
+        for kid, text in zip(keys, texts):
+            toks = (text or "").split(" ")
+            n = len(toks)
+            for ci, s in enumerate(range(0, max(n, 1), stride)):
+                if s and s >= n:
+                    break
+                keys_out.append(kid)
+                chunk_ids.append(ci)
+                chunks.append(" ".join(toks[s:s + chunk_size]))
+        return pa.Table.from_arrays(
+            [pa.array(keys_out, b.schema.field(key).type),
+             pa.array(chunk_ids, pa.int64()),
+             pa.array(chunks, pa.string())],
+            names=[key, "chunk_id", "chunk"])
+
+    return ds.map_batches(fan_out, batch_format="pyarrow",
+                          zero_copy_batch=True)

@@ -1772,3 +1772,13 @@ def length_ntile(sf_dir: str):
     return out.map_batches(
         lambda b: b.select(["doc_id", "rk", "bucket"]),
         batch_format="pyarrow")
+
+
+def doc_chunks(sf_dir: str):
+    """Context-window chunking: 50-token chunks, stride 40 (10-token
+    overlap) over every document — pure map fan-out, chunk text
+    hash-compared against the SQL reconstruction."""
+    from mdvalidate_ray.functions.text import chunk_documents
+
+    docs = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+    return chunk_documents(docs, chunk_size=50, stride=40)

@@ -493,3 +493,34 @@ def test_tfidf_top_terms_ranks_rare_terms(ray_session):
         assert 1 <= len(terms) <= 3
         assert all(t["score"] > 0 for t in terms)
         assert len({t["term"] for t in terms}) == len(terms)
+
+
+def test_chunk_documents_edges(ray_session):
+    import ray.data
+
+    from mdvalidate_ray.functions.text import chunk_documents
+
+    tbl = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "text": pa.array(
+            ["", None, "a b c",
+             " ".join(f"w{i}" for i in range(50)),       # exactly one chunk
+             " ".join(f"w{i}" for i in range(95))],      # 3 chunks
+            pa.string()),
+    })
+    out = chunk_documents(ray.data.from_arrow(tbl), chunk_size=50,
+                          stride=40).to_pandas()
+    out = out.sort_values(["doc_id", "chunk_id"]).reset_index(drop=True)
+    per_doc = out.groupby("doc_id").size().to_dict()
+    # empty/None docs emit exactly one (empty) chunk
+    assert per_doc == {1: 1, 2: 1, 3: 1, 4: 2, 5: 3}
+    assert out[out.doc_id == 1].chunk.tolist() == [""]
+    assert out[out.doc_id == 3].chunk.tolist() == ["a b c"]
+    # doc 4: n=50 -> starts [0, 40]; second chunk is the 10-token tail
+    d4 = out[out.doc_id == 4].chunk.tolist()
+    assert d4[0].split(" ")[:3] == ["w0", "w1", "w2"]
+    assert d4[1].split(" ") == [f"w{i}" for i in range(40, 50)]
+    # doc 5: overlap region of chunks 0 and 1 is tokens 40..49
+    d5 = out[out.doc_id == 5].chunk.tolist()
+    assert d5[0].split(" ")[40:] == d5[1].split(" ")[:10]
+    assert d5[2].split(" ") == [f"w{i}" for i in range(80, 95)]
