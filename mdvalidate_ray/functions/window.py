@@ -33,6 +33,11 @@ from mdvalidate_ray.state.sketches import hash_strings
 
 
 def _bucket_of(col, n_parts: int) -> pa.Array:
+    if pa.types.is_integer(col.type):
+        # Fibonacci hash on the raw integers — no per-row Python
+        v = col.to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = (v * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)
+        return pa.array((h % np.uint64(n_parts)).astype("int64"))
     vals = [str(v) for v in col.to_pylist()]
     if not vals:
         return pa.array(np.zeros(0, dtype="int64"))
