@@ -97,6 +97,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_running_total": Q.user_running_total,
         "length_ntile": Q.length_ntile,
         "doc_chunks": Q.doc_chunks,
+        "user_value_deltas": Q.user_value_deltas,
         "zscore_nchars": Q.zscore_nchars,
         "shuffle_manifest": Q.shuffle_manifest,
         "repetition": Q.repetition,
@@ -379,6 +380,14 @@ def oracle_sql() -> dict[str, str]:
                                 ASC, doc_id ASC)::BIGINT AS rk
             FROM documents
             QUALIFY rk <= 5
+        """,
+        "user_value_deltas": """
+            SELECT event_id, user_id,
+                   (CAST(round(value * 100) AS BIGINT)
+                    - lag(CAST(round(value * 100) AS BIGINT)) OVER (
+                          PARTITION BY user_id
+                          ORDER BY ts, event_id))::BIGINT AS delta_c100
+            FROM events
         """,
         "doc_chunks": """
             WITH toks AS (

@@ -195,6 +195,47 @@ def grouped_running_sum(ds, *, key: str, order_cols: list[str],
                                                 batch_format="pyarrow")
 
 
+def grouped_lag_delta(ds, *, key: str, order_cols: list[str],
+                      value_col: str, n_parts: int = 32):
+    """Per-key previous-row difference — ``value - LAG(value) OVER
+    (PARTITION BY key ORDER BY order_cols)`` as ``delta`` (null on each
+    key's first row), the time-series feature-engineering primitive.
+
+    Same plan as the module's other keyed windows: one coarse-bucket
+    exchange, then a single sort + shifted-array compare per bucket (a
+    row's predecessor is its sorted neighbor iff the neighbor has the
+    same key).  Integer value column required for exact cross-engine
+    deltas."""
+
+    def tag(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "_bucket", _bucket_of(b.column(key), n_parts))
+
+    sort_keys = [(key, "ascending")] + [(c, "ascending")
+                                        for c in order_cols]
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["_bucket"])
+        s = g.take(pc.sort_indices(g, sort_keys=sort_keys))
+        keys = s.column(key).to_numpy(zero_copy_only=False)
+        v = s.column(value_col).cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        n = len(v)
+        delta = np.zeros(n, dtype=np.int64)
+        valid = np.zeros(n, dtype=bool)
+        if n > 1:
+            same = keys[1:] == keys[:-1]
+            delta[1:][same] = v[1:][same] - v[:-1][same]
+            valid[1:] = same
+        return s.append_column(
+            "delta", pa.array(delta, pa.int64(), mask=~valid))
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    return tagged.groupby("_bucket").map_groups(per_bucket,
+                                                batch_format="pyarrow")
+
+
 def global_rank(ds, *, order_cols: list[str], n_buckets: int | None = None,
                 descending: bool = False):
     """Global ``row_number() OVER (ORDER BY order_cols)`` as ``rk``, plus

@@ -1782,3 +1782,30 @@ def doc_chunks(sf_dir: str):
 
     docs = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
     return chunk_documents(docs, chunk_size=50, stride=40)
+
+
+def user_value_deltas(sf_dir: str):
+    """Per-user event-to-event spend delta — ``value - LAG(value)``
+    over (ts, event_id) order, cents-scaled before differencing so the
+    result is integer-exact (null on each user's first event)."""
+    from mdvalidate_ray.functions.window import grouped_lag_delta
+
+    ev = _read(sf_dir, "events").select_columns(
+        ["event_id", "user_id", "ts", "value"])
+
+    def to_cents(b: pa.Table) -> pa.Table:
+        c = _pc_round(pc.multiply(b.column("value"), 100.0)) \
+            .cast(pa.int64())
+        return b.drop_columns(["value"]).append_column("v_c100", c)
+
+    cents = ev.map_batches(to_cents, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    out = grouped_lag_delta(cents, key="user_id",
+                            order_cols=["ts", "event_id"],
+                            value_col="v_c100", n_parts=32)
+    return out.map_batches(
+        lambda b: pa.Table.from_arrays(
+            [b.column("event_id"), b.column("user_id"),
+             b.column("delta")],
+            names=["event_id", "user_id", "delta_c100"]),
+        batch_format="pyarrow")

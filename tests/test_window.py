@@ -388,3 +388,23 @@ def test_global_rank_descending_no_buckets(ray_session):
     assert got["v"].tolist() == [3, 2, 1]
     assert got["rk"].tolist() == [1, 2, 3]
     assert "bucket" not in got.columns
+
+
+@pytest.mark.parametrize("blocks", [1, 7])
+def test_grouped_lag_delta_matches_pandas(ray_session, blocks):
+    import ray.data
+
+    from mdvalidate_ray.functions.window import grouped_lag_delta
+
+    tbl = _mk_table()
+    ds = ray.data.from_arrow(tbl).repartition(blocks)
+    got = grouped_lag_delta(ds, key="k", order_cols=["ord", "uid"],
+                            value_col="v", n_parts=5).to_pandas()
+    got = got.sort_values(["k", "ord", "uid"]).reset_index(drop=True)
+
+    df = tbl.to_pandas().sort_values(["k", "ord", "uid"]) \
+        .reset_index(drop=True)
+    df["delta"] = df.groupby("k")["v"].diff()
+    pd.testing.assert_frame_equal(
+        got[["k", "ord", "uid", "delta"]],
+        df[["k", "ord", "uid", "delta"]], check_dtype=False)
