@@ -833,7 +833,17 @@ def _eval_blocks(ctx: _Ctx, blocks: list, prefix: str) -> None:
                 ctx.take()
                 continue
             ctx.take()
-            _match_text_unit(ctx, cid, block.inline, span[1], span)
+            if any(not isinstance(p, (Literal, MatcherPart))
+                   for p in block.inline):
+                # rich heading content (links / images / code spans /
+                # emphasis) validates as child nodes, exactly like a
+                # paragraph body (reference treats heading children as
+                # ordinary inline nodes — tests/links.rs
+                # link_inside_heading, textual_container.rs
+                # heading_link_and_text_matchers)
+                _eval_inline_container(ctx, cid, block.inline)
+            else:
+                _match_text_unit(ctx, cid, block.inline, span[1], span)
 
         elif isinstance(block, RepeatedParagraph):
             # consumes m..n consecutive input paragraphs into an array

@@ -150,7 +150,19 @@ def markdown_to_spans(text: str,
             continue
         hm = _HEADING_RE.match(line)
         if hm:
-            add(f"heading{len(hm.group(1))}", hm.group(2).strip())
+            body = hm.group(2).strip()
+            # rich inline content (links/images/code spans/emphasis)
+            # becomes CHILD spans, mirroring the reference's heading
+            # children (tests/textual_container.rs heading_link_and_…,
+            # tests/links.rs link_inside_heading); plain text stays in
+            # the heading span itself (the compact common case)
+            if (_LINK_RE.search(body) or _CODE_SPAN_RE.search(body)
+                    or _STRONG_RE.search(body) or _EM_RE.search(body)
+                    or (linkdefs and _REFLINK_RE.search(body))):
+                add(f"heading{len(hm.group(1))}", "")
+                _flatten_inline(body, add, linkdefs)
+            else:
+                add(f"heading{len(hm.group(1))}", body)
             i += 1
             continue
         if _RULER_RE.match(line.strip()) and not _LIST_RE.match(line):

@@ -578,3 +578,41 @@ def test_loose_item_multiple_extras_and_tab_indent():
     md2 = "- item one\n\n\textra a\n- item two\n"
     kinds2 = [s["kind"] for s in markdown_to_spans(md2)]
     assert kinds2 == ["list_item", "item_extra", "list_item"]
+
+
+# --- rich heading inline content (reference tests/links.rs
+# link_inside_heading; tests/textual_container.rs
+# heading_link_and_text_matchers, paragraph_mixed_literal) --------------------
+
+def _full(schema_md, doc_md):
+    from mdvalidate_ray.sources.markdown import markdown_to_spans
+    return evaluate_spans(markdown_to_spans(doc_md),
+                          compile_schema(schema_md))
+
+
+def test_link_inside_heading():
+    r = _full(r"# [hi]({url:/.*/}) `other:/\w+/`",
+              "# [hi](https://example.com) hi")
+    assert r.passed, r.violations
+    assert r.captures == {"url": "https://example.com", "other": "hi"}
+
+
+def test_heading_link_dest_mismatch():
+    r = _full("# [hi](https://a.com)", "# [hi](https://b.com)")
+    assert not r.passed
+
+
+def test_heading_mixed_emphasis_literal():
+    r = _full("# hello *there*", "# hello *there*")
+    assert r.passed, r.violations
+
+
+def test_image_literal_markdown_roundtrip():
+    r = _full("![alt](image.png)", "![alt](image.png)")
+    assert r.passed, r.violations
+
+
+def test_ruler_stars_same_class():
+    # reference tests/rulers.rs ruler_stars: *** and --- are both rulers
+    r = _full("---", "***")
+    assert r.passed, r.violations
