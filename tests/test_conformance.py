@@ -616,3 +616,36 @@ def test_ruler_stars_same_class():
     # reference tests/rulers.rs ruler_stars: *** and --- are both rulers
     r = _full("---", "***")
     assert r.passed, r.violations
+
+
+def test_complicated_multiple_doc_children_markdown_roundtrip():
+    # reference tests/misc.rs complicated_multiple_doc_children_example —
+    # full markdown → spans → validate, exact captures parity
+    schema = (
+        "\n# Hi `name:/[A-Z][a-z]*/`\n\n"
+        "| Header 1 | Header `num:/\\d/` |\n"
+        "|----------|----------|\n"
+        "| Cell 1   | Cell 2   |\n\n"
+        "- `items:/.*/`{,}\n\n"
+        "```{lang:/\\w+/}\n{code}\n```\n"
+    )
+    doc = (
+        "\n# Hi Wolf\n\n"
+        "| Header 1 | Header 2 |\n"
+        "|----------|----------|\n"
+        "| Cell 1   | Cell 2   |\n\n"
+        "- apples\n- bananas\n\n"
+        "```python\nprint(\"hi\")\n```\n"
+    )
+    r = _full(schema, doc)
+    assert r.passed, r.violations
+    assert r.captures == {"name": "Wolf", "num": "2",
+                          "items": ["apples", "bananas"],
+                          "lang": "python", "code": 'print("hi")'}
+
+
+def test_complicated_example_fails_out_of_order():
+    # reference tests/misc.rs complicated_multiple_doc_children_example_fails
+    r = _full("\n# Hi `name:/[A-Z][a-z]*/`\n\n- item\n",
+              "\n- item\n\n# Hi Wolf\n")
+    assert not r.passed
