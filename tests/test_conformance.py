@@ -649,3 +649,19 @@ def test_complicated_example_fails_out_of_order():
     r = _full("\n# Hi `name:/[A-Z][a-z]*/`\n\n- item\n",
               "\n- item\n\n# Hi Wolf\n")
     assert not r.passed
+
+
+@pytest.mark.parametrize("schema,doc,want_pass,want_caps", [
+    ("> This is a quote\n", "> This is a quote\n", True, {}),
+    ("> This is a quote\n", "> Different text\n", False, {}),
+    ("> Level 1\n> > Level 2\n", "> Level 1\n> > Level 2\n", True, {}),
+    ("> This is `code:/.*/`\n", "> This is test123\n", True,
+     {"code": "test123"}),
+])
+def test_quotes_rs_markdown_roundtrip(schema, doc, want_pass, want_caps):
+    # reference tests/quotes.rs: simple_blockquote / blockquote_mismatch /
+    # nested_blockquote / blockquote_with_matcher via the full markdown path
+    r = _full(schema, doc)
+    assert r.passed == want_pass, r.violations
+    if want_pass:
+        assert r.captures == want_caps
