@@ -98,6 +98,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "length_ntile": Q.length_ntile,
         "doc_chunks": Q.doc_chunks,
         "user_value_deltas": Q.user_value_deltas,
+        "funnel": Q.funnel,
         "zscore_nchars": Q.zscore_nchars,
         "shuffle_manifest": Q.shuffle_manifest,
         "repetition": Q.repetition,
@@ -380,6 +381,27 @@ def oracle_sql() -> dict[str, str]:
                                 ASC, doc_id ASC)::BIGINT AS rk
             FROM documents
             QUALIFY rk <= 5
+        """,
+        "funnel": """
+            WITH s1 AS (
+                SELECT user_id, min(ts) AS t FROM events
+                WHERE event_type = 'view' GROUP BY user_id
+            ), s2 AS (
+                SELECT e.user_id, min(e.ts) AS t FROM events e
+                JOIN s1 ON e.user_id = s1.user_id
+                WHERE e.event_type = 'click' AND e.ts > s1.t
+                GROUP BY e.user_id
+            ), s3 AS (
+                SELECT e.user_id, min(e.ts) AS t FROM events e
+                JOIN s2 ON e.user_id = s2.user_id
+                WHERE e.event_type = 'purchase' AND e.ts > s2.t
+                GROUP BY e.user_id
+            )
+            SELECT 1::BIGINT AS step, count(*)::BIGINT AS n_users FROM s1
+            UNION ALL
+            SELECT 2::BIGINT, count(*)::BIGINT FROM s2
+            UNION ALL
+            SELECT 3::BIGINT, count(*)::BIGINT FROM s3
         """,
         "user_value_deltas": """
             SELECT event_id, user_id,

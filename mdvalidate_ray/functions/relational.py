@@ -1044,3 +1044,68 @@ def group_zscore(ds, *, group_col: str, value_col: str,
 
     return ds.map_batches(annotate, batch_format="pyarrow",
                           zero_copy_batch=True)
+
+
+def funnel_counts(ds, *, key: str, time_col: str, type_col: str,
+                  steps: list[str], n_parts: int = 32):
+    """Ordered-funnel analytics: for each step k, the number of keys
+    (users) whose events contain the subsequence ``steps[0] → … →
+    steps[k]`` in strictly increasing ``time_col`` order, using each
+    step's EARLIEST qualifying time (the standard greedy funnel, exactly
+    the chained ``min(ts) … WHERE ts > prev`` SQL).
+
+    Scale shape: rows co-partition ONCE on ``hash(key) % n_parts`` (a
+    user's whole history meets in one bucket — the sessionize pattern);
+    inside a bucket the chain is len(steps) vectorized merge+groupby-min
+    passes, no per-user Python.  Buckets emit one partial row per step;
+    only ``n_parts × len(steps)`` rows reach the final fold."""
+    import numpy as np
+
+    from mdvalidate_ray.state.sketches import hash_strings
+
+    step_arr = pa.array(steps, pa.string())
+
+    def tag(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_in(b.column(type_col), value_set=step_arr))
+        col = b.column(key)
+        if pa.types.is_integer(col.type):
+            v = col.to_numpy(zero_copy_only=False).astype(np.uint64)
+            h = (v * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)
+        else:
+            vals = [str(x) for x in col.to_pylist()]
+            h = (hash_strings(vals) if vals
+                 else np.zeros(0, dtype=np.uint64))
+        return b.append_column(
+            "_bucket", pa.array((h % np.uint64(n_parts)).astype("int64")))
+
+    out_schema = pa.schema([("step", pa.int64()), ("n_users", pa.int64())])
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        df = g.drop_columns(["_bucket"]).to_pandas()
+        prev = None
+        counts = []
+        for st in steps:
+            sub = df[df[type_col] == st][[key, time_col]]
+            if prev is not None:
+                sub = sub.merge(
+                    prev.rename("prev_t").reset_index(), on=key)
+                sub = sub[sub[time_col] > sub["prev_t"]]
+            t = sub.groupby(key)[time_col].min()
+            counts.append(len(t))
+            prev = t
+        return pa.Table.from_arrays(
+            [pa.array(range(1, len(steps) + 1), pa.int64()),
+             pa.array(counts, pa.int64())],
+            schema=out_schema)
+
+    partials = ds.map_batches(tag, batch_format="pyarrow",
+                              zero_copy_batch=True) \
+                 .groupby("_bucket").map_groups(per_bucket,
+                                                batch_format="pyarrow")
+    folded = partials.groupby("step").sum("n_users")
+    return folded.map_batches(
+        lambda b: pa.Table.from_arrays(
+            [b.column("step"),
+             b.column("sum(n_users)").cast(pa.int64())],
+            names=["step", "n_users"]),
+        batch_format="pyarrow")

@@ -1809,3 +1809,16 @@ def user_value_deltas(sf_dir: str):
              b.column("delta")],
             names=["event_id", "user_id", "delta_c100"]),
         batch_format="pyarrow")
+
+
+def funnel(sf_dir: str):
+    """Ordered funnel view → click → purchase: per-step user counts with
+    greedy earliest-completion chaining (each step's time is the MIN ts
+    strictly after the previous step's time)."""
+    from mdvalidate_ray.functions.relational import funnel_counts
+
+    ev = _read(sf_dir, "events").select_columns(
+        ["user_id", "ts", "event_type"])
+    return funnel_counts(ev, key="user_id", time_col="ts",
+                         type_col="event_type",
+                         steps=["view", "click", "purchase"], n_parts=32)

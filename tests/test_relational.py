@@ -388,3 +388,42 @@ def test_group_zscore_moments(ray_session):
         assert abs(arr.mean()) < 1e-3
         assert abs(arr.std() - 1.0) < 1e-3
     assert set(z["c"]) == {0}  # zero variance -> defined as 0
+
+
+def test_funnel_counts_ordering_and_dropoff(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from mdvalidate_ray.functions.relational import funnel_counts
+
+    rows = [
+        # u1 completes in order: view(1) click(2) purchase(3)
+        (1, 1, "view"), (1, 2, "click"), (1, 3, "purchase"),
+        # u2 clicks BEFORE viewing — click must not count
+        (2, 5, "click"), (2, 6, "view"),
+        # u3 views only
+        (3, 1, "view"),
+        # u4 purchase before click: view(1) purchase(2) click(4) — step3
+        # requires a purchase AFTER the click; none exists
+        (4, 1, "view"), (4, 2, "purchase"), (4, 4, "click"),
+        # u5 same-timestamp click (ties are NOT strictly after) then later
+        # click that counts
+        (5, 7, "view"), (5, 7, "click"), (5, 9, "click"), (5, 10, "purchase"),
+        # u6 never views; click+purchase must not count at any step
+        (6, 1, "click"), (6, 2, "purchase"),
+    ]
+    tbl = pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.int64()),
+        "event_type": pa.array([r[2] for r in rows], pa.string()),
+    })
+    out = funnel_counts(ray.data.from_arrow(tbl).repartition(3),
+                        key="user_id", time_col="ts",
+                        type_col="event_type",
+                        steps=["view", "click", "purchase"],
+                        n_parts=4).to_pandas()
+    got = dict(zip(out.step, out.n_users))
+    # step1: u1..u5 view (not u6) = 5
+    # step2: click strictly after first view: u1, u4, u5 = 3
+    # step3: purchase strictly after that click: u1 (3>2), u5 (10>9) = 2
+    assert got == {1: 5, 2: 3, 3: 2}, got
