@@ -99,6 +99,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_chunks": Q.doc_chunks,
         "user_value_deltas": Q.user_value_deltas,
         "funnel": Q.funnel,
+        "retention": Q.retention,
         "zscore_nchars": Q.zscore_nchars,
         "shuffle_manifest": Q.shuffle_manifest,
         "repetition": Q.repetition,
@@ -381,6 +382,24 @@ def oracle_sql() -> dict[str, str]:
                                 ASC, doc_id ASC)::BIGINT AS rk
             FROM documents
             QUALIFY rk <= 5
+        """,
+        "retention": """
+            WITH f AS (
+                SELECT user_id, min(ts) AS ft FROM events
+                WHERE event_type = 'signup' GROUP BY user_id
+            ), act AS (
+                SELECT e.user_id,
+                       strftime(date_trunc('day', f.ft), '%Y-%m-%d')
+                           AS cohort,
+                       CAST(floor(date_diff('microsecond', f.ft, e.ts)
+                                  / 86400000000.0) AS BIGINT)
+                           AS day_offset
+                FROM events e JOIN f ON e.user_id = f.user_id
+                WHERE e.ts >= f.ft
+            )
+            SELECT cohort, day_offset,
+                   count(DISTINCT user_id)::BIGINT AS n_users
+            FROM act GROUP BY cohort, day_offset
         """,
         "funnel": """
             WITH s1 AS (

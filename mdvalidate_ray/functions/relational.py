@@ -1109,3 +1109,67 @@ def funnel_counts(ds, *, key: str, time_col: str, type_col: str,
              b.column("sum(n_users)").cast(pa.int64())],
             names=["step", "n_users"]),
         batch_format="pyarrow")
+
+
+def cohort_retention(ds, *, key: str, time_col: str, type_col: str,
+                     signup_type: str, n_parts: int = 32):
+    """Cohort retention matrix: users cohorted by the DAY of their first
+    ``signup_type`` event; for every later event, the whole-day offset
+    from that first signup — output (cohort_day, day_offset,
+    n_users) with distinct-user counts.
+
+    ONE co-partition exchange on ``hash(key) % n_parts`` (a user's
+    events meet in one bucket, so per-bucket distinct users are globally
+    distinct and partial counts ADD exactly — no count-distinct
+    shuffle); inside a bucket everything is pandas groupby/merge
+    vectorized.  Final fold is a tiny ``groupby(cohort, offset).sum``
+    over ``n_parts × |matrix|`` partial rows."""
+    import numpy as np
+
+    from mdvalidate_ray.state.sketches import hash_strings
+
+    def tag(b: pa.Table) -> pa.Table:
+        col = b.column(key)
+        if pa.types.is_integer(col.type):
+            v = col.to_numpy(zero_copy_only=False).astype(np.uint64)
+            h = (v * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)
+        else:
+            vals = [str(x) for x in col.to_pylist()]
+            h = (hash_strings(vals) if vals
+                 else np.zeros(0, dtype=np.uint64))
+        return b.append_column(
+            "_bucket", pa.array((h % np.uint64(n_parts)).astype("int64")))
+
+    out_schema = pa.schema([("cohort", pa.string()),
+                            ("day_offset", pa.int64()),
+                            ("n_users", pa.int64())])
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        df = g.drop_columns(["_bucket"]).to_pandas()
+        first = (df[df[type_col] == signup_type]
+                 .groupby(key)[time_col].min().rename("ft").reset_index())
+        if first.empty:
+            return out_schema.empty_table()
+        act = df[[key, time_col]].merge(first, on=key)
+        act = act[act[time_col] >= act["ft"]]
+        secs = (act[time_col].values.astype("datetime64[us]").astype("int64")
+                - act["ft"].values.astype("datetime64[us]").astype("int64"))
+        act["day_offset"] = secs // (86_400 * 1_000_000)
+        act["cohort"] = act["ft"].dt.strftime("%Y-%m-%d")
+        cnt = (act.drop_duplicates([key, "cohort", "day_offset"])
+               .groupby(["cohort", "day_offset"]).size()
+               .rename("n_users").reset_index())
+        return pa.Table.from_pandas(cnt, preserve_index=False) \
+            .cast(out_schema)
+
+    partials = ds.map_batches(tag, batch_format="pyarrow",
+                              zero_copy_batch=True) \
+                 .groupby("_bucket").map_groups(per_bucket,
+                                                batch_format="pyarrow")
+    folded = partials.groupby(["cohort", "day_offset"]).sum("n_users")
+    return folded.map_batches(
+        lambda b: pa.Table.from_arrays(
+            [b.column("cohort"), b.column("day_offset"),
+             b.column("sum(n_users)").cast(pa.int64())],
+            names=["cohort", "day_offset", "n_users"]),
+        batch_format="pyarrow")

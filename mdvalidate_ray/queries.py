@@ -1822,3 +1822,15 @@ def funnel(sf_dir: str):
     return funnel_counts(ev, key="user_id", time_col="ts",
                          type_col="event_type",
                          steps=["view", "click", "purchase"], n_parts=32)
+
+
+def retention(sf_dir: str):
+    """Cohort retention matrix: users cohorted by first-signup day,
+    distinct active users per (cohort_day, whole-day offset)."""
+    from mdvalidate_ray.functions.relational import cohort_retention
+
+    ev = _read(sf_dir, "events").select_columns(
+        ["user_id", "ts", "event_type"])
+    return cohort_retention(ev, key="user_id", time_col="ts",
+                            type_col="event_type", signup_type="signup",
+                            n_parts=32)

@@ -427,3 +427,40 @@ def test_funnel_counts_ordering_and_dropoff(ray_session):
     # step2: click strictly after first view: u1, u4, u5 = 3
     # step3: purchase strictly after that click: u1 (3>2), u5 (10>9) = 2
     assert got == {1: 5, 2: 3, 3: 2}, got
+
+
+def test_cohort_retention_semantics(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from mdvalidate_ray.functions.relational import cohort_retention
+
+    def ts(day, hour):
+        return np.datetime64(f"2024-01-{day:02d}T{hour:02d}:00:00", "us")
+
+    rows = [
+        # u1 signs up day 1 noon; active later that day (offset 0),
+        # next morning (18h later -> offset 0), and day 3 (offset 2)
+        (1, ts(1, 12), "signup"), (1, ts(1, 18), "click"),
+        (1, ts(2, 6), "view"), (1, ts(3, 13), "purchase"),
+        # u2 signs up day 1 too; pre-signup activity must NOT count
+        (2, ts(1, 1), "view"), (2, ts(1, 2), "signup"), (2, ts(2, 3), "click"),
+        # u3 never signs up — excluded entirely
+        (3, ts(1, 5), "view"),
+    ]
+    tbl = pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        "event_type": pa.array([r[2] for r in rows], pa.string()),
+    })
+    out = cohort_retention(ray.data.from_arrow(tbl).repartition(2),
+                           key="user_id", time_col="ts",
+                           type_col="event_type", signup_type="signup",
+                           n_parts=3).to_pandas()
+    got = {(r.cohort, r.day_offset): r.n_users for r in out.itertuples()}
+    # offsets measure whole days from the signup INSTANT, not calendar days:
+    # u1: signup@d1 12:00 -> click 18:00 (0), view d2 06:00 (0), purchase
+    # d3 13:00 (2); u2: signup@d1 02:00 (0), click d2 03:00 (1; 25h)
+    assert got == {("2024-01-01", 0): 2, ("2024-01-01", 1): 1,
+                   ("2024-01-01", 2): 1}, got
