@@ -100,6 +100,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_value_deltas": Q.user_value_deltas,
         "funnel": Q.funnel,
         "retention": Q.retention,
+        "embedding_int8": Q.embedding_int8,
         "zscore_nchars": Q.zscore_nchars,
         "shuffle_manifest": Q.shuffle_manifest,
         "repetition": Q.repetition,
@@ -382,6 +383,21 @@ def oracle_sql() -> dict[str, str]:
                                 ASC, doc_id ASC)::BIGINT AS rk
             FROM documents
             QUALIFY rk <= 5
+        """,
+        "embedding_int8": """
+            WITH u AS (
+                SELECT vec_id, generate_subscripts(embedding, 1) AS idx,
+                       unnest(embedding) AS x
+                FROM embeddings
+            ), m AS (
+                SELECT vec_id AS mv, max(abs(x::DOUBLE)) AS ma
+                FROM u GROUP BY vec_id
+            )
+            SELECT u.vec_id, idx::BIGINT AS idx,
+                   CASE WHEN ma > 0
+                        THEN round(x::DOUBLE * 127.0 / ma)::BIGINT
+                        ELSE 0 END AS q
+            FROM u JOIN m ON u.vec_id = m.mv
         """,
         "retention": """
             WITH f AS (

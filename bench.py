@@ -156,7 +156,7 @@ QUERY_NAMES = [
     "zscore_nchars", "shuffle_manifest", "repetition",
     "bigram_counts", "tfidf_top_terms", "stratified_fixed_k",
     "user_running_total", "length_ntile", "doc_chunks",
-    "user_value_deltas", "funnel", "retention",
+    "user_value_deltas", "funnel", "retention", "embedding_int8",
 ]
 
 

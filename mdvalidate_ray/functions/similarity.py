@@ -523,3 +523,58 @@ def kmeans_fit(ds, *, column: str = "embedding", key: str = "vec_id",
         sizes = counts
     return {"centroids": centroids, "sizes": sizes,
             "inertia_per_iter": inertia_per_iter}
+
+
+def quantize_embeddings_int8(ds, *, key: str = "vec_id",
+                             column: str = "embedding"):
+    """Symmetric per-vector int8 quantization — ``q = round(x * 127 /
+    max_abs(vec))`` (DuckDB ``round`` = half away from zero), emitted
+    long-form as (key, idx, q) with 1-based ``idx`` so the exact values
+    are SQL-auditable.  The compression step before shipping embeddings
+    to an ANN index.
+
+    Shuffle-free map fan-out; per batch the whole computation is three numpy
+    passes over the flattened value buffer (per-vector max via
+    ``np.maximum.reduceat``, gather, scale+round).  Operand order
+    mirrors the SQL (``x*127.0`` THEN ``/max``) so float64 rounding is
+    bit-identical across engines."""
+    import numpy as np
+
+    def quant(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        out_schema = pa.schema([(key, pa.int64()), ("idx", pa.int64()),
+                                ("q", pa.int64())])
+        if n == 0:
+            return out_schema.empty_table()
+        col = b.column(column).combine_chunks()
+        flat = np.abs(col.flatten().to_numpy(zero_copy_only=False)
+                      .astype(np.float64))
+        vals = col.flatten().to_numpy(zero_copy_only=False) \
+                  .astype(np.float64)
+        offs = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        offs = offs - offs[0]   # flatten() already applied any slice offset
+        lens = np.diff(offs)
+        nonempty = lens > 0
+        ma = np.zeros(n, dtype=np.float64)
+        if nonempty.any():
+            ma[nonempty] = np.maximum.reduceat(
+                flat, offs[:-1][nonempty])
+        per_val_ma = np.repeat(ma, lens)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            y = (vals * 127.0) / per_val_ma
+        y[~np.isfinite(y)] = 0.0
+        q = np.where(y >= 0, np.floor(y + 0.5),
+                     np.ceil(y - 0.5)).astype(np.int64)
+        keys = np.repeat(
+            b.column(key).to_numpy(zero_copy_only=False), lens)
+        total = int(lens.sum())
+        idx = (np.arange(total, dtype=np.int64)
+               - np.repeat(offs[:-1], lens) + 1)
+        return pa.Table.from_arrays(
+            [pa.array(keys, pa.int64()),
+             pa.array(idx.astype(np.int64)),
+             pa.array(q)],
+            schema=out_schema)
+
+    return ds.map_batches(quant, batch_format="pyarrow",
+                          zero_copy_batch=True)

@@ -1834,3 +1834,13 @@ def retention(sf_dir: str):
     return cohort_retention(ev, key="user_id", time_col="ts",
                             type_col="event_type", signup_type="signup",
                             n_parts=32)
+
+
+def embedding_int8(sf_dir: str):
+    """Per-vector symmetric int8 quantization of every embedding,
+    long-form (vec_id, idx, q) — exact value parity with the SQL
+    reconstruction."""
+    from mdvalidate_ray.functions.similarity import quantize_embeddings_int8
+
+    emb = _read(sf_dir, "embeddings").select_columns(["vec_id", "embedding"])
+    return quantize_embeddings_int8(emb)

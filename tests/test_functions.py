@@ -524,3 +524,29 @@ def test_chunk_documents_edges(ray_session):
     d5 = out[out.doc_id == 5].chunk.tolist()
     assert d5[0].split(" ")[40:] == d5[1].split(" ")[:10]
     assert d5[2].split(" ") == [f"w{i}" for i in range(80, 95)]
+
+
+def test_quantize_embeddings_edges(ray_session):
+    import numpy as np
+    import ray.data
+
+    from mdvalidate_ray.functions.similarity import quantize_embeddings_int8
+
+    tbl = pa.table({
+        "vec_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "embedding": pa.array(
+            [[1.0, -2.0, 0.5], [0.0, 0.0], [], [-3.0]],
+            pa.list_(pa.float32())),
+    })
+    out = quantize_embeddings_int8(
+        ray.data.from_arrow(tbl).repartition(2)).to_pandas()
+    out = out.sort_values(["vec_id", "idx"]).reset_index(drop=True)
+    got = {(r.vec_id, r.idx): r.q for r in out.itertuples()}
+    # vec 1: max_abs=2 -> [64, -127, 32] (round half away: 63.5 -> 64)
+    assert got[(1, 1)] == 64 and got[(1, 2)] == -127 and got[(1, 3)] == 32
+    # all-zero vector quantizes to zeros, empty vector emits no rows
+    assert got[(2, 1)] == 0 and got[(2, 2)] == 0
+    assert 3 not in set(out.vec_id)
+    # single negative value pins to -127
+    assert got[(4, 1)] == -127
+    assert len(out) == 6
