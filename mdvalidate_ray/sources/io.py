@@ -39,3 +39,27 @@ def write_documents(ds, path: str, *, fmt: str = "parquet", **kw):
             raise ImportError("lance is not installed in this environment")
         return ds.write_lance(path, **kw)
     return ds.write_parquet(path, **kw)
+
+
+def read_documents_jsonl(path: str, *, schema=None, **kw):
+    """Read a JSONL (one JSON object per line) corpus — the most common
+    raw-crawl interchange format — as a Dataset.  Thin wrapper over
+    ``ray.data.read_json`` (arrow JSON reader per block, splittable,
+    streaming); pass ``schema`` (a pyarrow schema) to pin column types
+    instead of per-file inference (at fleet scale two files must never
+    disagree on a column type)."""
+    import ray.data
+
+    if schema is not None:
+        import pyarrow.json as pj
+
+        kw.setdefault(
+            "parse_options",
+            pj.ParseOptions(explicit_schema=schema,
+                            unexpected_field_behavior="ignore"))
+    return ray.data.read_json(path, **kw)
+
+
+def write_documents_jsonl(ds, path: str, **kw):
+    """Write a Dataset as partitioned JSONL (one file per block)."""
+    return ds.write_json(path, **kw)

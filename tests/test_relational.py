@@ -464,3 +464,23 @@ def test_cohort_retention_semantics(ray_session):
     # d3 13:00 (2); u2: signup@d1 02:00 (0), click d2 03:00 (1; 25h)
     assert got == {("2024-01-01", 0): 2, ("2024-01-01", 1): 1,
                    ("2024-01-01", 2): 1}, got
+
+
+def test_jsonl_round_trip(ray_session, tmp_path):
+    import pyarrow as pa
+    import ray.data
+
+    from mdvalidate_ray.sources.io import (read_documents_jsonl,
+                                           write_documents_jsonl)
+
+    docs = ray.data.read_parquet("/root/testdata/sf0.001/documents.parquet")
+    out = str(tmp_path / "jsonl")
+    write_documents_jsonl(docs, out)
+    schema = pa.schema([("doc_id", pa.int64()), ("text", pa.string()),
+                        ("lang", pa.string()), ("source", pa.string()),
+                        ("n_chars", pa.int64())])
+    back = read_documents_jsonl(out, schema=schema)
+    a = docs.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    b = back.to_pandas()[a.columns.tolist()] \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b)
