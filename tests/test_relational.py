@@ -484,3 +484,34 @@ def test_jsonl_round_trip(ray_session, tmp_path):
     b = back.to_pandas()[a.columns.tolist()] \
         .sort_values("doc_id").reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_jsonl_gzip_read(ray_session, tmp_path):
+    import glob
+    import gzip
+
+    import pyarrow as pa
+    import ray.data
+
+    from mdvalidate_ray.sources.io import (read_documents_jsonl,
+                                           write_documents_jsonl)
+
+    docs = ray.data.read_parquet("/root/testdata/sf0.001/documents.parquet")
+    plain = str(tmp_path / "plain")
+    write_documents_jsonl(docs, plain)
+    gzdir = tmp_path / "gz"
+    gzdir.mkdir()
+    for i, f in enumerate(glob.glob(plain + "/*")):
+        with open(f, "rb") as src, \
+                gzip.open(gzdir / f"part{i}.jsonl.gz", "wb") as dst:
+            dst.write(src.read())
+    schema = pa.schema([("doc_id", pa.int64()), ("text", pa.string()),
+                        ("lang", pa.string()), ("source", pa.string()),
+                        ("n_chars", pa.int64())])
+    back = read_documents_jsonl(
+        str(gzdir), schema=schema,
+        arrow_open_stream_args={"compression": "gzip"})
+    a = docs.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    b = back.to_pandas()[a.columns.tolist()] \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b)
