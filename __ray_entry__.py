@@ -101,6 +101,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "funnel": Q.funnel,
         "retention": Q.retention,
         "embedding_int8": Q.embedding_int8,
+        "normalized_docs": Q.normalized_docs,
         "zscore_nchars": Q.zscore_nchars,
         "shuffle_manifest": Q.shuffle_manifest,
         "repetition": Q.repetition,
@@ -383,6 +384,16 @@ def oracle_sql() -> dict[str, str]:
                                 ASC, doc_id ASC)::BIGINT AS rk
             FROM documents
             QUALIFY rk <= 5
+        """,
+        "normalized_docs": """
+            SELECT doc_id,
+                   trim(regexp_replace(
+                       lower(nfc_normalize(coalesce(text, ''))),
+                       '\\s+', ' ', 'g')) AS text_norm,
+                   length(trim(regexp_replace(
+                       lower(nfc_normalize(coalesce(text, ''))),
+                       '\\s+', ' ', 'g')))::BIGINT AS norm_len
+            FROM documents
         """,
         "embedding_int8": """
             WITH u AS (

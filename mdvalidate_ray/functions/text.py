@@ -377,3 +377,35 @@ def chunk_documents(ds, *, chunk_size: int = 50, stride: int = 40,
 
     return ds.map_batches(fan_out, batch_format="pyarrow",
                           zero_copy_batch=True)
+
+
+def add_normalized(batch: pa.Table, column: str = "text") -> pa.Table:
+    """Canonical text normalization — NFC unicode form, lowercase,
+    whitespace runs collapsed to single spaces, edge spaces trimmed —
+    emitted as ``text_norm`` with its length ``norm_len``.  Pure Arrow
+    kernels (utf8proc + RE2), and every step has an exact SQL twin
+    (``nfc_normalize``/``lower``/``regexp_replace``/``trim``), so
+    normalized bytes are oracle-comparable."""
+    import unicodedata
+
+    col = pc.cast(batch.column(column), pa.string())
+    col = pc.fill_null(col, "")
+    # NFC via CPython's unicodedata (C code, utf8proc-equivalent):
+    # this pyarrow build's utf8_normalize DECOMPOSES for every `form`
+    # value (16.1.0, verified — 'é' → 'e\\u0301' even with form="NFC"),
+    # so it cannot be trusted for composition.  Skip the Python pass
+    # entirely for all-ASCII batches (the common case — NFC is identity
+    # on ASCII).
+    if not pc.all(pc.string_is_ascii(col)).as_py():
+        x = pa.array([unicodedata.normalize("NFC", s)
+                      for s in col.to_pylist()], pa.string())
+    else:
+        x = col
+    x = pc.utf8_lower(x)
+    x = pc.replace_substring_regex(x, r"\s+", " ")
+    # ASCII-space trim, mirroring SQL trim() exactly (utf8_trim_whitespace
+    # would also strip unicode spaces the oracle's trim leaves alone)
+    x = pc.utf8_trim(x, characters=" ")
+    return batch.append_column("text_norm", x) \
+                .append_column("norm_len",
+                               pc.utf8_length(x).cast(pa.int64()))

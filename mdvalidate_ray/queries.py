@@ -1844,3 +1844,16 @@ def embedding_int8(sf_dir: str):
 
     emb = _read(sf_dir, "embeddings").select_columns(["vec_id", "embedding"])
     return quantize_embeddings_int8(emb)
+
+
+def normalized_docs(sf_dir: str):
+    """Canonical normalization of every document (NFC + lower +
+    whitespace collapse + trim) — normalized bytes compared exactly
+    against the SQL reconstruction."""
+    from mdvalidate_ray.functions.text import add_normalized
+
+    docs = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+    return docs.map_batches(
+        lambda b: add_normalized(b).select(["doc_id", "text_norm",
+                                            "norm_len"]),
+        batch_format="pyarrow", zero_copy_batch=True)

@@ -550,3 +550,22 @@ def test_quantize_embeddings_edges(ray_session):
     # single negative value pins to -127
     assert got[(4, 1)] == -127
     assert len(out) == 6
+
+
+def test_add_normalized_unicode_and_sql_parity():
+    import duckdb
+
+    from mdvalidate_ray.functions.text import add_normalized
+
+    cases = ["é vs é",          # decomposed + composed é -> both compose
+             "  Á   b\tC  ", None, "ASCII only", "noël", ""]
+    t = pa.table({"doc_id": pa.array(range(len(cases)), pa.int64()),
+                  "text": pa.array(cases, pa.string())})
+    out = add_normalized(t)
+    mine = out.column("text_norm").to_pylist()
+    con = duckdb.connect()
+    refs = [con.execute(
+        "SELECT trim(regexp_replace(lower(nfc_normalize(coalesce(?, ''))),"
+        " '\\s+', ' ', 'g'))", [c]).fetchone()[0] for c in cases]
+    assert mine == refs
+    assert out.column("norm_len").to_pylist() == [len(r) for r in refs]
