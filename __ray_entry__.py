@@ -102,6 +102,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "retention": Q.retention,
         "embedding_int8": Q.embedding_int8,
         "normalized_docs": Q.normalized_docs,
+        "lineitem_profile": Q.lineitem_profile,
         "zscore_nchars": Q.zscore_nchars,
         "shuffle_manifest": Q.shuffle_manifest,
         "repetition": Q.repetition,
@@ -384,6 +385,48 @@ def oracle_sql() -> dict[str, str]:
                                 ASC, doc_id ASC)::BIGINT AS rk
             FROM documents
             QUALIFY rk <= 5
+        """,
+        "lineitem_profile": """
+            SELECT 'l_orderkey' AS column, count(*)::BIGINT n_rows,
+                   (count(*) - count(l_orderkey))::BIGINT n_null,
+                   min(l_orderkey)::BIGINT min_v,
+                   max(l_orderkey)::BIGINT max_v,
+                   sum(l_orderkey)::BIGINT sum_v FROM lineitem
+            UNION ALL
+            SELECT 'l_partkey', count(*), count(*) - count(l_partkey),
+                   min(l_partkey), max(l_partkey), sum(l_partkey)::BIGINT
+            FROM lineitem
+            UNION ALL
+            SELECT 'l_suppkey', count(*), count(*) - count(l_suppkey),
+                   min(l_suppkey), max(l_suppkey), sum(l_suppkey)::BIGINT
+            FROM lineitem
+            UNION ALL
+            SELECT 'l_quantity_c100', count(*),
+                   count(*) - count(l_quantity),
+                   min(CAST(round(l_quantity * 100) AS BIGINT)),
+                   max(CAST(round(l_quantity * 100) AS BIGINT)),
+                   sum(CAST(round(l_quantity * 100) AS BIGINT))::BIGINT
+            FROM lineitem
+            UNION ALL
+            SELECT 'l_extendedprice_c100', count(*),
+                   count(*) - count(l_extendedprice),
+                   min(CAST(round(l_extendedprice * 100) AS BIGINT)),
+                   max(CAST(round(l_extendedprice * 100) AS BIGINT)),
+                   sum(CAST(round(l_extendedprice * 100) AS BIGINT))::BIGINT
+            FROM lineitem
+            UNION ALL
+            SELECT 'l_discount_c100', count(*),
+                   count(*) - count(l_discount),
+                   min(CAST(round(l_discount * 100) AS BIGINT)),
+                   max(CAST(round(l_discount * 100) AS BIGINT)),
+                   sum(CAST(round(l_discount * 100) AS BIGINT))::BIGINT
+            FROM lineitem
+            UNION ALL
+            SELECT 'l_tax_c100', count(*), count(*) - count(l_tax),
+                   min(CAST(round(l_tax * 100) AS BIGINT)),
+                   max(CAST(round(l_tax * 100) AS BIGINT)),
+                   sum(CAST(round(l_tax * 100) AS BIGINT))::BIGINT
+            FROM lineitem
         """,
         "normalized_docs": """
             SELECT doc_id,

@@ -157,7 +157,7 @@ QUERY_NAMES = [
     "bigram_counts", "tfidf_top_terms", "stratified_fixed_k",
     "user_running_total", "length_ntile", "doc_chunks",
     "user_value_deltas", "funnel", "retention", "embedding_int8",
-    "normalized_docs",
+    "normalized_docs", "lineitem_profile",
 ]
 
 

@@ -1857,3 +1857,39 @@ def normalized_docs(sf_dir: str):
         lambda b: add_normalized(b).select(["doc_id", "text_norm",
                                             "norm_len"]),
         batch_format="pyarrow", zero_copy_batch=True)
+
+
+def lineitem_profile(sf_dir: str):
+    """Describe-style numeric profile of lineitem in ONE streaming pass
+    (stages/stats.column_stats): per column n_rows / n_null / min / max /
+    sum.  Float columns scale to integer cents FIRST so partial sums
+    fold exactly in any arrival order."""
+    from mdvalidate_ray.stages.stats import column_stats
+
+    cols_int = ["l_orderkey", "l_partkey", "l_suppkey"]
+    cols_cents = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    li = _read(sf_dir, "lineitem").select_columns(cols_int + cols_cents)
+
+    def to_cents(b: pa.Table) -> pa.Table:
+        arrays, names = [], []
+        for c in cols_int:
+            arrays.append(b.column(c).cast(pa.int64()))
+            names.append(c)
+        for c in cols_cents:
+            arrays.append(_pc_round(pc.multiply(b.column(c), 100.0))
+                          .cast(pa.int64()))
+            names.append(c + "_c100")
+        return pa.Table.from_arrays(arrays, names=names)
+
+    prof = column_stats(
+        li.map_batches(to_cents, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        cols_int + [c + "_c100" for c in cols_cents])
+    return pa.Table.from_arrays(
+        [prof.column("column"),
+         prof.column("n_rows").cast(pa.int64()),
+         prof.column("n_null").cast(pa.int64()),
+         pc.cast(pc.round(prof.column("min_val")), pa.int64()),
+         pc.cast(pc.round(prof.column("max_val")), pa.int64()),
+         pc.cast(pc.round(prof.column("sum_val")), pa.int64())],
+        names=["column", "n_rows", "n_null", "min_v", "max_v", "sum_v"])
