@@ -63,3 +63,23 @@ def read_documents_jsonl(path: str, *, schema=None, **kw):
 def write_documents_jsonl(ds, path: str, **kw):
     """Write a Dataset as partitioned JSONL (one file per block)."""
     return ds.write_json(path, **kw)
+
+
+def read_documents_csv(path: str, *, schema=None, **kw):
+    """Read a CSV corpus as a Dataset (``ray.data.read_csv``; arrow CSV
+    reader, block-splittable).  Pass ``schema`` to pin column types
+    instead of per-file inference."""
+    import ray.data
+
+    if schema is not None:
+        import pyarrow.csv as pcsv
+
+        kw.setdefault(
+            "convert_options",
+            pcsv.ConvertOptions(column_types=schema))
+    return ray.data.read_csv(path, **kw)
+
+
+def write_documents_csv(ds, path: str, **kw):
+    """Write a Dataset as partitioned CSV (one file per block)."""
+    return ds.write_csv(path, **kw)

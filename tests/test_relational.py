@@ -515,3 +515,24 @@ def test_jsonl_gzip_read(ray_session, tmp_path):
     b = back.to_pandas()[a.columns.tolist()] \
         .sort_values("doc_id").reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_csv_round_trip(ray_session, tmp_path):
+    import pyarrow as pa
+    import ray.data
+
+    from mdvalidate_ray.sources.io import (read_documents_csv,
+                                           write_documents_csv)
+
+    docs = ray.data.read_parquet(
+        "/root/testdata/sf0.001/documents.parquet")
+    out = str(tmp_path / "csv")
+    write_documents_csv(docs, out)
+    schema = pa.schema([("doc_id", pa.int64()), ("text", pa.string()),
+                        ("lang", pa.string()), ("source", pa.string()),
+                        ("n_chars", pa.int64())])
+    back = read_documents_csv(out, schema=schema)
+    a = docs.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    b = back.to_pandas()[a.columns.tolist()] \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b)
