@@ -841,7 +841,8 @@ def oracle_sql() -> dict[str, str]:
                    count(*) OVER w AS n_win
             FROM lineitem
             WINDOW w AS (PARTITION BY l_suppkey
-                         ORDER BY l_shipdate, l_orderkey, l_linenumber
+                         ORDER BY l_shipdate, l_orderkey, l_linenumber,
+                                  l_quantity
                          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
         """,
         "len_quantiles_by_source": """

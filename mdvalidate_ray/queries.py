@@ -1017,9 +1017,15 @@ def supplier_moving_qty(sf_dir: str):
     li = _read(sf_dir, "lineitem").select_columns(
         ["l_suppkey", "l_shipdate", "l_orderkey", "l_linenumber",
          "l_quantity"])
+    # l_quantity joins the ORDER BY as the final tiebreak: the corpus
+    # plants duplicate (suppkey, shipdate, orderkey, linenumber) keys with
+    # differing quantities, so without it the window order is not total and
+    # the moving sums of the tied rows are engine-dependent (the one red
+    # hash in CORRECTNESS_r02).  With it, the sort key is unique per row.
     out = grouped_moving_sum(
         li, key="l_suppkey",
-        order_cols=["l_shipdate", "l_orderkey", "l_linenumber"],
+        order_cols=["l_shipdate", "l_orderkey", "l_linenumber",
+                    "l_quantity"],
         value_col="l_quantity", window_rows=3, n_parts=32)
     return out.map_batches(
         lambda b: b.select(["l_suppkey", "l_orderkey", "l_linenumber",
