@@ -774,9 +774,166 @@ def duplicate_group_edges(groups_ds, *, ids_col: str = "doc_ids"):
                                  zero_copy_batch=True)
 
 
+_CC_G1 = np.uint64(0x9E3779B97F4A7C15)
+_CC_G2 = np.uint64(0xC2B2AE3D27D4EB4F)
+
+
+def _cc_star_pass(edges, *, small: bool, n_parts: int):
+    """One large-star (``small=False``) or small-star (``small=True``)
+    round of the MapReduce connected-components algorithm (Kiveris et
+    al., "Connected Components in MapReduce and Beyond", SoCC'14 —
+    public algorithm): edge Dataset in, edge Dataset out, no node array
+    anywhere.  Each pass symmetrizes, co-locates every node's full
+    neighborhood with one coarse ``hash(src) % n_parts`` exchange, and
+    rewrites edges vectorized per bucket:
+
+    * large-star at node u: ``m = min(Γ(u) ∪ {u})``; emit ``(v, m)`` for
+      every neighbor ``v > u``;
+    * small-star at node u: over the smaller neighbors ``S = {v ∈ Γ(u):
+      v ≤ u}``, ``m = min(S ∪ {u})``; emit ``(v, m)`` for ``v ∈ S ∪ {u},
+      v ≠ m`` (each undirected edge is processed at its larger endpoint).
+
+    Alternating passes converge to star graphs in O(log² n) rounds with
+    per-round cost linear in |E| — the shape that holds past the
+    broadcast-label ceiling."""
+
+    def sym(b: pa.Table) -> pa.Table:
+        a = b.column("src").combine_chunks()
+        c = b.column("dst").combine_chunks()
+        return pa.Table.from_arrays(
+            [pa.concat_arrays([a, c]), pa.concat_arrays([c, a])],
+            names=["src", "dst"])
+
+    def tag(b: pa.Table) -> pa.Table:
+        v = b.column("src").to_numpy(zero_copy_only=False).astype(
+            np.uint64)
+        h = (v * _CC_G1) >> np.uint64(33)
+        return b.append_column(
+            "_bucket", pa.array((h % np.uint64(n_parts)).astype("int64")))
+
+    out_schema = pa.schema([("src", pa.int64()), ("dst", pa.int64())])
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["_bucket"])
+        idx = pc.sort_indices(g, sort_keys=[("src", "ascending"),
+                                            ("dst", "ascending")])
+        s = g.take(idx)
+        src = s.column("src").to_numpy(zero_copy_only=False)
+        dst = s.column("dst").to_numpy(zero_copy_only=False)
+        if len(src) == 0:
+            return out_schema.empty_table()
+        new = np.empty(len(src), dtype=bool)
+        new[0] = True
+        new[1:] = src[1:] != src[:-1]
+        run_id = np.cumsum(new) - 1
+        starts = np.flatnonzero(new)
+        if not small:
+            # dst sorted ascending within each run → dst[starts] is the
+            # neighborhood min; fold in u itself
+            m_run = np.minimum(dst[starts], src[starts])
+            mask = dst > src
+            o_src = dst[mask]
+            o_dst = m_run[run_id[mask]]
+        else:
+            mask = dst <= src
+            rid_m = run_id[mask]
+            dst_m = dst[mask]
+            # first masked element per run = min of the ≤-neighbors
+            runs_m, first = np.unique(rid_m, return_index=True)
+            m_small = np.minimum(dst_m[first], src[starts][runs_m])
+            # emit (v, m) for v in S, plus the (u, m) row per masked run
+            m_of = np.full(run_id.max() + 1 if len(run_id) else 0, -1,
+                           dtype=np.int64)
+            m_of[runs_m] = m_small
+            o_src = np.concatenate([dst_m, src[starts][runs_m]])
+            o_dst = np.concatenate([m_of[rid_m], m_small])
+        keep = o_src != o_dst
+        o_src, o_dst = o_src[keep], o_dst[keep]
+        if len(o_src):
+            order = np.lexsort((o_dst, o_src))
+            o_src, o_dst = o_src[order], o_dst[order]
+            k2 = np.empty(len(o_src), dtype=bool)
+            k2[0] = True
+            k2[1:] = (o_src[1:] != o_src[:-1]) | (o_dst[1:] != o_dst[:-1])
+            o_src, o_dst = o_src[k2], o_dst[k2]
+        return pa.Table.from_arrays(
+            [pa.array(o_src, pa.int64()), pa.array(o_dst, pa.int64())],
+            schema=out_schema)
+
+    return edges.map_batches(sym, batch_format="pyarrow",
+                             zero_copy_batch=True) \
+                .map_batches(tag, batch_format="pyarrow",
+                             zero_copy_batch=True) \
+                .groupby("_bucket").map_groups(per_bucket,
+                                               batch_format="pyarrow")
+
+
+def _cc_edge_signature(edges) -> tuple:
+    """Order-independent fingerprint of an edge Dataset — (count,
+    wrapping uint64 sum of per-edge hashes) folded from per-block
+    partials; only two tiny numbers per block reach the driver."""
+
+    def part(b: pa.Table) -> pa.Table:
+        s = b.column("src").to_numpy(zero_copy_only=False).astype(
+            np.uint64)
+        d = b.column("dst").to_numpy(zero_copy_only=False).astype(
+            np.uint64)
+        h = (s * _CC_G1) ^ (d * _CC_G2)
+        return pa.Table.from_arrays(
+            [pa.array([len(s)], pa.int64()),
+             pa.array([int(h.sum(dtype=np.uint64))], pa.uint64())],
+            names=["cnt", "acc"])
+
+    rows = edges.map_batches(part, batch_format="pyarrow",
+                             zero_copy_batch=True).take_all()
+    cnt = sum(r["cnt"] for r in rows)
+    acc = sum(r["acc"] for r in rows) % (1 << 64)
+    return (cnt, acc)
+
+
+def _connected_components_starring(sym_edges, *, max_iter: int,
+                                   n_parts: int) -> pa.Table:
+    """Hash-partitioned tier of :func:`connected_components` — no
+    driver-resident node/label arrays at any point during the rounds;
+    the only full-size structure is the final (node, component) result,
+    which is the function's return contract (at true scale, stop before
+    the collect and ``write_parquet`` the star-edge Dataset instead)."""
+    cur = sym_edges
+    prev_sig = None
+    for _ in range(max_iter):
+        cur = _cc_star_pass(cur, small=False, n_parts=n_parts)
+        cur = _cc_star_pass(cur, small=True,
+                            n_parts=n_parts).materialize()
+        sig = _cc_edge_signature(cur)
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    rows = cur.take_all()                  # star edges: (node → root)
+    label = {int(r["src"]): int(r["dst"]) for r in rows}
+    comp_nodes = list(label.items())
+    roots = {v for v in label.values()}
+    comp_nodes.extend((r, r) for r in roots if r not in label)
+    # self-loop-only nodes vanish from star passes but are part of the
+    # contract (they label themselves)
+    selfs = sym_edges.map_batches(
+        lambda b: b.filter(pc.equal(b.column("src"), b.column("dst")))
+                   .select(["src"]),
+        batch_format="pyarrow").take_all()
+    seen = set(label) | roots
+    self_nodes = {int(r["src"]) for r in selfs} - seen
+    comp_nodes.extend((n, n) for n in self_nodes)
+    comp_nodes.sort()
+    return pa.Table.from_arrays(
+        [pa.array([n for n, _ in comp_nodes], pa.int64()),
+         pa.array([c for _, c in comp_nodes], pa.int64())],
+        names=["node", "component"])
+
+
 def connected_components(edges_ds, *, col_a: str = "src",
                          col_b: str = "dst", max_iter: int = 50,
-                         n_parts: int = 64) -> pa.Table:
+                         n_parts: int = 64,
+                         max_broadcast_nodes: int = 100_000_000
+                         ) -> pa.Table:
     """Components of the candidate-pair graph → ``(node, component)``
     table, ``component`` = smallest node id reachable — the cluster
     resolution step after pair generation (exact / MinHash / SimHash /
@@ -798,12 +955,15 @@ def connected_components(edges_ds, *, col_a: str = "src",
       diameter) rounds instead of O(diameter);
     * stops when a round changes no label.
 
-    Partitioning assumption (per the brief): nodes APPEARING IN PAIRS —
-    the dedup candidate set, not the corpus — fit in driver memory at
-    16 bytes each; every caller already materializes output of exactly
-    this scale.  Past that, swap the broadcast lookup for a
-    co-partitioned join on ``src`` (hash_join tier); the per-round
-    reduction is unchanged."""
+    Tiering: the broadcast-label path above assumes nodes APPEARING IN
+    PAIRS — the dedup candidate set, not the corpus — fit in driver
+    memory at 16 bytes each (~10⁸–10⁹ on a 128-GiB driver).  When the
+    symmetrized edge count exceeds ``max_broadcast_nodes`` (nodes ≤
+    edges after symmetrization), the function switches to the fully
+    hash-partitioned large-star/small-star tier
+    (:func:`_connected_components_starring`): edge-Dataset rounds,
+    O(log² n) convergence, nothing node-sized on the driver until the
+    final result table."""
     import ray
 
     def sym(b: pa.Table) -> pa.Table:
@@ -816,6 +976,9 @@ def connected_components(edges_ds, *, col_a: str = "src",
 
     edges = edges_ds.map_batches(sym, batch_format="pyarrow",
                                  zero_copy_batch=True).materialize()
+    if edges.count() > max_broadcast_nodes:
+        return _connected_components_starring(edges, max_iter=max_iter,
+                                              n_parts=n_parts)
 
     def block_nodes(b: pa.Table) -> pa.Table:
         u = np.unique(np.asarray(b.column("src").to_pandas()))

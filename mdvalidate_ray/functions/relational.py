@@ -711,6 +711,52 @@ def range_join_count(events_ds, intervals_ds, *, key: str, time_col: str,
                                                 batch_format="pyarrow")
 
 
+def bucketed_distinct(ds, cols: list[str], *, n_parts: int = 32):
+    """Distinct rows over ``cols`` as a streaming Dataset: per-batch
+    distinct combiner (a hot key contributes ONE row per batch to the
+    exchange) → one coarse ``hash % n_parts`` exchange → vectorized
+    in-bucket distinct (``TableGroupBy.aggregate([])``, no Python loop).
+    Group calls are bounded by ``n_parts``; nothing corpus-sized touches
+    the driver — consume with ``write_parquet`` / ``take_all`` as the
+    result size dictates."""
+    import numpy as np
+
+    from mdvalidate_ray.state.sketches import hash_strings
+
+    def pre(b: pa.Table) -> pa.Table:
+        sel = b.select(cols)
+        return pa.TableGroupBy(sel, cols).aggregate([])
+
+    golden = np.uint64(0x9E3779B97F4A7C15)
+
+    def tag(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return b.append_column("_bucket", pa.array([], pa.int64()))
+        h = np.zeros(b.num_rows, dtype=np.uint64)
+        for c in cols:
+            col = b.column(c)
+            if pa.types.is_integer(col.type):
+                hc = col.to_numpy(zero_copy_only=False).astype(
+                    np.uint64) * golden
+            else:
+                vals = ["" if x is None else str(x)
+                        for x in col.to_pylist()]
+                hc = hash_strings(vals)
+            h = (h * golden) ^ hc
+        return b.append_column(
+            "_bucket", pa.array((h % np.uint64(n_parts)).astype("int64")))
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["_bucket"])
+        return pa.TableGroupBy(g, cols).aggregate([])
+
+    return ds.map_batches(pre, batch_format="pyarrow",
+                          zero_copy_batch=True) \
+             .map_batches(tag, batch_format="pyarrow") \
+             .groupby("_bucket").map_groups(per_bucket,
+                                            batch_format="pyarrow")
+
+
 def bucketed_group_sum(ds, *, key: str, sum_cols: list[str],
                        out_names: list[str] | None = None,
                        n_parts: int = 32):

@@ -246,11 +246,24 @@ def orphan_events(sf_dir: str):
         lambda b: b.filter(pc.is_null(b.column("present")))
                    .select(["user_id"]),
         batch_format="pyarrow")
-    # materialize with an explicit schema: an empty Dataset drops its
-    # schema on to_pandas, which would break the empty-vs-empty compare
-    keys = sorted({r["user_id"] for r in orphans.take_all()})
-    return pa.Table.from_arrays([pa.array(keys, pa.int64())],
-                                names=["user_id"])
+    # dedup is DISTRIBUTED (per-batch combiner + coarse bucketed distinct
+    # — no driver-side set/sort of raw violations); the final collect is
+    # of already-distinct keys only, assembled with an explicit schema
+    # because an empty Dataset drops its schema on to_pandas.  At scale,
+    # write_parquet the distinct Dataset instead of collecting.
+    from mdvalidate_ray.functions.relational import bucketed_distinct
+
+    import ray
+
+    distinct = bucketed_distinct(orphans, ["user_id"])
+    parts = [p for p in ray.get(distinct.materialize().to_arrow_refs())
+             if p.num_rows]
+    schema = pa.schema([("user_id", pa.int64())])
+    if not parts:
+        return schema.empty_table()
+    out = pa.concat_tables([p.select(["user_id"]) for p in parts]).cast(
+        schema)
+    return out.sort_by("user_id")
 
 
 def dangling_parts(sf_dir: str):
@@ -290,12 +303,24 @@ def dangling_parts(sf_dir: str):
              pc.cast(b.column("media_ref"), pa.int64())],
             names=["l_orderkey", "l_partkey"]),
         batch_format="pyarrow")
-    rows = sorted({(r["l_orderkey"], r["l_partkey"])
-                   for r in out.take_all()})
-    return pa.Table.from_arrays(
-        [pa.array([r[0] for r in rows], pa.int64()),
-         pa.array([r[1] for r in rows], pa.int64())],
-        names=["l_orderkey", "l_partkey"])
+    # distributed dedup (coarse bucketed distinct), then an Arrow-native
+    # collect of the already-distinct pairs with an explicit schema; at
+    # scale, write_parquet the distinct Dataset instead of collecting
+    from mdvalidate_ray.functions.relational import bucketed_distinct
+
+    import ray
+
+    distinct = bucketed_distinct(out, ["l_orderkey", "l_partkey"])
+    parts = [p for p in ray.get(distinct.materialize().to_arrow_refs())
+             if p.num_rows]
+    schema = pa.schema([("l_orderkey", pa.int64()),
+                        ("l_partkey", pa.int64())])
+    if not parts:
+        return schema.empty_table()
+    tbl = pa.concat_tables(
+        [p.select(["l_orderkey", "l_partkey"]) for p in parts]).cast(schema)
+    return tbl.sort_by([("l_orderkey", "ascending"),
+                        ("l_partkey", "ascending")])
 
 
 def quantiles_nchars(sf_dir: str):

@@ -392,6 +392,39 @@ def test_connected_components_chain_transitivity(ray_session):
     assert comp == {3: 3, 5: 3, 9: 3, 11: 3, 2: 2, 7: 2, 20: 20, 21: 20}
 
 
+def test_connected_components_partitioned_tier_parity(ray_session):
+    """The hash-partitioned large-star/small-star tier (forced via
+    ``max_broadcast_nodes=0`` — the 'graph too big to broadcast-label'
+    regime) must agree exactly with the broadcast-label path on a random
+    graph plus a long chain, self-loops and duplicate edges."""
+    import pyarrow as pa
+    import ray
+
+    from mdvalidate_ray.functions.dedup import connected_components
+
+    rng = np.random.default_rng(5)
+    src = (rng.integers(0, 300, 250).tolist()     # random graph
+           + list(range(400, 459))                # 60-node chain
+           + [999, 5, 5])                         # self-loop + dup edge
+    dst = (rng.integers(0, 300, 250).tolist()
+           + list(range(401, 460))
+           + [999, 3, 3])
+    edges = ray.data.from_arrow(pa.table({
+        "src": pa.array(src, pa.int64()),
+        "dst": pa.array(dst, pa.int64()),
+    }))
+    broad = connected_components(edges)
+    part = connected_components(edges, max_broadcast_nodes=0)
+    assert broad.num_rows == part.num_rows
+    assert broad.column("node").to_pylist() == part.column("node").to_pylist()
+    assert (broad.column("component").to_pylist()
+            == part.column("component").to_pylist())
+    # chain collapsed to its min in the partitioned tier too
+    comp = dict(zip(part.column("node").to_pylist(),
+                    part.column("component").to_pylist()))
+    assert comp[459] == 400 and comp[999] == 999
+
+
 def test_connected_components_long_chain_and_empty(ray_session):
     import pyarrow as pa
     import ray
