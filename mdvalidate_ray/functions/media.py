@@ -1,11 +1,20 @@
 """Multimodal column plumbing: image/audio/video as opaque ``binary``
 columns with typed metadata, processed by actor-pool ``map_batches`` stages.
 
-The decode kernels themselves are STUBBED (this container has no
-image/audio codecs): :class:`DecodeStage` parses a deterministic fake
-header and raises ``NotImplementedError`` for real formats, so the
-Ray-side plumbing — schema, batch sizing, actor signature, output layout —
-is real and tested while the codec slot is an explicit seam.
+Codec coverage (no external image/audio libraries in this container —
+everything below is pure Python + stdlib ``zlib``/``struct`` + numpy):
+
+* **PNG** — real encode/decode: signature, CRC-checked chunks, 8-bit
+  gray/RGB, scanline filters 0/1/2 (the encoder emits 0; Paeth/Average
+  inputs are rejected explicitly).
+* **BMP** — real encode/decode: BITMAPINFOHEADER, 24-bit BI_RGB,
+  bottom-up padded rows.
+* **WAV** — real encode/decode: RIFF/WAVE PCM16; dims map to
+  (n_samples, n_channels).
+* **JPEG / MP4** — genuinely stubbed behind ``NotImplementedError`` (a
+  DCT/container codec is out of scope without libraries); the synth
+  generator emits the deterministic fake format for those mimes so the
+  fan-out plumbing stays testable.
 
 Batch-size guidance baked into the helpers: binary payloads make rows
 heavy, so these stages default to small ``batch_size`` (64) — size
@@ -15,10 +24,159 @@ object store spill (SURVEY.md §4).
 
 from __future__ import annotations
 
+import struct
 import zlib
 
 import numpy as np
 import pyarrow as pa
+
+
+# --- real codecs (pure Python) ----------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(typ: bytes, data: bytes) -> bytes:
+    return (struct.pack(">I", len(data)) + typ + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF))
+
+
+def png_encode(arr: np.ndarray) -> bytes:
+    """8-bit grayscale ``(h, w)`` or RGB ``(h, w, 3)`` array → PNG bytes
+    (filter 0 scanlines, one zlib IDAT)."""
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, ch = arr.shape
+    assert ch in (1, 3)
+    color_type = 0 if ch == 1 else 2
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    scan = np.zeros((h, w * ch + 1), dtype=np.uint8)
+    scan[:, 1:] = arr.reshape(h, w * ch)
+    return (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(scan.tobytes(), 6))
+            + _png_chunk(b"IEND", b""))
+
+
+def png_decode(data: bytes) -> np.ndarray:
+    """PNG bytes → uint8 array ``(h, w, ch)``.  Raises ``ValueError`` on
+    corrupt/unsupported input (bad signature, CRC mismatch, non-8-bit,
+    palette/alpha, interlace, filters 3/4)."""
+    if data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG: bad signature")
+    pos, w, h, color_type, idat = 8, None, None, None, b""
+    while pos + 12 <= len(data):
+        ln = int.from_bytes(data[pos:pos + 4], "big")
+        typ = data[pos + 4:pos + 8]
+        chunk = data[pos + 8:pos + 8 + ln]
+        if len(chunk) != ln:
+            raise ValueError("truncated PNG chunk")
+        crc = int.from_bytes(data[pos + 8 + ln:pos + 12 + ln], "big")
+        if zlib.crc32(typ + chunk) & 0xFFFFFFFF != crc:
+            raise ValueError("PNG chunk CRC mismatch")
+        if typ == b"IHDR":
+            w, h, depth, color_type, comp, filt, inter = struct.unpack(
+                ">IIBBBBB", chunk)
+            if depth != 8 or color_type not in (0, 2) or inter or comp \
+                    or filt:
+                raise ValueError("unsupported PNG variant")
+        elif typ == b"IDAT":
+            idat += chunk
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln
+    if w is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    ch = 1 if color_type == 0 else 3
+    stride = w * ch + 1
+    raw = np.frombuffer(zlib.decompress(idat), dtype=np.uint8)
+    if len(raw) != h * stride:
+        raise ValueError("PNG scanline size mismatch")
+    rows = raw.reshape(h, stride)
+    ftypes = rows[:, 0]
+    out = rows[:, 1:].copy()
+    if np.any(ftypes > 2):
+        raise ValueError("unsupported PNG filter (3/4)")
+    # filter 1 (Sub): per-row prefix sum over pixel channels, mod 256
+    sub_rows = np.flatnonzero(ftypes == 1)
+    if len(sub_rows):
+        px = out[sub_rows].reshape(len(sub_rows), w, ch)
+        out[sub_rows] = np.cumsum(px, axis=1, dtype=np.uint64).astype(
+            np.uint8).reshape(len(sub_rows), w * ch)
+    # filter 2 (Up): running sum down the rows where flagged
+    if np.any(ftypes == 2):
+        prev = np.zeros(w * ch, dtype=np.uint8)
+        for y in range(h):
+            if ftypes[y] == 2:
+                out[y] = (out[y].astype(np.uint16) + prev).astype(np.uint8)
+            prev = out[y]
+    return out.reshape(h, w, ch)
+
+
+def bmp_encode(arr: np.ndarray) -> bytes:
+    """RGB ``(h, w, 3)`` uint8 array → 24-bit BI_RGB BMP bytes
+    (bottom-up, 4-byte padded rows, BGR order)."""
+    h, w, _ = arr.shape
+    row = w * 3
+    pad = (-row) % 4
+    rows = arr[::-1, :, ::-1]                 # bottom-up, RGB→BGR
+    padded = np.zeros((h, row + pad), dtype=np.uint8)
+    padded[:, :row] = rows.reshape(h, row)
+    body = padded.tobytes()
+    header = (b"BM" + struct.pack("<IHHI", 54 + len(body), 0, 0, 54)
+              + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0,
+                            len(body), 2835, 2835, 0, 0))
+    return header + body
+
+
+def bmp_decode(data: bytes) -> np.ndarray:
+    """24-bit BI_RGB BMP bytes → RGB uint8 array ``(h, w, 3)``."""
+    if data[:2] != b"BM":
+        raise ValueError("not a BMP: bad signature")
+    off = struct.unpack("<I", data[10:14])[0]
+    w, h = struct.unpack("<ii", data[18:26])
+    bpp = struct.unpack("<H", data[28:30])[0]
+    comp = struct.unpack("<I", data[30:34])[0]
+    if bpp != 24 or comp != 0 or h <= 0 or w <= 0:
+        raise ValueError("unsupported BMP variant")
+    row = w * 3
+    stride = row + ((-row) % 4)
+    body = np.frombuffer(data, dtype=np.uint8, count=h * stride,
+                         offset=off)
+    rows = body.reshape(h, stride)[:, :row].reshape(h, w, 3)
+    return rows[::-1, :, ::-1].copy()         # top-down, BGR→RGB
+
+
+def wav_encode(samples: np.ndarray, rate: int = 16000) -> bytes:
+    """int16 mono samples → RIFF/WAVE PCM16 bytes."""
+    data = samples.astype("<i2").tobytes()
+    return (b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+            + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, rate,
+                                    rate * 2, 2, 16)
+            + b"data" + struct.pack("<I", len(data)) + data)
+
+
+def wav_decode(data: bytes) -> tuple[int, int, int]:
+    """WAV bytes → (n_samples, n_channels, sample_rate)."""
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a WAV: bad signature")
+    pos, n_ch, rate, bits, n_samples = 12, None, None, None, None
+    while pos + 8 <= len(data):
+        typ = data[pos:pos + 4]
+        ln = struct.unpack("<I", data[pos + 4:pos + 8])[0]
+        body = data[pos + 8:pos + 8 + ln]
+        if typ == b"fmt ":
+            fmt, n_ch, rate = struct.unpack("<HHI", body[:8])
+            bits = struct.unpack("<H", body[14:16])[0]
+            if fmt != 1:
+                raise ValueError("unsupported WAV encoding")
+        elif typ == b"data":
+            if n_ch is None:
+                raise ValueError("WAV data before fmt")
+            n_samples = ln // (n_ch * bits // 8)
+        pos += 8 + ln + (ln % 2)
+    if n_samples is None:
+        raise ValueError("WAV missing data chunk")
+    return n_samples, n_ch, rate
 
 MEDIA_SCHEMA = pa.schema([
     ("asset_id", pa.string()),
@@ -31,18 +189,33 @@ _MAGIC = b"FAKEMEDIA1"
 
 def synth_media_batch(asset_ids: list[str], mimes: list[str],
                       seed: int = 42) -> pa.Table:
-    """Deterministic fake payloads: 10-byte magic + u16 width + u16 height
-    + body.  Stands in for real image bytes end-to-end."""
+    """Deterministic payloads by mime: REAL files for the pure-Python
+    codecs (``image/png`` → genuine PNG, ``image/bmp`` → genuine BMP,
+    ``audio/wav`` → genuine RIFF/WAVE PCM16) and the 10-byte-magic fake
+    format for the stubbed ones (jpeg/mp4)."""
     payloads = []
-    for aid in asset_ids:
+    for aid, mime in zip(asset_ids, mimes):
         # crc32, not builtin hash(): hash() is randomized per process
         # (PYTHONHASHSEED), which would break the determinism contract.
         rng = np.random.default_rng((seed, zlib.crc32(aid.encode())))
-        w, h = int(rng.integers(16, 512)), int(rng.integers(16, 512))
-        body = rng.integers(0, 256, int(rng.integers(64, 1024)),
-                            dtype=np.uint8).tobytes()
-        payloads.append(_MAGIC + w.to_bytes(2, "big") + h.to_bytes(2, "big")
-                        + body)
+        if mime == "image/png":
+            w, h = int(rng.integers(16, 64)), int(rng.integers(16, 64))
+            payloads.append(png_encode(
+                rng.integers(0, 256, (h, w, 3), dtype=np.uint8)))
+        elif mime == "image/bmp":
+            w, h = int(rng.integers(16, 64)), int(rng.integers(16, 64))
+            payloads.append(bmp_encode(
+                rng.integers(0, 256, (h, w, 3), dtype=np.uint8)))
+        elif mime == "audio/wav":
+            n = int(rng.integers(64, 2048))
+            payloads.append(wav_encode(
+                rng.integers(-32768, 32767, n).astype(np.int16)))
+        else:
+            w, h = int(rng.integers(16, 512)), int(rng.integers(16, 512))
+            body = rng.integers(0, 256, int(rng.integers(64, 1024)),
+                                dtype=np.uint8).tobytes()
+            payloads.append(_MAGIC + w.to_bytes(2, "big")
+                            + h.to_bytes(2, "big") + body)
     return pa.Table.from_arrays(
         [pa.array(asset_ids, pa.string()), pa.array(mimes, pa.string()),
          pa.array(payloads, pa.binary())],
@@ -52,22 +225,34 @@ def synth_media_batch(asset_ids: list[str], mimes: list[str],
 class DecodeStage:
     """binary payload → (width, height, n_bytes, ok).
 
-    Real codec decode would replace :meth:`_decode`; anything that is not
-    the deterministic fake format raises ``NotImplementedError`` —
-    explicitly stubbed per the environment constraints (no image/audio
-    libs in this container)."""
+    Real decode for PNG / BMP / WAV (pure-Python codecs above — width/
+    height come from the actual bytes; WAV maps to (n_samples,
+    n_channels)); the deterministic fake format parses its header;
+    anything else (JPEG/MP4 magic, unknown bytes) raises
+    ``NotImplementedError`` — those codecs are genuinely absent in this
+    container.  ``strict=False`` converts both codec gaps and corrupt
+    files (``ValueError``) into ``ok=False`` rows."""
 
     def __init__(self, strict: bool = True):
         self.strict = strict
 
     def _decode(self, payload: bytes) -> tuple[int, int]:
+        if payload[:8] == _PNG_SIG:
+            arr = png_decode(payload)
+            return arr.shape[1], arr.shape[0]
+        if payload[:2] == b"BM":
+            arr = bmp_decode(payload)
+            return arr.shape[1], arr.shape[0]
+        if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+            n_samples, n_ch, _ = wav_decode(payload)
+            return n_samples, n_ch
         if payload[:len(_MAGIC)] == _MAGIC:
             w = int.from_bytes(payload[10:12], "big")
             h = int.from_bytes(payload[12:14], "big")
             return w, h
         raise NotImplementedError(
-            "real image/audio decoding is stubbed in this environment; "
-            "plug a codec (PIL / torchaudio / pyav) into DecodeStage._decode")
+            "no codec for this format in this environment (JPEG/MP4 need "
+            "PIL / pyav); PNG, BMP and WAV decode natively")
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         widths, heights, sizes, oks = [], [], [], []
@@ -77,7 +262,7 @@ class DecodeStage:
                 widths.append(w)
                 heights.append(h)
                 oks.append(True)
-            except NotImplementedError:
+            except (NotImplementedError, ValueError):
                 if self.strict:
                     raise
                 widths.append(0)
@@ -131,13 +316,23 @@ def extract_features(ds, *, dim: int = 32, batch_size: int = 64,
                           zero_copy_batch=True, concurrency=concurrency)
 
 
-class ResizeStage:
-    """payload → payload with target dimensions (image resize analog).
+def _resize_nearest(img: np.ndarray, w: int, h: int) -> np.ndarray:
+    """Nearest-neighbor resample via two numpy index gathers."""
+    h0, w0 = img.shape[:2]
+    yi = (np.arange(h) * h0) // h
+    xi = (np.arange(w) * w0) // w
+    return img[yi][:, xi]
 
-    The fake format resize rewrites the header dims and scales the body
-    length proportionally (deterministic); a real implementation slots a
-    codec into the same 1-row-in → 1-row-out shape.  ``strict`` matches
-    :class:`DecodeStage`."""
+
+class ResizeStage:
+    """payload → payload with target dimensions (image resize).
+
+    PNG and BMP are REALLY resized (decode → vectorized nearest-neighbor
+    gather → re-encode, same format); the fake format rewrites its header
+    dims and scales the body length proportionally; other formats raise
+    ``NotImplementedError`` in strict mode and pass through otherwise.
+    Corrupt PNG/BMP bytes raise ``ValueError`` in strict mode.  1 row in
+    → 1 row out."""
 
     def __init__(self, width: int, height: int, strict: bool = True):
         self.w = width
@@ -147,11 +342,24 @@ class ResizeStage:
     def __call__(self, batch: pa.Table) -> pa.Table:
         out = []
         for payload in batch.column("payload").to_pylist():
-            if payload[:len(_MAGIC)] != _MAGIC:
-                if self.strict:
+            try:
+                if payload[:8] == _PNG_SIG:
+                    img = _resize_nearest(png_decode(payload), self.w,
+                                          self.h)
+                    out.append(png_encode(img.squeeze(-1)
+                                          if img.shape[2] == 1 else img))
+                    continue
+                if payload[:2] == b"BM":
+                    out.append(bmp_encode(_resize_nearest(
+                        bmp_decode(payload), self.w, self.h)))
+                    continue
+                if payload[:len(_MAGIC)] != _MAGIC:
                     raise NotImplementedError(
-                        "real image resize is stubbed in this environment; "
-                        "plug a codec into ResizeStage")
+                        "no resize codec for this format (JPEG/MP4 need "
+                        "PIL / pyav); PNG and BMP resize natively")
+            except (NotImplementedError, ValueError):
+                if self.strict:
+                    raise
                 out.append(payload)
                 continue
             w0 = int.from_bytes(payload[10:12], "big")

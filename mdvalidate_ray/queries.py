@@ -1027,6 +1027,11 @@ def embedding_dups(sf_dir: str):
 # --- multimodal plumbing (rows-only) ----------------------------------------
 
 def media_decode(sf_dir: str):
+    """Real decode over mixed mimes: PNG and WAV payloads are genuine
+    files whose width/height (resp. samples/channels) are parsed from
+    the actual bytes by the pure-Python codecs; jpeg/mp4 payloads use
+    the deterministic fake header (those codecs are genuinely absent).
+    Rows-only (binary decode has no SQL analog)."""
     import ray.data
 
     from mdvalidate_ray.corpus import assets_table
@@ -1200,10 +1205,10 @@ def contamination_pairs(sf_dir: str):
 
 def media_frames(sf_dir: str):
     """Multimodal fan-out plumbing: synth payloads → resize (1:1 stage) →
-    frame-sample (1→N fan-out rows) → per-asset frame counts.  Codec
-    slots are stubbed (no image/video libs in this container); the Ray
-    shapes — actor stages, binary columns, row-count-changing map — are
-    real.  Rows-only (deterministic fake payloads, no SQL analog)."""
+    frame-sample (1→N fan-out rows) → per-asset frame counts, over the
+    video assets (mp4 uses the deterministic fake container format — a
+    real demuxer is genuinely absent here; PNG/BMP/WAV have real codecs,
+    exercised by media_decode).  Rows-only (no SQL analog)."""
     import ray.data
 
     from mdvalidate_ray.corpus import assets_table
@@ -1217,6 +1222,7 @@ def media_frames(sf_dir: str):
     assets = assets_table(n)
     media = synth_media_batch(assets.column("asset_id").to_pylist()[:100],
                               assets.column("mime").to_pylist()[:100])
+    media = media.filter(pc.equal(media.column("mime"), "video/mp4"))
     ds = resize_media(ray.data.from_arrow(media), width=64, height=64)
     frames = sample_frames(ds, stride=2)
 

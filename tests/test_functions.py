@@ -241,21 +241,74 @@ def test_media_decode_and_features(ray_session):
         assert abs(np.linalg.norm(v) - 1.0) < 1e-5
 
 
-def test_media_decode_strict_raises_on_real_format(ray_session):
-    import ray.data
-
+def test_media_decode_strict_raises_on_stubbed_format(ray_session):
     from mdvalidate_ray.functions.media import DecodeStage
 
-    png = pa.Table.from_arrays(
-        [pa.array(["a"]), pa.array(["image/png"]),
-         pa.array([b"\x89PNG\r\n\x1a\n...."], pa.binary())],
+    jpeg = pa.Table.from_arrays(
+        [pa.array(["a"]), pa.array(["image/jpeg"]),
+         pa.array([b"\xff\xd8\xff\xe0\x00\x10JFIF...."], pa.binary())],
         names=["asset_id", "mime", "payload"])
     stage = DecodeStage(strict=True)
     with pytest.raises(NotImplementedError):
-        stage(png)
+        stage(jpeg)
     lenient = DecodeStage(strict=False)
-    out = lenient(png)
-    assert out.column("ok").to_pylist() == [False]
+    assert lenient(jpeg).column("ok").to_pylist() == [False]
+
+    # corrupt PNG: real codec rejects it (ValueError strict, ok=False not)
+    bad_png = pa.Table.from_arrays(
+        [pa.array(["b"]), pa.array(["image/png"]),
+         pa.array([b"\x89PNG\r\n\x1a\n...."], pa.binary())],
+        names=["asset_id", "mime", "payload"])
+    with pytest.raises(ValueError):
+        stage(bad_png)
+    assert lenient(bad_png).column("ok").to_pylist() == [False]
+
+
+def test_real_codecs_round_trip_and_true_dims(ray_session):
+    """PNG/BMP/WAV are REAL formats now: encode→decode is exact, the
+    decode stage reports width/height parsed from actual bytes, and the
+    resize stage really resamples pixels (nearest-neighbor parity)."""
+    from mdvalidate_ray.functions.media import (
+        DecodeStage,
+        ResizeStage,
+        _resize_nearest,
+        bmp_decode,
+        bmp_encode,
+        png_decode,
+        png_encode,
+        synth_media_batch,
+        wav_decode,
+        wav_encode,
+    )
+
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 256, (23, 31, 3), dtype=np.uint8)
+    assert np.array_equal(png_decode(png_encode(img)), img)
+    assert np.array_equal(bmp_decode(bmp_encode(img)), img)
+    gray = rng.integers(0, 256, (9, 7), dtype=np.uint8)
+    assert np.array_equal(png_decode(png_encode(gray))[:, :, 0], gray)
+    samples = rng.integers(-32768, 32767, 321).astype(np.int16)
+    assert wav_decode(wav_encode(samples, rate=8000)) == (321, 1, 8000)
+
+    tbl = synth_media_batch(["p", "b", "w"],
+                            ["image/png", "image/bmp", "audio/wav"])
+    out = DecodeStage(strict=True)(tbl)
+    assert out.column("ok").to_pylist() == [True, True, True]
+    # dims must equal what a fresh parse of the payload bytes reports
+    p_img = png_decode(tbl.column("payload")[0].as_py())
+    assert (out.column("width")[0].as_py(),
+            out.column("height")[0].as_py()) == (p_img.shape[1],
+                                                 p_img.shape[0])
+    n, ch, _ = wav_decode(tbl.column("payload")[2].as_py())
+    assert (out.column("width")[2].as_py(),
+            out.column("height")[2].as_py()) == (n, ch)
+
+    resized = ResizeStage(32, 17)(tbl.slice(0, 2))
+    r_png = png_decode(resized.column("payload")[0].as_py())
+    assert r_png.shape == (17, 32, 3)
+    assert np.array_equal(r_png, _resize_nearest(p_img, 32, 17))
+    r_bmp = bmp_decode(resized.column("payload")[1].as_py())
+    assert r_bmp.shape == (17, 32, 3)
 
 
 def test_embedding_lsh_finds_planted_near_dups(ray_session, embeddings):
@@ -361,8 +414,9 @@ def test_media_resize_strict_raises_on_real_format(ray_session):
     )
 
     real = pa.Table.from_pylist(
-        [{"asset_id": "a", "mime": "image/png",
-          "payload": b"\x89PNG\r\n\x1a\nxxxx"}], schema=MEDIA_SCHEMA)
+        [{"asset_id": "a", "mime": "image/jpeg",
+          "payload": b"\xff\xd8\xff\xe0\x00\x10JFIFxxxx"}],
+        schema=MEDIA_SCHEMA)
     with _pt.raises(NotImplementedError):
         ResizeStage(32, 32)(real)
     with _pt.raises(NotImplementedError):
