@@ -367,6 +367,39 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::BIGINT AS cnt
             FROM documents GROUP BY 1
         """,
+        "lang_pred_counts": r"""
+            WITH scored AS (
+              SELECT
+                length(regexp_replace(substr(coalesce(text,''), 1, 200),
+                                      '[^一-鿿]', '', 'g')) AS cjk,
+                length(substr(coalesce(text,''), 1, 200)) AS len200,
+                array_slice(list_filter(
+                    regexp_split_to_array(lower(coalesce(text,'')), '\s+'),
+                    w -> w <> ''), 1, 100) AS head
+              FROM documents
+            ), hits AS (
+              SELECT cjk, len200,
+                len(list_filter(head, w -> w IN ('the','and','of','to','a',
+                    'in','is','that','it','for'))) AS en,
+                len(list_filter(head, w -> w IN ('el','la','de','que','y',
+                    'en','un','los','se','por'))) AS es,
+                len(list_filter(head, w -> w IN ('le','la','de','et','les',
+                    'des','un','une','du','est'))) AS fr,
+                len(list_filter(head, w -> w IN ('der','die','und','das',
+                    'ist','von','den','mit','ein','zu'))) AS de
+              FROM scored
+            ), pred AS (
+              SELECT CASE WHEN cjk > 0.2 * len200 THEN 'zh'
+                          WHEN greatest(en,es,fr,de) < 1 THEN 'unknown'
+                          WHEN en = greatest(en,es,fr,de) THEN 'en'
+                          WHEN es = greatest(en,es,fr,de) THEN 'es'
+                          WHEN fr = greatest(en,es,fr,de) THEN 'fr'
+                          ELSE 'de' END AS pred_lang
+              FROM hits
+            )
+            SELECT pred_lang, count(*)::BIGINT AS cnt
+            FROM pred GROUP BY 1
+        """,
         "dedup_purge": """
             WITH aug AS (
                 SELECT doc_id, text FROM documents

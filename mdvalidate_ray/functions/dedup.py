@@ -710,21 +710,27 @@ def cross_split_exact_overlap(docs_ds, *, key: str = "doc_id",
              pa.array(h < np.uint64(train_bp), pa.bool_())],
             names=[key, "fp", "is_train"])
 
+    # materialize the tagged corpus ONCE: both the test-side collection
+    # below and the returned train-side probe consume it, and an
+    # un-materialized Dataset would re-execute the full md5 fingerprint
+    # lineage for each consumer
     tagged = docs_ds.map_batches(tag, batch_format="pyarrow",
-                                 zero_copy_batch=True)
+                                 zero_copy_batch=True).materialize()
     test_fp: dict = {}
     n_test = 0
     for b in tagged.filter(expr="is_train == False").iter_batches(
             batch_format="pyarrow"):
+        n_test += b.num_rows
+        if n_test > broadcast_threshold:
+            # bail while STREAMING, before the rest of the test side is
+            # pulled into driver memory
+            raise ValueError(
+                f"test side exceeds broadcast_threshold="
+                f"{broadcast_threshold}; use a co-partitioned fp join "
+                "(hash(fp) % n_parts groupby) for test sets this large")
         for i, f in zip(b.column(key).to_pylist(),
                         b.column("fp").to_pylist()):
             test_fp.setdefault(f, []).append(i)
-            n_test += 1
-    if n_test > broadcast_threshold:
-        raise ValueError(
-            f"test side has {n_test} rows > broadcast_threshold="
-            f"{broadcast_threshold}; use a co-partitioned fp join "
-            "(hash(fp) % n_parts groupby) for test sets this large")
     fp_ref = ray.put((test_fp, pa.array(list(test_fp), pa.string())))
 
     def probe(batch: pa.Table) -> pa.Table:

@@ -40,11 +40,12 @@ def _broadcast_join_batch(batch: pa.Table, *, small_ref, keys,
     is a zero-copy plasma read)."""
     import ray
 
+    from mdvalidate_ray.state.proc_cache import get_or_build
+
     k = (small_ref.hex(), str(keys), join_type)
-    st = _JOIN_STATE.get(k)
-    if st is None:
-        st = BroadcastJoiner(ray.get(small_ref), keys, join_type)
-        _JOIN_STATE[k] = st
+    st = get_or_build(
+        _JOIN_STATE, k,
+        lambda: BroadcastJoiner(ray.get(small_ref), keys, join_type))
     return st(batch)
 
 
@@ -293,16 +294,18 @@ def _asof_broadcast_batch(batch: pa.Table, *, right_ref, key: str,
     amortization an actor pool gave, without its autoscale ramp."""
     import ray
 
+    from mdvalidate_ray.state.proc_cache import get_or_build
+
     ck = (right_ref.hex(), key, right_time, tiebreak,
           tuple(value_cols), left_key, left_time)
-    st = _ASOF_STATE.get(ck)
-    if st is None:
+
+    def build():
         cls = type("AsofJoiner", (AsofJoiner,),
                    {"_lkey": left_key, "_ltime": left_time})
-        st = cls(ray.get(right_ref), key, right_time, tiebreak,
-                 value_cols)
-        _ASOF_STATE[ck] = st
-    return st(batch)
+        return cls(ray.get(right_ref), key, right_time, tiebreak,
+                   value_cols)
+
+    return get_or_build(_ASOF_STATE, ck, build)(batch)
 
 
 def asof_join_broadcast(left_ds, right: pa.Table, *, key: str,
@@ -405,10 +408,11 @@ def semi_join_keys(ds, keys_ds, *, left_key: str, right_key: str,
     def bloom_keep(batch: pa.Table) -> pa.Table:
         # per-process deserialized-Bloom cache (the filter can be 100s of
         # MB at 10 bits/key; decode once per worker, not per batch)
-        bf = _JOIN_STATE.get(("bloom", bloom_ref.hex()))
-        if bf is None:
-            bf = BloomFilter.from_bytes(ray.get(bloom_ref))
-            _JOIN_STATE[("bloom", bloom_ref.hex())] = bf
+        from mdvalidate_ray.state.proc_cache import get_or_build
+
+        bf = get_or_build(
+            _JOIN_STATE, ("bloom", bloom_ref.hex()),
+            lambda: BloomFilter.from_bytes(ray.get(bloom_ref)))
         vals = [str(v) for v in batch.column(left_key).to_pylist()]
         hits = bf.might_contain(vals)
         return batch.filter(pa.array(np.asarray(hits, dtype=bool)))

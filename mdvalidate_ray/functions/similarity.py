@@ -191,11 +191,11 @@ def _block_pair_batch(batch: pa.Table, *, refs_ref, threshold: float
     without its autoscale ramp."""
     import ray
 
-    k = (refs_ref.hex(), threshold)
-    st = _SCORER_STATE.get(k)
-    if st is None:
-        st = _BlockPairScorer(ray.get(refs_ref), threshold)
-        _SCORER_STATE[k] = st
+    from mdvalidate_ray.state.proc_cache import get_or_build
+
+    st = get_or_build(_SCORER_STATE, (refs_ref.hex(), threshold),
+                      lambda: _BlockPairScorer(ray.get(refs_ref),
+                                               threshold))
     return st(batch)
 
 

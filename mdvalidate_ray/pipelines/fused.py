@@ -64,6 +64,11 @@ PARTIAL_SCHEMA = pa.schema([
     ("dangling_sample", pa.string()),   # JSON list, ≤10 refs
     ("verdict_file", pa.string()),
     ("violations_file", pa.string()),
+    # per-batch phase timings (worker-side seconds; the driver fold sums
+    # them into cumulative worker-seconds per phase — NOT wall time)
+    ("eval_sec", pa.float64()),
+    ("write_sec", pa.float64()),
+    ("wide_sec", pa.float64()),
 ])
 
 
@@ -80,11 +85,10 @@ _PROC_CACHE: dict = {}
 
 
 def _cached_evaluator(schema_text: str) -> ConstraintEvaluator:
-    ev = _PROC_CACHE.get(("ev", schema_text))
-    if ev is None:
-        ev = ConstraintEvaluator(schema_text)
-        _PROC_CACHE[("ev", schema_text)] = ev
-    return ev
+    from mdvalidate_ray.state.proc_cache import get_or_build
+
+    return get_or_build(_PROC_CACHE, ("ev", schema_text),
+                        lambda: ConstraintEvaluator(schema_text), keep=4)
 
 
 def _cached_keys(keys_ref):
@@ -92,14 +96,16 @@ def _cached_keys(keys_ref):
         return None
     import ray
 
-    k = ("keys", keys_ref.hex())
-    keys = _PROC_CACHE.get(k)
-    if keys is None:
+    from mdvalidate_ray.state.proc_cache import get_or_build
+
+    def build():
         keys = ray.get(keys_ref)
         if isinstance(keys, pa.ChunkedArray):
             keys = keys.combine_chunks()
-        _PROC_CACHE[k] = keys
-    return keys
+        return keys
+
+    return get_or_build(_PROC_CACHE, ("keys", keys_ref.hex()), build,
+                        keep=4)
 
 
 class FusedSuiteWorker:
@@ -148,35 +154,62 @@ def fused_task_batch(batch: pa.Table, *, schema_text: str, out_dir: str,
                         skip_existing=skip_existing)
 
 
+def _complete_parquet(path: str) -> bool:
+    """True only for a file whose parquet footer parses — a task killed
+    mid-write leaves a truncated file that must NOT satisfy
+    skip_existing."""
+    import pyarrow.parquet as pq
+
+    try:
+        pq.read_metadata(path)
+        return True
+    except Exception:
+        return False
+
+
+def _write_atomic(tbl: pa.Table, path: str, compression: str) -> None:
+    """Write to a pid-suffixed temp path and rename into place: readers
+    (and skip_existing probes) never observe a partial file, and
+    concurrent task retries last-write-win instead of interleaving."""
+    import pyarrow.parquet as pq
+
+    tmp = f"{path}.tmp-{os.getpid()}"
+    pq.write_table(tbl, tmp, compression=compression, use_dictionary=False)
+    os.replace(tmp, path)
+
+
 def _fused_batch(batch: pa.Table, *, ev, asset_keys, out_dir: str,
                  viol_dir: str, hll_p: int, kll_k: int, compression: str,
                  skip_existing: bool) -> pa.Table:
-    import pyarrow.parquet as pq
+    import time
 
     if batch.num_rows == 0:
         return PARTIAL_SCHEMA.empty_table()
+    t0 = time.monotonic()
     validated = ev(batch)
+    t_eval = time.monotonic()
 
     # --- sinks: one file per input block, content-keyed name ------------
     ids = validated.column("doc_id")
     stem = f"{ids[0].as_py()}-{ids[-1].as_py()}-{validated.num_rows}"
     vfile = os.path.join(out_dir, f"verdicts-{stem}.parquet")
-    if not (skip_existing and os.path.exists(vfile)):
-        pq.write_table(
+    if not (skip_existing and _complete_parquet(vfile)):
+        _write_atomic(
             validated.select(["doc_id", "passed", "captures",
                               "n_spans", "n_violations"]),
-            vfile, compression=compression, use_dictionary=False)
+            vfile, compression)
     viol = explode_violations(validated)
     viol_file = ""
     if viol.num_rows:
         viol_file = os.path.join(viol_dir, f"violations-{stem}.parquet")
-        if not (skip_existing and os.path.exists(viol_file)):
-            pq.write_table(viol, viol_file, compression=compression,
-                           use_dictionary=False)
+        if not (skip_existing and _complete_parquet(viol_file)):
+            _write_atomic(viol, viol_file, compression)
+    t_write = time.monotonic()
 
     # --- wide-constraint partials ----------------------------------------
     hll = HyperLogLog(p=hll_p)
-    hll.add(ids.drop_null().to_pylist())
+    # straight to an object ndarray — no intermediate Python list hop
+    hll.add(ids.drop_null().to_numpy(zero_copy_only=False))
     kll = KLLSketch(k=kll_k).update(
         validated.column("n_spans").cast(pa.float64()).to_numpy(
             zero_copy_only=False))
@@ -205,6 +238,9 @@ def _fused_batch(batch: pa.Table, *, ev, asset_keys, out_dir: str,
         "dangling_sample": json.dumps(sample),
         "verdict_file": vfile,
         "violations_file": viol_file,
+        "eval_sec": t_eval - t0,
+        "write_sec": t_write - t_eval,
+        "wide_sec": time.monotonic() - t_write,
     }], schema=PARTIAL_SCHEMA)
 
 
@@ -297,4 +333,11 @@ def run_fused_suite(docs_ds, schema_text: str, out_dir: str, viol_dir: str,
         "verdict_files": [r["verdict_file"] for r in partials],
         "violations_files": [r["violations_file"] for r in partials
                              if r["violations_file"]],
+        # cumulative worker-seconds per phase (sum over batches across
+        # all workers; phases overlap in wall time)
+        "phase_worker_sec": {
+            "eval": round(sum(r["eval_sec"] for r in partials), 3),
+            "write": round(sum(r["write_sec"] for r in partials), 3),
+            "wide": round(sum(r["wide_sec"] for r in partials), 3),
+        },
     }

@@ -774,10 +774,10 @@ def _q5_task(b: pa.Table, *, tables_ref) -> pa.Table:
     without the pool's autoscale ramp."""
     import ray
 
-    st = _Q5_STATE.get(tables_ref.hex())
-    if st is None:
-        st = _Q5Join(*ray.get(tables_ref))
-        _Q5_STATE[tables_ref.hex()] = st
+    from mdvalidate_ray.state.proc_cache import get_or_build
+
+    st = get_or_build(_Q5_STATE, tables_ref.hex(),
+                      lambda: _Q5Join(*ray.get(tables_ref)))
     return st(b)
 
 
@@ -903,14 +903,29 @@ def fingerprints(sf_dir: str):
 
 
 def lang_pred_counts(sf_dir: str):
+    """Language-ID counts.  The heuristic (CJK share → zh, else best
+    stopword-hit table over the first 100 words, ties to the earlier
+    language, ≥1 hit required) is a pure function of text, so the oracle
+    re-derives it in SQL (regexp_split + list_filter) — the hash check
+    pins every per-doc prediction, not just the counts' shape.  Counting
+    is pre-combined per batch; only (lang, cnt) partials shuffle."""
     from mdvalidate_ray.functions.text import LanguageId
 
-    out = _read(sf_dir, "documents").map_batches(
-        LanguageId, concurrency=(1, 4), batch_format="pyarrow")
-    agg = out.groupby("pred_lang").count()
+    docs = _read(sf_dir, "documents").select_columns(["text"])
+    out = docs.map_batches(LanguageId, concurrency=4,
+                           batch_format="pyarrow")
+
+    def cnt(b: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(b.select(["pred_lang"]),
+                            "pred_lang").aggregate([([], "count_all")])
+        return g.rename_columns(["pred_lang", "cnt"])
+
+    agg = out.map_batches(cnt, batch_format="pyarrow",
+                          zero_copy_batch=True) \
+             .groupby("pred_lang").sum("cnt")
     return agg.map_batches(
         lambda b: pa.Table.from_arrays(
-            [b.column("pred_lang"), b.column("count()").cast(pa.int64())],
+            [b.column("pred_lang"), b.column("sum(cnt)").cast(pa.int64())],
             names=["pred_lang", "cnt"]),
         batch_format="pyarrow")
 

@@ -309,13 +309,31 @@ def _check_unbounded_last(lst: ListTemplate) -> None:
             _check_unbounded_last(item.children)
 
 
+_UNESC_PIPE_RE = re.compile(r"(?<!\\)\|")
+
+
+def split_cells_escaped(body: str) -> list[str]:
+    """Split a table-row body on UNESCAPED pipes only: ``\\|`` is a
+    literal pipe character inside a cell (reference: tree-sitter's table
+    grammar honors the escape, ts_types.rs cell tokenization).  Schema
+    and input unescape identically, so literal compare, matchers and
+    captures all see the real ``|`` character."""
+    parts = _UNESC_PIPE_RE.split(body)
+    if parts and not parts[0].strip():
+        parts = parts[1:]
+    if parts and not parts[-1].strip():
+        parts = parts[:-1]
+    return [p.strip().replace("\\|", "|") for p in parts]
+
+
 def _split_table_row(line: str) -> tuple[list[str], str]:
     """Split ``| a | b |{m,n}`` into cell strings and the trailing extras."""
     line = line.strip()
-    last_pipe = line.rfind("|")
+    pipes = list(_UNESC_PIPE_RE.finditer(line))
+    last_pipe = pipes[-1].start() if pipes else -1
     extras = line[last_pipe + 1:].strip()
     body = line[:last_pipe]
-    cells = [c.strip() for c in body.strip("|").split("|")] if body else []
+    cells = split_cells_escaped(body) if body else []
     return cells, extras
 
 

@@ -35,6 +35,10 @@ _STRONG_RE = re.compile(r"\*\*([^*]+)\*\*")
 # _flatten_unit)
 _EM_RE = re.compile(r"\*((?:[^*\n]|\*\*[^*\n]+\*\*)+)\*(?!\*)")
 _SETEXT_RE = re.compile(r"^(=+|-+)\s*$")
+# block-level HTML opener (CommonMark type-6-ish): tag, closing tag,
+# comment/declaration or processing instruction at ≤3 spaces indent
+_HTML_BLOCK_RE = re.compile(r"^\s{0,3}<(?:[A-Za-z][A-Za-z0-9-]*[\s/>]"
+                            r"|/[A-Za-z]|!|\?)")
 
 
 def _indent_depth(ws: str) -> int:
@@ -278,11 +282,12 @@ def markdown_to_spans(text: str,
             add("quote_end")
             continue
         if line.lstrip().startswith("|"):
+            from mdvalidate_ray.schema.compiler import split_cells_escaped
+
             rows = []
             while i < n and lines[i].lstrip().startswith("|"):
-                cells = [c.strip() for c in
-                         lines[i].strip().strip("|").split("|")]
-                rows.append(cells)
+                # escaped pipes (\|) are literal characters inside cells
+                rows.append(split_cells_escaped(lines[i].strip()))
                 i += 1
             header = rows[0] if rows else []
             body_rows = rows[1:]
@@ -295,6 +300,19 @@ def markdown_to_spans(text: str,
                 for c in row:
                     add("table_cell", c)
             in_table = False
+            continue
+        # HTML block: one OPAQUE span holding the raw lines up to the
+        # next blank line — the tree-sitter taxonomy's html_block node
+        # (reference ts_types.rs:33–203); the evaluator treats it like
+        # any other block kind (schema without an html_block span at
+        # that position reports NodeTypeMismatch, matching the
+        # reference's dispatch fallback)
+        if _HTML_BLOCK_RE.match(line):
+            body = []
+            while i < n and lines[i].strip():
+                body.append(lines[i])
+                i += 1
+            add("html_block", "\n".join(body))
             continue
         # indented code block (4-space indent, CommonMark)
         if line.startswith("    ") and line.strip():
@@ -323,9 +341,16 @@ def markdown_to_spans(text: str,
             _HEADING_RE.match(lines[i]) or _LIST_RE.match(lines[i])
             or lines[i].lstrip().startswith((">", "|", "```"))
             or _RULER_RE.match(lines[i].strip())
+            or _HTML_BLOCK_RE.match(lines[i])
             or (para and _SETEXT_RE.match(lines[i].strip()))
         ):
-            para.append(lines[i].strip())
+            seg = lines[i].strip()
+            # hard line break: a trailing backslash is a break MARKER,
+            # not text — drop it (the newline join already preserves the
+            # break; trailing double-spaces are consumed by strip())
+            if seg.endswith("\\") and not seg.endswith("\\\\"):
+                seg = seg[:-1].rstrip()
+            para.append(seg)
             i += 1
         if para and i < n and _SETEXT_RE.match(lines[i].strip()):
             underline = lines[i].strip()

@@ -665,3 +665,59 @@ def test_quotes_rs_markdown_roundtrip(schema, doc, want_pass, want_caps):
     assert r.passed == want_pass, r.violations
     if want_pass:
         assert r.captures == want_caps
+
+
+# --- r3 fidelity: escaped pipes, HTML blocks, hard line breaks ---------------
+
+def test_escaped_pipe_in_table_cells():
+    """``\\|`` is a literal pipe inside a cell on BOTH sides (schema and
+    input unescape identically), not a cell separator."""
+    from mdvalidate_ray.sources.markdown import markdown_to_spans
+
+    spans = markdown_to_spans("| a \\| b | c |\n| --- | --- |\n"
+                              "| x \\| y | z |\n")
+    cells = [(s["kind"], s["text"]) for s in spans]
+    assert cells == [("table_header_cell", "a | b"),
+                     ("table_header_cell", "c"),
+                     ("table_cell", "x | y"), ("table_cell", "z")]
+
+    r = _full("| a \\| b | c |\n| --- | --- |\n| x \\| y | `v` |",
+              "| a \\| b | c |\n| --- | --- |\n| x \\| y | hello |")
+    assert r.passed, r.violations
+    assert r.captures == {"v": "hello"}
+    bad = _full("| a \\| b |\n| --- |\n| lit |",
+                "| a \\| b |\n| --- |\n| other |")
+    assert not bad.passed
+
+
+def test_html_block_is_opaque_span():
+    """Block-level HTML flattens to ONE opaque html_block span (the
+    tree-sitter html_block node); a schema expecting a paragraph there
+    reports a kind mismatch, matching the reference's dispatch
+    fallback."""
+    from mdvalidate_ray.sources.markdown import markdown_to_spans
+
+    md = "before\n\n<div class=\"x\">\n  <b>raw</b>\n</div>\n\nafter\n"
+    spans = markdown_to_spans(md)
+    kinds = [s["kind"] for s in spans]
+    assert kinds == ["paragraph", "text", "html_block",
+                     "paragraph", "text"]
+    html = next(s for s in spans if s["kind"] == "html_block")
+    assert html["text"] == "<div class=\"x\">\n  <b>raw</b>\n</div>"
+
+    r = _full("before\n\nmiddle\n\nafter", md)
+    assert not r.passed
+    assert any(v["kind"] == "node_type_mismatch" for v in r.violations)
+
+
+def test_hard_line_break_backslash_stripped():
+    """A trailing backslash is a hard-break MARKER, not paragraph text:
+    the break survives as the newline join, the backslash does not."""
+    from mdvalidate_ray.sources.markdown import markdown_to_spans
+
+    spans = markdown_to_spans("line one\\\nline two\n")
+    assert [s["kind"] for s in spans] == ["paragraph", "text"]
+    assert spans[1]["text"] == "line one\nline two"
+    # escaped backslash at EOL is literal text, not a break marker
+    spans2 = markdown_to_spans("keep \\\\\nnext\n")
+    assert spans2[1]["text"] == "keep \\\\\nnext"

@@ -69,12 +69,18 @@ def test_langid_accuracy(ray_session):
 
 
 def test_fingerprints_stable(docs):
+    """Same doc → same fingerprints across runs.  Keyed by doc_id, not
+    row position: Ray's streaming executor runs with
+    preserve_order=False, so take() row order is load-dependent."""
     from mdvalidate_ray.functions.text import add_fingerprints
 
-    a = docs.map_batches(add_fingerprints, batch_format="pyarrow").take(20)
-    b = docs.map_batches(add_fingerprints, batch_format="pyarrow").take(20)
-    assert [r["fp_md5"] for r in a] == [r["fp_md5"] for r in b]
-    assert [r["fp_roll"] for r in a] == [r["fp_roll"] for r in b]
+    def run():
+        rows = docs.map_batches(add_fingerprints,
+                                batch_format="pyarrow").take_all()
+        return {r["doc_id"]: (r["fp_md5"], r["fp_roll"]) for r in rows}
+
+    a, b = run(), run()
+    assert a == b and len(a) == docs.count()
 
 
 # --- dedup ------------------------------------------------------------------
