@@ -8,6 +8,11 @@ Two modes, chosen by the input path:
   same latency profile as the reference's one-doc-per-process design),
   print the captures JSON on success or pretty violation reports on
   stderr, exit 0/1 (reference src/main.rs:85–90, cmd.rs:152–178).
+* **single-document STREAMING mode** (``--stream``): the analog of the
+  reference's chunked stdin loop (cmd.rs:95–122) — ``BUFFER_SIZE``-byte
+  reads, optimistic revalidation of the accumulated prefix, fast-fail on
+  violations more input cannot cure, authoritative EOF pass
+  (validator.rs:161–168); chunking never changes the verdict.
 * **corpus mode** (``input`` is a parquet file/dir): run the distributed
   pipeline (validate → verdicts/violations parquet under ``output``),
   print a summary, exit 0/1 on global pass/fail.  ``--fast-fail`` aborts
@@ -86,6 +91,96 @@ def run_single(schema_text: str, input_path: str, output, args) -> int:
     if not args.quiet:
         print_source_report([dict(v) for v in result.violations],
                             spans, source,
+                            input_path if input_path != "-" else "<stdin>")
+    return 1
+
+
+_TRANSIENT_KINDS = frozenset({
+    # "input ran out" classes: expected while the document is still
+    # streaming in — never grounds for an early exit (the reference's
+    # partial prefix/suffix tolerance, matchers.rs:176–203, plays the
+    # same role at character granularity)
+    "children_length_mismatch", "malformed_structure_schema_has_child",
+    "wrong_list_count", "not_enough_nodes_for_repeating_paragraph",
+    "malformed_structure_missing_list_item_content",
+    "malformed_structure_mismatching_table_cells",
+})
+
+
+def _final_violations(violations, n_spans: int) -> list:
+    """Violations that cannot be cured by more input: they sit strictly
+    BEFORE the still-growing last span (a later span exists, so their
+    block is complete) and are not an input-ran-out kind."""
+    return [v for v in violations
+            if v["span_index"] < n_spans - 1
+            and v["kind"] not in _TRANSIENT_KINDS]
+
+
+def run_single_stream(schema_text: str, input_path: str, output,
+                      args) -> int:
+    """Streaming single-document mode — the analog of the reference's
+    chunked stdin loop (cmd.rs:95–122): read ``BUFFER_SIZE``-byte chunks
+    (env-overridable, default 2048 — cmd.rs:11, 181–186), optimistically
+    re-validate the accumulated prefix, honor ``--fast-fail`` on
+    violations that more input cannot cure, and let the EOF pass be
+    authoritative (validator.rs:161–168 resets and re-derives errors at
+    EOF, so chunking never changes the final verdict — mirrored by our
+    chunk-size-invariance test).
+
+    The reference reparses incrementally and re-WALKS from scratch each
+    chunk; we re-flatten and re-walk, but on a geometric schedule
+    (re-validate when the unvalidated tail reaches ¼ of the seen text),
+    so total work stays O(n log n) instead of O(n²/chunk)."""
+    import codecs
+    import os
+
+    from mdvalidate_ray.evaluate.evaluator import evaluate_spans
+    from mdvalidate_ray.schema.compiler import compile_schema
+    from mdvalidate_ray.sources.markdown import markdown_to_spans
+
+    compiled = compile_schema(schema_text)
+    bufsize = max(1, int(os.environ.get("BUFFER_SIZE", "2048")))
+    reader = sys.stdin.buffer if input_path == "-" else \
+        open(input_path, "rb")
+    dec = codecs.getincrementaldecoder("utf-8")()
+    text = ""
+    unvalidated = 0
+    try:
+        while True:
+            chunk = reader.read(bufsize)
+            eof = not chunk
+            piece = dec.decode(chunk or b"", final=eof)
+            text += piece
+            unvalidated += len(piece)
+            if eof:
+                break
+            if args.fast_fail and unvalidated >= max(bufsize,
+                                                     len(text) // 4):
+                unvalidated = 0
+                spans = markdown_to_spans(text)
+                result = evaluate_spans(spans, compiled)
+                final = _final_violations(
+                    [dict(v) for v in result.violations], len(spans))
+                if final:
+                    if not args.quiet:
+                        print_source_report(final, spans, text,
+                                            input_path if input_path != "-"
+                                            else "<stdin>")
+                    return 1
+    finally:
+        if reader is not sys.stdin.buffer:
+            reader.close()
+    # authoritative EOF pass (errors re-derived from scratch)
+    spans = markdown_to_spans(text)
+    result = evaluate_spans(spans, compiled)
+    if result.passed:
+        print(result.captures_json(), file=output)
+        if not args.quiet:
+            print("validation passed", file=sys.stderr)
+        return 0
+    if not args.quiet:
+        print_source_report([dict(v) for v in result.violations],
+                            spans, text,
                             input_path if input_path != "-" else "<stdin>")
     return 1
 
@@ -201,6 +296,12 @@ def main(argv=None) -> int:
     p.add_argument("-f", "--fast-fail", action="store_true",
                    help="exit on first violation")
     p.add_argument("-q", "--quiet", action="store_true")
+    p.add_argument("--stream", action="store_true",
+                   help="single-doc mode: chunked streaming reads "
+                        "(BUFFER_SIZE env, default 2048 B) with "
+                        "optimistic revalidation; -f exits early on "
+                        "violations more input cannot cure; the EOF "
+                        "pass is authoritative")
     p.add_argument("--text-column", default=None,
                    help="corpus mode: treat INPUT as raw markdown text in "
                         "this column and flatten it to spans first")
@@ -230,6 +331,9 @@ def main(argv=None) -> int:
         out = sys.stdout if args.output in (None, "-") else \
             open(args.output, "w", encoding="utf-8")
         try:
+            if args.stream:
+                return run_single_stream(schema_text, args.input, out,
+                                         args)
             return run_single(schema_text, args.input, out, args)
         finally:
             if out is not sys.stdout:

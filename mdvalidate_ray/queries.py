@@ -424,19 +424,26 @@ def top_customers(sf_dir: str):
 
 
 def events_daily(sf_dir: str):
-    ev = _read(sf_dir, "events")
+    """Daily event-type counts with a per-batch combiner: each batch
+    folds to ≤(types×days) partial rows before the exchange, so the
+    shuffle moves partials, not one row per event."""
+    ev = _read(sf_dir, "events").select_columns(["event_type", "ts"])
 
-    def add_day(b: pa.Table) -> pa.Table:
+    def pre(b: pa.Table) -> pa.Table:
         day = pc.strftime(b.column("ts"), format="%Y-%m-%d")
-        return pa.Table.from_arrays(
+        t = pa.Table.from_arrays(
             [b.column("event_type"), day], names=["event_type", "day"])
+        g = pa.TableGroupBy(t, ["event_type", "day"]).aggregate(
+            [([], "count_all")])
+        return g.rename_columns(["event_type", "day", "cnt"])
 
-    agg = ev.map_batches(add_day, batch_format="pyarrow") \
-            .groupby(["event_type", "day"]).count()
+    agg = ev.map_batches(pre, batch_format="pyarrow",
+                         zero_copy_batch=True) \
+            .groupby(["event_type", "day"]).sum("cnt")
     return agg.map_batches(
         lambda b: pa.Table.from_arrays(
             [b.column("event_type"), b.column("day"),
-             b.column("count()").cast(pa.int64())],
+             b.column("sum(cnt)").cast(pa.int64())],
             names=["event_type", "day", "cnt"]),
         batch_format="pyarrow")
 
@@ -614,14 +621,17 @@ def quality_filter_counts(sf_dir: str):
         b = add_token_counts(b)
         keep = pc.and_(pc.greater_equal(b.column("n_tokens"), 20),
                        pc.less_equal(b.column("n_tokens"), 40))
-        return b.filter(keep).select(["source"])
+        kept = b.filter(keep).select(["source"])
+        # combiner: one (source, cnt) partial row per batch per stratum
+        g = pa.TableGroupBy(kept, "source").aggregate([([], "count_all")])
+        return g.rename_columns(["source", "cnt"])
 
     docs = _read(sf_dir, "documents").select_columns(["source", "text"])
     agg = docs.map_batches(gate, batch_format="pyarrow",
-                           zero_copy_batch=True).groupby("source").count()
+                           zero_copy_batch=True).groupby("source").sum("cnt")
     return agg.map_batches(
         lambda b: pa.Table.from_arrays(
-            [b.column("source"), b.column("count()").cast(pa.int64())],
+            [b.column("source"), b.column("sum(cnt)").cast(pa.int64())],
             names=["source", "kept"]),
         batch_format="pyarrow")
 
@@ -631,7 +641,7 @@ def props_k_stats(sf_dir: str):
     JSON ``props`` column (vectorized ``pc.extract_regex`` — at scale a
     JSON kernel slots into the same per-batch stage) and aggregate per
     event type.  Shuffle moves only per-batch partial rows."""
-    from ray.data.aggregate import Count, Max, Sum
+    from ray.data.aggregate import Max, Sum
 
     ev = _read(sf_dir, "events").select_columns(["event_type", "props"])
 
@@ -641,14 +651,19 @@ def props_k_stats(sf_dir: str):
         k = pc.cast(pc.struct_field(ex, "k"), pa.int64())
         t = pa.Table.from_arrays([b.column("event_type"), k],
                                  names=["event_type", "k"])
-        return t.filter(pc.is_valid(t.column("k")))
+        t = t.filter(pc.is_valid(t.column("k")))
+        # combiner: (count, sum, max) decompose exactly, so each batch
+        # contributes one partial row per event type to the exchange
+        g = pa.TableGroupBy(t, "event_type").aggregate(
+            [([], "count_all"), ("k", "sum"), ("k", "max")])
+        return g.rename_columns(["event_type", "n_p", "sum_p", "max_p"])
 
     agg = ev.map_batches(extract, batch_format="pyarrow",
                          zero_copy_batch=True) \
             .groupby("event_type").aggregate(
-        Count(alias_name="n"),
-        Sum("k", alias_name="sum_k"),
-        Max("k", alias_name="max_k"))
+        Sum("n_p", alias_name="n"),
+        Sum("sum_p", alias_name="sum_k"),
+        Max("max_p", alias_name="max_k"))
     return agg.map_batches(
         lambda b: pa.Table.from_arrays(
             [b.column("event_type"), b.column("n").cast(pa.int64()),
@@ -659,16 +674,30 @@ def props_k_stats(sf_dir: str):
 
 
 def part_type_stats(sf_dir: str):
-    from ray.data.aggregate import Count, Mean
+    """Per-type price stats with the pre-combine plan: mean decomposes
+    into (sum, count) partials per batch; only partial rows shuffle."""
+    from ray.data.aggregate import Sum
 
-    agg = _read(sf_dir, "part").groupby("p_type").aggregate(
-        Mean("p_retailprice", alias_name="m_price"),
-        Count(alias_name="n"),
-    )
+    part = _read(sf_dir, "part").select_columns(["p_type",
+                                                 "p_retailprice"])
+
+    def pre(b: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(b, "p_type").aggregate(
+            [("p_retailprice", "sum"), ([], "count_all")])
+        return g.rename_columns(["p_type", "sum_p", "n_p"])
+
+    agg = part.map_batches(pre, batch_format="pyarrow",
+                           zero_copy_batch=True) \
+              .groupby("p_type").aggregate(
+        Sum("sum_p", alias_name="sum_price"),
+        Sum("n_p", alias_name="n"))
     return agg.map_batches(
         lambda b: pa.Table.from_arrays(
             [b.column("p_type"),
-             _pc_round(pc.multiply(b.column("m_price"), 100.0)).cast(pa.int64()),
+             _pc_round(pc.multiply(
+                 pc.divide(b.column("sum_price"),
+                           pc.cast(b.column("n"), pa.float64())),
+                 100.0)).cast(pa.int64()),
              b.column("n").cast(pa.int64())],
             names=["p_type", "avg_price_c100", "n"]),
         batch_format="pyarrow")

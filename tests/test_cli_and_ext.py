@@ -270,3 +270,52 @@ def test_markdown_linkdefs_reach_nested_quote_bodies():
     s = markdown_to_spans("> See [docs][d]\n>\n> - a\n\n[d]: http://x\n")
     links = [(x["kind"], x["media_ref"]) for x in s if x["kind"] == "link"]
     assert links == [("link", "http://x")]
+
+
+# --- streaming single-doc mode (reference cmd.rs:95–122, LimitedReader
+# chunk-invariance cmd.rs:204–429) -------------------------------------------
+
+def _run_stream(*argv, stdin=None, bufsize=None):
+    import os
+    import subprocess
+    import sys as _sys
+
+    env = dict(os.environ)
+    if bufsize is not None:
+        env["BUFFER_SIZE"] = str(bufsize)
+    return subprocess.run(
+        [_sys.executable, "-m", "mdvalidate_ray.cli", *map(str, argv)],
+        capture_output=True, text=True, input=stdin, cwd="/root/repo",
+        env=env)
+
+
+def test_cli_stream_chunk_size_invariance(files):
+    """The verdict and captures are identical at every chunk size (the
+    reference's LimitedReader property, sizes 1..9) and identical to the
+    non-streaming mode — the EOF pass is authoritative."""
+    s, _, _ = files
+    want = _run(s, "-", stdin=GOOD_DOC)
+    assert want.returncode == 0
+    for bufsize in (1, 2, 3, 7, 9, 4096):
+        r = _run_stream(s, "-", "--stream", stdin=GOOD_DOC,
+                        bufsize=bufsize)
+        assert r.returncode == 0, (bufsize, r.stderr)
+        assert json.loads(r.stdout) == json.loads(want.stdout)
+    bad = _run_stream(s, "-", "--stream", stdin=BAD_DOC, bufsize=3)
+    assert bad.returncode == 1 and "node_type_mismatch" in bad.stderr
+
+
+def test_cli_stream_fast_fail_exits_before_eof(files):
+    """With -f, a violation that more input cannot cure (the first block
+    is complete and wrong) exits early — the tail of the stream is never
+    required to produce the failure."""
+    s, _, _ = files
+    # wrong first heading, then plenty of trailing content so the early
+    # exit is observable as not needing the whole document
+    doc = BAD_DOC + "\n" + ("filler paragraph\n\n" * 200)
+    r = _run_stream(s, "-", "--stream", "-f", stdin=doc, bufsize=64)
+    assert r.returncode == 1
+    assert "node_type_mismatch" in r.stderr
+    # and a clean doc under -f still passes all the way to EOF
+    ok = _run_stream(s, "-", "--stream", "-f", stdin=GOOD_DOC, bufsize=8)
+    assert ok.returncode == 0, ok.stderr
