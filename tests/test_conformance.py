@@ -721,3 +721,44 @@ def test_hard_line_break_backslash_stripped():
     # escaped backslash at EOL is literal text, not a break marker
     spans2 = markdown_to_spans("keep \\\\\nnext\n")
     assert spans2[1]["text"] == "keep \\\\\nnext"
+
+
+# --- cursor-positioned sub-walk harness (reference ValidatorTester,
+# walkers/validators/mod.rs:54–235) ------------------------------------------
+
+def test_evaluate_block_at_positions():
+    """Each schema block can be driven in isolation at an arbitrary span
+    cursor: the sub-walk reports only ITS violations/captures and where
+    the cursor stopped — no end-of-document structural noise."""
+    from mdvalidate_ray.evaluate.evaluator import evaluate_block_at
+    from mdvalidate_ray.sources.markdown import markdown_to_spans
+
+    schema = compile_schema("# `title:/\\w+/`\n\nliteral intro\n\n"
+                            "- `tag:/\\w+/`{1,2}\n")
+    spans = markdown_to_spans("# Hello\n\nliteral intro\n\n- a\n- b\n")
+
+    # block 0 (heading) at pos 0: consumes the heading, captures title
+    r0 = evaluate_block_at(spans, schema, 0, 0)
+    assert r0.passed and r0.captures == {"title": "Hello"} \
+        and r0.end_pos == 1
+
+    # block 1 (paragraph) starting where block 0 stopped
+    r1 = evaluate_block_at(spans, schema, 1, r0.end_pos)
+    assert r1.passed and r1.end_pos > r0.end_pos
+
+    # block 2 (list) at the right cursor: array capture, cursor at end
+    r2 = evaluate_block_at(spans, schema, 2, r1.end_pos)
+    assert r2.passed and r2.captures == {"tag": ["a", "b"]}
+    assert r2.end_pos == len(spans)
+
+    # the WRONG sub-validator at a position reports just its mismatch
+    bad = evaluate_block_at(spans, schema, 2, 0)   # list template vs heading
+    assert not bad.passed
+    assert bad.violations[0]["kind"] == "node_type_mismatch"
+    # constraint ids are prefixed with the template index (t2.)
+    assert bad.violations[0]["constraint_id"].startswith("t2.")
+
+    # no end-of-document noise: a heading template alone against a doc
+    # with MORE content passes (the full walk would add input-has-child)
+    again = evaluate_block_at(spans, schema, 0, 0)
+    assert again.passed
