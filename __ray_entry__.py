@@ -320,7 +320,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "token_counts": """
             SELECT doc_id,
-                   len(regexp_split_to_array(trim(text), '\\s+'))::BIGINT AS n_tokens
+                   len(regexp_split_to_array(trim(text), '\\s+'))::BIGINT AS n_tokens,
+                   list_sum(list_transform(
+                       regexp_split_to_array(trim(text), '\\s+'),
+                       w -> ceil(length(w) / 6.0)::BIGINT))::BIGINT AS n_subwords
             FROM documents
         """,
         "quality": """

@@ -897,10 +897,14 @@ def dedup_exact(sf_dir: str):
 
 
 def token_counts(sf_dir: str):
+    """Whitespace token count + the BPE-ish subword estimate, both
+    SQL-auditable (the subword proxy is Σ ceil(len(word)/6) — exact in
+    integer arithmetic, so the oracle hash pins it per doc)."""
     from mdvalidate_ray.functions.text import add_token_counts
 
     out = _read(sf_dir, "documents").map_batches(
-        lambda b: add_token_counts(b).select(["doc_id", "n_tokens"]),
+        lambda b: add_token_counts(b).select(
+            ["doc_id", "n_tokens", "n_subwords"]),
         batch_format="pyarrow")
     return out
 
