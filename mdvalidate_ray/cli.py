@@ -296,6 +296,10 @@ def main(argv=None) -> int:
     p.add_argument("-f", "--fast-fail", action="store_true",
                    help="exit on first violation")
     p.add_argument("-q", "--quiet", action="store_true")
+    p.add_argument("--print-spans", action="store_true",
+                   help="dev tool: print the flattened span table of a "
+                        "markdown INPUT (ignores the schema walk) — the "
+                        "analog of mdvalidate-utils print-tree")
     p.add_argument("--stream", action="store_true",
                    help="single-doc mode: chunked streaming reads "
                         "(BUFFER_SIZE env, default 2048 B) with "
@@ -326,6 +330,16 @@ def main(argv=None) -> int:
     except Exception as e:
         print(f"error: invalid schema: {e}", file=sys.stderr)
         return 2
+    if args.print_spans:
+        # dev tree dump (reference utils/src/main.rs:19–29 print-tree):
+        # one line per span, offset-indexed, media_ref when present
+        from mdvalidate_ray.sources.markdown import markdown_to_spans
+
+        for s in markdown_to_spans(_read_text(args.input)):
+            ref = f"  -> {s['media_ref']}" if s["media_ref"] else ""
+            text = s["text"].replace("\n", "\\n")
+            print(f"{s['offset']:>4} {s['kind']:<20} {text!r}{ref}")
+        return 0
     single = args.input == "-" or args.input.endswith((".md", ".markdown"))
     if single:
         out = sys.stdout if args.output in (None, "-") else \

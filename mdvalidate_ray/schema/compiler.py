@@ -211,6 +211,19 @@ def parse_inline(text: str, allow_repeating: bool = False) -> list:
                 parts.append(part)
                 i = i2
                 continue
+        if ch == "<":
+            m = _AUTOLINK_RE.match(text, i)
+            if m:
+                # autolink <https://…> / <user@host>: a link node whose
+                # text AND destination are the URI (tree-sitter
+                # uri_autolink / email_autolink; CommonMark §6.5)
+                url = m.group(1)
+                dest = url if "://" in url else f"mailto:{url}"
+                flush()
+                parts.append(LinkPart(text=Literal(url),
+                                      dest=Literal(dest)))
+                i = m.end()
+                continue
         if ch == "*":
             strong = i + 1 < n and text[i + 1] == "*"
             delim = "**" if strong else "*"
@@ -243,6 +256,12 @@ def parse_inline(text: str, allow_repeating: bool = False) -> list:
             raise SchemaError(SchemaError.REPEATING_IN_TEXT,
                               "repeating matcher inside a text container")
     return parts
+
+
+# CommonMark autolink (§6.5): absolute URI or bare email between < >
+_AUTOLINK_RE = re.compile(
+    r"<([A-Za-z][A-Za-z0-9+.-]{1,31}://[^\s<>]+"
+    r"|[^\s<>@]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,})>")
 
 
 def _parse_link(text: str, i: int, is_image: bool):

@@ -28,6 +28,10 @@ _LINK_RE = re.compile(r"(!?)\[([^\]]*)\]\(([^)]*)\)")
 _REFLINK_RE = re.compile(r"(!?)\[([^\]]*)\]\[([^\]]*)\]")
 _LINKDEF_RE = re.compile(r"^\s*\[([^\]]+)\]:\s*(\S+)(?:\s+.*)?$")
 _CODE_SPAN_RE = re.compile(r"`([^`]*)`")
+# CommonMark autolink (§6.5): absolute URI or bare email between < >
+_AUTOLINK_RE = re.compile(
+    r"<([A-Za-z][A-Za-z0-9+.-]{1,31}://[^\s<>]+"
+    r"|[^\s<>@]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,})>")
 _STRONG_RE = re.compile(r"\*\*([^*]+)\*\*")
 # nested-aware: `*a **b** c*` matches as ONE emphasis spanning the inner
 # strong (whose markers are stripped when the span text is emitted — the
@@ -54,6 +58,7 @@ def _flatten_inline(text: str, add, linkdefs: dict | None = None) -> None:
     for m in sorted(
         list(_LINK_RE.finditer(text)) + list(_CODE_SPAN_RE.finditer(text))
         + list(_STRONG_RE.finditer(text)) + list(_EM_RE.finditer(text))
+        + list(_AUTOLINK_RE.finditer(text))
         + (list(_REFLINK_RE.finditer(text)) if linkdefs else []),
         key=lambda m: m.start(),
     ):
@@ -72,6 +77,10 @@ def _flatten_inline(text: str, add, linkdefs: dict | None = None) -> None:
             kind = "image" if m.group(1) else "link"
             label = (m.group(3) or m.group(2)).lower()
             add(kind, m.group(2), media_ref=linkdefs.get(label, ""))
+        elif m.re is _AUTOLINK_RE:
+            url = m.group(1)
+            add("link", url,
+                media_ref=url if "://" in url else f"mailto:{url}")
         elif m.re is _CODE_SPAN_RE:
             add("code_span", m.group(1))
         elif m.re is _STRONG_RE:
@@ -162,6 +171,7 @@ def markdown_to_spans(text: str,
             # the heading span itself (the compact common case)
             if (_LINK_RE.search(body) or _CODE_SPAN_RE.search(body)
                     or _STRONG_RE.search(body) or _EM_RE.search(body)
+                    or _AUTOLINK_RE.search(body)
                     or (linkdefs and _REFLINK_RE.search(body))):
                 add(f"heading{len(hm.group(1))}", "")
                 _flatten_inline(body, add, linkdefs)

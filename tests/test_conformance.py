@@ -762,3 +762,29 @@ def test_evaluate_block_at_positions():
     # with MORE content passes (the full walk would add input-has-child)
     again = evaluate_block_at(spans, schema, 0, 0)
     assert again.passed
+
+
+def test_autolinks_both_sides():
+    """<https://…> / <user@host> autolinks are LINK nodes (tree-sitter
+    uri_autolink / email_autolink) on both the schema and input sides:
+    text = the URI, destination = URI (mailto: for emails)."""
+    from mdvalidate_ray.sources.markdown import markdown_to_spans
+
+    spans = markdown_to_spans(
+        "see <https://example.com/x> or mail <bob@example.org> now\n")
+    got = [(s["kind"], s["text"], s["media_ref"]) for s in spans]
+    assert got == [
+        ("paragraph", "", ""),
+        ("text", "see ", ""),
+        ("link", "https://example.com/x", "https://example.com/x"),
+        ("text", " or mail ", ""),
+        ("link", "bob@example.org", "mailto:bob@example.org"),
+        ("text", " now", ""),
+    ]
+
+    r = _full("see <https://example.com/x> or mail <bob@example.org> now",
+              "see <https://example.com/x> or mail <bob@example.org> now")
+    assert r.passed, r.violations
+    # a schema autolink pins the exact destination
+    bad = _full("go <https://example.com>", "go <https://evil.example>")
+    assert not bad.passed
