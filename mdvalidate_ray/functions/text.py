@@ -116,32 +116,64 @@ _STOPWORDS = {
 
 
 class LanguageId:
-    """Actor-pool stage: stopword tables + CJK detection built once per
-    actor; per-batch scoring is a dict-lookup loop over tokens (the hot
-    path is the tokenization, which is Arrow)."""
+    """Actor-pool stage, fully vectorized: stopword value-set arrays are
+    built once per actor; per batch, tokenization + the head-100 cut +
+    per-language hit counts all run as Arrow kernels / numpy segment ops
+    (``pc.is_in`` hash probes + ``np.bincount`` folds — no per-token
+    Python loop).  Semantics (identical to the SQL oracle): CJK share of
+    the first 200 codepoints > 0.2 → zh; else the language whose
+    stopword table hits most of the first 100 words wins, ties to the
+    earlier language in (en, es, fr, de), ≥1 hit required."""
 
     def __init__(self):
-        self.tables = {lang: frozenset(ws) for lang, ws in _STOPWORDS.items()}
+        self.langs = list(_STOPWORDS)
+        self.value_sets = [pa.array(sorted(_STOPWORDS[lang]))
+                           for lang in self.langs]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch.column("text").to_pylist()
-        langs = []
-        for t in texts:
-            t = t or ""
-            # CJK codepoint share → zh
-            cjk = sum(1 for ch in t[:200] if "一" <= ch <= "鿿")
-            if cjk > len(t[:200]) * 0.2:
-                langs.append("zh")
-                continue
-            words = t.lower().split()
-            head = words[:100]
-            best, best_hits = "unknown", 0
-            for lang, table in self.tables.items():
-                hits = sum(1 for w in head if w in table)
-                if hits > best_hits:
-                    best, best_hits = lang, hits
-            langs.append(best if best_hits >= 1 else "unknown")
-        return batch.append_column("pred_lang", pa.array(langs, pa.string()))
+        n = batch.num_rows
+        if n == 0:
+            return batch.append_column("pred_lang",
+                                       pa.array([], pa.string()))
+        texts = pc.fill_null(pc.cast(batch.column("text"), pa.string()),
+                             "")
+        head200 = pc.utf8_slice_codeunits(texts, 0, 200)
+        cjk = pc.count_substring_regex(head200, "[一-鿿]").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        len200 = pc.utf8_length(head200).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+
+        tokens = pc.split_pattern_regex(pc.utf8_lower(texts), r"\s+")
+        flat = (tokens.combine_chunks()
+                if isinstance(tokens, pa.ChunkedArray) else tokens)
+        words = flat.flatten()
+        parents = np.asarray(pc.list_parent_indices(flat)).astype(np.int64)
+        keep = np.asarray(pc.not_equal(words, ""))
+        words = words.filter(pa.array(keep))
+        parents = parents[keep]
+        # head-100 cut: rank of each word within its doc (parents are
+        # sorted) — vectorized run-relative index
+        if len(parents):
+            starts = np.flatnonzero(
+                np.concatenate(([True], parents[1:] != parents[:-1])))
+            run_start = np.repeat(starts, np.diff(
+                np.append(starts, len(parents))))
+            rank = np.arange(len(parents)) - run_start
+            in_head = rank < 100
+            words = words.filter(pa.array(in_head))
+            parents = parents[in_head]
+        hits = np.zeros((n, len(self.langs)), dtype=np.int64)
+        for j, vs in enumerate(self.value_sets):
+            m = np.asarray(pc.is_in(words, value_set=vs))
+            if m.any():
+                hits[:, j] = np.bincount(parents[m], minlength=n)
+        best = hits.argmax(axis=1)            # first max wins (dict order)
+        best_hits = hits[np.arange(n), best]
+        langs_arr = np.asarray(self.langs, dtype=object)[best]
+        langs_arr = np.where(best_hits >= 1, langs_arr, "unknown")
+        langs_arr = np.where(cjk > 0.2 * len200, "zh", langs_arr)
+        return batch.append_column(
+            "pred_lang", pa.array(langs_arr.astype(object), pa.string()))
 
 
 # --- fingerprinting ---------------------------------------------------------
