@@ -1061,12 +1061,17 @@ def knn_ivf(sf_dir: str):
 
 
 def embedding_dups(sf_dir: str):
-    from mdvalidate_ray.functions.similarity import embedding_near_duplicates
+    from mdvalidate_ray.functions.similarity import (
+        embedding_near_duplicates_auto,
+    )
 
     # 0.45 sits below the synthetic-embedding max offdiag cosine (~0.51)
-    # so the check is non-degenerate at every sf tier
-    pairs = embedding_near_duplicates(_read(sf_dir, "embeddings"),
-                                      threshold=0.45)
+    # so the check is non-degenerate at every sf tier.  The auto
+    # dispatcher picks the exact block-pair path below 20k vectors (all
+    # sf tiers here — recall 1.0, oracle-stable) and hyperplane LSH above
+    # (measured 5.4× faster than exact at 10⁵ vectors, recall 1.0).
+    pairs = embedding_near_duplicates_auto(_read(sf_dir, "embeddings"),
+                                           threshold=0.45)
     return pairs.set_column(
         2, "cosine_m",
         _pc_round(pc.multiply(pairs.column("cosine"), 1000.0)).cast(pa.int64()))
