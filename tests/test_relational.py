@@ -536,3 +536,39 @@ def test_csv_round_trip(ray_session, tmp_path):
     b = back.to_pandas()[a.columns.tolist()] \
         .sort_values("doc_id").reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_bucketed_distinct_streams_and_dedups(ray_session):
+    """Distinct over single and composite keys through the coarse-bucket
+    exchange — hot keys collapse in the per-batch combiner."""
+    import ray.data
+
+    from mdvalidate_ray.functions.relational import bucketed_distinct
+
+    t = pa.table({
+        "a": pa.array([1, 1, 2, 2, 2, 3] * 50, pa.int64()),
+        "b": pa.array(["x", "x", "y", "y", "z", "x"] * 50),
+    })
+    ds = ray.data.from_arrow(t).repartition(4)
+    got = {(r["a"], r["b"])
+           for r in bucketed_distinct(ds, ["a", "b"]).take_all()}
+    assert got == {(1, "x"), (2, "y"), (2, "z"), (3, "x")}
+    one = sorted(r["b"] for r in bucketed_distinct(
+        ds.select_columns(["b"]), ["b"]).take_all())
+    assert one == ["x", "y", "z"]
+
+
+def test_proc_cache_bounded_lru():
+    from mdvalidate_ray.state.proc_cache import get_or_build
+
+    cache: dict = {}
+    builds = []
+    for k in ("a", "b", "a", "c", "d"):   # keep=2
+        get_or_build(cache, k, lambda k=k: builds.append(k) or k.upper())
+    # a was refreshed before c, so eviction order was b, then a
+    assert set(cache) == {"c", "d"}
+    assert builds == ["a", "b", "c", "d"]      # the refreshed 'a' hit
+    # hit does not rebuild and refreshes recency
+    get_or_build(cache, "c", lambda: builds.append("c2"))
+    get_or_build(cache, "e", lambda: builds.append("e") or "E")
+    assert set(cache) == {"c", "e"} and "c2" not in builds
