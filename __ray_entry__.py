@@ -83,6 +83,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "split_counts": Q.split_counts,
         "top_words": Q.top_words,
         "minhash_pairs": Q.minhash_pairs,
+        "jaccard_pairs": Q.jaccard_pairs,
         "simhash_pairs": Q.simhash_pairs,
         # scrubbing / mixing / decontamination
         "redact_digits": Q.redact_digits,
@@ -661,6 +662,40 @@ def oracle_sql() -> dict[str, str]:
             FROM pairs
             WHERE CASE WHEN uni = 0 THEN 1.0
                        ELSE inter::DOUBLE / uni END >= 0.9
+        """,
+        "jaccard_pairs": """
+            WITH words AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(text), '\\s+'),
+                                   x -> x <> '') AS w
+                FROM documents
+            ),
+            sh AS (
+                SELECT doc_id,
+                       array_to_string(list_slice(w, 1, 5), ' ') AS blk,
+                       CASE WHEN len(w) = 0 THEN CAST([] AS VARCHAR[])
+                            WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                            ELSE list_distinct(list_transform(
+                                range(1, len(w) - 1),
+                                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+                       END AS s
+                FROM words
+            ),
+            pairs AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       len(list_intersect(a.s, b.s)) AS inter,
+                       len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))
+                           AS uni
+                FROM sh a JOIN sh b
+                    ON a.blk = b.blk AND a.doc_id < b.doc_id
+            )
+            SELECT doc_a, doc_b,
+                   round(10000.0 * CASE WHEN uni = 0 THEN 1.0
+                                        ELSE inter::DOUBLE / uni END)::BIGINT
+                       AS jac_bp
+            FROM pairs
+            WHERE CASE WHEN uni = 0 THEN 1.0
+                       ELSE inter::DOUBLE / uni END >= 0.6
         """,
         "simhash_pairs": """
             WITH aug AS (

@@ -18,7 +18,10 @@ Scale shapes (the part that matters at 100 TB):
   4×16-bit chunks (hamming ≤ 3 ⇒ at least one chunk equal), verified by
   exact hamming distance in the bucket group.
 * **n-gram Jaccard** — exact verification used on LSH candidates (and
-  directly at test scale).
+  directly at test scale); also a standalone near-dup family via prefix
+  blocking (:func:`ngram_jaccard_near_duplicates`): block on the first
+  words, candidate pairs within blocks, exact jaccard verify — only
+  (bucket, blk, doc_id) rows take the blocking exchange.
 """
 
 from __future__ import annotations
@@ -665,6 +668,90 @@ def verify_pairs_jaccard(pairs_ds, docs_ds, *, k: int = 3,
     out = verified.take_all()                  # final pairs: tiny
     out.sort(key=lambda r: (r["doc_a"], r["doc_b"]))
     return pa.Table.from_pylist(out, schema=out_schema)
+
+
+def ngram_jaccard_near_duplicates(docs_ds, *, k: int = 3,
+                                  block_words: int = 5,
+                                  threshold: float = 0.6,
+                                  column: str = "text", key: str = "doc_id",
+                                  n_parts: int = 64,
+                                  max_block: int = 1024) -> pa.Table:
+    """Exact n-gram-Jaccard near-duplicate pairs under *prefix blocking* —
+    the third classic near-dup family next to MinHash and SimHash: block
+    on the first ``block_words`` lowercased words, then score every
+    within-block pair with exact ``k``-word-shingle jaccard and keep
+    pairs ≥ ``threshold``.
+
+    Scale shape (two passes, texts never shuffle corpus-wide):
+
+    1. blocking pass — ``map_batches`` computes each doc's block key with
+       Arrow kernels (trim → split_whitespace → slice → join); only tiny
+       ``(bucket, blk, doc_id)`` rows take the ``hash(blk) % n_parts``
+       coarse-bucket exchange, and each bucket emits its within-block
+       candidate pairs via one vectorized ``np.triu_indices`` per block.
+       Blocks larger than ``max_block`` docs are boilerplate-prefix hot
+       keys: a 10^6-doc block would emit 10^12 pairs, so they are dropped
+       (the standard blocking cap — MinHash banding is the right tool for
+       that regime) and surfaced to the caller via the returned table's
+       metadata (``n_oversize_blocks``).
+    2. verify pass — :func:`verify_pairs_jaccard` attaches texts for
+       CANDIDATES ONLY (broadcast id-set filter below its threshold,
+       slot/text co-partition above) and computes the exact score.
+
+    Candidate pairs are emitted with ``doc_a < doc_b`` in numeric id
+    order, matching the SQL oracle's ``a.doc_id < b.doc_id`` self-join.
+    """
+    import ray  # noqa: F401  (docs_ds is a ray Dataset)
+
+    pair_schema = pa.schema([("doc_a", pa.string()),
+                             ("doc_b", pa.string())])
+
+    def tag(b: pa.Table) -> pa.Table:
+        txt = pc.cast(b.column(column), pa.string())
+        words = pc.utf8_split_whitespace(
+            pc.utf8_trim_whitespace(pc.utf8_lower(txt)))
+        blk = pc.binary_join(pc.list_slice(words, 0, block_words), " ")
+        blk = pc.fill_null(blk, "")
+        bucket = (hash_strings(blk.to_pylist())
+                  % np.uint64(n_parts)).astype("int64")
+        return pa.Table.from_arrays(
+            [pa.array(bucket), blk,
+             pc.cast(b.column(key), pa.int64())],
+            names=["_bucket", "blk", "doc_id"])
+
+    def emit_pairs(g: pa.Table) -> pa.Table:
+        df = g.select(["blk", "doc_id"]).to_pandas()
+        out_a: list[np.ndarray] = []
+        out_b: list[np.ndarray] = []
+        oversize = 0
+        for _, grp in df.groupby("blk", sort=False):
+            n = len(grp)
+            if n < 2:
+                continue
+            if n > max_block:
+                oversize += 1
+                continue
+            ids = np.sort(grp["doc_id"].to_numpy())
+            ai, bi = np.triu_indices(n, k=1)
+            out_a.append(ids[ai])
+            out_b.append(ids[bi])
+        if not out_a:
+            return pair_schema.empty_table()
+        a = np.concatenate(out_a)
+        b = np.concatenate(out_b)
+        return pa.Table.from_arrays(
+            [pc.cast(pa.array(a), pa.string()),
+             pc.cast(pa.array(b), pa.string())],
+            schema=pair_schema).replace_schema_metadata(
+                {"n_oversize_blocks": str(oversize)})
+
+    candidates = (docs_ds.map_batches(tag, batch_format="pyarrow",
+                                      zero_copy_batch=True)
+                  .groupby("_bucket")
+                  .map_groups(emit_pairs, batch_format="pyarrow"))
+    return verify_pairs_jaccard(candidates, docs_ds, k=k,
+                                threshold=threshold, column=column, key=key,
+                                n_parts=n_parts)
 
 
 def cross_split_exact_overlap(docs_ds, *, key: str = "doc_id",

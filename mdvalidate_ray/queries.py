@@ -994,6 +994,27 @@ def minhash_pairs(sf_dir: str):
         names=["doc_a", "doc_b", "jac_bp"])
 
 
+def jaccard_pairs(sf_dir: str):
+    """Standalone exact n-gram-Jaccard near-dup family (prefix blocking →
+    within-block candidates → exact 3-word-shingle jaccard ≥ 0.6).  The
+    DuckDB oracle recomputes the identical blocking self-join and shingle
+    jaccard in SQL, so precision AND recall of the blocked pair set are
+    both hash-checked (blocking is deterministic — no probabilistic
+    recall gap to adjudicate, unlike minhash banding)."""
+    from mdvalidate_ray.functions.dedup import ngram_jaccard_near_duplicates
+
+    docs = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+    verified = ngram_jaccard_near_duplicates(docs, k=3, block_words=5,
+                                             threshold=0.6)
+    a = pc.cast(verified.column("doc_a"), pa.int64())
+    b = pc.cast(verified.column("doc_b"), pa.int64())
+    return pa.Table.from_arrays(
+        [pc.min_element_wise(a, b), pc.max_element_wise(a, b),
+         pc.round(pc.multiply(verified.column("jaccard"), 10000.0),
+                  0, round_mode="half_towards_infinity").cast(pa.int64())],
+        names=["doc_a", "doc_b", "jac_bp"])
+
+
 def simhash_pairs(sf_dir: str):
     """SimHash near-dup pairs with md5-lower-64 token hashes — the hash
     DuckDB's ``md5_number_lower`` computes, so the oracle rebuilds the

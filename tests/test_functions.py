@@ -158,6 +158,39 @@ def test_minhash_finds_near_duplicates(ray_session, docs):
     assert recall >= 0.8, (recall, len(truth))
 
 
+def test_ngram_jaccard_prefix_blocking(ray_session):
+    """The standalone jaccard family: same-prefix high-jaccard pairs are
+    found (including the short-text <k single-shingle path), same-prefix
+    low-jaccard pairs are filtered by the threshold, and a boilerplate
+    block larger than ``max_block`` is dropped by the cap instead of
+    emitting O(B^2) pairs."""
+    import ray.data
+
+    from mdvalidate_ray.functions.dedup import ngram_jaccard_near_duplicates
+
+    prefix = "alpha beta gamma delta epsilon"
+    rows = [
+        {"doc_id": 1, "text": prefix + " zeta eta theta iota kappa"},
+        {"doc_id": 2, "text": prefix + " zeta eta theta iota kappa"},
+        {"doc_id": 3, "text": prefix + " " + " ".join(f"x{i}" for i in range(20))},
+        {"doc_id": 4, "text": prefix + " " + " ".join(f"y{i}" for i in range(20))},
+        {"doc_id": 5, "text": "lonely unique document with no block mate"},
+        {"doc_id": 6, "text": "hi there"},
+        {"doc_id": 7, "text": "hi there"},
+    ]
+    # 11 docs sharing a boilerplate prefix AND identical bodies: without
+    # the cap every one of the 55 pairs would pass the threshold
+    hot = "terms of service apply to everything below the fold"
+    rows += [{"doc_id": 100 + i, "text": hot} for i in range(11)]
+
+    ds = ray.data.from_arrow(pa.Table.from_pylist(rows))
+    verified = ngram_jaccard_near_duplicates(ds, threshold=0.8,
+                                             max_block=10, n_parts=8)
+    got = {(int(r["doc_a"]), int(r["doc_b"]), r["jaccard"])
+           for r in verified.to_pylist()}
+    assert got == {(1, 2, 1.0), (6, 7, 1.0)}
+
+
 def test_simhash_near_duplicates(ray_session, docs):
     from mdvalidate_ray.functions.dedup import simhash_near_duplicates
 
