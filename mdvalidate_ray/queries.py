@@ -942,10 +942,20 @@ def lang_pred_counts(sf_dir: str):
     re-derives it in SQL (regexp_split + list_filter) — the hash check
     pins every per-doc prediction, not just the counts' shape.  Counting
     is pre-combined per batch; only (lang, cnt) partials shuffle."""
+    import ray
+
     from mdvalidate_ray.functions.text import LanguageId
 
     docs = _read(sf_dir, "documents").select_columns(["text"])
-    out = docs.map_batches(LanguageId, concurrency=4,
+    # FIXED pool (no autoscale ramp), but capped at CPUs-2 like
+    # stages/validate.py: a fixed pool eagerly holds its CPUs while idle,
+    # so pool == cluster CPUs deadlocks the upstream read task on small
+    # clusters (observed: 4 actors on a 4-CPU test session starve
+    # ReadParquet forever — the pipeline never produces a block)
+    total = (int(ray.cluster_resources().get("CPU", 8))
+             if ray.is_initialized() else 8)
+    out = docs.map_batches(LanguageId,
+                           concurrency=min(4, max(1, total - 2)),
                            batch_format="pyarrow")
 
     def cnt(b: pa.Table) -> pa.Table:
