@@ -710,6 +710,28 @@ def test_html_block_is_opaque_span():
     assert any(v["kind"] == "node_type_mismatch" for v in r.violations)
 
 
+def test_entity_references_stay_literal():
+    """``&amp;`` / ``&#64;`` / ``&copy;`` are LITERAL text bytes on both
+    sides, never decoded: the reference's node taxonomy
+    (ts_types.rs:33–203) has no entity node kind, so entities flow
+    through TextualVsTextual as raw text — schema ``&amp;`` matches
+    input ``&amp;`` and does NOT match a decoded ``&``."""
+    from mdvalidate_ray.sources.markdown import markdown_to_spans
+
+    spans = markdown_to_spans("a &amp; b &#64; c &copy; d\n")
+    assert [s["kind"] for s in spans] == ["paragraph", "text"]
+    assert spans[1]["text"] == "a &amp; b &#64; c &copy; d"
+
+    same = _full("x &amp; y", "x &amp; y")
+    assert same.passed, same.violations
+    decoded = _full("x &amp; y", "x & y")
+    assert not decoded.passed
+    # matcher capture sees the raw entity bytes too
+    cap = _full("v: `val`", "v: &amp;&#64;")
+    assert cap.passed, cap.violations
+    assert cap.captures.get("val") == "&amp;&#64;"
+
+
 def test_hard_line_break_backslash_stripped():
     """A trailing backslash is a hard-break MARKER, not paragraph text:
     the break survives as the newline join, the backslash does not."""
