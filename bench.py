@@ -150,7 +150,8 @@ QUERY_NAMES = [
     "q6_forecast_revenue", "top_customers", "top_events", "events_daily",
     "events_asof_orders", "events_sliding", "user_sessions",
     "dedup_exact", "token_counts", "fingerprints",
-    "minhash_pairs", "simhash_pairs", "knn", "embedding_dups",
+    "minhash_pairs", "jaccard_pairs", "simhash_pairs", "knn",
+    "embedding_dups",
     "top_suppliers_per_nation", "supplier_moving_qty",
     "len_quantiles_by_source", "sample_strata_counts", "kmeans_clusters",
     "redact_digits", "mixture_counts", "contamination_pairs",

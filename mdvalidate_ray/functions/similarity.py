@@ -229,7 +229,7 @@ class _BlockPairScorer:
         return hit
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        rows = []
+        out_a, out_b, out_s = [], [], []
         for i, j in zip(batch.column("i").to_pylist(),
                         batch.column("j").to_pylist()):
             ka, va = self._block(i)
@@ -237,22 +237,33 @@ class _BlockPairScorer:
             if not len(ka) or not len(kb):
                 continue
             sims = va @ vb.T
-            if i == j:
-                xi, yi = np.triu_indices(len(ka), k=1)
-            else:
-                xi, yi = np.unravel_index(np.arange(sims.size), sims.shape)
-            mask = sims[xi, yi] >= self.threshold
-            for a, b, s in zip(ka[xi[mask]], kb[yi[mask]],
-                               sims[xi[mask], yi[mask]]):
-                rows.append({"key_a": int(min(a, b)),
-                             "key_b": int(max(a, b)), "cosine": float(s)})
-        return pa.Table.from_pylist(rows, schema=_PAIR_SCHEMA)
+            # boolean mask FIRST, indices from the (sparse) survivors —
+            # never materialize dense index arrays over the full matrix
+            mask = sims >= self.threshold
+            if i == j:                     # upper triangle only
+                mask &= (np.arange(len(kb))[None, :]
+                         > np.arange(len(ka))[:, None])
+            xi, yi = np.nonzero(mask)
+            if not len(xi):
+                continue
+            a, b = ka[xi], kb[yi]
+            out_a.append(np.minimum(a, b))
+            out_b.append(np.maximum(a, b))
+            out_s.append(sims[xi, yi])
+        if not out_a:
+            return _PAIR_SCHEMA.empty_table()
+        return pa.Table.from_arrays(
+            [pa.array(np.concatenate(out_a)),
+             pa.array(np.concatenate(out_b)),
+             pa.array(np.concatenate(out_s))],
+            schema=_PAIR_SCHEMA)
 
 
 def embedding_near_duplicates(ds, threshold: float = 0.95, *,
                               column: str = "embedding",
                               key: str = "vec_id",
-                              concurrency=(1, 8)) -> pa.Table:
+                              concurrency=(1, 8),
+                              max_block_rows: int = 4096) -> pa.Table:
     """All pairs with cosine ≥ threshold — EXACT, distributed.
 
     Block cross-join: the embeddings are normalized once per block
@@ -277,7 +288,18 @@ def embedding_near_duplicates(ds, threshold: float = 0.95, *,
 
     normalized = ds.map_batches(prep, batch_format="pyarrow",
                                 zero_copy_batch=True).materialize()
+    # per-pair score matrices are O(rows_i × rows_j) float64: re-block so
+    # no block exceeds ``max_block_rows`` (4096² ≈ 134 MB per matmul) —
+    # without this a single-block corpus (from_arrow, a fat parquet row
+    # group) makes ONE task allocate an n×n matrix (100k rows → 80 GB)
+    import math
+
+    total = normalized.count()
+    nb_target = max(1, math.ceil(total / max_block_rows))
     refs = normalized.to_arrow_refs()
+    if len(refs) < nb_target:
+        normalized = normalized.repartition(nb_target).materialize()
+        refs = normalized.to_arrow_refs()
     nb = len(refs)
     items = [{"i": i, "j": j} for i in range(nb) for j in range(i, nb)]
     refs_ref = ray.put(refs)
@@ -333,7 +355,8 @@ class _HyperplaneLSH:
 
 def embedding_near_duplicates_lsh(ds, threshold: float = 0.9, *,
                                   column: str = "embedding",
-                                  key: str = "vec_id", n_bits: int = 128,
+                                  key: str = "vec_id",
+                                  n_bits: int | None = None,
                                   bands: int = 8, max_bucket: int = 2000,
                                   n_parts: int = 32,
                                   concurrency=(1, 8)) -> pa.Table:
@@ -357,6 +380,17 @@ def embedding_near_duplicates_lsh(ds, threshold: float = 0.9, *,
     import pyarrow.compute as pc
 
     dim = len(ds.take(1)[0][column])
+    if n_bits is None:
+        # false-candidate volume is ~ n² · bands · E[p_pair^bits]: with
+        # FIXED bits it grows quadratically (measured: 9M random-collision
+        # candidates at 3×10^5 iid vectors with 16 bits/band).  Growing
+        # bits_per_band with log2(n) keeps the expected random-collision
+        # count ~linear in n; recall stays ~1 for pairs well above the
+        # threshold (the tight-threshold contract below) while pairs AT
+        # the threshold ride the usual LSH S-curve.
+        n_corpus = ds.count()
+        bits_pb = max(16, int(np.ceil(np.log2(max(n_corpus, 2)))) + 2)
+        n_bits = bands * bits_pb
     pair_schema = pa.schema([("key_a", pa.int64()), ("key_b", pa.int64()),
                              ("cosine", pa.float64())])
 
@@ -443,21 +477,20 @@ def embedding_near_duplicates_lsh(ds, threshold: float = 0.9, *,
             keep[1:] = (a[1:] != a[:-1]) | (c[1:] != c[:-1])
         return s.filter(pa.array(keep))
 
-    cand = candidates.map_batches(tag_pair, batch_format="pyarrow",
-                                  zero_copy_batch=True) \
-                     .groupby("_cb").map_groups(distinct_pairs,
-                                                batch_format="pyarrow") \
-                     .take_all()           # candidate pairs only: small
-    if not cand:
+    cand_m = candidates.map_batches(tag_pair, batch_format="pyarrow",
+                                    zero_copy_batch=True) \
+                       .groupby("_cb").map_groups(distinct_pairs,
+                                                  batch_format="pyarrow") \
+                       .materialize()      # candidate pairs only: small
+    cand_blocks = [t for t in (ray.get(r) for r in cand_m.to_arrow_refs())
+                   if t.num_rows]         # empty blocks lose their schema
+    if not cand_blocks:
         return pair_schema.empty_table()
-    ka = np.array([r["key_a"] for r in cand], dtype=np.int64)
-    kb = np.array([r["key_b"] for r in cand], dtype=np.int64)
-
-    # Exact verification: re-read only the candidate keys' vectors
-    # (distributed filter against a broadcast sorted key array), then one
-    # driver-side float64 gather + row-wise dot.  The collected set is
-    # O(candidates), not O(corpus).
-    need = np.unique(np.concatenate([ka, kb]))
+    # only the KEY columns touch the driver (16 B/pair); vectors and the
+    # per-pair cosine math never do
+    need = np.unique(np.concatenate(
+        [t.column(c).to_numpy(zero_copy_only=False)
+         for t in cand_blocks for c in ("key_a", "key_b")]))
     need_ref = ray.put(need)
 
     def pick(b: pa.Table) -> pa.Table:
@@ -478,20 +511,47 @@ def embedding_near_duplicates_lsh(ds, threshold: float = 0.9, *,
                       pa.binary())],
             names=["key", "vec"])
 
-    got = ds.map_batches(pick, batch_format="pyarrow",
-                         zero_copy_batch=True).take_all()
-    vec_by_key = {r["key"]: np.frombuffer(r["vec"], dtype=np.float64)
-                  for r in got}
-    va = np.stack([vec_by_key[k] for k in ka.tolist()])
-    vb = np.stack([vec_by_key[k] for k in kb.tolist()])
-    sims = (va * vb).sum(axis=1)
-    keep = sims >= threshold
-    lo = np.minimum(ka[keep], kb[keep])
-    hi = np.maximum(ka[keep], kb[keep])
+    got_m = ds.map_batches(pick, batch_format="pyarrow",
+                           zero_copy_batch=True).materialize()
+    got_blocks = [t for t in (ray.get(r) for r in got_m.to_arrow_refs())
+                  if t.num_rows]
+    if not got_blocks:
+        return pair_schema.empty_table()
+    got_tbl = pa.concat_tables(got_blocks)
+    # ONE contiguous (n_candidate_keys, dim) matrix, key-sorted, broadcast
+    # once — the candidate-key working set is O(candidates), not O(corpus)
+    gk = got_tbl.column("key").to_numpy(zero_copy_only=False)
+    raw = b"".join(got_tbl.column("vec").to_pylist())
+    mat = np.frombuffer(raw, dtype=np.float64).reshape(len(gk), -1)
+    order = np.argsort(gk, kind="stable")
+    bundle_ref = ray.put((gk[order], np.ascontiguousarray(mat[order])))
+
+    # DISTRIBUTED verify: each candidate block gathers its two vector
+    # sides by searchsorted probe into the broadcast matrix and scores
+    # them in one einsum.  (A driver-side gather paid two O(candidates ×
+    # dim) fresh allocations — ~18 s at 10^5 vectors / 10^6 candidates on
+    # this host; per-block worker gathers are both parallel and small.)
+    def score(b: pa.Table) -> pa.Table:
+        gk_s, m = ray.get(bundle_ref)      # zero-copy plasma read
+        a = b.column("key_a").to_numpy(zero_copy_only=False)
+        c = b.column("key_b").to_numpy(zero_copy_only=False)
+        sims = np.einsum("ij,ij->i", m[np.searchsorted(gk_s, a)],
+                         m[np.searchsorted(gk_s, c)])
+        keep = sims >= threshold
+        return pa.Table.from_arrays(
+            [pa.array(np.minimum(a[keep], c[keep])),
+             pa.array(np.maximum(a[keep], c[keep])),
+             pa.array(sims[keep])],
+            schema=pair_schema)
+
+    out = cand_m.map_batches(score, batch_format="pyarrow",
+                             zero_copy_batch=True).take_all()
+    lo = np.array([r["key_a"] for r in out], dtype=np.int64)
+    hi = np.array([r["key_b"] for r in out], dtype=np.int64)
+    sims = np.array([r["cosine"] for r in out], dtype=np.float64)
     order = np.lexsort((hi, lo))
     return pa.Table.from_arrays(
-        [pa.array(lo[order]), pa.array(hi[order]),
-         pa.array(sims[keep][order])],
+        [pa.array(lo[order]), pa.array(hi[order]), pa.array(sims[order])],
         schema=pair_schema)
 
 
