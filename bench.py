@@ -163,6 +163,14 @@ QUERY_NAMES = [
     "user_running_total", "length_ntile", "doc_chunks",
     "user_value_deltas", "funnel", "retention", "embedding_int8",
     "normalized_docs", "lineitem_profile",
+    # full-catalog coverage (validate_verdicts/violations are the
+    # headline pipeline itself and are timed there)
+    "orphan_events", "dangling_parts", "dangling_media",
+    "distinct_sources", "part_type_stats", "props_k_stats",
+    "stats_by_source", "quality", "quality_filter_counts",
+    "lang_pred_counts", "split_counts", "top_words",
+    "drift_by_lang", "drift_tdigest", "knn_ivf",
+    "media_decode", "media_frames",
 ]
 
 
