@@ -122,6 +122,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # multimodal plumbing
         "media_decode": Q.media_decode,
         "media_frames": Q.media_frames,
+        # grouped-aggregate / report shaping / anomaly
+        "mode_event_per_user": Q.mode_event_per_user,
+        "event_entropy_daily": Q.event_entropy_daily,
+        "nation_suppliers": Q.nation_suppliers,
+        "qty_outliers": Q.qty_outliers,
+        "fingerprint_spread": Q.fingerprint_spread,
+        "neardup_purge": Q.neardup_purge,
     }
 
 
@@ -959,5 +966,114 @@ def oracle_sql() -> dict[str, str]:
                          * 1000)::BIGINT AS cosine_m
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45
+        """,
+        "mode_event_per_user": """
+            SELECT user_id, event_type AS mode_event, cnt FROM (
+                SELECT user_id, event_type, count(*)::BIGINT AS cnt,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY count(*) DESC,
+                                                   event_type) AS rn
+                FROM events GROUP BY user_id, event_type
+            ) WHERE rn = 1
+        """,
+        "event_entropy_daily": """
+            WITH c AS (
+                SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+                       count(*)::DOUBLE AS c
+                FROM events GROUP BY 1, 2
+            ),
+            n AS (SELECT day, sum(c) AS n FROM c GROUP BY 1)
+            SELECT c.day,
+                   round(-sum((c.c / n.n) * log2(c.c / n.n))
+                         * 10000)::BIGINT AS entropy_e4
+            FROM c JOIN n USING (day) GROUP BY c.day
+        """,
+        "nation_suppliers": """
+            SELECT s_nationkey,
+                   string_agg(s_name, ',' ORDER BY s_name) AS roster
+            FROM supplier GROUP BY 1
+        """,
+        "qty_outliers": """
+            WITH q AS (
+                SELECT l_returnflag,
+                       quantile_cont(l_quantity, 0.25) AS q1,
+                       quantile_cont(l_quantity, 0.75) AS q3
+                FROM lineitem GROUP BY 1
+            )
+            SELECT l.l_returnflag,
+                   coalesce(sum(CASE WHEN l.l_quantity
+                                          < q.q1 - 1.5 * (q.q3 - q.q1)
+                                      OR l.l_quantity
+                                          > q.q3 + 1.5 * (q.q3 - q.q1)
+                                     THEN 1 ELSE 0 END), 0)::BIGINT
+                       AS n_outliers,
+                   count(*)::BIGINT AS n_rows
+            FROM lineitem l JOIN q USING (l_returnflag)
+            GROUP BY 1
+        """,
+        "fingerprint_spread": """
+            WITH fs AS (
+                SELECT DISTINCT md5(array_to_string(list_slice(
+                           list_filter(string_split_regex(
+                               lower(coalesce(text, '')), '\\s+'),
+                               x -> x <> ''), 1, 5), ' ')) AS fp,
+                       source
+                FROM documents
+            ),
+            c AS (SELECT fp, count(*)::BIGINT AS n_sources
+                  FROM fs GROUP BY 1)
+            SELECT n_sources, count(*)::BIGINT AS n_fps
+            FROM c GROUP BY 1
+        """,
+        "neardup_purge": """
+            WITH RECURSIVE aug AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 1000000, text FROM documents
+                WHERE doc_id % 10 = 0
+            ),
+            words AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(text), '\\s+'),
+                                   x -> x <> '') AS w
+                FROM aug
+            ),
+            sh AS MATERIALIZED (
+                SELECT doc_id,
+                       CASE WHEN len(w) = 0 THEN CAST([] AS VARCHAR[])
+                            WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                            ELSE list_distinct(list_transform(
+                                range(1, len(w) - 1),
+                                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+                       END AS s
+                FROM words
+            ),
+            pairs AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       len(list_intersect(a.s, b.s)) AS inter,
+                       len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))
+                           AS uni
+                FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            ),
+            dup AS MATERIALIZED (
+                SELECT doc_a, doc_b FROM pairs
+                WHERE CASE WHEN uni = 0 THEN 1.0
+                           ELSE inter::DOUBLE / uni END >= 0.9
+            ),
+            e AS (
+                SELECT doc_a AS u, doc_b AS v FROM dup
+                UNION ALL
+                SELECT doc_b, doc_a FROM dup
+            ),
+            reach(node, r) AS (
+                SELECT u, u FROM (SELECT DISTINCT u FROM e) t
+                UNION
+                SELECT reach.node, e.v FROM reach JOIN e ON e.u = reach.r
+            ),
+            lab AS (SELECT node, min(r) AS component
+                    FROM reach GROUP BY node)
+            SELECT doc_id FROM aug
+            WHERE doc_id NOT IN
+                (SELECT node FROM lab WHERE node <> component)
         """,
     }

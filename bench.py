@@ -171,6 +171,8 @@ QUERY_NAMES = [
     "lang_pred_counts", "split_counts", "top_words",
     "drift_by_lang", "drift_tdigest", "knn_ivf",
     "media_decode", "media_frames",
+    "mode_event_per_user", "event_entropy_daily", "nation_suppliers",
+    "qty_outliers", "fingerprint_spread", "neardup_purge",
 ]
 
 

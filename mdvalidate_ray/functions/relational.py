@@ -1223,3 +1223,163 @@ def cohort_retention(ds, *, key: str, time_col: str, type_col: str,
              b.column("sum(n_users)").cast(pa.int64())],
             names=["cohort", "day_offset", "n_users"]),
         batch_format="pyarrow")
+
+
+def _group_value_count_partials(ds, group_col: str, value_col: str,
+                                n_parts: int):
+    """Shared front half of :func:`group_mode` / :func:`group_entropy`:
+    per-batch ``(group, value) → count`` combiner (a hot group/value pair
+    contributes ONE row per batch to the exchange) tagged with
+    ``hash(group) % n_parts`` so a group's partials meet in one bucket."""
+    from mdvalidate_ray.functions.window import _bucket_of
+
+    def pre(b: pa.Table) -> pa.Table:
+        sel = b.select([group_col, value_col])
+        sel = sel.append_column(
+            "_c", pa.array(np.ones(sel.num_rows, dtype=np.int64)))
+        g = pa.TableGroupBy(sel, [group_col, value_col]).aggregate(
+            [("_c", "sum")])
+        g = g.rename_columns([group_col, value_col, "_c"])
+        return g.append_column(
+            "_bucket", _bucket_of(g.column(group_col), n_parts))
+
+    return ds.map_batches(pre, batch_format="pyarrow",
+                          zero_copy_batch=True).groupby("_bucket")
+
+
+def _fold_group_value_counts(g: pa.Table, group_col: str,
+                             value_col: str) -> pa.Table:
+    """In-bucket exact fold of (group, value, _c) partials, returned
+    sorted by (group, value) so downstream float folds are order-stable."""
+    g = g.drop_columns(["_bucket"])
+    agg = pa.TableGroupBy(g, [group_col, value_col]).aggregate(
+        [("_c", "sum")])
+    agg = agg.rename_columns([group_col, value_col, "_c"])
+    return agg.take(pc.sort_indices(
+        agg, sort_keys=[(group_col, "ascending"),
+                        (value_col, "ascending")]))
+
+
+def group_mode(ds, *, group_col: str, value_col: str,
+               out_col: str = "mode_value", cnt_col: str = "cnt",
+               n_parts: int = 32):
+    """Most frequent ``value_col`` per ``group_col`` (the MODE aggregate)
+    with a deterministic tie-break: on equal counts the SMALLEST value
+    wins — exactly ``row_number() OVER (PARTITION BY g ORDER BY count(*)
+    DESC, v) = 1`` in SQL.
+
+    Scale shape: per-batch (group, value) count combiner → ONE coarse
+    ``hash(group) % n_parts`` exchange of partial-count rows → vectorized
+    in-bucket fold + per-group argmax (sort by (group, -cnt, value), take
+    each group's first row via an adjacent-inequality boundary mask).
+    Group calls are bounded by ``n_parts``; a hot group costs one partial
+    row per (batch, distinct value), never a raw-row shuffle."""
+    grouped = _group_value_count_partials(ds, group_col, value_col, n_parts)
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["_bucket"])
+        agg = pa.TableGroupBy(g, [group_col, value_col]).aggregate(
+            [("_c", "sum")])
+        agg = agg.rename_columns([group_col, value_col, "_c"])
+        agg = agg.take(pc.sort_indices(
+            agg, sort_keys=[(group_col, "ascending"),
+                            ("_c", "descending"),
+                            (value_col, "ascending")]))
+        keys = agg.column(group_col).combine_chunks()
+        if len(keys) == 0:
+            first = np.zeros(0, dtype=np.int64)
+        else:
+            neq = pc.not_equal(keys.slice(1), keys.slice(0, len(keys) - 1))
+            first = np.flatnonzero(
+                np.concatenate([[True],
+                                np.asarray(neq, dtype=bool)]))
+        out = agg.take(pa.array(first))
+        return out.rename_columns([group_col, out_col, cnt_col])
+
+    return grouped.map_groups(per_bucket, batch_format="pyarrow")
+
+
+def group_entropy(ds, *, group_col: str, value_col: str,
+                  out_col: str = "entropy_e4", n_parts: int = 32):
+    """Shannon entropy (log2) of the ``value_col`` distribution per
+    ``group_col``, scaled ×10000 and rounded half-away-from-zero to
+    int64 so the value-hash compare is float-order-proof.  Semantics:
+    ``-Σ (c/n)·log2(c/n)`` over each group's exact value counts — the
+    explicit-SQL form of DuckDB's ``entropy()`` aggregate.
+
+    Same scale shape as :func:`group_mode`: count partials pre-combine in
+    every batch, ONE coarse exchange, and the entropy fold inside the
+    bucket is pure numpy over the folded counts (``np.add.reduceat`` on
+    group boundaries — no per-group Python).  Terms sum in sorted
+    (group, value) order, so the double result is deterministic."""
+    grouped = _group_value_count_partials(ds, group_col, value_col, n_parts)
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        agg = _fold_group_value_counts(g, group_col, value_col)
+        keys = agg.column(group_col).combine_chunks()
+        if len(keys) == 0:
+            return pa.Table.from_arrays(
+                [pa.array([], keys.type), pa.array([], pa.int64())],
+                names=[group_col, out_col])
+        neq = pc.not_equal(keys.slice(1), keys.slice(0, len(keys) - 1))
+        starts = np.flatnonzero(
+            np.concatenate([[True], np.asarray(neq, dtype=bool)]))
+        c = np.asarray(agg.column("_c").combine_chunks(),
+                       dtype=np.float64)
+        n = np.add.reduceat(c, starts)
+        clogc = np.add.reduceat(c * np.log2(c), starts)
+        ent = np.log2(n) - clogc / n
+        e4 = np.floor(ent * 10000.0 + 0.5)  # ent >= 0: half away = +0.5
+        return pa.Table.from_arrays(
+            [keys.take(pa.array(starts)),
+             pa.array(e4.astype(np.int64))],
+            names=[group_col, out_col])
+
+    return grouped.map_groups(per_bucket, batch_format="pyarrow")
+
+
+def group_concat(ds, *, group_col: str, value_col: str,
+                 out_col: str = "joined", sep: str = ",",
+                 n_parts: int = 8):
+    """Ordered ``string_agg(value, sep ORDER BY value)`` per group — the
+    report-shaping aggregate (group → joined member list).
+
+    One coarse ``hash(group) % n_parts`` exchange of the two pruned
+    columns co-locates each group; inside a bucket rows sort once by
+    (group, value) and the join itself walks group slices (Python calls
+    = groups in the bucket, not rows).  For the low-cardinality strata
+    case (nations, sources, langs) — a group's members must fit in one
+    bucket, the same contract as
+    :func:`mdvalidate_ray.functions.window.group_quantiles`."""
+    from mdvalidate_ray.functions.window import _bucket_of
+
+    def tag(b: pa.Table) -> pa.Table:
+        b = b.select([group_col, value_col])
+        return b.append_column(
+            "_bucket", _bucket_of(b.column(group_col), n_parts))
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["_bucket"])
+        g = g.take(pc.sort_indices(
+            g, sort_keys=[(group_col, "ascending"),
+                          (value_col, "ascending")]))
+        keys = g.column(group_col).combine_chunks()
+        if len(keys) == 0:
+            return pa.Table.from_arrays(
+                [pa.array([], keys.type), pa.array([], pa.string())],
+                names=[group_col, out_col])
+        neq = pc.not_equal(keys.slice(1), keys.slice(0, len(keys) - 1))
+        bounds = np.flatnonzero(
+            np.concatenate([[True], np.asarray(neq, dtype=bool)]))
+        vals = ["" if v is None else str(v)
+                for v in g.column(value_col).to_pylist()]
+        ends = np.append(bounds[1:], len(vals))
+        joined = [sep.join(vals[s:e]) for s, e in zip(bounds, ends)]
+        return pa.Table.from_arrays(
+            [keys.take(pa.array(bounds)), pa.array(joined, pa.string())],
+            names=[group_col, out_col])
+
+    return ds.map_batches(tag, batch_format="pyarrow",
+                          zero_copy_batch=True) \
+             .groupby("_bucket").map_groups(per_bucket,
+                                            batch_format="pyarrow")

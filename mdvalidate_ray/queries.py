@@ -2055,3 +2055,199 @@ def lineitem_profile(sf_dir: str):
          pc.cast(pc.round(prof.column("max_val")), pa.int64()),
          pc.cast(pc.round(prof.column("sum_val")), pa.int64())],
         names=["column", "n_rows", "n_null", "min_v", "max_v", "sum_v"])
+
+
+def mode_event_per_user(sf_dir: str):
+    """Per-user modal event type — the grouped MODE aggregate via
+    :func:`~mdvalidate_ray.functions.relational.group_mode` (count
+    pre-combine → one coarse exchange → vectorized in-bucket argmax;
+    ties break to the lexicographically smallest event type, matching
+    ``row_number() OVER (ORDER BY count(*) DESC, event_type)``)."""
+    from mdvalidate_ray.functions.relational import group_mode
+
+    ev = _read(sf_dir, "events").select_columns(["user_id", "event_type"])
+    out = group_mode(ev, group_col="user_id", value_col="event_type",
+                     out_col="mode_event", cnt_col="cnt")
+    return out.map_batches(
+        lambda b: b.set_column(0, "user_id",
+                               b.column("user_id").cast(pa.int64())),
+        batch_format="pyarrow")
+
+
+def event_entropy_daily(sf_dir: str):
+    """Per-day Shannon entropy (log2, ×10000 as int64) of the event-type
+    mix — the drift-style distribution summary, computed exactly from
+    per-day value counts via
+    :func:`~mdvalidate_ray.functions.relational.group_entropy`."""
+    from mdvalidate_ray.functions.relational import group_entropy
+
+    ev = _read(sf_dir, "events").select_columns(["ts", "event_type"])
+
+    def day_pairs(b: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [pc.strftime(b.column("ts"), format="%Y-%m-%d"),
+             b.column("event_type")],
+            names=["day", "event_type"])
+
+    pairs = ev.map_batches(day_pairs, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    return group_entropy(pairs, group_col="day", value_col="event_type",
+                         out_col="entropy_e4")
+
+
+def nation_suppliers(sf_dir: str):
+    """Per-nation ordered supplier roster — ``string_agg(s_name, ','
+    ORDER BY s_name)`` via
+    :func:`~mdvalidate_ray.functions.relational.group_concat` (pruned
+    two-column exchange, group calls bounded by the bucket count)."""
+    from mdvalidate_ray.functions.relational import group_concat
+
+    sup = _read(sf_dir, "supplier").select_columns(
+        ["s_nationkey", "s_name"])
+    out = group_concat(sup, group_col="s_nationkey", value_col="s_name",
+                       out_col="roster")
+    return out.map_batches(
+        lambda b: b.set_column(0, "s_nationkey",
+                               b.column("s_nationkey").cast(pa.int64())),
+        batch_format="pyarrow")
+
+
+def qty_outliers(sf_dir: str):
+    """Per-returnflag Tukey-fence outlier counts over ``l_quantity``:
+    exact grouped quartiles (quantile_cont parity) → 1.5×IQR bounds
+    broadcast to a streaming counting pass (pre-combined per batch, one
+    tiny fold) — the classic distribution-anomaly constraint."""
+    import numpy as np
+    import ray
+
+    from mdvalidate_ray.functions.relational import bucketed_group_sum
+    from mdvalidate_ray.functions.window import group_quantiles
+
+    li = _read(sf_dir, "lineitem").select_columns(
+        ["l_returnflag", "l_quantity"])
+    qrows = group_quantiles(li, group_key="l_returnflag",
+                            value_col="l_quantity",
+                            qs=[0.25, 0.75]).take_all()   # groups × 2 rows
+    by_flag: dict = {}
+    for r in qrows:
+        by_flag.setdefault(r["l_returnflag"], {})[r["q"]] = r["q_value"]
+    bounds = {}
+    for flag, qs in by_flag.items():
+        q1, q3 = qs[0.25], qs[0.75]
+        iqr = q3 - q1
+        bounds[flag] = (q1 - 1.5 * iqr, q3 + 1.5 * iqr)
+    ref = ray.put(bounds)
+
+    def part(b: pa.Table) -> pa.Table:
+        bd = ray.get(ref)
+        flags = b.column("l_returnflag")
+        flags = flags.combine_chunks() if isinstance(
+            flags, pa.ChunkedArray) else flags
+        enc = flags.dictionary_encode()
+        codes = np.asarray(enc.indices).astype(np.int64)
+        lo = np.asarray([bd[str(f)][0] for f in enc.dictionary])
+        hi = np.asarray([bd[str(f)][1] for f in enc.dictionary])
+        x = np.asarray(b.column("l_quantity").to_pandas(),
+                       dtype=np.float64)
+        out_mask = (x < lo[codes]) | (x > hi[codes])
+        n = len(enc.dictionary)
+        n_out = np.bincount(codes[out_mask], minlength=n).astype(np.int64)
+        n_rows = np.bincount(codes, minlength=n).astype(np.int64)
+        return pa.Table.from_arrays(
+            [enc.dictionary, pa.array(n_out), pa.array(n_rows)],
+            names=["l_returnflag", "n_outliers", "n_rows"])
+
+    partials = li.map_batches(part, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    return bucketed_group_sum(partials, key="l_returnflag",
+                              sum_cols=["n_outliers", "n_rows"], n_parts=4)
+
+
+def fingerprint_spread(sf_dir: str):
+    """Cross-source content overlap histogram: for each 5-word-prefix
+    block fingerprint (the same blocking key the n-gram-jaccard family
+    uses), how many DISTINCT sources carry it, histogrammed as
+    (n_sources, n_fps).  Composition of the skew-proof count-distinct
+    (in-batch pair dedup, pair-hash co-partition) with a tiny count
+    fold — the "is this content syndicated across sources?" signal."""
+    import hashlib
+    import re
+
+    import numpy as np
+
+    from mdvalidate_ray.functions.relational import (bucketed_group_sum,
+                                                     group_count_distinct)
+
+    docs = _read(sf_dir, "documents").select_columns(["text", "source"])
+    ws = re.compile(r"\s+")
+
+    def fp_pairs(b: pa.Table) -> pa.Table:
+        fps = []
+        for t in b.column("text").to_pylist():
+            words = [w for w in ws.split((t or "").lower()) if w]
+            fps.append(hashlib.md5(" ".join(words[:5]).encode())
+                       .hexdigest())
+        return pa.Table.from_arrays(
+            [pa.array(fps, pa.string()), b.column("source")],
+            names=["fp", "source"])
+
+    pairs = docs.map_batches(fp_pairs, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    per_fp = group_count_distinct(pairs, group_col="fp",
+                                  distinct_col="source",
+                                  out_name="n_sources")
+
+    def hist(b: pa.Table) -> pa.Table:
+        ns = np.asarray(b.column("n_sources").to_pandas(), dtype=np.int64)
+        vals, cnts = np.unique(ns, return_counts=True)
+        return pa.Table.from_arrays(
+            [pa.array(vals.astype(np.int64)),
+             pa.array(cnts.astype(np.int64))],
+            names=["n_sources", "n_fps"])
+
+    partials = per_fp.map_batches(hist, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+    return bucketed_group_sum(partials, key="n_sources",
+                              sum_cols=["n_fps"], n_parts=2)
+
+
+def neardup_purge(sf_dir: str):
+    """END-TO-END near-dedup: MinHash+LSH candidates → exact-jaccard
+    verify (≥0.9) → connected components over the verified pairs →
+    purge everything but each cluster's min-id representative.  The
+    full training-data dedup pipeline in one query; the oracle rebuilds
+    the identical pair set in SQL and resolves clusters with a
+    recursive-CTE transitive closure."""
+    import numpy as np
+    import ray
+    import ray.data
+
+    from mdvalidate_ray.functions.dedup import (connected_components,
+                                                minhash_near_duplicates,
+                                                verify_pairs_jaccard)
+
+    docs = _augmented_docs(sf_dir).materialize()
+    candidates = minhash_near_duplicates(docs, threshold=0.9,
+                                         verify="none", dedup=False)
+    verified = verify_pairs_jaccard(candidates, docs, threshold=0.9)
+    if isinstance(verified, pa.Table):
+        verified = ray.data.from_arrow(verified.select(["doc_a", "doc_b"]))
+    comp = connected_components(verified, col_a="doc_a", col_b="doc_b")
+    node = np.asarray(comp.column(0), dtype=np.int64)
+    label = np.asarray(comp.column(1), dtype=np.int64)
+    drop_ref = ray.put(np.sort(node[node != label]))
+
+    def keep(b: pa.Table) -> pa.Table:
+        d = ray.get(drop_ref)
+        ids = np.asarray(b.column("doc_id").to_pandas(), dtype=np.int64)
+        if len(d) == 0:
+            keep_mask = np.ones(len(ids), dtype=bool)
+        else:
+            pos = np.searchsorted(d, ids)
+            hit = (pos < len(d)) & (d[np.minimum(pos, len(d) - 1)] == ids)
+            keep_mask = ~hit
+        return pa.Table.from_arrays(
+            [pa.array(ids[keep_mask])], names=["doc_id"])
+
+    return docs.map_batches(keep, batch_format="pyarrow",
+                            zero_copy_batch=True)

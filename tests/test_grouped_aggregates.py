@@ -1,0 +1,110 @@
+"""Tests for the grouped-aggregate helpers added for the report-shaping
+query family: group_mode, group_entropy, group_concat — plus the
+end-to-end neardup_purge semantics (pairs → components → representative
+keep) on a synthetic chained-duplicate corpus."""
+
+import math
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _tbl(rows, names):
+    cols = list(zip(*rows)) if rows else [[] for _ in names]
+    return pa.Table.from_arrays([pa.array(list(c)) for c in cols],
+                                names=names)
+
+
+@pytest.mark.parametrize("blocks", [1, 5])
+def test_group_mode_counts_and_ties(ray_session, blocks):
+    import ray.data
+
+    from mdvalidate_ray.functions.relational import group_mode
+
+    rows = (
+        [("u1", "click")] * 3 + [("u1", "view")] * 5 +
+        # u2: tie 2-2 → lexicographically smaller value wins
+        [("u2", "buy")] * 2 + [("u2", "add")] * 2 +
+        [("u3", "view")]
+    )
+    ds = ray.data.from_arrow(_tbl(rows, ["u", "e"])).repartition(blocks)
+    got = {r["u"]: (r["mode_value"], r["cnt"])
+           for r in group_mode(ds, group_col="u",
+                               value_col="e").take_all()}
+    assert got == {"u1": ("view", 5), "u2": ("add", 2), "u3": ("view", 1)}
+
+
+@pytest.mark.parametrize("blocks", [1, 4])
+def test_group_entropy_known_distributions(ray_session, blocks):
+    import ray.data
+
+    from mdvalidate_ray.functions.relational import group_entropy
+
+    rows = (
+        # g1: uniform over 4 values → exactly 2 bits → 20000
+        [("g1", v) for v in ["a", "b", "c", "d"] * 3] +
+        # g2: single value → 0 bits
+        [("g2", "x")] * 7 +
+        # g3: p = (3/4, 1/4) → 0.811278... bits → 8113
+        [("g3", "y")] * 3 + [("g3", "z")]
+    )
+    ds = ray.data.from_arrow(_tbl(rows, ["g", "v"])).repartition(blocks)
+    got = {r["g"]: r["entropy_e4"]
+           for r in group_entropy(ds, group_col="g",
+                                  value_col="v").take_all()}
+    p = np.array([0.75, 0.25])
+    want_g3 = int(math.floor(-np.sum(p * np.log2(p)) * 10000 + 0.5))
+    assert got == {"g1": 20000, "g2": 0, "g3": want_g3}
+
+
+@pytest.mark.parametrize("blocks", [1, 3])
+def test_group_concat_orders_within_group(ray_session, blocks):
+    import ray.data
+
+    from mdvalidate_ray.functions.relational import group_concat
+
+    rows = [("n1", "zeta"), ("n1", "alpha"), ("n1", "mid"),
+            ("n2", "solo"), ("n3", "b"), ("n3", "a")]
+    ds = ray.data.from_arrow(_tbl(rows, ["n", "s"])).repartition(blocks)
+    got = {r["n"]: r["joined"]
+           for r in group_concat(ds, group_col="n",
+                                 value_col="s").take_all()}
+    assert got == {"n1": "alpha,mid,zeta", "n2": "solo", "n3": "a,b"}
+
+
+def test_neardup_chain_keeps_one_representative(ray_session):
+    """A~B and B~C near-dup pairs (A~C never emitted) must still purge
+    down to the single min-id representative — the connected-components
+    step of the neardup_purge pipeline."""
+    import ray.data
+
+    from mdvalidate_ray.functions.dedup import (connected_components,
+                                                minhash_near_duplicates,
+                                                verify_pairs_jaccard)
+
+    base = ("the quick brown fox jumps over the lazy dog again and again "
+            "and keeps running through the quiet green field all day")
+    b = base.replace("quiet", "calm")           # near-dup of base
+    c = b.replace("lazy", "sleepy")             # near-dup of b
+    far = "completely unrelated text about matrix multiplication kernels"
+    tbl = pa.Table.from_arrays(
+        [pa.array([10, 11, 12, 13], pa.int64()),
+         pa.array([base, b, c, far], pa.string())],
+        names=["doc_id", "text"])
+    docs = ray.data.from_arrow(tbl).materialize()
+    cand = minhash_near_duplicates(docs, threshold=0.7, verify="none",
+                                   dedup=False)
+    verified = verify_pairs_jaccard(cand, docs, threshold=0.7)
+    assert isinstance(verified, pa.Table)
+    pairs = {(int(a), int(bb)) for a, bb in
+             zip(verified.column("doc_a").to_pylist(),
+                 verified.column("doc_b").to_pylist())}
+    assert (10, 11) in pairs and (11, 12) in pairs
+    comp = connected_components(
+        ray.data.from_arrow(verified.select(["doc_a", "doc_b"])),
+        col_a="doc_a", col_b="doc_b")
+    labels = dict(zip(comp.column(0).to_pylist(),
+                      comp.column(1).to_pylist()))
+    assert labels[10] == labels[11] == labels[12] == 10
+    assert 13 not in labels
