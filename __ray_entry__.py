@@ -129,6 +129,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "qty_outliers": Q.qty_outliers,
         "fingerprint_spread": Q.fingerprint_spread,
         "neardup_purge": Q.neardup_purge,
+        "q4_priority_exists": Q.q4_priority_exists,
+        "q10_returned_revenue": Q.q10_returned_revenue,
     }
 
 
@@ -966,6 +968,26 @@ def oracle_sql() -> dict[str, str]:
                          * 1000)::BIGINT AS cosine_m
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45
+        """,
+        "q4_priority_exists": """
+            SELECT o_orderpriority, count(*)::BIGINT AS n_orders
+            FROM orders
+            WHERE EXISTS (SELECT 1 FROM lineitem
+                          WHERE l_orderkey = o_orderkey
+                            AND l_discount > 0.05)
+            GROUP BY 1
+        """,
+        "q10_returned_revenue": """
+            SELECT o_custkey, c_name,
+                   sum(round(l_extendedprice * (1 - l_discount)
+                             * 100))::BIGINT AS rev_c100
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE l_returnflag = 'R'
+            GROUP BY 1, 2
+            ORDER BY 3 DESC, o_custkey
+            LIMIT 20
         """,
         "mode_event_per_user": """
             SELECT user_id, event_type AS mode_event, cnt FROM (

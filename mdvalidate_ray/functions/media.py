@@ -11,6 +11,10 @@ everything below is pure Python + stdlib ``zlib``/``struct`` + numpy):
   bottom-up padded rows.
 * **WAV** — real encode/decode: RIFF/WAVE PCM16; dims map to
   (n_samples, n_channels).
+* **GIF** — real encode/decode incl. ANIMATION: GIF89a, global/local
+  8-bit palettes, genuine LZW (width growth + 4096 reset), one frame
+  stack per file — the real multi-frame payload behind the 1→N
+  frame-sample fan-out.
 * **JPEG / MP4** — genuinely stubbed behind ``NotImplementedError`` (a
   DCT/container codec is out of scope without libraries); the synth
   generator emits the deterministic fake format for those mimes so the
@@ -146,6 +150,203 @@ def bmp_decode(data: bytes) -> np.ndarray:
     return rows[::-1, :, ::-1].copy()         # top-down, BGR→RGB
 
 
+def _lzw_compress(indices: bytes, min_code_size: int = 8) -> bytes:
+    """GIF-variant LZW: emits CLEAR first, grows the code width when the
+    next free code crosses the current width's ceiling (mirroring the
+    classic decoder's widen-after-add rule), resets via CLEAR at 4096.
+    LSB-first bit packing per the GIF spec."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    buf = bytearray()
+    acc = 0
+    nbits = 0
+    width = min_code_size + 1
+    table: dict = {bytes([i]): i for i in range(clear)}
+    next_code = eoi + 1
+
+    def emit(code: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            buf.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    def reset_table() -> None:
+        nonlocal table, next_code, width
+        table = {bytes([i]): i for i in range(clear)}
+        next_code = eoi + 1
+        width = min_code_size + 1
+
+    emit(clear)
+    w = b""
+    for ch in indices:
+        wc = w + bytes([ch])
+        if wc in table:
+            w = wc
+            continue
+        emit(table[w])
+        table[wc] = next_code
+        next_code += 1
+        # decoder widens after ITS add (one code behind) when its next
+        # slot hits 1 << width — that instant is next_code - 1 here
+        if next_code - 1 == (1 << width) and width < 12:
+            width += 1
+        w = bytes([ch])
+        if next_code == 4096:
+            emit(clear)
+            reset_table()
+    if w:
+        emit(table[w])
+    emit(eoi)
+    if nbits:
+        buf.append(acc & 0xFF)
+    return bytes(buf)
+
+
+def _lzw_decompress(data: bytes, min_code_size: int = 8) -> bytes:
+    """Inverse of :func:`_lzw_compress` (classic GIF decoder rules:
+    widen when the next free slot reaches the width ceiling, KwKwK case,
+    CLEAR resets, stop at EOI)."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    pos = 0
+    acc = 0
+    nbits = 0
+    width = min_code_size + 1
+    table: list = [bytes([i]) for i in range(clear)] + [b"", b""]
+    prev: bytes | None = None
+
+    def read() -> int:
+        nonlocal acc, nbits, pos
+        while nbits < width:
+            if pos >= len(data):
+                raise ValueError("truncated GIF LZW stream")
+            acc |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        return code
+
+    while True:
+        code = read()
+        if code == eoi:
+            break
+        if code == clear:
+            table = [bytes([i]) for i in range(clear)] + [b"", b""]
+            width = min_code_size + 1
+            prev = None
+            continue
+        if prev is None:
+            if code >= len(table):
+                raise ValueError("bad first GIF LZW code")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+        elif code == len(table):
+            entry = prev + prev[:1]          # KwKwK
+        else:
+            raise ValueError("GIF LZW code out of range")
+        out += entry
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+    return bytes(out)
+
+
+def gif_encode(frames: np.ndarray, delay_cs: int = 4) -> bytes:
+    """Grayscale frame stack ``(n, h, w)`` uint8 → animated GIF89a bytes
+    (global 256-gray palette, one full-size image + graphic-control
+    extension per frame, real LZW compression)."""
+    if frames.ndim == 2:
+        frames = frames[None, :, :]
+    n, h, w = frames.shape
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", w, h)
+    out += bytes([0xF7, 0, 0])                 # GCT present, 256 entries
+    out += bytes(v for i in range(256) for v in (i, i, i))
+    for f in frames:
+        out += bytes([0x21, 0xF9, 4, 0]) + struct.pack("<H", delay_cs) \
+            + bytes([0, 0])
+        out += bytes([0x2C]) + struct.pack("<HHHH", 0, 0, w, h) \
+            + bytes([0])
+        out += bytes([8])                      # LZW min code size
+        comp = _lzw_compress(f.tobytes())
+        for j in range(0, len(comp), 255):
+            blk = comp[j:j + 255]
+            out += bytes([len(blk)]) + blk
+        out += bytes([0])
+    out += bytes([0x3B])
+    return bytes(out)
+
+
+def gif_decode(data: bytes) -> np.ndarray:
+    """GIF bytes → RGB uint8 frame stack ``(n, h, w, 3)``.  Supports the
+    common baseline: global/local 8-bit palettes, full-frame
+    non-interlaced images, extensions skipped.  Raises ``ValueError`` on
+    corrupt or unsupported (interlaced, partial-frame) input."""
+    if data[:6] not in (b"GIF89a", b"GIF87a"):
+        raise ValueError("not a GIF: bad signature")
+    w, h = struct.unpack("<HH", data[6:10])
+    packed, _bg, _aspect = data[10], data[11], data[12]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        size = 2 << (packed & 0x07)
+        gct = np.frombuffer(data, np.uint8, size * 3, pos).reshape(-1, 3)
+        pos += size * 3
+    frames = []
+    while pos < len(data):
+        b0 = data[pos]
+        if b0 == 0x3B:                          # trailer
+            break
+        if b0 == 0x21:                          # extension: skip blocks
+            pos += 2
+            while data[pos] != 0:
+                pos += 1 + data[pos]
+            pos += 1
+            continue
+        if b0 != 0x2C:
+            raise ValueError("unexpected GIF block")
+        x, y, fw, fh = struct.unpack("<HHHH", data[pos + 1:pos + 9])
+        flags = data[pos + 9]
+        pos += 10
+        if flags & 0x40:
+            raise ValueError("interlaced GIF unsupported")
+        pal = gct
+        if flags & 0x80:
+            size = 2 << (flags & 0x07)
+            pal = np.frombuffer(data, np.uint8, size * 3,
+                                pos).reshape(-1, 3)
+            pos += size * 3
+        if pal is None:
+            raise ValueError("GIF image without a palette")
+        if (x, y, fw, fh) != (0, 0, w, h):
+            raise ValueError("partial-frame GIF unsupported")
+        min_code = data[pos]
+        pos += 1
+        comp = bytearray()
+        while data[pos] != 0:
+            ln = data[pos]
+            comp += data[pos + 1:pos + 1 + ln]
+            pos += 1 + ln
+        pos += 1
+        idx = np.frombuffer(_lzw_decompress(bytes(comp), min_code),
+                            np.uint8)
+        if len(idx) != fw * fh:
+            raise ValueError("GIF frame pixel count mismatch")
+        frames.append(pal[idx.reshape(fh, fw)])
+    if not frames:
+        raise ValueError("GIF contains no image")
+    return np.stack(frames)
+
+
 def wav_encode(samples: np.ndarray, rate: int = 16000) -> bytes:
     """int16 mono samples → RIFF/WAVE PCM16 bytes."""
     data = samples.astype("<i2").tobytes()
@@ -210,6 +411,11 @@ def synth_media_batch(asset_ids: list[str], mimes: list[str],
             n = int(rng.integers(64, 2048))
             payloads.append(wav_encode(
                 rng.integers(-32768, 32767, n).astype(np.int16)))
+        elif mime == "image/gif":
+            n_frames = int(rng.integers(3, 9))
+            w, h = int(rng.integers(8, 25)), int(rng.integers(8, 25))
+            payloads.append(gif_encode(
+                rng.integers(0, 256, (n_frames, h, w), dtype=np.uint8)))
         else:
             w, h = int(rng.integers(16, 512)), int(rng.integers(16, 512))
             body = rng.integers(0, 256, int(rng.integers(64, 1024)),
@@ -246,6 +452,9 @@ class DecodeStage:
         if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
             n_samples, n_ch, _ = wav_decode(payload)
             return n_samples, n_ch
+        if payload[:6] in (b"GIF89a", b"GIF87a"):
+            frames = gif_decode(payload)
+            return frames.shape[2], frames.shape[1]
         if payload[:len(_MAGIC)] == _MAGIC:
             w = int.from_bytes(payload[10:12], "big")
             h = int.from_bytes(payload[12:14], "big")
@@ -353,6 +562,18 @@ class ResizeStage:
                     out.append(bmp_encode(_resize_nearest(
                         bmp_decode(payload), self.w, self.h)))
                     continue
+                if payload[:6] in (b"GIF89a", b"GIF87a"):
+                    frames = gif_decode(payload)      # (n, h, w, 3)
+                    if not (frames[..., 0] == frames[..., 1]).all() or \
+                            not (frames[..., 1] == frames[..., 2]).all():
+                        raise ValueError(
+                            "color GIF re-encode unsupported (gray "
+                            "palette only)")
+                    resized = np.stack([
+                        _resize_nearest(f[..., 0], self.w, self.h)
+                        for f in frames])
+                    out.append(gif_encode(resized))
+                    continue
                 if payload[:len(_MAGIC)] != _MAGIC:
                     raise NotImplementedError(
                         "no resize codec for this format (JPEG/MP4 need "
@@ -390,8 +611,11 @@ class FrameSampleStage:
     re-batch naturally; Ray Data handles the row-count change because
     map_batches output length is free.
 
-    Fake format: the body is treated as concatenated fixed-size frames;
-    a real implementation slots pyav into the same stage."""
+    Animated GIF: REAL demux — frames decode from genuine LZW bytes and
+    every ``stride``-th one re-encodes as a standalone PNG row.  Fake
+    container: the body is treated as concatenated fixed-size frames.
+    Other formats (MP4) raise in strict mode — a real implementation
+    slots pyav into the same stage."""
 
     def __init__(self, stride: int = 2, strict: bool = True):
         assert stride >= 1
@@ -402,6 +626,13 @@ class FrameSampleStage:
         ids, idxs, frames = [], [], []
         for aid, payload in zip(batch.column("asset_id").to_pylist(),
                                 batch.column("payload").to_pylist()):
+            if payload[:6] in (b"GIF89a", b"GIF87a"):
+                stack = gif_decode(payload)           # (n, h, w, 3)
+                for j in range(0, stack.shape[0], self.stride):
+                    ids.append(aid)
+                    idxs.append(j)
+                    frames.append(png_encode(stack[j]))
+                continue
             if payload[:len(_MAGIC)] != _MAGIC:
                 if self.strict:
                     raise NotImplementedError(

@@ -1289,10 +1289,11 @@ def contamination_pairs(sf_dir: str):
 
 def media_frames(sf_dir: str):
     """Multimodal fan-out plumbing: synth payloads → resize (1:1 stage) →
-    frame-sample (1→N fan-out rows) → per-asset frame counts, over the
-    video assets (mp4 uses the deterministic fake container format — a
-    real demuxer is genuinely absent here; PNG/BMP/WAV have real codecs,
-    exercised by media_decode).  Rows-only (no SQL analog)."""
+    frame-sample (1→N fan-out rows) → per-asset frame counts.  Two
+    container paths run side by side: animated GIF is a REAL demux
+    (genuine LZW frames decoded from bytes, re-encoded as PNG rows) and
+    mp4 uses the deterministic fake container (a real MP4 demuxer is
+    genuinely absent here).  Rows-only (no SQL analog)."""
     import ray.data
 
     from mdvalidate_ray.corpus import assets_table
@@ -1304,10 +1305,16 @@ def media_frames(sf_dir: str):
 
     n = _docs_count(sf_dir)
     assets = assets_table(n)
+    # remap the jpeg slice to animated GIF so the real multi-frame codec
+    # path is exercised next to the fake mp4 container
+    mimes = ["image/gif" if m == "image/jpeg" else m
+             for m in assets.column("mime").to_pylist()[:100]]
     media = synth_media_batch(assets.column("asset_id").to_pylist()[:100],
-                              assets.column("mime").to_pylist()[:100])
-    media = media.filter(pc.equal(media.column("mime"), "video/mp4"))
-    ds = resize_media(ray.data.from_arrow(media), width=64, height=64)
+                              mimes)
+    media = media.filter(pc.is_in(media.column("mime"),
+                                  value_set=pa.array(["video/mp4",
+                                                      "image/gif"])))
+    ds = resize_media(ray.data.from_arrow(media), width=16, height=16)
     frames = sample_frames(ds, stride=2)
 
     def cnt(b: pa.Table) -> pa.Table:
@@ -2251,3 +2258,94 @@ def neardup_purge(sf_dir: str):
 
     return docs.map_batches(keep, batch_format="pyarrow",
                             zero_copy_batch=True)
+
+
+def q4_priority_exists(sf_dir: str):
+    """Q4-shaped EXISTS aggregate: orders per priority that have at least
+    one deep-discount lineitem (l_discount > 0.05) — the semi-join +
+    count pattern (/root/reference has no relational surface; TPC-H Q4 is
+    the public shape).  The qualifying order-key set stays distributed:
+    per-batch distinct combiner → tiered
+    :func:`~mdvalidate_ray.functions.relational.semi_join_keys`
+    (broadcast exact set / Bloom + co-partitioned verify) → per-batch
+    count partials → one tiny fold."""
+    from mdvalidate_ray.functions.relational import (bucketed_group_sum,
+                                                     semi_join_keys)
+
+    keys_ds = _read(sf_dir, "lineitem").select_columns(
+        ["l_orderkey", "l_discount"]).map_batches(
+        lambda b: pa.TableGroupBy(
+            b.filter(pc.greater(b.column("l_discount"), 0.05))
+             .select(["l_orderkey"]), "l_orderkey").aggregate([]),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+    orders = _read(sf_dir, "orders").select_columns(
+        ["o_orderkey", "o_orderpriority"])
+    kept = semi_join_keys(orders, keys_ds, left_key="o_orderkey",
+                          right_key="l_orderkey")
+
+    def part(b: pa.Table) -> pa.Table:
+        t = b.select(["o_orderpriority"]).append_column(
+            "n_orders", pa.array([1] * b.num_rows, pa.int64()))
+        g = pa.TableGroupBy(t, "o_orderpriority").aggregate(
+            [("n_orders", "sum")])
+        return g.rename_columns(["o_orderpriority", "n_orders"])
+
+    partials = kept.map_batches(part, batch_format="pyarrow",
+                                zero_copy_batch=True)
+    return bucketed_group_sum(partials, key="o_orderpriority",
+                              sum_cols=["n_orders"], n_parts=4)
+
+
+def q10_returned_revenue(sf_dir: str):
+    """Q10-shaped returned-item report: top-20 customers by revenue of
+    RETURNED lineitems (l_returnflag = 'R'), names attached last.
+    Plan: filter + per-row integer-cents rounding + in-batch combiner →
+    large×large hash join to orders (the only all-to-all) → custkey
+    pre-combine + bucketed fold → partial top-k merge → the 20 names
+    come from ONE pruned read of the customer dimension."""
+    import pyarrow.parquet as pq
+
+    from mdvalidate_ray.functions.relational import (bucketed_group_sum,
+                                                     hash_join,
+                                                     topk_table)
+
+    li = _read(sf_dir, "lineitem").select_columns(
+        ["l_orderkey", "l_extendedprice", "l_discount", "l_returnflag"])
+
+    def returned_rev(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.equal(b.column("l_returnflag"), "R"))
+        rev = pc.cast(_pc_round(pc.multiply(pc.multiply(
+            b.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), b.column("l_discount"))), 100.0)),
+            pa.int64())
+        t = pa.Table.from_arrays([b.column("l_orderkey"), rev],
+                                 names=["l_orderkey", "rev_c100"])
+        g = pa.TableGroupBy(t, "l_orderkey").aggregate([("rev_c100", "sum")])
+        return g.rename_columns(["l_orderkey", "rev_c100"])
+
+    li_rev = li.map_batches(returned_rev, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    orders = _read(sf_dir, "orders").select_columns(
+        ["o_orderkey", "o_custkey"])
+    joined = hash_join(li_rev, orders, on="l_orderkey",
+                       right_on="o_orderkey", n_parts=8)
+
+    def by_cust(b: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(b.select(["o_custkey", "rev_c100"]),
+                            "o_custkey").aggregate([("rev_c100", "sum")])
+        return g.rename_columns(["o_custkey", "rev_c100"])
+
+    agg = bucketed_group_sum(
+        joined.map_batches(by_cust, batch_format="pyarrow",
+                           zero_copy_batch=True),
+        key="o_custkey", sum_cols=["rev_c100"])
+    top = topk_table(agg, 20, [("rev_c100", "descending"),
+                               ("o_custkey", "ascending")])
+    names = pq.read_table(f"{sf_dir}/customer.parquet",
+                          columns=["c_custkey", "c_name"])
+    out = top.join(names, keys=["o_custkey"], right_keys=["c_custkey"])
+    out = out.take(pc.sort_indices(
+        out, sort_keys=[("rev_c100", "descending"),
+                        ("o_custkey", "ascending")]))
+    return out.select(["o_custkey", "c_name", "rev_c100"])

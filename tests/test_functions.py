@@ -695,3 +695,98 @@ def test_add_normalized_unicode_and_sql_parity():
         " '\\s+', ' ', 'g'))", [c]).fetchone()[0] for c in cases]
     assert mine == refs
     assert out.column("norm_len").to_pylist() == [len(r) for r in refs]
+
+
+def test_gif_codec_roundtrip_and_stages(ray_session):
+    """Real GIF path: byte-exact gray round-trip through genuine LZW,
+    true dims from DecodeStage, frame-accurate resize, and the 1→N
+    frame-sample fan-out demuxing REAL frames to PNG rows."""
+    import ray.data
+
+    from mdvalidate_ray.functions.media import (
+        DecodeStage,
+        FrameSampleStage,
+        ResizeStage,
+        gif_decode,
+        gif_encode,
+        png_decode,
+        synth_media_batch,
+    )
+
+    rng = np.random.default_rng(3)
+    frames = rng.integers(0, 256, (4, 13, 21), dtype=np.uint8)
+    payload = gif_encode(frames)
+    back = gif_decode(payload)
+    assert back.shape == (4, 13, 21, 3)
+    assert (back[..., 0] == frames).all()
+    assert (back[..., 1] == frames).all()
+
+    tbl = pa.Table.from_arrays(
+        [pa.array(["g1"]), pa.array(["image/gif"]),
+         pa.array([payload], pa.binary())],
+        names=["asset_id", "mime", "payload"])
+    dec = DecodeStage(strict=True)(tbl)
+    assert dec.column("width").to_pylist() == [21]
+    assert dec.column("height").to_pylist() == [13]
+    assert dec.column("ok").to_pylist() == [True]
+
+    rs = ResizeStage(8, 6, strict=True)(tbl)
+    resized = gif_decode(rs.column("payload").to_pylist()[0])
+    assert resized.shape == (4, 6, 8, 3)
+
+    out = FrameSampleStage(stride=2, strict=True)(tbl)
+    assert out.column("frame_index").to_pylist() == [0, 2]
+    f0 = png_decode(out.column("frame").to_pylist()[0])
+    assert (f0[..., 0] == frames[0]).all()
+
+    # synth generator emits decodable animated GIFs, distributed stage ok
+    synth = synth_media_batch([f"a{i}" for i in range(20)],
+                              ["image/gif"] * 20)
+    got = ray.data.from_arrow(synth)
+    n_frames = {r["asset_id"]: r
+                for r in FrameSampleStage(stride=1, strict=True)(synth)
+                .group_by("asset_id").aggregate([([], "count_all")])
+                .rename_columns(["asset_id", "n"]).to_pylist()}
+    assert all(3 <= r["n"] <= 8 for r in n_frames.values())
+    decoded = ray.data.from_arrow(synth)
+    rows = decoded.map_batches(DecodeStage(strict=True).__call__,
+                               batch_format="pyarrow").take_all()
+    assert len(rows) == 20 and all(r["ok"] for r in rows)
+
+    # corrupt GIF: flipped byte inside LZW data must not round-trip
+    import pytest as _pt
+    bad = bytearray(payload)
+    bad[-20] ^= 0xFF
+    with _pt.raises(ValueError):
+        gif_decode(bytes(bad))
+
+
+def test_gif_color_resize_rejected(ray_session):
+    """ResizeStage only re-encodes gray-palette GIFs (the honest
+    boundary of the pure-Python encoder) — color input raises."""
+    import struct as _struct
+
+    import pytest as _pt
+
+    from mdvalidate_ray.functions.media import (
+        ResizeStage,
+        _lzw_compress,
+        gif_decode,
+    )
+
+    # hand-build a 2x1 GIF with a COLOR palette (entry 0 = red)
+    pal = bytes([255, 0, 0, 0, 255, 0] + [0] * (254 * 3))
+    idx = bytes([0, 1])
+    comp = _lzw_compress(idx)
+    payload = (b"GIF89a" + _struct.pack("<HH", 2, 1)
+               + bytes([0xF7, 0, 0]) + pal
+               + bytes([0x2C]) + _struct.pack("<HHHH", 0, 0, 2, 1)
+               + bytes([0, 8, len(comp)]) + comp + bytes([0, 0x3B]))
+    arr = gif_decode(payload)
+    assert arr[0, 0, 0].tolist() == [255, 0, 0]
+    tbl = pa.Table.from_arrays(
+        [pa.array(["c"]), pa.array(["image/gif"]),
+         pa.array([payload], pa.binary())],
+        names=["asset_id", "mime", "payload"])
+    with _pt.raises(ValueError):
+        ResizeStage(4, 4, strict=True)(tbl)
