@@ -131,6 +131,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "neardup_purge": Q.neardup_purge,
         "q4_priority_exists": Q.q4_priority_exists,
         "q10_returned_revenue": Q.q10_returned_revenue,
+        "embedding_scores": Q.embedding_scores,
     }
 
 
@@ -968,6 +969,19 @@ def oracle_sql() -> dict[str, str]:
                          * 1000)::BIGINT AS cosine_m
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45
+        """,
+        "embedding_scores": """
+            WITH u AS (
+                SELECT vec_id, generate_subscripts(embedding, 1) AS idx,
+                       unnest(embedding) AS x
+                FROM embeddings
+            )
+            SELECT vec_id,
+                   sum(round(x::DOUBLE
+                             * ((((idx * 2654435761) % 2001) - 1000)
+                                / 1000.0)
+                             * 1000000))::BIGINT AS score_u
+            FROM u GROUP BY vec_id
         """,
         "q4_priority_exists": """
             SELECT o_orderpriority, count(*)::BIGINT AS n_orders

@@ -173,7 +173,7 @@ QUERY_NAMES = [
     "media_decode", "media_frames",
     "mode_event_per_user", "event_entropy_daily", "nation_suppliers",
     "qty_outliers", "fingerprint_spread", "neardup_purge",
-    "q4_priority_exists", "q10_returned_revenue",
+    "q4_priority_exists", "q10_returned_revenue", "embedding_scores",
 ]
 
 

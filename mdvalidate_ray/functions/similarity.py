@@ -779,3 +779,68 @@ def quantize_embeddings_int8(ds, *, key: str = "vec_id",
 
     return ds.map_batches(quant, batch_format="pyarrow",
                           zero_copy_batch=True)
+
+
+class LinearScorer:
+    """Batched model inference, the actor-pool shape: "weights" build
+    ONCE per actor in ``__init__`` (a real checkpoint — quality
+    classifier, reward model head — would load here), and ``__call__``
+    scores whole Arrow batches with one vectorized matmul-like pass.
+
+    The stand-in model is a fixed linear head with deterministic
+    integer-derived weights ``w_i = (((i·2654435761) mod 2001) − 1000) /
+    1000`` (1-based i), and the score is ``Σ round(x_i · w_i · 10⁶)`` —
+    each term rounds to int64 BEFORE summation, so the result is exact
+    integer math and bit-identical to the SQL oracle regardless of
+    either engine's float summation order."""
+
+    def __init__(self, key: str = "vec_id", column: str = "embedding"):
+        self.key = key
+        self.column = column
+        self._w: dict[int, np.ndarray] = {}     # per-dim weight cache
+
+    def _weights(self, dim: int) -> np.ndarray:
+        w = self._w.get(dim)
+        if w is None:
+            idx = np.arange(1, dim + 1, dtype=np.int64)
+            w = (((idx * 2654435761) % 2001) - 1000) / 1000.0
+            self._w[dim] = w
+        return w
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        out_schema = pa.schema([(self.key, pa.int64()),
+                                ("score_u", pa.int64())])
+        n = b.num_rows
+        if n == 0:
+            return out_schema.empty_table()
+        col = b.column(self.column).combine_chunks()
+        offs = np.asarray(col.offsets, dtype=np.int64)
+        lens = np.diff(offs)
+        dim = int(lens[0])
+        if not (lens == dim).all():
+            raise ValueError("ragged embedding column")
+        vals = col.flatten().to_numpy(zero_copy_only=False) \
+                  .astype(np.float64).reshape(n, dim)
+        # operand order mirrors the SQL: (x * w) * 1e6, then round half
+        # away from zero per TERM, then integer summation
+        t = vals * self._weights(dim) * 1_000_000.0
+        terms = np.where(t >= 0, np.floor(t + 0.5),
+                         np.ceil(t - 0.5)).astype(np.int64)
+        return pa.Table.from_arrays(
+            [b.column(self.key).cast(pa.int64()),
+             pa.array(terms.sum(axis=1))],
+            schema=out_schema)
+
+
+def score_embeddings_linear(ds, *, key: str = "vec_id",
+                            column: str = "embedding",
+                            batch_size: int | None = None,
+                            concurrency=(1, 8)):
+    """Score every embedding with the deterministic linear head — the
+    broadcast-free inference stage (state is per-actor, input streams,
+    no shuffle anywhere)."""
+    return ds.map_batches(LinearScorer,
+                          fn_constructor_kwargs={"key": key,
+                                                 "column": column},
+                          batch_size=batch_size, batch_format="pyarrow",
+                          zero_copy_batch=True, concurrency=concurrency)

@@ -2349,3 +2349,16 @@ def q10_returned_revenue(sf_dir: str):
         out, sort_keys=[("rev_c100", "descending"),
                         ("o_custkey", "ascending")]))
     return out.select(["o_custkey", "c_name", "rev_c100"])
+
+
+def embedding_scores(sf_dir: str):
+    """Batched model inference over the embeddings table: a
+    deterministic linear head (the model-load-once actor-pool pattern —
+    :class:`~mdvalidate_ray.functions.similarity.LinearScorer`) scores
+    every vector; per-term integer rounding makes the result exact and
+    SQL-auditable."""
+    from mdvalidate_ray.functions.similarity import score_embeddings_linear
+
+    emb = _read(sf_dir, "embeddings").select_columns(
+        ["vec_id", "embedding"])
+    return score_embeddings_linear(emb)

@@ -108,3 +108,35 @@ def test_neardup_chain_keeps_one_representative(ray_session):
                       comp.column(1).to_pylist()))
     assert labels[10] == labels[11] == labels[12] == 10
     assert 13 not in labels
+
+
+@pytest.mark.parametrize("blocks", [1, 4])
+def test_linear_scorer_exact_and_partition_invariant(ray_session, blocks):
+    import ray.data
+
+    from mdvalidate_ray.functions.similarity import (LinearScorer,
+                                                     score_embeddings_linear)
+
+    rng = np.random.default_rng(11)
+    vecs = rng.normal(size=(40, 8)).astype(np.float32)
+    tbl = pa.Table.from_arrays(
+        [pa.array(np.arange(40, dtype=np.int64)),
+         pa.array([v.tolist() for v in vecs], pa.list_(pa.float32()))],
+        names=["vec_id", "embedding"])
+    got = {r["vec_id"]: r["score_u"]
+           for r in score_embeddings_linear(
+               ray.data.from_arrow(tbl).repartition(blocks)).take_all()}
+    idx = np.arange(1, 9, dtype=np.int64)
+    w = (((idx * 2654435761) % 2001) - 1000) / 1000.0
+    for i in range(40):
+        t = vecs[i].astype(np.float64) * w * 1_000_000.0
+        terms = np.where(t >= 0, np.floor(t + 0.5),
+                         np.ceil(t - 0.5)).astype(np.int64)
+        assert got[i] == terms.sum()
+    # ragged embedding rejected
+    ragged = pa.Table.from_arrays(
+        [pa.array([0, 1], pa.int64()),
+         pa.array([[1.0, 2.0], [1.0]], pa.list_(pa.float32()))],
+        names=["vec_id", "embedding"])
+    with pytest.raises(ValueError):
+        LinearScorer()(ragged)
