@@ -132,6 +132,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q4_priority_exists": Q.q4_priority_exists,
         "q10_returned_revenue": Q.q10_returned_revenue,
         "embedding_scores": Q.embedding_scores,
+        "customer_order_counts": Q.customer_order_counts,
     }
 
 
@@ -969,6 +970,17 @@ def oracle_sql() -> dict[str, str]:
                          * 1000)::BIGINT AS cosine_m
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45
+        """,
+        "customer_order_counts": """
+            WITH c AS (
+                SELECT c_mktsegment,
+                       (SELECT count(*) FROM orders
+                        WHERE o_custkey = c_custkey)::BIGINT AS n_orders
+                FROM customer
+            )
+            SELECT c_mktsegment, n_orders,
+                   count(*)::BIGINT AS n_customers
+            FROM c GROUP BY 1, 2
         """,
         "embedding_scores": """
             WITH u AS (

@@ -174,6 +174,7 @@ QUERY_NAMES = [
     "mode_event_per_user", "event_entropy_daily", "nation_suppliers",
     "qty_outliers", "fingerprint_spread", "neardup_purge",
     "q4_priority_exists", "q10_returned_revenue", "embedding_scores",
+    "customer_order_counts",
 ]
 
 

@@ -1034,16 +1034,19 @@ def simhash_pairs(sf_dir: str):
 
     pairs = simhash_near_duplicates(_augmented_docs(sf_dir), max_hamming=2,
                                     hash_fn="md5")
-    tbl = pa.Table.from_pylist(
-        pairs.take_all(), schema=pa.schema(
-            [("doc_a", pa.string()), ("doc_b", pa.string()),
-             ("hamming", pa.int32())]))
-    a = pc.cast(tbl.column("doc_a"), pa.int64())
-    b = pc.cast(tbl.column("doc_b"), pa.int64())
-    return pa.Table.from_arrays(
-        [pc.min_element_wise(a, b), pc.max_element_wise(a, b),
-         tbl.column("hamming").cast(pa.int64())],
-        names=["doc_a", "doc_b", "hamming"])
+
+    def normalize(b: pa.Table) -> pa.Table:
+        a = pc.cast(b.column("doc_a"), pa.int64())
+        bb = pc.cast(b.column("doc_b"), pa.int64())
+        return pa.Table.from_arrays(
+            [pc.min_element_wise(a, bb), pc.max_element_wise(a, bb),
+             b.column("hamming").cast(pa.int64())],
+            names=["doc_a", "doc_b", "hamming"])
+
+    # stays a Dataset end to end — pair sets are tiny on a healthy corpus
+    # but O(data) on a degenerate one, exactly when driver collects hurt
+    return pairs.map_batches(normalize, batch_format="pyarrow",
+                             zero_copy_batch=True)
 
 
 # --- similarity over embeddings ---------------------------------------------
@@ -2362,3 +2365,68 @@ def embedding_scores(sf_dir: str):
     emb = _read(sf_dir, "embeddings").select_columns(
         ["vec_id", "embedding"])
     return score_embeddings_linear(emb)
+
+
+def customer_order_counts(sf_dir: str):
+    """Per-market-segment histogram of customers' order activity,
+    INCLUDING zero-order customers — LEFT OUTER aggregate semantics
+    (the breadth case inner joins silently drop).  Order counts fold
+    per custkey (pre-combine + bucketed sum); the customer dimension
+    left-joins the folded counts with a zero fill, then a tiny second
+    fold histograms by (segment, n_orders)."""
+    from mdvalidate_ray.functions.relational import (broadcast_join,
+                                                     bucketed_group_sum)
+
+    orders = _read(sf_dir, "orders").select_columns(["o_custkey"])
+
+    def pre(b: pa.Table) -> pa.Table:
+        t = b.append_column("n_orders",
+                            pa.array([1] * b.num_rows, pa.int64()))
+        g = pa.TableGroupBy(t, "o_custkey").aggregate([("n_orders", "sum")])
+        return g.rename_columns(["o_custkey", "n_orders"])
+
+    import ray
+
+    counts = bucketed_group_sum(
+        orders.map_batches(pre, batch_format="pyarrow",
+                           zero_copy_batch=True),
+        key="o_custkey", sum_cols=["n_orders"], n_parts=16).materialize()
+    # counts has ≤1 row per customer — dimension-sized; broadcast it
+    # against the customer dimension (left side keeps every customer,
+    # missing → 0 orders)
+    blocks = [ray.get(r) for r in counts.to_arrow_refs()]
+    counts_tbl = pa.concat_tables(
+        [t for t in blocks if t.num_columns]) \
+        .rename_columns(["c_custkey", "n_orders"])
+    cust = _read(sf_dir, "customer").select_columns(
+        ["c_custkey", "c_mktsegment"])
+    joined = broadcast_join(cust, counts_tbl, keys=["c_custkey"],
+                            join_type="left outer")
+
+    def hist(b: pa.Table) -> pa.Table:
+        n = pc.coalesce(b.column("n_orders"), pa.scalar(0, pa.int64()))
+        # fuse (segment, n_orders) into one key so the generic
+        # single-key bucketed fold applies; n_orders restores from the
+        # key after the exchange
+        key = pc.binary_join_element_wise(
+            b.column("c_mktsegment"), pc.cast(n, pa.string()), "|")
+        t = pa.Table.from_arrays(
+            [key, pa.array([1] * b.num_rows, pa.int64())],
+            names=["_k", "n_customers"])
+        g = pa.TableGroupBy(t, "_k").aggregate([("n_customers", "sum")])
+        return g.rename_columns(["_k", "n_customers"])
+
+    folded = bucketed_group_sum(
+        joined.map_batches(hist, batch_format="pyarrow",
+                           zero_copy_batch=True),
+        key="_k", sum_cols=["n_customers"], n_parts=4)
+
+    def unfuse(b: pa.Table) -> pa.Table:
+        parts = pc.split_pattern(b.column("_k"), "|")
+        return pa.Table.from_arrays(
+            [pc.list_element(parts, 0),
+             pc.cast(pc.list_element(parts, 1), pa.int64()),
+             b.column("n_customers")],
+            names=["c_mktsegment", "n_orders", "n_customers"])
+
+    return folded.map_batches(unfuse, batch_format="pyarrow")
