@@ -790,3 +790,23 @@ def test_gif_color_resize_rejected(ray_session):
         names=["asset_id", "mime", "payload"])
     with _pt.raises(ValueError):
         ResizeStage(4, 4, strict=True)(tbl)
+
+
+def test_gif_lzw_width_growth_and_table_reset(ray_session):
+    """Large high-entropy frame: the LZW table saturates (4096 entries →
+    CLEAR + reset mid-stream) and the code width walks 9→12 bits; the
+    round-trip must stay byte-exact through both transitions."""
+    from mdvalidate_ray.functions.media import (_lzw_compress,
+                                                _lzw_decompress,
+                                                gif_decode, gif_encode)
+
+    rng = np.random.default_rng(42)
+    frame = rng.integers(0, 256, (1, 128, 128), dtype=np.uint8)  # 16384 px
+    back = gif_decode(gif_encode(frame))
+    assert (back[..., 0] == frame).all()
+
+    # raw-stream parity at both extremes: incompressible and periodic
+    noise = bytes(rng.integers(0, 256, 30_000, dtype=np.uint8))
+    assert _lzw_decompress(_lzw_compress(noise)) == noise
+    periodic = b"xyz" * 12_000
+    assert _lzw_decompress(_lzw_compress(periodic)) == periodic
