@@ -133,6 +133,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q10_returned_revenue": Q.q10_returned_revenue,
         "embedding_scores": Q.embedding_scores,
         "customer_order_counts": Q.customer_order_counts,
+        # edit-distance near-dup family / n-gram decontamination / set ops
+        "lev_pairs": Q.lev_pairs,
+        "ngram_contamination": Q.ngram_contamination,
+        "user_churn": Q.user_churn,
+        "orders_cube": Q.orders_cube,
     }
 
 
@@ -1123,5 +1128,81 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id FROM aug
             WHERE doc_id NOT IN
                 (SELECT node FROM lab WHERE node <> component)
+        """,
+        "lev_pairs": """
+            WITH words AS (
+                SELECT doc_id, text,
+                       list_filter(string_split_regex(lower(text), '\\s+'),
+                                   x -> x <> '') AS w
+                FROM documents
+            ),
+            blk AS (
+                SELECT doc_id, text,
+                       array_to_string(list_slice(w, 1, 5), ' ') AS b
+                FROM words
+            )
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   levenshtein(a.text, b.text)::BIGINT AS dist
+            FROM blk a JOIN blk b
+                ON a.b = b.b AND a.doc_id < b.doc_id
+            WHERE levenshtein(a.text, b.text) <= 10
+        """,
+        "ngram_contamination": """
+            WITH words AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(text), '\\s+'),
+                                   x -> x <> '') AS w
+                FROM documents
+            ),
+            grams AS (
+                SELECT doc_id,
+                       list_distinct(list_transform(
+                           range(1, len(w) - 1),
+                           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+                           AS g
+                FROM words WHERE len(w) >= 3
+            ),
+            tagged AS (
+                SELECT doc_id, g,
+                       md5_number_lower('split' || doc_id::VARCHAR)
+                           % 10000 < 9000 AS is_train
+                FROM grams
+            ),
+            test_grams AS (
+                SELECT DISTINCT unnest(g) AS gram
+                FROM tagged WHERE NOT is_train
+            )
+            SELECT t.doc_id, count(*)::BIGINT AS n_hits
+            FROM (SELECT doc_id, unnest(g) AS gram
+                  FROM tagged WHERE is_train) t
+            JOIN test_grams USING (gram)
+            GROUP BY t.doc_id
+        """,
+        "user_churn": """
+            WITH flags AS (
+                SELECT user_id,
+                       bool_or((epoch_us(ts) // 86400000000) % 2 = 0)
+                           AS has0,
+                       bool_or((epoch_us(ts) // 86400000000) % 2 = 1)
+                           AS has1
+                FROM events GROUP BY user_id
+            )
+            SELECT
+                sum(CASE WHEN has0 AND NOT has1 THEN 1 ELSE 0 END)::BIGINT
+                    AS users_even_only,
+                sum(CASE WHEN has1 AND NOT has0 THEN 1 ELSE 0 END)::BIGINT
+                    AS users_odd_only,
+                sum(CASE WHEN has0 AND has1 THEN 1 ELSE 0 END)::BIGINT
+                    AS users_both
+            FROM flags
+        """,
+        "orders_cube": """
+            SELECT o_year, o_orderpriority,
+                   count(*)::BIGINT AS cnt, sum(c100)::BIGINT AS sum_c100
+            FROM (SELECT year(o_orderdate)::BIGINT AS o_year,
+                         o_orderpriority,
+                         CAST(round(o_totalprice * 100) AS BIGINT) AS c100
+                  FROM orders)
+            GROUP BY CUBE (o_year, o_orderpriority)
         """,
     }

@@ -520,25 +520,32 @@ def simhash_near_duplicates(ds, *, max_hamming: int = 3,
 
 # --- n-gram Jaccard verification -------------------------------------------
 
-def verify_pairs_jaccard(pairs_ds, docs_ds, *, k: int = 3,
-                         threshold: float = 0.8,
+def _verify_pairs_scored(pairs_ds, docs_ds, *, batch_scorer,
+                         score_field: str, score_type,
+                         keep_mask,
                          column: str = "text", key: str = "doc_id",
                          n_parts: int = 64,
                          broadcast_threshold: int = 200_000):
-    """Exact n-gram Jaccard for candidate pairs.  The corpus is never
-    materialized on (or streamed through) the driver; two tiers:
+    """Generic exact verification of candidate pairs against the corpus —
+    the shared engine behind :func:`verify_pairs_jaccard` (n-gram Jaccard)
+    and :func:`verify_pairs_levenshtein` (edit distance).  ``batch_scorer``
+    receives two aligned lists of texts (one entry per pair) and returns a
+    numpy score vector; ``keep_mask`` maps that vector to a boolean keep
+    filter.  The corpus is never materialized on (or streamed through)
+    the driver; two tiers:
 
     * ``|candidate docs| ≤ broadcast_threshold``: the corpus-side filter
       (broadcast id set) selects candidate texts DISTRIBUTED; only that
-      small result collects to the driver, which scores pairs locally —
-      one corpus pass, zero shuffles.
+      small result collects to the driver, which scores all pairs in ONE
+      vectorized ``batch_scorer`` call — one corpus pass, zero shuffles.
     * larger: fully-distributed —
       1. pair slots ((pair_id, slot, doc_id) — two rows per pair) union
          with the filtered text stream and co-partition on
          ``hash(doc_id) % n_parts``; one vectorized pandas merge per
          coarse group attaches texts to slots;
       2. slot rows co-partition again on ``pair_id % n_parts``; each
-         pair's two slots meet and exact jaccard filters ≥ threshold.
+         pair's two slots meet and one ``batch_scorer`` call per coarse
+         group (NOT per pair) scores and filters.
       Only candidate-sized data shuffles; group calls are bounded by
       ``n_parts`` per stage.
 
@@ -548,7 +555,7 @@ def verify_pairs_jaccard(pairs_ds, docs_ds, *, k: int = 3,
     import ray.data
 
     out_schema = pa.schema([("doc_a", pa.string()), ("doc_b", pa.string()),
-                            ("jaccard", pa.float64())])
+                            (score_field, score_type)])
     raw_rows = (pairs_ds.take_all() if hasattr(pairs_ds, "take_all")
                 else pairs_ds.to_pylist())
     seen = set()
@@ -578,13 +585,13 @@ def verify_pairs_jaccard(pairs_ds, docs_ds, *, k: int = 3,
         for r in docs_ds.map_batches(keep, batch_format="pyarrow",
                                      zero_copy_batch=True).take_all():
             texts[r["k"]] = r["t"]
-        out = []
-        for r in pair_rows:
-            j = jaccard(texts.get(r["doc_a"], ""),
-                        texts.get(r["doc_b"], ""), k)
-            if j >= threshold:
-                out.append({"doc_a": r["doc_a"], "doc_b": r["doc_b"],
-                            "jaccard": j})
+        a_txt = [texts.get(r["doc_a"], "") for r in pair_rows]
+        b_txt = [texts.get(r["doc_b"], "") for r in pair_rows]
+        scores = np.asarray(batch_scorer(a_txt, b_txt))
+        km = np.asarray(keep_mask(scores), dtype=bool)
+        out = [{"doc_a": r["doc_a"], "doc_b": r["doc_b"],
+                score_field: s.item()}
+               for r, s, m in zip(pair_rows, scores, km) if m]
         out.sort(key=lambda r: (r["doc_a"], r["doc_b"]))
         return pa.Table.from_pylist(out, schema=out_schema)
 
@@ -653,15 +660,19 @@ def verify_pairs_jaccard(pairs_ds, docs_ds, *, k: int = 3,
 
     def score(g: pa.Table) -> pa.Table:
         df = g.to_pandas()
-        rows = []
-        for _, pair in df.groupby("pair_id"):
-            by_slot = {s: (d, t) for s, d, t in zip(
-                pair["slot"], pair["doc_id"], pair["text"])}
-            a_id, a_txt = by_slot.get(0, ("", ""))
-            b_id, b_txt = by_slot.get(1, ("", ""))
-            j = jaccard(a_txt, b_txt, k)
-            if j >= threshold:
-                rows.append({"doc_a": a_id, "doc_b": b_id, "jaccard": j})
+        a_side = df[df["slot"] == 0].set_index("pair_id")
+        b_side = df[df["slot"] == 1].set_index("pair_id")
+        pids = sorted(set(a_side.index) | set(b_side.index))
+        a_ids = [a_side["doc_id"].get(p, "") for p in pids]
+        b_ids = [b_side["doc_id"].get(p, "") for p in pids]
+        a_txt = [a_side["text"].get(p, "") or "" for p in pids]
+        b_txt = [b_side["text"].get(p, "") or "" for p in pids]
+        if not pids:
+            return out_schema.empty_table()
+        scores = np.asarray(batch_scorer(a_txt, b_txt))
+        km = np.asarray(keep_mask(scores), dtype=bool)
+        rows = [{"doc_a": ai, "doc_b": bi, score_field: s.item()}
+                for ai, bi, s, m in zip(a_ids, b_ids, scores, km) if m]
         return pa.Table.from_pylist(rows, schema=out_schema)
 
     verified = mid.groupby("part2").map_groups(score, batch_format="pyarrow")
@@ -670,39 +681,113 @@ def verify_pairs_jaccard(pairs_ds, docs_ds, *, k: int = 3,
     return pa.Table.from_pylist(out, schema=out_schema)
 
 
-def ngram_jaccard_near_duplicates(docs_ds, *, k: int = 3,
-                                  block_words: int = 5,
-                                  threshold: float = 0.6,
-                                  column: str = "text", key: str = "doc_id",
-                                  n_parts: int = 64,
-                                  max_block: int = 1024) -> pa.Table:
-    """Exact n-gram-Jaccard near-duplicate pairs under *prefix blocking* —
-    the third classic near-dup family next to MinHash and SimHash: block
-    on the first ``block_words`` lowercased words, then score every
-    within-block pair with exact ``k``-word-shingle jaccard and keep
-    pairs ≥ ``threshold``.
-
-    Scale shape (two passes, texts never shuffle corpus-wide):
-
-    1. blocking pass — ``map_batches`` computes each doc's block key with
-       Arrow kernels (trim → split_whitespace → slice → join); only tiny
-       ``(bucket, blk, doc_id)`` rows take the ``hash(blk) % n_parts``
-       coarse-bucket exchange, and each bucket emits its within-block
-       candidate pairs via one vectorized ``np.triu_indices`` per block.
-       Blocks larger than ``max_block`` docs are boilerplate-prefix hot
-       keys: a 10^6-doc block would emit 10^12 pairs, so they are dropped
-       (the standard blocking cap — MinHash banding is the right tool for
-       that regime) and surfaced to the caller via the returned table's
-       metadata (``n_oversize_blocks``).
-    2. verify pass — :func:`verify_pairs_jaccard` attaches texts for
-       CANDIDATES ONLY (broadcast id-set filter below its threshold,
-       slot/text co-partition above) and computes the exact score.
-
-    Candidate pairs are emitted with ``doc_a < doc_b`` in numeric id
-    order, matching the SQL oracle's ``a.doc_id < b.doc_id`` self-join.
+def verify_pairs_jaccard(pairs_ds, docs_ds, *, k: int = 3,
+                         threshold: float = 0.8,
+                         column: str = "text", key: str = "doc_id",
+                         n_parts: int = 64,
+                         broadcast_threshold: int = 200_000):
+    """Exact n-gram Jaccard for candidate pairs — the MinHash/blocking
+    verify tier.  A thin wrapper over :func:`_verify_pairs_scored` with a
+    per-pair ``jaccard`` scorer (scale/tiering contract documented there).
     """
-    import ray  # noqa: F401  (docs_ds is a ray Dataset)
+    def scorer(a_txt, b_txt):
+        return np.array([jaccard(a, b, k) for a, b in zip(a_txt, b_txt)],
+                        dtype=np.float64)
 
+    return _verify_pairs_scored(
+        pairs_ds, docs_ds, batch_scorer=scorer, score_field="jaccard",
+        score_type=pa.float64(),
+        keep_mask=lambda s: s >= threshold,
+        column=column, key=key, n_parts=n_parts,
+        broadcast_threshold=broadcast_threshold)
+
+
+def _levenshtein_batch(a_texts, b_texts) -> np.ndarray:
+    """Exact Levenshtein distances for P string pairs at once — ONE
+    dynamic program vectorized across the pair axis (numpy), not a
+    Python DP per pair.  Row recurrence: ``base[j] = min(prev[j]+1,
+    prev[j-1]+cost)`` is elementwise; the in-row insertion dependency
+    ``cur[j] = min(base[j], cur[j-1]+1)`` collapses to a prefix-min —
+    ``cur[j] = j + running_min(base[k]-k)`` — so each of the ``max_len``
+    DP rows is O(P×L) vectorized work with no inner Python loop.
+    Unit costs over CODEPOINTS (the textbook definition); DuckDB's
+    ``levenshtein()`` measures over UTF-8 bytes instead, so the two agree
+    exactly on ASCII text (verified) and may differ on multibyte input.
+    """
+    P = len(a_texts)
+    if P == 0:
+        return np.zeros(0, dtype=np.int64)
+    La = np.fromiter((len(t) for t in a_texts), dtype=np.int64, count=P)
+    Lb = np.fromiter((len(t) for t in b_texts), dtype=np.int64, count=P)
+    maxa, maxb = int(La.max()), int(Lb.max())
+    res = np.full(P, -1, dtype=np.int64)
+    res[La == 0] = Lb[La == 0]
+    if maxa == 0:
+        return res
+    # pad into (P, max_len) uint32 codepoint grids; 0 = pad (never a char)
+    A = np.zeros((P, maxa), dtype=np.uint32)
+    B = np.zeros((P, maxb), dtype=np.uint32)
+    for i, t in enumerate(a_texts):
+        if t:
+            A[i, :len(t)] = np.frombuffer(t.encode("utf-32-le"),
+                                          dtype=np.uint32)
+    for i, t in enumerate(b_texts):
+        if t:
+            B[i, :len(t)] = np.frombuffer(t.encode("utf-32-le"),
+                                          dtype=np.uint32)
+    j_idx = np.arange(maxb + 1, dtype=np.int64)
+    prev = np.broadcast_to(j_idx, (P, maxb + 1)).copy()
+    base = np.empty((P, maxb + 1), dtype=np.int64)
+    for i in range(1, maxa + 1):
+        cost = (B != A[:, i - 1:i]).astype(np.int64)
+        base[:, 0] = i
+        np.minimum(prev[:, 1:] + 1, prev[:, :-1] + cost, out=base[:, 1:])
+        m = base - j_idx
+        np.minimum.accumulate(m, axis=1, out=m)
+        cur = m + j_idx
+        done = La == i
+        if done.any():
+            res[done] = cur[done, Lb[done]]
+        prev, base = cur, prev
+    return res
+
+
+def verify_pairs_levenshtein(pairs_ds, docs_ds, *, max_dist: int = 10,
+                             column: str = "text", key: str = "doc_id",
+                             n_parts: int = 64,
+                             broadcast_threshold: int = 200_000):
+    """Exact edit-distance verification of candidate pairs (keep
+    ``levenshtein ≤ max_dist``) — same tiering contract as
+    :func:`verify_pairs_jaccard`, with the pair-vectorized DP kernel
+    :func:`_levenshtein_batch` as the scorer."""
+    return _verify_pairs_scored(
+        pairs_ds, docs_ds, batch_scorer=_levenshtein_batch,
+        score_field="dist", score_type=pa.int64(),
+        keep_mask=lambda s: s <= max_dist,
+        column=column, key=key, n_parts=n_parts,
+        broadcast_threshold=broadcast_threshold)
+
+
+def _prefix_block_candidates(docs_ds, *, block_words: int = 5,
+                             column: str = "text", key: str = "doc_id",
+                             n_parts: int = 64, max_block: int = 1024):
+    """Prefix-blocking candidate generation shared by the n-gram-Jaccard
+    and edit-distance near-dup families: block on the first
+    ``block_words`` lowercased words, emit every within-block (doc_a,
+    doc_b) pair with ``doc_a < doc_b`` in numeric id order (matching the
+    SQL oracles' ``a.doc_id < b.doc_id`` self-join).
+
+    Scale shape: ``map_batches`` computes each doc's block key with Arrow
+    kernels (trim → split_whitespace → slice → join); only tiny
+    ``(bucket, blk, doc_id)`` rows take the ``hash(blk) % n_parts``
+    coarse-bucket exchange, and each bucket emits its within-block
+    candidate pairs via one vectorized ``np.triu_indices`` per block.
+    Blocks larger than ``max_block`` docs are boilerplate-prefix hot
+    keys: a 10^6-doc block would emit 10^12 pairs, so they are dropped
+    (the standard blocking cap — MinHash banding is the right tool for
+    that regime) and surfaced via the emitted table's metadata
+    (``n_oversize_blocks``).  Returns a Dataset of candidate pairs.
+    """
     pair_schema = pa.schema([("doc_a", pa.string()),
                              ("doc_b", pa.string())])
 
@@ -745,13 +830,171 @@ def ngram_jaccard_near_duplicates(docs_ds, *, k: int = 3,
             schema=pair_schema).replace_schema_metadata(
                 {"n_oversize_blocks": str(oversize)})
 
-    candidates = (docs_ds.map_batches(tag, batch_format="pyarrow",
-                                      zero_copy_batch=True)
-                  .groupby("_bucket")
-                  .map_groups(emit_pairs, batch_format="pyarrow"))
+    return (docs_ds.map_batches(tag, batch_format="pyarrow",
+                                zero_copy_batch=True)
+            .groupby("_bucket")
+            .map_groups(emit_pairs, batch_format="pyarrow"))
+
+
+def ngram_jaccard_near_duplicates(docs_ds, *, k: int = 3,
+                                  block_words: int = 5,
+                                  threshold: float = 0.6,
+                                  column: str = "text", key: str = "doc_id",
+                                  n_parts: int = 64,
+                                  max_block: int = 1024) -> pa.Table:
+    """Exact n-gram-Jaccard near-duplicate pairs under *prefix blocking* —
+    the third classic near-dup family next to MinHash and SimHash:
+    :func:`_prefix_block_candidates` (texts never shuffle corpus-wide)
+    followed by :func:`verify_pairs_jaccard`, which attaches texts for
+    CANDIDATES ONLY (broadcast id-set filter below its threshold,
+    slot/text co-partition above) and computes the exact score.
+    """
+    candidates = _prefix_block_candidates(
+        docs_ds, block_words=block_words, column=column, key=key,
+        n_parts=n_parts, max_block=max_block)
     return verify_pairs_jaccard(candidates, docs_ds, k=k,
                                 threshold=threshold, column=column, key=key,
                                 n_parts=n_parts)
+
+
+def levenshtein_near_duplicates(docs_ds, *, block_words: int = 5,
+                                max_dist: int = 10,
+                                column: str = "text", key: str = "doc_id",
+                                n_parts: int = 64,
+                                max_block: int = 1024) -> pa.Table:
+    """Edit-distance near-duplicate pairs — the fourth near-dup family:
+    prefix blocking (:func:`_prefix_block_candidates`) followed by exact
+    Levenshtein verification of the candidates, all pairs in a group
+    scored by ONE pair-vectorized DP (:func:`_levenshtein_batch`).
+    Keeps pairs with ``levenshtein(a, b) ≤ max_dist`` — the
+    absolute-edit-budget criterion (DuckDB-``levenshtein()``-exact, so a
+    SQL oracle can recompute the identical pair set).
+    """
+    candidates = _prefix_block_candidates(
+        docs_ds, block_words=block_words, column=column, key=key,
+        n_parts=n_parts, max_block=max_block)
+    return verify_pairs_levenshtein(candidates, docs_ds, max_dist=max_dist,
+                                    column=column, key=key, n_parts=n_parts)
+
+
+def _word_kgram_hashes(texts, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Per-doc DISTINCT word-k-gram md5-lower-64 hashes, vectorized:
+    one whitespace split (Arrow), one object-array join per gram
+    position, md5 hashed once per UNIQUE gram string.  Returns
+    ``(doc_idx, gram_hash)`` pair arrays (both np, deduped per doc)."""
+    import pandas as pd
+
+    arr = pc.utf8_split_whitespace(
+        pc.utf8_trim_whitespace(pc.utf8_lower(
+            pc.cast(texts, pa.string()))))
+    arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+    flat = np.asarray(arr.values.to_pylist(), dtype=object)
+    offs = np.asarray(arr.offsets)
+    n_words = np.diff(offs)
+    n_grams = np.maximum(n_words - (k - 1), 0)
+    if int(n_grams.sum()) == 0:
+        return (np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.uint64))
+    doc_idx = np.repeat(np.arange(len(n_grams), dtype=np.int64), n_grams)
+    # start index of each gram in the flat word array
+    starts = np.concatenate(
+        [np.arange(offs[i], offs[i] + n_grams[i]) for i in
+         range(len(n_grams)) if n_grams[i] > 0]).astype(np.int64)
+    grams = flat[starts]
+    for j in range(1, k):
+        grams = grams + " "
+        grams = grams + flat[starts + j]
+    hashes = _md5_token_hashes(list(grams))
+    dedup = pd.DataFrame({"d": doc_idx, "h": hashes}).drop_duplicates()
+    return (dedup["d"].to_numpy(), dedup["h"].to_numpy())
+
+
+def ngram_decontamination(docs_ds, *, k: int = 13, key: str = "doc_id",
+                          text_col: str = "text",
+                          split_key: str | None = None,
+                          train_bp: int = 9000, salt: str = "split",
+                          broadcast_threshold: int = 50_000_000):
+    """N-gram-level train/test decontamination — the GPT-3/C4 rule
+    (Brown et al. 2020 report 13-gram overlap scrubbing): flag every
+    TRAIN document sharing at least one word-``k``-gram with any TEST
+    document, not just byte-identical texts
+    (:func:`cross_split_exact_overlap`'s rule).
+
+    Plan (broadcast tier): one pass computes each doc's deterministic
+    split (same md5 rule as :func:`~mdvalidate_ray.functions.text
+    .add_split`) and its DISTINCT k-gram md5-lower-64 hashes
+    (:func:`_word_kgram_hashes`); the TEST side's distinct gram-hash set
+    (eval sets ≪ corpus) folds to the driver as uint64 partials —
+    bounded by ``broadcast_threshold`` grams — sorts once, and ships via
+    ``ray.put``; a second streaming pass probes train batches with
+    ``np.searchsorted`` and emits ``(doc_id, n_hits)`` for hits only.
+    Train text never leaves the workers.  Past the threshold,
+    co-partition both sides on ``gram_hash % n_parts`` instead (the
+    bucketed anti-join tier in stages/referential.py is the template).
+
+    64-bit gram hashing note: matches are by md5-lower-64 equality, not
+    string equality — a cross-gram collision would need ~2^32 distinct
+    grams per the birthday bound; acceptable and deterministic.
+
+    Returns a Dataset of (doc_id int64, n_hits int64) train rows.
+    """
+    import ray
+
+    split_key = split_key or key
+    out_schema = pa.schema([(key, pa.int64()), ("n_hits", pa.int64())])
+
+    def test_grams(batch: pa.Table) -> pa.Table:
+        sk = [salt + str(v) for v in batch.column(split_key).to_pylist()]
+        is_train = (_md5_token_hashes(sk) % np.uint64(10000)
+                    < np.uint64(train_bp))
+        test_rows = batch.filter(pa.array(~is_train))
+        _, h = _word_kgram_hashes(test_rows.column(text_col), k)
+        return pa.Table.from_arrays(
+            [pa.array(np.unique(h))], names=["h"])
+
+    gram_sets = docs_ds.map_batches(test_grams, batch_format="pyarrow",
+                                    zero_copy_batch=True)
+    partials: list[np.ndarray] = []
+    n_total = 0
+    for b in gram_sets.iter_batches(batch_format="pyarrow"):
+        a = np.asarray(b.column("h").combine_chunks(), dtype=np.uint64)
+        n_total += len(a)
+        if n_total > broadcast_threshold:
+            # bail while STREAMING, before the rest of the test side is
+            # pulled into driver memory
+            raise ValueError(
+                f"test-side gram set exceeds broadcast_threshold="
+                f"{broadcast_threshold}; co-partition on gram_hash % "
+                "n_parts for eval sets this large")
+        partials.append(a)
+    test_set = (np.unique(np.concatenate(partials)) if partials
+                else np.zeros(0, dtype=np.uint64))
+    set_ref = ray.put(test_set)
+
+    def probe(batch: pa.Table) -> pa.Table:
+        tset = ray.get(set_ref)
+        sk = [salt + str(v) for v in batch.column(split_key).to_pylist()]
+        is_train = (_md5_token_hashes(sk) % np.uint64(10000)
+                    < np.uint64(train_bp))
+        train_rows = batch.filter(pa.array(is_train))
+        d, h = _word_kgram_hashes(train_rows.column(text_col), k)
+        if len(tset) and len(h):
+            pos = np.searchsorted(tset, h)
+            pos[pos == len(tset)] = 0
+            hit = tset[pos] == h
+        else:
+            hit = np.zeros(len(h), dtype=bool)
+        ids = np.asarray(
+            train_rows.column(key).cast(pa.int64()).combine_chunks(),
+            dtype=np.int64)
+        n_hits = np.bincount(d[hit], minlength=train_rows.num_rows) \
+            .astype(np.int64)
+        keep = n_hits > 0
+        return pa.Table.from_arrays(
+            [pa.array(ids[keep]), pa.array(n_hits[keep])],
+            schema=out_schema)
+
+    return docs_ds.map_batches(probe, batch_format="pyarrow",
+                               zero_copy_batch=True)
 
 
 def cross_split_exact_overlap(docs_ds, *, key: str = "doc_id",

@@ -2430,3 +2430,137 @@ def customer_order_counts(sf_dir: str):
             names=["c_mktsegment", "n_orders", "n_customers"])
 
     return folded.map_batches(unfuse, batch_format="pyarrow")
+
+
+def lev_pairs(sf_dir: str):
+    """Edit-distance near-dup pairs (the fourth near-dup family next to
+    MinHash / SimHash / n-gram Jaccard): prefix blocking, then exact
+    Levenshtein ≤ 10 verified by ONE pair-vectorized DP per verify
+    group.  The DuckDB oracle recomputes the identical blocking
+    self-join and ``levenshtein()`` filter in SQL, so precision AND
+    recall of the blocked pair set are both hash-checked."""
+    from mdvalidate_ray.functions.dedup import levenshtein_near_duplicates
+
+    docs = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+    verified = levenshtein_near_duplicates(docs, block_words=5, max_dist=10)
+    a = pc.cast(verified.column("doc_a"), pa.int64())
+    b = pc.cast(verified.column("doc_b"), pa.int64())
+    return pa.Table.from_arrays(
+        [pc.min_element_wise(a, b), pc.max_element_wise(a, b),
+         verified.column("dist")],
+        names=["doc_a", "doc_b", "dist"])
+
+
+def ngram_contamination(sf_dir: str):
+    """N-gram-level train/test decontamination (GPT-3/C4-style overlap
+    scrubbing): every train doc sharing at least one word-3-gram with
+    any test doc, with its contaminated-distinct-gram count.  Broadcast
+    tier: the test split's sorted gram-hash set ships once via
+    ``ray.put``; train text never leaves the workers."""
+    from mdvalidate_ray.functions.dedup import ngram_decontamination
+
+    docs = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+    out = ngram_decontamination(docs, k=3, train_bp=9000, salt="split")
+    return out
+
+
+def user_churn(sf_dir: str):
+    """Set-operation analytics (INTERSECT / EXCEPT over user activity):
+    distinct users active on even epoch-days vs odd epoch-days —
+    retained (both eras), churned (even only), new (odd only).  Per-batch
+    (user, era) dedup collapses the stream; only distinct pairs take the
+    ``hash(user) % n_parts`` exchange; per-bucket boolean folds add
+    exactly, so one tiny (3-int) partial per bucket reaches the driver —
+    no count-distinct shuffle, skew-proof by construction."""
+    import numpy as np
+
+    import ray
+    from mdvalidate_ray.state.sketches import hash_strings
+
+    n_parts = 16
+    events = _read(sf_dir, "events").select_columns(["user_id", "ts"])
+
+    def pairs(b: pa.Table) -> pa.Table:
+        days = pc.cast(pc.divide(pc.cast(b.column("ts"), pa.int64()),
+                                 86_400_000_000), pa.int64())
+        era = pc.bit_wise_and(days, 1)
+        t = pa.Table.from_arrays(
+            [b.column("user_id").cast(pa.int64()), era.cast(pa.int8())],
+            names=["user_id", "era"])
+        t = t.group_by(["user_id", "era"]).aggregate([])
+        bucket = (hash_strings([str(u) for u in
+                                t.column("user_id").to_pylist()])
+                  % np.uint64(n_parts)).astype("int64")
+        return t.append_column("_bucket", pa.array(bucket))
+
+    def fold(g: pa.Table) -> pa.Table:
+        df = g.to_pandas()
+        flags = df.groupby("user_id")["era"].agg(
+            has0=lambda s: (s == 0).any(), has1=lambda s: (s == 1).any())
+        both = int((flags["has0"] & flags["has1"]).sum())
+        even_only = int((flags["has0"] & ~flags["has1"]).sum())
+        odd_only = int((~flags["has0"] & flags["has1"]).sum())
+        return pa.Table.from_arrays(
+            [pa.array([even_only], pa.int64()),
+             pa.array([odd_only], pa.int64()),
+             pa.array([both], pa.int64())],
+            names=["users_even_only", "users_odd_only", "users_both"])
+
+    parts = (events.map_batches(pairs, batch_format="pyarrow",
+                                zero_copy_batch=True)
+             .groupby("_bucket").map_groups(fold, batch_format="pyarrow")
+             .materialize())
+    tbls = [t for t in ray.get(parts.to_arrow_refs()) if t.num_rows]
+    tot = pa.concat_tables(tbls)
+    return pa.Table.from_arrays(
+        [pa.array([sum(tot.column(c).to_pylist())], pa.int64())
+         for c in tot.column_names],
+        names=tot.column_names)
+
+
+def orders_cube(sf_dir: str):
+    """Full CUBE margins over (year, priority) — ROLLUP's sibling
+    (``GROUP BY CUBE``): fine cells + per-year subtotals + per-priority
+    subtotals + grand total.  Same scale shape as :func:`orders_rollup`:
+    ONE pre-combined exchange builds the bounded fine grid
+    (:func:`_orders_fine_cells`); every margin derives from it on the
+    driver, never from row data."""
+    fine = _orders_fine_cells(sf_dir)
+    cells = fine.column("cell").to_pylist()
+    cnts = fine.column("cnt").to_pylist()
+    sums = fine.column("sum_c100").to_pylist()
+
+    years, pris, out_cnt, out_sum = [], [], [], []
+    by_year: dict[int, list[int]] = {}
+    by_pri: dict[str, list[int]] = {}
+    for cell, c, s in zip(cells, cnts, sums):
+        y_s, pri = cell.split("|", 1)
+        y = int(y_s)
+        years.append(y)
+        pris.append(pri)
+        out_cnt.append(c)
+        out_sum.append(s)
+        ty = by_year.setdefault(y, [0, 0])
+        ty[0] += c
+        ty[1] += s
+        tp = by_pri.setdefault(pri, [0, 0])
+        tp[0] += c
+        tp[1] += s
+    for y, (c, s) in by_year.items():
+        years.append(y)
+        pris.append(None)
+        out_cnt.append(c)
+        out_sum.append(s)
+    for pri, (c, s) in by_pri.items():
+        years.append(None)
+        pris.append(pri)
+        out_cnt.append(c)
+        out_sum.append(s)
+    years.append(None)
+    pris.append(None)
+    out_cnt.append(sum(cnts))
+    out_sum.append(sum(sums))
+    return pa.Table.from_arrays(
+        [pa.array(years, pa.int64()), pa.array(pris, pa.string()),
+         pa.array(out_cnt, pa.int64()), pa.array(out_sum, pa.int64())],
+        names=["o_year", "o_orderpriority", "cnt", "sum_c100"])

@@ -810,3 +810,101 @@ def test_gif_lzw_width_growth_and_table_reset(ray_session):
     assert _lzw_decompress(_lzw_compress(noise)) == noise
     periodic = b"xyz" * 12_000
     assert _lzw_decompress(_lzw_compress(periodic)) == periodic
+
+
+def test_levenshtein_batch_matches_reference():
+    """The pair-vectorized DP equals a classic per-pair Python DP on
+    random ASCII pairs plus the edge cases (empty sides, classic
+    textbook pairs)."""
+    import random
+
+    from mdvalidate_ray.functions.dedup import _levenshtein_batch
+
+    def lev_ref(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[len(b)]
+
+    rng = random.Random(99)
+    pairs = [("", ""), ("", "abc"), ("abc", ""), ("kitten", "sitting"),
+             ("flaw", "lawn"), ("same", "same")]
+    for _ in range(120):
+        a = "".join(rng.choice("abcd ") for _ in range(rng.randint(0, 30)))
+        b = "".join(rng.choice("abce ") for _ in range(rng.randint(0, 30)))
+        pairs.append((a, b))
+    got = _levenshtein_batch([p[0] for p in pairs], [p[1] for p in pairs])
+    want = [lev_ref(a, b) for a, b in pairs]
+    assert got.tolist() == want
+
+
+def test_levenshtein_near_duplicates_blocked(ray_session):
+    """The edit-distance family: same-prefix pairs within the edit budget
+    are found with their exact distance; same-prefix pairs beyond it are
+    filtered; docs without a block mate emit nothing."""
+    import ray.data
+
+    from mdvalidate_ray.functions.dedup import levenshtein_near_duplicates
+
+    prefix = "alpha beta gamma delta epsilon"
+    rows = [
+        {"doc_id": 1, "text": prefix + " tail one two three"},
+        {"doc_id": 2, "text": prefix + " tail one two threX"},   # dist 1
+        {"doc_id": 3, "text": prefix + " " + "z" * 80},          # far away
+        {"doc_id": 5, "text": "lonely unique document with no block mate"},
+    ]
+    ds = ray.data.from_arrow(pa.Table.from_pylist(rows))
+    out = levenshtein_near_duplicates(ds, max_dist=5, n_parts=8)
+    got = {(r["doc_a"], r["doc_b"], r["dist"]) for r in out.to_pylist()}
+    assert got == {("1", "2", 1)}
+
+
+def test_ngram_decontamination_matches_naive(ray_session):
+    """N-gram decontamination equals a naive Python recomputation under
+    the SAME md5 split rule: per train doc, the count of its distinct
+    3-grams that appear in any test doc."""
+    import hashlib
+
+    import ray.data
+
+    from mdvalidate_ray.functions.dedup import ngram_decontamination
+
+    rows = [{"doc_id": i,
+             "text": " ".join(f"w{(i * 7 + j) % 23}" for j in range(15))}
+            for i in range(60)]
+    # plant an exact 3-gram of doc 0 into several other docs
+    probe = rows[0]["text"].split()[:3]
+    for i in (10, 20, 30):
+        rows[i]["text"] += " " + " ".join(probe)
+
+    def is_train(doc_id):
+        h = int.from_bytes(
+            hashlib.md5(f"split{doc_id}".encode()).digest()[8:16],
+            "little")
+        return h % 10000 < 9000
+
+    def grams(text):
+        w = text.lower().split()
+        return {" ".join(w[i:i + 3]) for i in range(len(w) - 2)}
+
+    test_g = set()
+    for r in rows:
+        if not is_train(r["doc_id"]):
+            test_g |= grams(r["text"])
+    want = {}
+    for r in rows:
+        if is_train(r["doc_id"]):
+            n = len(grams(r["text"]) & test_g)
+            if n:
+                want[r["doc_id"]] = n
+
+    ds = ray.data.from_arrow(pa.Table.from_pylist(rows))
+    out = ngram_decontamination(ds, k=3)
+    got = {r["doc_id"]: r["n_hits"] for b in
+           out.iter_batches(batch_format="pyarrow") for r in b.to_pylist()}
+    assert got == want
+    assert want  # the planted overlap must actually exercise the probe
