@@ -138,6 +138,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_contamination": Q.ngram_contamination,
         "user_churn": Q.user_churn,
         "orders_cube": Q.orders_cube,
+        # sketch-then-verify heavy hitters / robust statistics
+        "heavy_hitter_words": Q.heavy_hitter_words,
+        "qty_winsorized": Q.qty_winsorized,
     }
 
 
@@ -1204,5 +1207,31 @@ def oracle_sql() -> dict[str, str]:
                          CAST(round(o_totalprice * 100) AS BIGINT) AS c100
                   FROM orders)
             GROUP BY CUBE (o_year, o_orderpriority)
+        """,
+        "heavy_hitter_words": """
+            WITH words AS (
+                SELECT unnest(list_filter(
+                    string_split_regex(lower(trim(text)), '\\s+'),
+                    x -> x <> '')) AS word
+                FROM documents
+            )
+            SELECT word, count(*)::BIGINT AS cnt
+            FROM words GROUP BY word
+            ORDER BY cnt DESC, word ASC
+            LIMIT 20
+        """,
+        "qty_winsorized": """
+            WITH b AS (
+                SELECT l_returnflag,
+                       quantile_cont(l_quantity, 0.05) AS lo,
+                       quantile_cont(l_quantity, 0.95) AS hi
+                FROM lineitem GROUP BY l_returnflag
+            )
+            SELECT l.l_returnflag, count(*)::BIGINT AS n,
+                   sum(CAST(round(least(greatest(l.l_quantity, b.lo),
+                                        b.hi) * 100) AS BIGINT))::BIGINT
+                       AS sum_c100
+            FROM lineitem l JOIN b USING (l_returnflag)
+            GROUP BY l.l_returnflag
         """,
     }

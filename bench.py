@@ -175,6 +175,8 @@ QUERY_NAMES = [
     "qty_outliers", "fingerprint_spread", "neardup_purge",
     "q4_priority_exists", "q10_returned_revenue", "embedding_scores",
     "customer_order_counts",
+    "lev_pairs", "ngram_contamination", "user_churn", "orders_cube",
+    "heavy_hitter_words", "qty_winsorized",
 ]
 
 

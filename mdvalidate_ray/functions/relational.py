@@ -1383,3 +1383,91 @@ def group_concat(ds, *, group_col: str, value_col: str,
                           zero_copy_batch=True) \
              .groupby("_bucket").map_groups(per_bucket,
                                             batch_format="pyarrow")
+
+
+def heavy_hitters_exact(ds, *, column: str, k: int,
+                        capacity: int = 4096, n_parts: int = 8):
+    """EXACT top-``k`` heavy hitters over a (possibly huge-vocabulary)
+    key column via a Misra–Gries candidate sketch + exact recount — the
+    sketch-then-verify pattern: bounded-memory summaries find the
+    candidates, a second exact pass makes the output provably correct.
+
+    Scale shape (contrast with the pre-combine plan in
+    ``queries.top_words``, which ships each batch's full distinct
+    vocabulary into the exchange):
+
+    1. **sketch pass** — per batch, exact ``value_counts`` shrinks to a
+       ≤ ``capacity``-counter :class:`~mdvalidate_ray.state.sketches.
+       MisraGries` summary; each batch contributes at most
+       ``capacity+1`` tiny (key, cnt) rows REGARDLESS of its vocabulary.
+       Partials fold on the driver (count addition is the merge; a
+       tree-reduce drops in unchanged at cluster scale).
+    2. **recount pass** — the ≤ ``capacity`` candidate keys broadcast
+       via ``ray.put``; per-batch pre-combined counts of candidates only
+       take one :func:`bucketed_group_sum` exchange, so the reported
+       counts are exact.
+
+    Correctness gate (from the MG bounds): every non-candidate's true
+    count ≤ accumulated decrement ``err``, so the exact top-k is
+    guaranteed iff the k-th candidate's exact count is STRICTLY greater
+    than ``err`` — verified at runtime; raises ``ValueError`` (grow
+    ``capacity``) otherwise.  Ties break (cnt desc, key asc).
+
+    Returns a pa.Table (key, cnt) of exactly ``min(k, |candidates|)``
+    rows.
+    """
+    import ray
+
+    from mdvalidate_ray.state.sketches import MisraGries
+
+    def sketch(b: pa.Table) -> pa.Table:
+        col = b.column(column)
+        col = col.combine_chunks() if isinstance(
+            col, pa.ChunkedArray) else col
+        vc = pc.cast(col, pa.string()).value_counts()
+        mg = MisraGries.from_counts(
+            np.asarray(vc.field("values").to_pylist(), dtype=object),
+            np.asarray(vc.field("counts"), dtype=np.int64), capacity)
+        return mg.to_table()
+
+    partial_tbls = []
+    for b in ds.map_batches(sketch, batch_format="pyarrow",
+                            zero_copy_batch=True) \
+               .iter_batches(batch_format="pyarrow"):
+        partial_tbls.append(b)
+    merged = MisraGries.from_table(pa.concat_tables(partial_tbls), capacity)
+    if len(merged.keys) == 0:
+        return pa.Table.from_arrays(
+            [pa.array([], pa.string()), pa.array([], pa.int64())],
+            names=[column, "cnt"])
+    cand_ref = ray.put(pa.array(sorted(merged.keys), pa.string()))
+
+    def recount(b: pa.Table) -> pa.Table:
+        cands = ray.get(cand_ref)
+        col = pc.cast(b.column(column), pa.string())
+        col = col.combine_chunks() if isinstance(
+            col, pa.ChunkedArray) else col
+        hits = col.filter(pc.is_in(col, value_set=cands))
+        vc = hits.value_counts()
+        return pa.Table.from_arrays(
+            [vc.field("values"), vc.field("counts").cast(pa.int64())],
+            names=[column, "cnt"])
+
+    counted = bucketed_group_sum(
+        ds.map_batches(recount, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        key=column, sum_cols=["cnt"], n_parts=n_parts)
+    exact = pa.concat_tables(
+        [t for t in ray.get(counted.materialize().to_arrow_refs())
+         if t.num_rows])
+    exact = exact.take(pc.sort_indices(
+        exact, sort_keys=[("cnt", "descending"), (column, "ascending")]))
+    top = exact.slice(0, k)
+    if merged.err and top.num_rows == k:
+        kth = top.column("cnt")[k - 1].as_py()
+        if kth <= merged.err:
+            raise ValueError(
+                f"heavy-hitter guarantee fails: kth exact count {kth} ≤ "
+                f"sketch error bound {merged.err}; grow capacity "
+                f"(= {capacity})")
+    return top

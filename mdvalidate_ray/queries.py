@@ -2564,3 +2564,88 @@ def orders_cube(sf_dir: str):
         [pa.array(years, pa.int64()), pa.array(pris, pa.string()),
          pa.array(out_cnt, pa.int64()), pa.array(out_sum, pa.int64())],
         names=["o_year", "o_orderpriority", "cnt", "sum_c100"])
+
+
+def heavy_hitter_words(sf_dir: str):
+    """Exact top-20 words via the Misra–Gries sketch-then-verify plan
+    (:func:`~mdvalidate_ray.functions.relational.heavy_hitters_exact`):
+    per-batch bounded-memory summaries (≤ capacity rows per batch into
+    the fold REGARDLESS of batch vocabulary — the 10^9-vocab-safe
+    alternative to :func:`top_words`' full pre-combine), then an exact
+    recount of the ≤ capacity candidates.  The word stream is consumed
+    twice (sketch + recount) — deliberately re-executing the cheap
+    streaming tokenize lineage instead of materializing a corpus-sized
+    token table."""
+    from mdvalidate_ray.functions.relational import heavy_hitters_exact
+
+    docs = _read(sf_dir, "documents").select_columns(["text"])
+
+    def words(b: pa.Table) -> pa.Table:
+        texts = pc.utf8_lower(pc.utf8_trim_whitespace(
+            pc.cast(b.column("text"), pa.string())))
+        tokens = pc.split_pattern_regex(texts, r"\s+")
+        flat = tokens.combine_chunks() if isinstance(
+            tokens, pa.ChunkedArray) else tokens
+        w = flat.flatten()
+        w = w.filter(pc.not_equal(w, ""))
+        return pa.Table.from_arrays([w], names=["word"])
+
+    stream = docs.map_batches(words, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    top = heavy_hitters_exact(stream, column="word", k=20, capacity=256)
+    return top
+
+
+def qty_winsorized(sf_dir: str):
+    """Per-group winsorization (outlier clipping at exact p05/p95 —
+    the robust-statistics preprocessing step): grouped exact quantiles
+    (one bounded exchange) broadcast as clip bounds into a streaming
+    pre-combined pass; clipped cents are rounded per element BEFORE the
+    int64 sum, so both engines add identical integers."""
+    import numpy as np
+
+    import ray
+    from mdvalidate_ray.functions.relational import bucketed_group_sum
+    from mdvalidate_ray.functions.window import group_quantiles
+
+    li = _read(sf_dir, "lineitem").select_columns(
+        ["l_returnflag", "l_quantity"])
+    qtbl = group_quantiles(li, group_key="l_returnflag",
+                           value_col="l_quantity", qs=[0.05, 0.95])
+    bounds: dict[str, list[float]] = {}
+    for r in qtbl.take_all():
+        b = bounds.setdefault(r["l_returnflag"], [0.0, 0.0])
+        b[0 if r["q"] == 0.05 else 1] = r["q_value"]
+    bounds_ref = ray.put(bounds)
+
+    def part(b: pa.Table) -> pa.Table:
+        bd = ray.get(bounds_ref)
+        flags = pc.cast(b.column("l_returnflag"), pa.string())
+        flags = flags.combine_chunks() if isinstance(
+            flags, pa.ChunkedArray) else flags
+        enc = flags.dictionary_encode()
+        codes = np.asarray(enc.indices).astype(np.int64)
+        cats = enc.dictionary.to_pylist()
+        lo = np.array([bd[c][0] for c in cats])[codes]
+        hi = np.array([bd[c][1] for c in cats])[codes]
+        qty = np.asarray(b.column("l_quantity").cast(pa.float64())
+                         .combine_chunks() if isinstance(
+                             b.column("l_quantity"), pa.ChunkedArray)
+                         else b.column("l_quantity").cast(pa.float64()),
+                         dtype=np.float64)
+        clipped = np.minimum(np.maximum(qty, lo), hi)
+        # DuckDB round(): half away from zero; quantities are positive
+        c100 = np.floor(clipped * 100.0 + 0.5).astype(np.int64)
+        n = len(cats)
+        cnt = np.bincount(codes, minlength=n).astype(np.int64)
+        sums = np.zeros(n, dtype=np.int64)
+        np.add.at(sums, codes, c100)
+        return pa.Table.from_arrays(
+            [enc.dictionary, pa.array(cnt), pa.array(sums)],
+            names=["l_returnflag", "n", "sum_c100"])
+
+    partials = li.map_batches(part, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    folded = bucketed_group_sum(partials, key="l_returnflag",
+                                sum_cols=["n", "sum_c100"], n_parts=4)
+    return folded

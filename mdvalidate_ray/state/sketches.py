@@ -418,3 +418,91 @@ def max_quantile_drift_td(reference: "TDigest", live: "TDigest",
         qs = [i / 20 for i in range(1, 20)]
     gaps = [abs(live.cdf(reference.quantile(q)) - q) for q in qs]
     return float(max(gaps))
+
+
+class MisraGries:
+    """Misra–Gries / space-saving heavy-hitters summary (Misra & Gries
+    1982; mergeable form per Agarwal et al., "Mergeable Summaries",
+    PODS'12): at most ``capacity`` counters, built vectorized from exact
+    per-batch value counts and merged by count addition + one decrement
+    step.
+
+    Guarantees (the properties the exact-recount verify relies on):
+
+    * underestimate: ``est(x) ≤ true(x)`` for every key;
+    * bounded error: ``true(x) − est(x) ≤ err`` where ``err`` is the
+      accumulated decrement total;
+    * coverage: any key with ``true(x) > err`` is present in the summary.
+    """
+
+    def __init__(self, capacity: int):
+        self.capacity = int(capacity)
+        self.keys = np.zeros(0, dtype=object)
+        self.counts = np.zeros(0, dtype=np.int64)
+        self.err = 0
+
+    @classmethod
+    def from_counts(cls, keys, counts, capacity: int) -> "MisraGries":
+        """Build from EXACT (key, count) pairs (e.g. one batch's
+        ``value_counts``) — a valid summary with err=0 — then shrink to
+        ``capacity``."""
+        mg = cls(capacity)
+        mg.keys = np.asarray(keys, dtype=object)
+        mg.counts = np.asarray(counts, dtype=np.int64)
+        mg._shrink()
+        return mg
+
+    def _shrink(self) -> None:
+        if len(self.keys) <= self.capacity:
+            return
+        order = np.argsort(self.counts)[::-1]
+        d = int(self.counts[order[self.capacity]])
+        keep = order[:self.capacity]
+        cnts = self.counts[keep] - d
+        pos = cnts > 0
+        self.keys = self.keys[keep][pos]
+        self.counts = cnts[pos]
+        self.err += d
+
+    def merge(self, other: "MisraGries") -> "MisraGries":
+        """Associative+commutative: concatenate, sum per key, shrink."""
+        allk = np.concatenate([self.keys, other.keys])
+        allc = np.concatenate([self.counts, other.counts])
+        uniq, inv = np.unique(allk, return_inverse=True)
+        sums = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(sums, inv, allc)
+        out = MisraGries(self.capacity)
+        out.keys = uniq
+        out.counts = sums
+        out.err = self.err + other.err
+        out._shrink()
+        return out
+
+    def to_table(self):
+        """Serialize as an Arrow-friendly (key, cnt) pair list plus the
+        sentinel error row (key=None) — survives any exchange."""
+        import pyarrow as pa
+
+        return pa.Table.from_arrays(
+            [pa.array(list(self.keys) + [None], pa.string()),
+             pa.array(list(self.counts) + [self.err], pa.int64())],
+            names=["key", "cnt"])
+
+    @classmethod
+    def from_table(cls, tbl, capacity: int) -> "MisraGries":
+        """Rebuild from one or many concatenated ``to_table`` partials:
+        duplicate keys sum (count addition IS the merge), sentinel error
+        rows sum, then one shrink — equivalent to pairwise ``merge``."""
+        ks = tbl.column("key").to_pylist()
+        cs = np.asarray(tbl.column("cnt").to_pylist(), dtype=np.int64)
+        mg = cls(capacity)
+        null = np.array([k is None for k in ks], dtype=bool)
+        mg.err = int(cs[null].sum())
+        keys = np.asarray([k for k in ks if k is not None], dtype=object)
+        uniq, inv = np.unique(keys, return_inverse=True)
+        sums = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(sums, inv, cs[~null])
+        mg.keys = uniq
+        mg.counts = sums
+        mg._shrink()
+        return mg

@@ -572,3 +572,33 @@ def test_proc_cache_bounded_lru():
     get_or_build(cache, "c", lambda: builds.append("c2"))
     get_or_build(cache, "e", lambda: builds.append("e") or "E")
     assert set(cache) == {"c", "e"} and "c2" not in builds
+
+
+def test_heavy_hitters_exact_zipf_and_guarantee_gate(ray_session):
+    """Sketch-then-verify top-k: on a skewed stream with capacity ≪
+    vocabulary the result equals the exact groupby top-k (counts AND
+    order); with a capacity too small for the skew, the runtime
+    guarantee gate raises instead of silently returning a wrong set."""
+    import numpy as np
+    import pyarrow as pa
+    import pytest
+    import ray.data
+
+    from mdvalidate_ray.functions.relational import heavy_hitters_exact
+
+    rng = np.random.default_rng(11)
+    vals = [f"k{int(v)}" for v in rng.zipf(1.3, size=20000) % 500]
+    ds = ray.data.from_arrow(
+        pa.table({"word": pa.array(vals, pa.string())})).repartition(8)
+
+    top = heavy_hitters_exact(ds, column="word", k=5, capacity=64)
+    true = {}
+    for v in vals:
+        true[v] = true.get(v, 0) + 1
+    want = sorted(true.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    got = list(zip(top.column("word").to_pylist(),
+                   top.column("cnt").to_pylist()))
+    assert got == want
+
+    with pytest.raises(ValueError, match="guarantee"):
+        heavy_hitters_exact(ds, column="word", k=60, capacity=64)

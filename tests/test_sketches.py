@@ -158,3 +158,63 @@ def test_tdigest_of_column_matches_duckdb_quantiles(ray_session):
     got = td.quantiles([0.1, 0.5, 0.9])
     for e, g in zip(exact, got):
         assert abs(e - g) <= max(3.0, 0.02 * e), (e, g)
+
+
+def test_misra_gries_bounds_and_merge_order_independence():
+    """MG invariants on a zipf-ish stream: underestimates, bounded error
+    (true − est ≤ err), coverage of every key with true > err, and
+    merge-order independence of the (est + err) guarantees."""
+    import numpy as np
+
+    from mdvalidate_ray.state.sketches import MisraGries
+
+    rng = np.random.default_rng(5)
+    keys = [f"k{int(v)}" for v in rng.zipf(1.5, size=6000) % 200]
+    true = {}
+    for k in keys:
+        true[k] = true.get(k, 0) + 1
+
+    def batch_summaries(order):
+        out = []
+        for i in range(0, len(order), 500):
+            chunk = order[i:i + 500]
+            uniq, cnt = np.unique(np.asarray(chunk, dtype=object),
+                                  return_counts=True)
+            out.append(MisraGries.from_counts(uniq, cnt, capacity=20))
+        return out
+
+    for seed in (0, 1):
+        perm = list(keys)
+        np.random.default_rng(seed).shuffle(perm)
+        parts = batch_summaries(perm)
+        merged = parts[0]
+        for p in parts[1:]:
+            merged = merged.merge(p)
+        est = dict(zip(merged.keys, merged.counts.tolist()))
+        assert len(merged.keys) <= 20
+        for k, e in est.items():
+            assert e <= true[k]
+            assert true[k] - e <= merged.err
+        for k, t in true.items():
+            if t > merged.err:
+                assert k in est, (k, t, merged.err)
+
+
+def test_misra_gries_table_round_trip_equals_merge():
+    """from_table over concatenated partial tables folds duplicate keys
+    and sentinel error rows exactly like pairwise merge."""
+    import numpy as np
+    import pyarrow as pa
+
+    from mdvalidate_ray.state.sketches import MisraGries
+
+    a = MisraGries.from_counts(np.asarray(["x", "y", "z"], dtype=object),
+                               np.array([5, 3, 1]), capacity=2)
+    b = MisraGries.from_counts(np.asarray(["x", "w"], dtype=object),
+                               np.array([2, 9]), capacity=2)
+    via_merge = a.merge(b)
+    via_table = MisraGries.from_table(
+        pa.concat_tables([a.to_table(), b.to_table()]), capacity=2)
+    assert sorted(zip(via_merge.keys, via_merge.counts.tolist())) == \
+        sorted(zip(via_table.keys, via_table.counts.tolist()))
+    assert via_merge.err == via_table.err
