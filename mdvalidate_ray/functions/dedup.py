@@ -1268,6 +1268,7 @@ def _connected_components_starring(sym_edges, *, max_iter: int,
 def connected_components(edges_ds, *, col_a: str = "src",
                          col_b: str = "dst", max_iter: int = 50,
                          n_parts: int = 64,
+                         local_threshold: int = 2_000_000,
                          max_broadcast_nodes: int = 100_000_000
                          ) -> pa.Table:
     """Components of the candidate-pair graph → ``(node, component)``
@@ -1291,15 +1292,21 @@ def connected_components(edges_ds, *, col_a: str = "src",
       diameter) rounds instead of O(diameter);
     * stops when a round changes no label.
 
-    Tiering: the broadcast-label path above assumes nodes APPEARING IN
-    PAIRS — the dedup candidate set, not the corpus — fit in driver
-    memory at 16 bytes each (~10⁸–10⁹ on a 128-GiB driver).  When the
-    symmetrized edge count exceeds ``max_broadcast_nodes`` (nodes ≤
-    edges after symmetrization), the function switches to the fully
-    hash-partitioned large-star/small-star tier
-    (:func:`_connected_components_starring`): edge-Dataset rounds,
-    O(log² n) convergence, nothing node-sized on the driver until the
-    final result table."""
+    Tiering (three, by symmetrized edge count):
+
+    * ``≤ local_threshold`` — the whole edge set is SMALLER than one
+      label broadcast would be, so per-round Dataset launches are pure
+      overhead (measured: they dominate wall time on small pair sets);
+      collect the (src, dst) arrays once and run the identical min-fold
+      + pointer-jump rounds in-process.
+    * ``≤ max_broadcast_nodes`` — the distributed broadcast-label path
+      above; assumes nodes APPEARING IN PAIRS — the dedup candidate
+      set, not the corpus — fit in driver memory at 16 bytes each
+      (~10⁸–10⁹ on a 128-GiB driver).
+    * beyond — the fully hash-partitioned large-star/small-star tier
+      (:func:`_connected_components_starring`): edge-Dataset rounds,
+      O(log² n) convergence, nothing node-sized on the driver until the
+      final result table."""
     import ray
 
     def sym(b: pa.Table) -> pa.Table:
@@ -1312,9 +1319,33 @@ def connected_components(edges_ds, *, col_a: str = "src",
 
     edges = edges_ds.map_batches(sym, batch_format="pyarrow",
                                  zero_copy_batch=True).materialize()
-    if edges.count() > max_broadcast_nodes:
+    n_edges = edges.count()
+    if n_edges > max_broadcast_nodes:
         return _connected_components_starring(edges, max_iter=max_iter,
                                               n_parts=n_parts)
+    if n_edges <= local_threshold:
+        tbls = [t for t in ray.get(edges.to_arrow_refs()) if t.num_rows]
+        if not tbls:
+            return pa.Table.from_arrays(
+                [pa.array([], pa.int64()), pa.array([], pa.int64())],
+                names=["node", "component"])
+        et = pa.concat_tables(tbls).combine_chunks()
+        src = np.asarray(et.column("src"), dtype=np.int64)
+        dst = np.asarray(et.column("dst"), dtype=np.int64)
+        nodes = np.unique(src)
+        labels = nodes.copy()
+        si = np.searchsorted(nodes, src)
+        di = np.searchsorted(nodes, dst)
+        for _ in range(max_iter):
+            new = labels.copy()
+            np.minimum.at(new, di, labels[si])
+            new = new[np.searchsorted(nodes, new)]
+            if np.array_equal(new, labels):
+                break
+            labels = new
+        return pa.Table.from_arrays(
+            [pa.array(nodes, pa.int64()), pa.array(labels, pa.int64())],
+            names=["node", "component"])
 
     def block_nodes(b: pa.Table) -> pa.Table:
         u = np.unique(np.asarray(b.column("src").to_pandas()))

@@ -908,3 +908,24 @@ def test_ngram_decontamination_matches_naive(ray_session):
            out.iter_batches(batch_format="pyarrow") for r in b.to_pylist()}
     assert got == want
     assert want  # the planted overlap must actually exercise the probe
+
+
+def test_connected_components_local_tier_parity(ray_session):
+    """The in-process small-graph tier returns exactly the distributed
+    broadcast-label tier's result (forced via local_threshold=0)."""
+    import ray.data
+
+    from mdvalidate_ray.functions.dedup import connected_components
+
+    edges = [{"src": a, "dst": b}
+             for a, b in [(1, 2), (2, 3), (10, 11), (20, 20), (5, 3)]]
+    ds = ray.data.from_arrow(pa.Table.from_pylist(edges))
+    local = connected_components(ds).to_pylist()
+    dist = connected_components(
+        ray.data.from_arrow(pa.Table.from_pylist(edges)),
+        local_threshold=0).to_pylist()
+    assert sorted((r["node"], r["component"]) for r in local) == \
+        sorted((r["node"], r["component"]) for r in dist)
+    comp = {r["node"]: r["component"] for r in local}
+    assert comp[1] == comp[2] == comp[3] == comp[5] == 1
+    assert comp[10] == comp[11] == 10
