@@ -141,6 +141,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # sketch-then-verify heavy hitters / robust statistics
         "heavy_hitter_words": Q.heavy_hitter_words,
         "qty_winsorized": Q.qty_winsorized,
+        # grouped moment partials / link-graph authority (rows-only)
+        "qty_disc_moments": Q.qty_disc_moments,
+        "part_supplier_pagerank": Q.part_supplier_pagerank,
     }
 
 
@@ -1233,5 +1236,17 @@ def oracle_sql() -> dict[str, str]:
                        AS sum_c100
             FROM lineitem l JOIN b USING (l_returnflag)
             GROUP BY l.l_returnflag
+        """,
+        "qty_disc_moments": """
+            SELECT l_returnflag, count(*)::BIGINT AS n,
+                   sum(q)::BIGINT AS sum_q, sum(d)::BIGINT AS sum_d,
+                   sum(q * q)::BIGINT AS sum_qq,
+                   sum(d * d)::BIGINT AS sum_dd,
+                   sum(q * d)::BIGINT AS sum_qd
+            FROM (SELECT l_returnflag,
+                         CAST(round(l_quantity * 100) AS BIGINT) AS q,
+                         CAST(round(l_discount * 10000) AS BIGINT) AS d
+                  FROM lineitem)
+            GROUP BY l_returnflag
         """,
     }

@@ -2649,3 +2649,84 @@ def qty_winsorized(sf_dir: str):
     folded = bucketed_group_sum(partials, key="l_returnflag",
                                 sum_cols=["n", "sum_c100"], n_parts=4)
     return folded
+
+
+def qty_disc_moments(sf_dir: str):
+    """Grouped second-moment partials — the exact-integer building
+    blocks of AVG / STDDEV / COVAR / CORR per group (cents- and
+    basis-point-scaled so every sum folds in int64 with no float
+    ordering): n, Σq, Σd, Σq², Σd², Σqd per return flag.  One
+    pre-combined pass + one bounded exchange; a caller derives corr =
+    (nΣqd − ΣqΣd) / √((nΣq²−(Σq)²)(nΣd²−(Σd)²)) driver-side."""
+    import numpy as np
+
+    from mdvalidate_ray.functions.relational import bucketed_group_sum
+
+    li = _read(sf_dir, "lineitem").select_columns(
+        ["l_returnflag", "l_quantity", "l_discount"])
+
+    def part(b: pa.Table) -> pa.Table:
+        flags = pc.cast(b.column("l_returnflag"), pa.string())
+        flags = flags.combine_chunks() if isinstance(
+            flags, pa.ChunkedArray) else flags
+        enc = flags.dictionary_encode()
+        codes = np.asarray(enc.indices).astype(np.int64)
+        q = np.asarray(b.column("l_quantity").cast(pa.float64())
+                       .combine_chunks(), dtype=np.float64)
+        d = np.asarray(b.column("l_discount").cast(pa.float64())
+                       .combine_chunks(), dtype=np.float64)
+        q100 = np.floor(q * 100.0 + 0.5).astype(np.int64)
+        d10k = np.floor(d * 10000.0 + 0.5).astype(np.int64)
+        n = len(enc.dictionary)
+        out = {"n": np.bincount(codes, minlength=n).astype(np.int64)}
+        for name, vals in (("sum_q", q100), ("sum_d", d10k),
+                           ("sum_qq", q100 * q100),
+                           ("sum_dd", d10k * d10k),
+                           ("sum_qd", q100 * d10k)):
+            acc = np.zeros(n, dtype=np.int64)
+            np.add.at(acc, codes, vals)
+            out[name] = acc
+        return pa.Table.from_arrays(
+            [enc.dictionary] + [pa.array(v) for v in out.values()],
+            names=["l_returnflag"] + list(out.keys()))
+
+    partials = li.map_batches(part, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    return bucketed_group_sum(
+        partials, key="l_returnflag",
+        sum_cols=["n", "sum_q", "sum_d", "sum_qq", "sum_dd", "sum_qd"],
+        n_parts=4)
+
+
+def part_supplier_pagerank(sf_dir: str):
+    """Link-graph authority scoring: PageRank by distributed power
+    iteration (:mod:`mdvalidate_ray.functions.graph`) over the bipartite
+    part↔supplier graph from lineitem (node ids disambiguated
+    part→2k / supplier→2k+1; edge multiplicity = shipment count acts as
+    a natural weight).  Rows-only (iterative float folds have no SQL
+    hash analog — like k-means); pinned by a dense-numpy differential
+    test.  Returns the top-20 nodes by rank (micro-rank ints for a
+    stable report)."""
+    import numpy as np
+
+    from mdvalidate_ray.functions.graph import pagerank
+
+    li = _read(sf_dir, "lineitem").select_columns(
+        ["l_partkey", "l_suppkey"])
+
+    def to_edges(b: pa.Table) -> pa.Table:
+        p = pc.add(pc.multiply(b.column("l_partkey").cast(pa.int64()), 2), 0)
+        s = pc.add(pc.multiply(b.column("l_suppkey").cast(pa.int64()), 2), 1)
+        return pa.Table.from_arrays(
+            [p.combine_chunks(), s.combine_chunks()], names=["src", "dst"])
+
+    ranks = pagerank(li.map_batches(to_edges, batch_format="pyarrow",
+                                    zero_copy_batch=True),
+                     damping=0.85, n_iter=10, symmetric=True)
+    r = np.asarray(ranks.column("rank"), dtype=np.float64)
+    nodes = np.asarray(ranks.column("node"), dtype=np.int64)
+    order = np.lexsort((nodes, -r))[:20]
+    return pa.Table.from_arrays(
+        [pa.array(nodes[order]),
+         pa.array(np.floor(r[order] * 1e12 + 0.5).astype(np.int64))],
+        names=["node", "rank_e12"])

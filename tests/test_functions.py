@@ -929,3 +929,42 @@ def test_connected_components_local_tier_parity(ray_session):
     comp = {r["node"]: r["component"] for r in local}
     assert comp[1] == comp[2] == comp[3] == comp[5] == 1
     assert comp[10] == comp[11] == 10
+
+
+def test_pagerank_matches_dense_reference(ray_session):
+    """Distributed power iteration equals a dense numpy PageRank (same
+    damping / iterations / dangling redistribution) to float tolerance,
+    on a directed graph WITH a dangling node and an isolated-dst node."""
+    import ray.data
+
+    from mdvalidate_ray.functions.graph import pagerank
+
+    edges = [(1, 2), (2, 3), (3, 1), (1, 3), (4, 1), (5, 1), (3, 6)]
+    # node 6 has no out-edges (dangling when directed)
+    ds = ray.data.from_arrow(pa.Table.from_pylist(
+        [{"src": a, "dst": b} for a, b in edges]))
+
+    for symmetric in (False, True):
+        got = pagerank(ray.data.from_arrow(pa.Table.from_pylist(
+            [{"src": a, "dst": b} for a, b in edges])),
+            damping=0.85, n_iter=12, symmetric=symmetric)
+        gmap = {r["node"]: r["rank"] for r in got.to_pylist()}
+
+        es = list(edges) + ([(b, a) for a, b in edges] if symmetric else [])
+        nodes = sorted({x for e in es for x in e})
+        idx = {v: i for i, v in enumerate(nodes)}
+        n = len(nodes)
+        deg = np.zeros(n)
+        for a, _ in es:
+            deg[idx[a]] += 1
+        ranks = np.full(n, 1.0 / n)
+        for _ in range(12):
+            incoming = np.zeros(n)
+            share = ranks / np.maximum(deg, 1)
+            for a, b in es:
+                incoming[idx[b]] += share[idx[a]]
+            dangling = ranks[deg == 0].sum()
+            ranks = (1 - 0.85) / n + 0.85 * (incoming + dangling / n)
+        for v in nodes:
+            assert abs(gmap[v] - ranks[idx[v]]) < 1e-9, (symmetric, v)
+        assert abs(sum(gmap.values()) - 1.0) < 1e-9
