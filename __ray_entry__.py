@@ -144,6 +144,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # grouped moment partials / link-graph authority (rows-only)
         "qty_disc_moments": Q.qty_disc_moments,
         "part_supplier_pagerank": Q.part_supplier_pagerank,
+        "boilerplate_grams": Q.boilerplate_grams,
     }
 
 
@@ -1248,5 +1249,24 @@ def oracle_sql() -> dict[str, str]:
                          CAST(round(l_discount * 10000) AS BIGINT) AS d
                   FROM lineitem)
             GROUP BY l_returnflag
+        """,
+        "boilerplate_grams": """
+            WITH words AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(text), '\\s+'),
+                                   x -> x <> '') AS w
+                FROM documents
+            ),
+            grams AS (
+                SELECT doc_id,
+                       unnest(list_distinct(list_transform(
+                           range(1, len(w) - 2),
+                           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                || ' ' || w[i+3]))) AS gram
+                FROM words WHERE len(w) >= 4
+            )
+            SELECT gram, count(*)::BIGINT AS df
+            FROM grams GROUP BY gram
+            HAVING count(*) >= 3
         """,
     }

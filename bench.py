@@ -177,7 +177,7 @@ QUERY_NAMES = [
     "customer_order_counts",
     "lev_pairs", "ngram_contamination", "user_churn", "orders_cube",
     "heavy_hitter_words", "qty_winsorized",
-    "qty_disc_moments", "part_supplier_pagerank",
+    "qty_disc_moments", "part_supplier_pagerank", "boilerplate_grams",
 ]
 
 

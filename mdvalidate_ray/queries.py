@@ -2730,3 +2730,58 @@ def part_supplier_pagerank(sf_dir: str):
         [pa.array(nodes[order]),
          pa.array(np.floor(r[order] * 1e12 + 0.5).astype(np.int64))],
         names=["node", "rank_e12"])
+
+
+def boilerplate_grams(sf_dir: str):
+    """Corpus-level repeated-n-gram mining — the boilerplate-detection
+    pass of a C4-style cleaning pipeline (find phrases recurring across
+    many documents, then scrub them).  Same exact-df plan as
+    :func:`doc_frequency` lifted from words to word-4-grams: one
+    whitespace split per batch (Arrow), gram assembly on the flattened
+    word array (object-array joins), in-batch per-doc dedup so a hot
+    gram contributes ONE row per batch to the exchange, bucketed fold,
+    then the ``df ≥ 3`` filter (threshold, not top-k: no tie
+    ambiguity).  Returns (gram, df) for every cross-doc repeated gram."""
+    import numpy as np
+    import pandas as pd
+
+    from mdvalidate_ray.functions.relational import bucketed_group_sum
+
+    k = 4
+    docs = _read(sf_dir, "documents").select_columns(["text"])
+    empty = pa.Table.from_arrays(
+        [pa.array([], pa.string()), pa.array([], pa.int64())],
+        names=["gram", "df"])
+
+    def gram_partial(b: pa.Table) -> pa.Table:
+        arr = pc.utf8_split_whitespace(pc.utf8_trim_whitespace(
+            pc.utf8_lower(pc.cast(b.column("text"), pa.string()))))
+        arr = arr.combine_chunks() if isinstance(
+            arr, pa.ChunkedArray) else arr
+        flat = np.asarray(arr.values.to_pylist(), dtype=object)
+        offs = np.asarray(arr.offsets)
+        n_grams = np.maximum(np.diff(offs) - (k - 1), 0)
+        if int(n_grams.sum()) == 0:
+            return empty
+        doc_idx = np.repeat(np.arange(len(n_grams), dtype=np.int64),
+                            n_grams)
+        starts = np.concatenate(
+            [np.arange(offs[i], offs[i] + n_grams[i])
+             for i in range(len(n_grams)) if n_grams[i] > 0]
+        ).astype(np.int64)
+        grams = flat[starts]
+        for j in range(1, k):
+            grams = grams + " "
+            grams = grams + flat[starts + j]
+        dedup = pd.DataFrame({"d": doc_idx, "g": grams}).drop_duplicates()
+        vc = dedup["g"].value_counts()
+        return pa.Table.from_arrays(
+            [pa.array(vc.index.to_numpy(dtype=object), pa.string()),
+             pa.array(vc.to_numpy(dtype=np.int64))],
+            names=["gram", "df"])
+
+    partials = docs.map_batches(gram_partial, batch_format="pyarrow",
+                                zero_copy_batch=True)
+    agg = bucketed_group_sum(partials, key="gram", sum_cols=["df"],
+                             n_parts=16)
+    return agg.filter(expr="df >= 3")
