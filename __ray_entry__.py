@@ -145,6 +145,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "qty_disc_moments": Q.qty_disc_moments,
         "part_supplier_pagerank": Q.part_supplier_pagerank,
         "boilerplate_grams": Q.boilerplate_grams,
+        "compressibility": Q.compressibility,
     }
 
 

@@ -2785,3 +2785,40 @@ def boilerplate_grams(sf_dir: str):
     agg = bucketed_group_sum(partials, key="gram", sum_cols=["df"],
                              n_parts=16)
     return agg.filter(expr="df >= 3")
+
+
+def compressibility(sf_dir: str):
+    """Per-source compressibility profile: zlib ratio quality signal
+    (:func:`~mdvalidate_ray.functions.text.add_compressibility`) folded
+    to per-source means — rows-only (zlib output is build-specific, no
+    SQL analog; the per-doc signal is pinned by a direct-zlib
+    differential test)."""
+    import numpy as np
+
+    from mdvalidate_ray.functions.relational import bucketed_group_sum
+    from mdvalidate_ray.functions.text import add_compressibility
+
+    docs = _read(sf_dir, "documents").select_columns(["source", "text"])
+
+    def part(b: pa.Table) -> pa.Table:
+        b = add_compressibility(b)
+        src = pc.cast(b.column("source"), pa.string())
+        src = src.combine_chunks() if isinstance(
+            src, pa.ChunkedArray) else src
+        enc = src.dictionary_encode()
+        codes = np.asarray(enc.indices).astype(np.int64)
+        n = len(enc.dictionary)
+        out = [np.bincount(codes, minlength=n).astype(np.int64)]
+        for c in ("raw_len", "comp_len", "ratio_bp"):
+            acc = np.zeros(n, dtype=np.int64)
+            np.add.at(acc, codes, np.asarray(b.column(c)))
+            out.append(acc)
+        return pa.Table.from_arrays(
+            [enc.dictionary] + [pa.array(v) for v in out],
+            names=["source", "n", "sum_raw", "sum_comp", "sum_ratio_bp"])
+
+    return bucketed_group_sum(
+        docs.map_batches(part, batch_format="pyarrow",
+                         zero_copy_batch=True),
+        key="source", sum_cols=["n", "sum_raw", "sum_comp",
+                                "sum_ratio_bp"], n_parts=4)

@@ -968,3 +968,27 @@ def test_pagerank_matches_dense_reference(ray_session):
         for v in nodes:
             assert abs(gmap[v] - ranks[idx[v]]) < 1e-9, (symmetric, v)
         assert abs(sum(gmap.values()) - 1.0) < 1e-9
+
+
+def test_compressibility_matches_zlib(docs):
+    """The compressibility signal equals direct zlib on every row, and
+    repetitive text compresses harder than high-entropy text."""
+    import zlib
+
+    from mdvalidate_ray.functions.text import add_compressibility
+
+    out = docs.map_batches(add_compressibility,
+                           batch_format="pyarrow").take(30)
+    for r in out:
+        bb = r["text"].encode()
+        assert r["raw_len"] == len(bb)
+        assert r["comp_len"] == len(zlib.compress(bb, 6))
+        assert r["ratio_bp"] == int(np.floor(
+            r["comp_len"] * 10000.0 / max(r["raw_len"], 1) + 0.5))
+
+    t = pa.table({"doc_id": [1, 2],
+                  "text": ["spam " * 200,
+                           "".join(chr(33 + (i * 7919) % 90)
+                                   for i in range(1000))]})
+    r = add_compressibility(t)
+    assert r.column("ratio_bp")[0].as_py() < r.column("ratio_bp")[1].as_py()
