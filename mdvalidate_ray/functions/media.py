@@ -15,6 +15,8 @@ everything below is pure Python + stdlib ``zlib``/``struct`` + numpy):
   8-bit palettes, genuine LZW (width growth + 4096 reset), one frame
   stack per file — the real multi-frame payload behind the 1→N
   frame-sample fan-out.
+* **QOI** — real encode/decode: the public "Quite OK Image" spec
+  (INDEX/DIFF/LUMA/RUN/RGB ops, 64-slot seen-pixel table), channels=3.
 * **JPEG / MP4** — genuinely stubbed behind ``NotImplementedError`` (a
   DCT/container codec is out of scope without libraries); the synth
   generator emits the deterministic fake format for those mimes so the
@@ -385,6 +387,109 @@ MEDIA_SCHEMA = pa.schema([
     ("payload", pa.binary()),
 ])
 
+_QOI_MAGIC = b"qoif"
+_QOI_END = b"\x00" * 7 + b"\x01"
+
+
+def qoi_encode(arr: np.ndarray) -> bytes:
+    """RGB ``(h, w, 3)`` uint8 array → QOI bytes (the public "Quite OK
+    Image" spec, qoiformat.org: INDEX/DIFF/LUMA/RUN/RGB ops over a
+    64-slot seen-pixel hash table; channels=3, linear colorspace)."""
+    h, w, ch = arr.shape
+    assert ch == 3
+    out = bytearray(_QOI_MAGIC + struct.pack(">IIBB", w, h, 3, 1))
+    index = [(0, 0, 0, 255)] * 64
+    pr, pg, pb = 0, 0, 0
+    run = 0
+    flat = arr.reshape(-1, 3).tolist()
+    for r, g, b in flat:
+        if (r, g, b) == (pr, pg, pb):
+            run += 1
+            if run == 62:
+                out.append(0xC0 | (run - 1))
+                run = 0
+            continue
+        if run:
+            out.append(0xC0 | (run - 1))
+            run = 0
+        slot = (r * 3 + g * 5 + b * 7 + 255 * 11) % 64
+        if index[slot] == (r, g, b, 255):
+            out.append(slot)
+        else:
+            index[slot] = (r, g, b, 255)
+            dr = (r - pr + 128) % 256 - 128
+            dg = (g - pg + 128) % 256 - 128
+            db = (b - pb + 128) % 256 - 128
+            if -2 <= dr <= 1 and -2 <= dg <= 1 and -2 <= db <= 1:
+                out.append(0x40 | ((dr + 2) << 4) | ((dg + 2) << 2)
+                           | (db + 2))
+            elif (-32 <= dg <= 31 and -8 <= dr - dg <= 7
+                  and -8 <= db - dg <= 7):
+                out.append(0x80 | (dg + 32))
+                out.append(((dr - dg + 8) << 4) | (db - dg + 8))
+            else:
+                out.append(0xFE)
+                out.extend((r, g, b))
+        pr, pg, pb = r, g, b
+    if run:
+        out.append(0xC0 | (run - 1))
+    out.extend(_QOI_END)
+    return bytes(out)
+
+
+def qoi_decode(data: bytes) -> np.ndarray:
+    """QOI bytes → uint8 ``(h, w, 3)`` array.  Raises ``ValueError`` on
+    bad magic, missing end marker, truncated stream, pixel overrun, or
+    4-channel payloads (this engine synthesizes RGB only)."""
+    if data[:4] != _QOI_MAGIC or len(data) < 14:
+        raise ValueError("not a QOI: bad magic")
+    w, h, ch, _cs = struct.unpack(">IIBB", data[4:14])
+    if ch != 3:
+        raise ValueError("QOI RGBA unsupported here (channels=4)")
+    if data[-8:] != _QOI_END:
+        raise ValueError("QOI: missing end marker")
+    n_px = w * h
+    px = np.zeros((n_px, 3), dtype=np.uint8)
+    index = [(0, 0, 0, 255)] * 64
+    r, g, b = 0, 0, 0
+    i, pos = 14, 0
+    end = len(data) - 8
+    while pos < n_px:
+        if i >= end:
+            raise ValueError("QOI: truncated stream")
+        op = data[i]
+        i += 1
+        if op == 0xFE:                       # RGB
+            r, g, b = data[i], data[i + 1], data[i + 2]
+            i += 3
+        elif op == 0xFF:
+            raise ValueError("QOI RGBA op in a channels=3 stream")
+        elif op >> 6 == 0:                   # INDEX
+            r, g, b, _ = index[op]
+        elif op >> 6 == 1:                   # DIFF
+            r = (r + ((op >> 4) & 3) - 2) % 256
+            g = (g + ((op >> 2) & 3) - 2) % 256
+            b = (b + (op & 3) - 2) % 256
+        elif op >> 6 == 2:                   # LUMA
+            dg = (op & 0x3F) - 32
+            b2 = data[i]
+            i += 1
+            r = (r + dg + ((b2 >> 4) & 0xF) - 8) % 256
+            g = (g + dg) % 256
+            b = (b + dg + (b2 & 0xF) - 8) % 256
+        else:                                # RUN
+            run = (op & 0x3F) + 1
+            if pos + run > n_px:
+                raise ValueError("QOI: run overruns pixel count")
+            px[pos:pos + run] = (r, g, b)
+            pos += run
+            continue
+        index[(r * 3 + g * 5 + b * 7 + 255 * 11) % 64] = (r, g, b, 255)
+        px[pos] = (r, g, b)
+        pos += 1
+    return px.reshape(h, w, 3)
+
+
 _MAGIC = b"FAKEMEDIA1"
 
 
@@ -411,6 +516,13 @@ def synth_media_batch(asset_ids: list[str], mimes: list[str],
             n = int(rng.integers(64, 2048))
             payloads.append(wav_encode(
                 rng.integers(-32768, 32767, n).astype(np.int16)))
+        elif mime == "image/qoi":
+            w, h = int(rng.integers(16, 64)), int(rng.integers(16, 64))
+            # low-entropy patches so every QOI op class (RUN/INDEX/DIFF/
+            # LUMA/RGB) is actually exercised
+            base = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+            base[: h // 2] = base[0, 0]
+            payloads.append(qoi_encode(base))
         elif mime == "image/gif":
             n_frames = int(rng.integers(3, 9))
             w, h = int(rng.integers(8, 25)), int(rng.integers(8, 25))
@@ -431,7 +543,7 @@ def synth_media_batch(asset_ids: list[str], mimes: list[str],
 class DecodeStage:
     """binary payload → (width, height, n_bytes, ok).
 
-    Real decode for PNG / BMP / WAV (pure-Python codecs above — width/
+    Real decode for PNG / BMP / WAV / GIF / QOI (pure-Python codecs above — width/
     height come from the actual bytes; WAV maps to (n_samples,
     n_channels)); the deterministic fake format parses its header;
     anything else (JPEG/MP4 magic, unknown bytes) raises
@@ -455,6 +567,9 @@ class DecodeStage:
         if payload[:6] in (b"GIF89a", b"GIF87a"):
             frames = gif_decode(payload)
             return frames.shape[2], frames.shape[1]
+        if payload[:4] == _QOI_MAGIC:
+            arr = qoi_decode(payload)
+            return arr.shape[1], arr.shape[0]
         if payload[:len(_MAGIC)] == _MAGIC:
             w = int.from_bytes(payload[10:12], "big")
             h = int.from_bytes(payload[12:14], "big")
@@ -561,6 +676,10 @@ class ResizeStage:
                 if payload[:2] == b"BM":
                     out.append(bmp_encode(_resize_nearest(
                         bmp_decode(payload), self.w, self.h)))
+                    continue
+                if payload[:4] == _QOI_MAGIC:
+                    out.append(qoi_encode(_resize_nearest(
+                        qoi_decode(payload), self.w, self.h)))
                     continue
                 if payload[:6] in (b"GIF89a", b"GIF87a"):
                     frames = gif_decode(payload)      # (n, h, w, 3)

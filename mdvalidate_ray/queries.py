@@ -1126,8 +1126,17 @@ def media_decode(sf_dir: str):
 
     n = _docs_count(sf_dir)
     assets = assets_table(n)
-    media = synth_media_batch(assets.column("asset_id").to_pylist(),
-                              assets.column("mime").to_pylist())
+    # remap half the jpeg slice to QOI so the real-codec set (png/wav/
+    # qoi here; gif via media_frames) sees real bytes through the stage
+    mimes = []
+    flip = False
+    for m in assets.column("mime").to_pylist():
+        if m == "image/jpeg":
+            mimes.append("image/qoi" if flip else m)
+            flip = not flip
+        else:
+            mimes.append(m)
+    media = synth_media_batch(assets.column("asset_id").to_pylist(), mimes)
     return decode_media(ray.data.from_arrow(media))
 
 

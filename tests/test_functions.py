@@ -992,3 +992,42 @@ def test_compressibility_matches_zlib(docs):
                                    for i in range(1000))]})
     r = add_compressibility(t)
     assert r.column("ratio_bp")[0].as_py() < r.column("ratio_bp")[1].as_py()
+
+
+def test_qoi_codec_roundtrip_and_stages(ray_session):
+    """Real QOI codec: encode/decode round-trips exactly across all op
+    classes (RUN/INDEX/DIFF/LUMA/RGB), corrupt bytes raise, the decode
+    stage reports true dims from the bytes, and resize re-encodes."""
+    import ray.data
+
+    from mdvalidate_ray.functions.media import (
+        decode_media,
+        qoi_decode,
+        qoi_encode,
+        resize_media,
+        synth_media_batch,
+    )
+
+    rng = np.random.default_rng(17)
+    img = rng.integers(0, 256, (24, 31, 3), dtype=np.uint8)
+    img[:10] = img[0, 0]                     # runs
+    img[:, :8] = (10, 20, 30)                # index revisits
+    assert (qoi_decode(qoi_encode(img)) == img).all()
+
+    with np.testing.assert_raises(ValueError):
+        qoi_decode(qoi_encode(img)[:-8])     # missing end marker
+    with np.testing.assert_raises(ValueError):
+        qoi_decode(b"nope" + qoi_encode(img)[4:])
+
+    media = synth_media_batch(["q1", "q2"], ["image/qoi", "image/qoi"])
+    payload = media.column("payload")[0].as_py()
+    true_h, true_w, _ = qoi_decode(payload).shape
+    decoded = decode_media(ray.data.from_arrow(media)).take_all()
+    byid = {r["asset_id"]: r for r in decoded}
+    assert (byid["q1"]["width"], byid["q1"]["height"]) == (true_w, true_h)
+    assert all(r["ok"] for r in decoded)
+
+    resized = resize_media(ray.data.from_arrow(media), width=9,
+                           height=7).take_all()
+    out = qoi_decode(resized[0]["payload"])
+    assert out.shape == (7, 9, 3)
