@@ -34,13 +34,21 @@ import pyarrow.compute as pc  # noqa: F401  (parity with sibling modules)
 
 def pagerank(edges_ds, *, col_a: str = "src", col_b: str = "dst",
              damping: float = 0.85, n_iter: int = 10,
-             symmetric: bool = True, n_parts: int = 16) -> pa.Table:
+             symmetric: bool = True, n_parts: int = 16,
+             local_threshold: int = 2_000_000) -> pa.Table:
     """PageRank over an edge Dataset → (node, rank) table.
 
     ``symmetric=True`` treats edges as undirected (each edge contributes
     both ways), which also guarantees no dangling nodes; with
     ``symmetric=False`` dangling mass is redistributed uniformly (the
     standard correction) so ranks still sum to 1.
+
+    Size tier (same rationale as ``connected_components``): at or below
+    ``local_threshold`` symmetrized edges, the edge set is no bigger
+    than one rank broadcast, so k per-iteration Dataset launches are
+    pure overhead — collect the arrays once and run the identical
+    iteration in-process.  Parity is pinned by the differential test
+    (which forces both tiers).
     """
     import ray
 
@@ -57,6 +65,32 @@ def pagerank(edges_ds, *, col_a: str = "src", col_b: str = "dst",
 
     edges = edges_ds.map_batches(sym, batch_format="pyarrow",
                                  zero_copy_batch=True).materialize()
+    if edges.count() <= local_threshold:
+        tbls = [t for t in ray.get(edges.to_arrow_refs()) if t.num_rows]
+        if not tbls:
+            return pa.Table.from_arrays(
+                [pa.array([], pa.int64()), pa.array([], pa.float64())],
+                names=["node", "rank"])
+        et = pa.concat_tables(tbls).combine_chunks()
+        src = np.asarray(et.column("src"), dtype=np.int64)
+        dst = np.asarray(et.column("dst"), dtype=np.int64)
+        all_nodes = np.unique(np.concatenate([src, dst]))
+        si = np.searchsorted(all_nodes, src)
+        di = np.searchsorted(all_nodes, dst)
+        n = len(all_nodes)
+        deg = np.bincount(si, minlength=n).astype(np.int64)
+        ranks = np.full(n, 1.0 / n)
+        for _ in range(n_iter):
+            share = ranks / np.maximum(deg, 1)
+            incoming = np.zeros(n, dtype=np.float64)
+            np.add.at(incoming, di, share[si])
+            dangling = float(ranks[deg == 0].sum())
+            ranks = (1.0 - damping) / n + damping * (incoming
+                                                     + dangling / n)
+        return pa.Table.from_arrays(
+            [pa.array(all_nodes, pa.int64()), pa.array(ranks,
+                                                       pa.float64())],
+            names=["node", "rank"])
 
     def deg_part(b: pa.Table) -> pa.Table:
         src = np.asarray(b.column("src"), dtype=np.int64)

@@ -944,10 +944,13 @@ def test_pagerank_matches_dense_reference(ray_session):
     ds = ray.data.from_arrow(pa.Table.from_pylist(
         [{"src": a, "dst": b} for a, b in edges]))
 
-    for symmetric in (False, True):
+    for symmetric, local_threshold in ((False, 2_000_000),
+                                       (True, 2_000_000),
+                                       (False, 0), (True, 0)):
         got = pagerank(ray.data.from_arrow(pa.Table.from_pylist(
             [{"src": a, "dst": b} for a, b in edges])),
-            damping=0.85, n_iter=12, symmetric=symmetric)
+            damping=0.85, n_iter=12, symmetric=symmetric,
+            local_threshold=local_threshold)
         gmap = {r["node"]: r["rank"] for r in got.to_pylist()}
 
         es = list(edges) + ([(b, a) for a, b in edges] if symmetric else [])
