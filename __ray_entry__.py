@@ -89,6 +89,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "redact_digits": Q.redact_digits,
         "mixture_counts": Q.mixture_counts,
         "contamination_pairs": Q.contamination_pairs,
+        "curation_funnel": Q.curation_funnel,
         # window / ranking / sampling
         "top_suppliers_per_nation": Q.top_suppliers_per_nation,
         "supplier_moving_qty": Q.supplier_moving_qty,
@@ -788,6 +789,73 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.id AS train_id, b.id AS test_id, a.fp AS fp
             FROM tagged a JOIN tagged b ON a.fp = b.fp
             WHERE a.is_train AND NOT b.is_train
+        """,
+        "curation_funnel": r"""
+            WITH aug AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 1000000, text FROM documents
+                WHERE doc_id % 10 = 0
+            ),
+            base AS (
+                SELECT doc_id,
+                       md5(coalesce(text, '')) AS fp,
+                       md5_number_lower('split' || doc_id::VARCHAR)
+                           % 10000 < 9000 AS is_train,
+                       len(regexp_split_to_array(
+                           trim(coalesce(text, '')), '\s+'))::BIGINT
+                           AS n_tokens,
+                       length(regexp_replace(
+                           substr(coalesce(text,''), 1, 200),
+                           '[^一-鿿]', '', 'g')) AS cjk,
+                       length(substr(coalesce(text,''), 1, 200)) AS len200,
+                       array_slice(list_filter(
+                           regexp_split_to_array(
+                               lower(coalesce(text,'')), '\s+'),
+                           w -> w <> ''), 1, 100) AS head
+                FROM aug
+            ),
+            hits AS (
+                SELECT *,
+                  len(list_filter(head, w -> w IN ('the','and','of','to',
+                      'a','in','is','that','it','for'))) AS en,
+                  len(list_filter(head, w -> w IN ('el','la','de','que',
+                      'y','en','un','los','se','por'))) AS es,
+                  len(list_filter(head, w -> w IN ('le','la','de','et',
+                      'les','des','un','une','du','est'))) AS fr,
+                  len(list_filter(head, w -> w IN ('der','die','und','das',
+                      'ist','von','den','mit','ein','zu'))) AS de
+                FROM base
+            ),
+            lang AS (
+                SELECT doc_id, fp, is_train, n_tokens,
+                  CASE WHEN cjk > 0.2 * len200 THEN 'zh'
+                       WHEN greatest(en,es,fr,de) < 1 THEN 'unknown'
+                       WHEN en = greatest(en,es,fr,de) THEN 'en'
+                       WHEN es = greatest(en,es,fr,de) THEN 'es'
+                       WHEN fr = greatest(en,es,fr,de) THEN 'fr'
+                       ELSE 'de' END AS pred_lang
+                FROM hits
+            ),
+            s1 AS (SELECT * FROM lang WHERE pred_lang = 'en'),
+            s2 AS (SELECT * FROM s1 WHERE n_tokens BETWEEN 20 AND 40),
+            s3 AS (SELECT * FROM s2
+                   QUALIFY doc_id = min(doc_id) OVER (PARTITION BY fp)),
+            s4 AS (SELECT * FROM s3
+                   WHERE is_train AND fp NOT IN
+                         (SELECT fp FROM lang WHERE NOT is_train))
+            SELECT 0::BIGINT AS stage_idx, 'input' AS stage,
+                   count(*)::BIGINT AS docs,
+                   coalesce(sum(n_tokens), 0)::BIGINT AS sum_tokens
+            FROM lang
+            UNION ALL SELECT 1, 'langid_en', count(*),
+                   coalesce(sum(n_tokens), 0) FROM s1
+            UNION ALL SELECT 2, 'quality_20_40', count(*),
+                   coalesce(sum(n_tokens), 0) FROM s2
+            UNION ALL SELECT 3, 'exact_dedup', count(*),
+                   coalesce(sum(n_tokens), 0) FROM s3
+            UNION ALL SELECT 4, 'train_decontam', count(*),
+                   coalesce(sum(n_tokens), 0) FROM s4
         """,
         "events_in_windows": """
             WITH w AS (

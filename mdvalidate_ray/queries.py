@@ -2831,3 +2831,198 @@ def compressibility(sf_dir: str):
                          zero_copy_batch=True),
         key="source", sum_cols=["n", "sum_raw", "sum_comp",
                                 "sum_ratio_bp"], n_parts=4)
+
+
+def curation_funnel(sf_dir: str):
+    """End-to-end training-data curation funnel, ONE corpus pass.
+
+    The composed pipeline every LLM corpus goes through (the individual
+    stages each have their own green oracle — this query pins their
+    COMPOSITION): language-ID keep-en -> token-count quality gate ->
+    exact dedup (min-id representative) -> train-split +
+    decontamination against the whole-corpus test split.  Output: one
+    row per stage with surviving doc count and the surviving whitespace
+    token budget, all exact integers.
+
+    Scale shape: the corpus streams through a single ``map_batches``
+    that emits a UNION-shaped compact table (the fused-suite trick,
+    pipelines/fused.py): per-batch stage-count partials for stages
+    0-2, the stage-2 survivor rows (doc_id, fp, n_tokens, is_train —
+    no text), and the whole-corpus test-split fingerprints.  Only that
+    narrow table is materialized (two downstream consumers); raw text
+    never leaves the pass, nothing corpus-wide shuffles.  The dedup
+    drop set (duplicate groups only) and the test-fp set broadcast via
+    ``ray.put``; for a corpus whose test split outgrows worker memory,
+    swap the exact fp set for the Bloom tier in stages/referential
+    (same contract, probabilistic with exact verify).
+    """
+    import hashlib
+
+    import numpy as np
+    import ray
+
+    from mdvalidate_ray.functions.dedup import _md5_token_hashes
+    from mdvalidate_ray.functions.text import LanguageId, add_token_counts
+
+    out_schema = pa.schema([
+        ("kind", pa.string()), ("stage_idx", pa.int64()),
+        ("docs", pa.int64()), ("sum_tokens", pa.int64()),
+        ("doc_id", pa.int64()), ("fp", pa.string()),
+        ("n_tokens", pa.int64()), ("is_train", pa.bool_())])
+
+    class FunnelPass:
+        def __init__(self):
+            self.langid = LanguageId()
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            b = self.langid(b)
+            b = add_token_counts(b)
+            ids = np.asarray(b.column("doc_id").to_pandas(),
+                             dtype=np.int64)
+            fps = [hashlib.md5((t or "").encode()).hexdigest()
+                   for t in b.column("text").to_pylist()]
+            split = _md5_token_hashes(
+                ["split" + str(i) for i in ids]) % np.uint64(10000)
+            is_train = split < np.uint64(9000)
+            ntok = np.asarray(b.column("n_tokens").to_pandas(),
+                              dtype=np.int64)
+            m1 = np.asarray(pc.equal(b.column("pred_lang"), "en"))
+            m2 = m1 & (ntok >= 20) & (ntok <= 40)
+            n = len(ids)
+            parts = {
+                "kind": ["partial"] * 3,
+                "stage_idx": [0, 1, 2],
+                "docs": [n, int(m1.sum()), int(m2.sum())],
+                "sum_tokens": [int(ntok.sum()), int(ntok[m1].sum()),
+                               int(ntok[m2].sum())],
+            }
+            part_tbl = pa.Table.from_pydict(parts).cast(
+                pa.schema([(f.name, f.type) for f in out_schema
+                           if f.name in parts]))
+            surv = pa.Table.from_pydict({
+                "kind": pa.array(["doc"] * int(m2.sum())),
+                "doc_id": pa.array(ids[m2]),
+                "fp": pa.array([f for f, k in zip(fps, m2) if k]),
+                "n_tokens": pa.array(ntok[m2]),
+                "is_train": pa.array(is_train[m2]),
+            })
+            test_fp = pa.Table.from_pydict({
+                "kind": pa.array(["test_fp"] * int((~is_train).sum())),
+                "fp": pa.array([f for f, k in zip(fps, ~is_train) if k]),
+            })
+
+            def pad(t: pa.Table) -> pa.Table:
+                cols = []
+                for f in out_schema:
+                    if f.name in t.column_names:
+                        cols.append(t.column(f.name).cast(f.type))
+                    else:
+                        cols.append(pa.nulls(t.num_rows, f.type))
+                return pa.Table.from_arrays(cols, schema=out_schema)
+
+            return pa.concat_tables([pad(part_tbl), pad(surv),
+                                     pad(test_fp)])
+
+    # pool capped at CPUs-2 (NOT the whole cluster): a fixed actor pool
+    # eagerly holds its CPUs while idle, so pool == cluster CPUs starves
+    # the upstream read task forever on small sessions (same guard as
+    # lang_pred_counts — observed deadlock on a 4-CPU pytest session)
+    total = (int(ray.cluster_resources().get("CPU", 8))
+             if ray.is_initialized() else 8)
+    compact = _augmented_docs(sf_dir).map_batches(
+        FunnelPass, concurrency=min(4, max(1, total - 2)),
+        batch_format="pyarrow", zero_copy_batch=True).materialize()
+
+    # stage 0-2 counts: fold the tiny partial rows on the driver
+    partials = compact.filter(expr="kind == 'partial'").select_columns(
+        ["stage_idx", "docs", "sum_tokens"]).take_all()
+    docs_by, toks_by = {}, {}
+    for r in partials:
+        docs_by[r["stage_idx"]] = docs_by.get(r["stage_idx"], 0) + r["docs"]
+        toks_by[r["stage_idx"]] = (toks_by.get(r["stage_idx"], 0)
+                                   + r["sum_tokens"])
+
+    survivors = compact.filter(expr="kind == 'doc'")
+
+    # stage 3: exact dedup among survivors — duplicate groups only
+    # shuffle as (coarse part, fp, id) pairs; drop set broadcasts.
+    def to_pairs(b: pa.Table) -> pa.Table:
+        from mdvalidate_ray.functions.dedup import hash_strings
+        fp = b.column("fp")
+        part = (hash_strings(fp.to_pylist()) % np.uint64(64)).astype(
+            "int64")
+        return pa.Table.from_arrays(
+            [pa.array(part), fp, b.column("doc_id")],
+            names=["part", "fp", "doc_id"])
+
+    def drop_non_min(g: pa.Table) -> pa.Table:
+        counts = pa.TableGroupBy(g.select(["fp"]), "fp").aggregate(
+            [([], "count_all")])
+        dup_fps = counts.filter(
+            pc.greater(counts.column("count_all"), 1)).column("fp")
+        if len(dup_fps) == 0:
+            return pa.Table.from_pydict({"doc_id": pa.array([],
+                                                            pa.int64())})
+        sus = g.filter(pc.is_in(g.column("fp"), value_set=dup_fps))
+        mins = pa.TableGroupBy(sus.select(["fp", "doc_id"]),
+                               "fp").aggregate([("doc_id", "min")])
+        keep_ids = pc.is_in(sus.column("doc_id"),
+                            value_set=mins.column("doc_id_min"))
+        return pa.Table.from_arrays(
+            [sus.filter(pc.invert(keep_ids)).column("doc_id")],
+            names=["doc_id"])
+
+    drop_rows = survivors.map_batches(
+        to_pairs, batch_format="pyarrow", zero_copy_batch=True).groupby(
+        "part").map_groups(drop_non_min,
+                           batch_format="pyarrow").take_all()
+    drop = np.asarray(sorted(int(r["doc_id"]) for r in drop_rows),
+                      dtype=np.int64)
+    drop_ref = ray.put(drop)
+
+    test_fps = sorted({r["fp"] for r in compact.filter(
+        expr="kind == 'test_fp'").select_columns(["fp"]).take_all()})
+    test_ref = ray.put(np.asarray(test_fps, dtype=object))
+
+    def stage34_partials(b: pa.Table) -> pa.Table:
+        d = ray.get(drop_ref)
+        ids = np.asarray(b.column("doc_id").to_pandas(), dtype=np.int64)
+        if len(d):
+            pos = np.searchsorted(d, ids)
+            dup = (pos < len(d)) & (d[np.minimum(pos, len(d) - 1)] == ids)
+        else:
+            dup = np.zeros(len(ids), dtype=bool)
+        m3 = ~dup
+        tf = ray.get(test_ref)
+        fps = np.asarray(b.column("fp").to_pylist(), dtype=object)
+        if len(tf):
+            pos = np.searchsorted(tf, fps)
+            contaminated = ((pos < len(tf))
+                            & (tf[np.minimum(pos, len(tf) - 1)] == fps))
+        else:
+            contaminated = np.zeros(len(fps), dtype=bool)
+        m4 = m3 & np.asarray(b.column("is_train")) & ~contaminated
+        ntok = np.asarray(b.column("n_tokens").to_pandas(),
+                          dtype=np.int64)
+        return pa.Table.from_pydict({
+            "stage_idx": pa.array([3, 4], pa.int64()),
+            "docs": pa.array([int(m3.sum()), int(m4.sum())], pa.int64()),
+            "sum_tokens": pa.array([int(ntok[m3].sum()),
+                                    int(ntok[m4].sum())], pa.int64())})
+
+    for r in survivors.map_batches(stage34_partials,
+                                   batch_format="pyarrow",
+                                   zero_copy_batch=True).take_all():
+        docs_by[r["stage_idx"]] = docs_by.get(r["stage_idx"], 0) + r["docs"]
+        toks_by[r["stage_idx"]] = (toks_by.get(r["stage_idx"], 0)
+                                   + r["sum_tokens"])
+
+    names = ["input", "langid_en", "quality_20_40", "exact_dedup",
+             "train_decontam"]
+    return pa.Table.from_pydict({
+        "stage_idx": pa.array(range(5), pa.int64()),
+        "stage": pa.array(names, pa.string()),
+        "docs": pa.array([docs_by.get(i, 0) for i in range(5)],
+                         pa.int64()),
+        "sum_tokens": pa.array([toks_by.get(i, 0) for i in range(5)],
+                               pa.int64())})
