@@ -90,6 +90,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mixture_counts": Q.mixture_counts,
         "contamination_pairs": Q.contamination_pairs,
         "curation_funnel": Q.curation_funnel,
+        "rarity_scores": Q.rarity_scores,
+        "user_order_balance": Q.user_order_balance,
         # window / ranking / sampling
         "top_suppliers_per_nation": Q.top_suppliers_per_nation,
         "supplier_moving_qty": Q.supplier_moving_qty,
@@ -856,6 +858,31 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(sum(n_tokens), 0) FROM s3
             UNION ALL SELECT 4, 'train_decontam', count(*),
                    coalesce(sum(n_tokens), 0) FROM s4
+        """,
+        "rarity_scores": r"""
+            WITH words AS (
+                SELECT doc_id, unnest(list_filter(
+                    regexp_split_to_array(lower(trim(coalesce(text,''))),
+                                          '\s+'),
+                    w -> w <> '')) AS w
+                FROM documents
+            ),
+            cnt AS (SELECT w, count(*)::BIGINT AS c FROM words GROUP BY 1),
+            tot AS (SELECT count(*)::BIGINT AS n FROM words)
+            SELECT doc_id,
+                   sum(tot.n // cnt.c)::BIGINT AS rarity
+            FROM words JOIN cnt USING (w) CROSS JOIN tot
+            GROUP BY doc_id
+        """,
+        "user_order_balance": """
+            WITH a AS (SELECT user_id, count(*)::BIGINT AS n_events
+                       FROM events GROUP BY 1),
+            b AS (SELECT o_custkey AS user_id, count(*)::BIGINT AS n_orders
+                  FROM orders GROUP BY 1)
+            SELECT coalesce(a.user_id, b.user_id)::BIGINT AS user_id,
+                   coalesce(n_events, 0)::BIGINT AS n_events,
+                   coalesce(n_orders, 0)::BIGINT AS n_orders
+            FROM a FULL OUTER JOIN b ON a.user_id = b.user_id
         """,
         "events_in_windows": """
             WITH w AS (

@@ -178,7 +178,8 @@ QUERY_NAMES = [
     "lev_pairs", "ngram_contamination", "user_churn", "orders_cube",
     "heavy_hitter_words", "qty_winsorized",
     "qty_disc_moments", "part_supplier_pagerank", "boilerplate_grams",
-    "compressibility", "curation_funnel",
+    "compressibility", "curation_funnel", "rarity_scores",
+    "user_order_balance",
 ]
 
 

@@ -3026,3 +3026,133 @@ def curation_funnel(sf_dir: str):
                          pa.int64()),
         "sum_tokens": pa.array([toks_by.get(i, 0) for i in range(5)],
                                pa.int64())})
+
+
+def rarity_scores(sf_dir: str):
+    """Per-document corpus-rarity score — the CCNet-style "how surprising
+    is this doc under the corpus unigram distribution" quality signal,
+    in integer-exact form so the oracle compare is float-free:
+    ``rarity = Σ_words n_total // count(word)`` (inverse-frequency
+    weight; rare words contribute big summands).
+
+    Scale shape: pass 1 folds exact corpus term counts (per-batch
+    bincount combiner → word-keyed sum — vocab ≪ corpus); the (word,
+    cnt) Arrow table broadcasts once via ``ray.put`` and pass 2 streams
+    the corpus, probing with the vectorized ``pc.index_in`` hash lookup
+    and folding per-doc sums with ``np.add.at`` — no exchange at all in
+    pass 2 (each doc lives in one row)."""
+    import numpy as np
+    import ray
+
+    docs = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+
+    def _words(b: pa.Table):
+        texts = pc.utf8_lower(pc.utf8_trim_whitespace(
+            pc.cast(b.column("text"), pa.string())))
+        tokens = pc.split_pattern_regex(texts, r"\s+")
+        flat = (tokens.combine_chunks()
+                if isinstance(tokens, pa.ChunkedArray) else tokens)
+        words = flat.flatten()
+        parents = pc.list_parent_indices(flat)
+        keep = pc.not_equal(words, "")
+        return words.filter(keep), parents.filter(keep)
+
+    def cnt_partial(b: pa.Table) -> pa.Table:
+        words, _ = _words(b)
+        if len(words) == 0:
+            return pa.Table.from_arrays(
+                [pa.array([], pa.string()), pa.array([], pa.int64())],
+                names=["word", "cnt"])
+        enc = (words.combine_chunks()
+               if isinstance(words, pa.ChunkedArray)
+               else words).dictionary_encode()
+        counts = np.bincount(np.asarray(enc.indices),
+                             minlength=len(enc.dictionary))
+        return pa.Table.from_arrays(
+            [enc.dictionary, pa.array(counts.astype(np.int64))],
+            names=["word", "cnt"])
+
+    agg = (docs.map_batches(cnt_partial, batch_format="pyarrow",
+                            zero_copy_batch=True)
+           .groupby("word").sum("cnt"))
+    parts = [p for p in ray.get(agg.materialize().to_arrow_refs())
+             if p.num_rows]
+    cnt_tbl = pa.concat_tables(
+        [p.select(["word", "sum(cnt)"]) for p in parts]).rename_columns(
+        ["word", "cnt"]).combine_chunks()
+    n_total = int(pc.sum(cnt_tbl.column("cnt")).as_py() or 0)
+    cnt_ref = ray.put((cnt_tbl, n_total))
+
+    def score(b: pa.Table) -> pa.Table:
+        tbl, n_tot = ray.get(cnt_ref)
+        words, parents = _words(b)
+        if len(words) == 0:
+            return pa.Table.from_arrays(
+                [pa.array([], pa.int64()), pa.array([], pa.int64())],
+                names=["doc_id", "rarity"])
+        idx = pc.index_in(words, value_set=tbl.column("word"))
+        c = np.asarray(tbl.column("cnt").take(idx).to_pandas(),
+                       dtype=np.int64)
+        w = n_tot // c                       # exact integer weights
+        sums = np.zeros(b.num_rows, dtype=np.int64)
+        par = np.asarray(parents).astype(np.int64)
+        np.add.at(sums, par, w)
+        has_words = np.zeros(b.num_rows, dtype=bool)
+        has_words[par] = True                # docs with no words: no row
+        ids = np.asarray(b.column("doc_id").to_pandas(), dtype=np.int64)
+        return pa.Table.from_arrays(
+            [pa.array(ids[has_words]), pa.array(sums[has_words])],
+            names=["doc_id", "rarity"])
+
+    return docs.map_batches(score, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+
+def user_order_balance(sf_dir: str):
+    """FULL OUTER join of two pre-aggregated sides — event counts per
+    user vs order counts per customer, keeping keys present on EITHER
+    side (the reconciliation shape: which users browse but never buy,
+    which customers buy without events).
+
+    Scale shape: each side pre-combines to (key, cnt) partials inside
+    ``map_batches`` (raw rows never shuffle), the tiny tagged partials
+    co-partition on ``key % n_parts``, and the full-outer merge runs
+    vectorized per bucket (union of keys via concat + groupby sum —
+    group calls bounded by n_parts, not by distinct keys)."""
+    import numpy as np
+
+    def partials(ds, key_col: str, side: int):
+        def part(b: pa.Table) -> pa.Table:
+            keys = np.asarray(b.column(key_col).to_pandas(),
+                              dtype=np.int64)
+            uk, counts = np.unique(keys, return_counts=True)
+            return pa.Table.from_arrays(
+                [pa.array(uk % 64), pa.array(uk),
+                 pa.array(np.full(len(uk), side, dtype=np.int64)),
+                 pa.array(counts.astype(np.int64))],
+                names=["part", "user_id", "side", "cnt"])
+        return ds.map_batches(part, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+    ev = partials(_read(sf_dir, "events").select_columns(["user_id"]),
+                  "user_id", 0)
+    od = partials(_read(sf_dir, "orders").select_columns(["o_custkey"]),
+                  "o_custkey", 1)
+
+    def merge(g: pa.Table) -> pa.Table:
+        keys = np.asarray(g.column("user_id").to_pandas(), dtype=np.int64)
+        side = np.asarray(g.column("side").to_pandas(), dtype=np.int64)
+        cnt = np.asarray(g.column("cnt").to_pandas(), dtype=np.int64)
+        uk = np.unique(keys)
+        pos = np.searchsorted(uk, keys)
+        n_ev = np.zeros(len(uk), dtype=np.int64)
+        n_or = np.zeros(len(uk), dtype=np.int64)
+        np.add.at(n_ev, pos[side == 0], cnt[side == 0])
+        np.add.at(n_or, pos[side == 1], cnt[side == 1])
+        return pa.Table.from_arrays(
+            [pa.array(uk), pa.array(n_ev), pa.array(n_or)],
+            names=["user_id", "n_events", "n_orders"])
+
+    return ev.union(od).groupby("part").map_groups(
+        merge, batch_format="pyarrow").select_columns(
+        ["user_id", "n_events", "n_orders"])
