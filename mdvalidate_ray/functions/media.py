@@ -17,9 +17,15 @@ everything below is pure Python + stdlib ``zlib``/``struct`` + numpy):
   frame-sample fan-out.
 * **QOI** — real encode/decode: the public "Quite OK Image" spec
   (INDEX/DIFF/LUMA/RUN/RGB ops, 64-slot seen-pixel table), channels=3.
-* **JPEG / MP4** — genuinely stubbed behind ``NotImplementedError`` (a
-  DCT/container codec is out of scope without libraries); the synth
-  generator emits the deterministic fake format for those mimes so the
+* **JPEG** — real baseline-sequential encode/decode (ITU-T T.81): 8x8
+  DCT + Annex-K quant tables + Huffman entropy coding, 4:4:4, pure
+  numpy; the decoder builds Huffman tables from the file's DHT segments
+  so it reads any 8-bit baseline 1x1-sampled JPEG, not just its own
+  output.  Progressive / subsampled / restart-marker files raise
+  explicitly.
+* **MP4** — genuinely stubbed behind ``NotImplementedError`` (a video
+  container + H.26x codec is out of scope without libraries); the synth
+  generator emits the deterministic fake format for that mime so the
   fan-out plumbing stays testable.
 
 Batch-size guidance baked into the helpers: binary payloads make rows
@@ -490,6 +496,399 @@ def qoi_decode(data: bytes) -> np.ndarray:
     return px.reshape(h, w, 3)
 
 
+# --- JPEG (baseline JFIF, pure numpy) ---------------------------------------
+# Real baseline-sequential JPEG (ITU-T T.81): 8x8 DCT + Annex-K quant
+# tables + canonical Huffman entropy coding.  The encoder uses
+# fixed-length canonical Huffman tables (every DC symbol 4 bits, every AC
+# symbol 8 bits — valid per the spec since the all-ones code of each
+# length stays unused); the DECODER builds its tables from the file's DHT
+# segments, so it reads any baseline 8-bit JPEG with 1x1 sampling, not
+# just our own output.  Progressive (SOF2), subsampled chroma and restart
+# markers raise ValueError/NotImplementedError explicitly.
+
+_JPEG_QY = np.array([                       # Annex K.1 luminance
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99], dtype=np.int32).reshape(8, 8)
+_JPEG_QC = np.array([                       # Annex K.2 chrominance
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99], dtype=np.int32).reshape(8, 8)
+
+
+def _zigzag_idx() -> np.ndarray:
+    """The 64 (row, col) pairs of T.81 zig-zag order, generated (not
+    recited): diagonal s = i + j, even diagonals walked bottom-left →
+    top-right."""
+    out = []
+    for s in range(15):
+        d = [(i, s - i) for i in range(8) if 0 <= s - i < 8]
+        out.extend(d[::-1] if s % 2 == 0 else d)
+    idx = np.array([r * 8 + c for r, c in out], dtype=np.int64)
+    return idx
+
+
+_ZZ = _zigzag_idx()                          # natural pos of k-th zigzag
+_DCT_C = np.array([[(np.sqrt(1 / 8) if k == 0 else 0.5)
+                    * np.cos((2 * n + 1) * k * np.pi / 16)
+                    for n in range(8)] for k in range(8)])
+
+# fixed-length canonical Huffman tables (see block comment above)
+_DC_SYMS = list(range(12))                   # categories 0..11, 4 bits
+_AC_SYMS = ([0x00, 0xF0]
+            + [(run << 4) | size for run in range(16)
+               for size in range(1, 11)])    # EOB, ZRL, (run,size): 8 bits
+
+
+def _enc_table(syms: list, length: int) -> dict:
+    return {s: (i, length) for i, s in enumerate(syms)}
+
+
+_DC_ENC = _enc_table(_DC_SYMS, 4)
+_AC_ENC = _enc_table(_AC_SYMS, 8)
+
+
+class _BitWriter:
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, value: int, length: int) -> None:
+        self.acc = (self.acc << length) | (value & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            byte = (self.acc >> (self.n - 8)) & 0xFF
+            self.buf.append(byte)
+            if byte == 0xFF:                 # byte stuffing
+                self.buf.append(0x00)
+            self.n -= 8
+        self.acc &= (1 << self.n) - 1
+
+    def flush(self) -> bytes:
+        if self.n:
+            pad = 8 - self.n
+            self.write((1 << pad) - 1, pad)
+        return bytes(self.buf)
+
+
+def _jpeg_seg(marker: int, payload: bytes) -> bytes:
+    return bytes([0xFF, marker]) + (len(payload) + 2).to_bytes(2, "big") \
+        + payload
+
+
+def _dht_payload(tc: int, th: int, syms: list, length: int) -> bytes:
+    bits = bytearray(16)
+    bits[length - 1] = len(syms)
+    return bytes([tc << 4 | th]) + bytes(bits) + bytes(syms)
+
+
+def _encode_block(w: _BitWriter, coef_zz: np.ndarray, prev_dc: int,
+                  dc_tbl: dict, ac_tbl: dict) -> int:
+    def put(v: int, size: int) -> None:
+        if v < 0:
+            v += (1 << size) - 1
+        w.write(v, size)
+
+    dc = int(coef_zz[0])
+    diff = dc - prev_dc
+    size = abs(diff).bit_length()
+    code, ln = dc_tbl[size]
+    w.write(code, ln)
+    if size:
+        put(diff, size)
+    run = 0
+    nz = np.nonzero(coef_zz[1:])[0]
+    last = int(nz[-1]) + 1 if len(nz) else 0
+    for k in range(1, last + 1):
+        v = int(coef_zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_tbl[0xF0]          # ZRL: 16 zeros
+            w.write(code, ln)
+            run -= 16
+        size = abs(v).bit_length()
+        code, ln = ac_tbl[(run << 4) | size]
+        w.write(code, ln)
+        put(v, size)
+        run = 0
+    if last < 63:
+        code, ln = ac_tbl[0x00]              # EOB
+        w.write(code, ln)
+    return dc
+
+
+def _dct_blocks(plane: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """(H, W) float plane (already level-shifted) → (n_blocks, 64)
+    quantized coefficients in zigzag order, block raster order."""
+    h, w = plane.shape
+    b = plane.reshape(h // 8, 8, w // 8, 8).transpose(0, 2, 1, 3)
+    b = b.reshape(-1, 8, 8)
+    coef = np.einsum("ij,njk,lk->nil", _DCT_C, b, _DCT_C)
+    qz = np.round(coef / q).astype(np.int32)
+    return qz.reshape(-1, 64)[:, _ZZ]
+
+
+def jpeg_encode(arr: np.ndarray, color: bool | None = None) -> bytes:
+    """uint8 ``(h, w, 3)`` RGB (or ``(h, w)`` grayscale) → baseline JFIF
+    JPEG bytes (4:4:4, no subsampling, no restart markers)."""
+    gray = arr.ndim == 2
+    h, w = arr.shape[:2]
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8   # pad to 8 via edge repeat
+    a = arr.astype(np.float64)
+    if gray:
+        planes = [a]
+        qts = [_JPEG_QY]
+    else:
+        r, g, b = a[..., 0], a[..., 1], a[..., 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        planes = [y, cb, cr]
+        qts = [_JPEG_QY, _JPEG_QC, _JPEG_QC]
+    blocks = []
+    for p, q in zip(planes, qts):
+        p = np.pad(p, ((0, ph - h), (0, pw - w)), mode="edge") - 128.0
+        blocks.append(_dct_blocks(p, q))
+    out = bytearray(b"\xff\xd8")             # SOI
+    out += _jpeg_seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += _jpeg_seg(0xDB, bytes([0x00])
+                     + bytes(_JPEG_QY.reshape(-1)[_ZZ].astype(np.uint8)))
+    ncomp = 1 if gray else 3
+    if not gray:
+        out += _jpeg_seg(0xDB, bytes([0x01])
+                         + bytes(_JPEG_QC.reshape(-1)[_ZZ].astype(
+                             np.uint8)))
+    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") \
+        + bytes([ncomp])
+    for c in range(ncomp):
+        sof += bytes([c + 1, 0x11, 0 if c == 0 else 1])
+    out += _jpeg_seg(0xC0, sof)              # SOF0: baseline
+    out += _jpeg_seg(0xC4, _dht_payload(0, 0, _DC_SYMS, 4))
+    out += _jpeg_seg(0xC4, _dht_payload(1, 0, _AC_SYMS, 8))
+    if not gray:
+        out += _jpeg_seg(0xC4, _dht_payload(0, 1, _DC_SYMS, 4))
+        out += _jpeg_seg(0xC4, _dht_payload(1, 1, _AC_SYMS, 8))
+    sos = bytes([ncomp])
+    for c in range(ncomp):
+        sos += bytes([c + 1, 0x00 if c == 0 else 0x11])
+    sos += bytes([0, 63, 0])
+    out += _jpeg_seg(0xDA, sos)
+    bw = _BitWriter()
+    prev = [0] * ncomp
+    n_mcu = (ph // 8) * (pw // 8)
+    for m in range(n_mcu):
+        for c in range(ncomp):
+            prev[c] = _encode_block(bw, blocks[c][m], prev[c],
+                                    _DC_ENC, _AC_ENC)
+    out += bw.flush()
+    out += b"\xff\xd9"                       # EOI
+    return bytes(out)
+
+
+class _BitReader:
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.n = 0
+
+    def bit(self) -> int:
+        if self.n == 0:
+            if self.pos >= len(self.data):
+                raise ValueError("JPEG: truncated entropy stream")
+            byte = self.data[self.pos]
+            self.pos += 1
+            if byte == 0xFF:
+                if self.pos >= len(self.data):
+                    raise ValueError("JPEG: truncated entropy stream")
+                nxt = self.data[self.pos]
+                if nxt == 0x00:
+                    self.pos += 1            # stuffed 0xFF
+                elif 0xD0 <= nxt <= 0xD7:
+                    raise NotImplementedError(
+                        "JPEG restart markers unsupported")
+                else:
+                    raise ValueError("JPEG: marker inside entropy data")
+            self.acc = byte
+            self.n = 8
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+
+def _huff_from_dht(bits: bytes, vals: bytes) -> dict:
+    """Canonical (length, code) → symbol map per T.81 C.2."""
+    table, code, k = {}, 0, 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            table[(ln, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _read_sym(br: _BitReader, table: dict) -> int:
+    code = 0
+    for ln in range(1, 17):
+        code = (code << 1) | br.bit()
+        sym = table.get((ln, code))
+        if sym is not None:
+            return sym
+    raise ValueError("JPEG: invalid Huffman code")
+
+
+def _receive_extend(br: _BitReader, size: int) -> int:
+    v = 0
+    for _ in range(size):
+        v = (v << 1) | br.bit()
+    if size and v < (1 << (size - 1)):
+        v -= (1 << size) - 1
+    return v
+
+
+def jpeg_decode(data: bytes) -> np.ndarray:
+    """Baseline JFIF JPEG bytes → uint8 ``(h, w, 3)`` RGB.  Supports
+    8-bit baseline (SOF0) with 1x1 sampling, 1 or 3 components; raises
+    ``ValueError`` on corrupt input and ``NotImplementedError`` on
+    progressive / subsampled / restart-interval files."""
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG: bad SOI")
+    pos = 2
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple, dict] = {}
+    h = w = 0
+    comps: list[tuple] = []                  # (id, tq)
+    scan: list[tuple] = []                   # (comp_idx, td, ta)
+    while True:
+        if pos + 4 > len(data):
+            raise ValueError("JPEG: truncated before SOS")
+        if data[pos] != 0xFF:
+            raise ValueError("JPEG: expected marker")
+        marker = data[pos + 1]
+        if marker == 0xD9:
+            raise ValueError("JPEG: EOI before scan data")
+        seg_len = int.from_bytes(data[pos + 2:pos + 4], "big")
+        seg = data[pos + 4:pos + 2 + seg_len]
+        if len(seg) != seg_len - 2:
+            raise ValueError("JPEG: truncated segment")
+        pos += 2 + seg_len
+        if marker == 0xDB:                   # DQT
+            i = 0
+            while i < len(seg):
+                pq, tq = seg[i] >> 4, seg[i] & 0x0F
+                if pq != 0:
+                    raise NotImplementedError("16-bit quant tables")
+                tbl = np.zeros(64, dtype=np.int32)
+                tbl[_ZZ] = np.frombuffer(seg[i + 1:i + 65], np.uint8)
+                qt[tq] = tbl.reshape(8, 8)
+                i += 65
+        elif marker == 0xC4:                 # DHT
+            i = 0
+            while i < len(seg):
+                tc, th = seg[i] >> 4, seg[i] & 0x0F
+                bits = seg[i + 1:i + 17]
+                n = sum(bits)
+                huff[(tc, th)] = _huff_from_dht(bits, seg[i + 17:i + 17 + n])
+                i += 17 + n
+        elif marker == 0xC0:                 # SOF0 baseline
+            if seg[0] != 8:
+                raise NotImplementedError("non-8-bit JPEG")
+            h = int.from_bytes(seg[1:3], "big")
+            w = int.from_bytes(seg[3:5], "big")
+            nc = seg[5]
+            if nc not in (1, 3):
+                raise NotImplementedError(f"{nc}-component JPEG")
+            for c in range(nc):
+                cid, hv, tq = seg[6 + 3 * c:9 + 3 * c]
+                if hv != 0x11:
+                    raise NotImplementedError(
+                        "subsampled JPEG (only 1x1 supported)")
+                comps.append((cid, tq))
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                        0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError("non-baseline JPEG (SOF%x)"
+                                      % (marker - 0xC0))
+        elif marker == 0xDD:
+            raise NotImplementedError("JPEG restart intervals")
+        elif marker == 0xDA:                 # SOS
+            ns = seg[0]
+            for c in range(ns):
+                cid, tda = seg[1 + 2 * c:3 + 2 * c]
+                idx = next((k for k, (i2, _) in enumerate(comps)
+                            if i2 == cid), None)
+                if idx is None:
+                    raise ValueError("JPEG: SOS references unknown comp")
+                scan.append((idx, tda >> 4, tda & 0x0F))
+            break
+        # APPn / COM / others: skipped
+    if not comps or h == 0 or w == 0:
+        raise ValueError("JPEG: missing SOF before SOS")
+    br = _BitReader(data[pos:])
+    bh, bw_ = -(-h // 8), -(-w // 8)
+    n_mcu = bh * bw_
+    coefs = [np.zeros((n_mcu, 64), dtype=np.float64) for _ in scan]
+    prev = [0] * len(scan)
+    for m in range(n_mcu):
+        for s, (ci, td, ta) in enumerate(scan):
+            dc_t = huff.get((0, td))
+            ac_t = huff.get((1, ta))
+            if dc_t is None or ac_t is None:
+                raise ValueError("JPEG: missing Huffman table")
+            blk = coefs[s][m]
+            size = _read_sym(br, dc_t)
+            prev[s] += _receive_extend(br, size)
+            blk[0] = prev[s]
+            k = 1
+            while k < 64:
+                rs = _read_sym(br, ac_t)
+                if rs == 0x00:               # EOB
+                    break
+                run, size = rs >> 4, rs & 0x0F
+                if size == 0:
+                    if run != 15:
+                        raise ValueError("JPEG: bad AC symbol")
+                    k += 16                  # ZRL
+                    continue
+                k += run
+                if k > 63:
+                    raise ValueError("JPEG: coefficient overrun")
+                blk[k] = _receive_extend(br, size)
+                k += 1
+    planes = []
+    for s, (ci, _, _) in enumerate(scan):
+        q = qt.get(comps[ci][1])
+        if q is None:
+            raise ValueError("JPEG: missing quant table")
+        zz = coefs[s]
+        nat = np.zeros_like(zz)
+        nat[:, _ZZ] = zz
+        b = nat.reshape(-1, 8, 8) * q
+        img = np.einsum("ji,njk,kl->nil", _DCT_C, b, _DCT_C) + 128.0
+        full = img.reshape(bh, bw_, 8, 8).transpose(0, 2, 1, 3)
+        planes.append(full.reshape(bh * 8, bw_ * 8)[:h, :w])
+    if len(planes) == 1:
+        y = np.clip(planes[0], 0, 255)
+        return np.repeat(y[..., None], 3, axis=2).astype(np.uint8)
+    y, cb, cr = planes
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    return np.clip(np.stack([r, g, b], axis=2), 0, 255).astype(np.uint8)
+
+
 _MAGIC = b"FAKEMEDIA1"
 
 
@@ -497,8 +896,10 @@ def synth_media_batch(asset_ids: list[str], mimes: list[str],
                       seed: int = 42) -> pa.Table:
     """Deterministic payloads by mime: REAL files for the pure-Python
     codecs (``image/png`` → genuine PNG, ``image/bmp`` → genuine BMP,
-    ``audio/wav`` → genuine RIFF/WAVE PCM16) and the 10-byte-magic fake
-    format for the stubbed ones (jpeg/mp4)."""
+    ``audio/wav`` → genuine RIFF/WAVE PCM16, ``image/qoi`` → genuine
+    QOI, ``image/gif`` → genuine animated GIF, ``image/jpeg`` → genuine
+    baseline JFIF) and the 10-byte-magic fake format for the one stubbed
+    mime (mp4)."""
     payloads = []
     for aid, mime in zip(asset_ids, mimes):
         # crc32, not builtin hash(): hash() is randomized per process
@@ -528,6 +929,16 @@ def synth_media_batch(asset_ids: list[str], mimes: list[str],
             w, h = int(rng.integers(8, 25)), int(rng.integers(8, 25))
             payloads.append(gif_encode(
                 rng.integers(0, 256, (n_frames, h, w), dtype=np.uint8)))
+        elif mime == "image/jpeg":
+            w, h = int(rng.integers(16, 64)), int(rng.integers(16, 64))
+            # smooth gradient + soft noise: DCT-friendly content so the
+            # real quant/entropy path is exercised, not just flat DC
+            yy, xx = np.mgrid[0:h, 0:w]
+            base = np.stack([(yy * 3 + xx) % 256, (xx * 2) % 256,
+                             ((xx + yy) * 2) % 256], axis=2)
+            noise = rng.integers(0, 16, (h, w, 3))
+            payloads.append(jpeg_encode(
+                np.clip(base + noise, 0, 255).astype(np.uint8)))
         else:
             w, h = int(rng.integers(16, 512)), int(rng.integers(16, 512))
             body = rng.integers(0, 256, int(rng.integers(64, 1024)),
@@ -543,13 +954,13 @@ def synth_media_batch(asset_ids: list[str], mimes: list[str],
 class DecodeStage:
     """binary payload → (width, height, n_bytes, ok).
 
-    Real decode for PNG / BMP / WAV / GIF / QOI (pure-Python codecs above — width/
-    height come from the actual bytes; WAV maps to (n_samples,
-    n_channels)); the deterministic fake format parses its header;
-    anything else (JPEG/MP4 magic, unknown bytes) raises
-    ``NotImplementedError`` — those codecs are genuinely absent in this
-    container.  ``strict=False`` converts both codec gaps and corrupt
-    files (``ValueError``) into ``ok=False`` rows."""
+    Real decode for PNG / BMP / WAV / GIF / QOI / baseline JPEG
+    (pure-Python codecs above — width/height come from the actual
+    bytes; WAV maps to (n_samples, n_channels)); the deterministic fake
+    format parses its header; anything else (MP4 magic, unknown bytes)
+    raises ``NotImplementedError`` — that codec is genuinely absent in
+    this container.  ``strict=False`` converts both codec gaps and
+    corrupt files (``ValueError``) into ``ok=False`` rows."""
 
     def __init__(self, strict: bool = True):
         self.strict = strict
@@ -570,13 +981,17 @@ class DecodeStage:
         if payload[:4] == _QOI_MAGIC:
             arr = qoi_decode(payload)
             return arr.shape[1], arr.shape[0]
+        if payload[:2] == b"\xff\xd8":
+            arr = jpeg_decode(payload)
+            return arr.shape[1], arr.shape[0]
         if payload[:len(_MAGIC)] == _MAGIC:
             w = int.from_bytes(payload[10:12], "big")
             h = int.from_bytes(payload[12:14], "big")
             return w, h
         raise NotImplementedError(
-            "no codec for this format in this environment (JPEG/MP4 need "
-            "PIL / pyav); PNG, BMP and WAV decode natively")
+            "no codec for this format in this environment (MP4 needs "
+            "pyav); PNG, BMP, WAV, GIF, QOI and baseline JPEG decode "
+            "natively")
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         widths, heights, sizes, oks = [], [], [], []
@@ -681,6 +1096,10 @@ class ResizeStage:
                     out.append(qoi_encode(_resize_nearest(
                         qoi_decode(payload), self.w, self.h)))
                     continue
+                if payload[:2] == b"\xff\xd8":
+                    out.append(jpeg_encode(_resize_nearest(
+                        jpeg_decode(payload), self.w, self.h)))
+                    continue
                 if payload[:6] in (b"GIF89a", b"GIF87a"):
                     frames = gif_decode(payload)      # (n, h, w, 3)
                     if not (frames[..., 0] == frames[..., 1]).all() or \
@@ -695,8 +1114,8 @@ class ResizeStage:
                     continue
                 if payload[:len(_MAGIC)] != _MAGIC:
                     raise NotImplementedError(
-                        "no resize codec for this format (JPEG/MP4 need "
-                        "PIL / pyav); PNG and BMP resize natively")
+                        "no resize codec for this format (MP4 needs "
+                        "pyav); PNG/BMP/QOI/GIF/JPEG resize natively")
             except (NotImplementedError, ValueError):
                 if self.strict:
                     raise

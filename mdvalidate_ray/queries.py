@@ -1114,11 +1114,12 @@ def embedding_dups(sf_dir: str):
 # --- multimodal plumbing (rows-only) ----------------------------------------
 
 def media_decode(sf_dir: str):
-    """Real decode over mixed mimes: PNG and WAV payloads are genuine
-    files whose width/height (resp. samples/channels) are parsed from
-    the actual bytes by the pure-Python codecs; jpeg/mp4 payloads use
-    the deterministic fake header (those codecs are genuinely absent).
-    Rows-only (binary decode has no SQL analog)."""
+    """Real decode over mixed mimes: PNG, WAV, QOI and baseline JPEG
+    payloads are genuine files whose width/height (resp.
+    samples/channels) are parsed from the actual bytes by the
+    pure-Python codecs; only mp4 uses the deterministic fake header
+    (that codec is genuinely absent).  Rows-only (binary decode has no
+    SQL analog)."""
     import ray.data
 
     from mdvalidate_ray.corpus import assets_table

@@ -283,15 +283,24 @@ def test_media_decode_and_features(ray_session):
 def test_media_decode_strict_raises_on_stubbed_format(ray_session):
     from mdvalidate_ray.functions.media import DecodeStage
 
-    jpeg = pa.Table.from_arrays(
-        [pa.array(["a"]), pa.array(["image/jpeg"]),
-         pa.array([b"\xff\xd8\xff\xe0\x00\x10JFIF...."], pa.binary())],
+    mp4 = pa.Table.from_arrays(
+        [pa.array(["a"]), pa.array(["video/mp4"]),
+         pa.array([b"\x00\x00\x00\x18ftypmp42...."], pa.binary())],
         names=["asset_id", "mime", "payload"])
     stage = DecodeStage(strict=True)
     with pytest.raises(NotImplementedError):
-        stage(jpeg)
+        stage(mp4)
     lenient = DecodeStage(strict=False)
-    assert lenient(jpeg).column("ok").to_pylist() == [False]
+    assert lenient(mp4).column("ok").to_pylist() == [False]
+
+    # truncated JPEG is now a CORRUPT file (the codec is real), not a gap
+    bad_jpeg = pa.Table.from_arrays(
+        [pa.array(["j"]), pa.array(["image/jpeg"]),
+         pa.array([b"\xff\xd8\xff\xe0\x00\x10JFIF...."], pa.binary())],
+        names=["asset_id", "mime", "payload"])
+    with pytest.raises(ValueError):
+        stage(bad_jpeg)
+    assert lenient(bad_jpeg).column("ok").to_pylist() == [False]
 
     # corrupt PNG: real codec rejects it (ValueError strict, ok=False not)
     bad_png = pa.Table.from_arrays(
@@ -453,8 +462,8 @@ def test_media_resize_strict_raises_on_real_format(ray_session):
     )
 
     real = pa.Table.from_pylist(
-        [{"asset_id": "a", "mime": "image/jpeg",
-          "payload": b"\xff\xd8\xff\xe0\x00\x10JFIFxxxx"}],
+        [{"asset_id": "a", "mime": "video/mp4",
+          "payload": b"\x00\x00\x00\x18ftypmp42xxxx"}],
         schema=MEDIA_SCHEMA)
     with _pt.raises(NotImplementedError):
         ResizeStage(32, 32)(real)
@@ -1034,3 +1043,56 @@ def test_qoi_codec_roundtrip_and_stages(ray_session):
                            height=7).take_all()
     out = qoi_decode(resized[0]["payload"])
     assert out.shape == (7, 9, 3)
+
+
+def test_jpeg_codec_round_trip_and_stage_wiring(ray_session):
+    """Baseline JPEG is a REAL format now: encode→decode preserves dims
+    exactly and pixels approximately (lossy DCT, tight MAE bound); the
+    decode stage reports true dims from the bytes; resize re-encodes;
+    corrupt files raise ValueError; the decoder reads Huffman tables
+    from the file's DHT segments (not constants)."""
+    from mdvalidate_ray.functions.media import (
+        DecodeStage,
+        ResizeStage,
+        jpeg_decode,
+        jpeg_encode,
+        synth_media_batch,
+    )
+
+    yy, xx = np.mgrid[0:29, 0:43]
+    img = np.stack([(yy * 5) % 256, (xx * 3) % 256,
+                    ((xx + yy) * 2) % 256], axis=2).astype(np.uint8)
+    data = jpeg_encode(img)
+    assert data[:2] == b"\xff\xd8" and data[-2:] == b"\xff\xd9"
+    out = jpeg_decode(data)
+    assert out.shape == img.shape
+    assert np.abs(out.astype(int) - img.astype(int)).mean() < 6.0
+
+    flat = np.full((16, 24, 3), 77, np.uint8)
+    assert np.abs(jpeg_decode(jpeg_encode(flat)).astype(int)
+                  - 77).max() <= 4
+
+    gray = ((yy * 7 + xx) % 256).astype(np.uint8)
+    g_out = jpeg_decode(jpeg_encode(gray))
+    assert g_out.shape == (29, 43, 3)           # gray replicates to RGB
+    assert np.abs(g_out[..., 0].astype(int)
+                  - gray.astype(int)).mean() < 6.0
+
+    tbl = synth_media_batch(["j1", "j2"], ["image/jpeg", "image/jpeg"])
+    dec = DecodeStage(strict=True)(tbl)
+    assert dec.column("ok").to_pylist() == [True, True]
+    ref = jpeg_decode(tbl.column("payload")[0].as_py())
+    assert (dec.column("width")[0].as_py(),
+            dec.column("height")[0].as_py()) == (ref.shape[1],
+                                                 ref.shape[0])
+
+    resized = ResizeStage(20, 11)(tbl)
+    r = jpeg_decode(resized.column("payload")[0].as_py())
+    assert r.shape == (11, 20, 3)
+
+    with pytest.raises(ValueError):
+        jpeg_decode(data[:40])                  # truncated mid-header
+    with pytest.raises(ValueError):
+        jpeg_decode(data[:-len(data) // 3])     # truncated mid-stream
+    with pytest.raises(ValueError):
+        jpeg_decode(b"not a jpeg at all")
