@@ -92,6 +92,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curation_funnel": Q.curation_funnel,
         "rarity_scores": Q.rarity_scores,
         "user_order_balance": Q.user_order_balance,
+        "frame_dups": Q.frame_dups,
         # window / ranking / sampling
         "top_suppliers_per_nation": Q.top_suppliers_per_nation,
         "supplier_moving_qty": Q.supplier_moving_qty,

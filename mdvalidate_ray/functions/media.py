@@ -41,6 +41,7 @@ import zlib
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 
 # --- real codecs (pure Python) ----------------------------------------------
@@ -1205,3 +1206,65 @@ def sample_frames(ds, *, stride: int = 2, strict: bool = True,
                                                  "strict": strict},
                           batch_size=batch_size, batch_format="pyarrow",
                           zero_copy_batch=True, concurrency=concurrency)
+
+
+def duplicate_frames(frames_ds, *, n_parts: int = 32):
+    """Cross-asset frame-level dedup: frames whose DECODED PIXELS are
+    byte-identical across ≥2 distinct assets — the multimodal analog of
+    exact text dedup (near-identical intros/outros/watermark frames are
+    the dominant duplication mode in scraped video corpora).
+
+    Fingerprints hash the decoded pixel array (dims header + raw bytes),
+    NOT the encoded payload, so the same frame re-encoded differently
+    (PNG filter choice, palette order) still collides.  Scale shape: one
+    streaming fingerprint pass (frame bytes never shuffle — only the
+    32-hex fp + asset id), coarse ``hash(fp) % n_parts`` co-partition,
+    vectorized in-bucket distinct + counts (group calls bounded by
+    ``n_parts``).  Input: FRAME_SCHEMA rows (PNG-encoded frames from
+    :class:`FrameSampleStage` or raw fake-container frames).  Output:
+    (fp, n_assets, n_frames) for fps spanning >1 asset.
+    """
+    import hashlib
+
+    from mdvalidate_ray.functions.dedup import hash_strings
+
+    def fp_partial(b: pa.Table) -> pa.Table:
+        fps = []
+        for payload in b.column("frame").to_pylist():
+            if payload[:8] == _PNG_SIG:
+                arr = png_decode(payload)
+            else:                             # fake-container raw frame
+                arr = np.frombuffer(payload, dtype=np.uint8)
+            fps.append(hashlib.md5(
+                repr(arr.shape).encode() + arr.tobytes()).hexdigest())
+        part = (hash_strings(fps) % np.uint64(n_parts)).astype("int64")
+        return pa.Table.from_arrays(
+            [pa.array(part), pa.array(fps, pa.string()),
+             b.column("asset_id")],
+            names=["part", "fp", "asset_id"])
+
+    out_schema = pa.schema([("fp", pa.string()), ("n_assets", pa.int64()),
+                            ("n_frames", pa.int64())])
+
+    def emit_dups(g: pa.Table) -> pa.Table:
+        frames_per_fp = pa.TableGroupBy(g.select(["fp"]), "fp").aggregate(
+            [([], "count_all")])
+        distinct = pa.TableGroupBy(
+            g.select(["fp", "asset_id"]), "fp").aggregate(
+            [("asset_id", "count_distinct")])
+        multi = distinct.filter(
+            pc.greater(distinct.column("asset_id_count_distinct"), 1))
+        if multi.num_rows == 0:
+            return out_schema.empty_table()
+        idx = pc.index_in(multi.column("fp"), frames_per_fp.column("fp"))
+        return pa.Table.from_arrays(
+            [multi.column("fp"),
+             multi.column("asset_id_count_distinct").cast(pa.int64()),
+             frames_per_fp.column("count_all").take(idx).cast(pa.int64())],
+            schema=out_schema)
+
+    return frames_ds.map_batches(
+        fp_partial, batch_format="pyarrow",
+        zero_copy_batch=True).groupby("part").map_groups(
+        emit_dups, batch_format="pyarrow").select_columns(
+        ["fp", "n_assets", "n_frames"])

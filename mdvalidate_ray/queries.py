@@ -3157,3 +3157,42 @@ def user_order_balance(sf_dir: str):
     return ev.union(od).groupby("part").map_groups(
         merge, batch_format="pyarrow").select_columns(
         ["user_id", "n_events", "n_orders"])
+
+
+def frame_dups(sf_dir: str):
+    """Multimodal frame-level dedup over REAL media bytes: synthesize
+    animated GIFs with deterministically PLANTED shared frames (every
+    3rd asset's first frame comes from a 5-frame common pool — intro
+    cards / watermark frames), demux them with the real LZW codec,
+    fingerprint the DECODED pixels and report frames appearing in >1
+    distinct asset (functions/media.py::duplicate_frames).  Rows-only:
+    the pixel fingerprints pass through two real codecs (GIF → PNG),
+    which has no SQL analog; the planted-pool composition is pinned by
+    test_duplicate_frames_* instead."""
+    import numpy as np
+    import ray.data
+
+    from mdvalidate_ray.functions.media import (duplicate_frames,
+                                                gif_encode,
+                                                sample_frames)
+
+    n_assets = min(60, _docs_count(sf_dir))
+    pool_rng = np.random.default_rng(4242)
+    common = [pool_rng.integers(0, 256, (12, 12), dtype=np.uint8)
+              for _ in range(5)]
+    ids, payloads = [], []
+    for i in range(n_assets):
+        rng = np.random.default_rng((4242, i))
+        frames = rng.integers(0, 256, (int(rng.integers(3, 7)), 12, 12),
+                              dtype=np.uint8)
+        if i % 3 == 0:                         # plant a shared intro frame
+            frames[0] = common[i % 5]
+        ids.append(f"vid{i:04d}")
+        payloads.append(gif_encode(frames))
+    media = pa.Table.from_arrays(
+        [pa.array(ids, pa.string()),
+         pa.array(["image/gif"] * n_assets, pa.string()),
+         pa.array(payloads, pa.binary())],
+        names=["asset_id", "mime", "payload"])
+    frames_ds = sample_frames(ray.data.from_arrow(media), stride=1)
+    return duplicate_frames(frames_ds)

@@ -1096,3 +1096,35 @@ def test_jpeg_codec_round_trip_and_stage_wiring(ray_session):
         jpeg_decode(data[:-len(data) // 3])     # truncated mid-stream
     with pytest.raises(ValueError):
         jpeg_decode(b"not a jpeg at all")
+
+
+def test_duplicate_frames_finds_planted_cross_asset_frames(ray_session):
+    """Three GIFs share one pixel-identical frame (distinct otherwise);
+    duplicate_frames must report exactly that fingerprint with
+    n_assets=3, and ignore a frame repeated WITHIN one asset only."""
+    import ray.data
+
+    from mdvalidate_ray.functions.media import (duplicate_frames,
+                                                gif_encode, sample_frames)
+
+    rng = np.random.default_rng(11)
+    shared = rng.integers(0, 256, (10, 10), dtype=np.uint8)
+    payloads, ids = [], []
+    for i in range(3):
+        own = rng.integers(0, 256, (2, 10, 10), dtype=np.uint8)
+        stack = np.concatenate([shared[None], own])
+        ids.append(f"a{i}")
+        payloads.append(gif_encode(stack))
+    # one asset with an INTERNAL repeat only — must not be reported
+    internal = rng.integers(0, 256, (10, 10), dtype=np.uint8)
+    ids.append("solo")
+    payloads.append(gif_encode(np.stack([internal, internal])))
+    media = pa.Table.from_arrays(
+        [pa.array(ids), pa.array(["image/gif"] * 4),
+         pa.array(payloads, pa.binary())],
+        names=["asset_id", "mime", "payload"])
+    out = duplicate_frames(
+        sample_frames(ray.data.from_arrow(media), stride=1)).to_pandas()
+    assert len(out) == 1
+    assert out.iloc[0]["n_assets"] == 3
+    assert out.iloc[0]["n_frames"] == 3
