@@ -93,6 +93,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rarity_scores": Q.rarity_scores,
         "user_order_balance": Q.user_order_balance,
         "frame_dups": Q.frame_dups,
+        "label_centroid_dots": Q.label_centroid_dots,
         # window / ranking / sampling
         "top_suppliers_per_nation": Q.top_suppliers_per_nation,
         "supplier_moving_qty": Q.supplier_moving_qty,
@@ -874,6 +875,30 @@ def oracle_sql() -> dict[str, str]:
                    sum(tot.n // cnt.c)::BIGINT AS rarity
             FROM words JOIN cnt USING (w) CROSS JOIN tot
             GROUP BY doc_id
+        """,
+        "label_centroid_dots": """
+            WITH u AS (
+                SELECT vec_id, label,
+                       generate_subscripts(embedding, 1) AS idx,
+                       unnest(embedding) AS x
+                FROM embeddings
+            ), m AS (
+                SELECT vec_id AS mv, max(abs(x::DOUBLE)) AS ma
+                FROM u GROUP BY vec_id
+            ), q AS (
+                SELECT label, idx,
+                       CASE WHEN ma > 0
+                            THEN round(x::DOUBLE * 127.0 / ma)::BIGINT
+                            ELSE 0 END AS q
+                FROM u JOIN m ON u.vec_id = m.mv
+            ), c AS (
+                SELECT label, idx, sum(q)::BIGINT AS s
+                FROM q GROUP BY 1, 2
+            )
+            SELECT a.label::BIGINT AS label_a, b.label::BIGINT AS label_b,
+                   sum(a.s * b.s)::BIGINT AS dot
+            FROM c a JOIN c b ON a.idx = b.idx AND a.label < b.label
+            GROUP BY 1, 2
         """,
         "user_order_balance": """
             WITH a AS (SELECT user_id, count(*)::BIGINT AS n_events

@@ -179,7 +179,7 @@ QUERY_NAMES = [
     "heavy_hitter_words", "qty_winsorized",
     "qty_disc_moments", "part_supplier_pagerank", "boilerplate_grams",
     "compressibility", "curation_funnel", "rarity_scores",
-    "user_order_balance", "frame_dups",
+    "user_order_balance", "frame_dups", "label_centroid_dots",
 ]
 
 

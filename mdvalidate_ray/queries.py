@@ -3196,3 +3196,81 @@ def frame_dups(sf_dir: str):
         names=["asset_id", "mime", "payload"])
     frames_ds = sample_frames(ray.data.from_arrow(media), stride=1)
     return duplicate_frames(frames_ds)
+
+
+def label_centroid_dots(sf_dir: str):
+    """Exact-integer cross-group embedding similarity: int8-quantize
+    every vector (same rule as :func:`embedding_int8` — proven
+    SQL-bit-identical), sum the quantized vectors per ``label`` (the
+    un-normalized group centroid), then every pairwise integer dot
+    product between label sum-vectors — the "how close are these two
+    sources/clusters" diagnostic, with NO floats anywhere past
+    quantization so the oracle compare is exact.
+
+    Scale shape: one streaming pass emits per-batch (label, idx, s)
+    partial sums (k·d tiny rows per batch — labels ≪ corpus); the
+    driver folds k·d integers and does the k²·d dot work locally."""
+    import numpy as np
+
+    emb = _read(sf_dir, "embeddings").select_columns(
+        ["vec_id", "label", "embedding"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        out_schema = pa.schema([("label", pa.int64()), ("idx", pa.int64()),
+                                ("s", pa.int64())])
+        n = b.num_rows
+        if n == 0:
+            return out_schema.empty_table()
+        col = b.column("embedding").combine_chunks()
+        vals = col.flatten().to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        offs = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        offs = offs - offs[0]
+        lens = np.diff(offs)
+        ma = np.zeros(n, dtype=np.float64)
+        nonempty = lens > 0
+        if nonempty.any():
+            ma[nonempty] = np.maximum.reduceat(np.abs(vals),
+                                               offs[:-1][nonempty])
+        with np.errstate(divide="ignore", invalid="ignore"):
+            y = (vals * 127.0) / np.repeat(ma, lens)
+        y[~np.isfinite(y)] = 0.0
+        q = np.where(y >= 0, np.floor(y + 0.5),
+                     np.ceil(y - 0.5)).astype(np.int64)
+        total = int(lens.sum())
+        idx = (np.arange(total, dtype=np.int64)
+               - np.repeat(offs[:-1], lens) + 1)
+        labels = np.repeat(
+            np.asarray(b.column("label").to_pandas(), dtype=np.int64),
+            lens)
+        d = int(idx.max()) if total else 0
+        uls, codes = np.unique(labels, return_inverse=True)
+        sums = np.zeros((len(uls), d), dtype=np.int64)
+        np.add.at(sums, (codes, idx - 1), q)
+        return pa.Table.from_arrays(
+            [pa.array(np.repeat(uls, d)),
+             pa.array(np.tile(np.arange(1, d + 1, dtype=np.int64),
+                              len(uls))),
+             pa.array(sums.reshape(-1))],
+            schema=out_schema)
+
+    acc: dict = {}
+    for r in emb.map_batches(partial, batch_format="pyarrow",
+                             zero_copy_batch=True).take_all():
+        k = (r["label"], r["idx"])
+        acc[k] = acc.get(k, 0) + r["s"]
+    labels = sorted({l for l, _ in acc})
+    d = max((i for _, i in acc), default=0)
+    mat = np.zeros((len(labels), d), dtype=np.int64)
+    for (l, i), s in acc.items():
+        mat[labels.index(l), i - 1] = s
+    la, lb, dots = [], [], []
+    for a in range(len(labels)):
+        for b_ in range(a + 1, len(labels)):
+            la.append(labels[a])
+            lb.append(labels[b_])
+            dots.append(int(mat[a] @ mat[b_]))
+    return pa.Table.from_pydict({
+        "label_a": pa.array(la, pa.int64()),
+        "label_b": pa.array(lb, pa.int64()),
+        "dot": pa.array(dots, pa.int64())})
