@@ -94,6 +94,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_order_balance": Q.user_order_balance,
         "frame_dups": Q.frame_dups,
         "label_centroid_dots": Q.label_centroid_dots,
+        "overlapping_windows": Q.overlapping_windows,
         # window / ranking / sampling
         "top_suppliers_per_nation": Q.top_suppliers_per_nation,
         "supplier_moving_qty": Q.supplier_moving_qty,
@@ -875,6 +876,22 @@ def oracle_sql() -> dict[str, str]:
                    sum(tot.n // cnt.c)::BIGINT AS rarity
             FROM words JOIN cnt USING (w) CROSS JOIN tot
             GROUP BY doc_id
+        """,
+        "overlapping_windows": """
+            WITH a AS (
+                SELECT event_id AS a_id, ts AS s,
+                       ts + INTERVAL 1 HOUR AS e
+                FROM events WHERE event_id % 50 = 0
+            ), b AS (
+                SELECT event_id AS b_id, ts AS s,
+                       ts + INTERVAL 2 HOUR AS e
+                FROM events WHERE event_id % 70 = 0
+            )
+            SELECT a_id, b_id,
+                   date_diff('microsecond',
+                             greatest(a.s, b.s),
+                             least(a.e, b.e))::BIGINT AS overlap_us
+            FROM a JOIN b ON a.s < b.e AND b.s < a.e
         """,
         "label_centroid_dots": """
             WITH u AS (

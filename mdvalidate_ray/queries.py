@@ -3274,3 +3274,33 @@ def label_centroid_dots(sf_dir: str):
         "label_a": pa.array(la, pa.int64()),
         "label_b": pa.array(lb, pa.int64()),
         "dot": pa.array(dots, pa.int64())})
+
+
+def overlapping_windows(sf_dir: str):
+    """Interval × interval overlap join: 1-hour activity windows (every
+    50th event) against 2-hour promo windows (every 70th event) — every
+    overlapping pair with its exact overlap duration in microseconds
+    (functions/relational.py::interval_overlap_join: bucket replication
+    + count-once-at-owner-bucket)."""
+    from mdvalidate_ray.functions.relational import interval_overlap_join
+
+    ev = _read(sf_dir, "events").select_columns(["event_id", "ts"])
+
+    def windows(mod: int, length_us: int, key: str):
+        def mk(b: pa.Table) -> pa.Table:
+            ids = b.column("event_id")
+            keep = pc.equal(pc.subtract(
+                ids, pc.multiply(pc.divide(ids, mod), mod)), 0)
+            b = b.filter(keep)
+            s = pc.cast(b.column("ts"), pa.int64())
+            return pa.Table.from_arrays(
+                [b.column("event_id"), s,
+                 pc.add(s, length_us)],
+                names=[key, "start_us", "end_us"])
+        return ev.map_batches(mk, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+    return interval_overlap_join(
+        windows(50, 3_600_000_000, "a_id"),
+        windows(70, 7_200_000_000, "b_id"),
+        key_a="a_id", key_b="b_id")

@@ -602,3 +602,39 @@ def test_heavy_hitters_exact_zipf_and_guarantee_gate(ray_session):
 
     with pytest.raises(ValueError, match="guarantee"):
         heavy_hitters_exact(ds, column="word", k=60, capacity=64)
+
+
+def test_interval_overlap_join_matches_brute_force(ray_session):
+    """Random intervals (incl. bucket-straddling and many-bucket-long
+    ones) against brute force: every overlapping pair exactly once with
+    the exact overlap duration — the count-once-at-owner-bucket rule
+    must not double-count pairs sharing several buckets."""
+    import numpy as np
+    import ray.data
+
+    from mdvalidate_ray.functions.relational import interval_overlap_join
+
+    rng = np.random.default_rng(5)
+    B = 1000                                  # small bucket → heavy overlap
+    def mk(n, max_len, key):
+        s = rng.integers(0, 20 * B, n).astype(np.int64)
+        ln = rng.integers(1, max_len, n).astype(np.int64)
+        return pa.table({key: np.arange(n, dtype=np.int64),
+                         "start_us": s, "end_us": s + ln})
+
+    ta = mk(80, 5 * B, "a_id")                # up to 5-bucket intervals
+    tb = mk(60, 3 * B, "b_id")
+    got = interval_overlap_join(
+        ray.data.from_arrow(ta), ray.data.from_arrow(tb),
+        key_a="a_id", key_b="b_id", bucket_us=B, n_parts=8).take_all()
+    got_set = {(r["a_id"], r["b_id"]): r["overlap_us"] for r in got}
+    assert len(got_set) == len(got), "pair emitted more than once"
+
+    truth = {}
+    for i in range(ta.num_rows):
+        sa, ea = ta["start_us"][i].as_py(), ta["end_us"][i].as_py()
+        for j in range(tb.num_rows):
+            sb, eb = tb["start_us"][j].as_py(), tb["end_us"][j].as_py()
+            if sa < eb and sb < ea:
+                truth[(i, j)] = min(ea, eb) - max(sa, sb)
+    assert got_set == truth and len(truth) > 50
