@@ -95,6 +95,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "frame_dups": Q.frame_dups,
         "label_centroid_dots": Q.label_centroid_dots,
         "overlapping_windows": Q.overlapping_windows,
+        "qty_mad": Q.qty_mad,
         # window / ranking / sampling
         "top_suppliers_per_nation": Q.top_suppliers_per_nation,
         "supplier_moving_qty": Q.supplier_moving_qty,
@@ -876,6 +877,19 @@ def oracle_sql() -> dict[str, str]:
                    sum(tot.n // cnt.c)::BIGINT AS rarity
             FROM words JOIN cnt USING (w) CROSS JOIN tot
             GROUP BY doc_id
+        """,
+        "qty_mad": """
+            WITH med AS (
+                SELECT l_returnflag AS g,
+                       quantile_cont(l_quantity, 0.5) AS m
+                FROM lineitem GROUP BY 1
+            )
+            SELECT g AS l_returnflag,
+                   round(m * 100)::BIGINT AS median_c100,
+                   round(quantile_cont(abs(l_quantity - m), 0.5)
+                         * 100)::BIGINT AS mad_c100
+            FROM lineitem l JOIN med ON l.l_returnflag = med.g
+            GROUP BY g, m
         """,
         "overlapping_windows": """
             WITH a AS (

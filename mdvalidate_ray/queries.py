@@ -3304,3 +3304,55 @@ def overlapping_windows(sf_dir: str):
         windows(50, 3_600_000_000, "a_id"),
         windows(70, 7_200_000_000, "b_id"),
         key_a="a_id", key_b="b_id")
+
+
+def qty_mad(sf_dir: str):
+    """Per-group median absolute deviation (the robust dispersion
+    statistic — winsorize's sibling): exact grouped median, broadcast,
+    then the exact grouped median of |x − median| over the derived
+    deviations — two bounded quantile exchanges, nothing corpus-sized
+    on the driver.  Cents-scaled half-away rounding at the very end so
+    the oracle compare is integer-exact."""
+    import numpy as np
+    import ray
+
+    from mdvalidate_ray.functions.window import group_quantiles
+
+    li = _read(sf_dir, "lineitem").select_columns(
+        ["l_returnflag", "l_quantity"])
+    med: dict[str, float] = {
+        r["l_returnflag"]: r["q_value"]
+        for r in group_quantiles(li, group_key="l_returnflag",
+                                 value_col="l_quantity",
+                                 qs=[0.5]).take_all()}
+    med_ref = ray.put(med)
+
+    def dev(b: pa.Table) -> pa.Table:
+        m = ray.get(med_ref)
+        flags = pc.cast(b.column("l_returnflag"), pa.string())
+        flags = flags.combine_chunks() if isinstance(
+            flags, pa.ChunkedArray) else flags
+        enc = flags.dictionary_encode()
+        codes = np.asarray(enc.indices).astype(np.int64)
+        centers = np.array([m[c] for c in enc.dictionary.to_pylist()],
+                           dtype=np.float64)[codes]
+        qty = np.asarray(b.column("l_quantity").cast(pa.float64())
+                         .to_pandas(), dtype=np.float64)
+        return pa.Table.from_arrays(
+            [flags, pa.array(np.abs(qty - centers))],
+            names=["l_returnflag", "abs_dev"])
+
+    derived = li.map_batches(dev, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    mad: dict[str, float] = {
+        r["l_returnflag"]: r["q_value"]
+        for r in group_quantiles(derived, group_key="l_returnflag",
+                                 value_col="abs_dev",
+                                 qs=[0.5]).take_all()}
+    groups = sorted(med)
+    c100 = lambda x: int(np.floor(x * 100.0 + 0.5))  # noqa: E731
+    return pa.Table.from_pydict({
+        "l_returnflag": pa.array(groups, pa.string()),
+        "median_c100": pa.array([c100(med[g]) for g in groups],
+                                pa.int64()),
+        "mad_c100": pa.array([c100(mad[g]) for g in groups], pa.int64())})
