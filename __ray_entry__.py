@@ -96,6 +96,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "label_centroid_dots": Q.label_centroid_dots,
         "overlapping_windows": Q.overlapping_windows,
         "qty_mad": Q.qty_mad,
+        "trigram_pairs": Q.trigram_pairs,
         # window / ranking / sampling
         "top_suppliers_per_nation": Q.top_suppliers_per_nation,
         "supplier_moving_qty": Q.supplier_moving_qty,
@@ -877,6 +878,30 @@ def oracle_sql() -> dict[str, str]:
                    sum(tot.n // cnt.c)::BIGINT AS rarity
             FROM words JOIN cnt USING (w) CROSS JOIN tot
             GROUP BY doc_id
+        """,
+        "trigram_pairs": """
+            WITH d AS (
+                SELECT doc_id, lower(coalesce(text, '')) AS t
+                FROM documents
+            ),
+            pos AS (
+                SELECT doc_id, t,
+                       unnest(generate_series(
+                           1, greatest(length(t) - 2, 0))) AS i
+                FROM d
+            ),
+            g AS (SELECT DISTINCT doc_id, substr(t, i, 3) AS gram
+                  FROM pos),
+            ok AS (SELECT gram FROM g GROUP BY gram
+                   HAVING count(*) <= 64),
+            pairs AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       count(*)::BIGINT AS shared
+                FROM g a JOIN ok USING (gram) JOIN g b USING (gram)
+                WHERE a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT doc_a, doc_b, shared FROM pairs WHERE shared >= 12
         """,
         "qty_mad": """
             WITH med AS (

@@ -180,7 +180,7 @@ QUERY_NAMES = [
     "qty_disc_moments", "part_supplier_pagerank", "boilerplate_grams",
     "compressibility", "curation_funnel", "rarity_scores",
     "user_order_balance", "frame_dups", "label_centroid_dots",
-    "overlapping_windows", "qty_mad",
+    "overlapping_windows", "qty_mad", "trigram_pairs",
 ]
 
 

@@ -1453,3 +1453,106 @@ def purge_exact_duplicates(ds, column: str = "text", key: str = "doc_id"):
 
     return ds.map_batches(keep, batch_format="pyarrow",
                           zero_copy_batch=True)
+
+
+def trigram_posting_pairs(docs_ds, *, min_shared: int = 12,
+                          max_posting: int = 64,
+                          column: str = "text", key: str = "doc_id",
+                          n_parts: int = 64):
+    """Trigram-posting candidate join (pg_trgm-style CONTENT blocking —
+    the third blocking mechanism next to prefix blocks and LSH bands):
+    every doc pair sharing ≥ ``min_shared`` DISTINCT character 3-grams
+    of ``lower(text)``.  Exact by construction (integer shared-gram
+    counts), so a SQL oracle recomputes the identical pair set.
+
+    Scale shape: per-batch distinct (gram, doc) posting rows co-partition
+    on ``hash(gram) % n_parts`` (gram STRINGS ship — 3 chars — so parity
+    is exact, no hash-collision caveat); per part, grams with posting
+    lists longer than ``max_posting`` are dropped (stop-gram cap — the
+    boilerplate-block guard that keeps pair fan-out O(Σ s²) bounded),
+    within-gram pairs expand VECTORIZED per posting-size class (bounded
+    loop over ≤ ``max_posting`` distinct sizes, one triu broadcast per
+    class), per-part shared-counts pre-combine, and one fused-int
+    pair-keyed exchange folds the final counts.
+    """
+    from mdvalidate_ray.functions.relational import bucketed_group_sum
+
+    def postings(b: pa.Table) -> pa.Table:
+        texts = [(t or "").lower()
+                 for t in b.column(column).to_pylist()]
+        ids = np.asarray(b.column(key).to_pandas(), dtype=np.int64)
+        gs, ds_ = [], []
+        for i, t in enumerate(texts):
+            grams = {t[j:j + 3] for j in range(len(t) - 2)}
+            gs.extend(grams)
+            ds_.extend([ids[i]] * len(grams))
+        part = (hash_strings(gs) % np.uint64(n_parts)).astype("int64")
+        return pa.Table.from_arrays(
+            [pa.array(part), pa.array(gs, pa.string()),
+             pa.array(np.asarray(ds_, dtype=np.int64))],
+            names=["part", "gram", "doc"])
+
+    _TRIU = {}
+
+    def pair_partials(g: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = g.select(["gram", "doc"]).to_pandas()
+        sizes = df.groupby("gram")["doc"].transform("size")
+        df = df[sizes <= max_posting]
+        if df.empty:
+            return pa.Table.from_pydict(
+                {"pair": pa.array([], pa.int64()),
+                 "shared": pa.array([], pa.int64())})
+        df = df.sort_values(["gram", "doc"], kind="stable")
+        docs = df["doc"].to_numpy()
+        codes, counts = np.unique(df["gram"].to_numpy(),
+                                  return_counts=True)
+        starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        pair_keys = []
+        # bounded loop over distinct posting SIZES, vectorized per class
+        for s in np.unique(counts):
+            if s < 2:
+                continue
+            s = int(s)
+            if s not in _TRIU:
+                _TRIU[s] = np.triu_indices(s, k=1)
+            ti, tj = _TRIU[s]
+            st = starts[counts == s]                  # groups of size s
+            rows = docs[st[:, None] + np.arange(s)]   # (n_groups, s)
+            a = rows[:, ti].reshape(-1)
+            bb = rows[:, tj].reshape(-1)
+            lo = np.minimum(a, bb)
+            hi = np.maximum(a, bb)
+            pair_keys.append(lo * np.int64(2**32) + hi)
+        if not pair_keys:
+            return pa.Table.from_pydict(
+                {"pair": pa.array([], pa.int64()),
+                 "shared": pa.array([], pa.int64())})
+        fused = np.concatenate(pair_keys)
+        uk, cnt = np.unique(fused, return_counts=True)
+        return pa.Table.from_pydict(
+            {"pair": pa.array(uk), "shared": pa.array(
+                cnt.astype(np.int64))})
+
+    partials = docs_ds.map_batches(
+        postings, batch_format="pyarrow",
+        zero_copy_batch=True).groupby("part").map_groups(
+        pair_partials, batch_format="pyarrow").select_columns(
+        ["pair", "shared"])
+    folded = bucketed_group_sum(partials, key="pair",
+                                sum_cols=["shared"], n_parts=n_parts)
+
+    def finish(b: pa.Table) -> pa.Table:
+        keep = b.filter(pc.greater_equal(b.column("shared"),
+                                         min_shared))
+        pair = np.asarray(keep.column("pair").to_pandas(),
+                          dtype=np.int64)
+        return pa.Table.from_arrays(
+            [pa.array(pair // np.int64(2**32)),
+             pa.array(pair % np.int64(2**32)),
+             keep.column("shared").cast(pa.int64())],
+            names=["doc_a", "doc_b", "shared"])
+
+    return folded.map_batches(finish, batch_format="pyarrow",
+                              zero_copy_batch=True)

@@ -3356,3 +3356,15 @@ def qty_mad(sf_dir: str):
         "median_c100": pa.array([c100(med[g]) for g in groups],
                                 pa.int64()),
         "mad_c100": pa.array([c100(mad[g]) for g in groups], pa.int64())})
+
+
+def trigram_pairs(sf_dir: str):
+    """Trigram-posting candidate join (pg_trgm-style content blocking):
+    doc pairs sharing ≥12 distinct character 3-grams of lower(text),
+    with hot grams (posting > 64 docs) dropped as stop-grams
+    (functions/dedup.py::trigram_posting_pairs) — exact integer
+    shared-counts, so the SQL oracle recomputes the identical pairs."""
+    from mdvalidate_ray.functions.dedup import trigram_posting_pairs
+
+    docs = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+    return trigram_posting_pairs(docs, min_shared=12, max_posting=64)
