@@ -1128,3 +1128,29 @@ def test_duplicate_frames_finds_planted_cross_asset_frames(ray_session):
     assert len(out) == 1
     assert out.iloc[0]["n_assets"] == 3
     assert out.iloc[0]["n_frames"] == 3
+
+
+def test_trigram_pairs_partition_invariance(ray_session):
+    """Same corpus at 1 block vs 8 blocks → identical (pair, shared)
+    sets: per-batch distinct postings and per-part pre-combined counts
+    must not depend on how rows land in blocks."""
+    import ray.data
+
+    from mdvalidate_ray.functions.dedup import trigram_posting_pairs
+
+    rng = np.random.default_rng(3)
+    alpha = np.array(list("abcdefghijklmnopqrstuvwxyz"))
+    texts = ["".join(rng.choice(alpha, 40)) for _ in range(200)]
+    for i in range(0, 200, 10):       # plant near-copies (one char off)
+        if i + 1 < 200:
+            texts[i + 1] = "Z" + texts[i][1:]
+    tbl = pa.table({"doc_id": list(range(200)), "text": texts})
+
+    def run(n_blocks):
+        ds = ray.data.from_arrow(tbl).repartition(n_blocks)
+        out = trigram_posting_pairs(ds, min_shared=8,
+                                    max_posting=64).take_all()
+        return {(r["doc_a"], r["doc_b"]): r["shared"] for r in out}
+
+    a, b = run(1), run(8)
+    assert a == b and len(a) > 0
