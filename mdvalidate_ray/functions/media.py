@@ -642,7 +642,7 @@ def _dct_blocks(plane: np.ndarray, q: np.ndarray) -> np.ndarray:
     return qz.reshape(-1, 64)[:, _ZZ]
 
 
-def jpeg_encode(arr: np.ndarray, color: bool | None = None) -> bytes:
+def jpeg_encode(arr: np.ndarray) -> bytes:
     """uint8 ``(h, w, 3)`` RGB (or ``(h, w)`` grayscale) → baseline JFIF
     JPEG bytes (4:4:4, no subsampling, no restart markers)."""
     gray = arr.ndim == 2
