@@ -95,8 +95,10 @@ def _sketch_of_column(ds, column: str, make_sketch, from_bytes):
 
     rows = ds.map_batches(partial, batch_format="pyarrow",
                           zero_copy_batch=True).take_all()
-    return _fold_sorted((r["sketch"] for r in rows), make_sketch,
-                        from_bytes)
+    # tiered fold: flat canonical-order merge while the partial count is
+    # driver-trivial, fanout-ary task tree above (tree_reduce_sketches)
+    return tree_reduce_sketches([r["sketch"] for r in rows], make_sketch,
+                                from_bytes)
 
 
 def _sketch_by_group(ds, group_col: str, value_col: str, make_sketch,
@@ -160,3 +162,41 @@ def drift_by_group(ds, group_col: str, value_col: str,
     """Per-group drift verdicts against one reference sketch."""
     return {g: drift_check(sk, reference, threshold)
             for g, sk in sorted(kll_by_group(ds, group_col, value_col).items())}
+
+
+def tree_reduce_sketches(blobs: list[bytes], make_sketch, from_bytes, *,
+                         fanout: int = 16, flat_threshold: int = 64):
+    """Deterministic TREE-reduce of serialized mergeable sketch state —
+    the north-star's "merged in a tree-reduce", made literal.
+
+    Below ``flat_threshold`` partials the flat canonical-order driver
+    fold (:func:`_fold_sorted`) is strictly better (one hop, no task
+    overhead) — the tiers switch exactly where the driver fold stops
+    being O(small).  Above it, partials merge in ``fanout``-ary waves of
+    Ray tasks: each wave groups the SORTED blob list into consecutive
+    chunks (canonical order inside every chunk), merges the chunks in
+    parallel, and re-sorts the outputs for the next wave — so the merge
+    tree is a pure function of the partial MULTISET, independent of
+    block arrival order (compaction is order-dependent; determinism
+    comes from the canonical ordering at every level, same rule as the
+    flat fold).  Driver traffic is O(fanout · KiB) per wave instead of
+    O(partials · KiB).
+    """
+    import ray
+
+    blobs = sorted(blobs)
+    if len(blobs) <= flat_threshold:
+        return _fold_sorted(blobs, make_sketch, from_bytes)
+
+    @ray.remote(num_cpus=1)
+    def merge_chunk(chunk: list[bytes], mk, fb) -> bytes:
+        return _fold_sorted(chunk, mk, fb).to_bytes()
+
+    level = blobs
+    while len(level) > flat_threshold:
+        chunks = [level[i:i + fanout] for i in range(0, len(level),
+                                                     fanout)]
+        level = sorted(ray.get([
+            merge_chunk.remote(c, make_sketch, from_bytes)
+            for c in chunks]))
+    return _fold_sorted(level, make_sketch, from_bytes)

@@ -218,3 +218,39 @@ def test_misra_gries_table_round_trip_equals_merge():
     assert sorted(zip(via_merge.keys, via_merge.counts.tolist())) == \
         sorted(zip(via_table.keys, via_table.counts.tolist()))
     assert via_merge.err == via_table.err
+
+
+def test_tree_reduce_sketches_deterministic_and_accurate(ray_session):
+    """Forcing the task-tree path (fanout 4, flat threshold 8) over 200
+    KLL partials: result is a pure function of the partial multiset
+    (same sketch under shuffled input order), totals are preserved, and
+    quantile estimates stay within KLL error of the exact values."""
+    import numpy as np
+
+    from mdvalidate_ray.stages.drift import tree_reduce_sketches
+    from mdvalidate_ray.state.sketches import KLLSketch
+
+    rng = np.random.default_rng(2)
+    all_vals = []
+    blobs = []
+    for i in range(200):
+        vals = rng.normal(loc=float(i % 7), scale=1.0, size=500)
+        all_vals.append(vals)
+        blobs.append(KLLSketch(k=200).update(vals).to_bytes())
+
+    def run(order):
+        return tree_reduce_sketches(
+            [blobs[j] for j in order], lambda: KLLSketch(k=200),
+            KLLSketch.from_bytes, fanout=4, flat_threshold=8)
+
+    a = run(range(200))
+    b = run(list(reversed(range(200))))
+    assert a.to_bytes() == b.to_bytes()
+    flat = np.concatenate(all_vals)
+    for q in (0.1, 0.5, 0.9):
+        est = a.quantile(q)
+        exact = np.quantile(flat, q)
+        # rank error ≤ ~1.7%/k·n for k=200; translate via value spread
+        lo, hi = np.quantile(flat, max(0.0, q - 0.05)), np.quantile(
+            flat, min(1.0, q + 0.05))
+        assert lo - 1e-9 <= est <= hi + 1e-9, (q, est, exact)
