@@ -97,6 +97,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "overlapping_windows": Q.overlapping_windows,
         "qty_mad": Q.qty_mad,
         "trigram_pairs": Q.trigram_pairs,
+        "violation_report": Q.violation_report,
         # window / ranking / sampling
         "top_suppliers_per_nation": Q.top_suppliers_per_nation,
         "supplier_moving_qty": Q.supplier_moving_qty,

@@ -181,6 +181,7 @@ QUERY_NAMES = [
     "compressibility", "curation_funnel", "rarity_scores",
     "user_order_balance", "frame_dups", "label_centroid_dots",
     "overlapping_windows", "qty_mad", "trigram_pairs",
+    "violation_report",
 ]
 
 

@@ -3368,3 +3368,55 @@ def trigram_pairs(sf_dir: str):
 
     docs = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
     return trigram_posting_pairs(docs, min_shared=12, max_posting=64)
+
+
+def violation_report(sf_dir: str):
+    """Corpus-level violation report — the reference's ariadne error
+    surface (src/cmd.rs:166-176, errors.rs:543+) aggregated over the
+    whole corpus: per (kind, constraint_id) violation counts, distinct
+    affected docs, and the lexicographically-first example doc — the
+    top-of-report a data engineer reads before drilling in.  Counts
+    pre-combine per batch (one row per (kind, constraint) per batch);
+    rows-only (the span walk has no SQL analog), deterministic output
+    order."""
+    import numpy as np
+
+    from mdvalidate_ray.corpus import flagship_schema_text
+    from mdvalidate_ray.stages.validate import (validate_dataset,
+                                                violations_dataset)
+
+    _, docs = _corpus(sf_dir)
+    viols = violations_dataset(validate_dataset(docs,
+                                                flagship_schema_text()))
+
+    def part(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = b.select(["kind", "constraint_id", "doc_id"]).to_pandas()
+        g = df.groupby(["kind", "constraint_id"]).agg(
+            n=("doc_id", "size"), n_docs=("doc_id", "nunique"),
+            example_doc=("doc_id", "min")).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    rows = viols.map_batches(part, batch_format="pyarrow",
+                             zero_copy_batch=True).take_all()
+    acc: dict = {}
+    for r in rows:
+        k = (r["kind"], r["constraint_id"])
+        if k not in acc:
+            acc[k] = [0, r["example_doc"]]
+        acc[k][0] += r["n"]
+        acc[k][1] = min(acc[k][1], r["example_doc"])
+    # n_docs: distinct docs cross batches — each doc lives in ONE batch
+    # (row-per-doc upstream), so per-batch nunique sums exactly
+    ndocs: dict = {}
+    for r in rows:
+        k = (r["kind"], r["constraint_id"])
+        ndocs[k] = ndocs.get(k, 0) + r["n_docs"]
+    keys = sorted(acc)
+    return pa.Table.from_pydict({
+        "kind": pa.array([k for k, _ in keys], pa.string()),
+        "constraint_id": pa.array([c for _, c in keys], pa.string()),
+        "n_violations": pa.array([acc[k][0] for k in keys], pa.int64()),
+        "n_docs": pa.array([ndocs[k] for k in keys], pa.int64()),
+        "example_doc": pa.array([acc[k][1] for k in keys], pa.string())})

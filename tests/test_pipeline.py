@@ -111,3 +111,20 @@ def test_fast_paths_match_interpreter():
     for col in ("doc_id", "passed", "captures", "n_violations",
                 "violations"):
         assert fast.column(col).to_pylist() == slow.column(col).to_pylist(), col
+
+
+def test_violation_report_matches_raw_violations(ray_session):
+    """The aggregated report must reproduce exactly what a driver-side
+    pandas aggregation of the raw violations table says."""
+    import mdvalidate_ray.queries as Q
+
+    sf = "/root/testdata/sf0.001"
+    report = Q.violation_report(sf).to_pandas().set_index(
+        ["kind", "constraint_id"]).sort_index()
+    raw = Q.validate_violations(sf).to_pandas()
+    want = raw.groupby(["kind", "constraint_id"]).agg(
+        n_violations=("doc_id", "size"), n_docs=("doc_id", "nunique"),
+        example_doc=("doc_id", "min")).sort_index()
+    assert list(report.index) == list(want.index)
+    for col in ("n_violations", "n_docs", "example_doc"):
+        assert report[col].tolist() == want[col].tolist(), col
