@@ -108,6 +108,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "length_ntile": Q.length_ntile,
         "doc_chunks": Q.doc_chunks,
         "user_value_deltas": Q.user_value_deltas,
+        "user_hourly_spend": Q.user_hourly_spend,
+        "nation_supplier_names": Q.nation_supplier_names,
         "funnel": Q.funnel,
         "retention": Q.retention,
         "embedding_int8": Q.embedding_int8,
@@ -595,6 +597,22 @@ def oracle_sql() -> dict[str, str]:
                    ntile(8) OVER (ORDER BY n_chars, doc_id)::BIGINT
                        AS bucket
             FROM documents
+        """,
+        "user_hourly_spend": """
+            SELECT event_id, user_id,
+                   sum(CAST(round(value * 100) AS BIGINT)) OVER w
+                       AS range_sum_c100,
+                   count(*) OVER w AS n_range
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                         RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                               AND CURRENT ROW)
+        """,
+        "nation_supplier_names": """
+            SELECT s_nationkey,
+                   string_agg(s_name, ',' ORDER BY s_name) AS names,
+                   count(*)::BIGINT AS n_items
+            FROM supplier GROUP BY s_nationkey
         """,
         "user_running_total": """
             SELECT event_id, user_id,

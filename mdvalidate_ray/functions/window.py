@@ -330,3 +330,140 @@ def group_quantiles(ds, *, group_key: str, value_col: str,
                             zero_copy_batch=True)
     return tagged.groupby("_bucket").map_groups(per_bucket,
                                                 batch_format="pyarrow")
+
+
+def grouped_range_sum(ds, *, key: str, ts_col: str, value_col: str,
+                      range_delta_us: int, order_tie_cols: list[str] | None
+                      = None, n_parts: int = 32):
+    """Per-key TIME-RANGE window sum + count — ``SUM(value) OVER
+    (PARTITION BY key ORDER BY ts RANGE BETWEEN <delta> PRECEDING AND
+    CURRENT ROW)`` — emitted as ``range_sum`` and ``n_range``.
+
+    RANGE frames differ from the ROWS frames of
+    :func:`grouped_moving_sum` in both directions: the window reaches
+    back a fixed TIME interval (a variable number of rows), and
+    "CURRENT ROW" means *all peers* sharing the row's ORDER BY value —
+    rows with an identical timestamp see each other's contributions
+    regardless of physical order (the SQL-standard peer rule, which both
+    DuckDB and this kernel implement, keeping the oracle comparison
+    exact).  The value column must already be integer (cents-scale
+    upstream) so sums are order-exact.
+
+    Same single coarse-bucket exchange as the other operators here; the
+    per-bucket pass is fully vectorized: sort once by (key, ts), rebase
+    timestamps, lift each key's segment into a disjoint numeric range
+    (``ts + seg_id × stride`` with ``stride > span + delta``, so one
+    global ``np.searchsorted`` answers every row's window-start — and,
+    with ``side='right'``, its peer-group end), then two gathers into a
+    zero-prefixed cumsum.  No per-group loop; O(bucket · log bucket).
+    ``order_tie_cols`` only canonicalizes the emitted row order for
+    deterministic output — the window itself is defined by (key, ts).
+    """
+    def tag(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "_bucket", _bucket_of(b.column(key), n_parts))
+
+    sort_keys = [(key, "ascending"), (ts_col, "ascending")] + \
+        [(c, "ascending") for c in (order_tie_cols or [])]
+    delta = np.int64(range_delta_us)
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["_bucket"])
+        s = g.take(pc.sort_indices(g, sort_keys=sort_keys))
+        n = s.num_rows
+        if n == 0:
+            return s.append_column("range_sum", pa.array([], pa.int64())) \
+                    .append_column("n_range", pa.array([], pa.int64()))
+        keys = s.column(key).to_numpy(zero_copy_only=False)
+        ts = s.column(ts_col).cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        v = s.column(value_col).cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        ts = ts - ts.min()                      # rebase: small magnitudes
+        change = np.ones(n, dtype=bool)
+        change[1:] = keys[1:] != keys[:-1]
+        seg_id = np.cumsum(change) - 1          # 0-based segment index
+        seg_start = np.maximum.accumulate(np.where(change, np.arange(n), 0))
+        stride = np.int64(ts.max()) + delta + np.int64(1)
+        if seg_id[-1] and stride > np.iinfo(np.int64).max // (seg_id[-1] + 1):
+            raise ValueError(
+                "grouped_range_sum: segments × time-span overflows the "
+                "int64 composite key — raise n_parts so buckets shrink")
+        ts_adj = ts + seg_id * stride           # per-segment disjoint
+        lo = np.maximum(np.searchsorted(ts_adj, ts_adj - delta, side="left"),
+                        seg_start)
+        hi = np.searchsorted(ts_adj, ts_adj, side="right") - 1  # peers in
+        cs0 = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(v, out=cs0[1:])
+        return s.append_column(
+            "range_sum", pa.array(cs0[hi + 1] - cs0[lo], pa.int64())) \
+            .append_column(
+            "n_range", pa.array((hi - lo + 1).astype(np.int64)))
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    return tagged.groupby("_bucket").map_groups(per_bucket,
+                                                batch_format="pyarrow")
+
+
+def grouped_string_agg(ds, *, key: str, value_col: str, sep: str = ",",
+                       order_cols: list[str] | None = None,
+                       n_parts: int = 16):
+    """Deterministic ordered string aggregation per group —
+    ``string_agg(value, sep ORDER BY order_cols) GROUP BY key`` — emitted
+    as (key, ``agg``, ``n_items``).
+
+    The one aggregate family the engine's (sum/min/max/count) partial
+    folds can't express: the result is a variable-length *concatenation*
+    whose value depends on total order, so each group must co-locate.
+    One coarse-bucket exchange of the pruned (key, order, value) columns,
+    then a per-bucket pass with no per-group Python loop: sort once,
+    derive segment offsets from key change-points, wrap the value column
+    in a ``ListArray`` view over those offsets (zero-copy over the sorted
+    values) and emit one ``pc.binary_join`` call for the whole bucket.
+
+    Partitioning note (per the brief): output rows are O(group size) —
+    this is for bounded groups (names per nation, tags per doc), not for
+    concatenating a 10^9-row group into one cell; the bucket-fits-in-heap
+    sizing rule of this module applies to the *largest group*, and skewed
+    hot keys should be capped upstream (``top_n_per_group``) first."""
+    order_cols = order_cols or [value_col]
+
+    def tag(b: pa.Table) -> pa.Table:
+        b = b.select(list(dict.fromkeys([key, *order_cols, value_col])))
+        return b.append_column(
+            "_bucket", _bucket_of(b.column(key), n_parts))
+
+    sort_keys = [(key, "ascending")] + [(c, "ascending")
+                                        for c in order_cols]
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["_bucket"])
+        s = g.take(pc.sort_indices(g, sort_keys=sort_keys))
+        n = s.num_rows
+        key_type = s.column(key).type
+        if n == 0:
+            return pa.Table.from_arrays(
+                [pa.array([], key_type), pa.array([], pa.string()),
+                 pa.array([], pa.int64())],
+                names=[key, "agg", "n_items"])
+        keys = s.column(key).to_numpy(zero_copy_only=False)
+        change = np.ones(n, dtype=bool)
+        change[1:] = keys[1:] != keys[:-1]
+        starts = np.flatnonzero(change)
+        offsets = np.append(starts, n).astype(np.int32)
+        vals = s.column(value_col).combine_chunks().cast(pa.string())
+        if isinstance(vals, pa.ChunkedArray):
+            vals = vals.chunk(0) if vals.num_chunks else \
+                pa.array([], pa.string())
+        lists = pa.ListArray.from_arrays(pa.array(offsets), vals)
+        joined = pc.binary_join(lists, sep)
+        return pa.Table.from_arrays(
+            [pa.array(keys[starts], key_type), joined,
+             pa.array(np.diff(offsets).astype(np.int64))],
+            names=[key, "agg", "n_items"])
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    return tagged.groupby("_bucket").map_groups(per_bucket,
+                                                batch_format="pyarrow")

@@ -1993,6 +1993,62 @@ def user_value_deltas(sf_dir: str):
         batch_format="pyarrow")
 
 
+def user_hourly_spend(sf_dir: str):
+    """Per-user TIME-RANGE window spend — ``SUM(value) OVER (PARTITION
+    BY user_id ORDER BY ts RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND
+    CURRENT ROW)`` — the rate-limit / rolling-exposure primitive.  A
+    RANGE frame, unlike the ROWS frames elsewhere in the catalog, spans
+    a fixed time interval (variable row count) and includes ALL peers
+    sharing the row's timestamp (the SQL peer rule), so it is a distinct
+    kernel (window.grouped_range_sum), not a parameterization of
+    grouped_moving_sum.  Values are cents-scaled int64 before the fold
+    (order-exact), and the emitted (event_id) keys make the comparison
+    row-unique even where timestamps tie."""
+    from mdvalidate_ray.functions.window import grouped_range_sum
+
+    ev = _read(sf_dir, "events").select_columns(
+        ["event_id", "user_id", "ts", "value"])
+
+    def to_cents(b: pa.Table) -> pa.Table:
+        c = _pc_round(pc.multiply(b.column("value"), 100.0)) \
+            .cast(pa.int64())
+        return b.drop_columns(["value"]).append_column("v_c100", c)
+
+    cents = ev.map_batches(to_cents, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    out = grouped_range_sum(cents, key="user_id", ts_col="ts",
+                            value_col="v_c100",
+                            range_delta_us=3_600_000_000,
+                            order_tie_cols=["event_id"], n_parts=32)
+    return out.map_batches(
+        lambda b: pa.Table.from_arrays(
+            [b.column("event_id"), b.column("user_id"),
+             b.column("range_sum"), b.column("n_range")],
+            names=["event_id", "user_id", "range_sum_c100", "n_range"]),
+        batch_format="pyarrow")
+
+
+def nation_supplier_names(sf_dir: str):
+    """Ordered string aggregation — ``string_agg(s_name, ',' ORDER BY
+    s_name) GROUP BY s_nationkey`` — the aggregate family whose result is
+    a total-order-dependent variable-length concatenation (sum/min/max
+    partials can't express it; groups must co-locate).  Bounded groups
+    by construction (suppliers per nation); see
+    window.grouped_string_agg for the skew caveat."""
+    from mdvalidate_ray.functions.window import grouped_string_agg
+
+    sup = _read(sf_dir, "supplier").select_columns(
+        ["s_nationkey", "s_name"])
+    out = grouped_string_agg(sup, key="s_nationkey", value_col="s_name",
+                             sep=",", order_cols=["s_name"], n_parts=8)
+    return out.map_batches(
+        lambda b: pa.Table.from_arrays(
+            [b.column("s_nationkey"), b.column("agg"),
+             b.column("n_items")],
+            names=["s_nationkey", "names", "n_items"]),
+        batch_format="pyarrow")
+
+
 def funnel(sf_dir: str):
     """Ordered funnel view → click → purchase: per-step user counts with
     greedy earliest-completion chaining (each step's time is the MIN ts

@@ -408,3 +408,100 @@ def test_grouped_lag_delta_matches_pandas(ray_session, blocks):
     pd.testing.assert_frame_equal(
         got[["k", "ord", "uid", "delta"]],
         df[["k", "ord", "uid", "delta"]], check_dtype=False)
+
+
+@pytest.mark.parametrize("blocks", [1, 7])
+def test_grouped_range_sum_matches_bruteforce(ray_session, blocks):
+    """RANGE frame semantics: fixed time reach-back AND the SQL peer
+    rule (all rows sharing a timestamp see each other's contributions).
+    Duplicate timestamps are planted to exercise the peer rule."""
+    import ray.data
+
+    from mdvalidate_ray.functions.window import grouped_range_sum
+
+    rng = np.random.default_rng(3)
+    n = 400
+    tbl = pa.table({
+        "k": rng.integers(0, 9, n).astype("int64"),
+        # coarse grid => many exact-duplicate (k, ts) peers
+        "ts": rng.integers(0, 50, n).astype("int64") * 10,
+        "uid": np.arange(n, dtype="int64"),
+        "v": rng.integers(-20, 50, n).astype("int64"),
+    })
+    delta = 100
+    ds = ray.data.from_arrow(tbl).repartition(blocks)
+    got = grouped_range_sum(ds, key="k", ts_col="ts", value_col="v",
+                            range_delta_us=delta,
+                            order_tie_cols=["uid"], n_parts=4).to_pandas()
+    got = got.sort_values("uid").reset_index(drop=True)
+
+    df = tbl.to_pandas()
+    want_sum, want_n = [], []
+    for r in got.itertuples(index=False):
+        win = df[(df.k == r.k) & (df.ts >= r.ts - delta)
+                 & (df.ts <= r.ts)]
+        want_sum.append(int(win.v.sum()))
+        want_n.append(len(win))
+    assert got["range_sum"].tolist() == want_sum
+    assert got["n_range"].tolist() == want_n
+
+
+def test_grouped_range_sum_zero_delta_sums_peers(ray_session):
+    """delta=0 degenerates to the per-(key, ts) peer-group sum."""
+    import ray.data
+
+    from mdvalidate_ray.functions.window import grouped_range_sum
+
+    tbl = pa.table({
+        "k": pa.array([1, 1, 1, 2], pa.int64()),
+        "ts": pa.array([5, 5, 9, 5], pa.int64()),
+        "uid": pa.array([0, 1, 2, 3], pa.int64()),
+        "v": pa.array([10, 20, 7, 4], pa.int64()),
+    })
+    got = grouped_range_sum(ray.data.from_arrow(tbl), key="k",
+                            ts_col="ts", value_col="v", range_delta_us=0,
+                            order_tie_cols=["uid"],
+                            n_parts=2).to_pandas()
+    got = got.sort_values("uid")
+    assert got["range_sum"].tolist() == [30, 30, 7, 4]
+    assert got["n_range"].tolist() == [2, 2, 1, 1]
+
+
+@pytest.mark.parametrize("blocks", [1, 5])
+def test_grouped_string_agg_matches_pandas(ray_session, blocks):
+    import ray.data
+
+    from mdvalidate_ray.functions.window import grouped_string_agg
+
+    rng = np.random.default_rng(11)
+    n = 300
+    tbl = pa.table({
+        "k": rng.integers(0, 12, n).astype("int64"),
+        "name": pa.array([f"item-{i:03d}" for i in
+                          rng.integers(0, 900, n)]),
+    })
+    ds = ray.data.from_arrow(tbl).repartition(blocks)
+    got = grouped_string_agg(ds, key="k", value_col="name", sep="|",
+                             order_cols=["name"], n_parts=4).to_pandas()
+    got = got.sort_values("k").reset_index(drop=True)
+
+    want = (tbl.to_pandas().sort_values(["k", "name"])
+            .groupby("k")["name"]
+            .agg(lambda s: "|".join(s)).reset_index())
+    assert got["k"].tolist() == want["k"].tolist()
+    assert got["agg"].tolist() == want["name"].tolist()
+    n_items = tbl.to_pandas().groupby("k").size()
+    assert got["n_items"].tolist() == n_items.tolist()
+
+
+def test_grouped_string_agg_empty_and_single(ray_session):
+    import ray.data
+
+    from mdvalidate_ray.functions.window import grouped_string_agg
+
+    tbl = pa.table({"k": pa.array([7], pa.int64()),
+                    "name": pa.array(["only"])})
+    got = grouped_string_agg(ray.data.from_arrow(tbl), key="k",
+                             value_col="name", n_parts=2).to_pandas()
+    assert got["agg"].tolist() == ["only"]
+    assert got["n_items"].tolist() == [1]
