@@ -181,7 +181,7 @@ QUERY_NAMES = [
     "compressibility", "curation_funnel", "rarity_scores",
     "user_order_balance", "frame_dups", "label_centroid_dots",
     "overlapping_windows", "qty_mad", "trigram_pairs",
-    "violation_report",
+    "violation_report", "user_hourly_spend", "nation_supplier_names",
 ]
 
 
