@@ -3431,48 +3431,68 @@ def violation_report(sf_dir: str):
     surface (src/cmd.rs:166-176, errors.rs:543+) aggregated over the
     whole corpus: per (kind, constraint_id) violation counts, distinct
     affected docs, and the lexicographically-first example doc — the
-    top-of-report a data engineer reads before drilling in.  Counts
-    pre-combine per batch (one row per (kind, constraint) per batch);
-    rows-only (the span walk has no SQL analog), deterministic output
-    order."""
+    top-of-report a data engineer reads before drilling in.
+
+    Exact n_docs with NO doc-batch co-residency assumption: each batch
+    reduces to its distinct (kind, constraint, doc) triples with
+    in-batch counts, triples co-partition on the triple hash (every
+    surviving copy of one triple meets in exactly ONE bucket — the
+    group_count_distinct pair-dedup pattern, skew landing on the hash,
+    not on hot constraints), and per-bucket report partials (one row per
+    (kind, constraint) per bucket) fold on the driver.  One streaming
+    pass; rows-only (the span walk has no SQL analog); deterministic
+    output order."""
     import numpy as np
 
     from mdvalidate_ray.corpus import flagship_schema_text
     from mdvalidate_ray.stages.validate import (validate_dataset,
                                                 violations_dataset)
+    from mdvalidate_ray.state.sketches import hash_strings
 
+    n_parts = 16
     _, docs = _corpus(sf_dir)
     viols = violations_dataset(validate_dataset(docs,
                                                 flagship_schema_text()))
 
-    def part(b: pa.Table) -> pa.Table:
+    def triple_partial(b: pa.Table) -> pa.Table:
+        g = b.select(["kind", "constraint_id", "doc_id"]).group_by(
+            ["kind", "constraint_id", "doc_id"]).aggregate([([], "count_all")])
+        g = g.rename_columns(["kind", "constraint_id", "doc_id", "n"])
+        fused = pc.binary_join_element_wise(
+            g.column("kind"), g.column("constraint_id"),
+            g.column("doc_id"), "|").to_pylist()
+        h = hash_strings(fused) if fused else np.zeros(0, dtype=np.uint64)
+        return g.append_column(
+            "_bucket", pa.array((h % np.uint64(n_parts)).astype("int64")))
+
+    def per_bucket(g: pa.Table) -> pa.Table:
         import pandas as pd
 
-        df = b.select(["kind", "constraint_id", "doc_id"]).to_pandas()
-        g = df.groupby(["kind", "constraint_id"]).agg(
-            n=("doc_id", "size"), n_docs=("doc_id", "nunique"),
+        df = g.to_pandas()
+        t = df.groupby(["kind", "constraint_id", "doc_id"])["n"] \
+              .sum().reset_index()
+        rep = t.groupby(["kind", "constraint_id"]).agg(
+            n=("n", "sum"), n_docs=("doc_id", "size"),
             example_doc=("doc_id", "min")).reset_index()
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa.Table.from_pandas(rep, preserve_index=False)
 
-    rows = viols.map_batches(part, batch_format="pyarrow",
-                             zero_copy_batch=True).take_all()
+    rows = viols.map_batches(triple_partial, batch_format="pyarrow",
+                             zero_copy_batch=True) \
+                .groupby("_bucket").map_groups(per_bucket,
+                                               batch_format="pyarrow") \
+                .take_all()                     # ≤ n_parts × constraints
     acc: dict = {}
     for r in rows:
         k = (r["kind"], r["constraint_id"])
         if k not in acc:
-            acc[k] = [0, r["example_doc"]]
+            acc[k] = [0, 0, r["example_doc"]]
         acc[k][0] += r["n"]
-        acc[k][1] = min(acc[k][1], r["example_doc"])
-    # n_docs: distinct docs cross batches — each doc lives in ONE batch
-    # (row-per-doc upstream), so per-batch nunique sums exactly
-    ndocs: dict = {}
-    for r in rows:
-        k = (r["kind"], r["constraint_id"])
-        ndocs[k] = ndocs.get(k, 0) + r["n_docs"]
+        acc[k][1] += r["n_docs"]
+        acc[k][2] = min(acc[k][2], r["example_doc"])
     keys = sorted(acc)
     return pa.Table.from_pydict({
         "kind": pa.array([k for k, _ in keys], pa.string()),
         "constraint_id": pa.array([c for _, c in keys], pa.string()),
         "n_violations": pa.array([acc[k][0] for k in keys], pa.int64()),
-        "n_docs": pa.array([ndocs[k] for k in keys], pa.int64()),
-        "example_doc": pa.array([acc[k][1] for k in keys], pa.string())})
+        "n_docs": pa.array([acc[k][1] for k in keys], pa.int64()),
+        "example_doc": pa.array([acc[k][2] for k in keys], pa.string())})
