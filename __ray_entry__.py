@@ -108,6 +108,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "length_ntile": Q.length_ntile,
         "doc_chunks": Q.doc_chunks,
         "user_value_deltas": Q.user_value_deltas,
+        "part_copurchase_triangles": Q.part_copurchase_triangles,
         "user_hourly_spend": Q.user_hourly_spend,
         "nation_supplier_names": Q.nation_supplier_names,
         "funnel": Q.funnel,
@@ -597,6 +598,26 @@ def oracle_sql() -> dict[str, str]:
                    ntile(8) OVER (ORDER BY n_chars, doc_id)::BIGINT
                        AS bucket
             FROM documents
+        """,
+        "part_copurchase_triangles": """
+            WITH pairs AS (
+              SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS u,
+                              greatest(a.l_partkey, b.l_partkey) AS v
+              FROM lineitem a JOIN lineitem b
+                   ON a.l_orderkey = b.l_orderkey
+                  AND a.l_partkey < b.l_partkey
+            ),
+            tri AS (
+              SELECT e1.u AS x, e1.v AS y, e2.v AS z
+              FROM pairs e1
+              JOIN pairs e2 ON e2.u = e1.v
+              JOIN pairs e3 ON e3.u = e1.u AND e3.v = e2.v
+            )
+            SELECT node AS l_partkey, count(*)::BIGINT AS n_tri FROM (
+              SELECT x AS node FROM tri
+              UNION ALL SELECT y FROM tri
+              UNION ALL SELECT z FROM tri
+            ) GROUP BY node
         """,
         "user_hourly_spend": """
             SELECT event_id, user_id,

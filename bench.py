@@ -182,6 +182,7 @@ QUERY_NAMES = [
     "user_order_balance", "frame_dups", "label_centroid_dots",
     "overlapping_windows", "qty_mad", "trigram_pairs",
     "violation_report", "user_hourly_spend", "nation_supplier_names",
+    "part_copurchase_triangles",
 ]
 
 

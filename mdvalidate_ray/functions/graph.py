@@ -171,3 +171,336 @@ def pagerank(edges_ds, *, col_a: str = "src", col_b: str = "dst",
     return pa.Table.from_arrays(
         [pa.array(all_nodes, pa.int64()), pa.array(ranks, pa.float64())],
         names=["node", "rank"])
+
+
+def cooccurrence_edges(ds, *, group_col: str, item_col: str,
+                       n_parts: int = 32):
+    """Distinct undirected co-occurrence edges: one ``(u, v)`` row
+    (``u < v``, node ids) per item pair sharing at least one group —
+    the market-basket / co-purchase / co-citation graph builder.
+
+    Groups may straddle input blocks, so rows first co-partition on
+    ``hash(group) % n_parts`` (every copy of one group meets in ONE
+    bucket); per bucket the pair expansion is vectorized per group-SIZE
+    class (sort by (group, item), dedupe, one ``triu_indices``
+    broadcast per distinct size — the bounded-loop pattern shared with
+    trigram_posting_pairs), and a final bucketed distinct collapses
+    pairs produced by different groups.  Pair fan-out is O(Σ s²) —
+    cap pathological group sizes upstream if the corpus has them."""
+    import numpy as np
+
+    from mdvalidate_ray.functions.relational import bucketed_distinct
+    from mdvalidate_ray.functions.window import _bucket_of
+
+    def tag(b: pa.Table) -> pa.Table:
+        b = b.select([group_col, item_col])
+        return b.append_column(
+            "_bucket", _bucket_of(b.column(group_col), n_parts))
+
+    empty = pa.schema([("u", pa.int64()), ("v", pa.int64())])
+    _TRIU: dict = {}
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        t = g.select([group_col, item_col]).group_by(
+            [group_col, item_col]).aggregate([])
+        if t.num_rows == 0:
+            return empty.empty_table()
+        idx = pc.sort_indices(t, sort_keys=[(group_col, "ascending"),
+                                            (item_col, "ascending")])
+        t = t.take(idx)
+        grp = np.asarray(t.column(group_col), dtype=np.int64)
+        item = np.asarray(t.column(item_col), dtype=np.int64)
+        n = len(grp)
+        change = np.ones(n, dtype=bool)
+        change[1:] = grp[1:] != grp[:-1]
+        starts = np.flatnonzero(change)
+        counts = np.diff(np.append(starts, n))
+        out_u, out_v = [], []
+        for s in np.unique(counts):
+            if s < 2:
+                continue
+            s = int(s)
+            if s not in _TRIU:
+                _TRIU[s] = np.triu_indices(s, k=1)
+            ti, tj = _TRIU[s]
+            st = starts[counts == s]
+            rows = item[st[:, None] + np.arange(s)]
+            a = rows[:, ti].reshape(-1)
+            b2 = rows[:, tj].reshape(-1)
+            out_u.append(np.minimum(a, b2))
+            out_v.append(np.maximum(a, b2))
+        if not out_u:
+            return empty.empty_table()
+        return pa.Table.from_arrays(
+            [pa.array(np.concatenate(out_u)),
+             pa.array(np.concatenate(out_v))], names=["u", "v"])
+
+    pairs = ds.map_batches(tag, batch_format="pyarrow",
+                           zero_copy_batch=True) \
+        .groupby("_bucket").map_groups(per_bucket, batch_format="pyarrow")
+    return bucketed_distinct(pairs, ["u", "v"], n_parts=n_parts)
+
+
+def triangle_counts(edges_ds, *, col_a: str = "u", col_b: str = "v",
+                    n_parts: int = 32, assume_distinct: bool = False,
+                    broadcast_threshold: int = 5_000_000) -> "object":
+    """EXACT per-node triangle counts over an undirected edge Dataset —
+    the local-clustering primitive (with connected_components and
+    pagerank this completes the graph family).  Returns a Dataset of
+    (node, n_tri) rows; the global triangle count is Σ n_tri / 3.
+
+    Classic degree-ordered node-iterator (Schank & Wagner 2005),
+    MapReduce-shaped (Suri & Vassilvitskii 2011, "Counting triangles
+    and the curse of the last reducer"):
+
+    * canonical distinct edges (min, max) via ONE bucketed-distinct
+      exchange (skipped when the caller guarantees distinct canonical
+      input with ``assume_distinct=True`` — e.g. straight out of
+      :func:`cooccurrence_edges` — the composition-fusion that avoids
+      paying the same exchange twice);
+    * degrees from per-block partials folded ON THE DRIVER (the same
+      node-vector-fits assumption as pagerank's broadcast tier — edge
+      rows never centralize, only ≤|nodes| partial rows per block);
+    * each edge ORIENTS from its lower-(deg, id) endpoint, bounding
+      out-degree by O(√m) and each wedge to ONE generating center;
+      wedges expand vectorized per out-degree size class inside
+      hash(src) buckets (the wedge-generation exchange);
+    * the CLOSING probe is tiered like referential/connected_components:
+      at or below ``broadcast_threshold`` edges the sorted fused
+      ``u·2³² + v`` edge-key array broadcasts once via ``ray.put``
+      (8 B/edge) and every wedge closes IN PLACE at its generating
+      bucket — Σ out-deg² wedge rows never enter an exchange; above
+      the threshold, wedge pair keys co-partition WITH the edge keys on
+      ``hash(pair) % n_parts`` and close by sorted ``searchsorted``
+      probe per bucket (the 100-TB shape: nothing broadcast-sized
+      required, skew lands on the pair hash).  Matched wedges credit
+      all three corners through per-bucket partial counts + one final
+      fold (driver fold below the threshold, coarse-bucket fold above).
+
+    Wedge volume is Σ out-deg² (the algorithm's intrinsic cost); in
+    the broadcast tier it stays inside worker heaps, in the exchange
+    tier it streams through the object store.  Node ids must fit
+    uint32 for the pair fuse (checked)."""
+    import ray
+    import ray.data
+
+    from mdvalidate_ray.functions.relational import (bucketed_distinct,
+                                                     bucketed_group_sum)
+
+    canon = edges_ds.map_batches(
+        lambda b: pa.Table.from_arrays(
+            [pc.min_element_wise(b.column(col_a).cast(pa.int64()),
+                                 b.column(col_b).cast(pa.int64())),
+             pc.max_element_wise(b.column(col_a).cast(pa.int64()),
+                                 b.column(col_b).cast(pa.int64()))],
+            names=["u", "v"]),
+        batch_format="pyarrow", zero_copy_batch=True).filter(
+        expr="u != v")
+    if assume_distinct:
+        edges = canon.materialize()
+    else:
+        edges = bucketed_distinct(canon, ["u", "v"],
+                                  n_parts=n_parts).materialize()
+
+    empty_out = pa.Table.from_arrays(
+        [pa.array([], pa.int64()), pa.array([], pa.int64())],
+        names=["node", "n_tri"])
+
+    # --- degrees: per-block partials, driver fold (no exchange) ------
+    def deg_part(b: pa.Table) -> pa.Table:
+        both = np.concatenate([np.asarray(b.column("u"), dtype=np.int64),
+                               np.asarray(b.column("v"),
+                                          dtype=np.int64)])
+        nd, cnt = np.unique(both, return_counts=True)
+        return pa.Table.from_arrays(
+            [pa.array(nd), pa.array(cnt.astype(np.int64))],
+            names=["node", "deg"])
+
+    parts = [t for t in ray.get(
+        edges.map_batches(deg_part, batch_format="pyarrow",
+                          zero_copy_batch=True)
+        .materialize().to_arrow_refs()) if t.num_rows]
+    if not parts:
+        return ray.data.from_arrow(empty_out)
+    allp = pa.concat_tables(parts).combine_chunks()
+    pn = np.asarray(allp.column("node"), dtype=np.int64)
+    pd_ = np.asarray(allp.column("deg"), dtype=np.int64)
+    nodes, inv = np.unique(pn, return_inverse=True)
+    degs = np.zeros(len(nodes), dtype=np.int64)
+    np.add.at(degs, inv, pd_)
+    if nodes.size and int(nodes.max()) >= 2**32:
+        raise ValueError("triangle_counts: node ids must fit uint32 "
+                         "for the fused pair key")
+    deg_ref = ray.put((nodes, degs))
+
+    SHIFT = np.int64(2**32)
+    n_edges = edges.count()
+    small = n_edges <= broadcast_threshold
+    edge_key_ref = None
+    if small:
+        # sorted fused edge-key array broadcasts once (8 B per edge)
+        keys = np.sort(np.concatenate(
+            [np.asarray(t.column("u"), dtype=np.int64) * SHIFT
+             + np.asarray(t.column("v"), dtype=np.int64)
+             for t in ray.get(edges.to_arrow_refs()) if t.num_rows]))
+        edge_key_ref = ray.put(keys)
+
+    def orient(b: pa.Table) -> pa.Table:
+        nd, dg = ray.get(deg_ref)
+        u = np.asarray(b.column("u"), dtype=np.int64)
+        v = np.asarray(b.column("v"), dtype=np.int64)
+        du = dg[np.searchsorted(nd, u)]
+        dv = dg[np.searchsorted(nd, v)]
+        # lower (deg, id) endpoint generates the wedge
+        u_first = (du < dv) | ((du == dv) & (u < v))
+        src = np.where(u_first, u, v)
+        dst = np.where(u_first, v, u)
+        h = (src.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) \
+            >> np.uint64(33)
+        return pa.Table.from_arrays(
+            [pa.array(src), pa.array(dst),
+             pa.array((h % np.uint64(n_parts)).astype("int64"))],
+            names=["src", "dst", "_bucket"])
+
+    _TRIU: dict = {}
+
+    def _wedge_pairs(g: pa.Table):
+        """Per-bucket vectorized wedge expansion → (pair_keys, centers)
+        numpy arrays (size-class triu pattern)."""
+        idx = pc.sort_indices(g, sort_keys=[("src", "ascending"),
+                                            ("dst", "ascending")])
+        s_ = g.take(idx)
+        src = np.asarray(s_.column("src"), dtype=np.int64)
+        dst = np.asarray(s_.column("dst"), dtype=np.int64)
+        n = len(src)
+        if n == 0:
+            return None
+        change = np.ones(n, dtype=bool)
+        change[1:] = src[1:] != src[:-1]
+        starts = np.flatnonzero(change)
+        counts = np.diff(np.append(starts, n))
+        pairs_out, centers_out = [], []
+        for s in np.unique(counts):
+            if s < 2:
+                continue
+            s = int(s)
+            if s not in _TRIU:
+                _TRIU[s] = np.triu_indices(s, k=1)
+            ti, tj = _TRIU[s]
+            st = starts[counts == s]
+            rows = dst[st[:, None] + np.arange(s)]
+            a = rows[:, ti].reshape(-1)
+            b2 = rows[:, tj].reshape(-1)
+            pairs_out.append(np.minimum(a, b2) * SHIFT
+                             + np.maximum(a, b2))
+            centers_out.append(np.repeat(src[st], len(ti)))
+        if not pairs_out:
+            return None
+        return np.concatenate(pairs_out), np.concatenate(centers_out)
+
+    count_schema = pa.schema([("node", pa.int64()), ("n", pa.int64())])
+
+    def _credit(tw: np.ndarray, wc: np.ndarray) -> pa.Table:
+        corners = np.concatenate([tw // SHIFT, tw % SHIFT, wc])
+        nd, cnt = np.unique(corners, return_counts=True)
+        return pa.Table.from_arrays(
+            [pa.array(nd), pa.array(cnt.astype(np.int64))],
+            schema=count_schema)
+
+    oriented = edges.map_batches(orient, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+
+    if small:
+        def close_local(g: pa.Table) -> pa.Table:
+            w = _wedge_pairs(g)
+            if w is None:
+                return count_schema.empty_table()
+            wp, wc = w
+            ek = ray.get(edge_key_ref)
+            pos = np.searchsorted(ek, wp)
+            pos[pos == ek.size] = 0
+            hit = ek[pos] == wp
+            if not hit.any():
+                return count_schema.empty_table()
+            return _credit(wp[hit], wc[hit])
+
+        partials = [t for t in ray.get(
+            oriented.groupby("_bucket").map_groups(
+                close_local, batch_format="pyarrow")
+            .materialize().to_arrow_refs()) if t.num_rows]
+        if not partials:
+            return ray.data.from_arrow(empty_out)
+        pt = pa.concat_tables(partials).combine_chunks()
+        cn = np.asarray(pt.column("node"), dtype=np.int64)
+        cc = np.asarray(pt.column("n"), dtype=np.int64)
+        out_nodes, inv = np.unique(cn, return_inverse=True)
+        out_cnt = np.zeros(len(out_nodes), dtype=np.int64)
+        np.add.at(out_cnt, inv, cc)
+        return ray.data.from_arrow(pa.Table.from_arrays(
+            [pa.array(out_nodes), pa.array(out_cnt)],
+            names=["node", "n_tri"]))
+
+    # --- exchange tier (the 100-TB shape) ----------------------------
+    wedge_schema = pa.schema([("pair", pa.int64()),
+                              ("center", pa.int64())])
+
+    def wedges(g: pa.Table) -> pa.Table:
+        w = _wedge_pairs(g)
+        if w is None:
+            return wedge_schema.empty_table()
+        return pa.Table.from_arrays(
+            [pa.array(w[0]), pa.array(w[1])], schema=wedge_schema)
+
+    wedge_rows = oriented.groupby("_bucket").map_groups(
+        wedges, batch_format="pyarrow")
+
+    def pair_tag_wedge(b: pa.Table) -> pa.Table:
+        p = np.asarray(b.column("pair"), dtype=np.int64)
+        h = (p.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) \
+            >> np.uint64(33)
+        return pa.Table.from_arrays(
+            [b.column("pair"), b.column("center"),
+             pa.array((h % np.uint64(n_parts)).astype("int64"))],
+            names=["pair", "center", "_bucket"])
+
+    def pair_tag_edge(b: pa.Table) -> pa.Table:
+        u = np.asarray(b.column("u"), dtype=np.int64)
+        v = np.asarray(b.column("v"), dtype=np.int64)
+        p = u * SHIFT + v
+        h = (p.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) \
+            >> np.uint64(33)
+        return pa.Table.from_arrays(
+            [pa.array(p), pa.array(np.full(len(p), -1, dtype=np.int64)),
+             pa.array((h % np.uint64(n_parts)).astype("int64"))],
+            names=["pair", "center", "_bucket"])
+
+    tagged = wedge_rows.map_batches(
+        pair_tag_wedge, batch_format="pyarrow", zero_copy_batch=True) \
+        .union(edges.map_batches(pair_tag_edge, batch_format="pyarrow",
+                                 zero_copy_batch=True))
+
+    def close_and_credit(g: pa.Table) -> pa.Table:
+        pair = np.asarray(g.column("pair"), dtype=np.int64)
+        center = np.asarray(g.column("center"), dtype=np.int64)
+        is_edge = center == -1
+        ek = np.sort(pair[is_edge])
+        wp = pair[~is_edge]
+        wc = center[~is_edge]
+        if ek.size == 0 or wp.size == 0:
+            return count_schema.empty_table()
+        pos = np.searchsorted(ek, wp)
+        pos[pos == ek.size] = 0
+        hit = ek[pos] == wp
+        if not hit.any():
+            return count_schema.empty_table()
+        return _credit(wp[hit], wc[hit])
+
+    partials = tagged.groupby("_bucket").map_groups(
+        close_and_credit, batch_format="pyarrow")
+    out = bucketed_group_sum(partials, key="node", sum_cols=["n"],
+                             n_parts=n_parts)
+    return out.map_batches(
+        lambda b: pa.Table.from_arrays(
+            [b.column("node"), b.column("n").cast(pa.int64())],
+            names=["node", "n_tri"]),
+        batch_format="pyarrow")

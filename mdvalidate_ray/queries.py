@@ -1993,6 +1993,34 @@ def user_value_deltas(sf_dir: str):
         batch_format="pyarrow")
 
 
+def part_copurchase_triangles(sf_dir: str):
+    """Exact per-node triangle counts on the part co-purchase graph
+    (parts sharing an order are connected): the local-clustering /
+    community-density primitive over a graph DERIVED inside the engine
+    — cooccurrence_edges (group-bucket vectorized pair expansion) into
+    triangle_counts (degree-ordered node-iterator, pair-key
+    co-partitioned closing probe; graph.py cites Schank & Wagner 2005 /
+    Suri & Vassilvitskii 2011).  Integer-exact, so the SQL oracle
+    (self-join edge derivation + triple join) recomputes identical
+    counts."""
+    from mdvalidate_ray.functions.graph import (cooccurrence_edges,
+                                                triangle_counts)
+
+    li = _read(sf_dir, "lineitem").select_columns(
+        ["l_orderkey", "l_partkey"])
+    edges = cooccurrence_edges(li, group_col="l_orderkey",
+                               item_col="l_partkey", n_parts=32)
+    # cooccurrence output is already canonical-distinct — fuse away the
+    # second dedup exchange
+    out = triangle_counts(edges, col_a="u", col_b="v", n_parts=32,
+                          assume_distinct=True)
+    return out.map_batches(
+        lambda b: pa.Table.from_arrays(
+            [b.column("node"), b.column("n_tri")],
+            names=["l_partkey", "n_tri"]),
+        batch_format="pyarrow")
+
+
 def user_hourly_spend(sf_dir: str):
     """Per-user TIME-RANGE window spend — ``SUM(value) OVER (PARTITION
     BY user_id ORDER BY ts RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND

@@ -1154,3 +1154,71 @@ def test_trigram_pairs_partition_invariance(ray_session):
 
     a, b = run(1), run(8)
     assert a == b and len(a) > 0
+
+
+def test_triangle_counts_tiers_match_bruteforce(ray_session):
+    """Both closing tiers (broadcast edge-key set / pair-key exchange)
+    against a brute-force triangle enumeration, on a random multigraph
+    with self-loops and duplicate edges (canonicalization + distinct
+    exercised)."""
+    import itertools
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from mdvalidate_ray.functions.graph import triangle_counts
+
+    rng = np.random.default_rng(23)
+    m, n_nodes = 900, 60
+    u = rng.integers(0, n_nodes, m)
+    v = rng.integers(0, n_nodes, m)
+    ds = ray.data.from_arrow(pa.table({"u": u, "v": v})).repartition(4)
+
+    adj = [set() for _ in range(n_nodes)]
+    for a, b in zip(u.tolist(), v.tolist()):
+        if a != b:
+            adj[a].add(b)
+            adj[b].add(a)
+    want = {}
+    for x, y, z in itertools.combinations(range(n_nodes), 3):
+        if y in adj[x] and z in adj[x] and z in adj[y]:
+            for node in (x, y, z):
+                want[node] = want.get(node, 0) + 1
+
+    for thr in (10**9, 0):          # broadcast tier, exchange tier
+        got = triangle_counts(ds, col_a="u", col_b="v", n_parts=5,
+                              broadcast_threshold=thr).to_pandas()
+        got_map = dict(zip(got["node"], got["n_tri"]))
+        assert got_map == want, f"tier threshold={thr}"
+
+
+def test_cooccurrence_edges_matches_bruteforce(ray_session):
+    """Groups straddling blocks still produce the exact distinct pair
+    set (group co-partition before expansion)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from mdvalidate_ray.functions.graph import cooccurrence_edges
+
+    rng = np.random.default_rng(5)
+    grp = rng.integers(0, 50, 600)
+    item = rng.integers(0, 40, 600)
+    ds = ray.data.from_arrow(
+        pa.table({"g": grp, "i": item})).repartition(7)
+    got = cooccurrence_edges(ds, group_col="g", item_col="i",
+                             n_parts=4).to_pandas()
+    got_set = set(zip(got["u"], got["v"]))
+
+    want = set()
+    by_grp: dict = {}
+    for g, i in zip(grp.tolist(), item.tolist()):
+        by_grp.setdefault(g, set()).add(i)
+    for items in by_grp.values():
+        s = sorted(items)
+        for a_i in range(len(s)):
+            for b_i in range(a_i + 1, len(s)):
+                want.add((s[a_i], s[b_i]))
+    assert got_set == want
+    assert (got["u"] < got["v"]).all()
