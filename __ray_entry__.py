@@ -158,6 +158,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_supplier_pagerank": Q.part_supplier_pagerank,
         "boilerplate_grams": Q.boilerplate_grams,
         "compressibility": Q.compressibility,
+        # per-document exact-substring dedup signal (Lee et al. 2021)
+        "window_dups": Q.window_dups,
     }
 
 
@@ -1402,6 +1404,39 @@ def oracle_sql() -> dict[str, str]:
                   FROM tagged WHERE is_train) t
             JOIN test_grams USING (gram)
             GROUP BY t.doc_id
+        """,
+        "window_dups": """
+            WITH words AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(text), '\\s+'),
+                                   x -> x <> '') AS w
+                FROM documents
+            ),
+            wins AS (
+                SELECT doc_id,
+                       unnest(list_transform(
+                           range(1, len(w) - 3),
+                           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                || ' ' || w[i+3] || ' ' || w[i+4])) AS g
+                FROM words WHERE len(w) >= 5
+            ),
+            dup AS (
+                SELECT g FROM wins
+                GROUP BY g HAVING count(DISTINCT doc_id) >= 2
+            ),
+            per_doc AS (
+                SELECT w.doc_id,
+                       count(*) AS n_windows,
+                       coalesce(sum(CASE WHEN d.g IS NOT NULL
+                                         THEN 1 ELSE 0 END), 0) AS n_dup
+                FROM wins w LEFT JOIN dup d USING (g)
+                GROUP BY w.doc_id
+            )
+            SELECT doc_id,
+                   n_windows::BIGINT AS n_windows,
+                   n_dup::BIGINT AS n_dup,
+                   (n_dup * 10000 // n_windows)::BIGINT AS dup_bp
+            FROM per_doc
         """,
         "user_churn": """
             WITH flags AS (

@@ -877,13 +877,12 @@ def levenshtein_near_duplicates(docs_ds, *, block_words: int = 5,
                                     column=column, key=key, n_parts=n_parts)
 
 
-def _word_kgram_hashes(texts, k: int) -> tuple[np.ndarray, np.ndarray]:
-    """Per-doc DISTINCT word-k-gram md5-lower-64 hashes, vectorized:
-    one whitespace split (Arrow), one object-array join per gram
-    position, md5 hashed once per UNIQUE gram string.  Returns
-    ``(doc_idx, gram_hash)`` pair arrays (both np, deduped per doc)."""
-    import pandas as pd
-
+def _word_kgram_hashes_all(texts, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Per-doc word-k-gram md5-lower-64 hashes WITH multiplicity (one
+    entry per window position), vectorized: one whitespace split
+    (Arrow), one object-array join per gram position, md5 hashed once
+    per UNIQUE gram string.  Returns ``(doc_idx, gram_hash)`` arrays in
+    window order."""
     arr = pc.utf8_split_whitespace(
         pc.utf8_trim_whitespace(pc.utf8_lower(
             pc.cast(texts, pa.string()))))
@@ -903,7 +902,17 @@ def _word_kgram_hashes(texts, k: int) -> tuple[np.ndarray, np.ndarray]:
     for j in range(1, k):
         grams = grams + " "
         grams = grams + flat[starts + j]
-    hashes = _md5_token_hashes(list(grams))
+    return doc_idx, _md5_token_hashes(list(grams))
+
+
+def _word_kgram_hashes(texts, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Per-doc DISTINCT word-k-gram md5-lower-64 hashes — the dedup
+    view of :func:`_word_kgram_hashes_all`."""
+    import pandas as pd
+
+    doc_idx, hashes = _word_kgram_hashes_all(texts, k)
+    if len(doc_idx) == 0:
+        return doc_idx, hashes
     dedup = pd.DataFrame({"d": doc_idx, "h": hashes}).drop_duplicates()
     return (dedup["d"].to_numpy(), dedup["h"].to_numpy())
 
@@ -1553,6 +1562,208 @@ def trigram_posting_pairs(docs_ds, *, min_shared: int = 12,
              pa.array(pair % np.int64(2**32)),
              keep.column("shared").cast(pa.int64())],
             names=["doc_a", "doc_b", "shared"])
+
+    return folded.map_batches(finish, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+
+def window_dup_stats(docs_ds, *, k: int = 5, key: str = "doc_id",
+                     text_col: str = "text", min_df: int = 2,
+                     tier: str = "auto",
+                     broadcast_threshold: int = 50_000_000,
+                     n_parts: int = 32):
+    """Per-document duplicated-window statistics — the EXACT-substring
+    dedup signal of Lee et al. 2021 ("Deduplicating Training Data Makes
+    Language Models Better"): for every document, how many of its
+    word-``k``-token windows also occur in at least ``min_df - 1`` OTHER
+    documents.  Pipelines drop or trim documents whose ``dup_bp``
+    (duplicated-window fraction, basis points) exceeds a budget — the
+    finer-grained sibling of whole-document exact dedup
+    (:func:`exact_duplicate_groups`) and of corpus-level gram mining
+    (``queries.boilerplate_grams``), which reports hot grams rather than
+    per-document exposure.
+
+    Plan: ONE corpus pass computes per-doc per-window-hash counts
+    (:func:`_word_kgram_hashes_all` + an in-batch (doc, hash) combine,
+    so a window repeated inside one doc contributes one ROW with its
+    multiplicity); each doc lives in exactly one batch, so the partial
+    rows are globally unique per (doc, hash) and the cross-doc window
+    document-frequency is an exact :func:`bucketed_group_sum` of ones
+    over the hash.  Windows with ``df >= min_df`` (computed over
+    DISTINCT documents) form the duplicated set; the per-doc fold then
+    runs in one of two tiers:
+
+    * **broadcast** — the duplicated-hash set folds to the driver
+      (STREAMING, bailing to the co-partition tier the moment it
+      exceeds ``broadcast_threshold``), sorts once, ships via
+      ``ray.put``, and a vectorized ``np.searchsorted`` probe over the
+      partial rows emits per-doc (n_windows, n_dup) partials.
+    * **copartition** — no driver set at all: the partial rows and the
+      duplicated-hash table co-partition on ``hash % n_parts`` (one
+      coarse exchange, the same side-tagged union plan as
+      stages/referential.py's anti-join tier), and each bucket marks
+      its partial rows against its slice of the duplicated set with one
+      ``np.searchsorted`` — group calls bounded by ``n_parts``, hot
+      window hashes cost nothing extra.
+
+    Both tiers finish with one ``bucketed_group_sum`` over the doc key
+    (exact, skew-proof).  Matching is by md5-lower-64 window hash —
+    deterministic, and a cross-gram collision needs ~2^32 distinct
+    windows per the birthday bound (same contract as
+    :func:`ngram_decontamination`).
+
+    Returns a Dataset of ``(key, n_windows, n_dup, dup_bp)`` rows, one
+    per document with at least one window; ``dup_bp = 10000 * n_dup //
+    n_windows``.
+
+    Reference semantics anchor: the reference validates single
+    documents (/root/reference/src/validator.rs); corpus-level
+    duplicate-span detection is part of this engine's training-data
+    surface (SURVEY.md §2 extensions).
+    """
+    import pandas as pd
+    import ray
+
+    from mdvalidate_ray.functions.relational import bucketed_group_sum
+
+    part_schema = pa.schema([(key, pa.int64()), ("h", pa.uint64()),
+                             ("cnt", pa.int64()), ("df", pa.int64())])
+
+    def window_partial(b: pa.Table) -> pa.Table:
+        ids = b.column(key).to_numpy(zero_copy_only=False)
+        doc_idx, h = _word_kgram_hashes_all(b.column(text_col), k)
+        if len(doc_idx) == 0:
+            return part_schema.empty_table()
+        g = (pd.DataFrame({"d": ids[doc_idx], "h": h})
+             .groupby(["d", "h"], sort=False).size().reset_index(name="c"))
+        return pa.Table.from_arrays(
+            [pa.array(g["d"].to_numpy(np.int64)),
+             pa.array(g["h"].to_numpy(np.uint64)),
+             pa.array(g["c"].to_numpy(np.int64)),
+             pa.array(np.ones(len(g), dtype=np.int64))],
+            names=[key, "h", "cnt", "df"])
+
+    partials = docs_ds.map_batches(
+        window_partial, batch_format="pyarrow",
+        zero_copy_batch=True).materialize()  # consumed by df fold + probe
+
+    dup_tbl = bucketed_group_sum(
+        partials.select_columns(["h", "df"]), key="h", sum_cols=["df"],
+        n_parts=n_parts).filter(expr=f"df >= {min_df}")
+
+    dup_set: np.ndarray | None = None
+    if tier in ("auto", "broadcast"):
+        chunks: list[np.ndarray] = []
+        n_total = 0
+        for b in dup_tbl.iter_batches(batch_format="pyarrow"):
+            a = np.asarray(b.column("h").combine_chunks(), dtype=np.uint64)
+            n_total += len(a)
+            if n_total > broadcast_threshold:
+                if tier == "broadcast":
+                    raise ValueError(
+                        "duplicated-window set exceeds "
+                        f"broadcast_threshold={broadcast_threshold}; "
+                        "use tier='copartition'")
+                chunks = []
+                break
+            chunks.append(a)
+        else:
+            dup_set = (np.sort(np.concatenate(chunks)) if chunks
+                       else np.zeros(0, dtype=np.uint64))
+
+    out_schema = pa.schema([(key, pa.int64()), ("n_windows", pa.int64()),
+                            ("n_dup", pa.int64())])
+
+    if dup_set is not None:
+        set_ref = ray.put(dup_set)
+
+        def probe(b: pa.Table) -> pa.Table:
+            if b.num_rows == 0:
+                return out_schema.empty_table()
+            ds_arr = ray.get(set_ref)
+            h = b.column("h").to_numpy(zero_copy_only=False)
+            cnt = b.column("cnt").to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(ds_arr, h)
+            hit = (pos < len(ds_arr)) & (ds_arr[np.minimum(
+                pos, max(len(ds_arr) - 1, 0))] == h) \
+                if len(ds_arr) else np.zeros(len(h), dtype=bool)
+            g = (pd.DataFrame({"d": b.column(key).to_numpy(
+                zero_copy_only=False), "n": cnt,
+                "dup": np.where(hit, cnt, 0)})
+                .groupby("d", sort=False).sum().reset_index())
+            return pa.Table.from_arrays(
+                [pa.array(g["d"].to_numpy(np.int64)),
+                 pa.array(g["n"].to_numpy(np.int64)),
+                 pa.array(g["dup"].to_numpy(np.int64))],
+                names=[key, "n_windows", "n_dup"])
+
+        marked = partials.map_batches(probe, batch_format="pyarrow",
+                                      zero_copy_batch=True)
+    else:
+        union_schema = pa.schema(
+            [(key, pa.int64()), ("h", pa.uint64()), ("cnt", pa.int64()),
+             ("side", pa.int8()), ("_bucket", pa.int64())])
+
+        def tag(side: int):
+            def fn(b: pa.Table) -> pa.Table:
+                if b.num_rows == 0:
+                    return union_schema.empty_table()
+                h = b.column("h").to_numpy(zero_copy_only=False)
+                cnt = (b.column("cnt").to_numpy(zero_copy_only=False)
+                       if side == 0 else np.zeros(len(h), dtype=np.int64))
+                ids = (b.column(key).to_numpy(zero_copy_only=False)
+                       if side == 0 else np.zeros(len(h), dtype=np.int64))
+                return pa.Table.from_arrays(
+                    [pa.array(ids.astype(np.int64)), pa.array(h),
+                     pa.array(cnt.astype(np.int64)),
+                     pa.array(np.full(len(h), side, dtype=np.int8)),
+                     pa.array((h % np.uint64(n_parts)).astype(np.int64))],
+                    names=union_schema.names)
+            return fn
+
+        both = partials.select_columns([key, "h", "cnt"]).map_batches(
+            tag(0), batch_format="pyarrow", zero_copy_batch=True).union(
+            dup_tbl.map_batches(tag(1), batch_format="pyarrow"))
+
+        def per_bucket(g: pa.Table) -> pa.Table:
+            if g.num_rows == 0:
+                return out_schema.empty_table()
+            side = g.column("side").to_numpy(zero_copy_only=False)
+            h = g.column("h").to_numpy(zero_copy_only=False)
+            dup_h = np.sort(h[side == 1])
+            rows = side == 0
+            if not rows.any():
+                return out_schema.empty_table()
+            hr, cnt = h[rows], g.column("cnt").to_numpy(
+                zero_copy_only=False)[rows]
+            if len(dup_h):
+                pos = np.searchsorted(dup_h, hr)
+                hit = (pos < len(dup_h)) & (dup_h[np.minimum(
+                    pos, len(dup_h) - 1)] == hr)
+            else:
+                hit = np.zeros(len(hr), dtype=bool)
+            gg = (pd.DataFrame({"d": g.column(key).to_numpy(
+                zero_copy_only=False)[rows], "n": cnt,
+                "dup": np.where(hit, cnt, 0)})
+                .groupby("d", sort=False).sum().reset_index())
+            return pa.Table.from_arrays(
+                [pa.array(gg["d"].to_numpy(np.int64)),
+                 pa.array(gg["n"].to_numpy(np.int64)),
+                 pa.array(gg["dup"].to_numpy(np.int64))],
+                names=[key, "n_windows", "n_dup"])
+
+        marked = both.groupby("_bucket").map_groups(
+            per_bucket, batch_format="pyarrow")
+
+    folded = bucketed_group_sum(marked, key=key,
+                                sum_cols=["n_windows", "n_dup"],
+                                n_parts=n_parts)
+
+    def finish(b: pa.Table) -> pa.Table:
+        n = b.column("n_windows").to_numpy(zero_copy_only=False)
+        d = b.column("n_dup").to_numpy(zero_copy_only=False)
+        return b.append_column(
+            "dup_bp", pa.array(10000 * d // np.maximum(n, 1)))
 
     return folded.map_batches(finish, batch_format="pyarrow",
                               zero_copy_batch=True)

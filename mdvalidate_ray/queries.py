@@ -3524,3 +3524,16 @@ def violation_report(sf_dir: str):
         "n_violations": pa.array([acc[k][0] for k in keys], pa.int64()),
         "n_docs": pa.array([acc[k][1] for k in keys], pa.int64()),
         "example_doc": pa.array([acc[k][2] for k in keys], pa.string())})
+
+
+def window_dups(sf_dir: str):
+    """Per-document duplicated-window fraction — the exact-substring
+    dedup signal (Lee et al. 2021) over word-5-gram windows: for every
+    doc with ≥1 window, how many of its windows occur in ≥2 distinct
+    documents.  See :func:`mdvalidate_ray.functions.dedup
+    .window_dup_stats` for the tiered plan (broadcast dup-set probe vs
+    co-partitioned left-outer hash join)."""
+    from mdvalidate_ray.functions.dedup import window_dup_stats
+
+    docs = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+    return window_dup_stats(docs, k=5, min_df=2)

@@ -1222,3 +1222,74 @@ def test_cooccurrence_edges_matches_bruteforce(ray_session):
                 want.add((s[a_i], s[b_i]))
     assert got_set == want
     assert (got["u"] < got["v"]).all()
+
+
+def test_window_dup_stats_tiers_match_naive(ray_session):
+    """Both tiers (broadcast probe / co-partitioned left-outer join)
+    reproduce a naive per-window reference, including intra-doc window
+    multiplicity and docs with zero duplicated windows."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from mdvalidate_ray.functions.dedup import window_dup_stats
+
+    texts = [
+        "a b c d e f g",          # shares windows with doc 1
+        "x a b c d e f y",        # shares "a b c" / "b c d" ... with 0
+        "p q r s t u v w",        # unique windows
+        "m m m m m m",            # internal repeats only (df == 1)
+        "a b",                    # too short for k=3 -> excluded
+        None,                     # null text -> excluded
+    ]
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string())})).repartition(3)
+
+    def naive(k=3, min_df=2):
+        wins = {}
+        for d, t in enumerate(texts):
+            ws = (t or "").lower().split()
+            wins[d] = [" ".join(ws[i:i + k])
+                       for i in range(len(ws) - k + 1)]
+        df = {}
+        for d, lst in wins.items():
+            for g in set(lst):
+                df[g] = df.get(g, 0) + 1
+        out = {}
+        for d, lst in wins.items():
+            if not lst:
+                continue
+            n_dup = sum(1 for g in lst if df[g] >= min_df)
+            out[d] = (len(lst), n_dup, 10000 * n_dup // len(lst))
+        return out
+
+    want = naive()
+    for tier in ("broadcast", "copartition"):
+        got = window_dup_stats(ds, k=3, min_df=2, tier=tier,
+                               n_parts=4).to_pandas()
+        got_map = {int(r.doc_id): (int(r.n_windows), int(r.n_dup),
+                                   int(r.dup_bp))
+                   for r in got.itertuples()}
+        assert got_map == want, tier
+
+
+def test_window_dup_stats_broadcast_threshold_falls_through(ray_session):
+    """tier='auto' silently switches to the co-partition join when the
+    duplicated-window set exceeds the broadcast budget; tier='broadcast'
+    raises instead."""
+    import pyarrow as pa
+    import pytest
+    import ray.data
+
+    from mdvalidate_ray.functions.dedup import window_dup_stats
+
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "text": pa.array(["one two three four", "one two three four"])}))
+    out = window_dup_stats(ds, k=3, tier="auto",
+                           broadcast_threshold=1, n_parts=2).to_pandas()
+    assert sorted(out["dup_bp"]) == [10000, 10000]
+    with pytest.raises(ValueError):
+        window_dup_stats(ds, k=3, tier="broadcast",
+                         broadcast_threshold=1).to_pandas()
