@@ -160,6 +160,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "compressibility": Q.compressibility,
         # per-document exact-substring dedup signal (Lee et al. 2021)
         "window_dups": Q.window_dups,
+        # audio arm of the multimodal surface (real WAV bytes, rows-only)
+        "audio_features": Q.audio_features,
     }
 
 

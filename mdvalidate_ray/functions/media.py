@@ -1268,3 +1268,105 @@ def duplicate_frames(frames_ds, *, n_parts: int = 32):
         zero_copy_batch=True).groupby("part").map_groups(
         emit_dups, batch_format="pyarrow").select_columns(
         ["fp", "n_assets", "n_frames"])
+
+
+def wav_decode_samples(data: bytes) -> tuple[np.ndarray, int]:
+    """WAV PCM16 bytes → (int16 sample array shaped (n_samples, n_ch),
+    sample_rate).  Same chunk walk as :func:`wav_decode`, but returns
+    the actual samples for feature extraction."""
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a WAV: bad signature")
+    pos, n_ch, rate, bits, raw = 12, None, None, None, None
+    while pos + 8 <= len(data):
+        typ = data[pos:pos + 4]
+        ln = struct.unpack("<I", data[pos + 4:pos + 8])[0]
+        body = data[pos + 8:pos + 8 + ln]
+        if typ == b"fmt ":
+            fmt, n_ch, rate = struct.unpack("<HHI", body[:8])
+            bits = struct.unpack("<H", body[14:16])[0]
+            if fmt != 1 or bits != 16:
+                raise ValueError("unsupported WAV encoding")
+        elif typ == b"data":
+            if n_ch is None:
+                raise ValueError("WAV data before fmt")
+            raw = body
+        pos += 8 + ln + (ln % 2)
+    if raw is None:
+        raise ValueError("WAV missing data chunk")
+    samples = np.frombuffer(raw, dtype="<i2")
+    return samples.reshape(-1, n_ch), rate
+
+
+class AudioFeatureStage:
+    """WAV payload → integer-exact acoustic features — the audio arm of
+    the multimodal feature-extraction surface (the image arm is
+    :class:`FeatureStage`): a real model (wav2vec etc.) would load once
+    per actor in ``__init__``; here the features are classic DSP
+    statistics computed from the REAL decoded PCM samples, all integer
+    so results are bit-stable across platforms:
+
+    * ``n_samples``, ``rate``, ``duration_ms`` (``1000*n//rate``)
+    * ``peak`` — max absolute amplitude
+    * ``sumsq`` — Σ s² (int64-exact energy; RMS = sqrt(sumsq/n))
+    * ``rms_milli`` — ``isqrt(10^6 * sumsq // n)`` (integer RMS ×1000)
+    * ``zero_crossings`` — sign changes (0 counts as non-negative)
+
+    Multi-channel files use channel 0 (documented contract).
+    ``strict=False`` turns non-WAV/corrupt payloads into ``ok=False``
+    rows instead of raising."""
+
+    def __init__(self, strict: bool = True):
+        self.strict = strict
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import math
+
+        out = {k: [] for k in ("n_samples", "rate", "duration_ms", "peak",
+                               "sumsq", "rms_milli", "zero_crossings",
+                               "ok")}
+        for payload in batch.column("payload").to_pylist():
+            try:
+                samples, rate = wav_decode_samples(payload)
+            except ValueError:
+                if self.strict:
+                    raise
+                for k in out:
+                    out[k].append(False if k == "ok" else 0)
+                continue
+            s = samples[:, 0].astype(np.int64)
+            n = len(s)
+            sumsq = int(np.dot(s, s))
+            nonneg = s >= 0
+            out["n_samples"].append(n)
+            out["rate"].append(rate)
+            out["duration_ms"].append(1000 * n // rate if rate else 0)
+            out["peak"].append(int(np.abs(s).max()) if n else 0)
+            out["sumsq"].append(sumsq)
+            out["rms_milli"].append(
+                math.isqrt(10**6 * sumsq // n) if n else 0)
+            out["zero_crossings"].append(
+                int(np.count_nonzero(nonneg[1:] != nonneg[:-1])))
+            out["ok"].append(True)
+        return pa.Table.from_arrays(
+            [batch.column("asset_id"),
+             pa.array(out["n_samples"], pa.int64()),
+             pa.array(out["rate"], pa.int64()),
+             pa.array(out["duration_ms"], pa.int64()),
+             pa.array(out["peak"], pa.int64()),
+             pa.array(out["sumsq"], pa.int64()),
+             pa.array(out["rms_milli"], pa.int64()),
+             pa.array(out["zero_crossings"], pa.int64()),
+             pa.array(out["ok"], pa.bool_())],
+            names=["asset_id", "n_samples", "rate", "duration_ms", "peak",
+                   "sumsq", "rms_milli", "zero_crossings", "ok"])
+
+
+def extract_audio_features(ds, *, strict: bool = True,
+                           batch_size: int = 64, concurrency=(1, 4)):
+    """Actor-pool audio feature extraction (binary in, int features out).
+    Small batches: payloads are large binaries — batch × concurrency
+    must fit a worker heap (the multimodal batch-sizing rule)."""
+    return ds.map_batches(AudioFeatureStage,
+                          fn_constructor_kwargs={"strict": strict},
+                          batch_size=batch_size, batch_format="pyarrow",
+                          zero_copy_batch=True, concurrency=concurrency)

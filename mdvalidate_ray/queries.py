@@ -3537,3 +3537,22 @@ def window_dups(sf_dir: str):
 
     docs = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
     return window_dup_stats(docs, k=5, min_df=2)
+
+
+def audio_features(sf_dir: str):
+    """Integer-exact acoustic features (duration, peak, energy, RMS,
+    zero-crossings) over REAL RIFF/WAVE PCM16 bytes decoded by the
+    pure-Python WAV codec — the audio arm of the multimodal surface.
+    Rows-only (binary decode has no SQL analog); pinned by a direct
+    numpy differential test."""
+    import ray.data
+
+    from mdvalidate_ray.corpus import assets_table
+    from mdvalidate_ray.functions.media import (extract_audio_features,
+                                                synth_media_batch)
+
+    n = _docs_count(sf_dir)
+    assets = assets_table(n)
+    ids = assets.column("asset_id").to_pylist()[:200]
+    media = synth_media_batch(ids, ["audio/wav"] * len(ids))
+    return extract_audio_features(ray.data.from_arrow(media))

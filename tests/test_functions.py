@@ -1293,3 +1293,60 @@ def test_window_dup_stats_broadcast_threshold_falls_through(ray_session):
     with pytest.raises(ValueError):
         window_dup_stats(ds, k=3, tier="broadcast",
                          broadcast_threshold=1).to_pandas()
+
+
+def test_audio_features_match_direct_dsp(ray_session):
+    """Stage output equals a direct numpy computation over the decoded
+    samples (integer-exact energy/RMS/zero-crossings), and strict=False
+    maps non-WAV payloads to ok=False."""
+    import math
+
+    import numpy as np
+    import pyarrow as pa
+    import pytest
+    import ray.data
+
+    from mdvalidate_ray.functions.media import (
+        extract_audio_features, synth_media_batch, wav_decode_samples,
+        wav_encode)
+
+    ids = [f"a{i}" for i in range(8)]
+    media = synth_media_batch(ids, ["audio/wav"] * len(ids))
+    got = extract_audio_features(
+        ray.data.from_arrow(media)).to_pandas().set_index("asset_id")
+
+    for aid, payload in zip(ids, media.column("payload").to_pylist()):
+        s, rate = wav_decode_samples(payload)
+        s = s[:, 0].astype(np.int64)
+        row = got.loc[aid]
+        assert row.n_samples == len(s)
+        assert row.rate == rate
+        assert row.peak == int(np.abs(s).max())
+        sumsq = int(np.dot(s, s))
+        assert row.sumsq == sumsq
+        assert row.rms_milli == math.isqrt(10**6 * sumsq // len(s))
+        nonneg = s >= 0
+        assert row.zero_crossings == int(
+            np.count_nonzero(nonneg[1:] != nonneg[:-1]))
+        assert bool(row.ok)
+
+    # known signal: alternating +1000/-1000 crosses zero every sample
+    alt = np.tile(np.array([1000, -1000], np.int16), 50)
+    t = pa.table({"asset_id": pa.array(["alt"]),
+                  "mime": pa.array(["audio/wav"]),
+                  "payload": pa.array([wav_encode(alt)], pa.binary())})
+    row = extract_audio_features(
+        ray.data.from_arrow(t)).to_pandas().iloc[0]
+    assert row.zero_crossings == 99 and row.peak == 1000
+    assert row.rms_milli == 1000 * 1000  # constant magnitude
+
+    # non-WAV payload: ok=False when lenient, raises when strict
+    bad = pa.table({"asset_id": pa.array(["bad"]),
+                    "mime": pa.array(["image/png"]),
+                    "payload": pa.array([b"not a wav"], pa.binary())})
+    lenient = extract_audio_features(
+        ray.data.from_arrow(bad), strict=False).to_pandas().iloc[0]
+    assert not lenient.ok and lenient.n_samples == 0
+    with pytest.raises(Exception):
+        extract_audio_features(
+            ray.data.from_arrow(bad), strict=True).to_pandas()
