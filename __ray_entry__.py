@@ -162,6 +162,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_dups": Q.window_dups,
         # audio arm of the multimodal surface (real WAV bytes, rows-only)
         "audio_features": Q.audio_features,
+        # deterministic weighted sampling (integer priority sampling)
+        "weighted_sample": Q.weighted_sample,
     }
 
 
@@ -1439,6 +1441,15 @@ def oracle_sql() -> dict[str, str]:
                    n_dup::BIGINT AS n_dup,
                    (n_dup * 10000 // n_windows)::BIGINT AS dup_bp
             FROM per_doc
+        """,
+        "weighted_sample": """
+            SELECT doc_id,
+                   greatest(n_chars, 1)::BIGINT AS w,
+                   (md5_number_lower('wsamp' || doc_id::VARCHAR)
+                        // greatest(n_chars, 1)::UBIGINT) AS priority
+            FROM documents
+            ORDER BY priority, doc_id
+            LIMIT 100
         """,
         "user_churn": """
             WITH flags AS (

@@ -469,3 +469,43 @@ def add_compressibility(batch: pa.Table, column: str = "text",
     return batch.append_column("raw_len", pa.array(raw)) \
                 .append_column("comp_len", pa.array(comp)) \
                 .append_column("ratio_bp", pa.array(ratio))
+
+
+def weighted_sample_k(ds, *, key: str = "doc_id",
+                      weight_col: str = "n_chars", k: int = 100,
+                      salt: str = "wsamp"):
+    """Deterministic weighted sampling WITHOUT replacement — priority
+    sampling / weighted bottom-k (Duffield-Lund-Thorup; Efraimidis-
+    Spirakis) in integer form: each row's priority is
+    ``md5_lower64(salt || key) // max(weight, 1)`` and the ``k``
+    smallest priorities win, so doubling a row's weight halves its
+    expected priority and inclusion probability scales with weight.
+
+    Properties a training-data mixer needs: a pure function of
+    ``(salt, key, weight)`` — stable under repartition / re-run /
+    cluster order — and SQL-auditable (DuckDB ``md5_number_lower(...)
+    // greatest(w,1)`` reproduces the identical sample).  The plan is
+    :func:`~mdvalidate_ray.functions.relational.topk_table`: per-batch
+    local bottom-k, driver merges #batches × k survivor rows — no full
+    sort, no corpus-sized driver collect.
+
+    Returns a pa.Table of ``(key, w, priority)`` rows, the sample in
+    (priority, key) order."""
+    from mdvalidate_ray.functions.dedup import _md5_token_hashes
+    from mdvalidate_ray.functions.relational import topk_table
+
+    def pri(b: pa.Table) -> pa.Table:
+        ks = [salt + str(v) for v in b.column(key).to_pylist()]
+        h = (_md5_token_hashes(ks) if ks
+             else np.zeros(0, dtype=np.uint64))
+        w = np.maximum(b.column(weight_col).to_numpy(
+            zero_copy_only=False).astype(np.int64), 1)
+        return pa.Table.from_arrays(
+            [b.column(key), pa.array(w),
+             pa.array(h // w.astype(np.uint64))],
+            names=[key, "w", "priority"])
+
+    scored = ds.select_columns([key, weight_col]).map_batches(
+        pri, batch_format="pyarrow", zero_copy_batch=True)
+    return topk_table(scored, k, [("priority", "ascending"),
+                                  (key, "ascending")])

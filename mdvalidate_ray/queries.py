@@ -3556,3 +3556,15 @@ def audio_features(sf_dir: str):
     ids = assets.column("asset_id").to_pylist()[:200]
     media = synth_media_batch(ids, ["audio/wav"] * len(ids))
     return extract_audio_features(ray.data.from_arrow(media))
+
+
+def weighted_sample(sf_dir: str):
+    """Length-weighted deterministic document sample (k=100, weight =
+    n_chars) via integer priority sampling — see :func:`mdvalidate_ray
+    .functions.text.weighted_sample_k`."""
+    from mdvalidate_ray.functions.text import weighted_sample_k
+
+    docs = _read(sf_dir, "documents").select_columns(
+        ["doc_id", "n_chars"])
+    return weighted_sample_k(docs, key="doc_id", weight_col="n_chars",
+                             k=100)

@@ -1350,3 +1350,41 @@ def test_audio_features_match_direct_dsp(ray_session):
     with pytest.raises(Exception):
         extract_audio_features(
             ray.data.from_arrow(bad), strict=True).to_pandas()
+
+
+def test_weighted_sample_k_weights_bias_and_determinism(ray_session):
+    """Heavily-weighted rows dominate the sample; the sample is a pure
+    function of (salt, key, weight) — identical across repartitionings
+    — and matches a local integer-priority computation exactly."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from mdvalidate_ray.functions.text import weighted_sample_k
+
+    n = 2000
+    keys = list(range(n))
+    weights = [1000 if i < n // 2 else 1 for i in keys]
+    t = pa.table({"doc_id": pa.array(keys, pa.int64()),
+                  "n_chars": pa.array(weights, pa.int64())})
+
+    got3 = weighted_sample_k(ray.data.from_arrow(t).repartition(3),
+                             key="doc_id", weight_col="n_chars", k=200)
+    got7 = weighted_sample_k(ray.data.from_arrow(t).repartition(7),
+                             key="doc_id", weight_col="n_chars", k=200)
+    assert got3.to_pydict() == got7.to_pydict()
+
+    ids = got3.column("doc_id").to_pylist()
+    heavy = sum(1 for d in ids if d < n // 2)
+    assert heavy >= 190  # 1000x weight -> overwhelmingly heavy rows
+
+    # exact parity with a local computation of the same rule
+    pri = {}
+    for d, w in zip(keys, weights):
+        h = int.from_bytes(
+            hashlib.md5(f"wsamp{d}".encode()).digest()[8:16], "little")
+        pri[d] = h // max(w, 1)
+    want = sorted(keys, key=lambda d: (pri[d], d))[:200]
+    assert ids == want
