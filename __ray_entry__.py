@@ -164,6 +164,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_features": Q.audio_features,
         # deterministic weighted sampling (integer priority sampling)
         "weighted_sample": Q.weighted_sample,
+        # grouped heavy hitters: per-language top words, exact counts
+        "lang_top_words": Q.lang_top_words,
     }
 
 
@@ -1450,6 +1452,25 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             ORDER BY priority, doc_id
             LIMIT 100
+        """,
+        "lang_top_words": """
+            WITH words AS (
+                SELECT lang,
+                       unnest(list_filter(
+                           string_split_regex(lower(text), '\\s+'),
+                           x -> x <> '')) AS word
+                FROM documents
+            ),
+            cnts AS (
+                SELECT lang, word, count(*)::BIGINT AS cnt
+                FROM words GROUP BY lang, word
+            )
+            SELECT lang, word, cnt,
+                   row_number() OVER (PARTITION BY lang
+                                      ORDER BY cnt DESC, word)::BIGINT
+                       AS rk
+            FROM cnts
+            QUALIFY rk <= 3
         """,
         "user_churn": """
             WITH flags AS (

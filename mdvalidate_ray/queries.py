@@ -3568,3 +3568,63 @@ def weighted_sample(sf_dir: str):
         ["doc_id", "n_chars"])
     return weighted_sample_k(docs, key="doc_id", weight_col="n_chars",
                              k=100)
+
+
+def lang_top_words(sf_dir: str):
+    """Top-3 words per language with exact counts — the GROUPED form of
+    :func:`top_words` (per-group vocabulary report; the building block
+    of per-domain / per-language corpus summaries).  Plan: in-batch
+    (lang, word) count combiner (a hot word contributes one row per
+    batch), one coarse ``hash(word) % n_parts`` exchange with a
+    vectorized two-column in-bucket group-sum (each (lang, word) pair
+    lands in exactly one bucket, so the folded counts are exact), then
+    :func:`~mdvalidate_ray.functions.window.top_n_per_group` — ties
+    break (cnt DESC, word ASC) so the rank is a total order."""
+    import numpy as np
+    import pandas as pd
+
+    from mdvalidate_ray.functions.window import top_n_per_group
+    from mdvalidate_ray.state.sketches import hash_strings
+
+    n_parts = 16
+    docs = _read(sf_dir, "documents").select_columns(["lang", "text"])
+    empty = pa.schema([("lang", pa.string()), ("word", pa.string()),
+                       ("cnt", pa.int64()), ("_bucket", pa.int64())])
+
+    def wc(b: pa.Table) -> pa.Table:
+        arr = pc.utf8_split_whitespace(pc.utf8_trim_whitespace(
+            pc.utf8_lower(pc.cast(b.column("text"), pa.string()))))
+        arr = arr.combine_chunks() if isinstance(
+            arr, pa.ChunkedArray) else arr
+        words = np.asarray(arr.values.to_pylist(), dtype=object)
+        langs = np.repeat(
+            np.asarray(b.column("lang").to_pylist(), dtype=object),
+            np.diff(np.asarray(arr.offsets)))
+        keep = words != ""
+        if not keep.any():
+            return empty.empty_table()
+        g = (pd.DataFrame({"lang": langs[keep], "word": words[keep]})
+             .groupby(["lang", "word"], sort=False).size()
+             .reset_index(name="cnt"))
+        wl = g["word"].tolist()
+        bucket = (hash_strings(wl) % np.uint64(n_parts)).astype(np.int64)
+        return pa.Table.from_arrays(
+            [pa.array(g["lang"].tolist(), pa.string()),
+             pa.array(wl, pa.string()),
+             pa.array(g["cnt"].to_numpy(np.int64)),
+             pa.array(bucket)],
+            names=["lang", "word", "cnt", "_bucket"])
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["_bucket"])
+        agg = pa.TableGroupBy(g, ["lang", "word"]).aggregate(
+            [("cnt", "sum")])
+        return agg.rename_columns(["lang", "word", "cnt"])
+
+    folded = docs.map_batches(wc, batch_format="pyarrow",
+                              zero_copy_batch=True) \
+                 .groupby("_bucket").map_groups(per_bucket,
+                                                batch_format="pyarrow")
+    return top_n_per_group(folded, group_key="lang", order_col="cnt",
+                           n=3, descending=True, tie_col="word",
+                           n_parts=4)

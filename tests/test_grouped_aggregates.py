@@ -140,3 +140,38 @@ def test_linear_scorer_exact_and_partition_invariant(ray_session, blocks):
         names=["vec_id", "embedding"])
     with pytest.raises(ValueError):
         LinearScorer()(ragged)
+
+
+def test_lang_top_words_partition_invariance(ray_session, tmp_path):
+    """The grouped vocabulary top-3 is exact regardless of how documents
+    split across blocks (a hot word spanning every block still folds to
+    one count), and ties resolve (cnt DESC, word ASC)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mdvalidate_ray import queries as Q
+
+    docs = pa.table({
+        "doc_id": pa.array(range(6), pa.int64()),
+        "text": pa.array(["b b b a", "a a c b", "z z z z",
+                          "y y z x", "m n", "n m"]),
+        "lang": pa.array(["en", "en", "fr", "fr", "de", "de"]),
+        "source": pa.array(["s"] * 6),
+        "n_chars": pa.array([7, 7, 7, 7, 3, 3], pa.int64())})
+    pq.write_table(docs, tmp_path / "documents.parquet")
+
+    got = Q.lang_top_words(str(tmp_path)).to_pandas().sort_values(
+        ["lang", "rk"]).reset_index(drop=True)
+    want = [
+        ("en", "a", 3, 1), ("en", "b", 4, 2), ("en", "c", 1, 3),
+        ("de", "m", 2, 1), ("de", "n", 2, 2),
+        ("fr", "z", 5, 1), ("fr", "y", 2, 2), ("fr", "x", 1, 3),
+    ]
+    # en: b=4 > a=3 > c=1 ; de tie m/n=2 -> m first
+    want = sorted([(l, w, c) for l, w, c, _ in want])
+    got_rows = sorted(zip(got["lang"], got["word"], got["cnt"]))
+    assert [(l, w, int(c)) for l, w, c in got_rows] == want
+    en = got[got["lang"] == "en"].sort_values("rk")
+    assert list(en["word"]) == ["b", "a", "c"]
+    de = got[got["lang"] == "de"].sort_values("rk")
+    assert list(de["word"]) == ["m", "n"]
