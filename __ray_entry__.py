@@ -166,6 +166,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_sample": Q.weighted_sample,
         # grouped heavy hitters: per-language top words, exact counts
         "lang_top_words": Q.lang_top_words,
+        # rank/percent_rank/cume_dist with cross-block peer ties
+        "length_percentiles": Q.length_percentiles,
     }
 
 
@@ -1452,6 +1454,13 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             ORDER BY priority, doc_id
             LIMIT 100
+        """,
+        "length_percentiles": """
+            SELECT doc_id, n_chars,
+                   rank() OVER (ORDER BY n_chars)::BIGINT AS rnk,
+                   percent_rank() OVER (ORDER BY n_chars) AS pct_rank,
+                   cume_dist() OVER (ORDER BY n_chars) AS cume
+            FROM documents
         """,
         "lang_top_words": """
             WITH words AS (

@@ -467,3 +467,109 @@ def grouped_string_agg(ds, *, key: str, value_col: str, sep: str = ",",
                             zero_copy_batch=True)
     return tagged.groupby("_bucket").map_groups(per_bucket,
                                                 batch_format="pyarrow")
+
+
+def global_percent_rank(ds, *, value_col: str):
+    """Global ``rank() / percent_rank() / cume_dist() OVER (ORDER BY
+    value_col)`` WITH SQL peer (tie) semantics — unlike
+    :func:`global_rank`, no unique tiebreak is required: tied rows share
+    a rank, and ``cume_dist`` counts the whole peer group.
+
+    Plan: ONE range-partition sort (the unavoidable all-to-all), then —
+    like :func:`global_rank` — everything else is METADATA-only: each
+    sorted block reports five scalars ``(n_rows, first_val, last_val,
+    n_head, n_tail)`` where ``n_head``/``n_tail`` are the lengths of the
+    runs equal to the block's boundary values.  The driver resolves
+    peer runs that CROSS block boundaries by walking those scalars
+    (``run_back[i]`` = occurrences of block i's first value in earlier
+    blocks, ``run_fwd[i]`` = occurrences of its last value in later
+    blocks; blocks made of one value chain through), then one raw Ray
+    task per block assigns, vectorized:
+
+    * ``rnk[v]   = offset + local_first(v) - run_back·[v = first] + 1``
+    * ``cum(v)   = offset + local_last(v) + 1 + run_fwd·[v = last]``
+    * ``pct_rank = (rnk - 1) / (total - 1)`` (0 when total = 1)
+    * ``cume     = cum / total``
+
+    Both ratios are a single IEEE division of exact integers, so they
+    equal DuckDB's ``percent_rank()`` / ``cume_dist()`` bit for bit."""
+    import ray
+    import ray.data
+
+    s = ds.sort(value_col).materialize()
+    refs, meta = [], []
+
+    @ray.remote
+    def block_meta(block: pa.Table):
+        v = block.column(value_col).to_numpy(zero_copy_only=False)
+        n = len(v)
+        n_head = int(np.searchsorted(v, v[0], side="right"))
+        n_tail = n - int(np.searchsorted(v, v[-1], side="left"))
+        return n, v[0], v[-1], n_head, n_tail
+
+    for bundle in s.iter_internal_ref_bundles():
+        for ref, md in bundle.blocks:
+            if md.num_rows:
+                refs.append(ref)
+    meta = ray.get([block_meta.remote(r) for r in refs])
+    counts = [m[0] for m in meta]
+    offsets = np.cumsum([0] + counts[:-1]).astype(np.int64)
+    total = int(sum(counts))
+
+    n_blocks = len(meta)
+    run_back = [0] * n_blocks
+    run_fwd = [0] * n_blocks
+    for i in range(n_blocks):
+        fv = meta[i][1]
+        acc = 0
+        for j in range(i - 1, -1, -1):
+            n_j, f_j, l_j, nh_j, nt_j = meta[j]
+            if l_j != fv:
+                break
+            acc += nt_j
+            if not (f_j == l_j and nh_j == n_j):
+                break  # run does not span the whole block j
+        run_back[i] = acc
+        lv = meta[i][2]
+        acc = 0
+        for j in range(i + 1, n_blocks):
+            n_j, f_j, l_j, nh_j, nt_j = meta[j]
+            if f_j != lv:
+                break
+            acc += nh_j
+            if not (f_j == l_j and nh_j == n_j):
+                break
+        run_fwd[i] = acc
+
+    @ray.remote
+    def assign(block: pa.Table, offset: int, back: int, fwd: int):
+        v = block.column(value_col).to_numpy(zero_copy_only=False)
+        n = len(v)
+        new = np.empty(n, dtype=bool)
+        new[0] = True
+        new[1:] = v[1:] != v[:-1]
+        # local first index of each row's peer run
+        first_idx = np.maximum.accumulate(
+            np.where(new, np.arange(n), 0))
+        # local last index: next run start - 1
+        starts = np.flatnonzero(new)
+        ends = np.r_[starts[1:], n] - 1
+        last_idx = np.repeat(ends, np.diff(np.r_[starts, n]))
+        rnk = offset + first_idx + 1 - np.where(v == v[0], back, 0)
+        cum = offset + last_idx + 1 + np.where(v == v[-1], fwd, 0)
+        pct = ((rnk - 1) / (total - 1) if total > 1
+               else np.zeros(n, dtype=np.float64))
+        out = block.append_column("rnk", pa.array(rnk.astype(np.int64)))
+        out = out.append_column("pct_rank", pa.array(
+            np.asarray(pct, dtype=np.float64)))
+        return out.append_column("cume", pa.array(cum / total))
+
+    ranked = [assign.remote(r, int(o), int(b), int(f))
+              for r, o, b, f in zip(refs, offsets, run_back, run_fwd)]
+    if not ranked:
+        schema = ds.schema().base_schema
+        schema = schema.append(pa.field("rnk", pa.int64()))
+        schema = schema.append(pa.field("pct_rank", pa.float64()))
+        schema = schema.append(pa.field("cume", pa.float64()))
+        return ray.data.from_arrow(schema.empty_table())
+    return ray.data.from_arrow_refs(ranked)

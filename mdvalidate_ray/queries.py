@@ -3628,3 +3628,17 @@ def lang_top_words(sf_dir: str):
     return top_n_per_group(folded, group_key="lang", order_col="cnt",
                            n=3, descending=True, tie_col="word",
                            n_parts=4)
+
+
+def length_percentiles(sf_dir: str):
+    """Document-length percentile report — global ``rank() /
+    percent_rank() / cume_dist() OVER (ORDER BY n_chars)`` with SQL
+    peer-tie semantics (tied lengths share a rank; ``cume`` counts the
+    whole peer group), ties resolved ACROSS sorted block boundaries via
+    driver-side boundary metadata only — see :func:`mdvalidate_ray
+    .functions.window.global_percent_rank`."""
+    from mdvalidate_ray.functions.window import global_percent_rank
+
+    docs = _read(sf_dir, "documents").select_columns(
+        ["doc_id", "n_chars"])
+    return global_percent_rank(docs, value_col="n_chars")
