@@ -168,6 +168,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_top_words": Q.lang_top_words,
         # rank/percent_rank/cume_dist with cross-block peer ties
         "length_percentiles": Q.length_percentiles,
+        # k-core decomposition (iterative peeling) on a derived graph
+        "part_kcore": Q.part_kcore,
     }
 
 
@@ -1454,6 +1456,35 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             ORDER BY priority, doc_id
             LIMIT 100
+        """,
+        "part_kcore": """
+            WITH RECURSIVE pairs AS (
+              SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS u,
+                              greatest(a.l_partkey, b.l_partkey) AS v
+              FROM lineitem a JOIN lineitem b
+                   ON a.l_orderkey = b.l_orderkey
+                  AND a.l_partkey < b.l_partkey
+            ),
+            sym AS (
+              SELECT u AS a, v AS b FROM pairs
+              UNION ALL SELECT v, u FROM pairs
+            ),
+            removed(node) AS (
+              SELECT a FROM sym GROUP BY a HAVING count(*) < 4
+              UNION
+              SELECT a FROM (
+                SELECT s.a,
+                       count(*) FILTER (WHERE s.b NOT IN
+                           (SELECT node FROM removed)) AS deg
+                FROM sym s
+                WHERE s.a NOT IN (SELECT node FROM removed)
+                GROUP BY s.a
+              ) WHERE deg < 4
+            )
+            SELECT a AS node, count(*)::BIGINT AS deg FROM sym
+            WHERE a NOT IN (SELECT node FROM removed)
+              AND b NOT IN (SELECT node FROM removed)
+            GROUP BY a
         """,
         "length_percentiles": """
             SELECT doc_id, n_chars,

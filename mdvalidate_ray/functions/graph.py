@@ -504,3 +504,101 @@ def triangle_counts(edges_ds, *, col_a: str = "u", col_b: str = "v",
             [b.column("node"), b.column("n").cast(pa.int64())],
             names=["node", "n_tri"]),
         batch_format="pyarrow")
+
+
+def k_core(edges_ds, *, k: int, col_a: str = "u", col_b: str = "v",
+           n_parts: int = 32, max_rounds: int = 200,
+           broadcast_threshold: int = 50_000_000):
+    """k-core membership via iterative peeling (Batagelj–Zaveršnik
+    semantics, bulk-synchronous form): repeatedly delete every node
+    whose degree in the REMAINING graph is < ``k`` until a fixpoint —
+    the standard community/spam-graph density filter next to
+    :func:`pagerank` and :func:`triangle_counts`.
+
+    Plan per round, over the symmetric edge list (materialized once,
+    then shrinking): per-batch endpoint count combiner → one
+    :func:`~mdvalidate_ray.functions.relational.bucketed_group_sum`
+    exchange gives exact degrees; the PEEL FRONTIER (nodes with
+    ``deg < k``) folds to the driver — it is bounded by
+    ``broadcast_threshold`` (the frontier is the set removed THIS
+    round, not the cumulative removal; a graph whose every round peels
+    more than the threshold needs the co-partitioned variant: semi-join
+    the edge list against the frontier on ``hash(node) % n_parts``,
+    the stages/referential.py anti-join tier) — broadcasts sorted via
+    ``ray.put``, and one vectorized ``np.searchsorted`` filter drops
+    edges touching peeled nodes.  Already-peeled nodes have no edges
+    left, so each round only ships its own frontier.  Terminates when a
+    round peels nothing; ``max_rounds`` guards pathological
+    chain-shaped graphs (each round peels ≥1 node, so rounds ≤ nodes).
+
+    Returns a Dataset of surviving ``(node, deg)`` rows — the degrees
+    WITHIN the k-core (all ≥ k).  Exact-integer, so a recursive-CTE SQL
+    oracle reproduces it."""
+    import ray
+    import ray.data
+
+    from mdvalidate_ray.functions.relational import bucketed_group_sum
+
+    sym_schema = pa.schema([("a", pa.int64()), ("b", pa.int64())])
+
+    def sym(b: pa.Table) -> pa.Table:
+        u = b.column(col_a).to_numpy(zero_copy_only=False).astype(np.int64)
+        v = b.column(col_b).to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.Table.from_arrays(
+            [pa.array(np.concatenate([u, v])),
+             pa.array(np.concatenate([v, u]))], names=["a", "b"])
+
+    cur = edges_ds.map_batches(sym, batch_format="pyarrow",
+                               zero_copy_batch=True).materialize()
+
+    def deg_partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.schema([("a", pa.int64()),
+                              ("deg", pa.int64())]).empty_table()
+        a = b.column("a").to_numpy(zero_copy_only=False)
+        uniq, cnt = np.unique(a, return_counts=True)
+        return pa.Table.from_arrays(
+            [pa.array(uniq), pa.array(cnt.astype(np.int64))],
+            names=["a", "deg"])
+
+    for _ in range(max_rounds):
+        degs = bucketed_group_sum(
+            cur.map_batches(deg_partial, batch_format="pyarrow",
+                            zero_copy_batch=True),
+            key="a", sum_cols=["deg"], n_parts=n_parts).materialize()
+        frontier_chunks: list[np.ndarray] = []
+        n_frontier = 0
+        for blk in degs.filter(expr=f"deg < {k}").iter_batches(
+                batch_format="pyarrow"):
+            arr = blk.column("a").to_numpy(zero_copy_only=False)
+            n_frontier += len(arr)
+            if n_frontier > broadcast_threshold:
+                raise ValueError(
+                    f"peel frontier exceeds broadcast_threshold="
+                    f"{broadcast_threshold}; co-partition the frontier "
+                    "semi-join instead (see docstring)")
+            frontier_chunks.append(arr)
+        if n_frontier == 0:
+            return degs.map_batches(
+                lambda t: t.rename_columns(["node", "deg"]),
+                batch_format="pyarrow", zero_copy_batch=True)
+        peel = np.sort(np.concatenate(frontier_chunks))
+        peel_ref = ray.put(peel)
+
+        def drop(b: pa.Table) -> pa.Table:
+            p = ray.get(peel_ref)
+            a = b.column("a").to_numpy(zero_copy_only=False)
+            bb = b.column("b").to_numpy(zero_copy_only=False)
+            ia = np.searchsorted(p, a)
+            ib = np.searchsorted(p, bb)
+            hit_a = (ia < len(p)) & (p[np.minimum(ia, len(p) - 1)] == a)
+            hit_b = (ib < len(p)) & (p[np.minimum(ib, len(p) - 1)] == bb)
+            return b.filter(pa.array(~(hit_a | hit_b)))
+
+        nxt = cur.map_batches(drop, batch_format="pyarrow",
+                              zero_copy_batch=True).materialize()
+        cur = nxt
+        if cur.count() == 0:
+            return ray.data.from_arrow(pa.schema(
+                [("node", pa.int64()), ("deg", pa.int64())]).empty_table())
+    raise RuntimeError(f"k_core did not converge in {max_rounds} rounds")

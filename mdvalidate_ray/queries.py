@@ -3642,3 +3642,20 @@ def length_percentiles(sf_dir: str):
     docs = _read(sf_dir, "documents").select_columns(
         ["doc_id", "n_chars"])
     return global_percent_rank(docs, value_col="n_chars")
+
+
+def part_kcore(sf_dir: str):
+    """4-core of the part co-purchase graph (parts sharing an order are
+    connected): iterative peeling until every surviving part has ≥4
+    surviving neighbors — the density filter that strips tendrils off
+    the co-occurrence graph before community analysis.  Exact-integer
+    (see :func:`mdvalidate_ray.functions.graph.k_core`), so a
+    recursive-CTE SQL oracle reproduces the surviving (node, degree)
+    set."""
+    from mdvalidate_ray.functions.graph import cooccurrence_edges, k_core
+
+    li = _read(sf_dir, "lineitem").select_columns(
+        ["l_orderkey", "l_partkey"])
+    edges = cooccurrence_edges(li, group_col="l_orderkey",
+                               item_col="l_partkey", n_parts=32)
+    return k_core(edges, k=4, n_parts=16)

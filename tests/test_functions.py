@@ -1388,3 +1388,51 @@ def test_weighted_sample_k_weights_bias_and_determinism(ray_session):
         pri[d] = h // max(w, 1)
     want = sorted(keys, key=lambda d: (pri[d], d))[:200]
     assert ids == want
+
+
+def test_k_core_matches_naive_peeling(ray_session):
+    """Multi-round cascades (a chain hanging off a clique peels one
+    node per round) match a naive reference; surviving degrees are
+    in-core degrees; fully-peeled graphs return empty."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from mdvalidate_ray.functions.graph import k_core
+
+    def naive(edges, k):
+        adj = {}
+        for u, v in edges:
+            adj.setdefault(u, set()).add(v)
+            adj.setdefault(v, set()).add(u)
+        changed = True
+        while changed:
+            changed = False
+            for n in list(adj):
+                if len(adj[n]) < k:
+                    for m in adj.pop(n):
+                        adj[m].discard(n)
+                    changed = True
+        return {n: len(s) for n, s in adj.items()}
+
+    # 5-clique (0..4) + chain 4-10-11-12 + triangle 20-21-22 + random
+    edges = [(a, b) for a in range(5) for b in range(a + 1, 5)]
+    edges += [(4, 10), (10, 11), (11, 12)]
+    edges += [(20, 21), (21, 22), (20, 22)]
+    rng = np.random.default_rng(3)
+    extra = {(int(a), int(b)) for a, b in
+             rng.integers(30, 60, (40, 2)) if a < b}
+    edges += sorted(extra)
+
+    t = pa.table({"u": pa.array([e[0] for e in edges], pa.int64()),
+                  "v": pa.array([e[1] for e in edges], pa.int64())})
+    for k in (2, 3, 4):
+        got = k_core(ray.data.from_arrow(t).repartition(4),
+                     k=k, n_parts=4).to_pandas()
+        got_map = dict(zip(got["node"].astype(int),
+                           got["deg"].astype(int)))
+        assert got_map == naive(edges, k), f"k={k}"
+
+    # k larger than any degree: everything peels
+    empty = k_core(ray.data.from_arrow(t), k=50, n_parts=2).to_pandas()
+    assert len(empty) == 0
