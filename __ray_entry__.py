@@ -170,6 +170,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "length_percentiles": Q.length_percentiles,
         # k-core decomposition (iterative peeling) on a derived graph
         "part_kcore": Q.part_kcore,
+        # exact sliding-window COUNT DISTINCT (trailing-7-day WAU)
+        "weekly_active_users": Q.weekly_active_users,
     }
 
 
@@ -1456,6 +1458,19 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             ORDER BY priority, doc_id
             LIMIT 100
+        """,
+        "weekly_active_users": """
+            WITH du AS (
+                SELECT DISTINCT user_id,
+                       (epoch_us(ts) // 86400000000) AS day
+                FROM events
+            ),
+            days AS (SELECT DISTINCT day FROM du)
+            SELECT d.day::BIGINT AS day,
+                   count(DISTINCT u.user_id)::BIGINT AS active_users
+            FROM days d
+            JOIN du u ON u.day BETWEEN d.day - 6 AND d.day
+            GROUP BY d.day
         """,
         "part_kcore": """
             WITH RECURSIVE pairs AS (

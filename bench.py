@@ -183,6 +183,10 @@ QUERY_NAMES = [
     "overlapping_windows", "qty_mad", "trigram_pairs",
     "violation_report", "user_hourly_spend", "nation_supplier_names",
     "part_copurchase_triangles",
+    # round-3-late additions
+    "window_dups", "audio_features", "weighted_sample",
+    "lang_top_words", "length_percentiles", "part_kcore",
+    "weekly_active_users",
 ]
 
 

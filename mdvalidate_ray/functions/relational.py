@@ -1567,3 +1567,127 @@ def interval_overlap_join(ds_a, ds_b, *, key_a: str, key_b: str,
     return tagged.groupby("part").map_groups(
         match, batch_format="pyarrow").select_columns(
         [key_a, key_b, "overlap_us"])
+
+
+def rolling_active_users(ds, *, time_col: str, user_col: str,
+                         window_days: int = 7, n_parts: int = 32):
+    """Exact ROLLING-window distinct-user counts — WAU/MAU-style
+    ``count(DISTINCT user) OVER (ORDER BY day RANGE BETWEEN W-1
+    PRECEDING AND CURRENT ROW)``, reported for every OBSERVED day.  A
+    distinct count over a sliding window cannot be composed from per-day
+    counts (users overlap), and shipping per-window user sets is O(days
+    × users); instead each user's contribution is computed from ITS OWN
+    activity alone: a user is active in day ``d``'s window iff one of
+    its event days lies in ``[d-W+1, d]``, i.e. the user covers exactly
+    the day-interval union ``∪ [t_i, t_i + W - 1]``.  So:
+
+    1. in-batch DISTINCT (user, epoch-day) combiner;
+    2. ONE co-partition on ``hash(user) % n_parts`` (a user's days must
+       meet; day skew — everyone active on launch day — costs nothing
+       because the exchange key is the user);
+    3. per bucket, vectorized: sort by (user, day), dedupe, merge
+       overlapping/adjacent intervals (gap > W-1 starts a new one), and
+       fan the merged intervals out to per-day ``+1`` partials with one
+       ``np.repeat``/``cumsum`` arange trick — fan-out is bounded by
+       W × active-days after merging, not days × users;
+    4. a tiny :func:`bucketed_group_sum` over the day folds partials
+       from all user buckets; a final filter keeps OBSERVED days only
+       (the day set — thousands of rows — folds to the driver and
+       broadcasts).
+
+    Returns (day, active_users) — ``day`` is the epoch day
+    (``epoch_us // 86_400_000_000``)."""
+    import ray
+
+    from mdvalidate_ray.state.sketches import hash_strings
+
+    w = int(window_days)
+    pair_schema = pa.schema([("u", pa.int64()), ("day", pa.int64()),
+                             ("_bucket", pa.int64())])
+
+    def pairs(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pair_schema.empty_table()
+        ts = b.column(time_col)
+        if pa.types.is_timestamp(ts.type):
+            day = (ts.cast(pa.int64()).to_numpy(zero_copy_only=False)
+                   // 86_400_000_000)
+        else:
+            day = ts.to_numpy(zero_copy_only=False) // 86_400_000_000
+        ucol = b.column(user_col)
+        if pa.types.is_integer(ucol.type):
+            u = ucol.to_numpy(zero_copy_only=False).astype(np.int64)
+        else:
+            u = hash_strings([str(x) for x in ucol.to_pylist()]) \
+                .astype(np.int64)
+        dedup = np.unique(np.stack([u, day.astype(np.int64)], axis=1),
+                          axis=0)
+        bucket = (dedup[:, 0].astype(np.uint64)
+                  * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)
+        return pa.Table.from_arrays(
+            [pa.array(dedup[:, 0]), pa.array(dedup[:, 1]),
+             pa.array((bucket % np.uint64(n_parts)).astype(np.int64))],
+            names=pair_schema.names)
+
+    out_schema = pa.schema([("day", pa.int64()), ("n", pa.int64())])
+
+    def cover(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return out_schema.empty_table()
+        t = g.sort_by([("u", "ascending"), ("day", "ascending")])
+        u = t.column("u").to_numpy(zero_copy_only=False)
+        d = t.column("day").to_numpy(zero_copy_only=False)
+        keep = np.empty(len(u), dtype=bool)
+        keep[0] = True
+        keep[1:] = (u[1:] != u[:-1]) | (d[1:] != d[:-1])
+        u, d = u[keep], d[keep]
+        # interval starts: new user OR gap > w-1 since previous day
+        new_iv = np.empty(len(u), dtype=bool)
+        new_iv[0] = True
+        new_iv[1:] = (u[1:] != u[:-1]) | (d[1:] - d[:-1] > w - 1)
+        starts = d[new_iv]
+        # interval end day = last member day + w - 1
+        iv_id = np.cumsum(new_iv) - 1
+        last_day = np.zeros(iv_id[-1] + 1, dtype=np.int64)
+        np.maximum.at(last_day, iv_id, d)
+        ends = last_day + w - 1
+        lens = (ends - starts + 1).astype(np.int64)
+        # fan out each interval to its covered days
+        total = int(lens.sum())
+        day_rows = np.repeat(starts, lens) + (
+            np.arange(total, dtype=np.int64)
+            - np.repeat(np.cumsum(lens) - lens, lens))
+        uniq, cnt = np.unique(day_rows, return_counts=True)
+        return pa.Table.from_arrays(
+            [pa.array(uniq), pa.array(cnt.astype(np.int64))],
+            names=out_schema.names)
+
+    pair_ds = ds.map_batches(pairs, batch_format="pyarrow",
+                             zero_copy_batch=True).materialize()
+    partials = pair_ds.groupby("_bucket").map_groups(
+        cover, batch_format="pyarrow")
+    folded = bucketed_group_sum(partials, key="day", sum_cols=["n"],
+                                out_names=["active_users"],
+                                n_parts=min(n_parts, 8))
+
+    # observed-day filter: the distinct day set is calendar-bounded
+    observed: set = set()
+    for blk in pair_ds.select_columns(["day"]).iter_batches(
+            batch_format="pyarrow"):
+        observed.update(np.unique(
+            blk.column("day").to_numpy(zero_copy_only=False)).tolist())
+    obs = np.sort(np.fromiter(observed, dtype=np.int64,
+                              count=len(observed)))
+    obs_ref = ray.put(obs)
+
+    def keep_observed(b: pa.Table) -> pa.Table:
+        o = ray.get(obs_ref)
+        d = b.column("day").to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(o, d)
+        hit = (pos < len(o)) & (o[np.minimum(pos, max(len(o) - 1, 0))]
+                                == d) if len(o) else np.zeros(
+            len(d), dtype=bool)
+        return b.filter(pa.array(hit))
+
+    return folded.map_batches(keep_observed, batch_format="pyarrow",
+                              zero_copy_batch=True)

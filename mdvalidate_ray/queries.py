@@ -3659,3 +3659,16 @@ def part_kcore(sf_dir: str):
     edges = cooccurrence_edges(li, group_col="l_orderkey",
                                item_col="l_partkey", n_parts=32)
     return k_core(edges, k=4, n_parts=16)
+
+
+def weekly_active_users(sf_dir: str):
+    """Exact trailing-7-day distinct-user counts per observed day (WAU
+    by day) — a sliding COUNT DISTINCT cannot fold from daily counts,
+    so each user's coverage interval union is computed user-locally
+    after ONE user-keyed co-partition; see :func:`mdvalidate_ray
+    .functions.relational.rolling_active_users`."""
+    from mdvalidate_ray.functions.relational import rolling_active_users
+
+    ev = _read(sf_dir, "events").select_columns(["ts", "user_id"])
+    return rolling_active_users(ev, time_col="ts", user_col="user_id",
+                                window_days=7)

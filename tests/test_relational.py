@@ -638,3 +638,42 @@ def test_interval_overlap_join_matches_brute_force(ray_session):
             if sa < eb and sb < ea:
                 truth[(i, j)] = min(ea, eb) - max(sa, sb)
     assert got_set == truth and len(truth) > 50
+
+
+def test_rolling_active_users_matches_naive(ray_session):
+    """Per-user interval-union coverage equals the brute-force trailing
+    window distinct count on every observed day, across block splits,
+    including single-day users, gap > window, and adjacent intervals."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from mdvalidate_ray.functions.relational import rolling_active_users
+
+    rng = np.random.default_rng(7)
+    users = rng.integers(0, 25, 400)
+    days = rng.integers(100, 160, 400)
+    # edge shapes: one-day user, exact-gap user, adjacent-interval user
+    users = np.r_[users, [90, 91, 91, 92, 92]]
+    days = np.r_[days, [100, 100, 107, 100, 106]]
+    ts = pa.array((days * 86_400_000_000).astype("int64")).cast(
+        pa.timestamp("us"))
+    t = pa.table({"ts": ts, "user_id": pa.array(
+        users.astype(np.int64))})
+
+    got = rolling_active_users(
+        ray.data.from_arrow(t).repartition(6), time_col="ts",
+        user_col="user_id", window_days=7, n_parts=4).to_pandas()
+    got_map = dict(zip(got["day"].astype(int),
+                       got["active_users"].astype(int)))
+
+    observed = sorted(set(days.tolist()))
+    want = {}
+    for d in observed:
+        active = {u for u, dd in zip(users.tolist(), days.tolist())
+                  if d - 6 <= dd <= d}
+        want[d] = len(active)
+    assert got_map == want
+    # gap user 91: active day 100 covers 100..106, day 107 covers its
+    # own window — day 107 must count it exactly once
+    assert 107 in got_map
