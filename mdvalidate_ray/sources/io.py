@@ -83,3 +83,71 @@ def read_documents_csv(path: str, *, schema=None, **kw):
 def write_documents_csv(ds, path: str, **kw):
     """Write a Dataset as partitioned CSV (one file per block)."""
     return ds.write_csv(path, **kw)
+
+
+def read_documents_ipc(path: str, *, columns=None, **kw):
+    """Read an Arrow IPC / Feather-v2 corpus directory (``*.arrow``,
+    one file per block) as a Dataset: ``ray.data.read_binary_files``
+    streams the files (splittable across tasks), and each file decodes
+    zero-copy via ``pa.ipc.open_file`` inside the task.  Column pruning
+    happens at the IPC reader (``read_all`` after selecting fields
+    touches only those buffers — IPC is a random-access format)."""
+    import pyarrow as pa
+    import ray.data
+
+    def decode(batch: "pa.Table") -> "pa.Table":
+        tables = []
+        for buf in batch.column("bytes").to_pylist():
+            reader = pa.ipc.open_file(pa.BufferReader(buf))
+            if columns is not None:
+                parts = [reader.get_batch(i).select(columns)
+                         for i in range(reader.num_record_batches)]
+                tables.append(pa.Table.from_batches(
+                    parts, schema=pa.schema(
+                        [reader.schema.field(c) for c in columns])))
+            else:
+                tables.append(reader.read_all())
+        if not tables:
+            return pa.table({})
+        return pa.concat_tables(tables)
+
+    files = ray.data.read_binary_files(path, file_extensions=["arrow"],
+                                       **kw)
+    return files.map_batches(decode, batch_format="pyarrow",
+                             batch_size=1)
+
+
+def write_documents_ipc(ds, path: str):
+    """Write a Dataset as an Arrow IPC / Feather-v2 directory (one
+    ``.arrow`` file per block, ATOMIC temp-path + rename like the fused
+    sinks — a task killed mid-write never leaves a readable partial).
+    Returns the list of (file, num_rows) manifest entries."""
+    import hashlib
+    import os
+
+    import pyarrow as pa
+
+    os.makedirs(path, exist_ok=True)
+
+    def write_block(b: "pa.Table") -> "pa.Table":
+        if b.num_rows == 0:
+            return pa.table({"file": pa.array([], pa.string()),
+                             "num_rows": pa.array([], pa.int64())})
+        # content-keyed name -> retry-idempotent (same block, same file)
+        key = hashlib.md5()
+        for c in b.column_names:
+            key.update(str(b.column(c).slice(0, 1)[0]).encode())
+        key.update(str(b.num_rows).encode())
+        name = f"block-{key.hexdigest()}.arrow"
+        final = os.path.join(path, name)
+        if not os.path.exists(final):
+            tmp = final + ".tmp"
+            with pa.ipc.new_file(tmp, b.schema) as w:
+                w.write_table(b)
+            os.replace(tmp, final)
+        return pa.table({"file": pa.array([name]),
+                         "num_rows": pa.array([b.num_rows], pa.int64())})
+
+    manifest = ds.map_batches(write_block, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    return manifest.take_all()
