@@ -172,6 +172,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_kcore": Q.part_kcore,
         # exact sliding-window COUNT DISTINCT (trailing-7-day WAU)
         "weekly_active_users": Q.weekly_active_users,
+        # token-set Jaccard top-k retrieval against a fixed query
+        "doc_search": Q.doc_search,
     }
 
 
@@ -1458,6 +1460,34 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             ORDER BY priority, doc_id
             LIMIT 100
+        """,
+        "doc_search": """
+            WITH q AS (
+                SELECT list_distinct(list_filter(
+                    string_split_regex(
+                        lower('fast hash join merge sort window batch stream'),
+                        '\\s+'), x -> x <> '')) AS qw
+            ),
+            d AS (
+                SELECT doc_id,
+                       list_distinct(list_filter(
+                           string_split_regex(lower(text), '\\s+'),
+                           x -> x <> '')) AS dw
+                FROM documents
+            ),
+            scored AS (
+                SELECT doc_id,
+                       len(list_intersect(dw, qw))::BIGINT AS inter,
+                       (len(dw) + len(qw)
+                        - len(list_intersect(dw, qw)))::BIGINT AS uni
+                FROM d, q
+            )
+            SELECT doc_id, inter, uni,
+                   (1000000 * inter // uni)::BIGINT AS score
+            FROM scored
+            WHERE inter > 0
+            ORDER BY score DESC, doc_id
+            LIMIT 20
         """,
         "weekly_active_users": """
             WITH du AS (

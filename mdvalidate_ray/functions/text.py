@@ -509,3 +509,73 @@ def weighted_sample_k(ds, *, key: str = "doc_id",
         pri, batch_format="pyarrow", zero_copy_batch=True)
     return topk_table(scored, k, [("priority", "ascending"),
                                   (key, "ascending")])
+
+
+def jaccard_search(ds, query_text: str, *, key: str = "doc_id",
+                   text_col: str = "text", k: int = 20):
+    """Token-set Jaccard TOP-K SEARCH — rank the corpus against one
+    query document (the retrieval sibling of the pairwise near-dup
+    families: there the threshold is fixed and both sides stream; here
+    one side is a constant and we want the best ``k``).
+
+    Plan: the query's distinct token hashes (md5-lower-64, the corpus
+    hashing contract) are a tiny sorted constant captured in the task
+    closure; each batch computes per-doc distinct token hashes once,
+    membership via ``np.searchsorted``, per-doc intersection sizes with
+    one ``np.add.at``, and the integer-exact score ``10^6 · |∩| //
+    |∪|``; docs sharing no token drop in-batch, and
+    :func:`~mdvalidate_ray.functions.relational.topk_table` merges
+    per-batch top-k survivors — no shuffle, no corpus-sized collect.
+
+    Returns a pa.Table (doc_id, inter, uni, score) of the k best in
+    (score DESC, doc_id ASC) order."""
+    import pandas as pd
+
+    from mdvalidate_ray.functions.dedup import _md5_token_hashes
+    from mdvalidate_ray.functions.relational import topk_table
+
+    q_tokens = sorted({t for t in query_text.lower().split() if t})
+    q_hashes = np.sort(_md5_token_hashes(q_tokens)) if q_tokens else \
+        np.zeros(0, dtype=np.uint64)
+    nq = len(q_hashes)
+    out_schema = pa.schema([(key, pa.int64()), ("inter", pa.int64()),
+                            ("uni", pa.int64()), ("score", pa.int64())])
+
+    def score(b: pa.Table) -> pa.Table:
+        arr = pc.utf8_split_whitespace(pc.utf8_trim_whitespace(
+            pc.utf8_lower(pc.cast(b.column(text_col), pa.string()))))
+        arr = arr.combine_chunks() if isinstance(
+            arr, pa.ChunkedArray) else arr
+        words = np.asarray(arr.values.to_pylist(), dtype=object)
+        offs = np.asarray(arr.offsets)
+        n_words = np.diff(offs)
+        if len(words) == 0 or nq == 0:
+            return out_schema.empty_table()
+        doc_idx = np.repeat(np.arange(len(n_words), dtype=np.int64),
+                            n_words)
+        keep = words != ""
+        h = _md5_token_hashes(list(words[keep]))
+        dd = pd.DataFrame({"d": doc_idx[keep], "h": h}).drop_duplicates()
+        d_arr = dd["d"].to_numpy()
+        h_arr = dd["h"].to_numpy(np.uint64)
+        n_distinct = np.zeros(len(n_words), dtype=np.int64)
+        np.add.at(n_distinct, d_arr, 1)
+        pos = np.searchsorted(q_hashes, h_arr)
+        hit = (pos < nq) & (q_hashes[np.minimum(pos, nq - 1)] == h_arr)
+        inter = np.zeros(len(n_words), dtype=np.int64)
+        np.add.at(inter, d_arr[hit], 1)
+        nz = inter > 0
+        if not nz.any():
+            return out_schema.empty_table()
+        ids = b.column(key).to_numpy(zero_copy_only=False)[nz]
+        i, nd = inter[nz], n_distinct[nz]
+        uni = nd + nq - i
+        return pa.Table.from_arrays(
+            [pa.array(ids.astype(np.int64)), pa.array(i),
+             pa.array(uni), pa.array(10**6 * i // uni)],
+            names=out_schema.names)
+
+    scored = ds.select_columns([key, text_col]).map_batches(
+        score, batch_format="pyarrow", zero_copy_batch=True)
+    return topk_table(scored, k, [("score", "descending"),
+                                  (key, "ascending")])

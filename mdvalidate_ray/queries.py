@@ -3672,3 +3672,18 @@ def weekly_active_users(sf_dir: str):
     ev = _read(sf_dir, "events").select_columns(["ts", "user_id"])
     return rolling_active_users(ev, time_col="ts", user_col="user_id",
                                 window_days=7)
+
+
+_SEARCH_QUERY = "fast hash join merge sort window batch stream"
+
+
+def doc_search(sf_dir: str):
+    """Top-20 documents by token-set Jaccard against a fixed query —
+    the retrieval surface over the corpus (see :func:`mdvalidate_ray
+    .functions.text.jaccard_search`).  Integer-exact scoring, so the
+    SQL oracle (list_intersect on distinct word lists) reproduces the
+    identical ranking."""
+    from mdvalidate_ray.functions.text import jaccard_search
+
+    docs = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+    return jaccard_search(docs, _SEARCH_QUERY, k=20)

@@ -1436,3 +1436,41 @@ def test_k_core_matches_naive_peeling(ray_session):
     # k larger than any degree: everything peels
     empty = k_core(ray.data.from_arrow(t), k=50, n_parts=2).to_pandas()
     assert len(empty) == 0
+
+
+def test_jaccard_search_matches_naive(ray_session):
+    """Distributed top-k retrieval equals a naive per-doc Jaccard
+    ranking (distinct-token semantics, zero-overlap docs dropped,
+    score-then-id tie order), independent of block layout."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from mdvalidate_ray.functions.text import jaccard_search
+
+    rng = np.random.default_rng(13)
+    vocab = [f"w{i}" for i in range(30)]
+    texts = [" ".join(rng.choice(vocab, rng.integers(3, 15)))
+             for _ in range(120)]
+    texts += ["zzz yyy xxx"]  # zero overlap with the query
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts)})).repartition(5)
+
+    query = "w1 w2 w3 w4 w5"
+    got = jaccard_search(ds, query, k=15).to_pandas()
+
+    qs = set(query.split())
+    rows = []
+    for i, t in enumerate(texts):
+        dw = {w for w in t.lower().split() if w}
+        inter = len(dw & qs)
+        if inter:
+            uni = len(dw | qs)
+            rows.append((10**6 * inter // uni, -i, i, inter, uni))
+    rows.sort(key=lambda r: (-r[0], r[2]))
+    want = [(i, inter, uni, s) for s, _, i, inter, uni in rows[:15]]
+    got_rows = list(zip(got["doc_id"].astype(int), got["inter"],
+                        got["uni"], got["score"]))
+    assert [(int(a), int(b), int(c), int(d))
+            for a, b, c, d in got_rows] == want
