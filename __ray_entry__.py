@@ -174,6 +174,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weekly_active_users": Q.weekly_active_users,
         # token-set Jaccard top-k retrieval against a fixed query
         "doc_search": Q.doc_search,
+        # declarative tabular column-expectation suite (per-rule verdicts)
+        "lineitem_expectations": Q.lineitem_expectations,
     }
 
 
@@ -1460,6 +1462,60 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             ORDER BY priority, doc_id
             LIMIT 100
+        """,
+        "lineitem_expectations": """
+            WITH per_rule AS (
+                SELECT 'l_quantity_between_1_50' AS rule_id,
+                       count(l_quantity)::BIGINT AS n_checked,
+                       coalesce(sum(CASE WHEN l_quantity BETWEEN 1 AND 50
+                                    THEN 0 ELSE 1 END) FILTER (
+                           WHERE l_quantity IS NOT NULL), 0)::BIGINT
+                           AS n_failed
+                FROM lineitem
+                UNION ALL
+                SELECT 'l_discount_max_0.1', count(l_discount)::BIGINT,
+                       coalesce(sum(CASE WHEN l_discount <= 0.1
+                                    THEN 0 ELSE 1 END) FILTER (
+                           WHERE l_discount IS NOT NULL), 0)::BIGINT
+                FROM lineitem
+                UNION ALL
+                SELECT 'l_extendedprice_min_0',
+                       count(l_extendedprice)::BIGINT,
+                       coalesce(sum(CASE WHEN l_extendedprice >= 0
+                                    THEN 0 ELSE 1 END) FILTER (
+                           WHERE l_extendedprice IS NOT NULL),
+                                0)::BIGINT
+                FROM lineitem
+                UNION ALL
+                SELECT 'l_returnflag_in_set',
+                       count(l_returnflag)::BIGINT,
+                       coalesce(sum(CASE WHEN l_returnflag IN
+                                    ('A', 'N', 'R') THEN 0 ELSE 1 END)
+                           FILTER (WHERE l_returnflag IS NOT NULL),
+                                0)::BIGINT
+                FROM lineitem
+                UNION ALL
+                SELECT 'l_linestatus_regex',
+                       count(l_linestatus)::BIGINT,
+                       coalesce(sum(CASE WHEN regexp_full_match(
+                                    l_linestatus, '(?:[OF])')
+                                    THEN 0 ELSE 1 END) FILTER (
+                           WHERE l_linestatus IS NOT NULL), 0)::BIGINT
+                FROM lineitem
+                UNION ALL
+                SELECT 'l_shipdate_not_null', count(*)::BIGINT,
+                       (count(*) - count(l_shipdate))::BIGINT
+                FROM lineitem
+                UNION ALL
+                SELECT 'l_tax_between_0_0.08', count(l_tax)::BIGINT,
+                       coalesce(sum(CASE WHEN l_tax BETWEEN 0 AND 0.08
+                                    THEN 0 ELSE 1 END) FILTER (
+                           WHERE l_tax IS NOT NULL), 0)::BIGINT
+                FROM lineitem
+            )
+            SELECT rule_id, n_checked, n_failed,
+                   (n_failed = 0) AS passed
+            FROM per_rule ORDER BY rule_id
         """,
         "doc_search": """
             WITH q AS (

@@ -186,7 +186,7 @@ QUERY_NAMES = [
     # round-3-late additions
     "window_dups", "audio_features", "weighted_sample",
     "lang_top_words", "length_percentiles", "part_kcore",
-    "weekly_active_users", "doc_search",
+    "weekly_active_users", "doc_search", "lineitem_expectations",
 ]
 
 

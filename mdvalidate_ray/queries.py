@@ -3687,3 +3687,25 @@ def doc_search(sf_dir: str):
 
     docs = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
     return jaccard_search(docs, _SEARCH_QUERY, k=20)
+
+
+def lineitem_expectations(sf_dir: str):
+    """Declarative column-expectation suite over lineitem (bounds,
+    enum membership, not-null, regex on the line-status code) — the
+    tabular constraint surface; one streaming pass, per-rule
+    (n_checked, n_failed, passed) verdicts.  See
+    :mod:`mdvalidate_ray.stages.expectations`."""
+    from mdvalidate_ray.stages.expectations import evaluate_expectations
+
+    rules = [
+        {"col": "l_quantity", "kind": "between", "lo": 1, "hi": 50},
+        {"col": "l_discount", "kind": "max", "value": 0.1},
+        {"col": "l_extendedprice", "kind": "min", "value": 0},
+        {"col": "l_returnflag", "kind": "in_set",
+         "values": ["A", "N", "R"]},
+        {"col": "l_linestatus", "kind": "regex", "pattern": "[OF]"},
+        {"col": "l_shipdate", "kind": "not_null"},
+        {"col": "l_tax", "kind": "between", "lo": 0, "hi": 0.08},
+    ]
+    li = _read(sf_dir, "lineitem")
+    return evaluate_expectations(li, rules)

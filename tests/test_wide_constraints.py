@@ -210,3 +210,44 @@ def test_b3_auto_salting_on_hot_key(ray_session):
     assert verdict["salt_buckets"] and verdict["salt_buckets"] >= 8
     dups = {r["doc_id"]: r["cnt"] for r in verdict["duplicates"].take_all()}
     assert dups == {"doc_hot": 1_500}
+
+
+def test_expectations_suite_counts_and_errors(ray_session):
+    """Each expectation kind counts failures vectorized (nulls checked
+    only by not_null; bounds inclusive; regex full-match; in_set),
+    duplicate rule ids and unknown kinds raise."""
+    import pyarrow as pa
+    import pytest
+    import ray.data
+
+    from mdvalidate_ray.stages.expectations import evaluate_expectations
+
+    t = pa.table({
+        "x": pa.array([1, 5, 10, None, -2], pa.int64()),
+        "s": pa.array(["ok", "bad!", None, "ok", "meh"]),
+    })
+    ds = ray.data.from_arrow(t).repartition(2)
+    rules = [
+        {"col": "x", "kind": "not_null"},
+        {"col": "x", "kind": "between", "lo": 0, "hi": 5},
+        {"col": "x", "kind": "min", "value": 1},
+        {"col": "s", "kind": "in_set", "values": ["ok", "meh"]},
+        {"col": "s", "kind": "regex", "pattern": "[a-z]+"},
+    ]
+    out = evaluate_expectations(ds, rules).to_pandas() \
+        .set_index("rule_id")
+    assert out.loc["x_not_null"].n_failed == 1
+    assert out.loc["x_between_0_5"].n_checked == 4      # nulls skipped
+    assert out.loc["x_between_0_5"].n_failed == 2       # 10 and -2
+    assert out.loc["x_min_1"].n_failed == 1             # -2
+    assert out.loc["s_in_set"].n_failed == 1            # "bad!"
+    assert out.loc["s_regex"].n_failed == 1             # "bad!" (full match)
+    assert not out.loc["x_not_null"].passed
+    assert bool(out.loc["s_regex"].passed) is False
+
+    with pytest.raises(ValueError):
+        evaluate_expectations(ds, [{"col": "x", "kind": "nope"}])
+    with pytest.raises(ValueError):
+        evaluate_expectations(
+            ds, [{"col": "x", "kind": "not_null"},
+                 {"col": "x", "kind": "not_null"}])
