@@ -176,6 +176,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_search": Q.doc_search,
         # declarative tabular column-expectation suite (per-rule verdicts)
         "lineitem_expectations": Q.lineitem_expectations,
+        # Markov transition counts over per-user event sequences
+        "event_transitions": Q.event_transitions,
     }
 
 
@@ -1462,6 +1464,19 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             ORDER BY priority, doc_id
             LIMIT 100
+        """,
+        "event_transitions": """
+            WITH seq AS (
+                SELECT user_id, event_type,
+                       lag(event_type) OVER (
+                           PARTITION BY user_id
+                           ORDER BY ts, event_id) AS prev_type
+                FROM events
+            )
+            SELECT prev_type, event_type AS next_type,
+                   count(*)::BIGINT AS cnt
+            FROM seq WHERE prev_type IS NOT NULL
+            GROUP BY prev_type, event_type
         """,
         "lineitem_expectations": """
             WITH per_rule AS (

@@ -3709,3 +3709,83 @@ def lineitem_expectations(sf_dir: str):
     ]
     li = _read(sf_dir, "lineitem")
     return evaluate_expectations(li, rules)
+
+
+def event_transitions(sf_dir: str):
+    """Behavioral Markov transition counts — for each user's event
+    stream in (ts, event_id) order, count adjacent (prev_type →
+    next_type) transitions corpus-wide: the session-modeling /
+    next-action-prediction primitive.  Plan: prune to (user_id, ts,
+    event_id, event_type), ONE ``hash(user) % n_parts`` co-partition
+    (a user's events must meet; vectorized in-bucket: one sort, one
+    shifted-array same-user mask — no per-user loop), per-bucket pair
+    counts, tiny :func:`~mdvalidate_ray.functions.relational
+    .bucketed_group_sum` fold on the fused pair key."""
+    import numpy as np
+    import pandas as pd
+
+    from mdvalidate_ray.functions.relational import bucketed_group_sum
+
+    n_parts = 16
+    ev = _read(sf_dir, "events").select_columns(
+        ["user_id", "ts", "event_id", "event_type"])
+
+    def tag(b: pa.Table) -> pa.Table:
+        u = b.column("user_id").to_numpy(zero_copy_only=False) \
+            .astype(np.uint64)
+        h = (u * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)
+        return b.append_column("_bucket", pa.array(
+            (h % np.uint64(n_parts)).astype(np.int64)))
+
+    pair_schema = pa.schema([("prev_type", pa.string()),
+                             ("next_type", pa.string()),
+                             ("cnt", pa.int64())])
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pair_schema.empty_table()
+        g = g.drop_columns(["_bucket"])
+        g = g.take(pc.sort_indices(
+            g, sort_keys=[("user_id", "ascending"), ("ts", "ascending"),
+                          ("event_id", "ascending")]))
+        u = g.column("user_id").to_numpy(zero_copy_only=False)
+        et = np.asarray(g.column("event_type").to_pylist(), dtype=object)
+        same = u[1:] == u[:-1]
+        if not same.any():
+            return pair_schema.empty_table()
+        dfp = (pd.DataFrame({"p": et[:-1][same], "n": et[1:][same]})
+               .groupby(["p", "n"], sort=False).size()
+               .reset_index(name="c"))
+        return pa.Table.from_arrays(
+            [pa.array(dfp["p"].tolist(), pa.string()),
+             pa.array(dfp["n"].tolist(), pa.string()),
+             pa.array(dfp["c"].to_numpy(np.int64))],
+            names=pair_schema.names)
+
+    partials = ev.map_batches(tag, batch_format="pyarrow",
+                              zero_copy_batch=True) \
+                 .groupby("_bucket").map_groups(per_bucket,
+                                                batch_format="pyarrow")
+
+    def fuse(b: pa.Table) -> pa.Table:
+        key = [f"{p}\x1f{n}" for p, n in zip(
+            b.column("prev_type").to_pylist(),
+            b.column("next_type").to_pylist())]
+        return pa.Table.from_arrays(
+            [pa.array(key, pa.string()), b.column("cnt")],
+            names=["k", "cnt"])
+
+    folded = bucketed_group_sum(
+        partials.map_batches(fuse, batch_format="pyarrow"),
+        key="k", sum_cols=["cnt"], n_parts=8)
+
+    def unfuse(b: pa.Table) -> pa.Table:
+        ks = b.column("k").to_pylist()
+        parts = [k.split("\x1f") for k in ks]
+        return pa.Table.from_arrays(
+            [pa.array([p[0] for p in parts], pa.string()),
+             pa.array([p[1] for p in parts], pa.string()),
+             b.column("cnt").cast(pa.int64())],
+            names=["prev_type", "next_type", "cnt"])
+
+    return folded.map_batches(unfuse, batch_format="pyarrow")

@@ -175,3 +175,40 @@ def test_lang_top_words_partition_invariance(ray_session, tmp_path):
     assert list(en["word"]) == ["b", "a", "c"]
     de = got[got["lang"] == "de"].sort_values("rk")
     assert list(de["word"]) == ["m", "n"]
+
+
+def test_event_transitions_matches_naive(ray_session, tmp_path):
+    """Adjacent-pair transition counts equal a naive per-user scan,
+    with users straddling input blocks and ts ties broken by event_id."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mdvalidate_ray import queries as Q
+
+    rng = np.random.default_rng(17)
+    n = 300
+    users = rng.integers(0, 12, n)
+    ts_us = rng.integers(0, 50, n) * 1_000_000
+    types = rng.choice(["a", "b", "c"], n)
+    t = pa.table({
+        "event_id": pa.array(range(n), pa.int64()),
+        "ts": pa.array(ts_us.astype("int64")).cast(pa.timestamp("us")),
+        "user_id": pa.array(users.astype(np.int64)),
+        "event_type": pa.array(types.tolist()),
+        "value": pa.array(np.zeros(n)),
+        "props": pa.array(["{}"] * n)})
+    pq.write_table(t, tmp_path / "events.parquet")
+
+    got = Q.event_transitions(str(tmp_path)).to_pandas()
+    got_map = {(r.prev_type, r.next_type): int(r.cnt)
+               for r in got.itertuples()}
+
+    rows = sorted(zip(users.tolist(), ts_us.tolist(), range(n),
+                      types.tolist()))
+    want: dict = {}
+    for i in range(1, len(rows)):
+        if rows[i][0] == rows[i - 1][0]:
+            k = (rows[i - 1][3], rows[i][3])
+            want[k] = want.get(k, 0) + 1
+    assert got_map == want
