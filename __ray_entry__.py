@@ -178,6 +178,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_expectations": Q.lineitem_expectations,
         # Markov transition counts over per-user event sequences
         "event_transitions": Q.event_transitions,
+        # PQ-compressed ANN (rows-only; recall pinned by test_pq_recall)
+        "knn_pq": Q.knn_pq,
     }
 
 

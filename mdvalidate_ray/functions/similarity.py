@@ -844,3 +844,146 @@ def score_embeddings_linear(ds, *, key: str = "vec_id",
                                                  "column": column},
                           batch_size=batch_size, batch_format="pyarrow",
                           zero_copy_batch=True, concurrency=concurrency)
+
+
+class PQIndex:
+    """Product quantization (Jégou et al. 2011, "Product Quantization
+    for Nearest Neighbor Search"): split the (normalized) vector into
+    ``m`` subspaces and k-means each subspace to ``k_codes`` centroids
+    on a driver-side sample — a vector then stores as ``m`` uint8 codes
+    (dim·4 → m bytes, e.g. 32× at dim 64 / m 8), and query scoring is
+    an ADC lookup-table sum, no float vectors touched at scan time.
+    The compression tier of the ANN family (IVF prunes WHICH vectors
+    are scanned; PQ shrinks WHAT each scan touches — composable).
+    Deterministic: seeded sample k-means, same contract as
+    :class:`IVFIndex`."""
+
+    def __init__(self, m: int = 8, k_codes: int = 16, iters: int = 10,
+                 seed: int = 0):
+        self.m = m
+        self.k_codes = k_codes
+        self.iters = iters
+        self.seed = seed
+        self.codebooks: np.ndarray | None = None   # (m, k, dsub)
+
+    def fit(self, sample: np.ndarray) -> "PQIndex":
+        x = _normalize(np.asarray(sample, dtype=np.float32))
+        n, dim = x.shape
+        if dim % self.m:
+            raise ValueError(f"dim {dim} not divisible by m={self.m}")
+        dsub = dim // self.m
+        rng = np.random.default_rng(self.seed)
+        books = np.empty((self.m, self.k_codes, dsub), dtype=np.float32)
+        for j in range(self.m):
+            xs = x[:, j * dsub:(j + 1) * dsub]
+            init = rng.choice(n, size=min(self.k_codes, n),
+                              replace=False)
+            c = xs[init].copy()
+            for _ in range(self.iters):
+                d = ((xs[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+                assign = np.argmin(d, axis=1)
+                for ci in range(c.shape[0]):
+                    members = xs[assign == ci]
+                    if len(members):
+                        c[ci] = members.mean(axis=0)
+            books[j, :c.shape[0]] = c
+            if c.shape[0] < self.k_codes:       # tiny sample: pad
+                books[j, c.shape[0]:] = c[0]
+        self.codebooks = books
+        return self
+
+    def encode(self, x: np.ndarray) -> np.ndarray:
+        """(n, dim) float → (n, m) uint8 codes (per-subspace argmin)."""
+        x = _normalize(np.asarray(x, dtype=np.float32))
+        dsub = self.codebooks.shape[2]
+        codes = np.empty((x.shape[0], self.m), dtype=np.uint8)
+        for j in range(self.m):
+            xs = x[:, j * dsub:(j + 1) * dsub]
+            d = ((xs[:, None, :] - self.codebooks[j][None, :, :]) ** 2) \
+                .sum(axis=2)
+            codes[:, j] = np.argmin(d, axis=1).astype(np.uint8)
+        return codes
+
+    def adc_table(self, queries: np.ndarray) -> np.ndarray:
+        """(nq, m, k) inner-product lookup table: q·x ≈ Σ_j lut[q, j,
+        code_j] (normalized vectors → cosine ranking)."""
+        q = _normalize(np.asarray(queries, dtype=np.float32))
+        dsub = self.codebooks.shape[2]
+        lut = np.empty((q.shape[0], self.m, self.k_codes),
+                       dtype=np.float32)
+        for j in range(self.m):
+            lut[:, j, :] = q[:, j * dsub:(j + 1) * dsub] \
+                @ self.codebooks[j].T
+        return lut
+
+
+class _PQScanStage:
+    """Actor-pool ADC scan: codebooks + LUT build once per actor
+    (``__init__``), per batch encode + table-sum + local top-k."""
+
+    def __init__(self, index: PQIndex, queries: np.ndarray, k: int,
+                 column: str, key: str):
+        self.index = index
+        self.lut = index.adc_table(queries)      # (nq, m, k)
+        self.k = k
+        self.column = column
+        self.key = key
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _batch_matrix(batch, self.column)
+        codes = self.index.encode(m)             # (n, m)
+        nq = self.lut.shape[0]
+        scores = np.zeros((nq, codes.shape[0]), dtype=np.float32)
+        for j in range(self.index.m):
+            scores += self.lut[:, j, codes[:, j]]
+        keys = batch.column(self.key).to_numpy(zero_copy_only=False)
+        out = {"query_id": [], "key": [], "score": []}
+        kk = min(self.k, codes.shape[0])
+        for qi in range(nq):
+            idx = np.argpartition(-scores[qi], kk - 1)[:kk]
+            out["query_id"].extend([qi] * kk)
+            out["key"].extend(keys[idx].tolist())
+            out["score"].extend(scores[qi][idx].astype(
+                np.float64).tolist())
+        return pa.Table.from_pydict(out, schema=pa.schema(
+            [("query_id", pa.int64()), ("key", pa.int64()),
+             ("score", pa.float64())]))
+
+
+def knn_pq(ds, queries: np.ndarray, k: int = 10, *, m: int = 8,
+           k_codes: int = 16, sample_size: int = 2048,
+           column: str = "embedding", key: str = "vec_id",
+           concurrency=(1, 8)) -> pa.Table:
+    """PQ-compressed approximate top-k (same output schema as
+    :func:`knn_brute_force`): train on a sample, ADC-scan the corpus
+    (m bytes per vector in flight, no float gathers), merge per-batch
+    partial top-k on the driver.  Recall contract pinned by
+    test_pq_recall."""
+    sample_rows = ds.limit(sample_size).take_all()
+    sample = np.asarray([r[column] for r in sample_rows],
+                        dtype=np.float32)
+    index = PQIndex(m=m, k_codes=k_codes).fit(sample)
+    partials = ds.map_batches(
+        _PQScanStage,
+        fn_constructor_kwargs=dict(index=index, queries=queries, k=k,
+                                   column=column, key=key),
+        batch_format="pyarrow", zero_copy_batch=True,
+        concurrency=concurrency)
+    heaps: dict[int, list] = {}
+    for row in partials.iter_rows():
+        h = heaps.setdefault(row["query_id"], [])
+        item = (row["score"], -row["key"])
+        if len(h) < k:
+            heapq.heappush(h, item)
+        elif item > h[0]:
+            heapq.heapreplace(h, item)
+    out = []
+    for qi in sorted(heaps):
+        ranked = sorted(((s, -nk) for s, nk in heaps[qi]),
+                        key=lambda t: (-t[0], t[1]))
+        for rank, (score, kk2) in enumerate(ranked):
+            out.append({"query_id": qi, "rank": rank, "key": kk2,
+                        "score": score})
+    return pa.Table.from_pylist(out, schema=pa.schema(
+        [("query_id", pa.int64()), ("rank", pa.int64()),
+         ("key", pa.int64()), ("score", pa.float64())]))

