@@ -180,6 +180,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_transitions": Q.event_transitions,
         # PQ-compressed ANN (rows-only; recall pinned by test_pq_recall)
         "knn_pq": Q.knn_pq,
+        # exact two-sample KS drift statistic (integer sup-CDF gap)
+        "ks_drift_sources": Q.ks_drift_sources,
     }
 
 
@@ -1466,6 +1468,34 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             ORDER BY priority, doc_id
             LIMIT 100
+        """,
+        "ks_drift_sources": """
+            WITH vals AS (
+                SELECT n_chars AS v,
+                       CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS a,
+                       CASE WHEN source = 'src1' THEN 1 ELSE 0 END AS b
+                FROM documents
+                WHERE source IN ('src0', 'src1')
+            ),
+            grp AS (
+                SELECT v, sum(a)::BIGINT AS ca, sum(b)::BIGINT AS cb
+                FROM vals GROUP BY v
+            ),
+            scan AS (
+                SELECT sum(ca) OVER (ORDER BY v) AS fa,
+                       sum(cb) OVER (ORDER BY v) AS fb
+                FROM grp
+            ),
+            tot AS (
+                SELECT sum(ca)::BIGINT AS n_a, sum(cb)::BIGINT AS n_b
+                FROM grp
+            )
+            SELECT n_a, n_b,
+                   max(abs(fa * n_b - fb * n_a))::BIGINT AS ks_num,
+                   (1000000 * max(abs(fa * n_b - fb * n_a))
+                        // (n_a * n_b))::BIGINT AS ks_ppm
+            FROM scan, tot
+            GROUP BY n_a, n_b
         """,
         "event_transitions": """
             WITH seq AS (

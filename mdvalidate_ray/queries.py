@@ -3814,3 +3814,16 @@ def knn_pq(sf_dir: str):
          _pc_round(pc.multiply(out.column("score"), 1000.0))
          .cast(pa.int64())],
         names=["query_id", "key", "score_m"])
+
+
+def ks_drift_sources(sf_dir: str):
+    """Exact two-sample KS statistic on document length between sources
+    src0 and src1 — the integer-exact hypothesis-test complement of the
+    sketch drift queries; see :func:`mdvalidate_ray.stages.drift
+    .ks_exact`."""
+    from mdvalidate_ray.stages.drift import ks_exact
+
+    docs = _read(sf_dir, "documents").select_columns(
+        ["n_chars", "source"])
+    return ks_exact(docs, value_col="n_chars", group_col="source",
+                    group_a="src0", group_b="src1")

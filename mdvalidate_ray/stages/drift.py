@@ -200,3 +200,79 @@ def tree_reduce_sketches(blobs: list[bytes], make_sketch, from_bytes, *,
             merge_chunk.remote(c, make_sketch, from_bytes)
             for c in chunks]))
     return _fold_sorted(level, make_sketch, from_bytes)
+
+
+def ks_exact(ds, *, value_col: str, group_col: str, group_a,
+             group_b, n_parts: int = 16):
+    """EXACT two-sample Kolmogorov–Smirnov statistic between two
+    populations of one column — the hypothesis-test complement of the
+    KLL/t-digest DRIFT sketches in this module (those give quantile
+    distances; this gives the exact sup-CDF-gap a release gate can
+    threshold, with no float folding anywhere):
+
+    ``D = max_v |F_a(v) − F_b(v)|``, computed in integers as
+    ``max_v |ca(v)·n_b − cb(v)·n_a|`` over the pooled distinct values
+    (the supremum of a step function is attained at a jump), then
+    reported both raw and as ppm (``10^6·num // (n_a·n_b)``).
+
+    Plan: per-batch (value, cnt_a, cnt_b) combiner — a hot value
+    contributes one row per batch — one
+    :func:`~mdvalidate_ray.functions.relational.bucketed_group_sum`
+    exchange folds exact per-value counts, and the finish (sort by
+    value, two cumsums, one argmax) runs on the DISTINCT-VALUE table,
+    which is bounded by the column's cardinality, not the corpus (drift
+    columns are lengths/scores/buckets; pre-bin a genuinely continuous
+    column first — same contract as the sketch path).  Returns one row
+    ``(n_a, n_b, ks_num, ks_ppm)``."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from mdvalidate_ray.functions.relational import bucketed_group_sum
+
+    part_schema = pa.schema([("v", pa.int64()), ("ca", pa.int64()),
+                             ("cb", pa.int64())])
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = b.column(group_col)
+        in_a = pc.equal(g, group_a)
+        in_b = pc.equal(g, group_b)
+        v = b.column(value_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        ma = np.asarray(in_a.combine_chunks(), dtype=bool)
+        mb = np.asarray(in_b.combine_chunks(), dtype=bool)
+        if not (ma.any() or mb.any()):
+            return part_schema.empty_table()
+        uniq = np.unique(v[ma | mb])
+        ca = np.zeros(len(uniq), dtype=np.int64)
+        cb = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(ca, np.searchsorted(uniq, v[ma]), 1)
+        np.add.at(cb, np.searchsorted(uniq, v[mb]), 1)
+        return pa.Table.from_arrays(
+            [pa.array(uniq), pa.array(ca), pa.array(cb)],
+            names=part_schema.names)
+
+    folded = bucketed_group_sum(
+        ds.select_columns([value_col, group_col]).map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True),
+        key="v", sum_cols=["ca", "cb"], n_parts=n_parts)
+
+    # finish on the distinct-value table (cardinality-bounded); ONE
+    # consumption — no count() probe, which would re-execute the fold
+    blocks = list(folded.iter_batches(batch_format="pyarrow"))
+    t = (pa.concat_tables(blocks) if blocks
+         else part_schema.empty_table())
+    if t.num_rows == 0:
+        return pa.table({"n_a": pa.array([0], pa.int64()),
+                         "n_b": pa.array([0], pa.int64()),
+                         "ks_num": pa.array([0], pa.int64()),
+                         "ks_ppm": pa.array([0], pa.int64())})
+    t = t.sort_by("v")
+    ca = np.cumsum(t.column("ca").to_numpy(zero_copy_only=False))
+    cb = np.cumsum(t.column("cb").to_numpy(zero_copy_only=False))
+    n_a, n_b = int(ca[-1]), int(cb[-1])
+    num = int(np.abs(ca * n_b - cb * n_a).max()) if n_a and n_b else 0
+    ppm = 10**6 * num // (n_a * n_b) if n_a and n_b else 0
+    return pa.table({"n_a": pa.array([n_a], pa.int64()),
+                     "n_b": pa.array([n_b], pa.int64()),
+                     "ks_num": pa.array([num], pa.int64()),
+                     "ks_ppm": pa.array([ppm], pa.int64())})

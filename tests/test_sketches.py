@@ -254,3 +254,46 @@ def test_tree_reduce_sketches_deterministic_and_accurate(ray_session):
         lo, hi = np.quantile(flat, max(0.0, q - 0.05)), np.quantile(
             flat, min(1.0, q + 0.05))
         assert lo - 1e-9 <= est <= hi + 1e-9, (q, est, exact)
+
+
+def test_ks_exact_matches_scipy_free_reference(ray_session):
+    """Integer KS equals a brute-force CDF-gap computation (including
+    heavy ties and unequal sample sizes), across block splits; disjoint
+    distributions give D = 1 (ppm = 10^6), identical ones give 0."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from mdvalidate_ray.stages.drift import ks_exact
+
+    rng = np.random.default_rng(23)
+    va = rng.integers(0, 40, 300)          # heavy ties
+    vb = np.r_[rng.integers(10, 50, 200), [25] * 30]
+    t = pa.table({
+        "v": pa.array(np.r_[va, vb].astype(np.int64)),
+        "g": pa.array(["a"] * len(va) + ["b"] * len(vb))})
+    got = ks_exact(ray.data.from_arrow(t).repartition(5),
+                   value_col="v", group_col="g", group_a="a",
+                   group_b="b", n_parts=4).to_pandas().iloc[0]
+
+    pooled = np.unique(np.r_[va, vb])
+    ca = np.array([(va <= x).sum() for x in pooled], dtype=np.int64)
+    cb = np.array([(vb <= x).sum() for x in pooled], dtype=np.int64)
+    num = int(np.abs(ca * len(vb) - cb * len(va)).max())
+    assert int(got.n_a) == len(va) and int(got.n_b) == len(vb)
+    assert int(got.ks_num) == num
+    assert int(got.ks_ppm) == 10**6 * num // (len(va) * len(vb))
+
+    # disjoint -> D = 1; identical -> D = 0
+    t2 = pa.table({"v": pa.array([1, 2, 3, 10, 11, 12], pa.int64()),
+                   "g": pa.array(["a", "a", "a", "b", "b", "b"])})
+    d2 = ks_exact(ray.data.from_arrow(t2), value_col="v",
+                  group_col="g", group_a="a", group_b="b") \
+        .to_pandas().iloc[0]
+    assert int(d2.ks_ppm) == 10**6
+    t3 = pa.table({"v": pa.array([1, 2, 1, 2], pa.int64()),
+                   "g": pa.array(["a", "a", "b", "b"])})
+    d3 = ks_exact(ray.data.from_arrow(t3), value_col="v",
+                  group_col="g", group_a="a", group_b="b") \
+        .to_pandas().iloc[0]
+    assert int(d3.ks_num) == 0
