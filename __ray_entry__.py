@@ -182,6 +182,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_pq": Q.knn_pq,
         # exact two-sample KS drift statistic (integer sup-CDF gap)
         "ks_drift_sources": Q.ks_drift_sources,
+        # FIRST/LAST (OHLC) mergeable aggregates per (user, day)
+        "user_daily_ohlc": Q.user_daily_ohlc,
     }
 
 
@@ -1468,6 +1470,31 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             ORDER BY priority, doc_id
             LIMIT 100
+        """,
+        "user_daily_ohlc": """
+            WITH e AS (
+                SELECT user_id,
+                       (epoch_us(ts) // 86400000000)::BIGINT AS day,
+                       ts, event_id,
+                       CAST(round(value * 100) AS BIGINT) AS vc
+                FROM events
+            ),
+            w AS (
+                SELECT user_id, day, vc,
+                       row_number() OVER (PARTITION BY user_id, day
+                           ORDER BY ts, event_id) AS rn_a,
+                       row_number() OVER (PARTITION BY user_id, day
+                           ORDER BY ts DESC, event_id DESC) AS rn_d
+                FROM e
+            )
+            SELECT user_id, day,
+                   max(CASE WHEN rn_a = 1 THEN vc END)::BIGINT AS open_c,
+                   max(CASE WHEN rn_d = 1 THEN vc END)::BIGINT
+                       AS close_c,
+                   min(vc)::BIGINT AS lo_c,
+                   max(vc)::BIGINT AS hi_c,
+                   count(*)::BIGINT AS n
+            FROM w GROUP BY user_id, day
         """,
         "ks_drift_sources": """
             WITH vals AS (

@@ -187,7 +187,7 @@ QUERY_NAMES = [
     "window_dups", "audio_features", "weighted_sample",
     "lang_top_words", "length_percentiles", "part_kcore",
     "weekly_active_users", "doc_search", "lineitem_expectations",
-    "event_transitions", "knn_pq", "ks_drift_sources",
+    "event_transitions", "knn_pq", "ks_drift_sources", "user_daily_ohlc",
 ]
 
 

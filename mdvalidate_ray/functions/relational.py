@@ -1691,3 +1691,133 @@ def rolling_active_users(ds, *, time_col: str, user_col: str,
 
     return folded.map_batches(keep_observed, batch_format="pyarrow",
                               zero_copy_batch=True)
+
+
+def grouped_first_last(ds, *, group_cols: list[str],
+                       order_cols: list[str], value_col: str,
+                       scale: int = 100, n_parts: int = 32):
+    """FIRST_VALUE / LAST_VALUE / MIN / MAX / COUNT per group in one
+    pass — the OHLC ("open/close") aggregate class: the partials are
+    MERGEABLE (first/last carry their order keys; min/max/count are
+    plain), so each batch contributes one row per group to the exchange
+    no matter how hot the group, and the in-bucket merge is the same
+    vectorized segment pass as the combiner.
+
+    ``order_cols`` must be ``(ts, unique_id)`` — a total order within a
+    group.  Float values are ×``scale``-scaled ``round`` int64 (cents),
+    so every fold is exact integer math.  Returns one row per group:
+    ``(*group_cols, open_c, close_c, lo_c, hi_c, n)``."""
+    from mdvalidate_ray.state.sketches import hash_strings
+
+    if len(order_cols) != 2:
+        raise ValueError("order_cols must be (ts, unique_id)")
+
+    def _segments(s: pa.Table):
+        """Group-boundary scan of a (group-sorted) table."""
+        gs = [s.column(c).to_numpy(zero_copy_only=False)
+              for c in group_cols]
+        n = s.num_rows
+        new = np.empty(n, dtype=bool)
+        new[0] = True
+        new[1:] = np.zeros(n - 1, dtype=bool)
+        for g in gs:
+            new[1:] |= g[1:] != g[:-1]
+        starts = np.flatnonzero(new)
+        ends = np.r_[starts[1:], n] - 1
+        return gs, np.cumsum(new) - 1, starts, ends
+
+    def _emit(gs, starts, open_v, ots, oid, close_v, cts, cid, lo, hi,
+              cnt, bucket: bool) -> pa.Table:
+        cols = {c: pa.array(np.asarray(g)[starts])
+                for c, g in zip(group_cols, gs)}
+        cols.update({"_vc": pa.array(open_v), "_ots": pa.array(ots),
+                     "_oid": pa.array(oid), "_close": pa.array(close_v),
+                     "_cts": pa.array(cts), "_cid": pa.array(cid),
+                     "_lo": pa.array(lo), "_hi": pa.array(hi),
+                     "_n": pa.array(cnt)})
+        out = pa.table(cols)
+        if bucket:
+            k0 = np.asarray(gs[0])[starts]
+            h = ((k0.astype(np.uint64)
+                  * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)) \
+                if k0.dtype.kind in "iu" else hash_strings(
+                    [str(x) for x in k0])
+            out = out.append_column("_bucket", pa.array(
+                (h % np.uint64(n_parts)).astype(np.int64)))
+        return out
+
+    def combine(b: pa.Table) -> pa.Table:
+        s = b.select(group_cols + order_cols + [value_col])
+        if s.num_rows == 0:
+            return _emit([np.zeros(0, dtype=np.int64)] * len(group_cols),
+                         np.zeros(0, dtype=np.int64),
+                         *([np.zeros(0, dtype=np.int64)] * 9), True)
+        s = s.take(pc.sort_indices(s, sort_keys=[
+            (c, "ascending") for c in group_cols + order_cols]))
+        gs, seg_id, starts, ends = _segments(s)
+        ts = s.column(order_cols[0])
+        if pa.types.is_timestamp(ts.type):
+            ts = ts.cast(pa.int64())
+        ots_all = ts.to_numpy(zero_copy_only=False).astype(np.int64)
+        oid_all = s.column(order_cols[1]).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        v = s.column(value_col).to_numpy(zero_copy_only=False)
+        vc = (np.round(v * scale).astype(np.int64)
+              if v.dtype.kind == "f" else v.astype(np.int64))
+        lo = np.full(len(starts), 2**62, dtype=np.int64)
+        hi = np.full(len(starts), -2**62, dtype=np.int64)
+        cnt = np.zeros(len(starts), dtype=np.int64)
+        np.minimum.at(lo, seg_id, vc)
+        np.maximum.at(hi, seg_id, vc)
+        np.add.at(cnt, seg_id, 1)
+        # rows are (group, ts, id)-sorted: head = first, tail = last
+        return _emit(gs, starts, vc[starts], ots_all[starts],
+                     oid_all[starts], vc[ends], ots_all[ends],
+                     oid_all[ends], lo, hi, cnt, True)
+
+    def merge(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["_bucket"])
+        out_schema_cols = group_cols + ["open_c", "close_c", "lo_c",
+                                        "hi_c", "n"]
+        if g.num_rows == 0:
+            return pa.table({c: pa.array([], pa.int64())
+                             for c in out_schema_cols})
+        # sort partials by the carried OPEN order key: the segment head
+        # is the global first; the global last needs a per-segment
+        # argmax over the carried close keys (np.maximum.at on a fused
+        # (ts<<20|id)-style key would overflow; lexsort per segment is
+        # bounded by partial rows, not raw rows)
+        s = g.take(pc.sort_indices(g, sort_keys=[
+            (c, "ascending") for c in group_cols] +
+            [("_ots", "ascending"), ("_oid", "ascending")]))
+        gs, seg_id, starts, ends = _segments(s)
+        lo = np.full(len(starts), 2**62, dtype=np.int64)
+        hi = np.full(len(starts), -2**62, dtype=np.int64)
+        cnt = np.zeros(len(starts), dtype=np.int64)
+        np.minimum.at(lo, seg_id,
+                      s.column("_lo").to_numpy(zero_copy_only=False))
+        np.maximum.at(hi, seg_id,
+                      s.column("_hi").to_numpy(zero_copy_only=False))
+        np.add.at(cnt, seg_id,
+                  s.column("_n").to_numpy(zero_copy_only=False))
+        open_v = s.column("_vc").to_numpy(zero_copy_only=False)[starts]
+        c_ts = s.column("_cts").to_numpy(zero_copy_only=False)
+        c_id = s.column("_cid").to_numpy(zero_copy_only=False)
+        cv = s.column("_close").to_numpy(zero_copy_only=False)
+        close_out = np.empty(len(starts), dtype=np.int64)
+        for k, (a, e) in enumerate(zip(starts, ends)):
+            span = slice(a, e + 1)
+            j = np.lexsort((c_id[span], c_ts[span]))[-1]
+            close_out[k] = cv[a + j]
+        cols = {c: pa.array(np.asarray(gg)[starts])
+                for c, gg in zip(group_cols, gs)}
+        cols.update({"open_c": pa.array(open_v),
+                     "close_c": pa.array(close_out),
+                     "lo_c": pa.array(lo), "hi_c": pa.array(hi),
+                     "n": pa.array(cnt)})
+        return pa.table(cols)
+
+    pre = ds.map_batches(combine, batch_format="pyarrow",
+                         zero_copy_batch=True)
+    return pre.groupby("_bucket").map_groups(merge,
+                                             batch_format="pyarrow")

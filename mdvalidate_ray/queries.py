@@ -3827,3 +3827,27 @@ def ks_drift_sources(sf_dir: str):
         ["n_chars", "source"])
     return ks_exact(docs, value_col="n_chars", group_col="source",
                     group_a="src0", group_b="src1")
+
+
+def user_daily_ohlc(sf_dir: str):
+    """Per-(user, day) OPEN / CLOSE / LOW / HIGH / COUNT of event value
+    (cents-scaled) — the FIRST_VALUE/LAST_VALUE aggregate class with
+    mergeable order-annotated partials; see :func:`mdvalidate_ray
+    .functions.relational.grouped_first_last`."""
+    import numpy as np
+
+    from mdvalidate_ray.functions.relational import grouped_first_last
+
+    ev = _read(sf_dir, "events").select_columns(
+        ["user_id", "ts", "event_id", "value"])
+
+    def add_day(b: pa.Table) -> pa.Table:
+        day = (b.column("ts").cast(pa.int64()).to_numpy(
+            zero_copy_only=False) // 86_400_000_000)
+        return b.append_column("day", pa.array(day.astype(np.int64)))
+
+    with_day = ev.map_batches(add_day, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    return grouped_first_last(with_day, group_cols=["user_id", "day"],
+                              order_cols=["ts", "event_id"],
+                              value_col="value", scale=100)

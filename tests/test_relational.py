@@ -714,3 +714,37 @@ def test_ipc_round_trip_and_pruned_read(ray_session, tmp_path):
     pb = pruned.to_pandas()
     assert list(sorted(pb.columns)) == ["doc_id", "lang"]
     assert len(pb) == docs.num_rows
+
+
+def test_grouped_first_last_merges_across_blocks(ray_session):
+    """Open/close/min/max/count partials merge correctly when a group
+    straddles blocks: the global first/last is decided by the carried
+    order keys, ts ties break on the unique id, floats fold as exact
+    cents."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from mdvalidate_ray.functions.relational import grouped_first_last
+
+    rng = np.random.default_rng(29)
+    n = 500
+    t = pa.table({
+        "u": pa.array(rng.integers(0, 10, n).astype(np.int64)),
+        "ts": pa.array(rng.integers(0, 40, n).astype(np.int64)),
+        "eid": pa.array(np.arange(n, dtype=np.int64)),
+        "value": pa.array(rng.normal(10, 3, n))})
+    got = grouped_first_last(
+        ray.data.from_arrow(t).repartition(7), group_cols=["u"],
+        order_cols=["ts", "eid"], value_col="value", scale=100,
+        n_parts=4).to_pandas().set_index("u").sort_index()
+
+    import pandas as pd
+    df = t.to_pandas()
+    df["vc"] = np.round(df["value"] * 100).astype(np.int64)
+    df = df.sort_values(["u", "ts", "eid"])
+    want = df.groupby("u").agg(
+        open_c=("vc", "first"), close_c=("vc", "last"),
+        lo_c=("vc", "min"), hi_c=("vc", "max"), n=("vc", "size"))
+    assert got[["open_c", "close_c", "lo_c", "hi_c", "n"]].equals(
+        want.astype(np.int64))
