@@ -953,16 +953,19 @@ class _PQScanStage:
 def knn_pq(ds, queries: np.ndarray, k: int = 10, *, m: int = 8,
            k_codes: int = 16, sample_size: int = 2048,
            column: str = "embedding", key: str = "vec_id",
-           concurrency=(1, 8)) -> pa.Table:
+           concurrency=(1, 8), index: "PQIndex | None" = None
+           ) -> pa.Table:
     """PQ-compressed approximate top-k (same output schema as
-    :func:`knn_brute_force`): train on a sample, ADC-scan the corpus
-    (m bytes per vector in flight, no float gathers), merge per-batch
-    partial top-k on the driver.  Recall contract pinned by
-    test_pq_recall."""
-    sample_rows = ds.limit(sample_size).take_all()
-    sample = np.asarray([r[column] for r in sample_rows],
-                        dtype=np.float32)
-    index = PQIndex(m=m, k_codes=k_codes).fit(sample)
+    :func:`knn_brute_force`): train on a sample (or reuse a pre-fitted
+    ``index`` — :func:`knn_ivf_pq` trains once for both stages),
+    ADC-scan the corpus (m bytes per vector in flight, no float
+    gathers), merge per-batch partial top-k on the driver.  Recall
+    contract pinned by test_pq_recall."""
+    if index is None:
+        sample_rows = ds.limit(sample_size).take_all()
+        sample = np.asarray([r[column] for r in sample_rows],
+                            dtype=np.float32)
+        index = PQIndex(m=m, k_codes=k_codes).fit(sample)
     partials = ds.map_batches(
         _PQScanStage,
         fn_constructor_kwargs=dict(index=index, queries=queries, k=k,
@@ -987,3 +990,30 @@ def knn_pq(ds, queries: np.ndarray, k: int = 10, *, m: int = 8,
     return pa.Table.from_pylist(out, schema=pa.schema(
         [("query_id", pa.int64()), ("rank", pa.int64()),
          ("key", pa.int64()), ("score", pa.float64())]))
+
+
+def knn_ivf_pq(ds, queries: np.ndarray, k: int = 10, *,
+               n_clusters: int = 16, nprobe: int = 4, m: int = 8,
+               k_codes: int = 16, sample_size: int = 2048,
+               column: str = "embedding", key: str = "vec_id",
+               concurrency=(1, 8)) -> pa.Table:
+    """IVF × PQ composition — the full Jégou-style ANN stack: IVF
+    PRUNES which vectors stream (cluster-assignment filter, same
+    sample-trained centroids as :func:`knn_ivf`), PQ SHRINKS what each
+    surviving scan touches (m uint8 codes + ADC tables, same index as
+    :func:`knn_pq`).  One sample feeds both trainings; output schema
+    matches :func:`knn_brute_force`."""
+    sample_rows = ds.limit(sample_size).take_all()
+    sample = np.asarray([r[column] for r in sample_rows],
+                        dtype=np.float32)
+    ivf = IVFIndex(n_clusters=n_clusters).fit(sample)
+    pq = PQIndex(m=m, k_codes=k_codes).fit(sample)   # ONE sample, both
+    wanted = ivf.probe_clusters(queries, nprobe)
+    pruned = ds.map_batches(
+        _IVFFilter,
+        fn_constructor_kwargs=dict(centroids=ivf.centroids,
+                                   wanted=wanted, column=column),
+        batch_format="pyarrow", zero_copy_batch=True,
+        concurrency=concurrency)
+    return knn_pq(pruned, queries, k, column=column, key=key,
+                  concurrency=concurrency, index=pq)

@@ -1528,3 +1528,33 @@ def test_pq_recall_and_compression(embeddings):
     self_score = sum(lut[0, j, codes[0, j]] for j in range(8))
     other_score = sum(lut[0, j, codes[250, j]] for j in range(8))
     assert self_score > other_score
+
+
+def test_knn_ivf_pq_composition(ray_session):
+    """The composed IVF(prune)×PQ(compress) stack returns k hits per
+    query, all from the query's own blob, deterministically."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from mdvalidate_ray.functions.similarity import knn_ivf_pq
+
+    rng = np.random.default_rng(7)
+    centers = rng.normal(size=(8, 64)).astype(np.float32) * 5
+    blob = np.repeat(centers, 100, axis=0) + rng.normal(
+        size=(800, 64)).astype(np.float32) * 0.3
+    bds = ray.data.from_arrow(pa.table({
+        "vec_id": pa.array(range(800), pa.int64()),
+        "embedding": pa.array([v.tolist() for v in blob],
+                              pa.list_(pa.float32()))})).repartition(4)
+    queries = blob[[0, 100]]
+    a = knn_ivf_pq(bds, queries, k=10, n_clusters=8, nprobe=2,
+                   m=8, k_codes=32)
+    b = knn_ivf_pq(bds, queries, k=10, n_clusters=8, nprobe=2,
+                   m=8, k_codes=32)
+    assert a.to_pylist() == b.to_pylist()
+    rows = a.to_pylist()
+    for qi, qvec in enumerate([0, 100]):
+        hits = [r["key"] for r in rows if r["query_id"] == qi]
+        assert len(hits) == 10
+        assert all(h // 100 == qvec // 100 for h in hits)
