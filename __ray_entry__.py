@@ -184,6 +184,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ks_drift_sources": Q.ks_drift_sources,
         # FIRST/LAST (OHLC) mergeable aggregates per (user, day)
         "user_daily_ohlc": Q.user_daily_ohlc,
+        # per-group percent_rank without shuffling rows (2-phase map)
+        "lang_length_pct": Q.lang_length_pct,
     }
 
 
@@ -1470,6 +1472,14 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             ORDER BY priority, doc_id
             LIMIT 100
+        """,
+        "lang_length_pct": """
+            SELECT doc_id, lang, n_chars,
+                   rank() OVER (PARTITION BY lang
+                                ORDER BY n_chars)::BIGINT AS rnk,
+                   percent_rank() OVER (PARTITION BY lang
+                                        ORDER BY n_chars) AS pct_rank
+            FROM documents
         """,
         "user_daily_ohlc": """
             WITH e AS (

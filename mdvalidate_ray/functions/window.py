@@ -573,3 +573,90 @@ def global_percent_rank(ds, *, value_col: str):
         schema = schema.append(pa.field("cume", pa.float64()))
         return ray.data.from_arrow(schema.empty_table())
     return ray.data.from_arrow_refs(ranked)
+
+
+def grouped_percent_rank(ds, *, group_col: str, value_col: str,
+                         n_parts: int = 16):
+    """Per-group ``rank() / percent_rank() OVER (PARTITION BY group
+    ORDER BY value)`` with SQL peer-tie semantics, WITHOUT shuffling
+    rows — the per-group quantile-transform / score-calibration
+    primitive (normalize a quality score within its domain before
+    cross-domain mixing).
+
+    Two-phase plan (the scale shape of
+    :func:`~mdvalidate_ray.functions.relational.group_zscore`): phase 1
+    folds exact ``(group, value, cnt)`` frequencies through one bounded
+    exchange (cardinality of the VALUE domain per group, not rows);
+    the driver turns them into per-group sorted value arrays + rank
+    prefix sums and broadcasts once via ``ray.put``; phase 2 maps every
+    row with a vectorized per-group ``np.searchsorted`` — rows never
+    leave their blocks.  ``percent_rank = (rank-1)/(n-1)`` is one IEEE
+    division of exact ints → DuckDB-bit-equal.  Partitioning
+    assumption: the (group × distinct-value) table fits the driver —
+    pre-bin continuous values (same contract as the drift family)."""
+    import ray
+
+    from mdvalidate_ray.functions.relational import bucketed_group_sum
+    from mdvalidate_ray.state.sketches import hash_strings
+
+    part_schema = pa.schema([("g", pa.string()), ("v", pa.int64()),
+                             ("cnt", pa.int64())])
+
+    def freq(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        if b.num_rows == 0:
+            return part_schema.empty_table()
+        gg = (pd.DataFrame({
+            "g": [str(x) for x in b.column(group_col).to_pylist()],
+            "v": b.column(value_col).to_numpy(
+                zero_copy_only=False).astype(np.int64)})
+            .groupby(["g", "v"], sort=False).size()
+            .reset_index(name="c"))
+        key = [f"{g}\x1f{v}" for g, v in zip(gg["g"], gg["v"])]
+        return pa.Table.from_arrays(
+            [pa.array(key, pa.string()),
+             pa.array(gg["c"].to_numpy(np.int64))], names=["k", "cnt"])
+
+    folded = bucketed_group_sum(
+        ds.select_columns([group_col, value_col]).map_batches(
+            freq, batch_format="pyarrow", zero_copy_batch=True),
+        key="k", sum_cols=["cnt"], n_parts=n_parts)
+
+    table: dict = {}
+    for blk in folded.iter_batches(batch_format="pyarrow"):
+        for k, c in zip(blk.column("k").to_pylist(),
+                        blk.column("cnt").to_pylist()):
+            g, v = k.rsplit("\x1f", 1)
+            table.setdefault(g, []).append((int(v), int(c)))
+    mapping = {}
+    for g, pairs in table.items():
+        pairs.sort()
+        vals = np.array([p[0] for p in pairs], dtype=np.int64)
+        cnts = np.array([p[1] for p in pairs], dtype=np.int64)
+        # rank of value v = 1 + (# rows with smaller value)
+        ranks = np.r_[0, np.cumsum(cnts)[:-1]] + 1
+        mapping[g] = (vals, ranks, int(cnts.sum()))
+    map_ref = ray.put(mapping)
+
+    def assign(b: pa.Table) -> pa.Table:
+        mp = ray.get(map_ref)
+        gcol = np.asarray([str(x) for x in
+                           b.column(group_col).to_pylist()],
+                          dtype=object)
+        v = b.column(value_col).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        rnk = np.zeros(len(v), dtype=np.int64)
+        pct = np.zeros(len(v), dtype=np.float64)
+        for g in np.unique(gcol):
+            mask = gcol == g
+            vals, ranks, n_g = mp[g]
+            r = ranks[np.searchsorted(vals, v[mask])]
+            rnk[mask] = r
+            pct[mask] = ((r - 1) / (n_g - 1) if n_g > 1
+                         else np.zeros(mask.sum()))
+        out = b.append_column("rnk", pa.array(rnk))
+        return out.append_column("pct_rank", pa.array(pct))
+
+    return ds.map_batches(assign, batch_format="pyarrow",
+                          zero_copy_batch=True)

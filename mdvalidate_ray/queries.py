@@ -3851,3 +3851,16 @@ def user_daily_ohlc(sf_dir: str):
     return grouped_first_last(with_day, group_cols=["user_id", "day"],
                               order_cols=["ts", "event_id"],
                               value_col="value", scale=100)
+
+
+def lang_length_pct(sf_dir: str):
+    """Within-language length percentile for every document (rank +
+    percent_rank with peer ties) — per-domain score calibration without
+    shuffling rows; see :func:`mdvalidate_ray.functions.window
+    .grouped_percent_rank`."""
+    from mdvalidate_ray.functions.window import grouped_percent_rank
+
+    docs = _read(sf_dir, "documents").select_columns(
+        ["doc_id", "lang", "n_chars"])
+    return grouped_percent_rank(docs, group_col="lang",
+                                value_col="n_chars")

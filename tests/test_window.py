@@ -548,3 +548,41 @@ def test_global_percent_rank_cross_block_peers(ray_session):
     g3 = global_percent_rank(ray.data.from_arrow(one),
                              value_col="v").to_pandas()
     assert g3.iloc[0]["pct_rank"] == 0.0 and g3.iloc[0]["cume"] == 1.0
+
+
+def test_grouped_percent_rank_matches_duckdb(ray_session):
+    """Two-phase broadcast-mapping percent_rank equals DuckDB's window
+    on tied, multi-block data; singleton groups get pct 0."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from mdvalidate_ray.functions.window import grouped_percent_rank
+
+    rng = np.random.default_rng(31)
+    n = 400
+    t = pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "lang": pa.array(rng.choice(["en", "fr", "de"], n).tolist()
+                         + []),
+        "n_chars": pa.array(rng.integers(0, 25, n).astype(np.int64))})
+    # singleton group
+    t = pa.concat_tables([t, pa.table({
+        "doc_id": pa.array([n], pa.int64()),
+        "lang": pa.array(["zz"]),
+        "n_chars": pa.array([7], pa.int64())})])
+    got = grouped_percent_rank(
+        ray.data.from_arrow(t).repartition(6), group_col="lang",
+        value_col="n_chars").to_pandas().sort_values("doc_id") \
+        .reset_index(drop=True)
+    want = duckdb.sql("""
+        SELECT doc_id,
+               rank() OVER (PARTITION BY lang ORDER BY n_chars) AS rnk,
+               percent_rank() OVER (PARTITION BY lang
+                                    ORDER BY n_chars) AS pct_rank
+        FROM t ORDER BY doc_id""").df()
+    assert (got["rnk"].to_numpy() == want["rnk"].to_numpy()).all()
+    assert np.array_equal(got["pct_rank"].to_numpy(),
+                          want["pct_rank"].to_numpy())
+    assert got.iloc[-1]["pct_rank"] == 0.0   # singleton group
