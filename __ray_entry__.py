@@ -186,6 +186,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_daily_ohlc": Q.user_daily_ohlc,
         # per-group percent_rank without shuffling rows (2-phase map)
         "lang_length_pct": Q.lang_length_pct,
+        # BM25 top-k lexical retrieval (integer-exact scoring)
+        "bm25_topk": Q.bm25_topk,
     }
 
 
@@ -1480,6 +1482,56 @@ def oracle_sql() -> dict[str, str]:
                    percent_rank() OVER (PARTITION BY lang
                                         ORDER BY n_chars) AS pct_rank
             FROM documents
+        """,
+        "bm25_topk": """
+            WITH q AS (
+                SELECT unnest(list_distinct(list_filter(
+                    string_split_regex(
+                        lower('fast hash join merge sort window batch stream'),
+                        '\\s+'), x -> x <> ''))) AS term
+            ),
+            w AS (
+                SELECT doc_id, unnest(list_filter(
+                    string_split_regex(lower(trim(text)), '\\s+'),
+                    x -> x <> '')) AS term
+                FROM documents
+            ),
+            a AS (
+                SELECT (SELECT count(*) FROM documents)::BIGINT AS n,
+                       (SELECT count(*) FROM w)::BIGINT AS wt,
+                       ((100 * (SELECT count(*) FROM w))
+                        // (SELECT count(*) FROM documents))::BIGINT AS avg_c
+            ),
+            dl AS (SELECT doc_id, count(*)::BIGINT AS dl
+                   FROM w GROUP BY doc_id),
+            df AS (
+                SELECT q.term,
+                       count(DISTINCT w.doc_id)::BIGINT AS df
+                FROM q LEFT JOIN w ON w.term = q.term
+                GROUP BY q.term
+            ),
+            tf AS (
+                SELECT w.doc_id, w.term, count(*)::BIGINT AS tf
+                FROM w JOIN q ON w.term = q.term
+                GROUP BY w.doc_id, w.term
+            ),
+            scored AS (
+                SELECT tf.doc_id,
+                       sum(((1000000 * (2*a.n - 2*df.df + 1))
+                            // (2*df.df + 1) * 22000 * tf.tf)
+                           // (10000*tf.tf + 3000
+                               + (900000 * dl.dl) // a.avg_c)
+                       )::BIGINT AS score
+                FROM tf
+                JOIN df ON tf.term = df.term
+                JOIN dl ON dl.doc_id = tf.doc_id
+                CROSS JOIN a
+                GROUP BY tf.doc_id
+            )
+            SELECT doc_id, score FROM scored
+            WHERE score > 0
+            ORDER BY score DESC, doc_id
+            LIMIT 25
         """,
         "user_daily_ohlc": """
             WITH e AS (

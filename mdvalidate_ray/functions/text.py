@@ -579,3 +579,131 @@ def jaccard_search(ds, query_text: str, *, key: str = "doc_id",
         score, batch_format="pyarrow", zero_copy_batch=True)
     return topk_table(scored, k, [("score", "descending"),
                                   (key, "ascending")])
+
+
+def bm25_search(ds, query_text: str, *, key: str = "doc_id",
+                text_col: str = "text", k: int = 20):
+    """BM25 TOP-K retrieval against one query (Robertson et al., TREC-3;
+    k1=1.2, b=0.75) — the tf/length-normalized upgrade of
+    :func:`jaccard_search`, and the standard lexical-retrieval primitive
+    a curation pipeline uses to mine topic-relevant documents.
+
+    Scoring is INTEGER-EXACT so the DuckDB oracle hash-matches: with
+    ``N`` docs, ``W`` total tokens, ``A = (100*W)//N`` (average doclen
+    in centiwords), per query term ``t`` with document frequency ``df``
+    and in-doc frequency ``tf`` in a doc of length ``dl``::
+
+        idf6    = (10^6 * (2N - 2*df + 1)) // (2*df + 1)      # 10^6-scaled
+        contrib = (idf6 * 22000 * tf)
+                  // (10000*tf + 3000 + (900000 * dl) // A)
+
+    which is the classic formula with k1=6/5, b=3/4 cleared to one
+    rational (22/10 = k1+1, 3000/10^4 = k1*(1-b), 9000/10^4 = k1*b) and
+    floored at two documented points.  Contract: ``idf6 * 22000 * tf``
+    must fit int64 — holds to ~10^9 docs with tf ≤ 10^4; past that,
+    switch the score to float and drop the hash-level oracle.
+
+    Plan (two passes, NO shuffle): pass 1 folds the tiny per-batch
+    partials ``(N, W, df[per query slot])`` — df needs only the QUERY's
+    terms, never a vocabulary exchange; the resulting constants ride the
+    task closure.  Pass 2 computes per-doc tf of the query slots with
+    one ``np.add.at`` over (doc, slot), scores, drops zero-overlap docs
+    in-batch, and merges per-batch top-k via
+    :func:`~mdvalidate_ray.functions.relational.topk_table`.
+
+    Returns a pa.Table (key, score) of the k best in (score DESC, key
+    ASC) order.  Reference analog: the capture/report surface of
+    /root/reference/src/mdschema/validation (retrieval is engine-new)."""
+    import pandas as pd
+
+    from mdvalidate_ray.functions.dedup import _md5_token_hashes
+    from mdvalidate_ray.functions.relational import topk_table
+
+    q_terms = sorted({t for t in query_text.lower().split() if t})
+    q_hashes = np.sort(_md5_token_hashes(q_terms)) if q_terms else \
+        np.zeros(0, dtype=np.uint64)
+    nq = len(q_hashes)
+    out_schema = pa.schema([(key, pa.int64()), ("score", pa.int64())])
+    if nq == 0:
+        return out_schema.empty_table()
+
+    def _doc_words(b: pa.Table):
+        """(words flat object array, per-doc counts) for a batch."""
+        arr = pc.utf8_split_whitespace(pc.utf8_trim_whitespace(
+            pc.utf8_lower(pc.cast(b.column(text_col), pa.string()))))
+        arr = arr.combine_chunks() if isinstance(
+            arr, pa.ChunkedArray) else arr
+        words = np.asarray(arr.values.to_pylist(), dtype=object)
+        n_words = np.diff(np.asarray(arr.offsets))
+        return words, n_words
+
+    # ---- pass 1: (n_docs, n_tokens, df per query slot) partials ----
+    def stats_partial(b: pa.Table) -> pa.Table:
+        words, n_words = _doc_words(b)
+        keep = words != ""
+        doc_idx = np.repeat(np.arange(len(n_words), dtype=np.int64),
+                            n_words)[keep]
+        h = _md5_token_hashes(list(words[keep]))
+        pos = np.searchsorted(q_hashes, h)
+        hit = (pos < nq) & (q_hashes[np.minimum(pos, nq - 1)] == h)
+        df_p = np.zeros(nq, dtype=np.int64)
+        if hit.any():
+            dd = pd.DataFrame({"d": doc_idx[hit],
+                               "s": pos[hit]}).drop_duplicates()
+            np.add.at(df_p, dd["s"].to_numpy(), 1)
+        slots = np.arange(-1, nq, dtype=np.int64)
+        vals = np.concatenate([[b.num_rows], df_p]).astype(np.int64)
+        toks = np.concatenate([[int(keep.sum())],
+                               np.zeros(nq, dtype=np.int64)])
+        return pa.Table.from_arrays(
+            [pa.array(slots), pa.array(vals), pa.array(toks)],
+            names=["slot", "v", "w"])
+
+    n_docs, n_tokens = 0, 0
+    df = np.zeros(nq, dtype=np.int64)
+    for blk in ds.select_columns([key, text_col]).map_batches(
+            stats_partial, batch_format="pyarrow",
+            zero_copy_batch=True).iter_batches(batch_format="pyarrow"):
+        s = np.asarray(blk.column("slot").combine_chunks())
+        v = np.asarray(blk.column("v").combine_chunks())
+        w = np.asarray(blk.column("w").combine_chunks())
+        head = s == -1
+        n_docs += int(v[head].sum())
+        n_tokens += int(w[head].sum())
+        np.add.at(df, s[~head], v[~head])
+    if n_docs == 0 or n_tokens == 0:
+        return out_schema.empty_table()
+    avg_c = (100 * n_tokens) // n_docs          # centiword avg doclen
+    idf6 = (10**6 * (2 * n_docs - 2 * df + 1)) // (2 * df + 1)
+
+    # ---- pass 2: score + in-batch top-k, tiny merge ----
+    def score(b: pa.Table) -> pa.Table:
+        words, n_words = _doc_words(b)
+        if len(n_words) == 0:
+            return out_schema.empty_table()
+        keep = words != ""
+        doc_idx = np.repeat(np.arange(len(n_words), dtype=np.int64),
+                            n_words)[keep]
+        h = _md5_token_hashes(list(words[keep]))
+        pos = np.searchsorted(q_hashes, h)
+        hit = (pos < nq) & (q_hashes[np.minimum(pos, nq - 1)] == h)
+        tf = np.zeros((len(n_words), nq), dtype=np.int64)
+        np.add.at(tf, (doc_idx[hit], pos[hit]), 1)
+        dl = np.zeros(len(n_words), dtype=np.int64)
+        np.add.at(dl, doc_idx, 1)
+        denom = (10000 * tf + 3000
+                 + ((900000 * dl) // avg_c)[:, None])
+        contrib = (idf6[None, :] * 22000 * tf) // denom
+        total = np.where(tf > 0, contrib, 0).sum(axis=1)
+        nz = total > 0
+        if not nz.any():
+            return out_schema.empty_table()
+        ids = b.column(key).to_numpy(zero_copy_only=False)[nz]
+        return pa.Table.from_arrays(
+            [pa.array(ids.astype(np.int64)), pa.array(total[nz])],
+            names=out_schema.names)
+
+    scored = ds.select_columns([key, text_col]).map_batches(
+        score, batch_format="pyarrow", zero_copy_batch=True)
+    return topk_table(scored, k, [("score", "descending"),
+                                  (key, "ascending")])

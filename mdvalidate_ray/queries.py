@@ -3864,3 +3864,15 @@ def lang_length_pct(sf_dir: str):
         ["doc_id", "lang", "n_chars"])
     return grouped_percent_rank(docs, group_col="lang",
                                 value_col="n_chars")
+
+
+def bm25_topk(sf_dir: str):
+    """BM25 top-25 lexical retrieval against a fixed query over the
+    documents table — integer-exact scoring (k1=1.2, b=0.75 cleared to
+    one rational per term); see
+    :func:`mdvalidate_ray.functions.text.bm25_search`."""
+    from mdvalidate_ray.functions.text import bm25_search
+
+    docs = _read(sf_dir, "documents")
+    return bm25_search(
+        docs, "fast hash join merge sort window batch stream", k=25)

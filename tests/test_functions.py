@@ -1558,3 +1558,54 @@ def test_knn_ivf_pq_composition(ray_session):
         hits = [r["key"] for r in rows if r["query_id"] == qi]
         assert len(hits) == 10
         assert all(h // 100 == qvec // 100 for h in hits)
+
+
+def test_bm25_search_matches_naive(ray_session):
+    """Distributed BM25 top-k equals a naive integer-exact reference
+    (idf6/avg_c/denominator floors applied identically), independent of
+    block layout; zero-score docs are dropped; empty query -> empty."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from mdvalidate_ray.functions.text import bm25_search
+
+    rng = np.random.default_rng(29)
+    vocab = [f"w{i}" for i in range(30)]
+    texts = [" ".join(rng.choice(vocab, rng.integers(3, 40)))
+             for _ in range(150)]
+    texts += ["zzz yyy xxx", "", "   "]  # zero overlap / empty / blank
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts)})).repartition(7)
+
+    query = "w1 w2 w3 w4 w5 w1"   # dup query term collapses to distinct
+    got = bm25_search(ds, query, k=20).to_pandas()
+
+    q = sorted({t for t in query.lower().split() if t})
+    toks = [[w for w in t.lower().split() if w] for t in texts]
+    n = len(texts)
+    wt = sum(len(t) for t in toks)
+    avg_c = (100 * wt) // n
+    df = {t: sum(1 for d in toks if t in d) for t in q}
+    rows = []
+    for i, d in enumerate(toks):
+        s = 0
+        for t in q:
+            tf = d.count(t)
+            if tf == 0:
+                continue
+            idf6 = (10**6 * (2 * n - 2 * df[t] + 1)) // (2 * df[t] + 1)
+            s += (idf6 * 22000 * tf) // (
+                10000 * tf + 3000 + (900000 * len(d)) // avg_c)
+        if s > 0:
+            rows.append((s, i))
+    rows.sort(key=lambda r: (-r[0], r[1]))
+    want = [(i, s) for s, i in rows[:20]]
+    assert [(int(a), int(b)) for a, b in
+            zip(got["doc_id"], got["score"])] == want
+
+    # empty query -> empty table, stable schema
+    empty = bm25_search(ds, "   ", k=5)
+    assert empty.num_rows == 0 and empty.schema.names == ["doc_id",
+                                                          "score"]
