@@ -188,6 +188,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_length_pct": Q.lang_length_pct,
         # BM25 top-k lexical retrieval (integer-exact scoring)
         "bm25_topk": Q.bm25_topk,
+        # exact global quantiles by distributed selection (2-pass)
+        "price_quantiles": Q.price_quantiles,
     }
 
 
@@ -1532,6 +1534,17 @@ def oracle_sql() -> dict[str, str]:
             WHERE score > 0
             ORDER BY score DESC, doc_id
             LIMIT 25
+        """,
+        "price_quantiles": """
+            WITH v AS (
+                SELECT quantile_disc(l_extendedprice,
+                                     [0.25, 0.5, 0.75, 0.99]) AS vs
+                FROM lineitem
+            )
+            SELECT unnest([2500, 5000, 7500, 9900])::BIGINT AS q_bp,
+                   round(unnest(vs) * 100)::BIGINT AS value_cents
+            FROM v
+            ORDER BY q_bp
         """,
         "user_daily_ohlc": """
             WITH e AS (

@@ -1821,3 +1821,193 @@ def grouped_first_last(ds, *, group_cols: list[str],
                          zero_copy_batch=True)
     return pre.groupby("_bucket").map_groups(merge,
                                              batch_format="pyarrow")
+
+
+def quantile_via_selection(ds, column: str, qs, *, budget: int = 200_000,
+                           sample_per_block: int = 256,
+                           n_probes: int = 31,
+                           max_rounds: int = 40) -> list:
+    """EXACT global quantiles of an UNBOUNDED-cardinality numeric column
+    by distributed selection — the scale tier next to
+    :func:`exact_quantiles` (whose value-counts fold assumes the distinct
+    domain is small) and the KLL sketch (which is approximate).  Matches
+    DuckDB ``quantile_disc``: the value at 1-indexed position
+    ``ceil(q*n)`` of the sorted column.
+
+    Plan (multi-pivot distributed selection, Munro–Paterson lineage):
+    pass 0 streams one (count, min, max, sorted strided sample) partial
+    per block; the driver brackets each target rank ``(lo, hi]`` from
+    the pooled sample.  Each narrowing round is ONE corpus pass folding
+    exact ``count(x <= p)`` at ``n_probes`` interior points per live
+    quantile (per-batch ``np.searchsorted`` on a sorted copy — no row
+    leaves its worker), shrinking every bracket by ~``n_probes``× per
+    round, so even an adversarial tie mass resolves to 1-ulp brackets
+    in ``log_{n_probes}(range/ulp)`` ≈ 12 rounds; sub-``n_probes``-ulp
+    intervals probe the exact ``np.nextafter`` chain and finish by
+    counts alone.  A bracket proven to hold its rank with ``<= budget``
+    in-range rows is finished by collecting just that range and
+    indexing.  Typical cost: 2 passes (sample + one count round) + 1
+    bounded collect; nothing corpus-sized ever reaches the driver.
+
+    Returns ``[float | None, ...]`` aligned with ``qs`` (None iff the
+    column is empty)."""
+    import ray
+
+    data = ds.select_columns([column])
+
+    def sample_part(b: pa.Table) -> pa.Table:
+        arr = b.column(column).drop_null().to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        n = len(arr)
+        m = min(sample_per_block, n)
+        if m:
+            srt = np.sort(arr)
+            samp = srt[np.linspace(0, n - 1, m).astype(np.int64)]
+            head = np.array([float(n), srt[0], srt[-1]])
+        else:
+            samp = np.zeros(0)
+            head = np.array([0.0, np.inf, -np.inf])
+        return pa.Table.from_arrays(
+            [pa.array(np.r_[np.arange(3), np.full(m, 3)].astype(np.int64)),
+             pa.array(np.r_[head, samp])], names=["kind", "v"])
+
+    n_total, gmin, gmax, pools = 0, np.inf, -np.inf, []
+    for blk in data.map_batches(sample_part, batch_format="pyarrow",
+                                zero_copy_batch=True).iter_batches(
+                                    batch_format="pyarrow"):
+        kind = np.asarray(blk.column("kind").combine_chunks())
+        v = np.asarray(blk.column("v").combine_chunks())
+        n_total += int(v[kind == 0].sum())
+        if (kind == 1).any():
+            gmin = min(gmin, float(v[kind == 1].min()))
+        if (kind == 2).any():
+            gmax = max(gmax, float(v[kind == 2].max()))
+        pools.append(v[kind == 3])
+        if sum(len(p) for p in pools) > 400_000:   # thin the pool
+            allv = np.sort(np.concatenate(pools))
+            pools = [allv[np.linspace(0, len(allv) - 1,
+                                      200_000).astype(np.int64)]]
+    if n_total == 0:
+        return [None for _ in qs]
+    sample = np.sort(np.concatenate(pools)) if pools else np.zeros(0)
+    lo_floor = np.nextafter(gmin, -np.inf)    # count(x <= lo_floor) == 0
+
+    # state per quantile: rank r (1-indexed), bracket (lo, hi] with
+    # c_lo = #(x <= lo) (exact once verified), answer when resolved
+    ranks = [max(int(np.ceil(q * n_total)), 1) for q in qs]
+    margin = max(3, len(sample) // 64)
+    st = []
+    for r in ranks:
+        pos = int(round(r / n_total * (len(sample) - 1)))
+        lo = sample[max(pos - margin, 0)] if len(sample) else lo_floor
+        hi = sample[min(pos + margin, len(sample) - 1)] \
+            if len(sample) else gmax
+        st.append({"lo": min(float(lo), gmax), "hi": float(hi),
+                   "c_lo": None, "ans": None})
+
+    def probe_points(lo: float, hi: float) -> np.ndarray:
+        """Strictly increasing probes lo < p[0] < ... <= hi, ending at
+        hi; nextafter chain when the interval is a few ulps wide."""
+        pts = np.linspace(lo, hi, n_probes + 2)[1:]
+        pts = np.unique(pts[(pts > lo) & (pts <= hi)])
+        if len(pts) < n_probes // 2:          # sub-ulp-scale interval
+            chain, x = [], lo
+            for _ in range(n_probes + 2):
+                x = np.nextafter(x, np.inf)
+                chain.append(x)
+                if x >= hi:
+                    break
+            pts = np.unique(np.clip(np.array(chain), lo, hi))
+        if len(pts) == 0 or pts[-1] < hi:
+            pts = np.append(pts, hi)
+        return pts
+
+    def count_round(points_per_q: list[np.ndarray]) -> list[np.ndarray]:
+        """One pass; exact #(x <= p) for every probe point."""
+        flat = np.concatenate(points_per_q)
+        offs = np.r_[0, np.cumsum([len(p) for p in points_per_q])]
+        flat_ref = ray.put(flat)
+
+        def cnt(b: pa.Table) -> pa.Table:
+            pts = ray.get(flat_ref)
+            arr = np.sort(b.column(column).drop_null().to_numpy(
+                zero_copy_only=False).astype(np.float64))
+            c = np.searchsorted(arr, pts, side="right").astype(np.int64)
+            return pa.Table.from_arrays(
+                [pa.array(np.arange(len(pts), dtype=np.int64)),
+                 pa.array(c)], names=["i", "c"])
+
+        tot = np.zeros(len(flat), dtype=np.int64)
+        for blk in data.map_batches(cnt, batch_format="pyarrow",
+                                    zero_copy_batch=True).iter_batches(
+                                        batch_format="pyarrow"):
+            np.add.at(tot, np.asarray(blk.column("i").combine_chunks()),
+                      np.asarray(blk.column("c").combine_chunks()))
+        return [tot[offs[i]:offs[i + 1]]
+                for i in range(len(points_per_q))]
+
+    for _ in range(max_rounds):
+        live = [i for i, s in enumerate(st)
+                if s["ans"] is None and s["c_lo"] is None]
+        if not live:
+            break
+        probes = []
+        for i in live:
+            s = st[i]
+            # probe the current lo too so c_lo is (re)measured exactly
+            probes.append(np.r_[s["lo"], probe_points(s["lo"], s["hi"])])
+        counts = count_round(probes)
+        for i, cc, pp in zip(live, counts, probes):
+            s, r = st[i], ranks[i]
+            c_lo, c_hi = int(cc[0]), int(cc[-1])
+            if not (c_lo < r <= c_hi):        # sample bracket missed
+                s["lo"], s["hi"] = lo_floor, gmax
+                continue
+            # tightest probed bracket still holding the invariant
+            below = cc < r
+            new_lo_i = int(np.flatnonzero(below)[-1])
+            new_hi_i = int(np.flatnonzero(~below)[0])
+            s["lo"], c_lo = float(pp[new_lo_i]), int(cc[new_lo_i])
+            s["hi"], c_hi = float(pp[new_hi_i]), int(cc[new_hi_i])
+            if c_hi - c_lo <= budget:         # small enough: collect
+                s["c_lo"] = c_lo
+            elif s["hi"] <= np.nextafter(s["lo"], np.inf):
+                # adjacent floats: everything in (lo, hi] equals hi
+                s["ans"] = s["hi"]
+    if any(s["ans"] is None and s["c_lo"] is None for s in st):
+        raise RuntimeError(f"selection did not converge in "
+                           f"{max_rounds} rounds")
+    pending = [i for i, s in enumerate(st) if s["ans"] is None]
+    if pending:
+        brackets = np.array([[st[i]["lo"], st[i]["hi"]]
+                             for i in pending])
+        br_ref = ray.put(brackets)
+
+        def collect(b: pa.Table) -> pa.Table:
+            br = ray.get(br_ref)
+            arr = b.column(column).drop_null().to_numpy(
+                zero_copy_only=False).astype(np.float64)
+            outs, idxs = [], []
+            for j, (lo, hi) in enumerate(br):
+                hit = arr[(arr > lo) & (arr <= hi)]
+                outs.append(hit)
+                idxs.append(np.full(len(hit), j, dtype=np.int64))
+            return pa.Table.from_arrays(
+                [pa.array(np.concatenate(idxs)),
+                 pa.array(np.concatenate(outs))], names=["j", "v"])
+
+        buckets: dict[int, list[np.ndarray]] = {j: [] for j in
+                                                range(len(pending))}
+        for blk in data.map_batches(collect, batch_format="pyarrow",
+                                    zero_copy_batch=True).iter_batches(
+                                        batch_format="pyarrow"):
+            jj = np.asarray(blk.column("j").combine_chunks())
+            vv = np.asarray(blk.column("v").combine_chunks())
+            for j in np.unique(jj):
+                buckets[int(j)].append(vv[jj == j])
+        for j, i in enumerate(pending):
+            s = st[i]
+            vals = np.sort(np.concatenate(buckets[j])) if buckets[j] \
+                else np.zeros(0)
+            s["ans"] = float(vals[ranks[i] - s["c_lo"] - 1])
+    return [s["ans"] for s in st]

@@ -3876,3 +3876,21 @@ def bm25_topk(sf_dir: str):
     docs = _read(sf_dir, "documents")
     return bm25_search(
         docs, "fast hash join merge sort window batch stream", k=25)
+
+
+def price_quantiles(sf_dir: str):
+    """Exact global p25/p50/p75/p99 of ``l_extendedprice`` (a high-
+    cardinality money double — the case the value-counts fold of
+    ``exact_quantiles`` cannot ship at scale) via distributed selection;
+    see :func:`mdvalidate_ray.functions.relational.quantile_via_selection`.
+    Values are reported in cents (exact in float64) so the oracle
+    compares integers."""
+    from mdvalidate_ray.functions.relational import quantile_via_selection
+
+    li = _read(sf_dir, "lineitem")
+    vals = quantile_via_selection(li, "l_extendedprice",
+                                  [0.25, 0.5, 0.75, 0.99])
+    return pa.table({
+        "q_bp": pa.array([2500, 5000, 7500, 9900], pa.int64()),
+        "value_cents": pa.array([int(round(v * 100)) for v in vals],
+                                pa.int64())})

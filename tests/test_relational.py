@@ -748,3 +748,56 @@ def test_grouped_first_last_merges_across_blocks(ray_session):
         lo_c=("vc", "min"), hi_c=("vc", "max"), n=("vc", "size"))
     assert got[["open_c", "close_c", "lo_c", "hi_c", "n"]].equals(
         want.astype(np.int64))
+
+
+def test_quantile_via_selection_matches_ceil_rank(ray_session):
+    """Distributed selection equals the quantile_disc rule (value at
+    1-indexed position ceil(q*n)) on a high-cardinality double column,
+    including q=1.0 and a single-row table."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from mdvalidate_ray.functions.relational import quantile_via_selection
+
+    rng = np.random.default_rng(41)
+    vals = rng.normal(size=5000) * 1e6
+    ds = ray.data.from_arrow(pa.table({"x": vals})).repartition(9)
+    qs = [0.01, 0.25, 0.5, 0.75, 0.99, 1.0]
+    got = quantile_via_selection(ds, "x", qs)
+    s = np.sort(vals)
+    want = [float(s[max(int(np.ceil(q * len(s))), 1) - 1]) for q in qs]
+    assert got == want
+
+    one = ray.data.from_arrow(pa.table({"x": [7.5]}))
+    assert quantile_via_selection(one, "x", [0.5, 1.0]) == [7.5, 7.5]
+
+
+def test_quantile_via_selection_forced_bisection_and_ties(ray_session):
+    """A budget far below n forces count-only bisection rounds; a
+    duplicate-heavy column exercises the adjacent-float tie resolution;
+    an all-equal column resolves without any collect; empty -> None."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from mdvalidate_ray.functions.relational import quantile_via_selection
+
+    rng = np.random.default_rng(7)
+    vals = np.concatenate([rng.uniform(0, 100, 4000),
+                           np.full(3000, 42.0),       # heavy tie mass
+                           np.full(2000, 42.0000000001)])
+    ds = ray.data.from_arrow(pa.table({"x": vals})).repartition(6)
+    qs = [0.3, 0.5, 0.7, 0.9]
+    got = quantile_via_selection(ds, "x", qs, budget=50,
+                                 sample_per_block=8)
+    s = np.sort(vals)
+    want = [float(s[max(int(np.ceil(q * len(s))), 1) - 1]) for q in qs]
+    assert got == want
+
+    allsame = ray.data.from_arrow(pa.table({"x": np.full(1000, 3.25)}))
+    assert quantile_via_selection(allsame, "x", [0.1, 0.9],
+                                  budget=10) == [3.25, 3.25]
+
+    empty = ray.data.from_arrow(pa.table({"x": pa.array([], pa.float64())}))
+    assert quantile_via_selection(empty, "x", [0.5]) == [None]
