@@ -190,6 +190,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk": Q.bm25_topk,
         # exact global quantiles by distributed selection (2-pass)
         "price_quantiles": Q.price_quantiles,
+        # time-series gap filling: per-user daily grid + forward fill
+        "user_value_ffill": Q.user_value_ffill,
     }
 
 
@@ -1545,6 +1547,44 @@ def oracle_sql() -> dict[str, str]:
                    round(unnest(vs) * 100)::BIGINT AS value_cents
             FROM v
             ORDER BY q_bp
+        """,
+        "user_value_ffill": """
+            WITH ev AS (
+                SELECT user_id,
+                       (epoch_us(ts) // 86400000000)::BIGINT AS day,
+                       ts, event_id, round(value * 100)::BIGINT AS v
+                FROM events
+            ),
+            evd AS (
+                SELECT user_id, day, v FROM (
+                    SELECT user_id, day, v,
+                           row_number() OVER (
+                               PARTITION BY user_id, day
+                               ORDER BY ts DESC, event_id DESC) AS rn
+                    FROM ev) WHERE rn = 1
+            ),
+            bounds AS (
+                SELECT user_id, min(day) AS d0, max(day) AS d1
+                FROM ev GROUP BY user_id
+            ),
+            grid AS (
+                SELECT user_id, unnest(generate_series(d0, d1)) AS day
+                FROM bounds
+            ),
+            f AS (
+                SELECT g.user_id, g.day,
+                       last_value(e.v IGNORE NULLS) OVER (
+                           PARTITION BY g.user_id ORDER BY g.day
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS last_value_cents
+                FROM grid g LEFT JOIN evd e
+                  ON e.user_id = g.user_id AND e.day = g.day
+            )
+            SELECT user_id,
+                   CAST(DATE '1970-01-01' + CAST(day AS INT) AS VARCHAR)
+                       AS day,
+                   last_value_cents
+            FROM f
         """,
         "user_daily_ohlc": """
             WITH e AS (

@@ -2011,3 +2011,102 @@ def quantile_via_selection(ds, column: str, qs, *, budget: int = 200_000,
                 else np.zeros(0)
             s["ans"] = float(vals[ranks[i] - s["c_lo"] - 1])
     return [s["ans"] for s in st]
+
+
+def resample_ffill_daily(ds, *, key: str, ts_col: str, value_col: str,
+                         tiebreak: str, scale: int = 100,
+                         n_parts: int = 32):
+    """Time-series GAP FILLING: resample each key's event stream onto
+    its own daily grid ``[first event day .. last event day]`` and
+    forward-fill the last observed value — the regularization step
+    before any per-entity time-series model (churn features, usage
+    curves) that SQL spells ``generate_series + last_value(IGNORE
+    NULLS) OVER``.
+
+    Per day ``d`` the filled value is the value of the latest event
+    with ``day(ts) <= d``, latest = max ``(ts, tiebreak)`` (a total
+    order, so ties are deterministic).  Values report as
+    ``round(value*scale)`` int64 so oracles compare integers.
+
+    Plan: ONE key-hash co-partition of the pruned (key, day, ts,
+    tiebreak, value) rows; inside each bucket everything is vectorized
+    — sort, keep the last event per (key, day), then one
+    ``np.repeat``/cumsum fan-out whose run length for an event day is
+    the gap to the key's next event day (so output size is exactly the
+    grid, ``Σ_key (last-first+1)`` rows, never |days|×|keys|).  No
+    per-key Python loop; group calls are bounded by ``n_parts``.
+    Partitioning assumption: one key's full history fits a worker
+    (same contract as sessionize / grouped_first_last).
+
+    Returns (key, day 'YYYY-MM-DD', last_value_cents)."""
+    from mdvalidate_ray.state.sketches import hash_strings
+
+    pruned_schema = pa.schema([
+        ("u", pa.int64()), ("day", pa.int64()), ("ts", pa.int64()),
+        ("tb", pa.int64()), ("v", pa.int64()), ("_bucket", pa.int64())])
+
+    def tag(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pruned_schema.empty_table()
+        ts = b.column(ts_col)
+        ts_us = (ts.cast(pa.int64()) if pa.types.is_timestamp(ts.type)
+                 else ts).to_numpy(zero_copy_only=False).astype(np.int64)
+        ucol = b.column(key)
+        if pa.types.is_integer(ucol.type):
+            u = ucol.to_numpy(zero_copy_only=False).astype(np.int64)
+        else:
+            u = hash_strings([str(x) for x in ucol.to_pylist()]) \
+                .astype(np.int64)
+        tb = b.column(tiebreak).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        v = np.round(b.column(value_col).to_numpy(
+            zero_copy_only=False).astype(np.float64) * scale) \
+            .astype(np.int64)
+        bucket = ((u.astype(np.uint64)
+                   * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)) \
+            % np.uint64(n_parts)
+        return pa.Table.from_arrays(
+            [pa.array(u), pa.array(ts_us // 86_400_000_000),
+             pa.array(ts_us), pa.array(tb), pa.array(v),
+             pa.array(bucket.astype(np.int64))],
+            names=pruned_schema.names)
+
+    out_schema = pa.schema([(key, pa.int64()), ("day", pa.string()),
+                            ("last_value_cents", pa.int64())])
+
+    def fill(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return out_schema.empty_table()
+        t = g.sort_by([("u", "ascending"), ("day", "ascending"),
+                       ("ts", "ascending"), ("tb", "ascending")])
+        u = t.column("u").to_numpy(zero_copy_only=False)
+        d = t.column("day").to_numpy(zero_copy_only=False)
+        v = t.column("v").to_numpy(zero_copy_only=False)
+        # last event per (u, day): row where the NEXT row starts a new
+        # (u, day) — sort order makes it the (ts, tb)-greatest
+        last = np.empty(len(u), dtype=bool)
+        last[-1] = True
+        last[:-1] = (u[1:] != u[:-1]) | (d[1:] != d[:-1])
+        u, d, v = u[last], d[last], v[last]
+        # run length of event-day i = gap to the key's next event day;
+        # the key's final event day contributes exactly 1 grid row
+        runs = np.ones(len(d), dtype=np.int64)
+        same = u[1:] == u[:-1]
+        runs[:-1][same] = (d[1:] - d[:-1])[same]
+        total = int(runs.sum())
+        offs = np.cumsum(runs) - runs
+        day_rows = np.repeat(d, runs) + (np.arange(total, dtype=np.int64)
+                                         - np.repeat(offs, runs))
+        day_str = np.datetime_as_string(
+            day_rows.astype("datetime64[D]"), unit="D")
+        return pa.Table.from_arrays(
+            [pa.array(np.repeat(u, runs)),
+             pa.array(day_str.astype(object), pa.string()),
+             pa.array(np.repeat(v, runs))], names=out_schema.names)
+
+    cols = [key, ts_col, value_col, tiebreak]
+    return (ds.select_columns(cols)
+              .map_batches(tag, batch_format="pyarrow",
+                           zero_copy_batch=True)
+              .groupby("_bucket").map_groups(fill,
+                                             batch_format="pyarrow"))

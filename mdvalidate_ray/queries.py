@@ -3894,3 +3894,14 @@ def price_quantiles(sf_dir: str):
         "q_bp": pa.array([2500, 5000, 7500, 9900], pa.int64()),
         "value_cents": pa.array([int(round(v * 100)) for v in vals],
                                 pa.int64())})
+
+
+def user_value_ffill(sf_dir: str):
+    """Daily forward-filled value series per user (gap filling onto each
+    user's own event-day grid); see
+    :func:`mdvalidate_ray.functions.relational.resample_ffill_daily`."""
+    from mdvalidate_ray.functions.relational import resample_ffill_daily
+
+    ev = _read(sf_dir, "events")
+    return resample_ffill_daily(ev, key="user_id", ts_col="ts",
+                                value_col="value", tiebreak="event_id")

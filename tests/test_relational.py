@@ -801,3 +801,53 @@ def test_quantile_via_selection_forced_bisection_and_ties(ray_session):
 
     empty = ray.data.from_arrow(pa.table({"x": pa.array([], pa.float64())}))
     assert quantile_via_selection(empty, "x", [0.5]) == [None]
+
+
+def test_resample_ffill_daily_matches_naive(ray_session):
+    """Gap filling equals a naive per-user scan: multi-event days keep
+    the (ts, tiebreak)-greatest value, gaps forward-fill to the next
+    event day, the grid ends at the user's last event day, and same-ts
+    ties resolve by the tiebreak — independent of block layout."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from mdvalidate_ray.functions.relational import resample_ffill_daily
+
+    US_DAY = 86_400_000_000
+    rows = [
+        # user 1: two events day 0 (same ts, tiebreak decides), gap to
+        # day 4, then day 4
+        (1, 0 * US_DAY + 100, 10, 1.00),
+        (1, 0 * US_DAY + 100, 11, 2.00),
+        (1, 4 * US_DAY + 5, 12, 3.00),
+        # user 2: single event
+        (2, 2 * US_DAY, 20, 7.25),
+        # user 3: descending-value events across days 1,2,5
+        (3, 1 * US_DAY + 9, 30, 9.00),
+        (3, 2 * US_DAY + 1, 31, 8.00),
+        (3, 2 * US_DAY + 2, 32, 8.50),
+        (3, 5 * US_DAY, 33, 1.75),
+    ]
+    t = pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        "event_id": pa.array([r[2] for r in rows], pa.int64()),
+        "value": pa.array([r[3] for r in rows], pa.float64())})
+    ds = ray.data.from_arrow(t).repartition(4)
+    got = resample_ffill_daily(ds, key="user_id", ts_col="ts",
+                               value_col="value", tiebreak="event_id",
+                               n_parts=3).to_pandas()
+    got_map = {(int(u), d): int(v) for u, d, v in
+               zip(got["user_id"], got["day"],
+                   got["last_value_cents"])}
+    day = lambda i: np.datetime_as_string(
+        np.int64(i).astype("datetime64[D]"), unit="D")
+    want = {
+        (1, day(0)): 200, (1, day(1)): 200, (1, day(2)): 200,
+        (1, day(3)): 200, (1, day(4)): 300,
+        (2, day(2)): 725,
+        (3, day(1)): 900, (3, day(2)): 850, (3, day(3)): 850,
+        (3, day(4)): 850, (3, day(5)): 175,
+    }
+    assert got_map == want
