@@ -192,6 +192,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "price_quantiles": Q.price_quantiles,
         # time-series gap filling: per-user daily grid + forward fill
         "user_value_ffill": Q.user_value_ffill,
+        # CDC snapshot diff: added / removed / changed keys
+        "orders_snapshot_diff": Q.orders_snapshot_diff,
     }
 
 
@@ -1585,6 +1587,27 @@ def oracle_sql() -> dict[str, str]:
                        AS day,
                    last_value_cents
             FROM f
+        """,
+        "orders_snapshot_diff": """
+            WITH old AS (
+                SELECT o_orderkey AS k,
+                       round(o_totalprice * 100)::BIGINT AS v
+                FROM orders WHERE o_orderkey % 11 <> 0
+            ),
+            new AS (
+                SELECT o_orderkey AS k,
+                       round((CASE WHEN o_orderkey % 7 = 0
+                                   THEN o_totalprice + 1
+                                   ELSE o_totalprice END) * 100)::BIGINT
+                           AS v
+                FROM orders WHERE o_orderkey % 13 <> 0
+            )
+            SELECT coalesce(o.k, n.k)::BIGINT AS o_orderkey,
+                   CASE WHEN o.k IS NULL THEN 'added'
+                        WHEN n.k IS NULL THEN 'removed'
+                        ELSE 'changed' END AS status
+            FROM old o FULL OUTER JOIN new n ON o.k = n.k
+            WHERE o.k IS NULL OR n.k IS NULL OR o.v <> n.v
         """,
         "user_daily_ohlc": """
             WITH e AS (

@@ -2110,3 +2110,104 @@ def resample_ffill_daily(ds, *, key: str, ts_col: str, value_col: str,
                            zero_copy_batch=True)
               .groupby("_bucket").map_groups(fill,
                                              batch_format="pyarrow"))
+
+
+def snapshot_diff(ds_old, ds_new, *, key_col: str,
+                  compare_cols: list[str], n_parts: int = 32):
+    """CDC-style SNAPSHOT DIFF between two versions of a keyed table:
+    which keys were ``added``, ``removed``, or ``changed`` (any compare
+    column differs) — the reconciliation/audit primitive behind
+    incremental re-validation (only re-check what moved) and dataset
+    version reports.
+
+    Plan: each side streams to narrow ``(key, row_hash, side)`` rows —
+    the row hash is one uint64 over the canonicalized compare columns,
+    so arbitrarily WIDE rows cost 16 bytes in the exchange (a hash
+    collision masking a change has probability 2^-64 per key; the keyed
+    full-outer shape itself is exact).  ONE key-hash co-partition, then
+    per bucket: sorted key arrays per side, two ``np.searchsorted``
+    membership probes → added / removed / changed, all vectorized;
+    unchanged keys never leave the bucket.  Group calls are bounded by
+    ``n_parts``.  Keys are assumed unique per snapshot (primary key).
+
+    Returns (key, status) with status in {'added','removed','changed'}."""
+    from mdvalidate_ray.state.sketches import hash_strings
+
+    key_is_int = None
+
+    def side_rows(side: int):
+        def tag(b: pa.Table) -> pa.Table:
+            kcol = b.column(key_col)
+            vals = [b.column(c) for c in compare_cols]
+            parts = []
+            for v in vals:
+                if pa.types.is_floating(v.type):
+                    # canonicalize floats through cents-exact repr
+                    parts.append([repr(float(x)) if x is not None
+                                  else "\x00" for x in v.to_pylist()])
+                else:
+                    parts.append([str(x) if x is not None else "\x00"
+                                  for x in v.to_pylist()])
+            fused = ["\x1f".join(t) for t in zip(*parts)] \
+                if parts else [""] * b.num_rows
+            h = hash_strings(fused) if fused else \
+                np.zeros(0, dtype=np.uint64)
+            if pa.types.is_integer(kcol.type):
+                k = kcol.to_numpy(zero_copy_only=False).astype(np.int64)
+                bucket = ((k.astype(np.uint64)
+                           * np.uint64(0x9E3779B97F4A7C15))
+                          >> np.uint64(33)) % np.uint64(n_parts)
+                karr = pa.array(k)
+            else:
+                ks = [str(x) for x in kcol.to_pylist()]
+                bucket = hash_strings(ks) % np.uint64(n_parts)
+                karr = pa.array(ks, pa.string())
+            return pa.Table.from_arrays(
+                [karr, pa.array(h.astype(np.uint64)),
+                 pa.array(np.full(b.num_rows, side, dtype=np.int64)),
+                 pa.array(bucket.astype(np.int64))],
+                names=["k", "h", "side", "_bucket"])
+        return tag
+
+    cols = [key_col] + list(compare_cols)
+    old_t = ds_old.select_columns(cols).map_batches(
+        side_rows(0), batch_format="pyarrow", zero_copy_batch=True)
+    new_t = ds_new.select_columns(cols).map_batches(
+        side_rows(1), batch_format="pyarrow", zero_copy_batch=True)
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        key_type = g.schema.field("k").type
+        out_schema = pa.schema([(key_col, key_type),
+                                ("status", pa.string())])
+        if g.num_rows == 0:
+            return out_schema.empty_table()
+        side = g.column("side").to_numpy(zero_copy_only=False)
+        k = g.column("k").to_numpy(zero_copy_only=False)
+        h = g.column("h").to_numpy(zero_copy_only=False)
+        ko, ho = k[side == 0], h[side == 0]
+        kn, hn = k[side == 1], h[side == 1]
+        so, sn = np.argsort(ko, kind="stable"), np.argsort(kn,
+                                                           kind="stable")
+        ko, ho, kn, hn = ko[so], ho[so], kn[sn], hn[sn]
+        po = np.searchsorted(ko, kn)
+        in_old = (po < len(ko)) & (ko[np.minimum(po, max(len(ko) - 1,
+                                                         0))] == kn) \
+            if len(ko) else np.zeros(len(kn), dtype=bool)
+        pn = np.searchsorted(kn, ko)
+        in_new = (pn < len(kn)) & (kn[np.minimum(pn, max(len(kn) - 1,
+                                                         0))] == ko) \
+            if len(kn) else np.zeros(len(ko), dtype=bool)
+        added_k = kn[~in_old]
+        removed_k = ko[~in_new]
+        both_n = kn[in_old]
+        changed_k = both_n[hn[in_old] != ho[po[in_old]]]
+        keys = np.concatenate([added_k, removed_k, changed_k])
+        status = (["added"] * len(added_k) + ["removed"] * len(removed_k)
+                  + ["changed"] * len(changed_k))
+        return pa.Table.from_arrays(
+            [pa.array(keys, key_type), pa.array(status, pa.string())],
+            names=out_schema.names)
+
+    return (old_t.union(new_t)
+                 .groupby("_bucket")
+                 .map_groups(per_bucket, batch_format="pyarrow"))

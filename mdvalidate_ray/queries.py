@@ -3905,3 +3905,41 @@ def user_value_ffill(sf_dir: str):
     ev = _read(sf_dir, "events")
     return resample_ffill_daily(ev, key="user_id", ts_col="ts",
                                 value_col="value", tiebreak="event_id")
+
+
+def orders_snapshot_diff(sf_dir: str):
+    """CDC snapshot diff between two deterministic versions of orders:
+    'old' drops keys ≡0 (mod 11), 'new' drops keys ≡0 (mod 13) and
+    bumps o_totalprice by 1.00 on keys ≡0 (mod 7) — so added / removed /
+    changed are all non-empty and SQL-recomputable; see
+    :func:`mdvalidate_ray.functions.relational.snapshot_diff`.  The
+    compared value is cents-exact int64."""
+    from mdvalidate_ray.functions.relational import snapshot_diff
+
+    base = _read(sf_dir, "orders").select_columns(
+        ["o_orderkey", "o_totalprice"])
+
+    # arrow modulo: a - (a // b) * b  (keys are non-negative)
+    def snap(drop_mod: int, bump_mod: int | None):
+        def f(b: pa.Table) -> pa.Table:
+            k = b.column("o_orderkey")
+            rem = pc.subtract(k, pc.multiply(
+                pc.divide(k, drop_mod), drop_mod))
+            t = b.filter(pc.not_equal(rem, 0))
+            k2 = t.column("o_orderkey")
+            price = t.column("o_totalprice")
+            if bump_mod is not None:
+                rem2 = pc.subtract(k2, pc.multiply(
+                    pc.divide(k2, bump_mod), bump_mod))
+                price = pc.if_else(pc.equal(rem2, 0),
+                                   pc.add(price, 1.0), price)
+            cents = pc.cast(pc.round(pc.multiply(price, 100.0)),
+                            pa.int64())
+            return pa.Table.from_arrays([k2, cents],
+                                        names=["o_orderkey", "v_cents"])
+        return f
+
+    old = base.map_batches(snap(11, None), batch_format="pyarrow")
+    new = base.map_batches(snap(13, 7), batch_format="pyarrow")
+    return snapshot_diff(old, new, key_col="o_orderkey",
+                         compare_cols=["v_cents"])

@@ -851,3 +851,37 @@ def test_resample_ffill_daily_matches_naive(ray_session):
         (3, day(4)): 850, (3, day(5)): 175,
     }
     assert got_map == want
+
+
+def test_snapshot_diff_statuses_and_string_keys(ray_session):
+    """added/removed/changed classification is exact for int keys, works
+    for string keys, treats nulls in compare columns consistently, and
+    drops unchanged keys — independent of block layout."""
+    import pyarrow as pa
+    import ray.data
+
+    from mdvalidate_ray.functions.relational import snapshot_diff
+
+    old = pa.table({"k": pa.array([1, 2, 3, 4], pa.int64()),
+                    "v": pa.array([10.0, 20.0, None, 40.0])})
+    new = pa.table({"k": pa.array([2, 3, 4, 5], pa.int64()),
+                    "v": pa.array([20.0, None, 41.0, 50.0])})
+    got = snapshot_diff(ray.data.from_arrow(old).repartition(3),
+                        ray.data.from_arrow(new).repartition(2),
+                        key_col="k", compare_cols=["v"],
+                        n_parts=4).to_pandas()
+    got_map = dict(zip(got["k"].astype(int), got["status"]))
+    # 1 removed, 2 unchanged (absent), 3 null==null unchanged (absent),
+    # 4 changed, 5 added
+    assert got_map == {1: "removed", 4: "changed", 5: "added"}
+
+    olds = pa.table({"k": pa.array(["a", "b"], pa.string()),
+                     "v": pa.array([1, 2], pa.int64())})
+    news = pa.table({"k": pa.array(["b", "c"], pa.string()),
+                     "v": pa.array([9, 3], pa.int64())})
+    got2 = snapshot_diff(ray.data.from_arrow(olds),
+                         ray.data.from_arrow(news),
+                         key_col="k", compare_cols=["v"],
+                         n_parts=2).to_pandas()
+    assert dict(zip(got2["k"], got2["status"])) == {
+        "a": "removed", "b": "changed", "c": "added"}
