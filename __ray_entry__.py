@@ -194,6 +194,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_value_ffill": Q.user_value_ffill,
         # CDC snapshot diff: added / removed / changed keys
         "orders_snapshot_diff": Q.orders_snapshot_diff,
+        # per-group OLS regression from mergeable moment partials
+        "qty_price_regression": Q.qty_price_regression,
     }
 
 
@@ -1608,6 +1610,30 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'changed' END AS status
             FROM old o FULL OUTER JOIN new n ON o.k = n.k
             WHERE o.k IS NULL OR n.k IS NULL OR o.v <> n.v
+        """,
+        "qty_price_regression": """
+            WITH p AS (
+                SELECT l_returnflag AS g,
+                       count(*)::HUGEINT AS n,
+                       sum(round(l_quantity*100)::BIGINT)::HUGEINT AS sx,
+                       sum(round(l_extendedprice*100)::BIGINT)::HUGEINT
+                           AS sy,
+                       sum(round(l_quantity*100)::BIGINT
+                           * round(l_quantity*100)::BIGINT)::HUGEINT
+                           AS sxx,
+                       sum(round(l_quantity*100)::BIGINT
+                           * round(l_extendedprice*100)::BIGINT)::HUGEINT
+                           AS sxy
+                FROM lineitem GROUP BY 1
+            )
+            SELECT g AS l_returnflag, n::BIGINT AS n,
+                   ((1000000::HUGEINT * (n*sxy - sx*sy))
+                    // (n*sxx - sx*sx))::BIGINT AS slope_e6,
+                   ((1000000::HUGEINT
+                     * (sy*(n*sxx - sx*sx) - (n*sxy - sx*sy)*sx))
+                    // (100::HUGEINT * n * (n*sxx - sx*sx)))::BIGINT
+                       AS intercept_e6
+            FROM p ORDER BY g
         """,
         "user_daily_ohlc": """
             WITH e AS (

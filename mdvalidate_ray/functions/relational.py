@@ -2211,3 +2211,93 @@ def snapshot_diff(ds_old, ds_new, *, key_col: str,
     return (old_t.union(new_t)
                  .groupby("_bucket")
                  .map_groups(per_bucket, batch_format="pyarrow"))
+
+
+def _tdiv(a: int, b: int) -> int:
+    """Integer division TRUNCATING toward zero — DuckDB's ``//`` on
+    integers (Python's ``//`` floors, which differs on negatives)."""
+    q = abs(a) // abs(b)
+    return q if (a < 0) == (b < 0) else -q
+
+
+def grouped_ols(ds, *, group_col: str, x_col: str, y_col: str,
+                x_scale: int = 100, y_scale: int = 100,
+                out_scale: int = 10**6, n_parts: int = 8) -> pa.Table:
+    """Per-group simple LINEAR REGRESSION (``regr_slope`` /
+    ``regr_intercept``) with EXACT integer-rational arithmetic — the
+    finished estimator on top of the mergeable second-moment partials
+    (``qty_disc_moments``): trend-per-segment reporting without any
+    float-summation order ambiguity.
+
+    Per batch one vectorized group-sum emits the five classic partials
+    ``(n, Σx, Σy, Σxx, Σxy)`` over ``round(col*scale)`` int64 values
+    (≤ groups rows per batch into the exchange);
+    :func:`bucketed_group_sum` folds them exactly.  The driver finish —
+    bounded by GROUP CARDINALITY, not rows — computes with Python
+    bigints (the products overflow int64 by design)::
+
+        slope_scaled     = trunc(out_scale * (nΣxy − ΣxΣy)
+                                 / (nΣxx − Σx²))         # per y/x unit
+        intercept_scaled = trunc(out_scale * (Σy·den − num·Σx)
+                                 / (n·den)) (in y units × out_scale/y_scale)
+
+    with DuckDB-matching TRUNCATING division so a HUGEINT SQL oracle
+    reproduces both bit-for-bit.  Degenerate groups (n < 2 or zero
+    x-variance) report NULL slope/intercept.
+
+    Returns a small pa.Table (group, n, slope_e6, intercept_e6)."""
+    part_schema = pa.schema([
+        ("g", pa.string()), ("n", pa.int64()), ("sx", pa.int64()),
+        ("sy", pa.int64()), ("sxx", pa.int64()), ("sxy", pa.int64())])
+
+    def partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return part_schema.empty_table()
+        x = np.round(b.column(x_col).to_numpy(
+            zero_copy_only=False).astype(np.float64) * x_scale) \
+            .astype(np.int64)
+        y = np.round(b.column(y_col).to_numpy(
+            zero_copy_only=False).astype(np.float64) * y_scale) \
+            .astype(np.int64)
+        t = pa.Table.from_arrays(
+            [pc.cast(b.column(group_col), pa.string()),
+             pa.array(np.ones(len(x), dtype=np.int64)), pa.array(x),
+             pa.array(y), pa.array(x * x), pa.array(x * y)],
+            names=part_schema.names)
+        g = pa.TableGroupBy(t, "g").aggregate(
+            [("n", "sum"), ("sx", "sum"), ("sy", "sum"),
+             ("sxx", "sum"), ("sxy", "sum")])
+        return g.rename_columns(part_schema.names)
+
+    folded = bucketed_group_sum(
+        ds.select_columns([group_col, x_col, y_col]).map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True),
+        key="g", sum_cols=["n", "sx", "sy", "sxx", "sxy"],
+        n_parts=n_parts)
+
+    rows = []
+    for blk in folded.iter_batches(batch_format="pyarrow"):
+        for r in blk.to_pylist():
+            rows.append(r)
+    out_g, out_n, out_s, out_i = [], [], [], []
+    for r in sorted(rows, key=lambda r: r["g"]):
+        n, sx, sy = int(r["n"]), int(r["sx"]), int(r["sy"])
+        sxx, sxy = int(r["sxx"]), int(r["sxy"])
+        num = n * sxy - sx * sy
+        den = n * sxx - sx * sx
+        out_g.append(r["g"])
+        out_n.append(n)
+        if n < 2 or den == 0:
+            out_s.append(None)
+            out_i.append(None)
+            continue
+        # slope in (y units per x unit): num/den is per (y_scale per
+        # x_scale); multiply by x_scale/y_scale to normalize
+        out_s.append(_tdiv(out_scale * x_scale * num, y_scale * den))
+        out_i.append(_tdiv(out_scale * (sy * den - num * sx),
+                           y_scale * n * den))
+    return pa.table({
+        group_col: pa.array(out_g, pa.string()),
+        "n": pa.array(out_n, pa.int64()),
+        "slope_e6": pa.array(out_s, pa.int64()),
+        "intercept_e6": pa.array(out_i, pa.int64())})

@@ -3943,3 +3943,14 @@ def orders_snapshot_diff(sf_dir: str):
     new = base.map_batches(snap(13, 7), batch_format="pyarrow")
     return snapshot_diff(old, new, key_col="o_orderkey",
                          compare_cols=["v_cents"])
+
+
+def qty_price_regression(sf_dir: str):
+    """Per-returnflag OLS of extendedprice on quantity (exact
+    integer-rational slope/intercept from mergeable moment partials);
+    see :func:`mdvalidate_ray.functions.relational.grouped_ols`."""
+    from mdvalidate_ray.functions.relational import grouped_ols
+
+    li = _read(sf_dir, "lineitem")
+    return grouped_ols(li, group_col="l_returnflag", x_col="l_quantity",
+                       y_col="l_extendedprice")

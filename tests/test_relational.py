@@ -885,3 +885,51 @@ def test_snapshot_diff_statuses_and_string_keys(ray_session):
                          n_parts=2).to_pandas()
     assert dict(zip(got2["k"], got2["status"])) == {
         "a": "removed", "b": "changed", "c": "added"}
+
+
+def test_grouped_ols_matches_numpy_and_handles_degenerates(ray_session):
+    """Exact-rational grouped OLS equals np.polyfit (to scaled-int
+    truncation), negative slopes truncate toward zero like DuckDB //,
+    and degenerate groups (n=1, zero x-variance) yield NULLs."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from mdvalidate_ray.functions.relational import grouped_ols
+
+    rng = np.random.default_rng(3)
+    xs_a = rng.integers(1, 50, 400).astype(np.float64)
+    ys_a = 3.5 * xs_a + 10 + rng.normal(0, 2, 400).round(2)
+    xs_b = rng.integers(1, 50, 300).astype(np.float64)
+    ys_b = -2.25 * xs_b + 100 + rng.normal(0, 1, 300).round(2)
+    g = ["a"] * 400 + ["b"] * 300 + ["one", "flat", "flat", "flat"]
+    x = np.r_[xs_a, xs_b, [5.0], [7.0, 7.0, 7.0]]
+    y = np.r_[ys_a.round(2), ys_b.round(2), [1.0], [1.0, 2.0, 3.0]]
+    ds = ray.data.from_arrow(pa.table({
+        "g": pa.array(g), "x": pa.array(x), "y": pa.array(y)})) \
+        .repartition(5)
+    got = grouped_ols(ds, group_col="g", x_col="x", y_col="y").to_pandas()
+    gm = {r["g"]: (r["n"], r["slope_e6"], r["intercept_e6"])
+          for _, r in got.iterrows()}
+
+    for grp, xv, yv in [("a", xs_a, ys_a.round(2)),
+                        ("b", xs_b, ys_b.round(2))]:
+        xc = np.round(xv * 100).astype(object)
+        yc = np.round(yv * 100).astype(object)
+        n = len(xc)
+        sx, sy = int(sum(xc)), int(sum(yc))
+        sxx = int(sum(a * a for a in xc))
+        sxy = int(sum(a * b for a, b in zip(xc, yc)))
+        num, den = n * sxy - sx * sy, n * sxx - sx * sx
+        tdiv = lambda a, b: (abs(a) // abs(b)) * (
+            1 if (a < 0) == (b < 0) else -1)
+        want_s = tdiv(10**6 * 100 * num, 100 * den)
+        want_i = tdiv(10**6 * (sy * den - num * sx), 100 * n * den)
+        assert gm[grp] == (n, want_s, want_i), grp
+        # sanity vs float OLS
+        slope_f = np.polyfit(xv, yv, 1)[0]
+        assert abs(gm[grp][1] / 1e6 - slope_f) < 1e-3
+
+    assert gm["one"][1] is None or np.isnan(gm["one"][1])
+    assert gm["flat"][1] is None or np.isnan(gm["flat"][1])
+    assert gm["b"][1] < 0          # negative slope truncates like DuckDB
