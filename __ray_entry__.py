@@ -196,6 +196,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_snapshot_diff": Q.orders_snapshot_diff,
         # per-group OLS regression from mergeable moment partials
         "qty_price_regression": Q.qty_price_regression,
+        # distributed PCA (one-pass moment fold -> eigh -> projection)
+        "embedding_pca": Q.embedding_pca,
+        # k-means distance anomaly scores (top-50 farthest)
+        "embedding_outlier_topk": Q.embedding_outlier_topk,
     }
 
 

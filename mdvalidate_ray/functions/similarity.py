@@ -1017,3 +1017,136 @@ def knn_ivf_pq(ds, queries: np.ndarray, k: int = 10, *,
         concurrency=concurrency)
     return knn_pq(pruned, queries, k, column=column, key=key,
                   concurrency=concurrency, index=pq)
+
+
+def pca_fit(ds, *, column: str = "embedding",
+            n_components: int = 8) -> dict:
+    """Distributed PCA fit in ONE streaming pass: each batch emits the
+    classic mergeable second-moment partials ``(n, Σx, XᵀX)`` (dim +
+    dim² doubles per BLOCK, independent of rows); the driver folds them
+    in a canonical order (sorted by partial bytes — deterministic
+    across RE-RUNS of the same block layout; different layouts round
+    the block partials differently, so cross-layout models agree to
+    float-fold precision, not bitwise) and eigendecomposes the
+    dim×dim covariance — O(dim³) driver work, nothing corpus-sized in
+    flight.  Eigenvector signs are canonicalized (largest-|coefficient|
+    entry positive) so the model is deterministic.
+
+    The dimensionality-reduction step before ANN/clustering at scale:
+    project once, then every downstream distance costs
+    ``n_components/dim`` of the original.
+
+    Returns {"mean": (dim,), "components": (k, dim) rows sorted by
+    descending eigenvalue, "explained_variance": (k,)}."""
+    part_schema = pa.schema([("n", pa.int64()), ("s", pa.list_(
+        pa.float64())), ("xtx", pa.list_(pa.float64()))])
+
+    def partial(b: pa.Table) -> pa.Table:
+        x = _batch_matrix(b, column).astype(np.float64)
+        if len(x) == 0:
+            return part_schema.empty_table()
+        return pa.Table.from_arrays(
+            [pa.array([len(x)], pa.int64()),
+             pa.array([x.sum(axis=0)], pa.list_(pa.float64())),
+             pa.array([(x.T @ x).ravel()], pa.list_(pa.float64()))],
+            names=part_schema.names)
+
+    parts = []
+    for blk in ds.select_columns([column]).map_batches(
+            partial, batch_format="pyarrow",
+            zero_copy_batch=True).iter_batches(batch_format="pyarrow"):
+        for r in blk.to_pylist():
+            parts.append((int(r["n"]), np.asarray(r["s"]),
+                          np.asarray(r["xtx"])))
+    if not parts:
+        raise ValueError("pca_fit: empty dataset")
+    # canonical fold order: stable sort by (n, sum-vector bytes)
+    parts.sort(key=lambda p: (p[0], p[1].tobytes()))
+    n = sum(p[0] for p in parts)
+    dim = len(parts[0][1])
+    s = np.zeros(dim)
+    xtx = np.zeros(dim * dim)
+    for p in parts:
+        s += p[1]
+        xtx += p[2]
+    mean = s / n
+    cov = (xtx.reshape(dim, dim) - n * np.outer(mean, mean)) / max(
+        n - 1, 1)
+    evals, evecs = np.linalg.eigh(cov)        # ascending
+    order = np.argsort(evals)[::-1][:n_components]
+    comps = evecs[:, order].T.copy()
+    ev = evals[order].copy()
+    for i in range(len(comps)):               # deterministic signs
+        j = int(np.argmax(np.abs(comps[i])))
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    return {"mean": mean, "components": comps,
+            "explained_variance": ev}
+
+
+def pca_transform(ds, model: dict, *, column: str = "embedding",
+                  key: str = "vec_id", out_col: str = "pc"):
+    """Project every vector onto a fitted :func:`pca_fit` model — the
+    model (k×dim) is broadcast ONCE via ``ray.put`` and read per task;
+    each batch is one centered matmul.  Returns (key, out_col:
+    list<float64>)."""
+    import ray
+
+    model_ref = ray.put((np.asarray(model["mean"]),
+                         np.asarray(model["components"])))
+
+    def project(b: pa.Table) -> pa.Table:
+        mean, comps = ray.get(model_ref)
+        x = _batch_matrix(b, column).astype(np.float64)
+        p = (x - mean) @ comps.T
+        return pa.Table.from_arrays(
+            [b.column(key), pa.array(list(p), pa.list_(pa.float64()))],
+            names=[key, out_col])
+
+    return ds.select_columns([key, column]).map_batches(
+        project, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def embedding_outliers(ds, *, column: str = "embedding",
+                       key: str = "vec_id", k_clusters: int = 8,
+                       top_n: int = 50, iters: int = 5) -> pa.Table:
+    """Embedding-space ANOMALY DETECTION: fit distributed k-means
+    (:func:`kmeans_fit`), then one scoring pass computes each vector's
+    squared distance to its ASSIGNED centroid (vectorized two-matmul
+    form); the ``top_n`` farthest rows — the candidates most unlike any
+    cluster: mislabeled, corrupted, or genuinely novel documents —
+    merge through per-batch partial top-k.  Scores report as
+    ``trunc(d²·10⁶)`` int64 so comparisons are stable.
+
+    Returns a pa.Table (key, cluster, dist2_e6) sorted by
+    (dist2_e6 DESC, key ASC)."""
+    import ray
+
+    from mdvalidate_ray.functions.relational import topk_table
+
+    model = kmeans_fit(ds, column=column, key=key, k=k_clusters,
+                       iters=iters)
+    cents_ref = ray.put(np.asarray(model["centroids"]))
+    out_schema = pa.schema([(key, pa.int64()), ("cluster", pa.int64()),
+                            ("dist2_e6", pa.int64())])
+
+    def score(b: pa.Table) -> pa.Table:
+        cents = ray.get(cents_ref)
+        x = _batch_matrix(b, column).astype(np.float64)
+        if len(x) == 0:
+            return out_schema.empty_table()
+        d2 = (np.sum(x * x, axis=1)[:, None]
+              - 2.0 * (x @ cents.T)
+              + np.sum(cents * cents, axis=1)[None, :])
+        assign = np.argmin(d2, axis=1)
+        best = np.maximum(d2[np.arange(len(x)), assign], 0.0)
+        return pa.Table.from_arrays(
+            [b.column(key).cast(pa.int64()),
+             pa.array(assign.astype(np.int64)),
+             pa.array((best * 1e6).astype(np.int64))],
+            names=out_schema.names)
+
+    scored = ds.select_columns([key, column]).map_batches(
+        score, batch_format="pyarrow", zero_copy_batch=True)
+    return topk_table(scored, top_n, [("dist2_e6", "descending"),
+                                      (key, "ascending")])

@@ -3954,3 +3954,25 @@ def qty_price_regression(sf_dir: str):
     li = _read(sf_dir, "lineitem")
     return grouped_ols(li, group_col="l_returnflag", x_col="l_quantity",
                        y_col="l_extendedprice")
+
+
+def embedding_pca(sf_dir: str):
+    """PCA-reduce the embeddings to 4 components (one-pass moment fold →
+    driver eigh → broadcast projection); returns the projected vectors.
+    Rows-only (eigendecomposition is not SQL-expressible); the model
+    itself is pinned by test_pca_matches_numpy."""
+    from mdvalidate_ray.functions.similarity import pca_fit, pca_transform
+
+    emb = _read(sf_dir, "embeddings")
+    model = pca_fit(emb, n_components=4)
+    return pca_transform(emb, model)
+
+
+def embedding_outlier_topk(sf_dir: str):
+    """Top-50 farthest-from-assigned-centroid embeddings (k-means based
+    anomaly score, trunc(d²·10⁶) int64). Rows-only; planted-outlier
+    recovery is pinned by test_embedding_outliers_find_planted."""
+    from mdvalidate_ray.functions.similarity import embedding_outliers
+
+    emb = _read(sf_dir, "embeddings")
+    return embedding_outliers(emb, top_n=50)

@@ -1609,3 +1609,91 @@ def test_bm25_search_matches_naive(ray_session):
     empty = bm25_search(ds, "   ", k=5)
     assert empty.num_rows == 0 and empty.schema.names == ["doc_id",
                                                           "score"]
+
+
+def test_pca_matches_numpy(ray_session):
+    """One-pass distributed PCA equals full-matrix numpy PCA: same
+    subspace (components match up to the canonical sign), same
+    explained variance, projections reconstruct low-rank data, and the
+    model is identical across block layouts."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from mdvalidate_ray.functions.similarity import pca_fit, pca_transform
+
+    rng = np.random.default_rng(11)
+    # rank-3 structure + small noise in dim 16
+    basis = rng.normal(size=(3, 16))
+    x = rng.normal(size=(600, 3)) @ basis + 0.01 * rng.normal(
+        size=(600, 16))
+    t = pa.table({"vec_id": pa.array(range(600), pa.int64()),
+                  "embedding": pa.array(list(x.astype(np.float32)),
+                                        pa.list_(pa.float32()))})
+    ds = ray.data.from_arrow(t).repartition(6)
+    model = pca_fit(ds, n_components=3)
+
+    xf = x.astype(np.float32).astype(np.float64)   # engine sees float32
+    mean = xf.mean(axis=0)
+    cov = np.cov(xf, rowvar=False)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:3]
+    np.testing.assert_allclose(model["mean"], mean, atol=1e-9)
+    np.testing.assert_allclose(model["explained_variance"],
+                               evals[order], rtol=1e-8)
+    for i, col in enumerate(order):     # sign-canonical comparison
+        v = evecs[:, col]
+        j = int(np.argmax(np.abs(v)))
+        if v[j] < 0:
+            v = -v
+        np.testing.assert_allclose(model["components"][i], v,
+                                   atol=1e-8)
+
+    # deterministic re-run on the same layout (canonical fold order);
+    # across layouts the block partials round differently, so the
+    # models agree to float-fold precision, not bitwise
+    model_rerun = pca_fit(ds, n_components=3)
+    np.testing.assert_array_equal(model["components"],
+                                  model_rerun["components"])
+    model2 = pca_fit(ray.data.from_arrow(t).repartition(2),
+                     n_components=3)
+    np.testing.assert_allclose(model["components"],
+                               model2["components"], atol=1e-9)
+
+    proj = pca_transform(ds, model).to_pandas()
+    pm = np.stack(proj.sort_values("vec_id")["pc"].to_numpy())
+    want = (xf - mean) @ model["components"].T
+    np.testing.assert_allclose(pm, want, atol=1e-9)
+    # top-3 PCs capture the rank-3 data almost entirely
+    assert model["explained_variance"].sum() / np.trace(cov) > 0.999
+
+
+def test_embedding_outliers_find_planted(ray_session):
+    """Planted far-away vectors dominate the top-k anomaly list and
+    scores are deterministic across runs."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from mdvalidate_ray.functions.similarity import embedding_outliers
+
+    rng = np.random.default_rng(17)
+    centers = rng.normal(size=(4, 16)) * 3
+    x = np.repeat(centers, 150, axis=0) + 0.2 * rng.normal(
+        size=(600, 16))
+    # plant anomalies at inter-blob MIDPOINTS: far from every centroid
+    # yet not extreme enough to hijack a k-means++ seed of their own
+    pairs = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    planted = np.stack([(centers[a] + centers[b]) / 2.0
+                        for a, b in pairs])
+    allx = np.vstack([x, planted]).astype(np.float32)
+    t = pa.table({"vec_id": pa.array(range(len(allx)), pa.int64()),
+                  "embedding": pa.array(list(allx),
+                                        pa.list_(pa.float32()))})
+    ds = ray.data.from_arrow(t).repartition(5)
+    top = embedding_outliers(ds, k_clusters=4, top_n=6,
+                             iters=4).to_pandas()
+    assert set(top["vec_id"]) == set(range(600, 606))
+    top2 = embedding_outliers(ds, k_clusters=4, top_n=6,
+                              iters=4).to_pandas()
+    assert list(top2["dist2_e6"]) == list(top["dist2_e6"])
