@@ -200,6 +200,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_pca": Q.embedding_pca,
         # k-means distance anomaly scores (top-50 farthest)
         "embedding_outlier_topk": Q.embedding_outlier_topk,
+        # integer-exact PMI collocation mining (top idioms)
+        "pmi_bigrams": Q.pmi_bigrams,
     }
 
 
@@ -1638,6 +1640,42 @@ def oracle_sql() -> dict[str, str]:
                     // (100::HUGEINT * n * (n*sxx - sx*sx)))::BIGINT
                        AS intercept_e6
             FROM p ORDER BY g
+        """,
+        "pmi_bigrams": """
+            WITH t AS (
+                SELECT doc_id, unnest(l) AS w,
+                       generate_subscripts(l, 1) AS i
+                FROM (
+                    SELECT doc_id, list_filter(
+                        string_split_regex(lower(trim(text)), '\\s+'),
+                        x -> x <> '') AS l
+                    FROM documents
+                )
+            ),
+            uni AS (SELECT w, count(*)::BIGINT AS c FROM t GROUP BY w),
+            nu AS (SELECT sum(c)::HUGEINT AS n FROM uni),
+            p AS (
+                SELECT w AS a,
+                       lead(w) OVER (PARTITION BY doc_id ORDER BY i) AS b
+                FROM t
+            ),
+            bi AS (SELECT a, b, count(*)::BIGINT AS c
+                   FROM p WHERE b IS NOT NULL GROUP BY a, b),
+            nb AS (SELECT sum(c)::HUGEINT AS n FROM bi),
+            scored AS (
+                SELECT bi.a || ' ' || bi.b AS bigram,
+                       bi.c AS c_ab,
+                       ((1000000::HUGEINT * bi.c * nu.n * nu.n)
+                        // (nb.n * ua.c * ub.c))::BIGINT AS score_e6
+                FROM bi
+                CROSS JOIN nu CROSS JOIN nb
+                JOIN uni ua ON ua.w = bi.a
+                JOIN uni ub ON ub.w = bi.b
+                WHERE bi.c >= 5
+            )
+            SELECT bigram, c_ab, score_e6 FROM scored
+            ORDER BY score_e6 DESC, bigram ASC
+            LIMIT 30
         """,
         "user_daily_ohlc": """
             WITH e AS (

@@ -707,3 +707,142 @@ def bm25_search(ds, query_text: str, *, key: str = "doc_id",
         score, batch_format="pyarrow", zero_copy_batch=True)
     return topk_table(scored, k, [("score", "descending"),
                                   (key, "ascending")])
+
+
+def pmi_collocations(ds, *, text_col: str = "text", min_count: int = 5,
+                     k: int = 30):
+    """Collocation mining: top-k word bigrams by INTEGER-EXACT pointwise
+    mutual information — the idiom/phrase detector (Church & Hanks 1990)
+    a tokenizer- or phrase-vocabulary-building pipeline runs corpus-wide.
+
+    The PMI *ratio* ``p(ab)/(p(a)p(b)) = c_ab·N_uni² / (N_bi·c_a·c_b)``
+    is rank-equivalent to PMI (log is monotone), so the score is the
+    exact integer ``(10^6·c_ab·N_uni²) // (N_bi·c_a·c_b)`` computed with
+    Python bigints — no float, no log, SQL-reproducible via HUGEINT.
+
+    Plan: two skew-proof count folds (per-batch vectorized
+    ``value_counts`` combiner → one coarse bucketed group-sum — a hot
+    gram is ONE row per batch in each exchange) for bigrams and
+    unigrams, each also folding its corpus total through a reserved
+    ``\\x00total`` key.  Only bigrams with ``c_ab >= min_count`` reach
+    the driver (the idiom set — bounded; choose ``min_count`` to keep
+    it so), and unigram counts are fetched ONLY for the words those
+    candidates mention via a broadcast sorted-membership probe — the
+    full vocabulary never leaves the workers.
+
+    Returns a pa.Table (bigram, c_ab, score_e6), (score DESC, bigram
+    ASC), ties exact."""
+    import ray
+
+    from mdvalidate_ray.functions.relational import bucketed_group_sum
+
+    TOTAL = "\x00total"
+    docs = ds.select_columns([text_col])
+
+    def words_of(b: pa.Table):
+        texts = pc.utf8_lower(pc.utf8_trim_whitespace(
+            pc.cast(b.column(text_col), pa.string())))
+        tokens = pc.split_pattern_regex(texts, r"\s+")
+        flat = (tokens.combine_chunks()
+                if isinstance(tokens, pa.ChunkedArray) else tokens)
+        words = flat.flatten()
+        parents = pc.list_parent_indices(flat)
+        keep = pc.not_equal(words, "")
+        words = words.filter(keep)
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        parents = np.asarray(parents.filter(keep)).astype(np.int64)
+        return words, parents
+
+    empty = pa.schema([("g", pa.string()), ("cnt", pa.int64())])
+
+    def uni_part(b: pa.Table) -> pa.Table:
+        words, _ = words_of(b)
+        if len(words) == 0:
+            return empty.empty_table()
+        vc = words.value_counts()
+        return pa.Table.from_arrays(
+            [pa.concat_arrays([vc.field("values"),
+                               pa.array([TOTAL], pa.string())]),
+             pa.concat_arrays([vc.field("counts").cast(pa.int64()),
+                               pa.array([len(words)], pa.int64())])],
+            names=["g", "cnt"])
+
+    def bi_part(b: pa.Table) -> pa.Table:
+        words, parents = words_of(b)
+        if len(words) < 2:
+            return empty.empty_table()
+        same = parents[1:] == parents[:-1]
+        left = words.slice(0, len(words) - 1).filter(pa.array(same))
+        right = words.slice(1).filter(pa.array(same))
+        if len(left) == 0:
+            return empty.empty_table()
+        vc = pc.binary_join_element_wise(left, right, " ").value_counts()
+        return pa.Table.from_arrays(
+            [pa.concat_arrays([vc.field("values"),
+                               pa.array([TOTAL], pa.string())]),
+             pa.concat_arrays([vc.field("counts").cast(pa.int64()),
+                               pa.array([len(left)], pa.int64())])],
+            names=["g", "cnt"])
+
+    uni = bucketed_group_sum(
+        docs.map_batches(uni_part, batch_format="pyarrow",
+                         zero_copy_batch=True),
+        key="g", sum_cols=["cnt"]).materialize()
+    bi = bucketed_group_sum(
+        docs.map_batches(bi_part, batch_format="pyarrow",
+                         zero_copy_batch=True),
+        key="g", sum_cols=["cnt"])
+
+    cands: list[tuple[str, int]] = []
+    n_bi = 0
+    for blk in bi.iter_batches(batch_format="pyarrow"):
+        gs = blk.column("g").to_pylist()
+        cs = blk.column("cnt").to_pylist()
+        for g, c in zip(gs, cs):
+            if g == TOTAL:
+                n_bi += int(c)
+            elif c >= min_count:
+                cands.append((g, int(c)))
+    out_schema = pa.schema([("bigram", pa.string()),
+                            ("c_ab", pa.int64()),
+                            ("score_e6", pa.int64())])
+    if not cands or n_bi == 0:
+        return out_schema.empty_table()
+
+    need = sorted({w for g, _ in cands for w in g.split(" ")})
+    need_arr = np.asarray(need, dtype=object)
+    need_ref = ray.put(need_arr)
+
+    def probe(b: pa.Table) -> pa.Table:
+        nd = ray.get(need_ref)
+        gs = np.asarray(b.column("g").to_pylist(), dtype=object)
+        pos = np.searchsorted(nd, gs)
+        hit = (pos < len(nd)) & (nd[np.minimum(pos, len(nd) - 1)] == gs)
+        hit |= gs == TOTAL
+        return b.filter(pa.array(hit))
+
+    n_uni = 0
+    ucnt: dict[str, int] = {}
+    for blk in uni.map_batches(probe, batch_format="pyarrow",
+                               zero_copy_batch=True).iter_batches(
+                                   batch_format="pyarrow"):
+        for g, c in zip(blk.column("g").to_pylist(),
+                        blk.column("cnt").to_pylist()):
+            if g == TOTAL:
+                n_uni += int(c)
+            else:
+                ucnt[g] = int(c)
+
+    scored = []
+    for g, c_ab in cands:
+        a, bword = g.split(" ", 1)
+        score = (10**6 * c_ab * n_uni * n_uni) // (
+            n_bi * ucnt[a] * ucnt[bword])
+        scored.append((score, g, c_ab))
+    scored.sort(key=lambda t: (-t[0], t[1]))
+    top = scored[:k]
+    return pa.table({
+        "bigram": pa.array([g for _, g, _ in top], pa.string()),
+        "c_ab": pa.array([c for _, _, c in top], pa.int64()),
+        "score_e6": pa.array([s for s, _, _ in top], pa.int64())})

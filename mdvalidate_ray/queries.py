@@ -3976,3 +3976,13 @@ def embedding_outlier_topk(sf_dir: str):
 
     emb = _read(sf_dir, "embeddings")
     return embedding_outliers(emb, top_n=50)
+
+
+def pmi_bigrams(sf_dir: str):
+    """Top-30 collocations by integer-exact PMI ratio over documents
+    (min bigram count 5); see
+    :func:`mdvalidate_ray.functions.text.pmi_collocations`."""
+    from mdvalidate_ray.functions.text import pmi_collocations
+
+    return pmi_collocations(_read(sf_dir, "documents"),
+                            min_count=5, k=30)

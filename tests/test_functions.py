@@ -1697,3 +1697,53 @@ def test_embedding_outliers_find_planted(ray_session):
     top2 = embedding_outliers(ds, k_clusters=4, top_n=6,
                               iters=4).to_pandas()
     assert list(top2["dist2_e6"]) == list(top["dist2_e6"])
+
+
+def test_pmi_collocations_matches_naive(ray_session):
+    """PMI top-k equals a naive bigint reference: a planted idiom pair
+    that always co-occurs outranks frequent-but-independent pairs;
+    min_count gates rare pairs; ties order by bigram asc."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from mdvalidate_ray.functions.text import pmi_collocations
+
+    rng = np.random.default_rng(23)
+    common = [f"w{i}" for i in range(12)]
+    texts = []
+    for _ in range(160):
+        t = list(rng.choice(common, 10))
+        if rng.random() < 0.4:
+            t.insert(int(rng.integers(0, len(t))), "hong kong")
+        texts.append(" ".join(t))
+    texts += ["rare pair"] * 3          # below min_count=5
+    ds = ray.data.from_arrow(pa.table({
+        "text": pa.array(texts)})).repartition(6)
+    got = pmi_collocations(ds, min_count=5, k=10)
+
+    # naive reference
+    toks = [t.lower().split() for t in texts]
+    uni: dict = {}
+    bi: dict = {}
+    nu = nb = 0
+    for d in toks:
+        for w in d:
+            uni[w] = uni.get(w, 0) + 1
+            nu += 1
+        for a, b in zip(d, d[1:]):
+            bi[(a, b)] = bi.get((a, b), 0) + 1
+            nb += 1
+    rows = []
+    for (a, b), c in bi.items():
+        if c >= 5:
+            s = (10**6 * c * nu * nu) // (nb * uni[a] * uni[b])
+            rows.append((s, f"{a} {b}", c))
+    rows.sort(key=lambda r: (-r[0], r[1]))
+    want = rows[:10]
+    got_rows = list(zip(got.column("score_e6").to_pylist(),
+                        got.column("bigram").to_pylist(),
+                        got.column("c_ab").to_pylist()))
+    assert got_rows == want
+    assert got_rows[0][1] == "hong kong"     # idiom wins
+    assert all(r[1] != "rare pair" for r in got_rows)
