@@ -202,6 +202,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_outlier_topk": Q.embedding_outlier_topk,
         # integer-exact PMI collocation mining (top idioms)
         "pmi_bigrams": Q.pmi_bigrams,
+        # CDC-driven incremental re-validation (diff -> revalidate moved)
+        "incremental_revalidation": Q.incremental_revalidation,
     }
 
 

@@ -8,6 +8,8 @@ the checkpointed/resumable form lives in
 
 from __future__ import annotations
 
+import pyarrow as pa
+
 from mdvalidate_ray.corpus import flagship_schema_text
 from mdvalidate_ray.stages.drift import drift_check, kll_spans_per_doc
 from mdvalidate_ray.stages.referential import dangling_media_refs
@@ -83,3 +85,70 @@ def top_violations(violations, k: int = 10):
     rows = counts.take_all()
     rows.sort(key=lambda r: -r["count()"])
     return [{"kind": r["kind"], "count": r["count()"]} for r in rows[:k]]
+
+
+def incremental_validate(old_docs, new_docs, *, schema_text: str,
+                         key: str = "doc_id",
+                         content_col: str = "spans",
+                         batch_size: int | None = None,
+                         concurrency=None):
+    """INCREMENTAL re-validation: validate only what MOVED between two
+    corpus snapshots — the CDC composition that makes a 10^12-doc
+    validation run affordable when 0.1% of documents changed (the
+    resume analog of the reference's incremental reparse,
+    /root/reference/src/cmd.rs:101-122, lifted from one document to the
+    corpus).
+
+    Plan: :func:`~mdvalidate_ray.functions.relational.snapshot_diff`
+    classifies keys (content compared as one uint64 row hash — wide
+    span trees cost 16 bytes in the diff exchange); the
+    added ∪ changed key set re-enters the NEW snapshot through the
+    tiered :func:`~mdvalidate_ray.functions.relational.semi_join_keys`
+    (broadcast below threshold, Bloom + co-partition above), and only
+    those rows pay
+    :func:`~mdvalidate_ray.stages.validate.validate_dataset`.  Removed
+    keys come back as tombstones so a verdict store can be compacted.
+
+    Returns {"verdicts": Dataset (validated cols + status
+    'added'|'changed'), "removed": Dataset (key, status='removed'),
+    "diff": the raw diff Dataset}."""
+    import ray
+
+    from mdvalidate_ray.functions.relational import (semi_join_keys,
+                                                     snapshot_diff)
+    from mdvalidate_ray.stages.validate import validate_dataset
+
+    diff = snapshot_diff(old_docs, new_docs, key_col=key,
+                         compare_cols=[content_col]).materialize()
+    todo = diff.filter(expr="status != 'removed'")
+    removed = diff.filter(expr="status == 'removed'")
+
+    survivors = semi_join_keys(new_docs, todo, left_key=key,
+                               right_key=key)
+    validated = validate_dataset(survivors, schema_text,
+                                 batch_size=batch_size,
+                                 concurrency=concurrency)
+
+    # status ('added' vs 'changed') rides back via a broadcast map of
+    # the todo keys — bounded by the CHANGE SET, not the corpus; at
+    # change sets past driver memory, carry status through a second
+    # semi-join tag column instead
+    kv = {}
+    for blk in todo.iter_batches(batch_format="pyarrow"):
+        for k_, s_ in zip(blk.column(key).to_pylist(),
+                          blk.column("status").to_pylist()):
+            kv[k_] = s_
+    kv_ref = ray.put(kv)
+
+    def add_status(b: pa.Table) -> pa.Table:
+        mp = ray.get(kv_ref)
+        st = [mp.get(x, "changed") for x in b.column(key).to_pylist()]
+        return b.append_column("status", pa.array(st, pa.string()))
+
+    return {
+        "verdicts": validated.map_batches(add_status,
+                                          batch_format="pyarrow",
+                                          zero_copy_batch=True),
+        "removed": removed,
+        "diff": diff,
+    }

