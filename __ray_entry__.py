@@ -204,6 +204,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pmi_bigrams": Q.pmi_bigrams,
         # CDC-driven incremental re-validation (diff -> revalidate moved)
         "incremental_revalidation": Q.incremental_revalidation,
+        # BPE merge learning from the distributed word-count fold
+        "bpe_merges": Q.bpe_merges,
     }
 
 

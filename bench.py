@@ -188,6 +188,10 @@ QUERY_NAMES = [
     "lang_top_words", "length_percentiles", "part_kcore",
     "weekly_active_users", "doc_search", "lineitem_expectations",
     "event_transitions", "knn_pq", "ks_drift_sources", "user_daily_ohlc",
+    "lang_length_pct", "bm25_topk", "price_quantiles",
+    "user_value_ffill", "orders_snapshot_diff", "qty_price_regression",
+    "embedding_pca", "embedding_outlier_topk", "pmi_bigrams",
+    "incremental_revalidation",
 ]
 
 

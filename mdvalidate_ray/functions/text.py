@@ -846,3 +846,117 @@ def pmi_collocations(ds, *, text_col: str = "text", min_count: int = 5,
         "bigram": pa.array([g for _, g, _ in top], pa.string()),
         "c_ab": pa.array([c for _, _, c in top], pa.int64()),
         "score_e6": pa.array([s for s, _, _ in top], pa.int64())})
+
+
+def bpe_learn(ds, *, text_col: str = "text", n_merges: int = 50,
+              min_word_count: int = 1,
+              max_vocab_rows: int = 5_000_000) -> list[dict]:
+    """Byte-Pair-Encoding MERGE LEARNING (Sennrich et al. 2016) — the
+    tokenizer-training primitive: learn the ``n_merges`` most frequent
+    symbol merges over the corpus.
+
+    The distributed part is the classic one: a skew-proof WORD-COUNT
+    fold (per-batch ``value_counts`` combiner → coarse bucketed
+    group-sum — a hot word is one row per batch in the exchange); BPE
+    itself then runs on the (word, count) table, which is
+    VOCABULARY-sized, not corpus-sized — the same contract real
+    tokenizer trainers use (HF/GPT-2 train from word frequencies).  The
+    driver loop is incremental: an inverted pair→words index means each
+    merge touches only the words containing the winning pair.
+    ``max_vocab_rows`` guards the driver collect (raise/shard past it).
+
+    Deterministic: the winning pair each round is max by
+    ``(count, -lexicographic pair)`` — ties break toward the smaller
+    pair, independent of dict order.
+
+    Returns ``[{"rank", "left", "right", "count"}, ...]``."""
+    from mdvalidate_ray.functions.relational import bucketed_group_sum
+
+    empty = pa.schema([("w", pa.string()), ("cnt", pa.int64())])
+
+    def wc(b: pa.Table) -> pa.Table:
+        texts = pc.utf8_lower(pc.utf8_trim_whitespace(
+            pc.cast(b.column(text_col), pa.string())))
+        tokens = pc.split_pattern_regex(texts, r"\s+")
+        flat = (tokens.combine_chunks()
+                if isinstance(tokens, pa.ChunkedArray) else tokens)
+        words = flat.flatten()
+        words = words.filter(pc.not_equal(words, ""))
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        if len(words) == 0:
+            return empty.empty_table()
+        vc = words.value_counts()
+        return pa.Table.from_arrays(
+            [vc.field("values"), vc.field("counts").cast(pa.int64())],
+            names=["w", "cnt"])
+
+    folded = bucketed_group_sum(
+        ds.select_columns([text_col]).map_batches(
+            wc, batch_format="pyarrow", zero_copy_batch=True),
+        key="w", sum_cols=["cnt"])
+
+    words: list[list[str]] = []
+    counts: list[int] = []
+    n_rows = 0
+    for blk in folded.iter_batches(batch_format="pyarrow"):
+        for w, c in zip(blk.column("w").to_pylist(),
+                        blk.column("cnt").to_pylist()):
+            n_rows += 1
+            if n_rows > max_vocab_rows:
+                raise ValueError(
+                    f"word-count table exceeds max_vocab_rows="
+                    f"{max_vocab_rows}; shard the BPE fit by word-hash "
+                    "range and merge the learned tables")
+            if c >= min_word_count:
+                words.append(list(w))
+                counts.append(int(c))
+
+    # pair counts + inverted pair -> word-index occurrence index
+    pair_cnt: dict = {}
+    pair_words: dict = {}
+    for wi, syms in enumerate(words):
+        c = counts[wi]
+        for a, b in zip(syms, syms[1:]):
+            pair_cnt[(a, b)] = pair_cnt.get((a, b), 0) + c
+            pair_words.setdefault((a, b), set()).add(wi)
+
+    merges = []
+    for rank in range(n_merges):
+        best = None
+        for p, c in pair_cnt.items():
+            if c <= 0:
+                continue
+            if best is None or c > best[0] or (c == best[0]
+                                               and p < best[1]):
+                best = (c, p)
+        if best is None:
+            break
+        c_best, (a, b) = best
+        merges.append({"rank": rank, "left": a, "right": b,
+                       "count": int(c_best)})
+        ab = a + b
+        for wi in list(pair_words.get((a, b), ())):
+            syms, c = words[wi], counts[wi]
+            out = []
+            i = 0
+            while i < len(syms):
+                if (i < len(syms) - 1 and syms[i] == a
+                        and syms[i + 1] == b):
+                    out.append(ab)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            # retract old adjacencies, add new ones
+            for pr in zip(syms, syms[1:]):
+                pair_cnt[pr] -= c
+                if pair_cnt[pr] <= 0:
+                    pair_words.get(pr, set()).discard(wi)
+            for pr in zip(out, out[1:]):
+                pair_cnt[pr] = pair_cnt.get(pr, 0) + c
+                pair_words.setdefault(pr, set()).add(wi)
+            words[wi] = out
+        pair_cnt.pop((a, b), None)
+        pair_words.pop((a, b), None)
+    return merges

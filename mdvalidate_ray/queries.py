@@ -4055,3 +4055,18 @@ def incremental_revalidation(sf_dir: str):
                            pa.bool_()),
         "n_docs": pa.array([c for _, c in rows] + [n_removed],
                            pa.int64())})
+
+
+def bpe_merges(sf_dir: str):
+    """First 40 learned BPE merges over the documents corpus (rows-only;
+    the merge loop is iterative — parity is pinned by
+    test_bpe_learn_matches_naive).  See
+    :func:`mdvalidate_ray.functions.text.bpe_learn`."""
+    from mdvalidate_ray.functions.text import bpe_learn
+
+    merges = bpe_learn(_read(sf_dir, "documents"), n_merges=40)
+    return pa.table({
+        "rank": pa.array([m["rank"] for m in merges], pa.int64()),
+        "left": pa.array([m["left"] for m in merges], pa.string()),
+        "right": pa.array([m["right"] for m in merges], pa.string()),
+        "count": pa.array([m["count"] for m in merges], pa.int64())})

@@ -1747,3 +1747,55 @@ def test_pmi_collocations_matches_naive(ray_session):
     assert got_rows == want
     assert got_rows[0][1] == "hong kong"     # idiom wins
     assert all(r[1] != "rare pair" for r in got_rows)
+
+
+def test_bpe_learn_matches_naive(ray_session):
+    """Distributed-fold BPE equals a from-scratch naive reference
+    (recount every round, greedy left-to-right merge, (count, pair)
+    tie-break) on a corpus with repeated-symbol words — independent of
+    block layout."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from mdvalidate_ray.functions.text import bpe_learn
+
+    rng = np.random.default_rng(31)
+    base = ["banana", "bandana", "ananas", "cabana", "aaa", "aaaa"]
+    texts = [" ".join(rng.choice(base, rng.integers(2, 8)))
+             for _ in range(80)]
+    ds = ray.data.from_arrow(pa.table({
+        "text": pa.array(texts)})).repartition(5)
+    got = bpe_learn(ds, n_merges=12)
+
+    # naive reference: full recount each round
+    wc: dict = {}
+    for t in texts:
+        for w in t.lower().split():
+            wc[w] = wc.get(w, 0) + 1
+    words = {w: list(w) for w in wc}
+    want = []
+    for rank in range(12):
+        pc_: dict = {}
+        for w, syms in words.items():
+            for pr in zip(syms, syms[1:]):
+                pc_[pr] = pc_.get(pr, 0) + wc[w]
+        if not pc_:
+            break
+        best = min(pc_.items(), key=lambda kv: (-kv[1], kv[0]))
+        (a, b), c = best
+        want.append({"rank": rank, "left": a, "right": b, "count": c})
+        for w, syms in words.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i < len(syms) - 1 and syms[i] == a and \
+                        syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            words[w] = out
+    assert got == want
+    assert got == bpe_learn(ray.data.from_arrow(pa.table({
+        "text": pa.array(texts)})).repartition(2), n_merges=12)
