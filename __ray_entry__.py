@@ -206,6 +206,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "incremental_revalidation": Q.incremental_revalidation,
         # BPE merge learning from the distributed word-count fold
         "bpe_merges": Q.bpe_merges,
+        # schema-evolution union (union-by-name, missing cols -> NULL)
+        "orders_union_by_name": Q.orders_union_by_name,
     }
 
 
@@ -1680,6 +1682,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT bigram, c_ab, score_e6 FROM scored
             ORDER BY score_e6 DESC, bigram ASC
             LIMIT 30
+        """,
+        "orders_union_by_name": """
+            WITH a AS (
+                SELECT o_orderkey,
+                       round(o_totalprice * 100)::BIGINT AS price_cents,
+                       NULL::VARCHAR AS o_orderstatus,
+                       NULL::BIGINT AS o_custkey
+                FROM orders WHERE o_orderkey % 2 = 0
+            ),
+            b AS (
+                SELECT o_orderkey, NULL::BIGINT AS price_cents,
+                       o_orderstatus, o_custkey
+                FROM orders WHERE o_orderkey % 2 = 1
+            ),
+            u AS (SELECT * FROM a UNION ALL SELECT * FROM b)
+            SELECT count(*)::BIGINT AS n_rows,
+                   sum(CASE WHEN price_cents IS NULL THEN 1 ELSE 0
+                       END)::BIGINT AS null_price,
+                   sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0
+                       END)::BIGINT AS null_status,
+                   sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0
+                       END)::BIGINT AS null_cust,
+                   coalesce(sum(price_cents), 0)::BIGINT AS sum_price,
+                   coalesce(sum(o_custkey), 0)::BIGINT AS sum_cust,
+                   sum(o_orderkey)::BIGINT AS sum_key
+            FROM u
         """,
         "user_daily_ohlc": """
             WITH e AS (

@@ -191,7 +191,7 @@ QUERY_NAMES = [
     "lang_length_pct", "bm25_topk", "price_quantiles",
     "user_value_ffill", "orders_snapshot_diff", "qty_price_regression",
     "embedding_pca", "embedding_outlier_topk", "pmi_bigrams",
-    "incremental_revalidation",
+    "incremental_revalidation", "bpe_merges", "orders_union_by_name",
 ]
 
 

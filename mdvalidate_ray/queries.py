@@ -3965,7 +3965,24 @@ def embedding_pca(sf_dir: str):
 
     emb = _read(sf_dir, "embeddings")
     model = pca_fit(emb, n_components=4)
-    return pca_transform(emb, model)
+    proj = pca_transform(emb, model)
+
+    # explode the list<float64> projection into scalar columns so the
+    # driver's sorted-row value hash applies
+    def explode(b: pa.Table) -> pa.Table:
+        col = b.column("pc")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False)
+        m = flat.reshape(b.num_rows, 4) if b.num_rows else \
+            flat.reshape(0, 4)
+        arrays = [b.column("vec_id")] + [pa.array(m[:, j])
+                                         for j in range(4)]
+        return pa.Table.from_arrays(
+            arrays, names=["vec_id", "pc1", "pc2", "pc3", "pc4"])
+
+    return proj.map_batches(explode, batch_format="pyarrow",
+                            zero_copy_batch=True)
 
 
 def embedding_outlier_topk(sf_dir: str):
@@ -4070,3 +4087,66 @@ def bpe_merges(sf_dir: str):
         "left": pa.array([m["left"] for m in merges], pa.string()),
         "right": pa.array([m["right"] for m in merges], pa.string()),
         "count": pa.array([m["count"] for m in merges], pa.int64())})
+
+
+def orders_union_by_name(sf_dir: str):
+    """Schema-evolution union: two derived orders snapshots with
+    DIFFERENT schemas (even keys carry (o_orderkey, o_totalprice); odd
+    keys carry (o_orderkey, o_orderstatus, o_custkey)) stream as ONE
+    dataset with union-by-name semantics — missing columns read NULL;
+    see :func:`mdvalidate_ray.sources.io.union_by_name`.  Output folds
+    to per-column row/null counts so the oracle compares scalars."""
+    from mdvalidate_ray.sources.io import union_by_name
+
+    base = _read(sf_dir, "orders")
+
+    def even(b: pa.Table) -> pa.Table:
+        k = b.column("o_orderkey")
+        rem = pc.subtract(k, pc.multiply(pc.divide(k, 2), 2))
+        t = b.filter(pc.equal(rem, 0))
+        return pa.Table.from_arrays(
+            [t.column("o_orderkey"),
+             pc.cast(pc.round(pc.multiply(t.column("o_totalprice"),
+                                          100.0)), pa.int64())],
+            names=["o_orderkey", "price_cents"])
+
+    def odd(b: pa.Table) -> pa.Table:
+        k = b.column("o_orderkey")
+        rem = pc.subtract(k, pc.multiply(pc.divide(k, 2), 2))
+        t = b.filter(pc.equal(rem, 1))
+        return pa.Table.from_arrays(
+            [t.column("o_orderkey"), t.column("o_orderstatus"),
+             pc.cast(t.column("o_custkey"), pa.int32())],  # narrow int
+            names=["o_orderkey", "o_orderstatus", "o_custkey"])
+
+    a = base.select_columns(["o_orderkey", "o_totalprice"]).map_batches(
+        even, batch_format="pyarrow")
+    bql = base.select_columns(
+        ["o_orderkey", "o_orderstatus", "o_custkey"]).map_batches(
+        odd, batch_format="pyarrow")
+    u = union_by_name([a, bql])
+
+    def fold(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "n_rows": pa.array([t.num_rows], pa.int64()),
+            "null_price": pa.array(
+                [t.column("price_cents").null_count], pa.int64()),
+            "null_status": pa.array(
+                [t.column("o_orderstatus").null_count], pa.int64()),
+            "null_cust": pa.array(
+                [t.column("o_custkey").null_count], pa.int64()),
+            "sum_price": pa.array(
+                [pc.sum(t.column("price_cents")).as_py() or 0],
+                pa.int64()),
+            "sum_cust": pa.array(
+                [pc.sum(t.column("o_custkey")).as_py() or 0],
+                pa.int64()),
+            "sum_key": pa.array(
+                [pc.sum(t.column("o_orderkey")).as_py() or 0],
+                pa.int64())})
+
+    parts = u.map_batches(fold, batch_format="pyarrow",
+                          zero_copy_batch=True).to_pandas()
+    agg = parts.sum()
+    return pa.table({c: pa.array([int(agg[c])], pa.int64())
+                     for c in parts.columns})

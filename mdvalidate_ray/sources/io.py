@@ -9,6 +9,8 @@ Writers emit partition-keyed layouts for resumability
 
 from __future__ import annotations
 
+import pyarrow as pa
+
 
 def have_lance() -> bool:
     try:
@@ -151,3 +153,67 @@ def write_documents_ipc(ds, path: str):
     manifest = ds.map_batches(write_block, batch_format="pyarrow",
                               zero_copy_batch=True)
     return manifest.take_all()
+
+
+_WIDEN = {
+    "int8": pa.int64(), "int16": pa.int64(), "int32": pa.int64(),
+    "uint8": pa.int64(), "uint16": pa.int64(), "uint32": pa.int64(),
+    "float": pa.float64(), "halffloat": pa.float64(),
+}
+
+
+def union_schema_of(schemas: list[pa.Schema]) -> pa.Schema:
+    """The UNION-BY-NAME schema of heterogeneous sources (DuckDB
+    ``read_parquet(..., union_by_name=true)`` semantics): fields appear
+    in first-seen order; a column missing from a source reads as NULL;
+    conflicting numeric widths promote (int* → int64, float32 →
+    float64).  Genuinely incompatible types (e.g. string vs int) raise
+    — silent coercion hides corruption."""
+    out: dict[str, pa.DataType] = {}
+    for sch in schemas:
+        for f in sch:
+            t = _WIDEN.get(str(f.type), f.type)
+            prev = out.get(f.name)
+            if prev is None:
+                out[f.name] = t
+            elif prev != t:
+                both = {str(prev), str(t)}
+                if both <= {"int64", "double"}:
+                    out[f.name] = pa.float64()
+                else:
+                    raise TypeError(
+                        f"union_by_name: column {f.name!r} has "
+                        f"incompatible types {prev} vs {t}")
+    return pa.schema(list(out.items()))
+
+
+def union_by_name(datasets: list):
+    """UNION heterogeneous-schema Datasets by column NAME — the schema-
+    evolution reader: month N of a corpus gains a column, an old shard
+    lacks it, and the pipeline must still stream both as one Dataset.
+    Each source pays one vectorized cast/pad ``map_batches`` (missing
+    columns materialize as null arrays, numerics widen per
+    :func:`union_schema_of`); then Ray's zero-copy ``union`` chains the
+    streams — no shuffle, no materialization."""
+    schemas = [ds.schema().base_schema if hasattr(ds.schema(),
+                                                  "base_schema")
+               else ds.schema() for ds in datasets]
+    schemas = [s if isinstance(s, pa.Schema) else pa.schema(
+        list(zip(s.names, s.types))) for s in schemas]
+    target = union_schema_of(schemas)
+
+    def conform(b: pa.Table) -> pa.Table:
+        cols = []
+        for f in target:
+            if f.name in b.schema.names:
+                cols.append(b.column(f.name).cast(f.type))
+            else:
+                cols.append(pa.nulls(b.num_rows, f.type))
+        return pa.Table.from_arrays(cols, schema=target)
+
+    mapped = [ds.map_batches(conform, batch_format="pyarrow",
+                             zero_copy_batch=True) for ds in datasets]
+    out = mapped[0]
+    for m in mapped[1:]:
+        out = out.union(m)
+    return out

@@ -1799,3 +1799,39 @@ def test_bpe_learn_matches_naive(ray_session):
     assert got == want
     assert got == bpe_learn(ray.data.from_arrow(pa.table({
         "text": pa.array(texts)})).repartition(2), n_merges=12)
+
+
+def test_union_by_name_schema_evolution(ray_session):
+    """Union-by-name pads missing columns with NULL, widens int32 →
+    int64 / float32 → float64, keeps first-seen column order, and
+    rejects genuinely incompatible types."""
+    import pyarrow as pa
+    import pytest
+    import ray.data
+
+    from mdvalidate_ray.sources.io import union_by_name, union_schema_of
+
+    a = pa.table({"k": pa.array([1, 2], pa.int64()),
+                  "v": pa.array([1.5, 2.5], pa.float32())})
+    b = pa.table({"k": pa.array([3, 4], pa.int32()),
+                  "s": pa.array(["x", "y"], pa.string())})
+    u = union_by_name([ray.data.from_arrow(a), ray.data.from_arrow(b)])
+    df = u.to_pandas().sort_values("k").reset_index(drop=True)
+    assert list(df.columns) == ["k", "v", "s"]
+    assert df["k"].tolist() == [1, 2, 3, 4]
+    assert df["s"].isna().tolist() == [True, True, False, False]
+    assert df["v"].isna().tolist() == [False, False, True, True]
+    sch = union_schema_of([a.schema, b.schema])
+    assert sch.field("k").type == pa.int64()
+    assert sch.field("v").type == pa.float64()
+
+    # int64 vs double promotes to double
+    c = pa.table({"v": pa.array([7], pa.int64())})
+    d = pa.table({"v": pa.array([7.5], pa.float64())})
+    assert union_schema_of([c.schema, d.schema]).field("v").type \
+        == pa.float64()
+
+    # string vs int64 is incompatible
+    e = pa.table({"v": pa.array(["no"], pa.string())})
+    with pytest.raises(TypeError):
+        union_schema_of([c.schema, e.schema])
