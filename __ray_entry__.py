@@ -208,6 +208,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_merges": Q.bpe_merges,
         # schema-evolution union (union-by-name, missing cols -> NULL)
         "orders_union_by_name": Q.orders_union_by_name,
+        # Morton-curve (z-order) layout clustering report
+        "lineitem_zorder_stats": Q.lineitem_zorder_stats,
     }
 
 
@@ -1708,6 +1710,31 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(sum(o_custkey), 0)::BIGINT AS sum_cust,
                    sum(o_orderkey)::BIGINT AS sum_key
             FROM u
+        """,
+        "lineitem_zorder_stats": """
+            WITH src AS (
+                SELECT (l_partkey & 65535)::BIGINT AS a,
+                       (l_suppkey & 65535)::BIGINT AS b
+                FROM lineitem
+            ),
+            z AS (
+                SELECT a, b,
+                       ((((((((((a & 65535) | ((a & 65535) << 8)) & 16711935) | ((((a & 65535) | ((a & 65535) << 8)) & 16711935) << 4)) & 252645135) | ((((((a & 65535) | ((a & 65535) << 8)) & 16711935) | ((((a & 65535) | ((a & 65535) << 8)) & 16711935) << 4)) & 252645135) << 2)) & 858993459) | ((((((((a & 65535) | ((a & 65535) << 8)) & 16711935) | ((((a & 65535) | ((a & 65535) << 8)) & 16711935) << 4)) & 252645135) | ((((((a & 65535) | ((a & 65535) << 8)) & 16711935) | ((((a & 65535) | ((a & 65535) << 8)) & 16711935) << 4)) & 252645135) << 2)) & 858993459) << 1)) & 1431655765)
+                        | ((((((((((b & 65535) | ((b & 65535) << 8)) & 16711935) | ((((b & 65535) | ((b & 65535) << 8)) & 16711935) << 4)) & 252645135) | ((((((b & 65535) | ((b & 65535) << 8)) & 16711935) | ((((b & 65535) | ((b & 65535) << 8)) & 16711935) << 4)) & 252645135) << 2)) & 858993459) | ((((((((b & 65535) | ((b & 65535) << 8)) & 16711935) | ((((b & 65535) | ((b & 65535) << 8)) & 16711935) << 4)) & 252645135) | ((((((b & 65535) | ((b & 65535) << 8)) & 16711935) | ((((b & 65535) | ((b & 65535) << 8)) & 16711935) << 4)) & 252645135) << 2)) & 858993459) << 1)) & 1431655765) << 1))::BIGINT AS z
+                FROM src
+            ),
+            bnds AS (SELECT quantile_disc(z, [1/8.0, 2/8.0, 3/8.0, 4/8.0, 5/8.0, 6/8.0, 7/8.0]) AS bl FROM z),
+            p AS (
+                SELECT a, b, z,
+                       len(list_filter((SELECT bl FROM bnds),
+                                       x -> x < z))::BIGINT AS pid
+                FROM z
+            )
+            SELECT pid, count(*)::BIGINT AS n_rows,
+                   min(a)::BIGINT AS min_a, max(a)::BIGINT AS max_a,
+                   min(b)::BIGINT AS min_b, max(b)::BIGINT AS max_b,
+                   min(z)::BIGINT AS min_z, max(z)::BIGINT AS max_z
+            FROM p GROUP BY pid ORDER BY pid
         """,
         "user_daily_ohlc": """
             WITH e AS (

@@ -2301,3 +2301,114 @@ def grouped_ols(ds, *, group_col: str, x_col: str, y_col: str,
         "n": pa.array(out_n, pa.int64()),
         "slope_e6": pa.array(out_s, pa.int64()),
         "intercept_e6": pa.array(out_i, pa.int64())})
+
+
+def zorder_values(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Vectorized 2-column Z-ORDER (Morton) value: interleave the low 16
+    bits of each column (a on even bit positions, b on odd) into one
+    int64 — the space-filling-curve key that makes ONE sort give range
+    locality on BOTH columns (the standard lakehouse multi-column
+    clustering trick).  Uses the classic bit-spread magic numbers, all
+    int64 ops, so DuckDB reproduces it with the same & | << chain."""
+    def spread(x: np.ndarray) -> np.ndarray:
+        x = x.astype(np.int64) & np.int64(0xFFFF)
+        x = (x | (x << 8)) & np.int64(0x00FF00FF)
+        x = (x | (x << 4)) & np.int64(0x0F0F0F0F)
+        x = (x | (x << 2)) & np.int64(0x33333333)
+        x = (x | (x << 1)) & np.int64(0x55555555)
+        return x
+
+    return spread(a) | (spread(b) << np.int64(1))
+
+
+def zorder_partition_stats(ds, *, col_a: str, col_b: str,
+                           n_partitions: int = 8):
+    """Z-order LAYOUT CLUSTERING report: assign every row to one of
+    ``n_partitions`` Morton-curve range partitions and report each
+    partition's row count and per-column min/max envelopes — the
+    write-side layout step that lets a reader prune files on EITHER
+    column's predicate (tight envelopes = effective pruning; see
+    test_zorder_pruning_effectiveness).
+
+    Plan: one pass computes z per row (pure bit math); EXACT partition
+    boundaries come from the distributed-selection quantile operator
+    (:func:`quantile_via_selection` — z is high-cardinality, the
+    value-counts fold doesn't apply) at ranks i/n; a second pass assigns
+    ``pid = #(boundary < z)`` via ``np.searchsorted`` and pre-combines
+    per-(batch, pid) count/min/max partials — the driver folds
+    ≤ blocks×partitions tiny rows.  At write time the same pid keys a
+    partitioned ``write_parquet``; here the stats table IS the output
+    so the oracle can verify the layout exactly."""
+    import ray
+
+    zschema = pa.schema([("a", pa.int64()), ("b", pa.int64()),
+                         ("z", pa.int64())])
+
+    def with_z(batch: pa.Table) -> pa.Table:
+        a = batch.column(col_a).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        b = batch.column(col_b).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        a &= np.int64(0xFFFF)
+        b &= np.int64(0xFFFF)
+        return pa.Table.from_arrays(
+            [pa.array(a), pa.array(b), pa.array(zorder_values(a, b))],
+            names=zschema.names)
+
+    zds = ds.select_columns([col_a, col_b]).map_batches(
+        with_z, batch_format="pyarrow", zero_copy_batch=True) \
+        .materialize()
+
+    qs = [i / n_partitions for i in range(1, n_partitions)]
+    bounds = np.asarray(
+        [v for v in quantile_via_selection(zds, "z", qs)
+         if v is not None], dtype=np.float64)
+    b_ref = ray.put(bounds)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        bd = ray.get(b_ref)
+        z = batch.column("z").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        pid = np.searchsorted(bd, z, side="left").astype(np.int64)
+        df = pd.DataFrame({
+            "pid": pid,
+            "a": batch.column("a").to_numpy(zero_copy_only=False),
+            "b": batch.column("b").to_numpy(zero_copy_only=False),
+            "z": batch.column("z").to_numpy(zero_copy_only=False)})
+        g = df.groupby("pid").agg(
+            n_rows=("z", "size"), min_a=("a", "min"),
+            max_a=("a", "max"), min_b=("b", "min"), max_b=("b", "max"),
+            min_z=("z", "min"), max_z=("z", "max")).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg: dict[int, list] = {}
+    for blk in zds.map_batches(partial, batch_format="pyarrow",
+                               zero_copy_batch=True).iter_batches(
+                                   batch_format="pyarrow"):
+        for r in blk.to_pylist():
+            cur = agg.get(r["pid"])
+            if cur is None:
+                agg[r["pid"]] = [r["n_rows"], r["min_a"], r["max_a"],
+                                 r["min_b"], r["max_b"], r["min_z"],
+                                 r["max_z"]]
+            else:
+                cur[0] += r["n_rows"]
+                cur[1] = min(cur[1], r["min_a"])
+                cur[2] = max(cur[2], r["max_a"])
+                cur[3] = min(cur[3], r["min_b"])
+                cur[4] = max(cur[4], r["max_b"])
+                cur[5] = min(cur[5], r["min_z"])
+                cur[6] = max(cur[6], r["max_z"])
+    pids = sorted(agg)
+    cols = list(zip(*[agg[p] for p in pids])) if pids else [[]] * 7
+    return pa.table({
+        "pid": pa.array(pids, pa.int64()),
+        "n_rows": pa.array(cols[0], pa.int64()),
+        "min_a": pa.array(cols[1], pa.int64()),
+        "max_a": pa.array(cols[2], pa.int64()),
+        "min_b": pa.array(cols[3], pa.int64()),
+        "max_b": pa.array(cols[4], pa.int64()),
+        "min_z": pa.array(cols[5], pa.int64()),
+        "max_z": pa.array(cols[6], pa.int64())})

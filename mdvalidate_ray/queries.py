@@ -4150,3 +4150,14 @@ def orders_union_by_name(sf_dir: str):
     agg = parts.sum()
     return pa.table({c: pa.array([int(agg[c])], pa.int64())
                      for c in parts.columns})
+
+
+def lineitem_zorder_stats(sf_dir: str):
+    """Morton-curve layout report over (l_partkey, l_suppkey): 8 z-range
+    partitions with exact row counts and per-column envelopes; see
+    :func:`mdvalidate_ray.functions.relational.zorder_partition_stats`."""
+    from mdvalidate_ray.functions.relational import zorder_partition_stats
+
+    li = _read(sf_dir, "lineitem")
+    return zorder_partition_stats(li, col_a="l_partkey",
+                                  col_b="l_suppkey", n_partitions=8)

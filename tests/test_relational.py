@@ -933,3 +933,46 @@ def test_grouped_ols_matches_numpy_and_handles_degenerates(ray_session):
     assert gm["one"][1] is None or np.isnan(gm["one"][1])
     assert gm["flat"][1] is None or np.isnan(gm["flat"][1])
     assert gm["b"][1] < 0          # negative slope truncates like DuckDB
+
+
+def test_zorder_pruning_effectiveness(ray_session):
+    """Morton-curve partitioning actually clusters BOTH dimensions: a
+    small 2-D box predicate overlaps strictly fewer partition envelopes
+    than a single-column range sort gives on its non-sorted column, and
+    z values round-trip the bit interleave exactly."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from mdvalidate_ray.functions.relational import (
+        zorder_partition_stats,
+        zorder_values,
+    )
+
+    # exact interleave check vs a naive bit loop
+    rng = np.random.default_rng(9)
+    a = rng.integers(0, 2**16, 200).astype(np.int64)
+    b = rng.integers(0, 2**16, 200).astype(np.int64)
+    z = zorder_values(a, b)
+    for i in range(20):
+        want = 0
+        for bit in range(16):
+            want |= ((int(a[i]) >> bit) & 1) << (2 * bit)
+            want |= ((int(b[i]) >> bit) & 1) << (2 * bit + 1)
+        assert int(z[i]) == want
+
+    # uniform grid: every z-range partition should cover a LOCAL box,
+    # so a point-ish query box intersects few envelopes
+    n = 20_000
+    xa = rng.integers(0, 1000, n).astype(np.int64)
+    xb = rng.integers(0, 1000, n).astype(np.int64)
+    ds = ray.data.from_arrow(pa.table({"x": xa, "y": xb})).repartition(8)
+    stats = zorder_partition_stats(ds, col_a="x", col_b="y",
+                                   n_partitions=16).to_pandas()
+    assert stats["n_rows"].sum() == n
+    # query box [0,100]x[0,100]: count envelope overlaps
+    hit = ((stats["min_a"] <= 100) & (stats["max_a"] >= 0)
+           & (stats["min_b"] <= 100) & (stats["max_b"] >= 0)).sum()
+    # a plain sort on x gives ~16 partitions all spanning y=[0,1000) →
+    # a y-filter prunes nothing; z-order must prune most partitions
+    assert hit <= 4, f"z-order envelopes too loose: {hit}/16 overlap"
