@@ -210,6 +210,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_union_by_name": Q.orders_union_by_name,
         # Morton-curve (z-order) layout clustering report
         "lineitem_zorder_stats": Q.lineitem_zorder_stats,
+        # exact join cardinality + skew alarm without running the join
+        "join_size_probe": Q.join_size_probe,
+        # leakage-safe group-aware split (GroupShuffleSplit contract)
+        "grouped_split_leakage": Q.grouped_split_leakage,
     }
 
 
@@ -1735,6 +1739,42 @@ def oracle_sql() -> dict[str, str]:
                    min(b)::BIGINT AS min_b, max(b)::BIGINT AS max_b,
                    min(z)::BIGINT AS min_z, max(z)::BIGINT AS max_z
             FROM p GROUP BY pid ORDER BY pid
+        """,
+        "join_size_probe": """
+            WITH ca AS (SELECT l_orderkey AS k, count(*)::BIGINT AS c
+                        FROM lineitem GROUP BY 1),
+                 cb AS (SELECT o_orderkey AS k, count(*)::BIGINT AS c
+                        FROM orders GROUP BY 1)
+            SELECT coalesce(sum(ca.c * cb.c), 0)::BIGINT AS join_rows,
+                   (SELECT count(*) FROM lineitem)::BIGINT AS n_a,
+                   (SELECT count(*) FROM orders)::BIGINT AS n_b,
+                   coalesce(max(ca.c * cb.c), 0)::BIGINT
+                       AS max_key_product
+            FROM ca JOIN cb USING (k)
+        """,
+        "grouped_split_leakage": """
+            WITH tagged AS (
+                SELECT user_id,
+                       CASE WHEN md5_number_lower(
+                                'group' || user_id::VARCHAR) % 10000
+                                < 8000
+                            THEN 'train' ELSE 'test' END AS split
+                FROM events
+            ),
+            s AS (
+                SELECT split, count(*)::BIGINT AS n_rows,
+                       count(DISTINCT user_id)::BIGINT AS n_users
+                FROM tagged GROUP BY split
+            ),
+            leak AS (
+                SELECT count(*)::BIGINT AS leaked_users FROM (
+                    SELECT user_id FROM tagged
+                    GROUP BY user_id
+                    HAVING count(DISTINCT split) > 1)
+            )
+            SELECT split, n_rows, n_users, leaked_users
+            FROM s CROSS JOIN leak
+            ORDER BY split
         """,
         "user_daily_ohlc": """
             WITH e AS (

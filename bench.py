@@ -192,7 +192,7 @@ QUERY_NAMES = [
     "user_value_ffill", "orders_snapshot_diff", "qty_price_regression",
     "embedding_pca", "embedding_outlier_topk", "pmi_bigrams",
     "incremental_revalidation", "bpe_merges", "orders_union_by_name",
-    "lineitem_zorder_stats",
+    "lineitem_zorder_stats", "join_size_probe", "grouped_split_leakage",
 ]
 
 

@@ -2412,3 +2412,88 @@ def zorder_partition_stats(ds, *, col_a: str, col_b: str,
         "max_b": pa.array(cols[4], pa.int64()),
         "min_z": pa.array(cols[5], pa.int64()),
         "max_z": pa.array(cols[6], pa.int64())})
+
+
+def join_size_exact(ds_a, ds_b, *, key_a: str, key_b: str,
+                    n_parts: int = 32) -> dict:
+    """EXACT equi-join cardinality WITHOUT running the join:
+    ``|A ⋈ B| = Σ_k cA(k)·cB(k)`` — the planning probe a pipeline runs
+    before committing to a large×large :func:`hash_join` (a skew-blown
+    join is the classic 100-TB incident; ``max_key_product`` is the
+    skew alarm that says "salt this key first").
+
+    Plan: each side streams an in-batch ``value_counts`` combiner (a
+    hot key is ONE row per batch in the exchange — counts move, rows
+    never do); one shared coarse key-hash co-partition; per bucket a
+    vectorized sorted/searchsorted count merge emits a single
+    ``(Σ cA·cB, max cA·cB)`` partial — the driver folds ≤ n_parts
+    rows.
+
+    Returns {"join_rows", "n_a", "n_b", "max_key_product"} (Python
+    ints — products of two int64 counts can exceed int64 at web scale,
+    so partials carry the factors and the driver multiplies bigints
+    only where needed; within-bucket products use float-free int64 and
+    raise on overflow risk)."""
+    from mdvalidate_ray.state.sketches import hash_strings
+
+    part_schema = pa.schema([("k", pa.string()), ("cnt", pa.int64()),
+                             ("side", pa.int64()),
+                             ("_bucket", pa.int64())])
+
+    def counts_of(side: int, key: str):
+        def f(b: pa.Table) -> pa.Table:
+            if b.num_rows == 0:
+                return part_schema.empty_table()
+            vc = pc.cast(b.column(key), pa.string()).value_counts()
+            ks = vc.field("values")
+            h = hash_strings([str(x) for x in ks.to_pylist()])
+            return pa.Table.from_arrays(
+                [ks, vc.field("counts").cast(pa.int64()),
+                 pa.array(np.full(len(ks), side, dtype=np.int64)),
+                 pa.array((h % np.uint64(n_parts)).astype(np.int64))],
+                names=part_schema.names)
+        return f
+
+    a_cnt = ds_a.select_columns([key_a]).map_batches(
+        counts_of(0, key_a), batch_format="pyarrow", zero_copy_batch=True)
+    b_cnt = ds_b.select_columns([key_b]).map_batches(
+        counts_of(1, key_b), batch_format="pyarrow", zero_copy_batch=True)
+
+    out_schema = pa.schema([("s", pa.int64()), ("mx", pa.int64()),
+                            ("na", pa.int64()), ("nb", pa.int64())])
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        side = g.column("side").to_numpy(zero_copy_only=False)
+        ks = np.asarray(g.column("k").to_pylist(), dtype=object)
+        c = g.column("cnt").to_numpy(zero_copy_only=False)
+        fa = (pd.DataFrame({"k": ks[side == 0], "c": c[side == 0]})
+              .groupby("k", sort=True)["c"].sum())
+        fb = (pd.DataFrame({"k": ks[side == 1], "c": c[side == 1]})
+              .groupby("k", sort=True)["c"].sum())
+        na, nb = int(c[side == 0].sum()), int(c[side == 1].sum())
+        common = fa.index.intersection(fb.index)
+        ca = fa.loc[common].to_numpy(np.int64)
+        cb = fb.loc[common].to_numpy(np.int64)
+        if len(ca) and (ca.astype(object) * cb.astype(object)).max() \
+                > 2**62:
+            raise OverflowError("per-key count product near int64 "
+                                "range; aggregate with bigints")
+        prod = ca * cb
+        return pa.Table.from_arrays(
+            [pa.array([int(prod.sum())]), pa.array(
+                [int(prod.max()) if len(prod) else 0]),
+             pa.array([na]), pa.array([nb])], names=out_schema.names)
+
+    folded = a_cnt.union(b_cnt).groupby("_bucket").map_groups(
+        per_bucket, batch_format="pyarrow")
+    join_rows = n_a = n_b = max_kp = 0
+    for blk in folded.iter_batches(batch_format="pyarrow"):
+        for r in blk.to_pylist():
+            join_rows += int(r["s"])
+            max_kp = max(max_kp, int(r["mx"]))
+            n_a += int(r["na"])
+            n_b += int(r["nb"])
+    return {"join_rows": join_rows, "n_a": n_a, "n_b": n_b,
+            "max_key_product": max_kp}

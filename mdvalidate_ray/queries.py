@@ -4161,3 +4161,67 @@ def lineitem_zorder_stats(sf_dir: str):
     li = _read(sf_dir, "lineitem")
     return zorder_partition_stats(li, col_a="l_partkey",
                                   col_b="l_suppkey", n_partitions=8)
+
+
+def join_size_probe(sf_dir: str):
+    """Exact lineitem⋈orders cardinality + skew alarm WITHOUT running
+    the join; see
+    :func:`mdvalidate_ray.functions.relational.join_size_exact`."""
+    from mdvalidate_ray.functions.relational import join_size_exact
+
+    r = join_size_exact(_read(sf_dir, "lineitem"),
+                        _read(sf_dir, "orders"),
+                        key_a="l_orderkey", key_b="o_orderkey")
+    return pa.table({k: pa.array([int(v)], pa.int64())
+                     for k, v in r.items()})
+
+
+def grouped_split_leakage(sf_dir: str):
+    """Leakage-safe GROUP-aware train/test split: events split by
+    USER (not row), so one user's rows can never straddle splits — the
+    GroupShuffleSplit contract.  Reports per-split row counts, distinct
+    users, and the leakage count (users in both splits — 0 by
+    construction, and the oracle proves it)."""
+    from mdvalidate_ray.functions.relational import bucketed_group_sum
+    from mdvalidate_ray.functions.text import add_split
+
+    ev = _read(sf_dir, "events").select_columns(["user_id"])
+    tagged = ev.map_batches(
+        lambda b: add_split(b, key="user_id", train_bp=8000,
+                            salt="group"),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+    def pairs(b: pa.Table) -> pa.Table:
+        import numpy as np
+        import pandas as pd
+
+        df = pd.DataFrame({
+            "s": b.column("split").to_pylist(),
+            "u": b.column("user_id").to_numpy(zero_copy_only=False)})
+        g = df.groupby(["s", "u"], sort=False).size().reset_index(
+            name="c")
+        key = [f"{s}\x1f{u}" for s, u in zip(g["s"], g["u"])]
+        return pa.table({"k": pa.array(key, pa.string()),
+                         "cnt": pa.array(g["c"].to_numpy(np.int64))})
+
+    folded = bucketed_group_sum(
+        tagged.map_batches(pairs, batch_format="pyarrow",
+                           zero_copy_batch=True),
+        key="k", sum_cols=["cnt"])
+    stats = {"train": [0, 0], "test": [0, 0]}
+    users: dict[str, set] = {"train": set(), "test": set()}
+    for blk in folded.iter_batches(batch_format="pyarrow"):
+        for k, c in zip(blk.column("k").to_pylist(),
+                        blk.column("cnt").to_pylist()):
+            s, u = k.split("\x1f", 1)
+            stats[s][0] += int(c)
+            stats[s][1] += 1
+            users[s].add(u)
+    leaked = len(users["train"] & users["test"])
+    return pa.table({
+        "split": pa.array(["test", "train"], pa.string()),
+        "n_rows": pa.array([stats["test"][0], stats["train"][0]],
+                           pa.int64()),
+        "n_users": pa.array([stats["test"][1], stats["train"][1]],
+                            pa.int64()),
+        "leaked_users": pa.array([leaked, leaked], pa.int64())})

@@ -976,3 +976,32 @@ def test_zorder_pruning_effectiveness(ray_session):
     # a plain sort on x gives ~16 partitions all spanning y=[0,1000) →
     # a y-filter prunes nothing; z-order must prune most partitions
     assert hit <= 4, f"z-order envelopes too loose: {hit}/16 overlap"
+
+
+def test_join_size_exact_matches_pandas(ray_session):
+    """Exact join cardinality equals the actually-executed join size,
+    including a hot key (skew alarm = its count product) and keys
+    present on only one side."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from mdvalidate_ray.functions.relational import join_size_exact
+
+    rng = np.random.default_rng(19)
+    a = rng.integers(0, 30, 500)
+    a = np.r_[a, np.full(200, 7)]             # hot key on side A
+    b = rng.integers(10, 40, 400)             # keys 30..39 only in B
+    got = join_size_exact(
+        ray.data.from_arrow(pa.table({"k": a})).repartition(4),
+        ray.data.from_arrow(pa.table({"k": b})).repartition(3),
+        key_a="k", key_b="k", n_parts=8)
+    joined = pd.merge(pd.DataFrame({"k": a}), pd.DataFrame({"k": b}), on="k")
+    ca = pd.Series(a).value_counts()
+    cb = pd.Series(b).value_counts()
+    common = ca.index.intersection(cb.index)
+    assert got["join_rows"] == len(joined)
+    assert got["n_a"] == len(a) and got["n_b"] == len(b)
+    assert got["max_key_product"] == int(
+        (ca.loc[common] * cb.loc[common]).max())
