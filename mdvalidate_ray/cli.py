@@ -95,84 +95,75 @@ def run_single(schema_text: str, input_path: str, output, args) -> int:
     return 1
 
 
-_TRANSIENT_KINDS = frozenset({
-    # "input ran out" classes: expected while the document is still
-    # streaming in — never grounds for an early exit (the reference's
-    # partial prefix/suffix tolerance, matchers.rs:176–203, plays the
-    # same role at character granularity)
-    "children_length_mismatch", "malformed_structure_schema_has_child",
-    "wrong_list_count", "not_enough_nodes_for_repeating_paragraph",
-    "malformed_structure_missing_list_item_content",
-    "malformed_structure_mismatching_table_cells",
-})
-
-
-def _final_violations(violations, n_spans: int) -> list:
-    """Violations that cannot be cured by more input: they sit strictly
-    BEFORE the still-growing last span (a later span exists, so their
-    block is complete) and are not an input-ran-out kind."""
-    return [v for v in violations
-            if v["span_index"] < n_spans - 1
-            and v["kind"] not in _TRANSIENT_KINDS]
-
-
 def run_single_stream(schema_text: str, input_path: str, output,
                       args) -> int:
     """Streaming single-document mode — the analog of the reference's
-    chunked stdin loop (cmd.rs:95–122): read ``BUFFER_SIZE``-byte chunks
-    (env-overridable, default 2048 — cmd.rs:11, 181–186), optimistically
-    re-validate the accumulated prefix, honor ``--fast-fail`` on
-    violations that more input cannot cure, and let the EOF pass be
-    authoritative (validator.rs:161–168 resets and re-derives errors at
-    EOF, so chunking never changes the final verdict — mirrored by our
-    chunk-size-invariance test).
+    chunked stdin loop (cmd.rs:95–122): ``BUFFER_SIZE``-byte reads
+    (env-overridable, default 2048 — cmd.rs:11, 181–186).
 
-    The reference reparses incrementally and re-WALKS from scratch each
-    chunk; we re-flatten and re-walk, but on a geometric schedule
-    (re-validate when the unvalidated tail reaches ¼ of the seen text),
-    so total work stays O(n log n) instead of O(n²/chunk)."""
+    True INCREMENTAL mode (stages/stream_validate.py): the tail of the
+    text is flattened only past provably-stable cut points, finalized
+    schema blocks never re-walk (their violations are final — the
+    fast-fail signal), and memory holds spans + the unstable tail, not
+    re-walk passes — per-chunk CPU is O(tail).  The one construct whose
+    meaning depends on later input (a forward link-reference
+    definition) falls back to the batch whole-text walk, so the verdict
+    always equals non-streaming mode (chunk-size invariance is pinned
+    by test_cli_stream_chunk_size_invariance and the
+    test_stream_validate equivalence sweeps)."""
     import codecs
     import os
 
     from mdvalidate_ray.evaluate.evaluator import evaluate_spans
     from mdvalidate_ray.schema.compiler import compile_schema
     from mdvalidate_ray.sources.markdown import markdown_to_spans
+    from mdvalidate_ray.stages.stream_validate import (
+        StreamingDocValidator,
+        StreamingUnsupported,
+    )
 
     compiled = compile_schema(schema_text)
     bufsize = max(1, int(os.environ.get("BUFFER_SIZE", "2048")))
     reader = sys.stdin.buffer if input_path == "-" else \
         open(input_path, "rb")
     dec = codecs.getincrementaldecoder("utf-8")()
-    text = ""
-    unvalidated = 0
+    text = ""                       # kept for the caret source report
+    v = StreamingDocValidator(schema_text, fail_fast=args.fast_fail)
+    streaming_ok = True
+    result = None
     try:
         while True:
             chunk = reader.read(bufsize)
             eof = not chunk
             piece = dec.decode(chunk or b"", final=eof)
             text += piece
-            unvalidated += len(piece)
+            if streaming_ok and piece:
+                try:
+                    state = v.feed(piece)
+                except StreamingUnsupported:
+                    streaming_ok = False   # batch EOF pass decides
+                else:
+                    if args.fast_fail and state["failed"]:
+                        # finalized violations cannot be cured by more
+                        # input — the rest of the stream is never read
+                        spans = markdown_to_spans(text)
+                        if not args.quiet:
+                            print_source_report(
+                                [dict(x) for x in v.violations], spans,
+                                text, input_path if input_path != "-"
+                                else "<stdin>")
+                        return 1
             if eof:
                 break
-            if args.fast_fail and unvalidated >= max(bufsize,
-                                                     len(text) // 4):
-                unvalidated = 0
-                spans = markdown_to_spans(text)
-                result = evaluate_spans(spans, compiled)
-                final = _final_violations(
-                    [dict(v) for v in result.violations], len(spans))
-                if final:
-                    if not args.quiet:
-                        print_source_report(final, spans, text,
-                                            input_path if input_path != "-"
-                                            else "<stdin>")
-                    return 1
     finally:
         if reader is not sys.stdin.buffer:
             reader.close()
-    # authoritative EOF pass (errors re-derived from scratch)
+    if streaming_ok:
+        result = v.finish()
     spans = markdown_to_spans(text)
-    result = evaluate_spans(spans, compiled)
+    if result is None:
+        # authoritative batch pass (forward-definition fallback)
+        result = evaluate_spans(spans, compiled)
     if result.passed:
         print(result.captures_json(), file=output)
         if not args.quiet:

@@ -834,12 +834,15 @@ def evaluate_block_at(spans: list, schema: CompiledSchema,
                          captures=ctx.captures, end_pos=ctx.pos)
 
 
-def _eval_blocks(ctx: _Ctx, blocks: list, prefix: str) -> None:
+def _eval_blocks(ctx: _Ctx, blocks: list, prefix: str,
+                 start: int = 0) -> None:
     """Walk a block-template sequence against the ctx's span cursor.
     Top-level documents AND nested quote bodies share this walk (the
     reference's QuoteVsQuote delegates its children back to container
-    validation, quotes.rs:63–66)."""
-    for bi, block in enumerate(blocks):
+    validation, quotes.rs:63–66).  ``start`` offsets the constraint-id
+    numbering so a resumed/streaming walk emits the same ids as the
+    full walk (stages/stream_validate.py)."""
+    for bi, block in enumerate(blocks, start=start):
         cid = f"{prefix}b{bi}"
         span = ctx.peek()
         if span is not None and span[0] == "list_break":
