@@ -195,8 +195,11 @@ def asof_join(left_ds, right_ds, *, key: str, left_time: str,
     right_mat = right_ds.select_columns(rcols).materialize()
     n_right = right_mat.count()
     if n_right <= broadcast_threshold:
-        right = pa.concat_tables([
-            ray.get(r).select(rcols) for r in right_mat.to_arrow_refs()])
+        blks = [b.select(rcols) for b in
+                (ray.get(r) for r in right_mat.to_arrow_refs())
+                if b.num_rows]   # 0-row filter leftovers can be schema-less
+        right = (pa.concat_tables(blks) if blks else
+                 right_mat.schema().base_schema.empty_table().select(rcols))
         return asof_join_broadcast(
             left_ds, right, key=key, left_key=left_key,
             left_time=left_time, right_time=right_time,
@@ -379,10 +382,20 @@ def semi_join_keys(ds, keys_ds, *, left_key: str, right_key: str,
     if n_keys <= broadcast_threshold:
         import ray
 
-        key_tbl = pa.concat_tables(
-            [ray.get(r).select([right_key]) for r in
-             keys_mat.to_arrow_refs()])
-        keys = key_tbl.column(right_key).combine_chunks()
+        # a filter() upstream can leave 0-row blocks whose schema is
+        # EMPTY (no columns at all) — selecting the key column from one
+        # raises KeyError, so skip schema-less empties and fall back to
+        # the dataset-level schema for the all-empty case
+        blks = [ray.get(r) for r in keys_mat.to_arrow_refs()]
+        blks = [b.select([right_key]) for b in blks
+                if right_key in b.schema.names]
+        if blks:
+            keys = pa.concat_tables(blks).column(
+                right_key).combine_chunks()
+        else:
+            key_type = keys_mat.schema().base_schema.field(
+                right_key).type
+            keys = pa.array([], key_type)
         # task-based probe, keys broadcast once via ray.put (see
         # referential.check_refs — avoids actor-pool spin-up)
         keys_ref = ray.put(keys)

@@ -211,9 +211,11 @@ def check_refs(refs0, assets_ds, *, fp_rate: float = 0.01,
     if n_assets <= broadcast_threshold:
         import ray
 
-        key_tbl = pa.concat_tables(
-            [ray.get(r).select(["asset_id"]) for r in
-             asset_keys.to_arrow_refs()])
+        blks = [b.select(["asset_id"]) for b in
+                (ray.get(r) for r in asset_keys.to_arrow_refs())
+                if b.num_rows]   # 0-row filter leftovers can be schema-less
+        key_tbl = (pa.concat_tables(blks) if blks else
+                   pa.table({"asset_id": pa.array([], pa.string())}))
         keys = key_tbl.column("asset_id").cast(pa.string()).combine_chunks()
         # TASK-based probe with an explicit ray.put broadcast: the key set
         # lives in plasma once, each task reads it zero-copy.  Tasks reuse
