@@ -143,6 +143,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "neardup_purge": Q.neardup_purge,
         "q4_priority_exists": Q.q4_priority_exists,
         "q10_returned_revenue": Q.q10_returned_revenue,
+        # round-3 TPC-H-adapted multi-join set
+        "q7_nation_volume": Q.q7_nation_volume,
+        "q9_profit_by_nation_year": Q.q9_profit_by_nation_year,
+        "q13_order_count_distribution": Q.q13_order_count_distribution,
+        "q14_promo_revenue": Q.q14_promo_revenue,
+        "q16_part_supplier_cnt": Q.q16_part_supplier_cnt,
+        "q18_large_orders": Q.q18_large_orders,
+        "q19_bracket_revenue": Q.q19_bracket_revenue,
+        "churned_rich_customers": Q.churned_rich_customers,
         "embedding_scores": Q.embedding_scores,
         "customer_order_counts": Q.customer_order_counts,
         # edit-distance near-dup family / n-gram decontamination / set ops
@@ -1300,6 +1309,103 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2
             ORDER BY 3 DESC, o_custkey
             LIMIT 20
+        """,
+        "q7_nation_volume": """
+            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   year(l_shipdate)::BIGINT AS l_year,
+                   sum(round(l_extendedprice * (1 - l_discount)
+                             * 100))::BIGINT AS revenue_c100
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation n1 ON s_nationkey = n1.n_nationkey
+            JOIN nation n2 ON c_nationkey = n2.n_nationkey
+            WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+                OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+              AND l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate <  TIMESTAMP '1998-01-01'
+            GROUP BY 1, 2, 3
+        """,
+        "q9_profit_by_nation_year": """
+            SELECT n_name, year(o_orderdate)::BIGINT AS o_year,
+                   sum(round(l_extendedprice * (1 - l_discount)
+                             * 100))::BIGINT AS profit_c100
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN part ON l_partkey = p_partkey
+            WHERE p_name LIKE '%red%'
+            GROUP BY 1, 2
+        """,
+        "q13_order_count_distribution": """
+            SELECT c_count, count(*)::BIGINT AS custdist FROM (
+                SELECT c_custkey,
+                       count(o_orderkey)::BIGINT AS c_count
+                FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+                GROUP BY c_custkey)
+            GROUP BY c_count
+        """,
+        "q14_promo_revenue": """
+            SELECT promo_c100, total_c100,
+                   round(1000000.0 * promo_c100 / total_c100)
+                       / 10000.0 AS promo_pct
+            FROM (SELECT
+                    sum(CASE WHEN p_type = 'PROMO'
+                        THEN round(l_extendedprice * (1 - l_discount)
+                                   * 100) ELSE 0 END)::BIGINT
+                        AS promo_c100,
+                    sum(round(l_extendedprice * (1 - l_discount)
+                              * 100))::BIGINT AS total_c100
+                  FROM lineitem JOIN part ON l_partkey = p_partkey
+                  WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+                    AND l_shipdate <  TIMESTAMP '1996-04-01')
+        """,
+        "q16_part_supplier_cnt": """
+            SELECT p_brand, p_type, p_size::BIGINT AS p_size,
+                   count(DISTINCT l_suppkey)::BIGINT AS supplier_cnt
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+              AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+            GROUP BY 1, 2, 3
+        """,
+        "q18_large_orders": """
+            SELECT c_name, o_custkey, o_orderkey,
+                   round(o_totalprice * 100)::BIGINT
+                       AS o_totalprice_c100,
+                   sum_qty_c100
+            FROM (SELECT l_orderkey,
+                         sum(round(l_quantity * 100))::BIGINT
+                             AS sum_qty_c100
+                  FROM lineitem GROUP BY 1
+                  HAVING sum(round(l_quantity * 100)) > 30000) t
+            JOIN orders ON t.l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+        """,
+        "q19_bracket_revenue": """
+            SELECT coalesce(sum(round(l_extendedprice * (1 - l_discount)
+                                      * 100)), 0)::BIGINT AS revenue_c100
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+                   AND l_quantity BETWEEN 1 AND 11)
+               OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+                   AND l_quantity BETWEEN 10 AND 20)
+               OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+                   AND l_quantity BETWEEN 20 AND 30)
+        """,
+        "churned_rich_customers": """
+            SELECT c_mktsegment, count(*)::BIGINT AS numcust,
+                   sum(round(c_acctbal * 100))::BIGINT
+                       AS totacctbal_c100
+            FROM customer
+            WHERE round(c_acctbal * 100) >
+                  (SELECT sum(round(c_acctbal * 100)) * 1.0 / count(*)
+                   FROM customer WHERE c_acctbal > 0)
+              AND c_custkey IN
+                  (SELECT o_custkey FROM orders GROUP BY o_custkey
+                   HAVING max(o_orderdate) < TIMESTAMP '2000-01-01')
+            GROUP BY 1
         """,
         "mode_event_per_user": """
             SELECT user_id, event_type AS mode_event, cnt FROM (

@@ -193,6 +193,11 @@ QUERY_NAMES = [
     "embedding_pca", "embedding_outlier_topk", "pmi_bigrams",
     "incremental_revalidation", "bpe_merges", "orders_union_by_name",
     "lineitem_zorder_stats", "join_size_probe", "grouped_split_leakage",
+    # round-3 TPC-H-adapted multi-join set
+    "q7_nation_volume", "q9_profit_by_nation_year",
+    "q13_order_count_distribution", "q14_promo_revenue",
+    "q16_part_supplier_cnt", "q18_large_orders", "q19_bracket_revenue",
+    "churned_rich_customers",
 ]
 
 

@@ -4225,3 +4225,598 @@ def grouped_split_leakage(sf_dir: str):
         "n_users": pa.array([stats["test"][1], stats["train"][1]],
                             pa.int64()),
         "leaked_users": pa.array([leaked, leaked], pa.int64())})
+
+
+# --- round-3 TPC-H-adapted multi-join catalog -------------------------------
+# These widen the relational surface with the classic multi-way-join
+# shapes the reference's single-doc engine never needed but a complete
+# data-processing engine must have: nation-pair volume (Q7), profit
+# rollup (Q9), left-join distribution (Q13), promo share (Q14),
+# distinct-supplier counts (Q16), HAVING-filtered large orders (Q18),
+# disjunctive-bracket revenue (Q19), and churn anti-join (Q22 shape).
+# Every plan follows the repo's scale rules: dims broadcast once via
+# ray.put, facts stream, large×large goes through hash_join, partial
+# sums fold through bucketed_group_sum.
+
+def _dim_table(sf_dir: str, name: str, cols):
+    """Direct pruned parquet read of a broadcast-small dim table (one
+    Ray execution per dim costs ~1 s of executor startup for a few MB —
+    see q5_local_supplier_volume)."""
+    import pyarrow.parquet as pq
+
+    return pq.read_table(f"{sf_dir}/{name}.parquet", columns=cols)
+
+
+def _int_key_map(keys: pa.ChunkedArray | pa.Array, vals):
+    """(sorted int64 keys, values) pair for np.searchsorted gathers."""
+    import numpy as np
+
+    k = np.asarray(keys.combine_chunks() if isinstance(
+        keys, pa.ChunkedArray) else keys, dtype=np.int64)
+    order = np.argsort(k, kind="stable")
+    v = np.asarray(vals.combine_chunks() if isinstance(
+        vals, pa.ChunkedArray) else vals)
+    return k[order], v[order]
+
+
+def _rev_cents(b: pa.Table) -> "object":
+    """l_extendedprice*(1-l_discount) as exact int64 cents per row."""
+    return pc.cast(_pc_round(pc.multiply(pc.multiply(
+        b.column("l_extendedprice"),
+        pc.subtract(pa.scalar(1.0), b.column("l_discount"))), 100.0)),
+        pa.int64())
+
+
+def q7_nation_volume(sf_dir: str):
+    """TPC-H Q7 shape: shipping volume between NATION_1 and NATION_2 by
+    (supp_nation, cust_nation, ship year), 1996–1997.  Scale plan: both
+    nation filters push DOWN before the large×large join — lineitem
+    keeps only rows whose supplier sits in either nation (broadcast
+    suppkey set), orders keeps only customers in either nation
+    (broadcast custkey→nation map) — so the hash_join exchanges only
+    the ~2/25 of each fact table that can contribute."""
+    import datetime
+
+    import numpy as np
+    import ray
+
+    from mdvalidate_ray.functions.relational import (bucketed_group_sum,
+                                                     hash_join)
+
+    nation = _dim_table(sf_dir, "nation", ["n_nationkey", "n_name"])
+    want = nation.filter(pc.is_in(nation.column("n_name"),
+                                  value_set=pa.array(["NATION_1",
+                                                      "NATION_2"])))
+    nkeys = want.column("n_nationkey")
+    names = dict(zip(want.column("n_nationkey").to_pylist(),
+                     want.column("n_name").to_pylist()))
+
+    supp = _dim_table(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    supp = supp.filter(pc.is_in(pc.cast(supp.column("s_nationkey"),
+                                        pa.int64()), value_set=nkeys))
+    cust = _dim_table(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    cust = cust.filter(pc.is_in(pc.cast(cust.column("c_nationkey"),
+                                        pa.int64()), value_set=nkeys))
+    sk, sn = _int_key_map(supp.column("s_suppkey"),
+                          pc.cast(supp.column("s_nationkey"), pa.int64()))
+    ck, cn = _int_key_map(cust.column("c_custkey"),
+                          pc.cast(cust.column("c_nationkey"), pa.int64()))
+    out_schema = pa.schema(
+        [("supp_nation", pa.string()), ("cust_nation", pa.string()),
+         ("l_year", pa.int64()), ("revenue_c100", pa.int64())])
+    if len(sk) == 0 or len(ck) == 0:
+        # tiny-sf corpora may have no suppliers/customers in the two
+        # nations; Ray's hash join cannot finalize an all-empty side
+        return out_schema.empty_table()
+    maps_ref = ray.put((sk, sn, ck, cn))
+
+    lo = pa.scalar(datetime.datetime(1996, 1, 1))
+    hi = pa.scalar(datetime.datetime(1998, 1, 1))
+
+    def li_filter(b: pa.Table) -> pa.Table:
+        skeys, snat, _, _ = ray.get(maps_ref)
+        b = b.filter(pc.and_(pc.greater_equal(b.column("l_shipdate"), lo),
+                             pc.less(b.column("l_shipdate"), hi)))
+        if b.num_rows == 0 or len(skeys) == 0:
+            return b.slice(0, 0)
+        v = b.column("l_suppkey").to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(skeys, v)
+        pos[pos == len(skeys)] = 0
+        return b.filter(pa.array(skeys[pos] == v))
+
+    def ord_filter(b: pa.Table) -> pa.Table:
+        _, _, ckeys, _ = ray.get(maps_ref)
+        v = b.column("o_custkey").to_numpy(zero_copy_only=False)
+        if len(v) == 0 or len(ckeys) == 0:
+            return b.slice(0, 0)
+        pos = np.searchsorted(ckeys, v)
+        pos[pos == len(ckeys)] = 0
+        return b.filter(pa.array(ckeys[pos] == v))
+
+    li = _read(sf_dir, "lineitem").select_columns(
+        ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount",
+         "l_shipdate"]).map_batches(li_filter, batch_format="pyarrow",
+                                    zero_copy_batch=True)
+    orders = _read(sf_dir, "orders").select_columns(
+        ["o_orderkey", "o_custkey"]).map_batches(
+        ord_filter, batch_format="pyarrow", zero_copy_batch=True)
+    joined = hash_join(li, orders, on="l_orderkey", right_on="o_orderkey",
+                       n_parts=8)
+
+    def part(b: pa.Table) -> pa.Table:
+        empty = pa.table({"k": pa.array([], pa.string()),
+                          "rev_c100": pa.array([], pa.int64())})
+        if b.num_rows == 0:
+            return empty
+        skeys, snat, ckeys, cnat = ray.get(maps_ref)
+        sv = b.column("l_suppkey").to_numpy(zero_copy_only=False)
+        cv = b.column("o_custkey").to_numpy(zero_copy_only=False)
+        s_nat = snat[np.searchsorted(skeys, sv)]
+        c_nat = cnat[np.searchsorted(ckeys, cv)]
+        keep = s_nat != c_nat           # cross-nation flows only
+        if not keep.any():
+            return empty
+        year = pc.year(b.column("l_shipdate")).to_numpy(
+            zero_copy_only=False)
+        rev = np.asarray(_rev_cents(b), dtype=np.int64)
+        import pandas as pd
+
+        df = pd.DataFrame({"s": s_nat[keep], "c": c_nat[keep],
+                           "y": year[keep], "r": rev[keep]})
+        g = df.groupby(["s", "c", "y"], sort=False)["r"].sum()
+        ks = [f"{s}|{c}|{y}" for (s, c, y) in g.index]
+        return pa.table({"k": pa.array(ks, pa.string()),
+                         "rev_c100": pa.array(g.to_numpy(np.int64))})
+
+    folded = bucketed_group_sum(
+        joined.map_batches(part, batch_format="pyarrow",
+                           zero_copy_batch=True),
+        key="k", sum_cols=["rev_c100"], n_parts=4)
+    rows = []
+    for r in folded.take_all():
+        s, c, y = r["k"].split("|")
+        rows.append({"supp_nation": names[int(s)],
+                     "cust_nation": names[int(c)], "l_year": int(y),
+                     "revenue_c100": int(r["rev_c100"])})
+    rows.sort(key=lambda r: (r["supp_nation"], r["cust_nation"],
+                             r["l_year"]))
+    return pa.Table.from_pylist(rows, schema=out_schema)
+
+
+def q9_profit_by_nation_year(sf_dir: str):
+    """TPC-H Q9 shape (no partsupp table in this corpus, so profit =
+    revenue): Σ l_extendedprice·(1−l_discount) for parts whose name
+    contains 'red', grouped by (supplier nation, order year).  The part
+    filter pushes down as a broadcast partkey membership probe on the
+    lineitem stream; supplier→nation broadcasts as a searchsorted map;
+    the only exchange is the large×large lineitem⋈orders hash join on
+    the pre-filtered stream (~1/6 of lineitem survives the part probe)."""
+    import numpy as np
+    import ray
+
+    from mdvalidate_ray.functions.relational import (bucketed_group_sum,
+                                                     hash_join)
+
+    part_t = _dim_table(sf_dir, "part", ["p_partkey", "p_name"])
+    red = part_t.filter(pc.match_substring(part_t.column("p_name"),
+                                           "red"))
+    pk = np.sort(np.asarray(red.column("p_partkey"), dtype=np.int64))
+
+    nation = _dim_table(sf_dir, "nation", ["n_nationkey", "n_name"])
+    names = dict(zip(nation.column("n_nationkey").to_pylist(),
+                     nation.column("n_name").to_pylist()))
+    supp = _dim_table(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    sk, sn = _int_key_map(supp.column("s_suppkey"),
+                          pc.cast(supp.column("s_nationkey"), pa.int64()))
+    maps_ref = ray.put((pk, sk, sn))
+
+    def li_filter(b: pa.Table) -> pa.Table:
+        pkeys, _, _ = ray.get(maps_ref)
+        v = b.column("l_partkey").to_numpy(zero_copy_only=False)
+        if len(v) == 0 or len(pkeys) == 0:
+            return b.slice(0, 0)
+        pos = np.searchsorted(pkeys, v)
+        pos[pos == len(pkeys)] = 0
+        return b.filter(pa.array(pkeys[pos] == v))
+
+    li = _read(sf_dir, "lineitem").select_columns(
+        ["l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice",
+         "l_discount"]).map_batches(li_filter, batch_format="pyarrow",
+                                    zero_copy_batch=True)
+    orders = _read(sf_dir, "orders").select_columns(
+        ["o_orderkey", "o_orderdate"])
+    joined = hash_join(li, orders, on="l_orderkey", right_on="o_orderkey",
+                       n_parts=8)
+
+    def part(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"k": pa.array([], pa.string()),
+                             "profit_c100": pa.array([], pa.int64())})
+        _, skeys, snat = ray.get(maps_ref)
+        sv = b.column("l_suppkey").to_numpy(zero_copy_only=False)
+        nat = snat[np.searchsorted(skeys, sv)]
+        year = pc.year(b.column("o_orderdate")).to_numpy(
+            zero_copy_only=False)
+        rev = np.asarray(_rev_cents(b), dtype=np.int64)
+        import pandas as pd
+
+        g = pd.DataFrame({"n": nat, "y": year, "r": rev}).groupby(
+            ["n", "y"], sort=False)["r"].sum()
+        ks = [f"{n}|{y}" for (n, y) in g.index]
+        return pa.table({"k": pa.array(ks, pa.string()),
+                         "profit_c100": pa.array(g.to_numpy(np.int64))})
+
+    folded = bucketed_group_sum(
+        joined.map_batches(part, batch_format="pyarrow",
+                           zero_copy_batch=True),
+        key="k", sum_cols=["profit_c100"], n_parts=8)
+    rows = []
+    for r in folded.take_all():
+        n, y = r["k"].split("|")
+        rows.append({"n_name": names[int(n)], "o_year": int(y),
+                     "profit_c100": int(r["profit_c100"])})
+    rows.sort(key=lambda r: (r["n_name"], r["o_year"]))
+    return pa.Table.from_pylist(rows, schema=pa.schema(
+        [("n_name", pa.string()), ("o_year", pa.int64()),
+         ("profit_c100", pa.int64())]))
+
+
+def q13_order_count_distribution(sf_dir: str):
+    """TPC-H Q13 shape: how many customers placed exactly k orders
+    (including k=0 — the LEFT-join bucket).  Scale plan avoids the
+    customer⋈orders left join entirely: per-custkey counts come from
+    one coarse bucketed fold over orders (pre-combined per block), the
+    k-distribution is a second tiny fold over the counts, and the zero
+    bucket is |customer| − |distinct custkeys| — two scalars.  Nothing
+    customer-sized ever shuffles or lands on the driver."""
+    import numpy as np
+
+    from mdvalidate_ray.functions.relational import bucketed_group_sum
+
+    def per_block(b: pa.Table) -> pa.Table:
+        v = b.column("o_custkey").to_numpy(zero_copy_only=False)
+        keys, cnt = np.unique(v, return_counts=True)
+        return pa.table({"o_custkey": pa.array(keys, pa.int64()),
+                         "cnt": pa.array(cnt.astype(np.int64))})
+
+    counts = bucketed_group_sum(
+        _read(sf_dir, "orders").select_columns(["o_custkey"])
+        .map_batches(per_block, batch_format="pyarrow",
+                     zero_copy_batch=True),
+        key="o_custkey", sum_cols=["cnt"], n_parts=16)
+
+    def k_partial(b: pa.Table) -> pa.Table:
+        k, n = np.unique(b.column("cnt").to_numpy(zero_copy_only=False),
+                         return_counts=True)
+        return pa.table({"c_count": pa.array(k, pa.int64()),
+                         "custdist": pa.array(n.astype(np.int64))})
+
+    dist_parts = counts.map_batches(k_partial, batch_format="pyarrow",
+                                    zero_copy_batch=True)
+    folded = bucketed_group_sum(dist_parts, key="c_count",
+                                sum_cols=["custdist"],
+                                n_parts=4).take_all()
+    import pyarrow.parquet as pq
+
+    n_cust = pq.ParquetFile(
+        f"{sf_dir}/customer.parquet").metadata.num_rows
+    # `counts` holds exactly one row per custkey that has orders, so the
+    # distribution's custdist total IS the with-orders customer count
+    n_with = sum(r["custdist"] for r in folded)
+    rows = [{"c_count": int(r["c_count"]),
+             "custdist": int(r["custdist"])} for r in folded]
+    if n_cust - n_with > 0:
+        rows.append({"c_count": 0, "custdist": int(n_cust - n_with)})
+    rows.sort(key=lambda r: (-r["custdist"], -r["c_count"]))
+    return pa.Table.from_pylist(rows, schema=pa.schema(
+        [("c_count", pa.int64()), ("custdist", pa.int64())]))
+
+
+def q14_promo_revenue(sf_dir: str):
+    """TPC-H Q14 shape: PROMO-type share of March-1996 revenue.  The
+    part→type flag broadcasts as a sorted partkey array + bitmask;
+    per-batch int-cent partial sums fold on the driver (two scalars per
+    batch — no exchange at all)."""
+    import datetime
+
+    import numpy as np
+    import ray
+
+    part_t = _dim_table(sf_dir, "part", ["p_partkey", "p_type"])
+    pk, ptype = _int_key_map(part_t.column("p_partkey"),
+                             part_t.column("p_type"))
+    promo = (ptype == "PROMO")
+    maps_ref = ray.put((pk, promo))
+    lo = pa.scalar(datetime.datetime(1996, 3, 1))
+    hi = pa.scalar(datetime.datetime(1996, 4, 1))
+
+    def partial(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.and_(pc.greater_equal(b.column("l_shipdate"), lo),
+                             pc.less(b.column("l_shipdate"), hi)))
+        if b.num_rows == 0:
+            return pa.table({"promo_c100": pa.array([], pa.int64()),
+                             "total_c100": pa.array([], pa.int64())})
+        pkeys, is_promo = ray.get(maps_ref)
+        v = b.column("l_partkey").to_numpy(zero_copy_only=False)
+        flags = is_promo[np.searchsorted(pkeys, v)]
+        rev = np.asarray(_rev_cents(b), dtype=np.int64)
+        return pa.table({
+            "promo_c100": pa.array([int(rev[flags].sum())], pa.int64()),
+            "total_c100": pa.array([int(rev.sum())], pa.int64())})
+
+    parts = _read(sf_dir, "lineitem").select_columns(
+        ["l_partkey", "l_extendedprice", "l_discount", "l_shipdate"]
+    ).map_batches(partial, batch_format="pyarrow",
+                  zero_copy_batch=True).take_all()
+    promo_c = sum(r["promo_c100"] for r in parts)
+    total_c = sum(r["total_c100"] for r in parts)
+    pct = _half_away(1_000_000.0 * promo_c / total_c) / 10_000.0
+    return pa.table({"promo_c100": pa.array([promo_c], pa.int64()),
+                     "total_c100": pa.array([total_c], pa.int64()),
+                     "promo_pct": pa.array([pct], pa.float64())})
+
+
+def q16_part_supplier_cnt(sf_dir: str):
+    """TPC-H Q16 shape (supplier relationships come from lineitem — this
+    corpus has no partsupp): distinct suppliers per (brand, type, size)
+    for parts outside Brand#1 / non-PROMO / 8 candidate sizes.  Distinct
+    (part, supplier) pairs reduce in-block first, then the exact
+    skew-proof pair-hash co-partition of
+    :func:`~mdvalidate_ray.functions.relational.group_count_distinct`
+    counts distinct suppliers per composite group."""
+    import numpy as np
+    import ray
+
+    from mdvalidate_ray.functions.relational import group_count_distinct
+
+    sizes = [1, 4, 7, 10, 13, 16, 19, 22]
+    part_t = _dim_table(sf_dir, "part",
+                        ["p_partkey", "p_brand", "p_type", "p_size"])
+    keep = pc.and_(pc.and_(
+        pc.invert(pc.equal(part_t.column("p_brand"), "Brand#1")),
+        pc.invert(pc.equal(part_t.column("p_type"), "PROMO"))),
+        pc.is_in(pc.cast(part_t.column("p_size"), pa.int64()),
+                 value_set=pa.array(sizes, pa.int64())))
+    part_t = part_t.filter(keep)
+    pk, pattr = _int_key_map(
+        part_t.column("p_partkey"),
+        pc.binary_join_element_wise(
+            part_t.column("p_brand"), part_t.column("p_type"),
+            pc.cast(part_t.column("p_size"), pa.string()), "|"))
+    maps_ref = ray.put((pk, pattr))
+
+    def tag(b: pa.Table) -> pa.Table:
+        pkeys, attrs = ray.get(maps_ref)
+        v = b.column("l_partkey").to_numpy(zero_copy_only=False)
+        if len(v) == 0 or len(pkeys) == 0:
+            return pa.table({"grp": pa.array([], pa.string()),
+                             "l_suppkey": pa.array([], pa.int64())})
+        pos = np.searchsorted(pkeys, v)
+        pos[pos == len(pkeys)] = 0
+        hit = pkeys[pos] == v
+        b = b.filter(pa.array(hit))
+        return pa.table({
+            "grp": pa.array(attrs[pos[hit]], pa.string()),
+            "l_suppkey": b.column("l_suppkey").combine_chunks()})
+
+    pairs = _read(sf_dir, "lineitem").select_columns(
+        ["l_partkey", "l_suppkey"]).map_batches(
+        tag, batch_format="pyarrow", zero_copy_batch=True)
+    counted = group_count_distinct(pairs, group_col="grp",
+                                   distinct_col="l_suppkey",
+                                   out_name="supplier_cnt", n_parts=32)
+    rows = []
+    for r in counted.take_all():
+        brand, ptype, size = r["grp"].split("|")
+        rows.append({"p_brand": brand, "p_type": ptype,
+                     "p_size": int(size),
+                     "supplier_cnt": int(r["supplier_cnt"])})
+    rows.sort(key=lambda r: (-r["supplier_cnt"], r["p_brand"],
+                             r["p_type"], r["p_size"]))
+    return pa.Table.from_pylist(rows, schema=pa.schema(
+        [("p_brand", pa.string()), ("p_type", pa.string()),
+         ("p_size", pa.int64()), ("supplier_cnt", pa.int64())]))
+
+
+def q18_large_orders(sf_dir: str):
+    """TPC-H Q18 shape: orders whose total quantity exceeds 300, with
+    customer name and order attributes.  The per-order quantity fold is
+    one coarse bucketed exchange of pre-combined (orderkey, qty) rows;
+    the HAVING filter leaves a result-sized key set that re-enters the
+    orders scan as a broadcast membership probe (never a join of the
+    full orders table), and customer names gather from a broadcast
+    map."""
+    import numpy as np
+    import ray
+
+    from mdvalidate_ray.functions.relational import bucketed_group_sum
+
+    threshold = 300 * 100   # qty in int centi-units
+
+    def per_block(b: pa.Table) -> pa.Table:
+        k = b.column("l_orderkey").to_numpy(zero_copy_only=False)
+        q = np.asarray(pc.cast(_pc_round(pc.multiply(
+            b.column("l_quantity"), 100.0)), pa.int64()),
+            dtype=np.int64)
+        keys, inv = np.unique(k, return_inverse=True)
+        sums = np.zeros(len(keys), dtype=np.int64)
+        np.add.at(sums, inv, q)
+        return pa.table({"l_orderkey": pa.array(keys, pa.int64()),
+                         "qty_c100": pa.array(sums)})
+
+    qty = bucketed_group_sum(
+        _read(sf_dir, "lineitem").select_columns(
+            ["l_orderkey", "l_quantity"]).map_batches(
+            per_block, batch_format="pyarrow", zero_copy_batch=True),
+        key="l_orderkey", sum_cols=["qty_c100"], n_parts=16)
+    big = qty.filter(expr=f"qty_c100 > {threshold}")
+    # HAVING survivors are result-sized by construction (TPC-H Q18
+    # returns ~1 row per 60k orders); a driver map is the broadcast side
+    big_map = {}
+    for blk in big.iter_batches(batch_format="pyarrow"):
+        for k_, v_ in zip(blk.column("l_orderkey").to_pylist(),
+                          blk.column("qty_c100").to_pylist()):
+            big_map[int(k_)] = int(v_)
+    if not big_map:
+        return pa.Table.from_pylist([], schema=pa.schema(
+            [("c_name", pa.string()), ("o_custkey", pa.int64()),
+             ("o_orderkey", pa.int64()),
+             ("o_totalprice_c100", pa.int64()),
+             ("sum_qty_c100", pa.int64())]))
+    keys_arr = pa.array(sorted(big_map), pa.int64())
+    keys_ref = ray.put(keys_arr)
+
+    def pick_orders(b: pa.Table) -> pa.Table:
+        ks = ray.get(keys_ref)
+        return b.filter(pc.is_in(b.column("o_orderkey"), value_set=ks))
+
+    hits = _read(sf_dir, "orders").select_columns(
+        ["o_orderkey", "o_custkey", "o_totalprice"]).map_batches(
+        pick_orders, batch_format="pyarrow",
+        zero_copy_batch=True).take_all()
+    cust = _dim_table(sf_dir, "customer", ["c_custkey", "c_name"])
+    cmap = dict(zip(cust.column("c_custkey").to_pylist(),
+                    cust.column("c_name").to_pylist()))
+    rows = [{"c_name": cmap[r["o_custkey"]],
+             "o_custkey": int(r["o_custkey"]),
+             "o_orderkey": int(r["o_orderkey"]),
+             "o_totalprice_c100": _half_away(r["o_totalprice"] * 100),
+             "sum_qty_c100": big_map[int(r["o_orderkey"])]}
+            for r in hits]
+    rows.sort(key=lambda r: (-r["o_totalprice_c100"], r["o_orderkey"]))
+    return pa.Table.from_pylist(rows, schema=pa.schema(
+        [("c_name", pa.string()), ("o_custkey", pa.int64()),
+         ("o_orderkey", pa.int64()), ("o_totalprice_c100", pa.int64()),
+         ("sum_qty_c100", pa.int64())]))
+
+
+def q19_bracket_revenue(sf_dir: str):
+    """TPC-H Q19 shape: revenue from three disjunctive (brand, size,
+    quantity) brackets.  Part attributes broadcast once as sorted
+    arrays; each lineitem batch evaluates the whole disjunction
+    vectorized and emits one partial int-cent sum — no exchange."""
+    import numpy as np
+    import ray
+
+    part_t = _dim_table(sf_dir, "part",
+                        ["p_partkey", "p_brand", "p_size"])
+    pk, pbrand = _int_key_map(part_t.column("p_partkey"),
+                              part_t.column("p_brand"))
+    _, psize = _int_key_map(part_t.column("p_partkey"),
+                            pc.cast(part_t.column("p_size"), pa.int64()))
+    maps_ref = ray.put((pk, pbrand, psize))
+    brackets = [("Brand#12", 1, 5, 1.0, 11.0),
+                ("Brand#23", 1, 10, 10.0, 20.0),
+                ("Brand#34", 1, 15, 20.0, 30.0)]
+
+    def partial(b: pa.Table) -> pa.Table:
+        pkeys, brand, size = ray.get(maps_ref)
+        if b.num_rows == 0 or len(pkeys) == 0:
+            return pa.table({"revenue_c100": pa.array([], pa.int64())})
+        v = b.column("l_partkey").to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(pkeys, v)
+        pos[pos == len(pkeys)] = 0
+        ok_part = pkeys[pos] == v
+        br, sz = brand[pos], size[pos]
+        qty = b.column("l_quantity").to_numpy(zero_copy_only=False)
+        keep = np.zeros(len(v), dtype=bool)
+        for (bname, lo_s, hi_s, lo_q, hi_q) in brackets:
+            keep |= ((br == bname) & (sz >= lo_s) & (sz <= hi_s)
+                     & (qty >= lo_q) & (qty <= hi_q))
+        keep &= ok_part
+        if not keep.any():
+            return pa.table({"revenue_c100": pa.array([], pa.int64())})
+        rev = np.asarray(_rev_cents(b), dtype=np.int64)
+        return pa.table({"revenue_c100": pa.array(
+            [int(rev[keep].sum())], pa.int64())})
+
+    parts = _read(sf_dir, "lineitem").select_columns(
+        ["l_partkey", "l_quantity", "l_extendedprice", "l_discount"]
+    ).map_batches(partial, batch_format="pyarrow",
+                  zero_copy_batch=True).take_all()
+    return pa.table({"revenue_c100": pa.array(
+        [sum(r["revenue_c100"] for r in parts)], pa.int64())})
+
+
+def churned_rich_customers(sf_dir: str):
+    """TPC-H Q22 shape, adapted to this corpus (every customer has
+    orders, so 'idle' means churned): per market segment, how many
+    customers with above-average account balance placed their LAST
+    order before 2000-01-01, and their total balance.  The per-customer
+    last-order-date comes from
+    :func:`~mdvalidate_ray.functions.relational.latest_per_key` (block
+    argmax + one coarse exchange); the churned key set then filters the
+    customer scan as a broadcast probe — no customer-sized shuffle.  At
+    corpus scale the churned set is bounded by the churn rate; past
+    broadcast it would flow through semi_join_keys' Bloom tier."""
+    import datetime
+
+    import ray
+
+    from mdvalidate_ray.functions.relational import (bucketed_group_sum,
+                                                     latest_per_key)
+
+    cust_ds = _read(sf_dir, "customer").select_columns(
+        ["c_custkey", "c_mktsegment", "c_acctbal"])
+
+    # global avg of positive balances: exact int-cent partial sums
+    def bal_partial(b: pa.Table) -> pa.Table:
+        pos = b.filter(pc.greater(b.column("c_acctbal"), 0.0))
+        cents = pc.cast(_pc_round(pc.multiply(
+            pos.column("c_acctbal"), 100.0)), pa.int64())
+        return pa.table({
+            "s": pa.array([int(pc.sum(cents).as_py() or 0)], pa.int64()),
+            "n": pa.array([pos.num_rows], pa.int64())})
+
+    parts = cust_ds.map_batches(bal_partial, batch_format="pyarrow",
+                                zero_copy_batch=True).take_all()
+    tot_c, tot_n = (sum(r["s"] for r in parts), sum(r["n"] for r in parts))
+    avg_c100 = tot_c / tot_n   # exact rational; both sides compare > avg
+
+    last = latest_per_key(
+        _read(sf_dir, "orders").select_columns(
+            ["o_custkey", "o_orderdate"]),
+        key="o_custkey", order_cols=["o_orderdate"], n_parts=16)
+    cutoff = pa.scalar(datetime.datetime(2000, 1, 1))
+    churned = last.map_batches(
+        lambda b: b.filter(pc.less(b.column("o_orderdate"), cutoff)),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+    import numpy as np
+
+    ck = np.sort(np.concatenate(
+        [blk.column("o_custkey").to_numpy(zero_copy_only=False)
+         for blk in churned.iter_batches(batch_format="pyarrow")]
+        or [np.zeros(0, dtype=np.int64)]))
+    ck_ref = ray.put(ck)
+
+    def seg_partial(b: pa.Table) -> pa.Table:
+        keys = ray.get(ck_ref)
+        cents = pc.cast(_pc_round(pc.multiply(
+            b.column("c_acctbal"), 100.0)), pa.int64())
+        b = b.set_column(b.schema.get_field_index("c_acctbal"),
+                         "c_acctbal", cents)
+        b = b.filter(pc.greater(b.column("c_acctbal"),
+                                pa.scalar(avg_c100)))
+        if b.num_rows == 0 or len(keys) == 0:
+            return pa.table({"c_mktsegment": pa.array([], pa.string()),
+                             "numcust": pa.array([], pa.int64()),
+                             "totacctbal_c100": pa.array([], pa.int64())})
+        v = b.column("c_custkey").to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(keys, v)
+        pos[pos == len(keys)] = 0
+        b = b.filter(pa.array(keys[pos] == v))
+        g = pa.TableGroupBy(b, "c_mktsegment").aggregate(
+            [([], "count_all"), ("c_acctbal", "sum")])
+        return g.rename_columns(["c_mktsegment", "numcust",
+                                 "totacctbal_c100"])
+
+    folded = bucketed_group_sum(
+        cust_ds.map_batches(seg_partial, batch_format="pyarrow",
+                            zero_copy_batch=True),
+        key="c_mktsegment", sum_cols=["numcust", "totacctbal_c100"],
+        n_parts=4)
+    rows = sorted(folded.take_all(), key=lambda r: r["c_mktsegment"])
+    return pa.Table.from_pylist(rows, schema=pa.schema(
+        [("c_mktsegment", pa.string()), ("numcust", pa.int64()),
+         ("totacctbal_c100", pa.int64())]))
