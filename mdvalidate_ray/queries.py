@@ -3392,48 +3392,58 @@ def overlapping_windows(sf_dir: str):
 
 def qty_mad(sf_dir: str):
     """Per-group median absolute deviation (the robust dispersion
-    statistic — winsorize's sibling): exact grouped median, broadcast,
-    then the exact grouped median of |x − median| over the derived
-    deviations — two bounded quantile exchanges, nothing corpus-sized
-    on the driver.  Cents-scaled half-away rounding at the very end so
-    the oracle compare is integer-exact."""
+    statistic — winsorize's sibling), exploiting the SMALL VALUE DOMAIN
+    of l_quantity (50 distinct values): ONE exchange of in-block-combined
+    (flag, qty) counts (≤ groups × 50 rows total), then both exact
+    weighted medians — the value median AND the median of |x − median|,
+    whose distribution is a pure reshuffle of the same counts — compute
+    on the driver.  Replaces two full (group, value) pair shuffles; for
+    wide domains use group_quantiles / t-digest instead.  Cents-scaled
+    half-away rounding at the very end keeps the oracle compare
+    integer-exact."""
     import numpy as np
-    import ray
 
-    from mdvalidate_ray.functions.window import group_quantiles
+    from mdvalidate_ray.functions.relational import bucketed_group_sum
+    from mdvalidate_ray.functions.window import weighted_quantile
 
     li = _read(sf_dir, "lineitem").select_columns(
         ["l_returnflag", "l_quantity"])
-    med: dict[str, float] = {
-        r["l_returnflag"]: r["q_value"]
-        for r in group_quantiles(li, group_key="l_returnflag",
-                                 value_col="l_quantity",
-                                 qs=[0.5]).take_all()}
-    med_ref = ray.put(med)
 
-    def dev(b: pa.Table) -> pa.Table:
-        m = ray.get(med_ref)
-        flags = pc.cast(b.column("l_returnflag"), pa.string())
-        flags = flags.combine_chunks() if isinstance(
-            flags, pa.ChunkedArray) else flags
-        enc = flags.dictionary_encode()
-        codes = np.asarray(enc.indices).astype(np.int64)
-        centers = np.array([m[c] for c in enc.dictionary.to_pylist()],
-                           dtype=np.float64)[codes]
-        qty = np.asarray(b.column("l_quantity").cast(pa.float64())
-                         .to_pandas(), dtype=np.float64)
-        return pa.Table.from_arrays(
-            [flags, pa.array(np.abs(qty - centers))],
-            names=["l_returnflag", "abs_dev"])
+    def pre(b: pa.Table) -> pa.Table:
+        sel = b.append_column(
+            "_c", pa.array(np.ones(b.num_rows, dtype=np.int64)))
+        g = pa.TableGroupBy(sel, ["l_returnflag", "l_quantity"]).aggregate(
+            [("_c", "sum")])
+        g = g.rename_columns(["l_returnflag", "l_quantity", "_c"])
+        return g.append_column(
+            "k", pc.binary_join_element_wise(
+                pc.cast(g.column("l_returnflag"), pa.string()),
+                pc.cast(g.column("l_quantity"), pa.string()), "|"))
 
-    derived = li.map_batches(dev, batch_format="pyarrow",
-                             zero_copy_batch=True)
-    mad: dict[str, float] = {
-        r["l_returnflag"]: r["q_value"]
-        for r in group_quantiles(derived, group_key="l_returnflag",
-                                 value_col="abs_dev",
-                                 qs=[0.5]).take_all()}
-    groups = sorted(med)
+    counts = bucketed_group_sum(
+        li.map_batches(pre, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(lambda b: b.select(["k", "_c"]),
+                     batch_format="pyarrow"),
+        key="k", sum_cols=["_c"], n_parts=4).take_all()
+
+    per_group: dict[str, dict[float, int]] = {}
+    for r in counts:
+        flag, qty = r["k"].split("|")
+        per_group.setdefault(flag, {})[float(qty)] = \
+            per_group.get(flag, {}).get(float(qty), 0) + int(r["_c"])
+    groups = sorted(per_group)
+    med, mad = {}, {}
+    for g in groups:
+        vals = np.array(sorted(per_group[g]), dtype=np.float64)
+        cnts = np.array([per_group[g][v] for v in vals], dtype=np.int64)
+        med[g] = weighted_quantile(vals, cnts, [0.5])[0]
+        # |x − m| re-keys the SAME counts — no second data pass
+        dev: dict[float, int] = {}
+        for v, c in zip(np.abs(vals - med[g]), cnts):
+            dev[float(v)] = dev.get(float(v), 0) + int(c)
+        dvals = np.array(sorted(dev), dtype=np.float64)
+        dcnts = np.array([dev[v] for v in dvals], dtype=np.int64)
+        mad[g] = weighted_quantile(dvals, dcnts, [0.5])[0]
     c100 = lambda x: int(np.floor(x * 100.0 + 0.5))  # noqa: E731
     return pa.Table.from_pydict({
         "l_returnflag": pa.array(groups, pa.string()),

@@ -506,3 +506,81 @@ class MisraGries:
         mg.counts = sums
         mg._shrink()
         return mg
+
+
+class CountMinSketch:
+    """Count-Min sketch (Cormode & Muthukrishnan 2005): a d×w counter
+    grid; point-frequency estimates overcount by at most εN with
+    probability 1−δ where w = ⌈e/ε⌉ and d = ⌈ln 1/δ⌉.  Merge is
+    element-wise addition, so per-batch partials tree-reduce exactly
+    like the HLL/KLL partials (SURVEY.md §2.5) — the approximate
+    point-lookup companion to the MisraGries top-k sketch: MG answers
+    "which keys are heavy", CMS answers "how often did THIS key occur"
+    without holding any keys at all.
+
+    Rows are derived from one 64-bit hash per value (Kirsch-Mitzenmauer
+    double hashing: h_i = h_lo + i·h_hi), so adding a million-element
+    Arrow column costs d vectorized scatter-adds.
+    """
+
+    def __init__(self, width: int = 2048, depth: int = 5,
+                 table: np.ndarray | None = None):
+        self.width = width
+        self.depth = depth
+        self.table = (table if table is not None
+                      else np.zeros((depth, width), dtype=np.int64))
+        self.n = int(self.table.sum() // max(depth, 1))
+
+    def add(self, values, counts=None) -> "CountMinSketch":
+        if len(values) == 0:
+            return self
+        h = hash_strings(values)
+        lo = (h & np.uint64(0xFFFFFFFF)).astype(np.uint64)
+        hi = (h >> np.uint64(32)).astype(np.uint64) | np.uint64(1)
+        c = (np.asarray(counts, dtype=np.int64) if counts is not None
+             else np.ones(len(h), dtype=np.int64))
+        for i in range(self.depth):
+            idx = ((lo + np.uint64(i) * hi)
+                   % np.uint64(self.width)).astype(np.int64)
+            np.add.at(self.table[i], idx, c)
+        self.n += int(c.sum())
+        return self
+
+    def estimate(self, values) -> np.ndarray:
+        """Upper-biased point estimates (min over rows)."""
+        if len(values) == 0:
+            return np.zeros(0, dtype=np.int64)
+        h = hash_strings(values)
+        lo = (h & np.uint64(0xFFFFFFFF)).astype(np.uint64)
+        hi = (h >> np.uint64(32)).astype(np.uint64) | np.uint64(1)
+        est = np.full(len(h), np.iinfo(np.int64).max, dtype=np.int64)
+        for i in range(self.depth):
+            idx = ((lo + np.uint64(i) * hi)
+                   % np.uint64(self.width)).astype(np.int64)
+            np.minimum(est, self.table[i][idx], out=est)
+        return est
+
+    def merge(self, other: "CountMinSketch") -> "CountMinSketch":
+        assert (self.width, self.depth) == (other.width, other.depth)
+        self.table += other.table
+        self.n += other.n
+        return self
+
+    @property
+    def eps(self) -> float:
+        """Additive error bound: estimate ≤ true + eps·N w.p. 1−δ."""
+        return float(np.e / self.width)
+
+    def to_bytes(self) -> bytes:
+        import struct
+
+        return struct.pack("<II", self.width, self.depth) \
+            + self.table.tobytes()
+
+    @classmethod
+    def from_bytes(cls, b: bytes) -> "CountMinSketch":
+        import struct
+
+        w, d = struct.unpack("<II", b[:8])
+        tbl = np.frombuffer(b[8:], dtype=np.int64).reshape(d, w).copy()
+        return cls(width=w, depth=d, table=tbl)

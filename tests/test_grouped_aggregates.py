@@ -212,3 +212,44 @@ def test_event_transitions_matches_naive(ray_session, tmp_path):
             k = (rows[i - 1][3], rows[i][3])
             want[k] = want.get(k, 0) + 1
     assert got_map == want
+
+
+# --- group_approx_distinct (per-group HLL) -----------------------------------
+
+@pytest.mark.parametrize("blocks", [1, 6])
+def test_group_approx_distinct_tracks_exact(ray_session, blocks):
+    import ray.data
+
+    from mdvalidate_ray.functions.relational import (group_approx_distinct,
+                                                     group_count_distinct)
+
+    rows = []
+    for g, n_distinct in [("a", 5), ("b", 400), ("c", 3000)]:
+        for i in range(n_distinct):
+            rows.append((g, f"{g}-user-{i}"))
+            rows.append((g, f"{g}-user-{i % max(1, n_distinct // 2)}"))
+    ds = ray.data.from_arrow(_tbl(rows, ["g", "u"])).repartition(blocks)
+
+    exact = {r["g"]: r["n_distinct"] for r in group_count_distinct(
+        ds, group_col="g", distinct_col="u").take_all()}
+    approx = {r["g"]: r["approx_distinct"] for r in group_approx_distinct(
+        ds, group_col="g", distinct_col="u", p=12).take_all()}
+    assert set(approx) == {"a", "b", "c"}
+    assert exact == {"a": 5, "b": 400, "c": 3000}
+    for g in exact:
+        rel = abs(approx[g] - exact[g]) / exact[g]
+        assert rel < 0.05, (g, approx[g], exact[g])
+
+
+def test_group_approx_distinct_deterministic(ray_session):
+    import ray.data
+
+    from mdvalidate_ray.functions.relational import group_approx_distinct
+
+    rows = [("g", f"v{i}") for i in range(1000)]
+    ds = ray.data.from_arrow(_tbl(rows, ["g", "u"]))
+    a = group_approx_distinct(ds, group_col="g", distinct_col="u").take_all()
+    b = group_approx_distinct(
+        ds.repartition(5), group_col="g", distinct_col="u").take_all()
+    # register max-fold is order-independent: same estimate at any blocking
+    assert a == b

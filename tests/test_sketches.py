@@ -297,3 +297,61 @@ def test_ks_exact_matches_scipy_free_reference(ray_session):
                   group_col="g", group_a="a", group_b="b") \
         .to_pandas().iloc[0]
     assert int(d3.ks_num) == 0
+
+
+# --- CountMinSketch ----------------------------------------------------------
+
+def test_cms_point_estimates_upper_biased_and_close():
+    import numpy as np
+
+    from mdvalidate_ray.state.sketches import CountMinSketch
+
+    rng = np.random.RandomState(7)
+    # zipf-ish corpus: key_i appears ~1000/i times
+    keys, truth = [], {}
+    for i in range(1, 101):
+        c = 1000 // i
+        keys += [f"k{i}"] * c
+        truth[f"k{i}"] = c
+    rng.shuffle(keys)
+    cms = CountMinSketch(width=2048, depth=5)
+    # add in 7 chunks to exercise incremental adds
+    for chunk in np.array_split(np.asarray(keys, dtype=object), 7):
+        cms.add(chunk)
+    probe = [f"k{i}" for i in range(1, 101)]
+    est = cms.estimate(probe)
+    n = sum(truth.values())
+    for name, e in zip(probe, est):
+        assert e >= truth[name]                      # never undercounts
+        assert e <= truth[name] + cms.eps * n * 3    # and stays near
+
+    absent = cms.estimate([f"zz{i}" for i in range(50)])
+    assert (absent <= cms.eps * n * 3).all()
+
+
+def test_cms_merge_equals_single_pass_and_roundtrips():
+    import numpy as np
+
+    from mdvalidate_ray.state.sketches import CountMinSketch
+
+    a_vals = [f"x{i % 37}" for i in range(500)]
+    b_vals = [f"x{i % 11}" for i in range(300)]
+    one = CountMinSketch(width=512, depth=4).add(a_vals + b_vals)
+    merged = CountMinSketch(width=512, depth=4).add(a_vals).merge(
+        CountMinSketch(width=512, depth=4).add(b_vals))
+    assert (one.table == merged.table).all()
+    assert one.n == merged.n == 800
+
+    back = CountMinSketch.from_bytes(one.to_bytes())
+    assert (back.table == one.table).all()
+    assert (back.estimate(["x0", "x1"]) == one.estimate(["x0", "x1"])).all()
+
+
+def test_cms_weighted_adds():
+    from mdvalidate_ray.state.sketches import CountMinSketch
+
+    cms = CountMinSketch(width=1024, depth=5)
+    cms.add(["a", "b"], counts=[10, 3])
+    est = cms.estimate(["a", "b"])
+    assert est[0] >= 10 and est[1] >= 3
+    assert est[0] <= 13 and est[1] <= 13
