@@ -152,6 +152,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q18_large_orders": Q.q18_large_orders,
         "q19_bracket_revenue": Q.q19_bracket_revenue,
         "churned_rich_customers": Q.churned_rich_customers,
+        "bpe_token_stats": Q.bpe_token_stats,
+        "approx_users_per_type": Q.approx_users_per_type,
         "embedding_scores": Q.embedding_scores,
         "customer_order_counts": Q.customer_order_counts,
         # edit-distance near-dup family / n-gram decontamination / set ops

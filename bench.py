@@ -197,7 +197,7 @@ QUERY_NAMES = [
     "q7_nation_volume", "q9_profit_by_nation_year",
     "q13_order_count_distribution", "q14_promo_revenue",
     "q16_part_supplier_cnt", "q18_large_orders", "q19_bracket_revenue",
-    "churned_rich_customers",
+    "churned_rich_customers", "bpe_token_stats", "approx_users_per_type",
 ]
 
 

@@ -960,3 +960,82 @@ def bpe_learn(ds, *, text_col: str = "text", n_merges: int = 50,
         pair_cnt.pop((a, b), None)
         pair_words.pop((a, b), None)
     return merges
+
+
+_TEXT_STATE: dict = {}
+
+
+def bpe_encode_counts(ds, merges: list[dict], *, id_col: str = "doc_id",
+                      text_col: str = "text",
+                      out_col: str = "n_bpe_tokens"):
+    """Apply LEARNED BPE merges (from :func:`bpe_learn`) to every
+    document and emit its encoded token count — the apply half of the
+    tokenizer story (learn → encode), the per-doc cost estimator a
+    training-data pipeline runs before packing.
+
+    The merge table broadcasts once (``ray.put``); each worker process
+    builds the pair→rank dict a single time (per-process cache) and
+    encodes each DISTINCT word in a batch once (Zipf makes the distinct
+    set far smaller than the token stream), with an unbounded per-word
+    memo bounded by the vocabulary actually seen on that worker."""
+    import ray
+
+    from mdvalidate_ray.state.proc_cache import get_or_build
+
+    merges_ref = ray.put([(m["left"], m["right"]) for m in merges])
+
+    def _encode_len(word: str, ranks: dict, memo: dict) -> int:
+        hit = memo.get(word)
+        if hit is not None:
+            return hit
+        sym = list(word)
+        while len(sym) > 1:
+            best_rank, best_pair = None, None
+            for i in range(len(sym) - 1):
+                r = ranks.get((sym[i], sym[i + 1]))
+                if r is not None and (best_rank is None or r < best_rank):
+                    best_rank, best_pair = r, (sym[i], sym[i + 1])
+            if best_pair is None:
+                break
+            merged, i = [], 0
+            while i < len(sym):
+                if (i < len(sym) - 1
+                        and (sym[i], sym[i + 1]) == best_pair):
+                    merged.append(sym[i] + sym[i + 1])
+                    i += 2
+                else:
+                    merged.append(sym[i])
+                    i += 1
+            sym = merged
+        memo[word] = len(sym)
+        return len(sym)
+
+    def encode_batch(b: pa.Table) -> pa.Table:
+        state = get_or_build(
+            _TEXT_STATE, ("bpe", merges_ref.hex()),
+            lambda: ({p: i for i, p in enumerate(ray.get(merges_ref))},
+                     {}))
+        ranks, memo = state
+        texts = pc.utf8_lower(pc.utf8_trim_whitespace(
+            pc.cast(b.column(text_col), pa.string())))
+        tokens = pc.split_pattern_regex(texts, r"\s+")
+        tokens = (tokens.combine_chunks()
+                  if isinstance(tokens, pa.ChunkedArray) else tokens)
+        offsets = np.asarray(tokens.offsets, dtype=np.int64)
+        offsets = offsets - offsets[0]
+        counts = np.diff(offsets)
+        words = tokens.flatten().to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(words.astype(object), return_inverse=True)
+        lens = np.array([0 if w == "" else _encode_len(w, ranks, memo)
+                         for w in uniq], dtype=np.int64)
+        per_word = lens[inv]
+        out = np.zeros(b.num_rows, dtype=np.int64)
+        np.add.at(out, np.repeat(np.arange(b.num_rows), counts),
+                  per_word)
+        return pa.table({id_col: b.column(id_col).combine_chunks()
+                         if isinstance(b.column(id_col), pa.ChunkedArray)
+                         else b.column(id_col),
+                         out_col: pa.array(out)})
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        encode_batch, batch_format="pyarrow", zero_copy_batch=True)

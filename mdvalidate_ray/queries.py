@@ -4830,3 +4830,74 @@ def churned_rich_customers(sf_dir: str):
     return pa.Table.from_pylist(rows, schema=pa.schema(
         [("c_mktsegment", pa.string()), ("numcust", pa.int64()),
          ("totacctbal_c100", pa.int64())]))
+
+
+def bpe_token_stats(sf_dir: str):
+    """Tokenizer-cost report: learn 40 BPE merges over the corpus, then
+    ENCODE every document with them and fold per-source token totals
+    (rows-only; the merge loop is iterative — the encode step's parity
+    with a naive per-word BPE is pinned by
+    test_bpe_encode_counts_matches_naive).  Learn → encode is the
+    round-trip a training pipeline runs to size its packing budget."""
+    from mdvalidate_ray.functions.relational import bucketed_group_sum
+    from mdvalidate_ray.functions.text import bpe_encode_counts, bpe_learn
+
+    docs = _read(sf_dir, "documents")
+    merges = bpe_learn(docs, n_merges=40)
+    encoded = bpe_encode_counts(docs, merges)
+
+    src = _read(sf_dir, "documents").select_columns(["doc_id", "source"])
+    import numpy as np
+    import ray
+
+    # doc_id → source broadcast (dims of this corpus; at corpus scale
+    # carry `source` through bpe_encode_counts instead of re-joining)
+    smap = {}
+    for blk in src.iter_batches(batch_format="pyarrow"):
+        for d, s in zip(blk.column("doc_id").to_pylist(),
+                        blk.column("source").to_pylist()):
+            smap[d] = s
+    smap_ref = ray.put(smap)
+
+    def tag(b: pa.Table) -> pa.Table:
+        m = ray.get(smap_ref)
+        srcs = [m[d] for d in b.column("doc_id").to_pylist()]
+        t = pa.table({"source": pa.array(srcs, pa.string()),
+                      "n_bpe_tokens": b.column("n_bpe_tokens"),
+                      "docs": pa.array(np.ones(b.num_rows, np.int64))})
+        g = pa.TableGroupBy(t, "source").aggregate(
+            [("n_bpe_tokens", "sum"), ("docs", "sum")])
+        return g.rename_columns(["source", "sum_tokens", "docs"])
+
+    folded = bucketed_group_sum(
+        encoded.map_batches(tag, batch_format="pyarrow",
+                            zero_copy_batch=True),
+        key="source", sum_cols=["sum_tokens", "docs"], n_parts=4)
+    rows = sorted(folded.take_all(), key=lambda r: r["source"])
+    return pa.Table.from_pylist(
+        [{"source": r["source"], "sum_tokens": int(r["sum_tokens"]),
+          "docs": int(r["docs"]),
+          "avg_tokens_c100": _half_away(
+              100.0 * r["sum_tokens"] / r["docs"])} for r in rows],
+        schema=pa.schema([("source", pa.string()),
+                          ("sum_tokens", pa.int64()),
+                          ("docs", pa.int64()),
+                          ("avg_tokens_c100", pa.int64())]))
+
+
+def approx_users_per_type(sf_dir: str):
+    """Approximate distinct users per event type via per-group HLL
+    partials (rows-only: SQL cannot reproduce HLL register estimates;
+    the ≤5% tracking error vs the exact plan is pinned by
+    test_group_approx_distinct_tracks_exact, and determinism across
+    blockings by test_group_approx_distinct_deterministic)."""
+    from mdvalidate_ray.functions.relational import group_approx_distinct
+
+    ev = _read(sf_dir, "events").select_columns(["event_type", "user_id"])
+    out = group_approx_distinct(ev, group_col="event_type",
+                                distinct_col="user_id", p=14,
+                                out_name="approx_users")
+    return out.map_batches(
+        lambda b: b.take(pc.sort_indices(
+            b, sort_keys=[("event_type", "ascending")])),
+        batch_format="pyarrow")

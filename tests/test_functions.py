@@ -1835,3 +1835,58 @@ def test_union_by_name_schema_evolution(ray_session):
     e = pa.table({"v": pa.array(["no"], pa.string())})
     with pytest.raises(TypeError):
         union_schema_of([c.schema, e.schema])
+
+
+def test_bpe_encode_counts_matches_naive(ray_session):
+    """bpe_encode_counts must equal a straightforward per-doc greedy BPE
+    encode with the same merge table (and be blocking-invariant)."""
+    import ray.data
+
+    from mdvalidate_ray.functions.text import bpe_encode_counts, bpe_learn
+
+    texts = [
+        "the cat sat on the mat",
+        "the catalog of the cats",
+        "concatenate the the the",
+        "a b c d",
+        "",
+        "CATS and Mats",
+    ]
+    tbl = pa.table({"doc_id": list(range(len(texts))), "text": texts})
+    ds = ray.data.from_arrow(tbl)
+    merges = bpe_learn(ds, n_merges=10)
+    assert len(merges) > 0
+
+    pairs = [(m["left"], m["right"]) for m in merges]
+
+    def naive_encode(word):
+        sym = list(word)
+        while len(sym) > 1:
+            ranked = [(pairs.index((sym[i], sym[i + 1])), i)
+                      for i in range(len(sym) - 1)
+                      if (sym[i], sym[i + 1]) in pairs]
+            if not ranked:
+                break
+            best_rank = min(r for r, _ in ranked)
+            bp = pairs[best_rank]
+            out, i = [], 0
+            while i < len(sym):
+                if i < len(sym) - 1 and (sym[i], sym[i + 1]) == bp:
+                    out.append(sym[i] + sym[i + 1])
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            sym = out
+        return sym
+
+    def naive_count(text):
+        words = [w for w in text.lower().strip().split() if w]
+        return sum(len(naive_encode(w)) for w in words)
+
+    want = {i: naive_count(t) for i, t in enumerate(texts)}
+    for blocks in (1, 3):
+        got = {r["doc_id"]: r["n_bpe_tokens"]
+               for r in bpe_encode_counts(
+                   ds.repartition(blocks), merges).take_all()}
+        assert got == want, (blocks, got, want)
