@@ -154,6 +154,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "churned_rich_customers": Q.churned_rich_customers,
         "bpe_token_stats": Q.bpe_token_stats,
         "approx_users_per_type": Q.approx_users_per_type,
+        "word_freq_cms": Q.word_freq_cms,
         "embedding_scores": Q.embedding_scores,
         "customer_order_counts": Q.customer_order_counts,
         # edit-distance near-dup family / n-gram decontamination / set ops

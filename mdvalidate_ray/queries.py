@@ -4901,3 +4901,56 @@ def approx_users_per_type(sf_dir: str):
         lambda b: b.take(pc.sort_indices(
             b, sort_keys=[("event_type", "ascending")])),
         batch_format="pyarrow")
+
+
+def word_freq_cms(sf_dir: str):
+    """Point-frequency estimation WITHOUT holding any keys: a
+    Count-Min sketch folds over the corpus word stream (one fixed
+    80 KiB grid per block — the exchange is O(blocks), independent of
+    vocabulary size), then the exact oracled top-25 words (top_words)
+    probe it.  Output carries both numbers so the CMS contract is
+    visible in the rows: est_cnt ≥ exact cnt, est_cnt ≤ cnt + ε·N
+    (rows-only: SQL cannot reproduce sketch grids; the bound itself is
+    pinned by test_word_freq_cms_bounds)."""
+    import numpy as np
+
+    from mdvalidate_ray.state.sketches import CountMinSketch
+
+    docs = _read(sf_dir, "documents").select_columns(["text"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        texts = pc.utf8_lower(pc.utf8_trim_whitespace(
+            pc.cast(b.column("text"), pa.string())))
+        tokens = pc.split_pattern_regex(texts, r"\s+")
+        flat = tokens.combine_chunks() if isinstance(
+            tokens, pa.ChunkedArray) else tokens
+        words = flat.flatten()
+        words = words.filter(pc.not_equal(words, ""))
+        vc = words.value_counts()   # in-block combine before sketching
+        cms = CountMinSketch(width=4096, depth=5).add(
+            vc.field("values").to_numpy(zero_copy_only=False),
+            counts=np.asarray(vc.field("counts"), dtype=np.int64))
+        return pa.table({"cms": pa.array([cms.to_bytes()], pa.binary()),
+                         "n": pa.array([int(len(words))], pa.int64())})
+
+    merged, total = None, 0
+    for blk in docs.map_batches(partial, batch_format="pyarrow",
+                                zero_copy_batch=True).iter_batches(
+            batch_format="pyarrow"):
+        for blob, n in zip(blk.column("cms").to_pylist(),
+                           blk.column("n").to_pylist()):
+            part_cms = CountMinSketch.from_bytes(blob)
+            merged = part_cms if merged is None else merged.merge(
+                part_cms)
+            total += int(n)
+    top = top_words(sf_dir)
+    words = [r["word"] for r in top.take_all()] if hasattr(
+        top, "take_all") else top.column("word").to_pylist()
+    exact = ([r["cnt"] for r in top.take_all()] if hasattr(
+        top, "take_all") else top.column("cnt").to_pylist())
+    est = merged.estimate(words) if merged is not None else []
+    return pa.table({
+        "word": pa.array(words, pa.string()),
+        "cnt": pa.array([int(c) for c in exact], pa.int64()),
+        "est_cnt": pa.array([int(e) for e in est], pa.int64()),
+        "n_total": pa.array([total] * len(words), pa.int64())})

@@ -355,3 +355,20 @@ def test_cms_weighted_adds():
     est = cms.estimate(["a", "b"])
     assert est[0] >= 10 and est[1] >= 3
     assert est[0] <= 13 and est[1] <= 13
+
+
+def test_word_freq_cms_bounds(ray_session):
+    """The CMS catalog query's invariant: estimates never undercount the
+    exact (oracled) top-word counts and stay within the ε·N bound."""
+    import numpy as np
+
+    from mdvalidate_ray.queries import word_freq_cms
+    from mdvalidate_ray.state.sketches import CountMinSketch
+
+    t = word_freq_cms("/root/testdata/sf0.001")
+    cnt = np.asarray(t.column("cnt"), dtype=np.int64)
+    est = np.asarray(t.column("est_cnt"), dtype=np.int64)
+    n = int(t.column("n_total")[0].as_py())
+    eps = CountMinSketch(width=4096, depth=5).eps
+    assert (est >= cnt).all()
+    assert (est <= cnt + 3 * eps * n).all()
