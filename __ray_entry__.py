@@ -155,6 +155,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_token_stats": Q.bpe_token_stats,
         "approx_users_per_type": Q.approx_users_per_type,
         "word_freq_cms": Q.word_freq_cms,
+        "qty_quantiles_disc": Q.qty_quantiles_disc,
+        "lineitem_unpivot_stats": Q.lineitem_unpivot_stats,
         "embedding_scores": Q.embedding_scores,
         "customer_order_counts": Q.customer_order_counts,
         # edit-distance near-dup family / n-gram decontamination / set ops
@@ -1396,6 +1398,34 @@ def oracle_sql() -> dict[str, str]:
                    AND l_quantity BETWEEN 10 AND 20)
                OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
                    AND l_quantity BETWEEN 20 AND 30)
+        """,
+        "qty_quantiles_disc": """
+            SELECT l_returnflag, 0.25 AS q,
+                   round(quantile_disc(l_quantity, 0.25) * 100)::BIGINT
+                       AS q_value_c100
+            FROM lineitem GROUP BY l_returnflag
+            UNION ALL
+            SELECT l_returnflag, 0.5 AS q,
+                   round(quantile_disc(l_quantity, 0.5) * 100)::BIGINT
+            FROM lineitem GROUP BY l_returnflag
+            UNION ALL
+            SELECT l_returnflag, 0.75 AS q,
+                   round(quantile_disc(l_quantity, 0.75) * 100)::BIGINT
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "lineitem_unpivot_stats": """
+            SELECT metric, sum(round(value * 100))::BIGINT AS sum_c100,
+                   count(*)::BIGINT AS n
+            FROM (
+                SELECT 'l_quantity' AS metric, l_quantity AS value
+                FROM lineitem
+                UNION ALL
+                SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+                UNION ALL
+                SELECT 'l_discount', l_discount FROM lineitem
+                UNION ALL
+                SELECT 'l_tax', l_tax FROM lineitem)
+            GROUP BY metric
         """,
         "churned_rich_customers": """
             SELECT c_mktsegment, count(*)::BIGINT AS numcust,

@@ -198,7 +198,7 @@ QUERY_NAMES = [
     "q13_order_count_distribution", "q14_promo_revenue",
     "q16_part_supplier_cnt", "q18_large_orders", "q19_bracket_revenue",
     "churned_rich_customers", "bpe_token_stats", "approx_users_per_type",
-    "word_freq_cms",
+    "word_freq_cms", "qty_quantiles_disc", "lineitem_unpivot_stats",
 ]
 
 

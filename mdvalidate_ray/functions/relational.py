@@ -2617,3 +2617,31 @@ def group_approx_distinct(ds, *, group_col: str, distinct_col: str,
                           zero_copy_batch=True) \
              .groupby("_bucket").map_groups(per_bucket,
                                             batch_format="pyarrow")
+
+
+def unpivot(ds, *, id_cols: list[str], value_cols: list[str],
+            var_name: str = "metric", value_name: str = "value",
+            value_type=None):
+    """UNPIVOT / melt: turn ``value_cols`` into (id…, metric, value)
+    rows — the reshaping inverse of the pivot in priority_pivot.  Pure
+    per-batch restructuring (one slice-and-stack per value column, all
+    Arrow-side), no exchange; output rows = input rows × |value_cols|.
+    ``value_type`` defaults to the first value column's type; all value
+    columns cast to it."""
+    vt = value_type
+
+    def melt(b: pa.Table) -> pa.Table:
+        nonlocal vt
+        target = vt or b.schema.field(value_cols[0]).type
+        pieces = []
+        for c in value_cols:
+            arrs = [b.column(i) for i in id_cols]
+            arrs.append(pa.array([c] * b.num_rows, pa.string()))
+            arrs.append(b.column(c).cast(target))
+            pieces.append(pa.Table.from_arrays(
+                arrs, names=list(id_cols) + [var_name, value_name]))
+        return pa.concat_tables(pieces)
+
+    return ds.select_columns(list(id_cols) + list(value_cols)) \
+             .map_batches(melt, batch_format="pyarrow",
+                          zero_copy_batch=True)

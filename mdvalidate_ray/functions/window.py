@@ -663,15 +663,25 @@ def grouped_percent_rank(ds, *, group_col: str, value_col: str,
 
 
 def weighted_quantile(values: np.ndarray, counts: np.ndarray,
-                      qs: list[float]) -> list[float]:
-    """Exact quantiles of the multiset {values[i] × counts[i]} with
-    linear interpolation — bit-for-bit what ``np.quantile`` returns on
-    the expanded array (same lerp: v_lo + frac·(v_hi − v_lo)), without
-    expanding it.  ``values`` must be sorted ascending."""
+                      qs: list[float], *,
+                      method: str = "linear") -> list[float]:
+    """Exact quantiles of the multiset {values[i] × counts[i]} without
+    expanding it.  ``values`` must be sorted ascending.
+
+    * ``linear`` — bit-for-bit what ``np.quantile`` / DuckDB
+      ``quantile_cont`` return (lerp: v_lo + frac·(v_hi − v_lo)).
+    * ``disc`` — DuckDB ``quantile_disc`` / np ``inverted_cdf``: the
+      element at 0-based rank ``ceil(q·n) − 1`` (an actual data value,
+      never an interpolation)."""
     cum = np.cumsum(counts.astype(np.int64))
     n = int(cum[-1])
     out = []
     for q in qs:
+        if method == "disc":
+            r = max(int(np.ceil(q * n)) - 1, 0)
+            out.append(float(values[np.searchsorted(cum, r,
+                                                    side="right")]))
+            continue
         pos = q * (n - 1)
         lo = int(np.floor(pos))
         hi = int(np.ceil(pos))
@@ -683,7 +693,8 @@ def weighted_quantile(values: np.ndarray, counts: np.ndarray,
 
 
 def group_quantiles_counts(ds, *, group_key: str, value_col: str,
-                           qs: list[float], n_parts: int = 16):
+                           qs: list[float], n_parts: int = 16,
+                           method: str = "linear"):
     """EXACT per-group quantiles for SMALL VALUE DOMAINS (quantities,
     ratings, sizes, bucketed lengths): the exchange carries distinct
     (group, value) pairs with counts — in-block combined, so a 10^12-row
@@ -709,7 +720,8 @@ def group_quantiles_counts(ds, *, group_key: str, value_col: str,
         groups, q_out, v_out = [], [], []
         for name in np.unique(names):
             m = names == name
-            for q, v in zip(qs, weighted_quantile(vals[m], cnts[m], qs)):
+            for q, v in zip(qs, weighted_quantile(vals[m], cnts[m], qs,
+                                                  method=method)):
                 groups.append(str(name))
                 q_out.append(q)
                 v_out.append(v)

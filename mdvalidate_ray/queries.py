@@ -4954,3 +4954,67 @@ def word_freq_cms(sf_dir: str):
         "cnt": pa.array([int(c) for c in exact], pa.int64()),
         "est_cnt": pa.array([int(e) for e in est], pa.int64()),
         "n_total": pa.array([total] * len(words), pa.int64())})
+
+
+def qty_quantiles_disc(sf_dir: str):
+    """Per-returnflag DISCRETE quantiles of l_quantity (quantile_disc —
+    an actual data value at rank ceil(q·n)−1, never an interpolation):
+    the counts-based exact plan again — the exchange carries in-block
+    combined (flag, qty) value counts, ~50 rows per block regardless of
+    corpus size."""
+    from mdvalidate_ray.functions.window import group_quantiles_counts
+
+    li = _read(sf_dir, "lineitem").select_columns(
+        ["l_returnflag", "l_quantity"])
+    out = group_quantiles_counts(li, group_key="l_returnflag",
+                                 value_col="l_quantity",
+                                 qs=[0.25, 0.5, 0.75], method="disc")
+
+    def fin(b: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [b.column("l_returnflag"), b.column("q"),
+             pc.cast(_pc_round(pc.multiply(b.column("q_value"), 100.0)),
+                     pa.int64())],
+            names=["l_returnflag", "q", "q_value_c100"])
+
+    return out.map_batches(fin, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
+def lineitem_unpivot_stats(sf_dir: str):
+    """UNPIVOT (melt) of the four lineitem money/rate columns into long
+    form, then per-metric count + exact int-cent sums — the reshaping
+    op every report/plotting layer needs, exercised through
+    :func:`~mdvalidate_ray.functions.relational.unpivot` (pure
+    per-batch restructuring, partial sums fold with no wide exchange:
+    the metric key space is 4)."""
+    import numpy as np
+
+    from mdvalidate_ray.functions.relational import (bucketed_group_sum,
+                                                     unpivot)
+
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    long = unpivot(_read(sf_dir, "lineitem"),
+                   id_cols=["l_orderkey"], value_cols=cols,
+                   value_type=pa.float64())
+
+    def partial(b: pa.Table) -> pa.Table:
+        cents = pc.cast(_pc_round(pc.multiply(b.column("value"), 100.0)),
+                        pa.int64())
+        t = pa.table({"metric": b.column("metric").combine_chunks()
+                      if isinstance(b.column("metric"), pa.ChunkedArray)
+                      else b.column("metric"),
+                      "sum_c100": cents,
+                      "n": pa.array(np.ones(b.num_rows, np.int64))})
+        g = pa.TableGroupBy(t, "metric").aggregate(
+            [("sum_c100", "sum"), ("n", "sum")])
+        return g.rename_columns(["metric", "sum_c100", "n"])
+
+    folded = bucketed_group_sum(
+        long.map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True),
+        key="metric", sum_cols=["sum_c100", "n"], n_parts=4)
+    rows = sorted(folded.take_all(), key=lambda r: r["metric"])
+    return pa.Table.from_pylist(rows, schema=pa.schema(
+        [("metric", pa.string()), ("sum_c100", pa.int64()),
+         ("n", pa.int64())]))
