@@ -586,3 +586,24 @@ def test_grouped_percent_rank_matches_duckdb(ray_session):
     assert np.array_equal(got["pct_rank"].to_numpy(),
                           want["pct_rank"].to_numpy())
     assert got.iloc[-1]["pct_rank"] == 0.0   # singleton group
+
+
+# --- weighted_quantile (counts-based exact quantiles) ------------------------
+
+def test_weighted_quantile_matches_numpy_both_methods():
+    import numpy as np
+
+    from mdvalidate_ray.functions.window import weighted_quantile
+
+    rng = np.random.RandomState(3)
+    for _ in range(25):
+        vals = np.unique(rng.randint(0, 40, size=rng.randint(1, 12)))
+        cnts = rng.randint(1, 9, size=len(vals))
+        expanded = np.repeat(vals.astype(np.float64), cnts)
+        qs = [0.0, 0.1, 0.25, 0.5, 0.75, 0.9, 1.0]
+        lin = weighted_quantile(vals.astype(np.float64), cnts, qs)
+        assert np.allclose(lin, np.quantile(expanded, qs)), (vals, cnts)
+        disc = weighted_quantile(vals.astype(np.float64), cnts, qs,
+                                 method="disc")
+        want = np.quantile(expanded, qs, method="inverted_cdf")
+        assert np.allclose(disc, want), (vals, cnts, disc, want)
