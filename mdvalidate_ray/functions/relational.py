@@ -952,7 +952,13 @@ def hash_join(left_ds, right_ds, *, on: str, right_on: str | None = None,
     (``ray.put`` once, probe per batch, no shuffle) and
     :func:`semi_join_keys` when only key membership matters (Bloom-sized
     exchange).  Size ``n_parts`` so one partition of the LARGER side fits
-    in an aggregator's heap (≈ rows / 5M)."""
+    in an aggregator's heap (≈ rows / 5M).
+
+    Known Ray Data limitation: a side that is ENTIRELY empty (e.g. a
+    pushed-down filter matched nothing) makes the hash aggregator's
+    finalize raise — its empty partitions carry no schema.  Callers
+    whose filters can legitimately drain a side should early-out on a
+    driver-side emptiness check first (see q7_nation_volume)."""
     return left_ds.join(
         right_ds, join_type=join_type, num_partitions=n_parts,
         on=(on,), right_on=((right_on,) if right_on else None))
