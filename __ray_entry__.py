@@ -107,6 +107,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_running_total": Q.user_running_total,
         "length_ntile": Q.length_ntile,
         "doc_chunks": Q.doc_chunks,
+        "concat_chunk_manifest": Q.concat_chunk_manifest,
+        "segment_dedup_docs": Q.segment_dedup_docs,
         "user_value_deltas": Q.user_value_deltas,
         "part_copurchase_triangles": Q.part_copurchase_triangles,
         "user_hourly_spend": Q.user_hourly_spend,
@@ -1131,6 +1133,57 @@ def oracle_sql() -> dict[str, str]:
             SELECT strftime(ts, '%Y-%m-%d') AS day,
                    count(DISTINCT user_id)::BIGINT AS n_users
             FROM events GROUP BY 1
+        """,
+        "concat_chunk_manifest": """
+            WITH n AS (
+                SELECT doc_id,
+                       len(string_split(coalesce(text, ''), ' '))::BIGINT
+                           AS n_tokens
+                FROM documents
+            ), p AS (
+                SELECT doc_id, n_tokens,
+                       coalesce(SUM(n_tokens) OVER (
+                           ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING), 0)::BIGINT AS start_off
+                FROM n
+            )
+            SELECT doc_id, n_tokens, start_off,
+                   (start_off // 64)::BIGINT AS first_chunk,
+                   ((start_off + n_tokens - 1) // 64)::BIGINT AS last_chunk
+            FROM p
+        """,
+        "segment_dedup_docs": """
+            WITH w AS (
+                SELECT doc_id,
+                       string_split(coalesce(text, ''), ' ') AS t
+                FROM documents
+            ), m AS (
+                SELECT doc_id, t, len(t) AS n FROM w
+            ), starts AS (
+                SELECT doc_id, t, n,
+                       unnest(range(0, greatest(n, 1), 10)) AS s
+                FROM m
+            ), segs AS (
+                SELECT doc_id, (s / 10)::BIGINT AS seg_idx,
+                       array_to_string(t[s + 1 : least(s + 10, n)], ' ')
+                           AS seg_text
+                FROM starts WHERE s = 0 OR s < n
+            ), firsts AS (
+                SELECT seg_text,
+                       min(doc_id * 1048576 + seg_idx) AS keep_pos
+                FROM segs GROUP BY seg_text
+            ), kept AS (
+                SELECT s.doc_id, s.seg_idx, s.seg_text
+                FROM segs s JOIN firsts f
+                  ON s.seg_text = f.seg_text
+                 AND s.doc_id * 1048576 + s.seg_idx = f.keep_pos
+            )
+            SELECT doc_id,
+                   string_agg(seg_text, ' ' ORDER BY seg_idx)
+                       AS clean_text,
+                   count(*)::BIGINT AS n_kept
+            FROM kept GROUP BY doc_id
         """,
         "pack_bins": """
             WITH RECURSIVE toks AS (

@@ -1767,3 +1767,98 @@ def window_dup_stats(docs_ds, *, k: int = 5, key: str = "doc_id",
 
     return folded.map_batches(finish, batch_format="pyarrow",
                               zero_copy_batch=True)
+
+
+# --- cross-corpus segment dedup (C4 / MassiveText line dedup) ---------------
+
+def corpus_segment_dedup(ds, *, key: str = "doc_id", column: str = "text",
+                         seg_words: int = 10, n_parts: int = 64):
+    """C4-style CROSS-CORPUS segment-level dedup with document
+    reassembly: split every document into consecutive ``seg_words``-word
+    segments, keep each distinct segment text only at its FIRST corpus
+    occurrence (min ``(doc_id, seg_idx)``), and rebuild every surviving
+    document from its kept segments in order — the "remove duplicated
+    lines across the corpus" curation step (C4's three-sentence-span
+    rule, MassiveText's repeated-passage filter) for single-line docs.
+
+    Output: ``(doc_id, clean_text, n_kept)`` — docs whose every segment
+    was claimed earlier disappear entirely (fully-boilerplate docs).
+
+    Plan (two coarse exchanges, no per-segment Python):
+
+    1. **segmentation** is one vectorized pass per batch:
+       ``pc.split_pattern`` → flat word buffer + list offsets; segment
+       boundaries are ``row_start + seg_words·j`` (numpy arithmetic on
+       the offsets), wrapped back into a ``ListArray`` VIEW over the
+       same flat buffer; one ``pc.binary_join`` emits all segment
+       strings — zero Python loops, zero word copies until the join.
+    2. **keep-first** is ONE exchange of (bucket, seg_text, doc, idx)
+       rows on ``hash(seg_text) % n_parts``; inside each bucket one
+       sort by (seg_text, packed_pos) + change-point mask keeps the
+       first row of every segment run (exact text compare — the hash
+       only routes).
+    3. **reassembly** reuses :func:`window.grouped_string_agg`'s
+       change-point + ListArray + ``binary_join`` pass (one exchange on
+       ``hash(doc_id)``).
+
+    Partitioning assumptions: a bucket's segments fit one worker's heap
+    (size ``n_parts ≈ total_segments / 5M``), and ``seg_idx < 2^20``
+    (docs under ~10M words) so (doc, idx) packs into one int64 sort key.
+    At 100 TB the exchange carries each segment's text once — the same
+    payload class as the exact-dedup hash exchange, and the price of
+    exact (not fingerprint) first-occurrence semantics."""
+    from mdvalidate_ray.functions.window import grouped_string_agg
+
+    def segment(b: pa.Table) -> pa.Table:
+        col = pc.fill_null(pc.cast(b.column(column), pa.string()), "")
+        words = pc.split_pattern(col, " ")
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        offs = words.offsets.to_numpy()
+        flat = words.values
+        wc = np.diff(offs)                       # ≥1 per row (''→[''])
+        nsegs = (wc + seg_words - 1) // seg_words
+        row_of_seg = np.repeat(np.arange(len(wc)), nsegs)
+        first_seg = np.cumsum(nsegs) - nsegs
+        seg_idx = np.arange(int(nsegs.sum())) - first_seg[row_of_seg]
+        starts = offs[row_of_seg] + seg_idx * seg_words
+        seg_list = pa.ListArray.from_arrays(
+            pa.array(np.append(starts, offs[-1]), pa.int32()), flat)
+        seg_text = pc.binary_join(seg_list, " ")
+        doc = b.column(key).take(pa.array(row_of_seg)).cast(pa.int64())
+        bucket = (hash_strings(seg_text.to_pylist())
+                  % np.uint64(n_parts)).astype("int64") \
+            if len(seg_text) else np.zeros(0, dtype=np.int64)
+        return pa.Table.from_arrays(
+            [pa.array(bucket), doc, pa.array(seg_idx, pa.int64()),
+             seg_text],
+            names=["_bucket", key, "seg_idx", "seg_text"])
+
+    segs = ds.map_batches(segment, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+    def keep_first(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["_bucket"])
+        pos = pc.add(pc.multiply(g.column(key), 1 << 20),
+                     g.column("seg_idx"))
+        g = g.append_column("_pos", pos)
+        s = g.take(pc.sort_indices(
+            g, sort_keys=[("seg_text", "ascending"),
+                          ("_pos", "ascending")]))
+        txt = s.column("seg_text")
+        first = np.ones(s.num_rows, dtype=bool)
+        if s.num_rows > 1:
+            first[1:] = ~pc.equal(txt.slice(1), txt.slice(
+                0, len(txt) - 1)).to_numpy(zero_copy_only=False)
+        return s.filter(pa.array(first)).drop_columns(["_pos"])
+
+    kept = segs.groupby("_bucket").map_groups(keep_first,
+                                              batch_format="pyarrow")
+    out = grouped_string_agg(kept, key=key, value_col="seg_text",
+                             sep=" ", order_cols=["seg_idx"],
+                             n_parts=n_parts // 2 or 1)
+    return out.map_batches(
+        lambda b: pa.Table.from_arrays(
+            [b.column(key), b.column("agg"), b.column("n_items")],
+            names=[key, "clean_text", "n_kept"]),
+        batch_format="pyarrow")

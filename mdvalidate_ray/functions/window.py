@@ -732,3 +732,77 @@ def group_quantiles_counts(ds, *, group_key: str, value_col: str,
     return _group_value_count_partials(ds, group_key, value_col,
                                        n_parts).map_groups(
         per_bucket, batch_format="pyarrow")
+
+
+def global_ordered_prefix_sum(ds, *, key: str, value_col: str,
+                              n_parts: int = 32):
+    """Global EXCLUSIVE prefix sum of ``value_col`` over the total order
+    of a UNIQUE integer ``key`` — ``SUM(value) OVER (ORDER BY key ROWS
+    BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)`` as ``start_off``
+    (0 for the first row) — the distributed-scan primitive behind
+    GPT-style concat-and-chunk packing: every document's exact global
+    token offset in the virtual concatenated training stream.
+
+    Unlike the frequency-fold ranks (:func:`global_percent_rank`) this
+    needs order-aligned partial SUMS, and unlike :func:`global_rank` it
+    avoids the full range-partitioning sort: keys are integers, so a
+    RANGE bucket (``(key - min) // ceil(span / n_parts)``) is itself
+    order-aligned.  Three-step plan:
+
+    1. one narrow materialized (key, value) pass → Min/Max(key);
+    2. per-batch in-block partial (bucket, sum) rows — the driver folds
+       O(blocks × n_parts) tiny partials into n_parts bucket totals and
+       exclusive-scans them (n_parts ints, closure-broadcast);
+    3. one coarse exchange on the range bucket, per-bucket sort +
+       ``cumsum - v + bucket_offset`` (vectorized, no per-row Python).
+
+    Partitioning assumptions (documented per the brief): ``key`` is
+    unique (ties would make the order non-total) and one bucket fits a
+    worker's heap — size ``n_parts ≈ rows / 5M``.  Skewed key RANGES
+    (dense cluster inside a wide span) skew buckets; pre-map keys to a
+    dense domain if so."""
+    from ray.data.aggregate import Max, Min
+
+    narrow = ds.select_columns([key, value_col]).materialize()
+    mm = narrow.aggregate(Min(key), Max(key))
+    mn, mx = int(mm[f"min({key})"]), int(mm[f"max({key})"])
+    q = max(1, -(-(mx - mn + 1) // n_parts))  # ceil(span / n_parts)
+
+    def tag(b: pa.Table) -> pa.Table:
+        k = b.column(key).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return b.append_column(
+            "_bucket", pa.array((k - mn) // q, pa.int64()))
+
+    tagged = narrow.map_batches(tag, batch_format="pyarrow",
+                                zero_copy_batch=True)
+
+    def bucket_partials(b: pa.Table) -> pa.Table:
+        bk = b.column("_bucket").to_numpy(zero_copy_only=False)
+        v = b.column(value_col).cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        sums = np.zeros(n_parts, dtype=np.int64)
+        np.add.at(sums, bk, v)
+        nz = np.flatnonzero(sums)
+        return pa.Table.from_arrays(
+            [pa.array(nz, pa.int64()), pa.array(sums[nz], pa.int64())],
+            names=["_bucket", "_sum"])
+
+    totals = np.zeros(n_parts, dtype=np.int64)
+    for part in tagged.map_batches(
+            bucket_partials, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"):
+        np.add.at(totals, part.column("_bucket").to_numpy(),
+                  part.column("_sum").to_numpy())
+    offsets = np.concatenate(([0], np.cumsum(totals)[:-1]))
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        bk = int(g.column("_bucket")[0].as_py())
+        g = g.drop_columns(["_bucket"])
+        s = g.take(pc.sort_indices(g, sort_keys=[(key, "ascending")]))
+        v = s.column(value_col).cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        start = np.cumsum(v) - v + offsets[bk]
+        return s.append_column("start_off", pa.array(start, pa.int64()))
+
+    return tagged.groupby("_bucket").map_groups(per_bucket,
+                                                batch_format="pyarrow")

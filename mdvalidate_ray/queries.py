@@ -5018,3 +5018,57 @@ def lineitem_unpivot_stats(sf_dir: str):
     return pa.Table.from_pylist(rows, schema=pa.schema(
         [("metric", pa.string()), ("sum_c100", pa.int64()),
          ("n", pa.int64())]))
+
+
+def concat_chunk_manifest(sf_dir: str):
+    """GPT-style concat-and-chunk packing manifest: every document's
+    exact global token offset in the virtual stream formed by
+    concatenating all docs in doc_id order, plus the 64-token training
+    chunks it spans — the distributed exclusive prefix-sum primitive
+    (window.global_ordered_prefix_sum: range-bucketed scan, no global
+    sort).  Token count = single-space split (= DuckDB
+    ``len(string_split(text,' '))``), so the whole manifest is
+    integer-exact against the SQL window twin."""
+    from mdvalidate_ray.functions.window import global_ordered_prefix_sum
+
+    docs = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+
+    def ntok(b: pa.Table) -> pa.Table:
+        col = pc.fill_null(pc.cast(b.column("text"), pa.string()), "")
+        n = pc.add(pc.count_substring(col, " "), 1).cast(pa.int64())
+        return pa.Table.from_arrays(
+            [b.column("doc_id").cast(pa.int64()), n],
+            names=["doc_id", "n_tokens"])
+
+    counted = docs.map_batches(ntok, batch_format="pyarrow",
+                               zero_copy_batch=True)
+    out = global_ordered_prefix_sum(counted, key="doc_id",
+                                    value_col="n_tokens", n_parts=32)
+
+    def finish(b: pa.Table) -> pa.Table:
+        off = b.column("start_off").to_numpy(zero_copy_only=False)
+        n = b.column("n_tokens").to_numpy(zero_copy_only=False)
+        return pa.Table.from_arrays(
+            [b.column("doc_id"), b.column("n_tokens"),
+             b.column("start_off"),
+             pa.array(off // 64, pa.int64()),
+             pa.array((off + n - 1) // 64, pa.int64())],
+            names=["doc_id", "n_tokens", "start_off", "first_chunk",
+                   "last_chunk"])
+
+    return out.map_batches(finish, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
+def segment_dedup_docs(sf_dir: str):
+    """C4-style cross-corpus segment dedup + reassembly: 10-word
+    segments, first corpus occurrence (min (doc_id, seg_idx)) wins,
+    surviving docs rebuilt from their kept segments in order
+    (dedup.corpus_segment_dedup).  String-exact against the SQL twin
+    (string_split + list slicing + min-packed-position join +
+    string_agg)."""
+    from mdvalidate_ray.functions.dedup import corpus_segment_dedup
+
+    docs = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+    return corpus_segment_dedup(docs, key="doc_id", column="text",
+                                seg_words=10, n_parts=64)

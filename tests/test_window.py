@@ -607,3 +607,67 @@ def test_weighted_quantile_matches_numpy_both_methods():
                                  method="disc")
         want = np.quantile(expanded, qs, method="inverted_cdf")
         assert np.allclose(disc, want), (vals, cnts, disc, want)
+
+
+@pytest.mark.parametrize("blocks", [1, 7])
+def test_global_ordered_prefix_sum_matches_numpy(ray_session, blocks):
+    import ray.data
+
+    from mdvalidate_ray.functions.window import global_ordered_prefix_sum
+
+    rng = np.random.default_rng(31)
+    # non-dense, unsorted unique keys over a wide span (range buckets
+    # must still align with the total order)
+    keys = rng.permutation(rng.choice(100_000, size=400, replace=False))
+    vals = rng.integers(0, 97, 400).astype("int64")
+    tbl = pa.table({"k": keys.astype("int64"), "v": vals})
+    ds = ray.data.from_arrow(tbl).repartition(blocks)
+    got = global_ordered_prefix_sum(ds, key="k", value_col="v",
+                                    n_parts=8).to_pandas()
+    got = got.sort_values("k").reset_index(drop=True)
+
+    order = np.argsort(keys)
+    want_off = np.concatenate(([0], np.cumsum(vals[order])[:-1]))
+    assert (got["k"].to_numpy() == keys[order]).all()
+    assert (got["v"].to_numpy() == vals[order]).all()
+    assert (got["start_off"].to_numpy() == want_off).all()
+
+
+@pytest.mark.parametrize("blocks", [1, 5])
+def test_corpus_segment_dedup_matches_bruteforce(ray_session, blocks):
+    import ray.data
+
+    from mdvalidate_ray.functions.dedup import corpus_segment_dedup
+
+    rng = np.random.default_rng(7)
+    vocab = ["a", "b", "c", "d"]
+    docs = []
+    for i in range(60):
+        n = int(rng.integers(1, 35))
+        docs.append(" ".join(rng.choice(vocab, n)))
+    docs[10] = docs[3]                   # whole-doc duplicate
+    docs[20] = docs[5] + " " + docs[6]   # composed of earlier docs' text
+    tbl = pa.table({"doc_id": pa.array(range(60), pa.int64()),
+                    "text": pa.array(docs)})
+
+    # brute force: first corpus occurrence of each 4-word segment wins
+    SW = 4
+    seen, want = {}, {}
+    for d, text in enumerate(docs):
+        w = text.split(" ")
+        for si in range(0, (len(w) + SW - 1) // SW):
+            seg = " ".join(w[si * SW:(si + 1) * SW])
+            if seg not in seen:
+                seen[seg] = (d, si)
+    for seg, (d, si) in seen.items():
+        want.setdefault(d, []).append((si, seg))
+    want_rows = {d: " ".join(s for _, s in sorted(v))
+                 for d, v in want.items()}
+
+    ds = ray.data.from_arrow(tbl).repartition(blocks)
+    got = corpus_segment_dedup(ds, key="doc_id", column="text",
+                               seg_words=SW, n_parts=6).to_pandas()
+    got = got.sort_values("doc_id").reset_index(drop=True)
+    assert dict(zip(got["doc_id"], got["clean_text"])) == want_rows
+    assert dict(zip(got["doc_id"], got["n_kept"])) == \
+        {d: len(v) for d, v in want.items()}
