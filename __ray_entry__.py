@@ -109,6 +109,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_chunks": Q.doc_chunks,
         "concat_chunk_manifest": Q.concat_chunk_manifest,
         "segment_dedup_docs": Q.segment_dedup_docs,
+        "semantic_dedup_flags": Q.semantic_dedup_flags,
+        "nation_segment_gap": Q.nation_segment_gap,
         "user_value_deltas": Q.user_value_deltas,
         "part_copurchase_triangles": Q.part_copurchase_triangles,
         "user_hourly_spend": Q.user_hourly_spend,
@@ -1133,6 +1135,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT strftime(ts, '%Y-%m-%d') AS day,
                    count(DISTINCT user_id)::BIGINT AS n_users
             FROM events GROUP BY 1
+        """,
+        "nation_segment_gap": """
+            SELECT COALESCE(c.nationkey, s.s_nationkey) AS nationkey,
+                   COALESCE(c.n_building_cust, -1)::BIGINT
+                       AS n_building_cust,
+                   COALESCE(s.n_rich_supp, -1)::BIGINT AS n_rich_supp
+            FROM (SELECT c_nationkey::BIGINT AS nationkey,
+                         count(*)::BIGINT AS n_building_cust
+                  FROM customer
+                  WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 9000.0
+                  GROUP BY 1) c
+            FULL OUTER JOIN
+                 (SELECT s_nationkey::BIGINT AS s_nationkey,
+                         count(*)::BIGINT AS n_rich_supp
+                  FROM supplier WHERE s_acctbal > 4500.0
+                  GROUP BY 1) s
+            ON c.nationkey = s.s_nationkey
         """,
         "concat_chunk_manifest": """
             WITH n AS (

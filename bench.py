@@ -199,6 +199,8 @@ QUERY_NAMES = [
     "q16_part_supplier_cnt", "q18_large_orders", "q19_bracket_revenue",
     "churned_rich_customers", "bpe_token_stats", "approx_users_per_type",
     "word_freq_cms", "qty_quantiles_disc", "lineitem_unpivot_stats",
+    "concat_chunk_manifest", "segment_dedup_docs",
+    "semantic_dedup_flags", "nation_segment_gap",
 ]
 
 

@@ -1150,3 +1150,91 @@ def embedding_outliers(ds, *, column: str = "embedding",
         score, batch_format="pyarrow", zero_copy_batch=True)
     return topk_table(scored, top_n, [("dist2_e6", "descending"),
                                       (key, "ascending")])
+
+
+def semantic_dedup(ds, *, key: str = "vec_id", column: str = "embedding",
+                   k_clusters: int = 16, threshold: float = 0.95,
+                   iters: int = 4, block: int = 1024):
+    """SemDeDup semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540 — public paper): k-means partitions the embedding
+    space so near-duplicates co-locate, then each cluster independently
+    keeps the lowest-``key`` representative of every cosine-near-dup set
+    and flags the rest for removal.
+
+    Ray shape: :func:`kmeans_fit` (broadcast-centroid Lloyd — zero
+    shuffle) → one ``map_batches`` assigns every row its nearest
+    centroid (euclidean, the Lloyd objective) → ONE
+    ``groupby("cluster")`` exchange co-locates clusters (Python group
+    calls bounded by ``k_clusters``, not by data) → per-cluster greedy
+    scan in ascending key order: a row is dropped iff its cosine to an
+    already-KEPT row is ≥ ``threshold``.  Key-order greediness makes
+    the verdict a pure function of the cluster's vector multiset —
+    deterministic and partition/block-layout invariant, unlike
+    "drop any member" policies.
+
+    Scale contract (the partitioning assumption): pick ``k_clusters`` so
+    one cluster's rows × dim floats fit a worker's heap — the paper's
+    own recipe (50k clusters for LAION); cluster size, not corpus size,
+    bounds per-group memory.  The scan is blocked so the Python loop
+    does O(1) numpy work per row: one |block| × kept matmul per block
+    plus a precomputed in-block similarity matrix.
+
+    Returns ``(key:int64, cluster:int32, kept:bool)`` rows.
+    """
+    import ray
+
+    model = kmeans_fit(ds, column=column, key=key, k=k_clusters,
+                       iters=iters)
+    cents_ref = ray.put(np.asarray(model["centroids"], dtype=np.float64))
+
+    def assign(b: pa.Table) -> pa.Table:
+        cents = ray.get(cents_ref)
+        if b.num_rows == 0:
+            return pa.table({key: pa.array([], pa.int64()),
+                             "cluster": pa.array([], pa.int32()),
+                             column: b.column(column)})
+        x = _batch_matrix(b, column).astype(np.float64)
+        d2 = (np.sum(x * x, axis=1)[:, None] - 2.0 * (x @ cents.T)
+              + np.sum(cents * cents, axis=1)[None, :])
+        a = np.argmin(d2, axis=1).astype(np.int32)
+        return pa.Table.from_arrays(
+            [b.column(key).cast(pa.int64()), pa.array(a),
+             b.column(column)],
+            names=[key, "cluster", column])
+
+    assigned = ds.select_columns([key, column]).map_batches(
+        assign, batch_format="pyarrow", zero_copy_batch=True)
+
+    def prune(g: pa.Table) -> pa.Table:
+        keys = g.column(key).to_numpy(zero_copy_only=False)
+        order = np.argsort(keys, kind="stable")
+        m = _normalize(_batch_matrix(g, column).astype(np.float64))[order]
+        n = len(keys)
+        kept = np.zeros(n, dtype=bool)
+        kept_rows: list[int] = []
+        for s in range(0, n, block):
+            e = min(s + block, n)
+            blk = m[s:e]
+            if kept_rows:
+                vs_kept = (blk @ m[kept_rows].T >= threshold).any(axis=1)
+            else:
+                vs_kept = np.zeros(e - s, dtype=bool)
+            inblk = blk @ blk.T
+            local_kept: list[int] = []
+            for i in range(e - s):
+                if vs_kept[i]:
+                    continue
+                if local_kept and (
+                        inblk[i, local_kept] >= threshold).any():
+                    continue
+                local_kept.append(i)
+                kept[s + i] = True
+            kept_rows.extend(s + j for j in local_kept)
+        cl = np.full(n, g.column("cluster")[0].as_py(), dtype=np.int32)
+        return pa.Table.from_arrays(
+            [pa.array(keys[order].astype(np.int64)), pa.array(cl),
+             pa.array(kept)],
+            names=[key, "cluster", "kept"])
+
+    return assigned.groupby("cluster").map_groups(
+        prune, batch_format="pyarrow")

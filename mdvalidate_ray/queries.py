@@ -5072,3 +5072,111 @@ def segment_dedup_docs(sf_dir: str):
     docs = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
     return corpus_segment_dedup(docs, key="doc_id", column="text",
                                 seg_words=10, n_parts=64)
+
+
+def semantic_dedup_flags(sf_dir: str):
+    """SemDeDup over the embeddings table with planted exact copies
+    (every 10th vec_id re-added under vec_id + 1_000_000): k-means
+    co-location then per-cluster greedy cosine pruning
+    (similarity.semantic_dedup).  Deterministic (fixed k-means seed,
+    key-order greedy) but k-means-dependent — rows-only entry, pinned
+    by tests/test_functions.py::test_semantic_dedup_*."""
+    from mdvalidate_ray.functions.similarity import semantic_dedup
+
+    embs = _read(sf_dir, "embeddings").select_columns(
+        ["vec_id", "embedding"])
+
+    def copies(b: pa.Table) -> pa.Table:
+        ids = b.column("vec_id")
+        mod = pc.subtract(ids, pc.multiply(pc.divide(ids, 10), 10))
+        b = b.filter(pc.equal(mod, 0))
+        return b.set_column(0, "vec_id",
+                            pc.add(b.column("vec_id"), 1_000_000))
+
+    aug = embs.union(embs.map_batches(copies, batch_format="pyarrow"))
+    out = semantic_dedup(aug, key="vec_id", column="embedding",
+                         k_clusters=8, threshold=0.999, iters=4)
+    return out.map_batches(
+        lambda b: b.select(["vec_id", "cluster", "kept"]),
+        batch_format="pyarrow")
+
+
+def nation_segment_gap(sf_dir: str):
+    """FULL OUTER equi-join (the one join type the catalog lacked):
+    per-nation BUILDING-segment customer counts vs per-nation
+    high-acctbal supplier counts — nations that have only one side
+    survive with a NULL-filled other side.  Both sides are tiny
+    pre-aggregates (≤25 rows), but the plan exercises the genuine
+    hash-partitioned full-outer path of relational.hash_join
+    (Ray Data native join, join_type="full_outer") rather than a
+    broadcast union trick, so the null-completion semantics are the
+    engine's own."""
+    from mdvalidate_ray.functions.relational import (bucketed_group_sum,
+                                                     hash_join)
+
+    # the acctbal cut keeps some nations on only one side at sf0.01, so
+    # BOTH outer directions (null-completed left and right) are exercised
+    # and hash-checked — not just the inner core
+    cust = _read(sf_dir, "customer").select_columns(
+        ["c_nationkey", "c_mktsegment", "c_acctbal"]).filter(
+            expr="c_mktsegment == 'BUILDING' and c_acctbal > 9000.0")
+
+    def ones_c(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        return pa.Table.from_arrays(
+            [b.column("c_nationkey").cast(pa.int64()),
+             pa.array(np.ones(b.num_rows, dtype=np.int64))],
+            names=["nationkey", "_c"])
+
+    c_counts = bucketed_group_sum(
+        cust.map_batches(ones_c, batch_format="pyarrow",
+                         zero_copy_batch=True),
+        key="nationkey", sum_cols=["_c"], n_parts=8).map_batches(
+            lambda b: b.rename_columns(["nationkey", "n_building_cust"]),
+            batch_format="pyarrow")
+
+    supp = _read(sf_dir, "supplier").select_columns(
+        ["s_nationkey", "s_acctbal"]).filter(expr="s_acctbal > 4500.0")
+
+    def ones_s(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        return pa.Table.from_arrays(
+            [b.column("s_nationkey").cast(pa.int64()),
+             pa.array(np.ones(b.num_rows, dtype=np.int64))],
+            names=["s_nationkey", "_c"])
+
+    s_counts = bucketed_group_sum(
+        supp.map_batches(ones_s, batch_format="pyarrow",
+                         zero_copy_batch=True),
+        key="s_nationkey", sum_cols=["_c"], n_parts=8).map_batches(
+            lambda b: b.rename_columns(["s_nationkey", "n_rich_supp"]),
+            batch_format="pyarrow")
+
+    if c_counts.count() == 0 or s_counts.count() == 0:
+        # documented hash_join empty-side limitation: fall back is not
+        # needed for the synthetic corpus (both sides always populated);
+        # guard mirrors q7_nation_volume's early-out contract
+        raise ValueError("full-outer sides unexpectedly empty")
+
+    # n_parts=1: the sides are ≤25-row nation aggregates, and the
+    # documented hash_join limitation (a partition EMPTY on one side has
+    # no schema and makes Acero's finalize raise) bites exactly when a
+    # sparse side spreads over several partitions; one partition is both
+    # correct and the right size for dimension-scale inputs.
+    joined = hash_join(c_counts, s_counts, on="nationkey",
+                       right_on="s_nationkey", n_parts=1,
+                       join_type="full_outer")
+
+    def finish(b: pa.Table) -> pa.Table:
+        # Ray's full-outer join already coalesces left/right key columns
+        # into the left name; only the measure nulls need completing.
+        return pa.Table.from_arrays(
+            [b.column("nationkey").cast(pa.int64()),
+             pc.fill_null(b.column("n_building_cust"), -1).cast(
+                 pa.int64()),
+             pc.fill_null(b.column("n_rich_supp"), -1).cast(pa.int64())],
+            names=["nationkey", "n_building_cust", "n_rich_supp"])
+
+    return joined.map_batches(finish, batch_format="pyarrow")

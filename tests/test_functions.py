@@ -1890,3 +1890,86 @@ def test_bpe_encode_counts_matches_naive(ray_session):
                for r in bpe_encode_counts(
                    ds.repartition(blocks), merges).take_all()}
         assert got == want, (blocks, got, want)
+
+
+# --- semantic dedup (SemDeDup) ---------------------------------------------
+
+def _blob_corpus_with_copies():
+    """3 well-separated unit blobs + exact copies of every 5th vector
+    under key+1000 — copies MUST be dropped, originals kept."""
+    rng = np.random.default_rng(7)
+    # unit centers + wide noise: same-blob members sit near cosine ~0.9
+    # (well BELOW the 0.999 threshold), so only the planted exact copies
+    # are near-dups; centers ×10 with tiny noise made every same-blob
+    # pair a 0.9999-cosine near-dup and the test expectation wrong
+    centers = np.eye(3, 8)
+    rows, keys = [], []
+    for i in range(90):
+        c = centers[i % 3]
+        rows.append(c + rng.normal(0, 0.15, 8))
+        keys.append(i)
+    base = np.array(rows)
+    copy_keys = [k for k in keys if k % 5 == 0]
+    copies = base[[keys.index(k) for k in copy_keys]]
+    mat = np.vstack([base, copies])
+    all_keys = keys + [k + 1000 for k in copy_keys]
+    return pa.table({
+        "vec_id": pa.array(all_keys, pa.int64()),
+        "embedding": pa.array([list(map(float, r)) for r in mat],
+                              pa.list_(pa.float32())),
+    })
+
+
+def test_semantic_dedup_drops_planted_copies(ray_session):
+    import ray.data
+
+    from mdvalidate_ray.functions.similarity import semantic_dedup
+
+    tbl = _blob_corpus_with_copies()
+    out = semantic_dedup(ray.data.from_arrow(tbl), k_clusters=3,
+                         threshold=0.999, iters=4).take_all()
+    flags = {r["vec_id"]: r["kept"] for r in out}
+    assert len(flags) == tbl.num_rows
+    for k in range(90):
+        if k % 5 == 0:
+            # exact copy pair: lower key kept, higher dropped
+            assert flags[k] is True or flags[k] is np.True_, k
+            assert not flags[k + 1000], k
+    # every cluster keeps at least one representative
+    kept_total = sum(bool(v) for v in flags.values())
+    assert kept_total >= 3
+
+
+def test_semantic_dedup_partition_invariant(ray_session):
+    import ray.data
+
+    from mdvalidate_ray.functions.similarity import semantic_dedup
+
+    tbl = _blob_corpus_with_copies()
+
+    def run(blocks):
+        ds = ray.data.from_arrow(tbl).repartition(blocks)
+        rows = semantic_dedup(ds, k_clusters=3, threshold=0.999,
+                              iters=3).take_all()
+        return sorted((r["vec_id"], r["cluster"], bool(r["kept"]))
+                      for r in rows)
+
+    assert run(1) == run(7)
+
+
+def test_semantic_dedup_no_neardups_keeps_all(ray_session):
+    import ray.data
+
+    from mdvalidate_ray.functions.similarity import semantic_dedup
+
+    # orthogonal unit vectors: no pair is near any threshold < 1
+    mat = np.eye(12, 16)
+    tbl = pa.table({
+        "vec_id": pa.array(range(12), pa.int64()),
+        "embedding": pa.array([list(map(float, r)) for r in mat],
+                              pa.list_(pa.float32())),
+    })
+    out = semantic_dedup(ray.data.from_arrow(tbl), k_clusters=4,
+                         threshold=0.9, iters=2).take_all()
+    assert all(r["kept"] for r in out)
+    assert len(out) == 12
