@@ -4070,9 +4070,15 @@ def incremental_revalidation(sf_dir: str):
     counts: dict[tuple, int] = {}
     for blk in res["verdicts"].select_columns(
             ["status", "passed"]).iter_batches(batch_format="pyarrow"):
-        for s_, p_ in zip(blk.column("status").to_pylist(),
-                          blk.column("passed").to_pylist()):
-            counts[(s_, bool(p_))] = counts.get((s_, bool(p_)), 0) + 1
+        # vectorized per-block partial: Arrow group_by on the ≤4-row
+        # (status, passed) cross — no per-row Python in the fold
+        part = pa.table({"status": blk.column("status"),
+                         "passed": blk.column("passed")}).group_by(
+            ["status", "passed"]).aggregate([([], "count_all")])
+        for s_, p_, c_ in zip(part.column("status").to_pylist(),
+                              part.column("passed").to_pylist(),
+                              part.column("count_all").to_pylist()):
+            counts[(s_, bool(p_))] = counts.get((s_, bool(p_)), 0) + c_
     n_removed = res["removed"].count()
     rows = sorted(counts.items())
     return pa.table({
