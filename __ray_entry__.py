@@ -111,6 +111,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "segment_dedup_docs": Q.segment_dedup_docs,
         "semantic_dedup_flags": Q.semantic_dedup_flags,
         "nation_segment_gap": Q.nation_segment_gap,
+        "late_events": Q.late_events,
         "user_value_deltas": Q.user_value_deltas,
         "part_copurchase_triangles": Q.part_copurchase_triangles,
         "user_hourly_spend": Q.user_hourly_spend,
@@ -1135,6 +1136,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT strftime(ts, '%Y-%m-%d') AS day,
                    count(DISTINCT user_id)::BIGINT AS n_users
             FROM events GROUP BY 1
+        """,
+        "late_events": """
+            WITH a AS (
+                SELECT event_id, epoch_us(ts) AS tu,
+                       (md5_number_lower(event_id::VARCHAR)
+                        % 7200000000)::BIGINT - 3600000000 AS jit
+                FROM events
+            ), k AS (
+                SELECT tu,
+                       ((tu + jit) // 1000) * 1048576
+                           + (event_id % 1048576) AS ak
+                FROM a
+            ), w AS (
+                SELECT tu,
+                       MAX(tu) OVER (ORDER BY ak
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND 1 PRECEDING) AS wm
+                FROM k
+            )
+            SELECT (tu // 86400000000)::BIGINT AS day,
+                   sum(CASE WHEN wm IS NOT NULL
+                             AND wm - tu > 3600000000
+                            THEN 1 ELSE 0 END)::BIGINT AS n_late,
+                   count(*)::BIGINT AS n_total
+            FROM w GROUP BY 1
         """,
         "nation_segment_gap": """
             SELECT COALESCE(c.nationkey, s.s_nationkey) AS nationkey,

@@ -200,7 +200,7 @@ QUERY_NAMES = [
     "churned_rich_customers", "bpe_token_stats", "approx_users_per_type",
     "word_freq_cms", "qty_quantiles_disc", "lineitem_unpivot_stats",
     "concat_chunk_manifest", "segment_dedup_docs",
-    "semantic_dedup_flags", "nation_segment_gap",
+    "semantic_dedup_flags", "nation_segment_gap", "late_events",
 ]
 
 

@@ -806,3 +806,78 @@ def global_ordered_prefix_sum(ds, *, key: str, value_col: str,
 
     return tagged.groupby("_bucket").map_groups(per_bucket,
                                                 batch_format="pyarrow")
+
+
+def global_ordered_prefix_max(ds, *, key: str, value_col: str,
+                              n_parts: int = 32):
+    """Global EXCLUSIVE prefix max of ``value_col`` over the total order
+    of a UNIQUE integer ``key`` — ``MAX(value) OVER (ORDER BY key ROWS
+    BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)`` as ``prev_max``
+    (null for the global first row) — the event-time WATERMARK
+    primitive: "the furthest event time seen before me in arrival
+    order", which classifies late data in streaming systems
+    (arrival order = the unique key; lateness = prev_max − own ts).
+
+    Same three-step range-bucket scan as
+    :func:`global_ordered_prefix_sum` (integer range buckets are
+    order-aligned, so no global sort): per-batch (bucket, max)
+    partials, a driver fold of O(blocks × n_parts) tiny rows into
+    exclusive per-bucket seeds, one coarse exchange + per-bucket
+    vectorized ``np.maximum.accumulate``.  Same partitioning
+    assumptions: unique integer key, one bucket per worker heap,
+    dense-enough key range."""
+    from ray.data.aggregate import Max, Min
+
+    SENT = np.int64(-(2 ** 63))
+    narrow = ds.select_columns([key, value_col]).materialize()
+    mm = narrow.aggregate(Min(key), Max(key))
+    mn, mx = int(mm[f"min({key})"]), int(mm[f"max({key})"])
+    q = max(1, -(-(mx - mn + 1) // n_parts))
+
+    def tag(b: pa.Table) -> pa.Table:
+        k = b.column(key).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return b.append_column(
+            "_bucket", pa.array((k - mn) // q, pa.int64()))
+
+    tagged = narrow.map_batches(tag, batch_format="pyarrow",
+                                zero_copy_batch=True)
+
+    def bucket_partials(b: pa.Table) -> pa.Table:
+        bk = b.column("_bucket").to_numpy(zero_copy_only=False)
+        v = b.column(value_col).cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        maxes = np.full(n_parts, SENT, dtype=np.int64)
+        np.maximum.at(maxes, bk, v)
+        nz = np.flatnonzero(maxes != SENT)
+        return pa.Table.from_arrays(
+            [pa.array(nz, pa.int64()), pa.array(maxes[nz], pa.int64())],
+            names=["_bucket", "_max"])
+
+    totals = np.full(n_parts, SENT, dtype=np.int64)
+    for part in tagged.map_batches(
+            bucket_partials, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"):
+        np.maximum.at(totals, part.column("_bucket").to_numpy(),
+                      part.column("_max").to_numpy())
+    # exclusive running max of bucket maxes: seed for bucket b is the
+    # max over all rows in buckets < b (SENT = "nothing before")
+    seeds = np.concatenate(
+        ([SENT], np.maximum.accumulate(totals)[:-1]))
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        bk = int(g.column("_bucket")[0].as_py())
+        g = g.drop_columns(["_bucket"])
+        s = g.take(pc.sort_indices(g, sort_keys=[(key, "ascending")]))
+        v = s.column(value_col).cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        run = np.maximum.accumulate(v)
+        prev = np.concatenate(([SENT], run[:-1]))
+        prev = np.maximum(prev, seeds[bk])
+        arr = pa.array(prev, pa.int64())
+        if seeds[bk] == SENT:
+            arr = pc.if_else(pc.equal(arr, pa.scalar(int(SENT))),
+                             pa.scalar(None, pa.int64()), arr)
+        return s.append_column("prev_max", arr)
+
+    return tagged.groupby("_bucket").map_groups(per_bucket,
+                                                batch_format="pyarrow")

@@ -671,3 +671,29 @@ def test_corpus_segment_dedup_matches_bruteforce(ray_session, blocks):
     assert dict(zip(got["doc_id"], got["clean_text"])) == want_rows
     assert dict(zip(got["doc_id"], got["n_kept"])) == \
         {d: len(v) for d, v in want.items()}
+
+
+@pytest.mark.parametrize("blocks", [1, 7])
+def test_global_ordered_prefix_max_matches_numpy(ray_session, blocks):
+    import ray.data
+
+    from mdvalidate_ray.functions.window import global_ordered_prefix_max
+
+    rng = np.random.default_rng(47)
+    keys = rng.permutation(rng.choice(80_000, size=350, replace=False))
+    vals = rng.integers(0, 10_000, 350).astype("int64")
+    tbl = pa.table({"k": keys.astype("int64"), "v": vals})
+    ds = ray.data.from_arrow(tbl).repartition(blocks)
+    got = global_ordered_prefix_max(ds, key="k", value_col="v",
+                                    n_parts=8).to_pandas()
+    got = got.sort_values("k").reset_index(drop=True)
+
+    order = np.argsort(keys)
+    sv = vals[order]
+    run = np.maximum.accumulate(sv)
+    want = np.concatenate(([-1], run[:-1]))  # -1 marks "null" slot
+    assert (got["k"].to_numpy() == keys[order]).all()
+    # global first row has NULL watermark, everything else the running max
+    assert np.isnan(got["prev_max"].to_numpy(dtype="float64")[0])
+    assert (got["prev_max"].to_numpy(dtype="float64")[1:]
+            == want[1:].astype("float64")).all()
