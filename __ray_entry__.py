@@ -112,6 +112,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semantic_dedup_flags": Q.semantic_dedup_flags,
         "nation_segment_gap": Q.nation_segment_gap,
         "late_events": Q.late_events,
+        "customer_pareto": Q.customer_pareto,
         "user_value_deltas": Q.user_value_deltas,
         "part_copurchase_triangles": Q.part_copurchase_triangles,
         "user_hourly_spend": Q.user_hourly_spend,
@@ -1136,6 +1137,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT strftime(ts, '%Y-%m-%d') AS day,
                    count(DISTINCT user_id)::BIGINT AS n_users
             FROM events GROUP BY 1
+        """,
+        "customer_pareto": """
+            WITH agg AS (
+                SELECT o_custkey::BIGINT AS custkey,
+                       count(*)::BIGINT AS n_orders,
+                       sum(round(o_totalprice * 100))::BIGINT AS spend_c
+                FROM orders GROUP BY 1
+            )
+            SELECT a.custkey, a.n_orders, a.spend_c
+            FROM agg a
+            WHERE NOT EXISTS (
+                SELECT 1 FROM agg b
+                WHERE b.n_orders >= a.n_orders
+                  AND b.spend_c >= a.spend_c
+                  AND (b.n_orders > a.n_orders
+                       OR b.spend_c > a.spend_c))
         """,
         "late_events": """
             WITH a AS (

@@ -2651,3 +2651,67 @@ def unpivot(ds, *, id_cols: list[str], value_cols: list[str],
     return ds.select_columns(list(id_cols) + list(value_cols)) \
              .map_batches(melt, batch_format="pyarrow",
                           zero_copy_batch=True)
+
+
+def _skyline_2d_kernel(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """Row mask of the 2-D maximize-both Pareto frontier: row r survives
+    iff no row s has (s.x ≥ r.x ∧ s.y ≥ r.y) with one inequality
+    strict.  Exact duplicates of a frontier point all survive (no
+    strict edge between them).  O(n log n): sort x desc / y desc,
+    per-x-group max y, exclusive running max over higher-x groups."""
+    n = len(x)
+    if n == 0:
+        return np.zeros(0, dtype=bool)
+    order = np.lexsort((-y, -x))
+    xs, ys = x[order], y[order]
+    starts = np.ones(n, dtype=bool)
+    starts[1:] = xs[1:] != xs[:-1]
+    sidx = np.flatnonzero(starts)
+    gmax = ys[sidx]                        # y sorted desc within group
+    prev = np.concatenate(
+        ([np.iinfo(np.int64).min],
+         np.maximum.accumulate(gmax)[:-1]))
+    gid = np.cumsum(starts) - 1
+    keep_sorted = (ys > prev[gid]) & (ys == gmax[gid])
+    keep = np.zeros(n, dtype=bool)
+    keep[order] = keep_sorted
+    return keep
+
+
+def skyline_2d(ds, *, x_col: str, y_col: str, n_parts: int = 16):
+    """Distributed 2-D skyline / Pareto-frontier operator (Börzsönyi,
+    Kossmann & Stocker, ICDE 2001 — "the skyline operator"): the rows
+    not dominated on (``x_col``, ``y_col``), both maximized, both
+    integer columns.
+
+    Plan: one ``map_batches`` keeps each block's LOCAL skyline (the
+    skyline of the union equals the skyline of the union of local
+    skylines — dominance is transitive, so a globally dominated row is
+    already dominated inside its own block or survives to the refine),
+    then ONE refine task merges the survivors (constant-key
+    ``map_groups``, never the driver).  Local pruning is what makes it
+    scale: each block of a uniform distribution keeps ~O(log² |block|)
+    rows, so the refine input is tiny.  The documented assumption: the
+    UNION OF LOCAL SKYLINES fits one worker — true unless (x, y) are
+    strongly anti-correlated across the whole corpus (the known
+    worst case of every skyline algorithm, where the frontier itself
+    is O(n) and no operator can return less)."""
+
+    def local(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return b
+        xv = b.column(x_col).to_numpy(zero_copy_only=False)
+        yv = b.column(y_col).to_numpy(zero_copy_only=False)
+        t = b.filter(pa.array(_skyline_2d_kernel(xv, yv)))
+        return t.append_column("_sky", pa.array(
+            np.zeros(t.num_rows, dtype=np.int64)))
+
+    def refine(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["_sky"])
+        xv = g.column(x_col).to_numpy(zero_copy_only=False)
+        yv = g.column(y_col).to_numpy(zero_copy_only=False)
+        return g.filter(pa.array(_skyline_2d_kernel(xv, yv)))
+
+    return ds.map_batches(local, batch_format="pyarrow",
+                          zero_copy_batch=True) \
+        .groupby("_sky").map_groups(refine, batch_format="pyarrow")

@@ -5257,3 +5257,37 @@ def late_events(sf_dir: str):
     return out.map_batches(
         lambda b: b.rename_columns(["day", "n_late", "n_total"]),
         batch_format="pyarrow")
+
+
+def customer_pareto(sf_dir: str):
+    """Pareto-frontier customers — not dominated on (order count, total
+    spend), both maximized: the classic skyline operator (ICDE 2001)
+    over an engine-derived aggregate.  Per-customer aggregate via the
+    coarse-bucket combiner, then relational.skyline_2d (block-local
+    skyline → one refine task).  Cents-scaled integer spend keeps the
+    frontier hash-exact against the NOT EXISTS dominance oracle."""
+    from mdvalidate_ray.functions.relational import (bucketed_group_sum,
+                                                     skyline_2d)
+
+    orders = _read(sf_dir, "orders").select_columns(
+        ["o_custkey", "o_totalprice"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        cents = _pc_round(pc.multiply(b.column("o_totalprice"),
+                                      100.0)).cast(pa.int64())
+        return pa.Table.from_arrays(
+            [b.column("o_custkey").cast(pa.int64()),
+             pa.array(np.ones(b.num_rows, dtype=np.int64)), cents],
+            names=["custkey", "_n", "_spend"])
+
+    agg = bucketed_group_sum(
+        orders.map_batches(prep, batch_format="pyarrow",
+                           zero_copy_batch=True),
+        key="custkey", sum_cols=["_n", "_spend"], n_parts=16)
+    named = agg.map_batches(
+        lambda b: b.rename_columns(["custkey", "n_orders", "spend_c"]),
+        batch_format="pyarrow")
+    return skyline_2d(named, x_col="n_orders", y_col="spend_c",
+                      n_parts=8)

@@ -1005,3 +1005,40 @@ def test_join_size_exact_matches_pandas(ray_session):
     assert got["n_a"] == len(a) and got["n_b"] == len(b)
     assert got["max_key_product"] == int(
         (ca.loc[common] * cb.loc[common]).max())
+
+
+@pytest.mark.parametrize("blocks", [1, 9])
+def test_skyline_2d_matches_bruteforce(ray_session, blocks):
+    import ray.data
+
+    from mdvalidate_ray.functions.relational import skyline_2d
+
+    rng = np.random.default_rng(11)
+    # anti-correlated cloud (worst case: large frontier) + planted
+    # exact duplicates of a frontier point + x-ties with differing y
+    n = 400
+    x = rng.integers(0, 1000, n)
+    y = 1000 - x + rng.integers(-80, 80, n)
+    x = np.concatenate([x, [2000, 2000, 500, 500]])
+    y = np.concatenate([y, [2000, 2000, 900, 880]])
+    ids = np.arange(len(x))
+    tbl = pa.table({"rid": pa.array(ids, pa.int64()),
+                    "x": pa.array(x.astype("int64")),
+                    "y": pa.array(y.astype("int64"))})
+
+    got = skyline_2d(ray.data.from_arrow(tbl).repartition(blocks),
+                     x_col="x", y_col="y", n_parts=4).take_all()
+    got_ids = sorted(r["rid"] for r in got)
+
+    keep = []
+    for i in range(len(x)):
+        dom = ((x >= x[i]) & (y >= y[i])
+               & ((x > x[i]) | (y > y[i]))).any()
+        if not dom:
+            keep.append(i)
+    assert got_ids == keep
+    # the two identical dominant points must BOTH survive (no strict
+    # edge between exact duplicates), and (500, 880) must lose to
+    # (500, 900) through the x-tie rule
+    assert 400 in got_ids and 401 in got_ids
+    assert 403 not in got_ids
