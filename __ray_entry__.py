@@ -113,6 +113,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_segment_gap": Q.nation_segment_gap,
         "late_events": Q.late_events,
         "customer_pareto": Q.customer_pareto,
+        "cdc_segment_dedup_docs": Q.cdc_segment_dedup_docs,
         "user_value_deltas": Q.user_value_deltas,
         "part_copurchase_triangles": Q.part_copurchase_triangles,
         "user_hourly_spend": Q.user_hourly_spend,
@@ -1137,6 +1138,47 @@ def oracle_sql() -> dict[str, str]:
             SELECT strftime(ts, '%Y-%m-%d') AS day,
                    count(DISTINCT user_id)::BIGINT AS n_users
             FROM events GROUP BY 1
+        """,
+        "cdc_segment_dedup_docs": """
+            WITH w AS (
+                SELECT doc_id,
+                       unnest(string_split(coalesce(text, ''), ' '))
+                           AS word,
+                       generate_subscripts(
+                           string_split(coalesce(text, ''), ' '), 1)
+                           AS wi
+                FROM documents
+            ), g AS (
+                SELECT doc_id, word, wi,
+                       CASE WHEN md5_number_lower(word) % 8 = 0
+                            THEN 1 ELSE 0 END AS is_gear
+                FROM w
+            ), s AS (
+                SELECT doc_id, word, wi,
+                       coalesce(SUM(is_gear) OVER (
+                           PARTITION BY doc_id ORDER BY wi
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING), 0)::BIGINT AS seg_idx
+                FROM g
+            ), segs AS (
+                SELECT doc_id, seg_idx,
+                       string_agg(word, ' ' ORDER BY wi) AS seg_text
+                FROM s GROUP BY doc_id, seg_idx
+            ), firsts AS (
+                SELECT seg_text,
+                       min(doc_id * 1048576 + seg_idx) AS keep_pos
+                FROM segs GROUP BY seg_text
+            ), kept AS (
+                SELECT s2.doc_id, s2.seg_idx, s2.seg_text
+                FROM segs s2 JOIN firsts f
+                  ON s2.seg_text = f.seg_text
+                 AND s2.doc_id * 1048576 + s2.seg_idx = f.keep_pos
+            )
+            SELECT doc_id,
+                   string_agg(seg_text, ' ' ORDER BY seg_idx)
+                       AS clean_text,
+                   count(*)::BIGINT AS n_kept
+            FROM kept GROUP BY doc_id
         """,
         "customer_pareto": """
             WITH agg AS (

@@ -201,7 +201,7 @@ QUERY_NAMES = [
     "word_freq_cms", "qty_quantiles_disc", "lineitem_unpivot_stats",
     "concat_chunk_manifest", "segment_dedup_docs",
     "semantic_dedup_flags", "nation_segment_gap", "late_events",
-    "customer_pareto",
+    "customer_pareto", "cdc_segment_dedup_docs",
 ]
 
 

@@ -1772,7 +1772,8 @@ def window_dup_stats(docs_ds, *, k: int = 5, key: str = "doc_id",
 # --- cross-corpus segment dedup (C4 / MassiveText line dedup) ---------------
 
 def corpus_segment_dedup(ds, *, key: str = "doc_id", column: str = "text",
-                         seg_words: int = 10, n_parts: int = 64):
+                         seg_words: int = 10, n_parts: int = 64,
+                         gear_mod: int | None = None):
     """C4-style CROSS-CORPUS segment-level dedup with document
     reassembly: split every document into consecutive ``seg_words``-word
     segments, keep each distinct segment text only at its FIRST corpus
@@ -1806,7 +1807,19 @@ def corpus_segment_dedup(ds, *, key: str = "doc_id", column: str = "text",
     (docs under ~10M words) so (doc, idx) packs into one int64 sort key.
     At 100 TB the exchange carries each segment's text once — the same
     payload class as the exact-dedup hash exchange, and the price of
-    exact (not fingerprint) first-occurrence semantics."""
+    exact (not fingerprint) first-occurrence semantics.
+
+    ``gear_mod`` switches segmentation from fixed-width to
+    CONTENT-DEFINED (the CDC idea of LBFS, Muthitacharoen et al. SOSP
+    2001, at word granularity): a segment ends after every "gear word"
+    — one whose DuckDB-parity hash satisfies ``md5_lower64(word) %
+    gear_mod == 0`` — so expected length is ``gear_mod`` words but
+    boundary POSITIONS are functions of the text itself.  An insertion
+    therefore perturbs only its own segment and resynchronizes at the
+    next gear word, where fixed-width segmentation shifts every
+    downstream boundary and loses all alignment — the property that
+    makes CDC the storage/backup dedup standard.  Everything
+    downstream (keep-first exchange, reassembly) is identical."""
     from mdvalidate_ray.functions.window import grouped_string_agg
 
     def segment(b: pa.Table) -> pa.Table:
@@ -1817,11 +1830,30 @@ def corpus_segment_dedup(ds, *, key: str = "doc_id", column: str = "text",
         offs = words.offsets.to_numpy()
         flat = words.values
         wc = np.diff(offs)                       # ≥1 per row (''→[''])
-        nsegs = (wc + seg_words - 1) // seg_words
-        row_of_seg = np.repeat(np.arange(len(wc)), nsegs)
-        first_seg = np.cumsum(nsegs) - nsegs
-        seg_idx = np.arange(int(nsegs.sum())) - first_seg[row_of_seg]
-        starts = offs[row_of_seg] + seg_idx * seg_words
+        if gear_mod is None:
+            nsegs = (wc + seg_words - 1) // seg_words
+            row_of_seg = np.repeat(np.arange(len(wc)), nsegs)
+            first_seg = np.cumsum(nsegs) - nsegs
+            seg_idx = np.arange(int(nsegs.sum())) - first_seg[row_of_seg]
+            starts = offs[row_of_seg] + seg_idx * seg_words
+        else:
+            n_words = int(offs[-1]) - int(offs[0])
+            base = int(offs[0])
+            # hash only the window offs[0]..offs[-1] so the boolean
+            # masks below stay index-aligned even on a sliced child
+            wh = (_md5_token_hashes(
+                flat.slice(base, n_words).to_pylist())
+                if n_words else np.zeros(0, dtype=np.uint64))
+            gear = (wh % np.uint64(gear_mod)) == 0
+            row_start = np.zeros(n_words, dtype=bool)
+            row_start[offs[:-1] - base] = True
+            after_gear = np.zeros(n_words, dtype=bool)
+            after_gear[1:] = gear[:-1]
+            starts = np.flatnonzero(row_start | after_gear) + base
+            row_of_seg = np.searchsorted(offs, starts, side="right") - 1
+            nsegs = np.bincount(row_of_seg, minlength=len(wc))
+            first_seg = np.cumsum(nsegs) - nsegs
+            seg_idx = np.arange(len(starts)) - first_seg[row_of_seg]
         seg_list = pa.ListArray.from_arrays(
             pa.array(np.append(starts, offs[-1]), pa.int32()), flat)
         seg_text = pc.binary_join(seg_list, " ")

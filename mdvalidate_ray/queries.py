@@ -5291,3 +5291,20 @@ def customer_pareto(sf_dir: str):
         batch_format="pyarrow")
     return skyline_2d(named, x_col="n_orders", y_col="spend_c",
                       n_parts=8)
+
+
+def cdc_segment_dedup_docs(sf_dir: str):
+    """Content-defined (CDC) cross-corpus segment dedup + reassembly:
+    segments end after "gear words" (``md5_lower64(word) % 8 == 0``,
+    the DuckDB-parity hash), so boundary positions are functions of the
+    text itself and an insertion resynchronizes at the next gear word —
+    the property fixed-width ``segment_dedup_docs`` lacks.  First
+    corpus occurrence wins, surviving docs rebuilt from kept segments
+    (dedup.corpus_segment_dedup with ``gear_mod=8``).  String-exact
+    against the SQL twin (per-word hash → running gear count = segment
+    id → string_agg → min-packed-position keep-first → reassembly)."""
+    from mdvalidate_ray.functions.dedup import corpus_segment_dedup
+
+    docs = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+    return corpus_segment_dedup(docs, key="doc_id", column="text",
+                                gear_mod=8, n_parts=64)

@@ -697,3 +697,63 @@ def test_global_ordered_prefix_max_matches_numpy(ray_session, blocks):
     assert np.isnan(got["prev_max"].to_numpy(dtype="float64")[0])
     assert (got["prev_max"].to_numpy(dtype="float64")[1:]
             == want[1:].astype("float64")).all()
+
+
+@pytest.mark.parametrize("blocks", [1, 5])
+def test_cdc_segment_dedup_matches_bruteforce(ray_session, blocks):
+    import hashlib
+
+    import ray.data
+
+    from mdvalidate_ray.functions.dedup import corpus_segment_dedup
+
+    def md5l(w):
+        return int.from_bytes(hashlib.md5(w.encode()).digest()[8:16],
+                              "little")
+
+    GM = 4
+    rng = np.random.default_rng(3)
+    vocab = ["aa", "bb", "cc", "dd", "ee", "ff"]
+    docs = [" ".join(rng.choice(vocab, int(rng.integers(1, 30))))
+            for _ in range(50)]
+    docs[9] = docs[2]                       # whole-doc duplicate
+    # CDC resynchronization probe: doc 20 = doc 4 with ONE word
+    # prepended — every gear-aligned segment after the first boundary
+    # must still dedup against doc 4's segments
+    docs[20] = "zz " + docs[4]
+
+    def brute_segments(text):
+        ws = text.split(" ")
+        segs, cur = [], []
+        for w in ws:
+            cur.append(w)
+            if md5l(w) % GM == 0:
+                segs.append(" ".join(cur)); cur = []
+        if cur:
+            segs.append(" ".join(cur))
+        return segs
+
+    seen, want = {}, {}
+    for d, text in enumerate(docs):
+        for si, seg in enumerate(brute_segments(text)):
+            if seg not in seen:
+                seen[seg] = (d, si)
+    for seg, (d, si) in seen.items():
+        want.setdefault(d, []).append((si, seg))
+    want_rows = {d: " ".join(s for _, s in sorted(v))
+                 for d, v in want.items()}
+
+    tbl = pa.table({"doc_id": pa.array(range(50), pa.int64()),
+                    "text": pa.array(docs, pa.string())})
+    ds = ray.data.from_arrow(tbl).repartition(blocks)
+    got = corpus_segment_dedup(ds, key="doc_id", column="text",
+                               gear_mod=GM, n_parts=6).to_pandas()
+    assert dict(zip(got["doc_id"], got["clean_text"])) == want_rows
+    # resynchronization: doc 20 keeps its novel prefix segment but
+    # loses every segment shared with doc 4 beyond it
+    if 4 in want_rows and 20 in want_rows:
+        shared = set(brute_segments(docs[4])) & set(
+            brute_segments(docs[20]))
+        for seg in shared:
+            assert seg not in got.set_index("doc_id").loc[
+                20, "clean_text"].split("  ")  # sanity via brute map
