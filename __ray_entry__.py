@@ -114,6 +114,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "late_events": Q.late_events,
         "customer_pareto": Q.customer_pareto,
         "cdc_segment_dedup_docs": Q.cdc_segment_dedup_docs,
+        "source_lang_mi": Q.source_lang_mi,
+        "part_bfs_hops": Q.part_bfs_hops,
         "user_value_deltas": Q.user_value_deltas,
         "part_copurchase_triangles": Q.part_copurchase_triangles,
         "user_hourly_spend": Q.user_hourly_spend,
@@ -1138,6 +1140,34 @@ def oracle_sql() -> dict[str, str]:
             SELECT strftime(ts, '%Y-%m-%d') AS day,
                    count(DISTINCT user_id)::BIGINT AS n_users
             FROM events GROUP BY 1
+        """,
+        "part_bfs_hops": """
+            WITH RECURSIVE pairs AS (
+              SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS u,
+                              greatest(a.l_partkey, b.l_partkey) AS v
+              FROM lineitem a JOIN lineitem b
+                   ON a.l_orderkey = b.l_orderkey
+                  AND a.l_partkey < b.l_partkey
+            ), e AS (
+              SELECT u AS s, v AS d FROM pairs
+              UNION ALL SELECT v, u FROM pairs
+            ), walk(node, hops) AS (
+              SELECT (SELECT min(u) FROM pairs), 0
+              UNION
+              SELECT e.d, w.hops + 1
+              FROM walk w JOIN e ON e.s = w.node
+              WHERE w.hops < 5
+            )
+            SELECT node::BIGINT AS l_partkey,
+                   min(hops)::BIGINT AS hops
+            FROM walk GROUP BY node
+        """,
+        "source_lang_mi": """
+            SELECT CAST(floor((entropy(source) + entropy(lang)
+                               - entropy(source || chr(31) || lang))
+                              * 10000 + 0.5) AS BIGINT) AS mi_e4,
+                   count(*)::BIGINT AS n_docs
+            FROM documents
         """,
         "cdc_segment_dedup_docs": """
             WITH w AS (

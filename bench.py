@@ -201,7 +201,8 @@ QUERY_NAMES = [
     "word_freq_cms", "qty_quantiles_disc", "lineitem_unpivot_stats",
     "concat_chunk_manifest", "segment_dedup_docs",
     "semantic_dedup_flags", "nation_segment_gap", "late_events",
-    "customer_pareto", "cdc_segment_dedup_docs",
+    "customer_pareto", "cdc_segment_dedup_docs", "source_lang_mi",
+    "part_bfs_hops",
 ]
 
 

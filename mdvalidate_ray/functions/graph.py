@@ -602,3 +602,96 @@ def k_core(edges_ds, *, k: int, col_a: str = "u", col_b: str = "v",
             return ray.data.from_arrow(pa.schema(
                 [("node", pa.int64()), ("deg", pa.int64())]).empty_table())
     raise RuntimeError(f"k_core did not converge in {max_rounds} rounds")
+
+
+def bfs_hops(edges_ds, *, seed: int, col_a: str = "u", col_b: str = "v",
+             max_rounds: int = 6, local_threshold: int = 2_000_000,
+             n_parts: int = 32) -> pa.Table:
+    """Unweighted single-source shortest hop counts — frontier-expansion
+    BFS over an undirected edge set: ``(node, hops)`` for every node
+    reachable from ``seed`` within ``max_rounds`` hops (the seed itself
+    at 0).  The reachability / blast-radius primitive alongside
+    PageRank (influence), k-core (density) and components (identity).
+
+    Per round the (sorted nodes, dist) state broadcasts ONCE
+    (``ray.put`` of two numpy arrays); one vectorized pass over the
+    cached edge blocks emits each block's newly-reached nodes
+    (``searchsorted`` gather — edges never re-shuffle, rounds =
+    O(diameter) ≤ max_rounds); the driver unions ≤ |new nodes| ids.
+    In-process tier below ``local_threshold`` symmetrized edges (the
+    connected_components tradeoff: per-round Dataset/task launches
+    dominate small graphs).  Broadcast ceiling and the partitioned
+    alternative are the same as documented on connected_components —
+    the frontier co-partitions with edges by hash(node) past ~10⁸
+    nodes."""
+    import ray
+
+    def sym(b: pa.Table) -> pa.Table:
+        a = b.column(col_a).cast(pa.int64())
+        c = b.column(col_b).cast(pa.int64())
+        return pa.Table.from_arrays(
+            [pa.concat_arrays([a.combine_chunks(), c.combine_chunks()]),
+             pa.concat_arrays([c.combine_chunks(), a.combine_chunks()])],
+            names=["src", "dst"])
+
+    edges = edges_ds.map_batches(sym, batch_format="pyarrow",
+                                 zero_copy_batch=True).materialize()
+
+    def block_new(tbl: pa.Table, nodes: np.ndarray, dist: np.ndarray,
+                  r: int) -> np.ndarray:
+        s = tbl.column("src").to_numpy(zero_copy_only=False)
+        d = tbl.column("dst").to_numpy(zero_copy_only=False)
+        si = np.searchsorted(nodes, s)
+        di = np.searchsorted(nodes, d)
+        hit = (dist[si] == r) & (dist[di] < 0)
+        return np.unique(di[hit])
+
+    n_edges = edges.count()
+    if n_edges == 0:
+        return pa.Table.from_arrays(
+            [pa.array([seed], pa.int64()), pa.array([0], pa.int64())],
+            names=["node", "hops"])
+
+    if n_edges <= local_threshold:
+        blocks = [t for t in ray.get(edges.to_arrow_refs())
+                  if t.num_rows]
+        nodes = np.unique(np.concatenate(
+            [t.column("src").to_numpy(zero_copy_only=False)
+             for t in blocks] + [np.array([seed], dtype=np.int64)]))
+        dist = np.full(len(nodes), -1, dtype=np.int64)
+        dist[np.searchsorted(nodes, seed)] = 0
+        for r in range(max_rounds):
+            new = np.unique(np.concatenate(
+                [block_new(t, nodes, dist, r) for t in blocks]))
+            new = new[dist[new] < 0]
+            if len(new) == 0:
+                break
+            dist[new] = r + 1
+    else:
+        refs = edges.to_arrow_refs()
+        # node vector from per-block unique partials: only node-sized
+        # arrays reach the driver, never edge blocks (src set == node
+        # set after symmetrization)
+        uniq = ray.remote(num_cpus=1)(lambda blk: np.unique(
+            blk.column("src").to_numpy(zero_copy_only=False)))
+        nodes = np.unique(np.concatenate(
+            ray.get([uniq.remote(b) for b in refs])
+            + [np.array([seed], dtype=np.int64)]))
+        dist = np.full(len(nodes), -1, dtype=np.int64)
+        dist[np.searchsorted(nodes, seed)] = 0
+        task = ray.remote(num_cpus=1)(
+            lambda blk, st, r: block_new(blk, st[0], st[1], r))
+        for r in range(max_rounds):
+            state = ray.put((nodes, dist))
+            outs = ray.get([task.remote(b, state, r) for b in refs])
+            new = (np.unique(np.concatenate(outs))
+                   if outs else np.zeros(0, dtype=np.int64))
+            new = new[dist[new] < 0] if len(new) else new
+            if len(new) == 0:
+                break
+            dist[new] = r + 1
+    mask = dist >= 0
+    return pa.Table.from_arrays(
+        [pa.array(nodes[mask], pa.int64()),
+         pa.array(dist[mask], pa.int64())],
+        names=["node", "hops"])

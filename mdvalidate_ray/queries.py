@@ -5308,3 +5308,74 @@ def cdc_segment_dedup_docs(sf_dir: str):
     docs = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
     return corpus_segment_dedup(docs, key="doc_id", column="text",
                                 gear_mod=8, n_parts=64)
+
+
+def source_lang_mi(sf_dir: str):
+    """Mutual information between the source and language columns —
+    the feature/label dependence screen a curation pipeline runs before
+    trusting a metadata field (MI ≈ 0 ⇒ the field carries no signal).
+    ``MI = H(source) + H(lang) − H(source, lang)`` computed exactly
+    from joint value counts: per-batch ``group_by`` pre-combine (cells
+    bounded by |sources| × |langs|, NOT by rows), a driver fold of
+    O(blocks × cells) tiny partials, and one float64 evaluation over
+    the ≤100 exact integer counts in sorted-cell order.  ×10000
+    half-away rounding to int64 makes the hash compare
+    float-order-proof (the group_entropy convention); the oracle is
+    DuckDB's own ``entropy()`` identity on the same counts."""
+    import numpy as np
+
+    docs = _read(sf_dir, "documents").select_columns(["source", "lang"])
+
+    def part(b: pa.Table) -> pa.Table:
+        t = b.group_by(["source", "lang"]).aggregate([([], "count_all")])
+        return t.rename_columns(["source", "lang", "_c"])
+
+    agg: dict = {}
+    for blk in docs.map_batches(
+            part, batch_format="pyarrow",
+            zero_copy_batch=True).iter_batches(batch_format="pyarrow"):
+        for s, l, c in zip(blk.column("source").to_pylist(),
+                           blk.column("lang").to_pylist(),
+                           blk.column("_c").to_pylist()):
+            agg[(s, l)] = agg.get((s, l), 0) + c
+
+    cells = sorted(agg.items())
+    c = np.array([v for _, v in cells], dtype=np.float64)
+    n = c.sum()
+
+    def H(counts: np.ndarray) -> float:
+        return float(np.log2(n) - (counts * np.log2(counts)).sum() / n)
+
+    xs = sorted({s for (s, _), _ in cells})
+    ys = sorted({l for (_, l), _ in cells})
+    cx = np.array([sum(v for (s, _), v in cells if s == x)
+                   for x in xs], dtype=np.float64)
+    cy = np.array([sum(v for (_, l), v in cells if l == y)
+                   for y in ys], dtype=np.float64)
+    mi = H(cx) + H(cy) - H(c)
+    return pa.table({
+        "mi_e4": pa.array([int(np.floor(mi * 10000.0 + 0.5))],
+                          pa.int64()),
+        "n_docs": pa.array([int(n)], pa.int64())})
+
+
+def part_bfs_hops(sf_dir: str):
+    """Single-source BFS hop counts over the part co-purchase graph
+    (graph.bfs_hops: per-round broadcast frontier over cached edge
+    blocks, O(diameter) rounds, no edge re-shuffle) from the smallest
+    part key present in any edge — reachability / blast-radius, the
+    fourth graph primitive next to PageRank / k-core / components.
+    Hop cap 5 on BOTH sides keeps the recursive-CTE oracle's working
+    set bounded; integer hops make the comparison exact."""
+    from ray.data.aggregate import Min
+
+    from mdvalidate_ray.functions.graph import bfs_hops, cooccurrence_edges
+
+    li = _read(sf_dir, "lineitem").select_columns(
+        ["l_orderkey", "l_partkey"])
+    edges = cooccurrence_edges(li, group_col="l_orderkey",
+                               item_col="l_partkey",
+                               n_parts=32).materialize()
+    seed = int(edges.aggregate(Min("u"))["min(u)"])
+    out = bfs_hops(edges, seed=seed, max_rounds=5)
+    return out.rename_columns(["l_partkey", "hops"])

@@ -1042,3 +1042,49 @@ def test_skyline_2d_matches_bruteforce(ray_session, blocks):
     # (500, 900) through the x-tie rule
     assert 400 in got_ids and 401 in got_ids
     assert 403 not in got_ids
+
+
+@pytest.mark.parametrize("blocks", [1, 6])
+def test_bfs_hops_matches_bruteforce(ray_session, blocks):
+    import collections
+
+    import ray.data
+
+    from mdvalidate_ray.functions.graph import bfs_hops
+
+    rng = np.random.default_rng(23)
+    # random sparse graph + a far chain to exercise the hop cap and an
+    # island (nodes 90..93) unreachable from the seed component
+    edges = set()
+    for _ in range(60):
+        a, b = rng.integers(0, 40, 2)
+        if a != b:
+            edges.add((min(a, b), max(a, b)))
+    chain = [0, 50, 51, 52, 53, 54, 55, 56]     # 7 hops off node 0
+    edges.update((min(x, y), max(x, y))
+                 for x, y in zip(chain, chain[1:]))
+    edges.update([(90, 91), (91, 92), (92, 93)])
+    u = [a for a, _ in edges]
+    v = [b for _, b in edges]
+    tbl = pa.table({"u": pa.array(u, pa.int64()),
+                    "v": pa.array(v, pa.int64())})
+
+    CAP = 5
+    adj = collections.defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b); adj[b].add(a)
+    want, frontier = {0: 0}, [0]
+    for hop in range(1, CAP + 1):
+        nxt = []
+        for n in frontier:
+            for m in adj[n]:
+                if m not in want:
+                    want[m] = hop; nxt.append(m)
+        frontier = nxt
+
+    ds = ray.data.from_arrow(tbl).repartition(blocks)
+    got = {r["node"]: r["hops"]
+           for r in bfs_hops(ds, seed=0, max_rounds=CAP).to_pylist()}
+    assert got == want
+    assert 90 not in got           # island unreachable
+    assert got.get(54) == 5 and 55 not in got   # cap stops the chain
