@@ -116,6 +116,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_segment_dedup_docs": Q.cdc_segment_dedup_docs,
         "source_lang_mi": Q.source_lang_mi,
         "part_bfs_hops": Q.part_bfs_hops,
+        "coverage_picks": Q.coverage_picks,
+        "golden_records": Q.golden_records,
         "user_value_deltas": Q.user_value_deltas,
         "part_copurchase_triangles": Q.part_copurchase_triangles,
         "user_hourly_spend": Q.user_hourly_spend,
@@ -1140,6 +1142,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT strftime(ts, '%Y-%m-%d') AS day,
                    count(DISTINCT user_id)::BIGINT AS n_users
             FROM events GROUP BY 1
+        """,
+        "golden_records": """
+            WITH aug AS (
+                SELECT doc_id, text, n_chars FROM documents
+                UNION ALL
+                SELECT doc_id + 1000000, text, n_chars FROM documents
+                WHERE doc_id % 10 = 0
+            ), n AS (
+                SELECT doc_id, n_chars,
+                       trim(regexp_replace(
+                           lower(nfc_normalize(coalesce(text, ''))),
+                           '\\s+', ' ', 'g')) AS nm
+                FROM aug
+            )
+            SELECT min(doc_id)::BIGINT AS golden_id,
+                   count(*)::BIGINT AS n_members,
+                   (min((100000 - n_chars) * 4194304 + doc_id)
+                    % 4194304)::BIGINT AS rep_doc,
+                   (100000 - min((100000 - n_chars) * 4194304 + doc_id)
+                    // 4194304)::BIGINT AS rep_len
+            FROM n GROUP BY nm
         """,
         "part_bfs_hops": """
             WITH RECURSIVE pairs AS (

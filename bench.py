@@ -202,7 +202,7 @@ QUERY_NAMES = [
     "concat_chunk_manifest", "segment_dedup_docs",
     "semantic_dedup_flags", "nation_segment_gap", "late_events",
     "customer_pareto", "cdc_segment_dedup_docs", "source_lang_mi",
-    "part_bfs_hops",
+    "part_bfs_hops", "coverage_picks", "golden_records",
 ]
 
 

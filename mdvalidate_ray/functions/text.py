@@ -1039,3 +1039,100 @@ def bpe_encode_counts(ds, merges: list[dict], *, id_col: str = "doc_id",
 
     return ds.select_columns([id_col, text_col]).map_batches(
         encode_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def greedy_coverage_selection(ds, *, key: str = "doc_id",
+                              column: str = "text", k: int = 10,
+                              n_buckets: int = 1 << 20, ngram: int = 1):
+    """Greedy maximum-coverage data selection — pick ``k`` documents
+    that together cover the most distinct vocabulary, the classic
+    submodular-maximization curation primitive (greedy is (1−1/e)-
+    optimal, Nemhauser et al. 1978; the facility-location shape of
+    data-pruning work).  Deterministic: ties break to the smaller key.
+
+    Vocabulary is tracked as a ``n_buckets``-bit set over md5-bucketed
+    words (the Bloom-style collision tradeoff, documented: two words
+    sharing a bucket count once — exact for vocab ≪ n_buckets).  Ray
+    shape mirrors kmeans_fit's cached-iteration pattern: ONE pass
+    tokenizes each doc to its sorted unique bucket array and
+    materializes (doc, buckets) blocks into the object store; each of
+    the k rounds broadcasts the 128 KiB covered-bitset via ``ray.put``
+    and runs a task wave computing per-block (best gain, best key)
+    partials — per round only #blocks tiny pairs reach the driver, and
+    the winning doc's buckets are fetched once by key.  No shuffle
+    anywhere; round count is k, not data-sized.
+
+    Returns ``(rank, key, gain)`` — gain = newly covered buckets at
+    selection time (first pick = its distinct-bucket count)."""
+    import hashlib
+
+    import ray
+
+    def featurize(b: pa.Table) -> pa.Table:
+        col = pc.fill_null(pc.cast(b.column(column), pa.string()), "")
+        out_keys, out_feats = [], []
+        for kv, txt in zip(b.column(key).to_pylist(), col.to_pylist()):
+            toks = [w for w in txt.lower().split() if w]
+            if ngram > 1:
+                ws = {" ".join(toks[i:i + ngram])
+                      for i in range(len(toks) - ngram + 1)}
+            else:
+                ws = set(toks)
+            hs = np.unique(np.fromiter(
+                (int.from_bytes(
+                    hashlib.md5(w.encode()).digest()[8:16],
+                    "little") % n_buckets for w in ws),
+                dtype=np.int64, count=len(ws))) if ws else \
+                np.zeros(0, dtype=np.int64)
+            out_keys.append(int(kv))
+            out_feats.append(hs)
+        flat = (np.concatenate(out_feats) if out_feats
+                else np.zeros(0, dtype=np.int64))
+        offs = np.zeros(len(out_feats) + 1, dtype=np.int32)
+        if out_feats:
+            offs[1:] = np.cumsum([len(f) for f in out_feats])
+        return pa.Table.from_arrays(
+            [pa.array(out_keys, pa.int64()),
+             pa.ListArray.from_arrays(pa.array(offs), pa.array(flat))],
+            names=[key, "_feat"])
+
+    feats = ds.select_columns([key, column]).map_batches(
+        featurize, batch_format="pyarrow").materialize()
+    refs = feats.to_arrow_refs()
+
+    def block_best(tbl: pa.Table, covered_ref) -> tuple:
+        cov = ray.get(covered_ref) if not isinstance(
+            covered_ref, np.ndarray) else covered_ref
+        keys = tbl.column(key).to_numpy(zero_copy_only=False)
+        lf = tbl.column("_feat").combine_chunks()
+        flat = lf.flatten().to_numpy(zero_copy_only=False)
+        offs = lf.offsets.to_numpy()
+        miss = (~cov[flat]).astype(np.int64)
+        gains = np.add.reduceat(miss, offs[:-1]) \
+            if len(flat) else np.zeros(len(keys), dtype=np.int64)
+        gains[np.diff(offs) == 0] = 0
+        order = np.lexsort((keys, -gains))
+        i = order[0]
+        return int(gains[i]), int(keys[i])
+
+    best_task = ray.remote(num_cpus=1)(block_best)
+    covered = np.zeros(n_buckets, dtype=bool)
+    picks = []
+    chosen: set = set()
+    for _ in range(k):
+        cref = ray.put(covered)
+        parts = ray.get([best_task.remote(r, cref) for r in refs])
+        # exclude already-chosen keys: their gain is 0 after OR-ing, so
+        # they can only win at gain 0 — stop there anyway
+        gain, kv = max(parts, key=lambda p: (p[0], -p[1]))
+        if gain <= 0 or kv in chosen:
+            break
+        chosen.add(kv)
+        row = feats.filter(expr=f"{key} == {kv}").take_all()
+        covered[np.asarray(row[0]["_feat"], dtype=np.int64)] = True
+        picks.append((len(picks) + 1, kv, gain))
+    return pa.Table.from_arrays(
+        [pa.array([p[0] for p in picks], pa.int64()),
+         pa.array([p[1] for p in picks], pa.int64()),
+         pa.array([p[2] for p in picks], pa.int64())],
+        names=["rank", key, "gain"])

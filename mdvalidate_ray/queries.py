@@ -5379,3 +5379,100 @@ def part_bfs_hops(sf_dir: str):
     seed = int(edges.aggregate(Min("u"))["min(u)"])
     out = bfs_hops(edges, seed=seed, max_rounds=5)
     return out.rename_columns(["l_partkey", "hops"])
+
+
+def coverage_picks(sf_dir: str):
+    """Greedy maximum-vocabulary-coverage selection of 10 documents
+    (text.greedy_coverage_selection — submodular greedy, cached feature
+    blocks + broadcast covered-bitset rounds).  Deterministic but
+    iterative-greedy, so rows-only; exact-greedy parity is pinned by
+    tests/test_functions.py::test_greedy_coverage_matches_bruteforce."""
+    from mdvalidate_ray.functions.text import greedy_coverage_selection
+
+    docs = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+    # bigram features: the synthetic corpus has only ~31 distinct words
+    # (one doc saturates unigram coverage); word bigrams give a rich
+    # feature space so all 10 greedy rounds exercise
+    return greedy_coverage_selection(docs, key="doc_id", column="text",
+                                     k=10, ngram=2)
+
+
+def golden_records(sf_dir: str):
+    """Entity-resolution survivorship merge ("golden record"): cluster
+    the augmented corpus on CANONICAL text (the normalized_docs
+    normalization — NFC, lower, whitespace-collapsed), then merge each
+    cluster into one canonical row by deterministic survivorship rules:
+    golden_id = smallest member id, representative = the member
+    maximizing (n_chars, then smallest id), plus the member count.
+    Per-batch partial fold (sort + reduceat — at most one row per
+    (batch, entity) ships) → ONE coarse ``hash(entity) % n_parts``
+    exchange → vectorized per-bucket fold; group calls bounded by
+    n_parts.  The argmax is packed as ``(C − n_chars)·2²² + doc_id``
+    min-fold on BOTH sides, so the SQL twin's tie-breaking is
+    bit-identical."""
+    import numpy as np
+
+    from mdvalidate_ray.functions.text import add_normalized
+    from mdvalidate_ray.state.sketches import hash_strings
+
+    N_PARTS = 16
+    PACK = 1 << 22
+    C = 100_000
+
+    def partial(b: pa.Table) -> pa.Table:
+        b = add_normalized(b, "text")
+        doc = b.column("doc_id").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        nch = b.column("n_chars").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        nm = b.column("text_norm").to_pylist()
+        order = np.lexsort((doc, np.asarray(nm, dtype=object)))
+        nm_s = [nm[i] for i in order]
+        doc_s, nch_s = doc[order], nch[order]
+        first = np.ones(len(nm_s), dtype=bool)
+        first[1:] = [nm_s[i] != nm_s[i - 1]
+                     for i in range(1, len(nm_s))]
+        starts = np.flatnonzero(first)
+        ends = np.append(starts[1:], len(nm_s))
+        pack = (C - nch_s) * PACK + doc_s
+        min_doc = np.minimum.reduceat(doc_s, starts) \
+            if len(starts) else doc_s[:0]
+        min_pack = np.minimum.reduceat(pack, starts) \
+            if len(starts) else pack[:0]
+        cnt = (ends - starts).astype(np.int64)
+        return pa.Table.from_arrays(
+            [pa.array([nm_s[i] for i in starts], pa.string()),
+             pa.array(min_doc), pa.array(min_pack), pa.array(cnt),
+             pa.array((hash_strings([nm_s[i] for i in starts])
+                       % np.uint64(N_PARTS)).astype("int64")
+                      if len(starts) else
+                      np.zeros(0, dtype=np.int64))],
+            names=["nm", "min_doc", "min_pack", "cnt", "_bucket"])
+
+    parts = _augmented_docs(sf_dir).select_columns(
+        ["doc_id", "text", "n_chars"]).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True)
+
+    def fold(g: pa.Table) -> pa.Table:
+        nm = g.column("nm").to_pylist()
+        md = g.column("min_doc").to_numpy(zero_copy_only=False)
+        mp = g.column("min_pack").to_numpy(zero_copy_only=False)
+        ct = g.column("cnt").to_numpy(zero_copy_only=False)
+        order = np.lexsort((md, np.asarray(nm, dtype=object)))
+        nm_s = [nm[i] for i in order]
+        md, mp, ct = md[order], mp[order], ct[order]
+        first = np.ones(len(nm_s), dtype=bool)
+        first[1:] = [nm_s[i] != nm_s[i - 1]
+                     for i in range(1, len(nm_s))]
+        starts = np.flatnonzero(first)
+        golden = np.minimum.reduceat(md, starts)
+        pack = np.minimum.reduceat(mp, starts)
+        members = np.add.reduceat(ct, starts)
+        return pa.Table.from_arrays(
+            [pa.array(golden), pa.array(members.astype(np.int64)),
+             pa.array(pack % PACK),
+             pa.array(C - pack // PACK)],
+            names=["golden_id", "n_members", "rep_doc", "rep_len"])
+
+    return parts.groupby("_bucket").map_groups(fold,
+                                               batch_format="pyarrow")

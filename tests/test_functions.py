@@ -1973,3 +1973,45 @@ def test_semantic_dedup_no_neardups_keeps_all(ray_session):
                          threshold=0.9, iters=2).take_all()
     assert all(r["kept"] for r in out)
     assert len(out) == 12
+
+
+def test_greedy_coverage_matches_bruteforce(ray_session):
+    import hashlib
+
+    import ray.data
+
+    from mdvalidate_ray.functions.text import greedy_coverage_selection
+
+    rng = np.random.default_rng(5)
+    vocab = [f"w{i}" for i in range(60)]
+    docs = [" ".join(rng.choice(vocab, int(rng.integers(2, 25))))
+            for _ in range(40)]
+    NB = 1 << 16
+
+    def buckets(text):
+        return {int.from_bytes(hashlib.md5(w.encode()).digest()[8:16],
+                               "little") % NB
+                for w in set(text.lower().split()) if w}
+
+    feats = {i: buckets(t) for i, t in enumerate(docs)}
+    covered: set = set()
+    want = []
+    for rank in range(1, 6):
+        best = max(range(40),
+                   key=lambda i: (len(feats[i] - covered), -i))
+        g = len(feats[best] - covered)
+        if g <= 0:
+            break
+        want.append((rank, best, g))
+        covered |= feats[best]
+
+    tbl = pa.table({"doc_id": pa.array(range(40), pa.int64()),
+                    "text": pa.array(docs, pa.string())})
+    for blocks in (1, 7):
+        got = greedy_coverage_selection(
+            ray.data.from_arrow(tbl).repartition(blocks),
+            key="doc_id", column="text", k=5, n_buckets=NB)
+        got_rows = list(zip(got.column("rank").to_pylist(),
+                            got.column("doc_id").to_pylist(),
+                            got.column("gain").to_pylist()))
+        assert got_rows == want, (blocks, got_rows, want)
