@@ -118,6 +118,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_bfs_hops": Q.part_bfs_hops,
         "coverage_picks": Q.coverage_picks,
         "golden_records": Q.golden_records,
+        "k_anonymity_violations": Q.k_anonymity_violations,
+        "label_auc": Q.label_auc,
         "user_value_deltas": Q.user_value_deltas,
         "part_copurchase_triangles": Q.part_copurchase_triangles,
         "user_hourly_spend": Q.user_hourly_spend,
@@ -1142,6 +1144,54 @@ def oracle_sql() -> dict[str, str]:
             SELECT strftime(ts, '%Y-%m-%d') AS day,
                    count(DISTINCT user_id)::BIGINT AS n_users
             FROM events GROUP BY 1
+        """,
+        "label_auc": """
+            WITH u AS (
+                SELECT vec_id, generate_subscripts(embedding, 1) AS idx,
+                       unnest(embedding) AS x
+                FROM embeddings
+            ), sc AS (
+                SELECT vec_id,
+                       sum(round(x::DOUBLE
+                                 * ((((idx * 2654435761) % 2001) - 1000)
+                                    / 1000.0)
+                                 * 1000000))::BIGINT AS score_u
+                FROM u GROUP BY vec_id
+            ), j AS (
+                SELECT sc.score_u,
+                       CASE WHEN e.label = 0 THEN 1 ELSE 0 END AS pos
+                FROM sc JOIN embeddings e ON e.vec_id = sc.vec_id
+            ), agg AS (
+                SELECT score_u, count(*)::BIGINT AS c,
+                       sum(pos)::BIGINT AS npos
+                FROM j GROUP BY score_u
+            ), w AS (
+                SELECT score_u, c, npos,
+                       coalesce(SUM(c) OVER (ORDER BY score_u
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING), 0)::BIGINT
+                           AS cum_less
+                FROM agg
+            ), t AS (
+                SELECT sum(npos * (2 * cum_less + c + 1))::BIGINT
+                           AS u2_pos,
+                       sum(npos)::BIGINT AS n_pos,
+                       sum(c - npos)::BIGINT AS n_neg
+                FROM w
+            )
+            SELECT u2_pos, n_pos, n_neg,
+                   CAST(floor(((u2_pos - n_pos * (n_pos + 1))::DOUBLE
+                               / (2.0 * n_pos * n_neg)) * 1000000
+                              + 0.5) AS BIGINT) AS auc_e6
+            FROM t
+        """,
+        "k_anonymity_violations": """
+            SELECT lang, source,
+                   (n_chars // 200)::BIGINT AS len_bucket,
+                   count(*)::BIGINT AS cnt
+            FROM documents
+            GROUP BY 1, 2, 3
+            HAVING count(*) < 5
         """,
         "golden_records": """
             WITH aug AS (

@@ -5476,3 +5476,119 @@ def golden_records(sf_dir: str):
 
     return parts.groupby("_bucket").map_groups(fold,
                                                batch_format="pyarrow")
+
+
+def k_anonymity_violations(sf_dir: str):
+    """Data-governance k-anonymity audit: quasi-identifier groups
+    (lang, source, length-bucket) with fewer than k=5 members — rows in
+    such groups are re-identifiable by their quasi-identifiers alone
+    (Sweeney 2002).  One combiner pass (the coarse-bucket group-sum: the
+    packed QI string ships at most once per batch) then a driver-free
+    filter + unpack; integer counts keep the audit hash-exact."""
+    import numpy as np
+
+    from mdvalidate_ray.functions.relational import bucketed_group_sum
+
+    docs = _read(sf_dir, "documents").select_columns(
+        ["lang", "source", "n_chars"])
+    SEP = "\x1f"
+
+    def prep(b: pa.Table) -> pa.Table:
+        lb = pc.divide(b.column("n_chars"), 200).cast(pa.int64())
+        qi = pc.binary_join_element_wise(
+            pc.cast(b.column("lang"), pa.string()),
+            pc.cast(b.column("source"), pa.string()),
+            pc.cast(lb, pa.string()), SEP)
+        return pa.Table.from_arrays(
+            [qi, pa.array(np.ones(b.num_rows, dtype=np.int64))],
+            names=["qi", "_c"])
+
+    counted = bucketed_group_sum(
+        docs.map_batches(prep, batch_format="pyarrow",
+                         zero_copy_batch=True),
+        key="qi", sum_cols=["_c"], n_parts=8)
+
+    def finish(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.less(b.column("_c"), 5))
+        parts = pc.split_pattern(b.column("qi"), SEP)
+        return pa.Table.from_arrays(
+            [pc.list_element(parts, 0), pc.list_element(parts, 1),
+             pc.cast(pc.list_element(parts, 2), pa.int64()),
+             b.column("_c").cast(pa.int64())],
+            names=["lang", "source", "len_bucket", "cnt"])
+
+    return counted.map_batches(finish, batch_format="pyarrow")
+
+
+def label_auc(sf_dir: str):
+    """Exact distributed AUC (Mann-Whitney U with midrank tie handling)
+    of the deterministic linear head's score for class label==0 — the
+    model-evaluation primitive computed WITHOUT any global sort:
+
+    1. actor-pool scoring (integer ``score_u``, the LinearScorer
+       contract) + per-batch (score, n_pos, n_tot) combiner;
+    2. one coarse-bucket group-sum → per-DISTINCT-score counts (the
+       score becomes a unique integer key);
+    3. the range-bucket prefix scan (global_ordered_prefix_sum) over a
+       PACKED value ``n_tot·2³¹ + n_pos`` — one scan yields both each
+       score's counts and the count of strictly-smaller scores;
+    4. a scalar fold: ``Σ n_pos(s)·(2·cum_less(s) + n_tot(s) + 1)``
+       = twice the positives' midrank sum.  All integer;
+       ``AUC = (u2_pos − n_pos(n_pos+1)) / (2·n_pos·n_neg)`` is one
+       IEEE division of exact ints, bit-identical across engines."""
+    import numpy as np
+
+    from mdvalidate_ray.functions.relational import bucketed_group_sum
+    from mdvalidate_ray.functions.similarity import LinearScorer
+    from mdvalidate_ray.functions.window import global_ordered_prefix_sum
+
+    emb = _read(sf_dir, "embeddings").select_columns(
+        ["vec_id", "embedding", "label"])
+    SHIFT = np.int64(1) << 31
+
+    def score(b: pa.Table) -> pa.Table:
+        s = LinearScorer()(b.select(["vec_id", "embedding"]))
+        pos = pc.equal(b.column("label").cast(pa.int64()), 0) \
+            .cast(pa.int64())
+        return pa.Table.from_arrays(
+            [s.column("score_u"), pos,
+             pa.array(np.ones(b.num_rows, dtype=np.int64))],
+            names=["score_u", "_pos", "_tot"])
+
+    counts = bucketed_group_sum(
+        emb.map_batches(score, batch_format="pyarrow",
+                        zero_copy_batch=True),
+        key="score_u", sum_cols=["_pos", "_tot"], n_parts=16)
+
+    def pack(b: pa.Table) -> pa.Table:
+        v = pc.add(pc.multiply(b.column("_tot"), int(SHIFT)),
+                   b.column("_pos"))
+        return pa.Table.from_arrays(
+            [b.column("score_u").cast(pa.int64()), v.cast(pa.int64())],
+            names=["score_u", "_v"])
+
+    scanned = global_ordered_prefix_sum(
+        counts.map_batches(pack, batch_format="pyarrow"),
+        key="score_u", value_col="_v", n_parts=16)
+
+    def partial(b: pa.Table) -> pa.Table:
+        v = b.column("_v").to_numpy(zero_copy_only=False)
+        off = b.column("start_off").to_numpy(zero_copy_only=False)
+        tot, pos = v // SHIFT, v % SHIFT
+        cum_less = off // SHIFT
+        u2 = (pos * (2 * cum_less + tot + 1)).sum()
+        return pa.Table.from_pylist([{
+            "u2": int(u2), "np": int(pos.sum()),
+            "nn": int((tot - pos).sum())}])
+
+    u2 = npos = nneg = 0
+    for row in scanned.map_batches(
+            partial, batch_format="pyarrow").take_all():
+        u2 += row["u2"]; npos += row["np"]; nneg += row["nn"]
+    auc = (u2 - npos * (npos + 1)) / (2.0 * npos * nneg)
+    return pa.table({
+        "u2_pos": pa.array([u2], pa.int64()),
+        "n_pos": pa.array([npos], pa.int64()),
+        "n_neg": pa.array([nneg], pa.int64()),
+        "auc_e6": pa.array([int(np.floor(auc * 1e6 + 0.5))],
+                           pa.int64())})

@@ -2015,3 +2015,60 @@ def test_greedy_coverage_matches_bruteforce(ray_session):
                             got.column("doc_id").to_pylist(),
                             got.column("gain").to_pylist()))
         assert got_rows == want, (blocks, got_rows, want)
+
+
+def test_label_auc_matches_naive_midrank(ray_session, tmp_path):
+    """label_auc pinned against a naive midrank AUC on a corpus with
+    DELIBERATE score ties (duplicate vectors carrying different
+    labels) — the tie branch is where naive rank formulas go wrong."""
+    import pyarrow.parquet as pq_mod
+
+    from mdvalidate_ray import queries as Q
+
+    rng = np.random.default_rng(13)
+    vecs, labels = [], []
+    for i in range(60):
+        vecs.append(rng.normal(0, 1, 8))
+        labels.append(int(i % 3 == 0))
+    # planted ties: three exact copies of vec 0 with mixed labels
+    for lab in (0, 1, 1):
+        vecs.append(vecs[0].copy()); labels.append(lab)
+    tbl = pa.table({
+        "vec_id": pa.array(range(len(vecs)), pa.int64()),
+        "embedding": pa.array([list(map(float, v)) for v in vecs],
+                              pa.list_(pa.float32())),
+        "label": pa.array(labels, pa.int32())})
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq_mod.write_table(tbl, str(d / "embeddings.parquet"))
+
+    out = Q.label_auc(str(d))
+    got = {c: out.column(c)[0].as_py() for c in out.column_names}
+
+    # naive replay: exact integer scores, midranks, Mann-Whitney
+    w = (((np.arange(1, 9) * 2654435761) % 2001) - 1000) / 1000.0
+    scores = []
+    for v in vecs:
+        t = np.asarray(v, dtype=np.float32).astype(np.float64) * w \
+            * 1_000_000.0
+        scores.append(int(np.where(t >= 0, np.floor(t + 0.5),
+                                   np.ceil(t - 0.5)).astype(np.int64)
+                          .sum()))
+    scores = np.array(scores)
+    pos = np.array(labels) == 0
+    order = np.argsort(scores, kind="stable")
+    s_sorted = scores[order]
+    ranks = np.empty(len(scores), dtype=np.float64)
+    i = 0
+    while i < len(s_sorted):
+        j = i
+        while j < len(s_sorted) and s_sorted[j] == s_sorted[i]:
+            j += 1
+        ranks[order[i:j]] = (i + j + 1) / 2.0   # midrank, 1-based
+        i = j
+    n1, n0 = int(pos.sum()), int((~pos).sum())
+    u2 = int(round(2 * ranks[pos].sum()))
+    auc = (u2 - n1 * (n1 + 1)) / (2.0 * n1 * n0)
+    assert got["u2_pos"] == u2
+    assert got["n_pos"] == n1 and got["n_neg"] == n0
+    assert got["auc_e6"] == int(np.floor(auc * 1e6 + 0.5))
