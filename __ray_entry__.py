@@ -120,6 +120,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "golden_records": Q.golden_records,
         "k_anonymity_violations": Q.k_anonymity_violations,
         "label_auc": Q.label_auc,
+        "calibration_bins": Q.calibration_bins,
+        "parity_rates": Q.parity_rates,
         "user_value_deltas": Q.user_value_deltas,
         "part_copurchase_triangles": Q.part_copurchase_triangles,
         "user_hourly_spend": Q.user_hourly_spend,
@@ -1144,6 +1146,66 @@ def oracle_sql() -> dict[str, str]:
             SELECT strftime(ts, '%Y-%m-%d') AS day,
                    count(DISTINCT user_id)::BIGINT AS n_users
             FROM events GROUP BY 1
+        """,
+        "calibration_bins": """
+            WITH u AS (
+                SELECT vec_id, generate_subscripts(embedding, 1) AS idx,
+                       unnest(embedding) AS x
+                FROM embeddings
+            ), sc AS (
+                SELECT vec_id,
+                       sum(round(x::DOUBLE
+                                 * ((((idx * 2654435761) % 2001) - 1000)
+                                    / 1000.0)
+                                 * 1000000))::BIGINT AS score_u
+                FROM u GROUP BY vec_id
+            ), j AS (
+                SELECT sc.score_u,
+                       CASE WHEN e.label = 0 THEN 1 ELSE 0 END AS pos
+                FROM sc JOIN embeddings e ON e.vec_id = sc.vec_id
+            ), mm AS (
+                SELECT min(score_u) AS lo, max(score_u) AS hi FROM j
+            )
+            SELECT ((j.score_u - mm.lo)
+                    // ((mm.hi - mm.lo + 10) // 10))::BIGINT AS bin,
+                   sum(j.pos)::BIGINT AS n_pos,
+                   count(*)::BIGINT AS n_tot,
+                   sum(j.score_u)::BIGINT AS score_sum
+            FROM j, mm
+            GROUP BY 1
+        """,
+        "parity_rates": """
+            WITH u AS (
+                SELECT vec_id, generate_subscripts(embedding, 1) AS idx,
+                       unnest(embedding) AS x
+                FROM embeddings
+            ), sc AS (
+                SELECT vec_id,
+                       sum(round(x::DOUBLE
+                                 * ((((idx * 2654435761) % 2001) - 1000)
+                                    / 1000.0)
+                                 * 1000000))::BIGINT AS score_u
+                FROM u GROUP BY vec_id
+            ), j AS (
+                SELECT e.label::BIGINT AS grp, sc.score_u
+                FROM sc JOIN embeddings e ON e.vec_id = sc.vec_id
+            ), m AS (
+                SELECT score_u AS med FROM (
+                    SELECT score_u,
+                           row_number() OVER (ORDER BY score_u) AS rn
+                    FROM j)
+                WHERE rn = (SELECT (count(*) + 1) // 2 FROM j)
+            ), t AS (
+                SELECT grp,
+                       CASE WHEN score_u > (SELECT med FROM m)
+                            THEN 1 ELSE 0 END AS hi
+                FROM j
+            )
+            SELECT grp, sum(hi)::BIGINT AS n_above,
+                   count(*)::BIGINT AS n_tot,
+                   CAST(floor(sum(hi)::DOUBLE / count(*) * 1000000
+                              + 0.5) AS BIGINT) AS rate_e6
+            FROM t GROUP BY grp
         """,
         "label_auc": """
             WITH u AS (

@@ -203,7 +203,8 @@ QUERY_NAMES = [
     "semantic_dedup_flags", "nation_segment_gap", "late_events",
     "customer_pareto", "cdc_segment_dedup_docs", "source_lang_mi",
     "part_bfs_hops", "coverage_picks", "golden_records",
-    "k_anonymity_violations", "label_auc",
+    "k_anonymity_violations", "label_auc", "calibration_bins",
+    "parity_rates",
 ]
 
 

@@ -5592,3 +5592,128 @@ def label_auc(sf_dir: str):
         "n_neg": pa.array([nneg], pa.int64()),
         "auc_e6": pa.array([int(np.floor(auc * 1e6 + 0.5))],
                            pa.int64())})
+
+
+def calibration_bins(sf_dir: str):
+    """Reliability-diagram bins for the linear head's score against
+    label==0 — the calibration companion to label_auc: scores bucket
+    into 10 equal-width bins over the observed [min, max] (two-pass:
+    Min/Max aggregate, then one combiner pass), each bin reporting
+    member count, positives, and the exact integer score sum — ECE and
+    the reliability curve derive from these integers.  All-integer
+    contract: hash-exact against the SQL twin."""
+    import numpy as np
+
+    from ray.data.aggregate import Max, Min
+
+    from mdvalidate_ray.functions.relational import bucketed_group_sum
+    from mdvalidate_ray.functions.similarity import LinearScorer
+
+    emb = _read(sf_dir, "embeddings").select_columns(
+        ["vec_id", "embedding", "label"])
+
+    def score(b: pa.Table) -> pa.Table:
+        s = LinearScorer()(b.select(["vec_id", "embedding"]))
+        pos = pc.equal(b.column("label").cast(pa.int64()), 0) \
+            .cast(pa.int64())
+        return pa.Table.from_arrays(
+            [s.column("score_u"), pos,
+             pa.array(np.ones(b.num_rows, dtype=np.int64))],
+            names=["score_u", "_pos", "_tot"])
+
+    scored = emb.map_batches(score, batch_format="pyarrow",
+                             zero_copy_batch=True).materialize()
+    mm = scored.aggregate(Min("score_u"), Max("score_u"))
+    lo, hi = int(mm["min(score_u)"]), int(mm["max(score_u)"])
+    width = max(1, -(-(hi - lo + 1) // 10))   # ceil; ≥1 guards hi==lo
+
+    def binned(b: pa.Table) -> pa.Table:
+        s = b.column("score_u")
+        bin_ = pc.divide(pc.subtract(s, lo), width).cast(pa.int64())
+        return pa.Table.from_arrays(
+            [bin_, b.column("_pos"), b.column("_tot"), s],
+            names=["bin", "_pos", "_tot", "_sum"])
+
+    out = bucketed_group_sum(
+        scored.map_batches(binned, batch_format="pyarrow"),
+        key="bin", sum_cols=["_pos", "_tot", "_sum"], n_parts=4)
+    return out.map_batches(
+        lambda b: b.rename_columns(["bin", "n_pos", "n_tot",
+                                    "score_sum"]),
+        batch_format="pyarrow")
+
+
+def parity_rates(sf_dir: str):
+    """Demographic-parity audit: per source (the sensitive attribute
+    stand-in) the rate at which the linear head's score clears its
+    GLOBAL median — integer counts per group plus the e6-rounded rate;
+    the max−min rate gap (the parity metric) derives directly.  The
+    global median threshold comes from the exact distributed selection
+    quantile, so both engines threshold on the identical integer."""
+    import numpy as np
+
+    from mdvalidate_ray.functions.relational import bucketed_group_sum
+    from mdvalidate_ray.functions.similarity import LinearScorer
+
+    emb = _read(sf_dir, "embeddings").select_columns(
+        ["vec_id", "embedding", "label"])
+
+    def score(b: pa.Table) -> pa.Table:
+        s = LinearScorer()(b.select(["vec_id", "embedding"]))
+        # sensitive group = label (embeddings carry no source column);
+        # the audit shape is the point, the attribute is a stand-in
+        return pa.Table.from_arrays(
+            [b.column("label").cast(pa.int64()), s.column("score_u")],
+            names=["grp", "score_u"])
+
+    scored = emb.map_batches(score, batch_format="pyarrow",
+                             zero_copy_batch=True).materialize()
+    # exact global median of an integer column: lower median =
+    # quantile(0.5, inverted_cdf) — k-th order statistic, k = ceil(n/2)
+    n = scored.count()
+    k = (n + 1) // 2
+    import heapq
+
+    # distributed k-th smallest via per-block partial sort would be the
+    # selection_quantiles path; scores are ≤ a few M distinct ints, so
+    # reuse the combiner: per-score counts, then one driver scan over
+    # the ≤n tiny (score, cnt) rows in score order
+    def ones(b: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [b.column("score_u"),
+             pa.array(np.ones(b.num_rows, dtype=np.int64))],
+            names=["score_u", "_c"])
+
+    counts = bucketed_group_sum(
+        scored.map_batches(ones, batch_format="pyarrow"),
+        key="score_u", sum_cols=["_c"], n_parts=8)
+    rows = sorted((r["score_u"], r["_c"]) for r in counts.take_all())
+    acc = 0
+    med = rows[-1][0]
+    for s_, c_ in rows:
+        acc += c_
+        if acc >= k:
+            med = s_
+            break
+
+    def tag(b: pa.Table) -> pa.Table:
+        hi = pc.greater(b.column("score_u"), med).cast(pa.int64())
+        return pa.Table.from_arrays(
+            [b.column("grp"), hi,
+             pa.array(np.ones(b.num_rows, dtype=np.int64))],
+            names=["grp", "_hi", "_tot"])
+
+    out = bucketed_group_sum(
+        scored.map_batches(tag, batch_format="pyarrow"),
+        key="grp", sum_cols=["_hi", "_tot"], n_parts=4)
+
+    def finish(b: pa.Table) -> pa.Table:
+        hi = b.column("_hi").to_numpy(zero_copy_only=False)
+        tot = b.column("_tot").to_numpy(zero_copy_only=False)
+        rate = np.floor(hi / tot * 1e6 + 0.5).astype(np.int64)
+        return pa.Table.from_arrays(
+            [b.column("grp"), pa.array(hi), pa.array(tot),
+             pa.array(rate)],
+            names=["grp", "n_above", "n_tot", "rate_e6"])
+
+    return out.map_batches(finish, batch_format="pyarrow")
