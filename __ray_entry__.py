@@ -116,6 +116,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_segment_dedup_docs": Q.cdc_segment_dedup_docs,
         "source_lang_mi": Q.source_lang_mi,
         "part_bfs_hops": Q.part_bfs_hops,
+        "part_cheapest_paths": Q.part_cheapest_paths,
         "coverage_picks": Q.coverage_picks,
         "golden_records": Q.golden_records,
         "k_anonymity_violations": Q.k_anonymity_violations,
@@ -1275,6 +1276,28 @@ def oracle_sql() -> dict[str, str]:
                    (100000 - min((100000 - n_chars) * 4194304 + doc_id)
                     // 4194304)::BIGINT AS rep_len
             FROM n GROUP BY nm
+        """,
+        "part_cheapest_paths": """
+            WITH RECURSIVE pairs AS (
+              SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS u,
+                              greatest(a.l_partkey, b.l_partkey) AS v
+              FROM lineitem a JOIN lineitem b
+                   ON a.l_orderkey = b.l_orderkey
+                  AND a.l_partkey < b.l_partkey
+            ), e AS (
+              SELECT u AS s, v AS d, 1 + (u + v) % 5 AS w FROM pairs
+              UNION ALL
+              SELECT v, u, 1 + (u + v) % 5 FROM pairs
+            ), walk(node, cost, hops) AS (
+              SELECT (SELECT min(u) FROM pairs), 0, 0
+              UNION
+              SELECT e.d, w2.cost + e.w, w2.hops + 1
+              FROM walk w2 JOIN e ON e.s = w2.node
+              WHERE w2.hops < 3
+            )
+            SELECT node::BIGINT AS l_partkey,
+                   min(cost)::BIGINT AS cost
+            FROM walk GROUP BY node
         """,
         "part_bfs_hops": """
             WITH RECURSIVE pairs AS (

@@ -695,3 +695,113 @@ def bfs_hops(edges_ds, *, seed: int, col_a: str = "u", col_b: str = "v",
         [pa.array(nodes[mask], pa.int64()),
          pa.array(dist[mask], pa.int64())],
         names=["node", "hops"])
+
+
+def bellman_ford_costs(edges_ds, *, seed: int, col_a: str = "u",
+                       col_b: str = "v", weight_col: str | None = None,
+                       max_rounds: int = 3,
+                       local_threshold: int = 2_000_000) -> pa.Table:
+    """Weighted single-source shortest-path costs — Bellman-Ford
+    relaxation rounds over an undirected edge set, the MIN-PLUS
+    semiring companion to :func:`bfs_hops` (which is the boolean/
+    hop-count case).  After ``max_rounds`` rounds the result is exactly
+    "cheapest cost over paths of ≤ max_rounds edges" — the same
+    truncation a hop-tracking recursive SQL oracle expresses, so
+    integer weights make the comparison exact.
+
+    Same execution shape as bfs_hops: per round the sorted (nodes,
+    cost) state broadcasts once and each cached edge block emits its
+    per-destination relaxation partials (``np.minimum`` folds — one
+    ``np.minimum.at`` per block, no per-edge Python); the driver
+    min-folds ≤ |nodes| candidates.  In-process tier below
+    ``local_threshold`` edges; same broadcast ceiling notes as
+    connected_components."""
+    import ray
+
+    def sym(b: pa.Table) -> pa.Table:
+        a = b.column(col_a).cast(pa.int64())
+        c = b.column(col_b).cast(pa.int64())
+        if weight_col is not None:
+            w = b.column(weight_col).cast(pa.int64())
+        else:
+            # default deterministic endpoint-derived weight 1..5 — a
+            # pure function of (u, v) any SQL twin can recompute
+            s_ = pc.add(a, c)
+            w = pc.add(pc.subtract(
+                s_, pc.multiply(pc.divide(s_, 5), 5)), 1).cast(pa.int64())
+        return pa.Table.from_arrays(
+            [pa.concat_arrays([a.combine_chunks(), c.combine_chunks()]),
+             pa.concat_arrays([c.combine_chunks(), a.combine_chunks()]),
+             pa.concat_arrays([w.combine_chunks(), w.combine_chunks()])],
+            names=["src", "dst", "w"])
+
+    edges = edges_ds.map_batches(sym, batch_format="pyarrow",
+                                 zero_copy_batch=True).materialize()
+    INF = np.int64(2 ** 62)
+
+    def block_relax(tbl: pa.Table, nodes: np.ndarray,
+                    cost: np.ndarray) -> tuple:
+        s = tbl.column("src").to_numpy(zero_copy_only=False)
+        d = tbl.column("dst").to_numpy(zero_copy_only=False)
+        w = tbl.column("w").to_numpy(zero_copy_only=False)
+        si = np.searchsorted(nodes, s)
+        di = np.searchsorted(nodes, d)
+        reach = cost[si] < INF
+        if not reach.any():
+            return (np.zeros(0, dtype=np.int64),
+                    np.zeros(0, dtype=np.int64))
+        cand = np.full(len(nodes), INF, dtype=np.int64)
+        np.minimum.at(cand, di[reach], cost[si[reach]] + w[reach])
+        hit = np.flatnonzero(cand < cost)
+        return hit.astype(np.int64), cand[hit]
+
+    n_edges = edges.count()
+    if n_edges == 0:
+        return pa.Table.from_arrays(
+            [pa.array([seed], pa.int64()), pa.array([0], pa.int64())],
+            names=["node", "cost"])
+
+    use_local = n_edges <= local_threshold
+    if use_local:
+        blocks = [t for t in ray.get(edges.to_arrow_refs())
+                  if t.num_rows]
+        node_parts = [t.column("src").to_numpy(zero_copy_only=False)
+                      for t in blocks]
+    else:
+        refs = edges.to_arrow_refs()
+        uniq = ray.remote(num_cpus=1)(lambda blk: np.unique(
+            blk.column("src").to_numpy(zero_copy_only=False)))
+        node_parts = ray.get([uniq.remote(b) for b in refs])
+    nodes = np.unique(np.concatenate(
+        list(node_parts) + [np.array([seed], dtype=np.int64)]))
+    cost = np.full(len(nodes), INF, dtype=np.int64)
+    cost[np.searchsorted(nodes, seed)] = 0
+
+    if use_local:
+        for _ in range(max_rounds):
+            cand = np.full(len(nodes), INF, dtype=np.int64)
+            for t in blocks:
+                hit, vals = block_relax(t, nodes, cost)
+                np.minimum.at(cand, hit, vals)
+            upd = cand < cost
+            if not upd.any():
+                break
+            cost[upd] = cand[upd]
+    else:
+        task = ray.remote(num_cpus=1)(
+            lambda blk, st: block_relax(blk, st[0], st[1]))
+        for _ in range(max_rounds):
+            state = ray.put((nodes, cost))
+            outs = ray.get([task.remote(b, state) for b in refs])
+            cand = np.full(len(nodes), INF, dtype=np.int64)
+            for hit, vals in outs:
+                np.minimum.at(cand, hit, vals)
+            upd = cand < cost
+            if not upd.any():
+                break
+            cost[upd] = cand[upd]
+    mask = cost < INF
+    return pa.Table.from_arrays(
+        [pa.array(nodes[mask], pa.int64()),
+         pa.array(cost[mask], pa.int64())],
+        names=["node", "cost"])

@@ -5717,3 +5717,26 @@ def parity_rates(sf_dir: str):
             names=["grp", "n_above", "n_tot", "rate_e6"])
 
     return out.map_batches(finish, batch_format="pyarrow")
+
+
+def part_cheapest_paths(sf_dir: str):
+    """Weighted single-source cheapest paths over the part co-purchase
+    graph (graph.bellman_ford_costs — min-plus relaxation rounds, the
+    semiring generalization of part_bfs_hops) from the smallest part
+    key, edge weight ``1 + (u + v) % 5`` (a pure endpoint function both
+    engines recompute).  3 rounds ⇒ exactly "cheapest cost over ≤ 3-edge
+    paths", matching the hop-tracking recursive oracle; small integer
+    weights keep the oracle's (node, cost, hops) working set bounded."""
+    from ray.data.aggregate import Min
+
+    from mdvalidate_ray.functions.graph import (bellman_ford_costs,
+                                                cooccurrence_edges)
+
+    li = _read(sf_dir, "lineitem").select_columns(
+        ["l_orderkey", "l_partkey"])
+    edges = cooccurrence_edges(li, group_col="l_orderkey",
+                               item_col="l_partkey",
+                               n_parts=32).materialize()
+    seed = int(edges.aggregate(Min("u"))["min(u)"])
+    out = bellman_ford_costs(edges, seed=seed, max_rounds=3)
+    return out.rename_columns(["l_partkey", "cost"])

@@ -1088,3 +1088,56 @@ def test_bfs_hops_matches_bruteforce(ray_session, blocks):
     assert got == want
     assert 90 not in got           # island unreachable
     assert got.get(54) == 5 and 55 not in got   # cap stops the chain
+
+
+@pytest.mark.parametrize("blocks", [1, 6])
+def test_bellman_ford_matches_bruteforce(ray_session, blocks):
+    import heapq
+
+    import ray.data
+
+    from mdvalidate_ray.functions.graph import bellman_ford_costs
+
+    rng = np.random.default_rng(29)
+    edges = set()
+    for _ in range(80):
+        a, b = rng.integers(0, 30, 2)
+        if a != b:
+            edges.add((min(a, b), max(a, b)))
+    tbl = pa.table({"u": pa.array([a for a, _ in edges], pa.int64()),
+                    "v": pa.array([b for _, b in edges], pa.int64())})
+
+    def w(a, b):
+        return 1 + (a + b) % 5
+
+    R = 3
+    # brute force: cheapest cost over paths of <= R edges (the operator's
+    # exact truncation contract), via R relaxation rounds
+    INF = float("inf")
+    cost = {n: INF for e in edges for n in e}
+    cost[0] = 0
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, []).append(b); adj.setdefault(b, []).append(a)
+    for _ in range(R):
+        nxt = dict(cost)
+        for a in adj:
+            for b in adj[a]:
+                if cost[a] + w(a, b) < nxt[b]:
+                    nxt[b] = cost[a] + w(a, b)
+        cost = nxt
+    want = {n: int(c) for n, c in cost.items() if c < INF}
+
+    ds = ray.data.from_arrow(tbl).repartition(blocks)
+    got = {r["node"]: r["cost"]
+           for r in bellman_ford_costs(ds, seed=0,
+                                       max_rounds=R).to_pylist()}
+    assert got == want
+    # a multi-hop cheaper-than-direct path must be found when present:
+    # weights 1..5 mean some 2-edge paths undercut a weight-5 edge
+    direct5 = [(a, b) for a, b in edges if w(a, b) == 5
+               and (a == 0 or b == 0)]
+    for a, b in direct5:
+        other = b if a == 0 else a
+        if got.get(other, 99) < 5:
+            break
