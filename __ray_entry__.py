@@ -117,6 +117,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_lang_mi": Q.source_lang_mi,
         "part_bfs_hops": Q.part_bfs_hops,
         "part_cheapest_paths": Q.part_cheapest_paths,
+        "winnow_stats": Q.winnow_stats,
         "coverage_picks": Q.coverage_picks,
         "golden_records": Q.golden_records,
         "k_anonymity_violations": Q.k_anonymity_violations,
@@ -1276,6 +1277,45 @@ def oracle_sql() -> dict[str, str]:
                    (100000 - min((100000 - n_chars) * 4194304 + doc_id)
                     // 4194304)::BIGINT AS rep_len
             FROM n GROUP BY nm
+        """,
+        "winnow_stats": """
+            WITH words AS (
+                SELECT doc_id,
+                       list_filter(
+                           string_split_regex(lower(coalesce(text, '')),
+                                              '\\s+'),
+                           x -> x <> '') AS w
+                FROM documents
+            ), grams AS (
+                SELECT doc_id,
+                       CASE WHEN len(w) < 3 THEN CAST([] AS VARCHAR[])
+                            ELSE list_transform(
+                                range(1, len(w) - 1),
+                                i -> w[i] || ' ' || w[i+1] || ' '
+                                     || w[i+2])
+                       END AS gl
+                FROM words
+            ), g AS (
+                SELECT doc_id, unnest(gl) AS gram,
+                       generate_subscripts(gl, 1) AS gi
+                FROM grams
+            ), h AS (
+                SELECT doc_id, gi,
+                       (md5_number_lower(gram)
+                        % 1099511627776)::BIGINT * 1048576
+                       + (1048575 - gi) AS pack
+                FROM g
+            ), wm AS (
+                SELECT doc_id, gi,
+                       MIN(pack) OVER (PARTITION BY doc_id ORDER BY gi
+                                       ROWS BETWEEN 3 PRECEDING
+                                            AND CURRENT ROW) AS sel
+                FROM h
+            )
+            SELECT doc_id,
+                   count(*) FILTER (gi >= 4)::BIGINT AS n_windows,
+                   count(DISTINCT sel) FILTER (gi >= 4)::BIGINT AS n_fp
+            FROM wm GROUP BY doc_id
         """,
         "part_cheapest_paths": """
             WITH RECURSIVE pairs AS (

@@ -204,7 +204,7 @@ QUERY_NAMES = [
     "customer_pareto", "cdc_segment_dedup_docs", "source_lang_mi",
     "part_bfs_hops", "coverage_picks", "golden_records",
     "k_anonymity_violations", "label_auc", "calibration_bins",
-    "parity_rates", "part_cheapest_paths",
+    "parity_rates", "part_cheapest_paths", "winnow_stats",
 ]
 
 

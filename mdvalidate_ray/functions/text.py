@@ -1136,3 +1136,95 @@ def greedy_coverage_selection(ds, *, key: str = "doc_id",
          pa.array([p[1] for p in picks], pa.int64()),
          pa.array([p[2] for p in picks], pa.int64())],
         names=["rank", key, "gain"])
+
+
+def winnow_fingerprint_stats(ds, *, key: str = "doc_id",
+                             column: str = "text", k: int = 3,
+                             w: int = 4):
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003 — the MOSS local-similarity algorithm): hash every
+    word ``k``-gram, slide a window of ``w`` consecutive gram hashes,
+    and select each window's minimum — rightmost position on ties —
+    giving position-robust fingerprints whose density is guaranteed
+    (2/(w+1)) regardless of content.  The tie rule is encoded in the
+    pack ``(h % 2⁴⁰)·2²⁰ + (2²⁰−1−gi)`` (min pack = min hash, tie →
+    max gram index), so the SQL twin's window MIN picks the identical
+    fingerprint; md5-parity hashes make the whole thing hash-exact.
+
+    One vectorized pass per batch — flat word buffer, grams via shifted
+    flat-array concat, window minima via ``w−1`` shifted
+    ``np.minimum`` folds, per-doc distinct via sort + reduceat; no
+    per-row Python.  Emits ``(key, n_windows, n_fp)`` per document
+    with ≥ 1 gram (n=0 rows for docs with fewer than w grams).
+    Assumes gram index < 2²⁰ (docs under ~1M words)."""
+    from mdvalidate_ray.functions.dedup import _md5_token_hashes
+
+    H_MOD = np.uint64(1) << np.uint64(40)
+    GI_SP = np.int64(1) << np.int64(20)
+
+    def stats(b: pa.Table) -> pa.Table:
+        out_schema = pa.schema([(key, pa.int64()),
+                                ("n_windows", pa.int64()),
+                                ("n_fp", pa.int64())])
+        col = pc.fill_null(pc.cast(b.column(column), pa.string()), "")
+        words = pc.split_pattern_regex(pc.utf8_lower(col), r"\s+")
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        offs = words.offsets.to_numpy()
+        base = int(offs[0])
+        flat0 = words.values.slice(base, int(offs[-1]) - base)
+        n_docs = len(offs) - 1
+        # drop empty split artifacts (leading/trailing whitespace) to
+        # match the SQL twin's list_filter(x -> x <> '')
+        doc_of0 = np.repeat(np.arange(n_docs),
+                            np.diff(offs).astype(np.int64))
+        keep = np.asarray(pc.not_equal(flat0, ""), dtype=bool)
+        flat = flat0.filter(pa.array(keep))
+        doc_of_word = doc_of0[keep]
+        wc = np.bincount(doc_of_word, minlength=n_docs)
+        n_words = len(flat)
+        if n_words < k:
+            return out_schema.empty_table()
+        # grams over the flat buffer; valid only where the whole gram
+        # stays inside one document
+        parts = [flat.slice(i, n_words - k + 1) for i in range(k)]
+        grams = pc.binary_join_element_wise(*parts, " ")
+        gram_doc = doc_of_word[:n_words - k + 1]
+        gram_ok = doc_of_word[k - 1:] == gram_doc
+        gl = grams.to_pylist()
+        h = (_md5_token_hashes(gl) % H_MOD).astype(np.int64) \
+            if gl else np.zeros(0, dtype=np.int64)
+        # 1-based gram index within its doc
+        doc_start_word = np.concatenate(([0], np.cumsum(wc)[:-1]))
+        gi = np.arange(n_words - k + 1) - doc_start_word[gram_doc] + 1
+        pack = h * GI_SP + (GI_SP - 1 - gi)
+        # windowed min over w consecutive grams, flat with validity mask
+        m = pack.copy()
+        for s in range(1, w):
+            m[s:] = np.minimum(m[s:], pack[:-s])
+        valid = gram_ok & (gi >= w)
+        # also require the whole window in-doc: gi >= w guarantees the
+        # previous w-1 grams exist in the same doc (gram_ok chains)
+        sel_doc = gram_doc[valid]
+        sel = m[valid]
+        # per-doc counts: windows + distinct fingerprints
+        order = np.lexsort((sel, sel_doc))
+        sd, sv = sel_doc[order], sel[order]
+        uniq_mask = np.ones(len(sd), dtype=bool)
+        if len(sd) > 1:
+            uniq_mask[1:] = (sd[1:] != sd[:-1]) | (sv[1:] != sv[:-1])
+        n_win = np.bincount(sel_doc, minlength=n_docs)
+        n_fp = np.bincount(sd[uniq_mask], minlength=n_docs)
+        has_gram = np.bincount(gram_doc[gram_ok],
+                               minlength=n_docs) > 0
+        keys = b.column(key).cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        mask = has_gram
+        return pa.Table.from_arrays(
+            [pa.array(keys[mask]),
+             pa.array(n_win[mask].astype(np.int64)),
+             pa.array(n_fp[mask].astype(np.int64))],
+            names=[key, "n_windows", "n_fp"])
+
+    return ds.select_columns([key, column]).map_batches(
+        stats, batch_format="pyarrow", zero_copy_batch=True)

@@ -5740,3 +5740,16 @@ def part_cheapest_paths(sf_dir: str):
     seed = int(edges.aggregate(Min("u"))["min(u)"])
     out = bellman_ford_costs(edges, seed=seed, max_rounds=3)
     return out.rename_columns(["l_partkey", "cost"])
+
+
+def winnow_stats(sf_dir: str):
+    """MOSS winnowing fingerprint statistics per document (3-gram
+    hashes, window 4 — text.winnow_fingerprint_stats): window count and
+    distinct selected-fingerprint count, the position-robust
+    local-similarity signature of Schleimer et al. 2003.  Packed
+    min/tie rule makes the SQL window-MIN twin bit-identical."""
+    from mdvalidate_ray.functions.text import winnow_fingerprint_stats
+
+    docs = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+    return winnow_fingerprint_stats(docs, key="doc_id", column="text",
+                                    k=3, w=4)

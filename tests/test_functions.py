@@ -2072,3 +2072,46 @@ def test_label_auc_matches_naive_midrank(ray_session, tmp_path):
     assert got["u2_pos"] == u2
     assert got["n_pos"] == n1 and got["n_neg"] == n0
     assert got["auc_e6"] == int(np.floor(auc * 1e6 + 0.5))
+
+
+@pytest.mark.parametrize("blocks", [1, 5])
+def test_winnow_fingerprints_match_bruteforce(ray_session, blocks):
+    import hashlib
+
+    import ray.data
+
+    from mdvalidate_ray.functions.text import winnow_fingerprint_stats
+
+    K, W = 3, 4
+    rng = np.random.default_rng(17)
+    vocab = ["aa", "bb", "cc", "dd"]
+    docs = [" ".join(rng.choice(vocab, int(rng.integers(0, 30))))
+            for _ in range(40)]
+    docs[3] = "  leading   spaces\tand  tabs  " + docs[3]  # split junk
+    docs[7] = ""                                            # empty doc
+    docs[9] = "one two"                                     # < k words
+
+    def md5p(s):
+        return (int.from_bytes(hashlib.md5(s.encode()).digest()[8:16],
+                               "little") % (1 << 40))
+
+    want = {}
+    for d, text in enumerate(docs):
+        ws = [w for w in text.lower().split() if w]
+        grams = [" ".join(ws[i:i + K]) for i in range(len(ws) - K + 1)]
+        if not grams:
+            continue
+        packs = [md5p(g) * (1 << 20) + ((1 << 20) - 1 - (i + 1))
+                 for i, g in enumerate(grams)]
+        sels = [min(packs[i - W + 1:i + 1])
+                for i in range(W - 1, len(packs))]
+        want[d] = (len(sels), len(set(sels)))
+
+    tbl = pa.table({"doc_id": pa.array(range(40), pa.int64()),
+                    "text": pa.array(docs, pa.string())})
+    got = {r["doc_id"]: (r["n_windows"], r["n_fp"])
+           for r in winnow_fingerprint_stats(
+               ray.data.from_arrow(tbl).repartition(blocks),
+               key="doc_id", column="text", k=K, w=W).take_all()}
+    assert got == want
+    assert 7 not in got and 9 not in got   # no grams → absent
