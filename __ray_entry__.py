@@ -118,6 +118,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_bfs_hops": Q.part_bfs_hops,
         "part_cheapest_paths": Q.part_cheapest_paths,
         "winnow_stats": Q.winnow_stats,
+        "shard_assignment": Q.shard_assignment,
         "coverage_picks": Q.coverage_picks,
         "golden_records": Q.golden_records,
         "k_anonymity_violations": Q.k_anonymity_violations,
@@ -1277,6 +1278,26 @@ def oracle_sql() -> dict[str, str]:
                    (100000 - min((100000 - n_chars) * 4194304 + doc_id)
                     // 4194304)::BIGINT AS rep_len
             FROM n GROUP BY nm
+        """,
+        "shard_assignment": """
+            WITH shards AS (
+                SELECT unnest(['shard00','shard01','shard02','shard03',
+                               'shard04','shard05','shard06','shard07'])
+                           AS shard
+            ), w AS (
+                SELECT d.doc_id, s.shard,
+                       md5_number_lower(d.doc_id::VARCHAR || '|'
+                                        || s.shard) AS wt
+                FROM documents d CROSS JOIN shards s
+            ), best AS (
+                SELECT doc_id, shard,
+                       row_number() OVER (PARTITION BY doc_id
+                                          ORDER BY wt DESC, shard ASC)
+                           AS rn
+                FROM w
+            )
+            SELECT shard, count(*)::BIGINT AS n_docs
+            FROM best WHERE rn = 1 GROUP BY shard
         """,
         "winnow_stats": """
             WITH words AS (

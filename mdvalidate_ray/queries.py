@@ -5753,3 +5753,49 @@ def winnow_stats(sf_dir: str):
     docs = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
     return winnow_fingerprint_stats(docs, key="doc_id", column="text",
                                     k=3, w=4)
+
+
+def shard_assignment(sf_dir: str):
+    """Rendezvous / highest-random-weight (HRW) consistent shard
+    assignment (Thaler & Ravishankar 1998): every document goes to the
+    shard maximizing ``md5_lower64(doc_id || '|' || shard)`` — the
+    data-placement primitive whose removal property (deleting a shard
+    moves ONLY that shard's keys) makes rebalancing at 100 TB pay
+    1/n, not n-1/n, of the data; pinned by
+    test_hrw_removal_moves_only_lost_shard.  Output: per-shard doc
+    counts, hash-exact against the SQL argmax twin (ties broken to the
+    lexically-smallest shard name on both sides — md5 ties are
+    astronomically unlikely but the rule is still pinned)."""
+    import numpy as np
+
+    from mdvalidate_ray.functions.dedup import _md5_token_hashes
+    from mdvalidate_ray.functions.relational import bucketed_group_sum
+
+    SHARDS = [f"shard{i:02d}" for i in range(8)]
+    docs = _read(sf_dir, "documents").select_columns(["doc_id"])
+
+    def assign(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").cast(pa.int64()).to_pylist()
+        if not ids:
+            return pa.table({"shard": pa.array([], pa.string()),
+                             "_c": pa.array([], pa.int64())})
+        # weight matrix: len(ids) × n_shards md5 weights; argmax row-wise
+        n = len(ids)
+        w = np.empty((n, len(SHARDS)), dtype=np.uint64)
+        for j, s in enumerate(SHARDS):
+            w[:, j] = _md5_token_hashes(
+                [f"{d}|{s}" for d in ids])
+        # ties → smallest shard index (np.argmax picks first maximum,
+        # and SHARDS is lexically ordered)
+        best = np.argmax(w, axis=1)
+        return pa.table({
+            "shard": pa.array([SHARDS[j] for j in best], pa.string()),
+            "_c": pa.array(np.ones(n, dtype=np.int64))})
+
+    counted = bucketed_group_sum(
+        docs.map_batches(assign, batch_format="pyarrow",
+                         zero_copy_batch=True),
+        key="shard", sum_cols=["_c"], n_parts=4)
+    return counted.map_batches(
+        lambda b: b.rename_columns(["shard", "n_docs"]),
+        batch_format="pyarrow")

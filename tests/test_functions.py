@@ -2115,3 +2115,30 @@ def test_winnow_fingerprints_match_bruteforce(ray_session, blocks):
                key="doc_id", column="text", k=K, w=W).take_all()}
     assert got == want
     assert 7 not in got and 9 not in got   # no grams → absent
+
+
+def test_hrw_removal_moves_only_lost_shard(ray_session):
+    """The HRW property that justifies the operator: deleting one shard
+    reassigns ONLY the keys that lived on it — every other key keeps
+    its shard (mod-N hashing would reshuffle nearly everything)."""
+    import hashlib
+
+    def md5l(s):
+        return int.from_bytes(hashlib.md5(s.encode()).digest()[8:16],
+                              "little")
+
+    def hrw(key, shards):
+        return max(shards, key=lambda s: (md5l(f"{key}|{s}"), s))
+
+    shards = [f"shard{i:02d}" for i in range(8)]
+    keys = list(range(5000))
+    before = {k: hrw(k, shards) for k in keys}
+    lost = "shard03"
+    after = {k: hrw(k, [s for s in shards if s != lost]) for k in keys}
+    moved = [k for k in keys if before[k] != after[k]]
+    assert all(before[k] == lost for k in moved)
+    assert len(moved) == sum(1 for k in keys if before[k] == lost)
+    # and the load is roughly balanced (within 3x of fair share)
+    import collections
+    c = collections.Counter(before.values())
+    assert max(c.values()) < 3 * len(keys) / len(shards)
