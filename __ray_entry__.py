@@ -119,6 +119,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_cheapest_paths": Q.part_cheapest_paths,
         "winnow_stats": Q.winnow_stats,
         "shard_assignment": Q.shard_assignment,
+        "custkey_skew": Q.custkey_skew,
         "coverage_picks": Q.coverage_picks,
         "golden_records": Q.golden_records,
         "k_anonymity_violations": Q.k_anonymity_violations,
@@ -1278,6 +1279,28 @@ def oracle_sql() -> dict[str, str]:
                    (100000 - min((100000 - n_chars) * 4194304 + doc_id)
                     // 4194304)::BIGINT AS rep_len
             FROM n GROUP BY nm
+        """,
+        "custkey_skew": """
+            WITH c AS (
+                SELECT o_custkey, count(*)::BIGINT AS cnt
+                FROM orders GROUP BY 1
+            ), r AS (
+                SELECT cnt,
+                       row_number() OVER (ORDER BY cnt, o_custkey) AS i
+                FROM c
+            ), t AS (
+                SELECT sum(cnt * i)::BIGINT AS S,
+                       count(*)::BIGINT AS n,
+                       sum(cnt)::BIGINT AS T,
+                       max(cnt)::BIGINT AS mx
+                FROM r
+            )
+            SELECT n AS n_keys, T AS n_rows, mx AS max_cnt,
+                   CAST(floor((2.0 * S / (n * T) - (n + 1.0) / n)
+                              * 1000000 + 0.5) AS BIGINT) AS gini_e6,
+                   CAST(floor(mx::DOUBLE / T * 1000000 + 0.5)
+                        AS BIGINT) AS top1_share_e6
+            FROM t
         """,
         "shard_assignment": """
             WITH shards AS (

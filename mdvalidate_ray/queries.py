@@ -5799,3 +5799,69 @@ def shard_assignment(sf_dir: str):
     return counted.map_batches(
         lambda b: b.rename_columns(["shard", "n_docs"]),
         batch_format="pyarrow")
+
+
+def custkey_skew(sf_dir: str):
+    """Key-skew audit for the o_custkey partitioning key — the
+    diagnosis side of the engine's skew-salting machinery
+    (stages/skew.py): exact Gini coefficient of the per-key row-count
+    distribution plus top-key share, computed WITHOUT materializing
+    per-key counts on the driver: per-key counts fold in the coarse-
+    bucket combiner, each bucket re-folds to its FREQUENCY-OF-
+    FREQUENCIES (distinct count value → #keys), and the driver merges
+    only those tiny (count, n_keys) pairs.  Gini from grouped
+    frequencies is exact integer math: a run of ``f`` keys sharing
+    count ``v`` after ``a`` smaller keys contributes
+    ``v·(f·a + f(f+1)/2)`` to ``Σ i·c_(i)``; ``Gini = 2S/(nT) −
+    (n+1)/n`` is then one IEEE division of exact integers."""
+    import numpy as np
+
+    from mdvalidate_ray.functions.relational import bucketed_group_sum
+
+    orders = _read(sf_dir, "orders").select_columns(["o_custkey"])
+
+    def ones(b: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [b.column("o_custkey").cast(pa.int64()),
+             pa.array(np.ones(b.num_rows, dtype=np.int64))],
+            names=["k", "_c"])
+
+    per_key = bucketed_group_sum(
+        orders.map_batches(ones, batch_format="pyarrow",
+                           zero_copy_batch=True),
+        key="k", sum_cols=["_c"], n_parts=16)
+
+    def fof(b: pa.Table) -> pa.Table:
+        c = b.column("_c").to_numpy(zero_copy_only=False)
+        v, f = np.unique(c, return_counts=True)
+        return pa.Table.from_arrays(
+            [pa.array(v), pa.array(f.astype(np.int64))],
+            names=["cnt", "n_keys"])
+
+    merged: dict = {}
+    for blk in per_key.map_batches(
+            fof, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"):
+        for v, f in zip(blk.column("cnt").to_pylist(),
+                        blk.column("n_keys").to_pylist()):
+            merged[v] = merged.get(v, 0) + f
+
+    vs = sorted(merged)
+    n = sum(merged.values())
+    T = sum(v * merged[v] for v in vs)
+    S = 0
+    a = 0
+    for v in vs:
+        f = merged[v]
+        S += v * (f * a + f * (f + 1) // 2)
+        a += f
+    gini = 2.0 * S / (n * T) - (n + 1) / n
+    top_share = max(vs) / T
+    return pa.table({
+        "n_keys": pa.array([n], pa.int64()),
+        "n_rows": pa.array([T], pa.int64()),
+        "max_cnt": pa.array([max(vs)], pa.int64()),
+        "gini_e6": pa.array([int(np.floor(gini * 1e6 + 0.5))],
+                            pa.int64()),
+        "top1_share_e6": pa.array([int(np.floor(top_share * 1e6 + 0.5))],
+                                  pa.int64())})
