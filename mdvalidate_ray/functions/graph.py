@@ -639,6 +639,8 @@ def bfs_hops(edges_ds, *, seed: int, col_a: str = "u", col_b: str = "v",
 
     def block_new(tbl: pa.Table, nodes: np.ndarray, dist: np.ndarray,
                   r: int) -> np.ndarray:
+        if tbl.num_rows == 0:       # materialize() empties carry no schema
+            return np.zeros(0, dtype=np.int64)
         s = tbl.column("src").to_numpy(zero_copy_only=False)
         d = tbl.column("dst").to_numpy(zero_copy_only=False)
         si = np.searchsorted(nodes, s)
@@ -673,7 +675,8 @@ def bfs_hops(edges_ds, *, seed: int, col_a: str = "u", col_b: str = "v",
         # arrays reach the driver, never edge blocks (src set == node
         # set after symmetrization)
         uniq = ray.remote(num_cpus=1)(lambda blk: np.unique(
-            blk.column("src").to_numpy(zero_copy_only=False)))
+            blk.column("src").to_numpy(zero_copy_only=False))
+            if blk.num_rows else np.zeros(0, dtype=np.int64))
         nodes = np.unique(np.concatenate(
             ray.get([uniq.remote(b) for b in refs])
             + [np.array([seed], dtype=np.int64)]))
@@ -741,6 +744,9 @@ def bellman_ford_costs(edges_ds, *, seed: int, col_a: str = "u",
 
     def block_relax(tbl: pa.Table, nodes: np.ndarray,
                     cost: np.ndarray) -> tuple:
+        if tbl.num_rows == 0:       # materialize() empties carry no schema
+            return (np.zeros(0, dtype=np.int64),
+                    np.zeros(0, dtype=np.int64))
         s = tbl.column("src").to_numpy(zero_copy_only=False)
         d = tbl.column("dst").to_numpy(zero_copy_only=False)
         w = tbl.column("w").to_numpy(zero_copy_only=False)
@@ -770,7 +776,8 @@ def bellman_ford_costs(edges_ds, *, seed: int, col_a: str = "u",
     else:
         refs = edges.to_arrow_refs()
         uniq = ray.remote(num_cpus=1)(lambda blk: np.unique(
-            blk.column("src").to_numpy(zero_copy_only=False)))
+            blk.column("src").to_numpy(zero_copy_only=False))
+            if blk.num_rows else np.zeros(0, dtype=np.int64))
         node_parts = ray.get([uniq.remote(b) for b in refs])
     nodes = np.unique(np.concatenate(
         list(node_parts) + [np.array([seed], dtype=np.int64)]))

@@ -1141,3 +1141,35 @@ def test_bellman_ford_matches_bruteforce(ray_session, blocks):
         other = b if a == 0 else a
         if got.get(other, 99) < 5:
             break
+
+
+def test_bfs_and_bellman_distributed_tier_match_local(ray_session):
+    """local_threshold=0 forces the distributed (task-wave) tier — the
+    path that must tolerate Ray's schema-less empty materialize blocks —
+    and its results must equal the in-process tier's."""
+    import ray.data
+
+    from mdvalidate_ray.functions.graph import bellman_ford_costs, bfs_hops
+
+    rng = np.random.default_rng(31)
+    edges = {(int(a), int(b)) for a, b in rng.integers(0, 25, (70, 2))
+             if a != b}
+    tbl = pa.table({"u": pa.array([min(e) for e in edges], pa.int64()),
+                    "v": pa.array([max(e) for e in edges], pa.int64())})
+    # many tiny blocks maximizes the chance of empty materialize blocks
+    ds = ray.data.from_arrow(tbl).repartition(16)
+
+    b_local = sorted(map(tuple, (r.values() for r in
+                     bfs_hops(ds, seed=0, max_rounds=4).to_pylist())))
+    b_dist = sorted(map(tuple, (r.values() for r in
+                    bfs_hops(ds, seed=0, max_rounds=4,
+                             local_threshold=0).to_pylist())))
+    assert b_local == b_dist and len(b_local) > 1
+
+    c_local = sorted(map(tuple, (r.values() for r in
+                     bellman_ford_costs(ds, seed=0,
+                                        max_rounds=3).to_pylist())))
+    c_dist = sorted(map(tuple, (r.values() for r in
+                    bellman_ford_costs(ds, seed=0, max_rounds=3,
+                                       local_threshold=0).to_pylist())))
+    assert c_local == c_dist and len(c_local) > 1
