@@ -1101,6 +1101,8 @@ def greedy_coverage_selection(ds, *, key: str = "doc_id",
     refs = feats.to_arrow_refs()
 
     def block_best(tbl: pa.Table, covered_ref) -> tuple:
+        if tbl.num_rows == 0:    # materialize() empties carry no schema
+            return -1, -1
         cov = ray.get(covered_ref) if not isinstance(
             covered_ref, np.ndarray) else covered_ref
         keys = tbl.column(key).to_numpy(zero_copy_only=False)
