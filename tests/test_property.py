@@ -197,3 +197,58 @@ def test_markdown_evaluates_against_itself(md):
         return                      # markdown that is not a valid schema
     r = evaluate_spans(markdown_to_spans(md), schema)
     assert isinstance(r.passed, bool)
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 6), st.integers(0, 6)),
+                min_size=0, max_size=60))
+def test_skyline_kernel_matches_bruteforce(points):
+    """Pure-kernel property test on tie-HEAVY grids (coords 0..6 force
+    many exact duplicates and x/y ties — the branches a sorted-scan
+    skyline gets wrong first): survivors must be exactly the
+    non-dominated rows, duplicates of frontier points all kept."""
+    import numpy as np
+
+    from mdvalidate_ray.functions.relational import _skyline_2d_kernel
+
+    x = np.array([p[0] for p in points], dtype=np.int64)
+    y = np.array([p[1] for p in points], dtype=np.int64)
+    keep = _skyline_2d_kernel(x, y)
+    for i in range(len(points)):
+        dominated = bool(np.any((x >= x[i]) & (y >= y[i])
+                                & ((x > x[i]) | (y > y[i]))))
+        assert keep[i] == (not dominated), (points, i)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.integers(0, 40), min_size=0, max_size=50),
+       st.integers(2, 6))
+def test_prefix_max_seed_fold_property(vals, n_parts):
+    """The range-bucket prefix-max DECOMPOSITION invariant (pure math,
+    no Ray): folding per-bucket maxima into exclusive seeds and then
+    prefix-maxing inside each bucket must reproduce the flat exclusive
+    running max, for any bucket split of the sorted sequence."""
+    import numpy as np
+
+    v = np.array(sorted(vals), dtype=np.int64)   # key-sorted order
+    n = len(v)
+    SENT = np.int64(-(2 ** 63))
+    flat = np.concatenate(([SENT], np.maximum.accumulate(v)[:-1])) \
+        if n else np.zeros(0, dtype=np.int64)
+    # arbitrary contiguous bucket split
+    cuts = np.linspace(0, n, n_parts + 1).astype(int)
+    totals = np.full(n_parts, SENT, dtype=np.int64)
+    for b in range(n_parts):
+        seg = v[cuts[b]:cuts[b + 1]]
+        if len(seg):
+            totals[b] = seg.max()
+    seeds = np.concatenate(([SENT], np.maximum.accumulate(totals)[:-1]))
+    got = np.empty(n, dtype=np.int64)
+    for b in range(n_parts):
+        seg = v[cuts[b]:cuts[b + 1]]
+        if not len(seg):
+            continue
+        run = np.maximum.accumulate(seg)
+        prev = np.concatenate(([SENT], run[:-1]))
+        got[cuts[b]:cuts[b + 1]] = np.maximum(prev, seeds[b])
+    assert (got == flat).all()
