@@ -120,6 +120,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winnow_stats": Q.winnow_stats,
         "shard_assignment": Q.shard_assignment,
         "custkey_skew": Q.custkey_skew,
+        "ranking_overlap": Q.ranking_overlap,
         "coverage_picks": Q.coverage_picks,
         "golden_records": Q.golden_records,
         "k_anonymity_violations": Q.k_anonymity_violations,
@@ -1279,6 +1280,29 @@ def oracle_sql() -> dict[str, str]:
                    (100000 - min((100000 - n_chars) * 4194304 + doc_id)
                     // 4194304)::BIGINT AS rep_len
             FROM n GROUP BY nm
+        """,
+        "ranking_overlap": """
+            WITH s AS (
+                SELECT user_id::BIGINT AS k,
+                       sum(round(value * 100))::BIGINT AS v
+                FROM events GROUP BY 1
+            ), r1 AS (
+                SELECT k, row_number() OVER (ORDER BY v DESC, k) AS r
+                FROM s QUALIFY r <= 20
+            ), a AS (
+                SELECT user_id::BIGINT AS k, count(*)::BIGINT AS v
+                FROM events GROUP BY 1
+            ), r2 AS (
+                SELECT k, row_number() OVER (ORDER BY v DESC, k) AS r
+                FROM a QUALIFY r <= 20
+            ), d AS (
+                SELECT unnest(range(1, 21)) AS depth
+            )
+            SELECT d.depth::BIGINT AS depth,
+                   (SELECT count(*) FROM r1 JOIN r2 ON r1.k = r2.k
+                    WHERE r1.r <= d.depth AND r2.r <= d.depth)::BIGINT
+                       AS n_overlap
+            FROM d
         """,
         "custkey_skew": """
             WITH c AS (

@@ -205,7 +205,7 @@ QUERY_NAMES = [
     "part_bfs_hops", "coverage_picks", "golden_records",
     "k_anonymity_violations", "label_auc", "calibration_bins",
     "parity_rates", "part_cheapest_paths", "winnow_stats",
-    "shard_assignment", "custkey_skew",
+    "shard_assignment", "custkey_skew", "ranking_overlap",
 ]
 
 

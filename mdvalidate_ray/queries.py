@@ -5865,3 +5865,65 @@ def custkey_skew(sf_dir: str):
                             pa.int64()),
         "top1_share_e6": pa.array([int(np.floor(top_share * 1e6 + 0.5))],
                                   pa.int64())})
+
+
+def ranking_overlap(sf_dir: str):
+    """Rank-agreement profile between two rankings of the SAME user
+    population — top-20 by total event value vs top-20 by event count:
+    per depth d = 1..20 the overlap size |S₁:d ∩ S₂:d|, the integer
+    backbone of rank-biased overlap / recall@k agreement metrics
+    (heavy agreement expected — value correlates with activity — but
+    not identity, so every depth exercises a real intersection).  Both
+    rankings come from the distributed partial top-k
+    (relational.topk_table — per-batch heads, driver merges #batches ×
+    k rows); the per-depth intersection is O(k²) driver math over 40
+    ids.  Deterministic tie-break (key ascending) on both sides keeps
+    it hash-exact."""
+    import numpy as np
+
+    from mdvalidate_ray.functions.relational import (bucketed_group_sum,
+                                                     topk_table)
+
+    K = 20
+    ev_v = _read(sf_dir, "events").select_columns(["user_id", "value"])
+
+    def prep_o(b: pa.Table) -> pa.Table:
+        cents = _pc_round(pc.multiply(b.column("value"),
+                                      100.0)).cast(pa.int64())
+        return pa.Table.from_arrays(
+            [b.column("user_id").cast(pa.int64()), cents],
+            names=["k", "_spend"])
+
+    spend = bucketed_group_sum(
+        ev_v.map_batches(prep_o, batch_format="pyarrow",
+                         zero_copy_batch=True),
+        key="k", sum_cols=["_spend"], n_parts=16)
+    top_spend = topk_table(spend, K, [("_spend", "descending"),
+                                      ("k", "ascending")])
+
+    events = _read(sf_dir, "events").select_columns(["user_id"])
+
+    def prep_e(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        return pa.Table.from_arrays(
+            [b.column("user_id").cast(pa.int64()),
+             pa.array(np.ones(b.num_rows, dtype=np.int64))],
+            names=["k", "_n"])
+
+    acts = bucketed_group_sum(
+        events.map_batches(prep_e, batch_format="pyarrow",
+                           zero_copy_batch=True),
+        key="k", sum_cols=["_n"], n_parts=16)
+    top_act = topk_table(acts, K, [("_n", "descending"),
+                                   ("k", "ascending")])
+
+    r1 = top_spend.column("k").to_pylist()
+    r2 = top_act.column("k").to_pylist()
+    # all K depths even when a ranking is shorter than K (few distinct
+    # keys): prefixes truncate naturally, matching the SQL twin
+    depths = list(range(1, K + 1))
+    ov = [len(set(r1[:d]) & set(r2[:d])) for d in depths]
+    return pa.table({
+        "depth": pa.array(depths, pa.int64()),
+        "n_overlap": pa.array(ov, pa.int64())})
