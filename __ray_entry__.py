@@ -121,6 +121,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shard_assignment": Q.shard_assignment,
         "custkey_skew": Q.custkey_skew,
         "ranking_overlap": Q.ranking_overlap,
+        "lang_confusion": Q.lang_confusion,
         "coverage_picks": Q.coverage_picks,
         "golden_records": Q.golden_records,
         "k_anonymity_violations": Q.k_anonymity_violations,
@@ -1280,6 +1281,41 @@ def oracle_sql() -> dict[str, str]:
                    (100000 - min((100000 - n_chars) * 4194304 + doc_id)
                     // 4194304)::BIGINT AS rep_len
             FROM n GROUP BY nm
+        """,
+        "lang_confusion": r"""
+            WITH scored AS (
+              SELECT lang,
+                length(regexp_replace(substr(coalesce(text,''), 1, 200),
+                                      '[^一-鿿]', '', 'g')) AS cjk,
+                length(substr(coalesce(text,''), 1, 200)) AS len200,
+                array_slice(list_filter(
+                    regexp_split_to_array(lower(coalesce(text,'')),
+                                          '\s+'),
+                    w -> w <> ''), 1, 100) AS head
+              FROM documents
+            ), hits AS (
+              SELECT lang, cjk, len200,
+                len(list_filter(head, w -> w IN ('the','and','of','to',
+                    'a','in','is','that','it','for'))) AS en,
+                len(list_filter(head, w -> w IN ('el','la','de','que',
+                    'y','en','un','los','se','por'))) AS es,
+                len(list_filter(head, w -> w IN ('le','la','de','et',
+                    'les','des','un','une','du','est'))) AS fr,
+                len(list_filter(head, w -> w IN ('der','die','und','das',
+                    'ist','von','den','mit','ein','zu'))) AS de
+              FROM scored
+            ), pred AS (
+              SELECT lang,
+                     CASE WHEN cjk > 0.2 * len200 THEN 'zh'
+                          WHEN greatest(en,es,fr,de) < 1 THEN 'unknown'
+                          WHEN en = greatest(en,es,fr,de) THEN 'en'
+                          WHEN es = greatest(en,es,fr,de) THEN 'es'
+                          WHEN fr = greatest(en,es,fr,de) THEN 'fr'
+                          ELSE 'de' END AS pred_lang
+              FROM hits
+            )
+            SELECT lang, pred_lang, count(*)::BIGINT AS n
+            FROM pred GROUP BY 1, 2
         """,
         "ranking_overlap": """
             WITH s AS (

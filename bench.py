@@ -206,6 +206,7 @@ QUERY_NAMES = [
     "k_anonymity_violations", "label_auc", "calibration_bins",
     "parity_rates", "part_cheapest_paths", "winnow_stats",
     "shard_assignment", "custkey_skew", "ranking_overlap",
+    "lang_confusion",
 ]
 
 

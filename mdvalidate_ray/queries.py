@@ -5927,3 +5927,43 @@ def ranking_overlap(sf_dir: str):
     return pa.table({
         "depth": pa.array(depths, pa.int64()),
         "n_overlap": pa.array(ov, pa.int64())})
+
+
+def lang_confusion(sf_dir: str):
+    """Language-ID confusion matrix — (gold lang, predicted lang, n):
+    the annotation-agreement artifact (accuracy / Cohen's kappa derive
+    from these integer cells) for the stopword language-ID stage.  The
+    heuristic has an exact SQL twin (the lang_pred_counts oracle), so
+    unlike the marginal pred counts the full JOINT distribution is
+    hash-checked.  One actor-pool pass + per-batch group_by combiner +
+    coarse-bucket fold; cells bounded by |langs|²."""
+    import numpy as np
+
+    from mdvalidate_ray.functions.relational import bucketed_group_sum
+    from mdvalidate_ray.functions.text import LanguageId
+
+    docs = _read(sf_dir, "documents").select_columns(["text", "lang"])
+    pred = docs.map_batches(LanguageId, batch_format="pyarrow",
+                            zero_copy_batch=True, concurrency=4)
+    SEP = "\x1f"
+
+    def pairs(b: pa.Table) -> pa.Table:
+        key = pc.binary_join_element_wise(
+            pc.cast(b.column("lang"), pa.string()),
+            pc.cast(b.column("pred_lang"), pa.string()), SEP)
+        return pa.Table.from_arrays(
+            [key, pa.array(np.ones(b.num_rows, dtype=np.int64))],
+            names=["gp", "_c"])
+
+    counted = bucketed_group_sum(
+        pred.map_batches(pairs, batch_format="pyarrow"),
+        key="gp", sum_cols=["_c"], n_parts=4)
+
+    def finish(b: pa.Table) -> pa.Table:
+        parts = pc.split_pattern(b.column("gp"), SEP)
+        return pa.Table.from_arrays(
+            [pc.list_element(parts, 0), pc.list_element(parts, 1),
+             b.column("_c").cast(pa.int64())],
+            names=["lang", "pred_lang", "n"])
+
+    return counted.map_batches(finish, batch_format="pyarrow")
