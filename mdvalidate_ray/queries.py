@@ -5942,9 +5942,17 @@ def lang_confusion(sf_dir: str):
     from mdvalidate_ray.functions.relational import bucketed_group_sum
     from mdvalidate_ray.functions.text import LanguageId
 
+    import ray
+
     docs = _read(sf_dir, "documents").select_columns(["text", "lang"])
+    # leave ≥2 CPUs for the producer tasks: a fixed pool of 4 actors on
+    # a 4-CPU session starves the read stage and deadlocks (the
+    # lang_pred_counts sizing rule)
+    total = (int(ray.cluster_resources().get("CPU", 8))
+             if ray.is_initialized() else 8)
     pred = docs.map_batches(LanguageId, batch_format="pyarrow",
-                            zero_copy_batch=True, concurrency=4)
+                            zero_copy_batch=True,
+                            concurrency=min(4, max(1, total - 2)))
     SEP = "\x1f"
 
     def pairs(b: pa.Table) -> pa.Table:
