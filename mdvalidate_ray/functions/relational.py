@@ -2171,25 +2171,33 @@ def snapshot_diff(ds_old, ds_new, *, key_col: str,
         Collision odds are the documented 2^-64-per-key of the row-hash
         diff contract."""
         v = v.combine_chunks() if isinstance(v, pa.ChunkedArray) else v
-        offsets = np.asarray(v.offsets, dtype=np.int64)
-        offsets = offsets - offsets[0]   # sliced arrays offset from != 0
-        counts = np.diff(offsets)
-        flat = v.flatten()
+        n = len(v)
+        # per-slot lengths from VALID slots only (null → 0): flatten()
+        # drops null-slot values, so raw offset diffs would misalign
+        # every subsequent row's hash after a null list
+        counts = pc.fill_null(pc.list_value_length(v), 0).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        flat = v.flatten()            # valid-slot values, offset-aware
         leaf = [pc.fill_null(pc.cast(flat.field(i), pa.string()), "\x00")
                 for i in range(flat.type.num_fields)]
         joined = (pc.binary_join_element_wise(*leaf, "\x1f") if leaf
                   else pa.array([""] * len(flat), pa.string()))
         eh = (hash_strings(joined.to_numpy(zero_copy_only=False))
               if len(joined) else np.zeros(0, dtype=np.uint64))
-        n = len(v)
+        starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
         pos = (np.arange(len(eh), dtype=np.uint64)
-               - np.repeat(offsets[:-1], counts).astype(np.uint64))
+               - np.repeat(starts, counts).astype(np.uint64))
         mixed = eh * (np.uint64(2) * pos + np.uint64(1))
         rows = np.zeros(n, dtype=np.uint64)
         np.add.at(rows, np.repeat(np.arange(n), counts), mixed)
         # mix in the span count so [a] vs [a, zero-hash] can't collide
-        return (rows * np.uint64(0x9E3779B97F4A7C15)
-                + counts.astype(np.uint64))
+        out = (rows * np.uint64(0x9E3779B97F4A7C15)
+               + counts.astype(np.uint64))
+        if v.null_count:
+            # null list must hash differently from empty list
+            valid = v.is_valid().to_numpy(zero_copy_only=False)
+            out = np.where(valid, out, np.uint64(0xD1B54A32D192ED03))
+        return out
 
     def side_rows(side: int):
         def tag(b: pa.Table) -> pa.Table:
@@ -2632,13 +2640,17 @@ def unpivot(ds, *, id_cols: list[str], value_cols: list[str],
     rows — the reshaping inverse of the pivot in priority_pivot.  Pure
     per-batch restructuring (one slice-and-stack per value column, all
     Arrow-side), no exchange; output rows = input rows × |value_cols|.
-    ``value_type`` defaults to the first value column's type; all value
-    columns cast to it."""
+    ``value_type`` defaults to the first value column's type (resolved
+    ONCE from the dataset schema, so heterogeneous block schemas can't
+    yield mixed output value types); all value columns cast to it."""
+    ds = ds.select_columns(list(id_cols) + list(value_cols))
+    if value_type is None:
+        sch = ds.schema()
+        value_type = dict(zip(sch.names, sch.types))[value_cols[0]]
     vt = value_type
 
     def melt(b: pa.Table) -> pa.Table:
-        nonlocal vt
-        target = vt or b.schema.field(value_cols[0]).type
+        target = vt
         pieces = []
         for c in value_cols:
             arrs = [b.column(i) for i in id_cols]
@@ -2648,8 +2660,7 @@ def unpivot(ds, *, id_cols: list[str], value_cols: list[str],
                 arrs, names=list(id_cols) + [var_name, value_name]))
         return pa.concat_tables(pieces)
 
-    return ds.select_columns(list(id_cols) + list(value_cols)) \
-             .map_batches(melt, batch_format="pyarrow",
+    return ds.map_batches(melt, batch_format="pyarrow",
                           zero_copy_batch=True)
 
 
@@ -2699,7 +2710,9 @@ def skyline_2d(ds, *, x_col: str, y_col: str, n_parts: int = 16):
 
     def local(b: pa.Table) -> pa.Table:
         if b.num_rows == 0:
-            return b
+            # keep one schema across all blocks: an empty block must
+            # still carry the groupby key column
+            return b.append_column("_sky", pa.array([], pa.int64()))
         xv = b.column(x_col).to_numpy(zero_copy_only=False)
         yv = b.column(y_col).to_numpy(zero_copy_only=False)
         t = b.filter(pa.array(_skyline_2d_kernel(xv, yv)))

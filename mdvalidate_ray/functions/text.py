@@ -1110,9 +1110,11 @@ def greedy_coverage_selection(ds, *, key: str = "doc_id",
         flat = lf.flatten().to_numpy(zero_copy_only=False)
         offs = lf.offsets.to_numpy()
         miss = (~cov[flat]).astype(np.int64)
-        gains = np.add.reduceat(miss, offs[:-1]) \
-            if len(flat) else np.zeros(len(keys), dtype=np.int64)
-        gains[np.diff(offs) == 0] = 0
+        # exclusive-cumsum fold: exact per-block sums even when any
+        # block (including the LAST) is empty — reduceat raises on an
+        # index == len(flat), which a trailing empty feature list hits
+        cs = np.concatenate(([0], np.cumsum(miss)))
+        gains = cs[offs[1:]] - cs[offs[:-1]]
         order = np.lexsort((keys, -gains))
         i = order[0]
         return int(gains[i]), int(keys[i])

@@ -5225,6 +5225,15 @@ def late_events(sf_dir: str):
              if len(eid) else np.zeros(0, dtype="uint64"))
         jit = (h % np.uint64(7_200_000_000)).astype(
             "int64") - 3_600_000_000
+        # the packed key is a TOTAL order only while event_id < 2^20
+        # (widening the id field would overflow int64 at µs·2^23);
+        # assert the bound loudly rather than go silently
+        # nondeterministic past ~1M events — same packed-key contract
+        # as the other ak-style keys in this module
+        if len(eid) and int(eid.max()) >= (1 << 20):
+            raise ValueError(
+                "late_events: event_id >= 2^20 breaks the packed "
+                "arrival key's unique-total-order contract")
         ak = (ts + jit) // 1000 * (1 << 20) + (eid % (1 << 20))
         return pa.Table.from_arrays(
             [pa.array(ak, pa.int64()), pa.array(ts, pa.int64())],

@@ -2142,3 +2142,25 @@ def test_hrw_removal_moves_only_lost_shard(ray_session):
     import collections
     c = collections.Counter(before.values())
     assert max(c.values()) < 3 * len(keys) / len(shards)
+
+
+def test_greedy_coverage_empty_last_doc(ray_session):
+    """A doc with EMPTY features as the last row of a block used to
+    crash np.add.reduceat (offs[:-1] containing len(flat)) — the r3
+    ADVICE medium finding.  Empty docs anywhere must score gain 0."""
+    import ray.data
+
+    from mdvalidate_ray.functions.text import greedy_coverage_selection
+
+    docs = ["alpha beta gamma", "beta gamma delta", "", "   "]
+    tbl = pa.table({"doc_id": pa.array(range(4), pa.int64()),
+                    "text": pa.array(docs, pa.string())})
+    for blocks in (1, 2, 4):
+        got = greedy_coverage_selection(
+            ray.data.from_arrow(tbl).repartition(blocks),
+            key="doc_id", column="text", k=4, ngram=2,
+            n_buckets=1 << 16)
+        picked = got.column("doc_id").to_pylist()
+        # docs 2 and 3 have no bigrams → never picked; 0 and 1 both
+        # contribute one new bigram each after the first pick
+        assert set(picked) == {0, 1}, (blocks, picked)

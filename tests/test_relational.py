@@ -1173,3 +1173,81 @@ def test_bfs_and_bellman_distributed_tier_match_local(ray_session):
                     bellman_ford_costs(ds, seed=0, max_rounds=3,
                                        local_threshold=0).to_pylist())))
     assert c_local == c_dist and len(c_local) > 1
+
+
+def test_snapshot_diff_null_lists_vs_empty_lists(ray_session):
+    """A null list<struct> row must (a) not misalign the hashes of the
+    rows after it in the same block, and (b) hash differently from an
+    empty list — the r3 ADVICE null-flatten finding."""
+    import ray.data
+
+    from mdvalidate_ray.functions.relational import snapshot_diff
+
+    span_t = pa.list_(pa.struct([("kind", pa.string()),
+                                 ("text", pa.string())]))
+
+    def spans(rows):
+        return pa.array(rows, span_t)
+
+    # old: k=1 null, k=2 [a], k=3 [b]  /  new: k=1 [], k=2 [a], k=3 [b]
+    old = pa.table({
+        "k": pa.array([1, 2, 3], pa.int64()),
+        "spans": spans([None,
+                        [{"kind": "t", "text": "a"}],
+                        [{"kind": "t", "text": "b"}]])})
+    new = pa.table({
+        "k": pa.array([1, 2, 3], pa.int64()),
+        "spans": spans([[],
+                        [{"kind": "t", "text": "a"}],
+                        [{"kind": "t", "text": "b"}]])})
+    got = snapshot_diff(ray.data.from_arrow(old),
+                        ray.data.from_arrow(new),
+                        key_col="k", compare_cols=["spans"],
+                        n_parts=2).to_pandas()
+    got_map = dict(zip(got["k"].astype(int), got["status"]))
+    # null != empty → k=1 changed; rows AFTER the null stay aligned →
+    # k=2 and k=3 unchanged (absent from the diff)
+    assert got_map == {1: "changed"}
+
+    # identical snapshots with a null mid-block → empty diff
+    same = snapshot_diff(ray.data.from_arrow(old),
+                         ray.data.from_arrow(old),
+                         key_col="k", compare_cols=["spans"],
+                         n_parts=2).to_pandas()
+    assert len(same) == 0
+
+
+def test_skyline_2d_empty_blocks_keep_schema(ray_session):
+    """Blocks with zero rows must still carry the _sky groupby key —
+    more blocks than rows forces empty blocks through the local stage."""
+    import ray.data
+
+    from mdvalidate_ray.functions.relational import skyline_2d
+
+    tbl = pa.table({"x": pa.array([1, 5, 3], pa.int64()),
+                    "y": pa.array([9, 2, 7], pa.int64())})
+    got = skyline_2d(ray.data.from_arrow(tbl).repartition(8),
+                     x_col="x", y_col="y").to_pandas()
+    pts = set(zip(got["x"].astype(int), got["y"].astype(int)))
+    assert pts == {(1, 9), (5, 2), (3, 7)}
+
+
+def test_unpivot_resolves_value_type_once(ray_session):
+    """value_type=None resolves the target type ONCE from the dataset
+    schema (first value column), so every output block agrees."""
+    import ray.data
+
+    from mdvalidate_ray.functions.relational import unpivot
+
+    tbl = pa.table({"id": pa.array([1, 2], pa.int64()),
+                    "a": pa.array([1.5, 2.5], pa.float64()),
+                    "b": pa.array([3, 4], pa.int32())})
+    out = unpivot(ray.data.from_arrow(tbl).repartition(2),
+                  id_cols=["id"], value_cols=["a", "b"])
+    t = out.to_arrow_refs()
+    import ray as _ray
+    types = {str(_ray.get(r).schema.field("value").type) for r in t}
+    assert types <= {"double"}
+    rows = sorted(map(tuple, (r.values() for r in out.take_all())))
+    assert rows == [(1, "a", 1.5), (1, "b", 3.0),
+                    (2, "a", 2.5), (2, "b", 4.0)]
