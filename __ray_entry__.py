@@ -37,22 +37,127 @@ def entry() -> Any:
         ["doc_id", "passed", "captures", "n_spans", "n_violations"])
 
 
+def _maybe_dump(name: str, fn: Callable[[str], Any]) -> Callable[[str], Any]:
+    """Opt-in result persistence: when ``MDV_DUMP_DIR`` is set, every
+    query's actual output table is ALSO written to
+    ``$MDV_DUMP_DIR/<name>.parquet`` as it runs — so a hash mismatch in
+    a driver session can be diffed cell-by-cell afterwards instead of
+    being unreproducible (the r3 ``curation_funnel`` situation).  Off by
+    default: zero overhead unless the env var is set."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapped(sf_dir: str):
+        res = fn(sf_dir)
+        import os
+
+        dump_dir = os.environ.get("MDV_DUMP_DIR")
+        if dump_dir:
+            try:
+                import pandas as pd
+                import pyarrow as pa
+                import pyarrow.parquet as pq
+
+                if isinstance(res, pa.Table):
+                    t = res
+                elif isinstance(res, pd.DataFrame):
+                    t = pa.Table.from_pandas(res, preserve_index=False)
+                else:                      # ray.data.Dataset
+                    t = pa.Table.from_pandas(res.to_pandas(),
+                                             preserve_index=False)
+                os.makedirs(dump_dir, exist_ok=True)
+                pq.write_table(t, os.path.join(dump_dir,
+                                               f"{name}.parquet"))
+                res = t        # hand the driver the already-run table:
+                # re-executing a lazy Dataset could diverge from the
+                # dumped copy, defeating the post-hoc diff
+            except Exception as exc:  # noqa: BLE001 — dump is best-effort
+                import sys
+
+                print(f"[mdv-dump] {name}: {exc!r}", file=sys.stderr)
+        return res
+
+    return wrapped
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
+    base = _queries_raw()
+    import os
+
+    if os.environ.get("MDV_DUMP_DIR"):
+        return {name: _maybe_dump(name, fn) for name, fn in base.items()}
+    return base
+
+
+def _queries_raw() -> dict[str, Callable[[str], Any]]:
     return {
-        # validation engine (rows-only; span walk is not SQL-expressible)
+        # --- driver window: the first 50 entries are the round-4
+        # rotation — curation_funnel (the one r3 red) up front, then
+        # the highest-value queries with no driver row yet (TPC-H
+        # multi-joins, window family, graph family, quantile
+        # selection, snapshot diff). Previously driver-green entries
+        # moved below the window; full-catalog evidence lives in
+        # SWEEP_r{N}.json. ---
         "validate_verdicts": Q.validate_verdicts,
         "validate_violations": Q.validate_violations,
+        "curation_funnel": Q.curation_funnel,
+        "violation_report": Q.violation_report,
+        "supplier_moving_qty": Q.supplier_moving_qty,
+        "q7_nation_volume": Q.q7_nation_volume,
+        "q9_profit_by_nation_year": Q.q9_profit_by_nation_year,
+        "q13_order_count_distribution": Q.q13_order_count_distribution,
+        "q14_promo_revenue": Q.q14_promo_revenue,
+        "q16_part_supplier_cnt": Q.q16_part_supplier_cnt,
+        "q18_large_orders": Q.q18_large_orders,
+        "q19_bracket_revenue": Q.q19_bracket_revenue,
+        "top_suppliers_per_nation": Q.top_suppliers_per_nation,
+        "len_quantiles_by_source": Q.len_quantiles_by_source,
+        "sample_strata_counts": Q.sample_strata_counts,
+        "stratified_fixed_k": Q.stratified_fixed_k,
+        "user_running_total": Q.user_running_total,
+        "length_ntile": Q.length_ntile,
+        "doc_chunks": Q.doc_chunks,
+        "concat_chunk_manifest": Q.concat_chunk_manifest,
+        "segment_dedup_docs": Q.segment_dedup_docs,
+        "nation_segment_gap": Q.nation_segment_gap,
+        "late_events": Q.late_events,
+        "customer_pareto": Q.customer_pareto,
+        "cdc_segment_dedup_docs": Q.cdc_segment_dedup_docs,
+        "source_lang_mi": Q.source_lang_mi,
+        "part_bfs_hops": Q.part_bfs_hops,
+        "part_cheapest_paths": Q.part_cheapest_paths,
+        "part_copurchase_triangles": Q.part_copurchase_triangles,
+        "part_kcore": Q.part_kcore,
+        "winnow_stats": Q.winnow_stats,
+        "shard_assignment": Q.shard_assignment,
+        "custkey_skew": Q.custkey_skew,
+        "ranking_overlap": Q.ranking_overlap,
+        "lang_confusion": Q.lang_confusion,
+        "coverage_picks": Q.coverage_picks,
+        "golden_records": Q.golden_records,
+        "k_anonymity_violations": Q.k_anonymity_violations,
+        "label_auc": Q.label_auc,
+        "calibration_bins": Q.calibration_bins,
+        "parity_rates": Q.parity_rates,
+        "user_value_deltas": Q.user_value_deltas,
+        "price_quantiles": Q.price_quantiles,
+        "orders_snapshot_diff": Q.orders_snapshot_diff,
+        "incremental_revalidation": Q.incremental_revalidation,
+        "join_size_probe": Q.join_size_probe,
+        "lev_pairs": Q.lev_pairs,
+        "ngram_contamination": Q.ngram_contamination,
+        "heavy_hitter_words": Q.heavy_hitter_words,
+        "qty_winsorized": Q.qty_winsorized,
+        # --- end of driver window (first 50) ---
         "dangling_media": Q.dangling_media,
         "drift_by_lang": Q.drift_by_lang,
         "drift_tdigest": Q.drift_tdigest,
-        # wide constraints with SQL oracles
         "stats_text": Q.stats_text,
         "hist_text_len": Q.hist_text_len,
         "dup_orderkeys": Q.dup_orderkeys,
         "orphan_events": Q.orphan_events,
         "dangling_parts": Q.dangling_parts,
         "quantiles_nchars": Q.quantiles_nchars,
-        # relational demos
         "q1_pricing": Q.q1_pricing,
         "top_customers": Q.top_customers,
         "events_daily": Q.events_daily,
@@ -72,7 +177,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q3_order_revenue": Q.q3_order_revenue,
         "q5_local_supplier_volume": Q.q5_local_supplier_volume,
         "q6_forecast_revenue": Q.q6_forecast_revenue,
-        # dedup / text
         "dedup_exact": Q.dedup_exact,
         "dedup_clusters": Q.dedup_clusters,
         "dedup_purge": Q.dedup_purge,
@@ -85,11 +189,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_pairs": Q.minhash_pairs,
         "jaccard_pairs": Q.jaccard_pairs,
         "simhash_pairs": Q.simhash_pairs,
-        # scrubbing / mixing / decontamination
         "redact_digits": Q.redact_digits,
         "mixture_counts": Q.mixture_counts,
         "contamination_pairs": Q.contamination_pairs,
-        "curation_funnel": Q.curation_funnel,
         "rarity_scores": Q.rarity_scores,
         "user_order_balance": Q.user_order_balance,
         "frame_dups": Q.frame_dups,
@@ -97,39 +199,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "overlapping_windows": Q.overlapping_windows,
         "qty_mad": Q.qty_mad,
         "trigram_pairs": Q.trigram_pairs,
-        "violation_report": Q.violation_report,
-        # window / ranking / sampling
-        "top_suppliers_per_nation": Q.top_suppliers_per_nation,
-        "supplier_moving_qty": Q.supplier_moving_qty,
-        "len_quantiles_by_source": Q.len_quantiles_by_source,
-        "sample_strata_counts": Q.sample_strata_counts,
-        "stratified_fixed_k": Q.stratified_fixed_k,
-        "user_running_total": Q.user_running_total,
-        "length_ntile": Q.length_ntile,
-        "doc_chunks": Q.doc_chunks,
-        "concat_chunk_manifest": Q.concat_chunk_manifest,
-        "segment_dedup_docs": Q.segment_dedup_docs,
         "semantic_dedup_flags": Q.semantic_dedup_flags,
-        "nation_segment_gap": Q.nation_segment_gap,
-        "late_events": Q.late_events,
-        "customer_pareto": Q.customer_pareto,
-        "cdc_segment_dedup_docs": Q.cdc_segment_dedup_docs,
-        "source_lang_mi": Q.source_lang_mi,
-        "part_bfs_hops": Q.part_bfs_hops,
-        "part_cheapest_paths": Q.part_cheapest_paths,
-        "winnow_stats": Q.winnow_stats,
-        "shard_assignment": Q.shard_assignment,
-        "custkey_skew": Q.custkey_skew,
-        "ranking_overlap": Q.ranking_overlap,
-        "lang_confusion": Q.lang_confusion,
-        "coverage_picks": Q.coverage_picks,
-        "golden_records": Q.golden_records,
-        "k_anonymity_violations": Q.k_anonymity_violations,
-        "label_auc": Q.label_auc,
-        "calibration_bins": Q.calibration_bins,
-        "parity_rates": Q.parity_rates,
-        "user_value_deltas": Q.user_value_deltas,
-        "part_copurchase_triangles": Q.part_copurchase_triangles,
         "user_hourly_spend": Q.user_hourly_spend,
         "nation_supplier_names": Q.nation_supplier_names,
         "funnel": Q.funnel,
@@ -140,22 +210,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zscore_nchars": Q.zscore_nchars,
         "shuffle_manifest": Q.shuffle_manifest,
         "repetition": Q.repetition,
-        # rollup / pivot / inverted index
         "orders_rollup": Q.orders_rollup,
         "priority_pivot": Q.priority_pivot,
         "doc_frequency": Q.doc_frequency,
         "bigram_counts": Q.bigram_counts,
         "tfidf_top_terms": Q.tfidf_top_terms,
         "pack_bins": Q.pack_bins,
-        # similarity
         "knn": Q.knn,
         "knn_ivf": Q.knn_ivf,
         "embedding_dups": Q.embedding_dups,
         "kmeans_clusters": Q.kmeans_clusters,
-        # multimodal plumbing
         "media_decode": Q.media_decode,
         "media_frames": Q.media_frames,
-        # grouped-aggregate / report shaping / anomaly
         "mode_event_per_user": Q.mode_event_per_user,
         "event_entropy_daily": Q.event_entropy_daily,
         "nation_suppliers": Q.nation_suppliers,
@@ -164,14 +230,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "neardup_purge": Q.neardup_purge,
         "q4_priority_exists": Q.q4_priority_exists,
         "q10_returned_revenue": Q.q10_returned_revenue,
-        # round-3 TPC-H-adapted multi-join set
-        "q7_nation_volume": Q.q7_nation_volume,
-        "q9_profit_by_nation_year": Q.q9_profit_by_nation_year,
-        "q13_order_count_distribution": Q.q13_order_count_distribution,
-        "q14_promo_revenue": Q.q14_promo_revenue,
-        "q16_part_supplier_cnt": Q.q16_part_supplier_cnt,
-        "q18_large_orders": Q.q18_large_orders,
-        "q19_bracket_revenue": Q.q19_bracket_revenue,
         "churned_rich_customers": Q.churned_rich_customers,
         "bpe_token_stats": Q.bpe_token_stats,
         "approx_users_per_type": Q.approx_users_per_type,
@@ -180,74 +238,34 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_unpivot_stats": Q.lineitem_unpivot_stats,
         "embedding_scores": Q.embedding_scores,
         "customer_order_counts": Q.customer_order_counts,
-        # edit-distance near-dup family / n-gram decontamination / set ops
-        "lev_pairs": Q.lev_pairs,
-        "ngram_contamination": Q.ngram_contamination,
         "user_churn": Q.user_churn,
         "orders_cube": Q.orders_cube,
-        # sketch-then-verify heavy hitters / robust statistics
-        "heavy_hitter_words": Q.heavy_hitter_words,
-        "qty_winsorized": Q.qty_winsorized,
-        # grouped moment partials / link-graph authority (rows-only)
         "qty_disc_moments": Q.qty_disc_moments,
         "part_supplier_pagerank": Q.part_supplier_pagerank,
         "boilerplate_grams": Q.boilerplate_grams,
         "compressibility": Q.compressibility,
-        # per-document exact-substring dedup signal (Lee et al. 2021)
         "window_dups": Q.window_dups,
-        # audio arm of the multimodal surface (real WAV bytes, rows-only)
         "audio_features": Q.audio_features,
-        # deterministic weighted sampling (integer priority sampling)
         "weighted_sample": Q.weighted_sample,
-        # grouped heavy hitters: per-language top words, exact counts
         "lang_top_words": Q.lang_top_words,
-        # rank/percent_rank/cume_dist with cross-block peer ties
         "length_percentiles": Q.length_percentiles,
-        # k-core decomposition (iterative peeling) on a derived graph
-        "part_kcore": Q.part_kcore,
-        # exact sliding-window COUNT DISTINCT (trailing-7-day WAU)
         "weekly_active_users": Q.weekly_active_users,
-        # token-set Jaccard top-k retrieval against a fixed query
         "doc_search": Q.doc_search,
-        # declarative tabular column-expectation suite (per-rule verdicts)
         "lineitem_expectations": Q.lineitem_expectations,
-        # Markov transition counts over per-user event sequences
         "event_transitions": Q.event_transitions,
-        # PQ-compressed ANN (rows-only; recall pinned by test_pq_recall)
         "knn_pq": Q.knn_pq,
-        # exact two-sample KS drift statistic (integer sup-CDF gap)
         "ks_drift_sources": Q.ks_drift_sources,
-        # FIRST/LAST (OHLC) mergeable aggregates per (user, day)
         "user_daily_ohlc": Q.user_daily_ohlc,
-        # per-group percent_rank without shuffling rows (2-phase map)
         "lang_length_pct": Q.lang_length_pct,
-        # BM25 top-k lexical retrieval (integer-exact scoring)
         "bm25_topk": Q.bm25_topk,
-        # exact global quantiles by distributed selection (2-pass)
-        "price_quantiles": Q.price_quantiles,
-        # time-series gap filling: per-user daily grid + forward fill
         "user_value_ffill": Q.user_value_ffill,
-        # CDC snapshot diff: added / removed / changed keys
-        "orders_snapshot_diff": Q.orders_snapshot_diff,
-        # per-group OLS regression from mergeable moment partials
         "qty_price_regression": Q.qty_price_regression,
-        # distributed PCA (one-pass moment fold -> eigh -> projection)
         "embedding_pca": Q.embedding_pca,
-        # k-means distance anomaly scores (top-50 farthest)
         "embedding_outlier_topk": Q.embedding_outlier_topk,
-        # integer-exact PMI collocation mining (top idioms)
         "pmi_bigrams": Q.pmi_bigrams,
-        # CDC-driven incremental re-validation (diff -> revalidate moved)
-        "incremental_revalidation": Q.incremental_revalidation,
-        # BPE merge learning from the distributed word-count fold
         "bpe_merges": Q.bpe_merges,
-        # schema-evolution union (union-by-name, missing cols -> NULL)
         "orders_union_by_name": Q.orders_union_by_name,
-        # Morton-curve (z-order) layout clustering report
         "lineitem_zorder_stats": Q.lineitem_zorder_stats,
-        # exact join cardinality + skew alarm without running the join
-        "join_size_probe": Q.join_size_probe,
-        # leakage-safe group-aware split (GroupShuffleSplit contract)
         "grouped_split_leakage": Q.grouped_split_leakage,
     }
 
@@ -712,8 +730,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "user_hourly_spend": """
             SELECT event_id, user_id,
-                   sum(CAST(round(value * 100) AS BIGINT)) OVER w
-                       AS range_sum_c100,
+                   (sum(CAST(round(value * 100) AS BIGINT)) OVER w)
+                       ::BIGINT AS range_sum_c100,
                    count(*) OVER w AS n_range
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts
@@ -986,14 +1004,14 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::BIGINT AS docs,
                    coalesce(sum(n_tokens), 0)::BIGINT AS sum_tokens
             FROM lang
-            UNION ALL SELECT 1, 'langid_en', count(*),
-                   coalesce(sum(n_tokens), 0) FROM s1
-            UNION ALL SELECT 2, 'quality_20_40', count(*),
-                   coalesce(sum(n_tokens), 0) FROM s2
-            UNION ALL SELECT 3, 'exact_dedup', count(*),
-                   coalesce(sum(n_tokens), 0) FROM s3
-            UNION ALL SELECT 4, 'train_decontam', count(*),
-                   coalesce(sum(n_tokens), 0) FROM s4
+            UNION ALL SELECT 1, 'langid_en', count(*)::BIGINT,
+                   coalesce(sum(n_tokens), 0)::BIGINT FROM s1
+            UNION ALL SELECT 2, 'quality_20_40', count(*)::BIGINT,
+                   coalesce(sum(n_tokens), 0)::BIGINT FROM s2
+            UNION ALL SELECT 3, 'exact_dedup', count(*)::BIGINT,
+                   coalesce(sum(n_tokens), 0)::BIGINT FROM s3
+            UNION ALL SELECT 4, 'train_decontam', count(*)::BIGINT,
+                   coalesce(sum(n_tokens), 0)::BIGINT FROM s4
         """,
         "rarity_scores": r"""
             WITH words AS (
@@ -1708,7 +1726,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "supplier_moving_qty": """
             SELECT l_suppkey, l_orderkey, l_linenumber,
-                   sum(l_quantity::BIGINT) OVER w AS mov_sum,
+                   (sum(l_quantity::BIGINT) OVER w)::BIGINT AS mov_sum,
                    count(*) OVER w AS n_win
             FROM lineitem
             WINDOW w AS (PARTITION BY l_suppkey

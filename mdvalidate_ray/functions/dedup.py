@@ -272,39 +272,64 @@ def minhash_near_duplicates(ds, *, threshold: float = 0.8,
                                  ("doc_b", pa.string())])
 
     def emit_pairs(part_group: pa.Table) -> pa.Table:
-        """One coarse partition: group by fine (band,bucket) in-memory,
-        emit candidate pairs per fine bucket."""
-        import collections
-
-        bands_ = part_group.column("band").to_pylist()
-        buckets_ = part_group.column("bucket").to_pylist()
-        ids_ = part_group.column("doc_id").to_pylist()
-        sigs_ = (part_group.column("sig").to_pylist() if emit_sig else None)
-        fine: dict = collections.defaultdict(list)
-        for i in range(len(ids_)):
-            fine[(bands_[i], buckets_[i])].append(i)
-        rows = []
-        seen = set()
-        for members in fine.values():
-            n = len(members)
-            if n < 2 or n > max_bucket:
+        """One coarse partition: sort to fine (band,bucket) runs, then
+        size-class triu expansion (the cooccurrence_edges pattern) — no
+        per-member Python loop, no per-pair set; in-partition pair dedup
+        is a vectorized sort+mask distinct."""
+        n = part_group.num_rows
+        if n < 2:
+            return pair_schema.empty_table()
+        band = part_group.column("band").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        buck = part_group.column("bucket").to_numpy(
+            zero_copy_only=False).astype(np.uint64)
+        order = np.lexsort((buck, band))
+        band_s, buck_s = band[order], buck[order]
+        new_run = np.ones(n, dtype=bool)
+        new_run[1:] = ((band_s[1:] != band_s[:-1])
+                       | (buck_s[1:] != buck_s[:-1]))
+        starts = np.flatnonzero(new_run)
+        sizes = np.diff(np.append(starts, n))
+        ids_s = np.asarray(part_group.column("doc_id").to_pylist(),
+                           dtype=object)[order]
+        a_parts, b_parts = [], []
+        for sz in np.unique(sizes):
+            if sz < 2 or sz > max_bucket:
                 continue
-            sigs = ([np.frombuffer(sigs_[i], dtype=np.uint64)
-                     for i in members] if emit_sig else None)
-            for x in range(n):
-                for y in range(x + 1, n):
-                    a, b = sorted((ids_[members[x]], ids_[members[y]]))
-                    if a == b or (a, b) in seen:
-                        continue
-                    seen.add((a, b))
-                    if emit_sig:
-                        est = MinHasher.est_similarity(sigs[x], sigs[y])
-                        if est >= threshold:
-                            rows.append({"doc_a": a, "doc_b": b,
-                                         "est_jaccard": est})
-                    else:
-                        rows.append({"doc_a": a, "doc_b": b})
-        return pa.Table.from_pylist(rows, schema=pair_schema)
+            gsel = starts[sizes == sz]
+            iu, ju = np.triu_indices(int(sz), k=1)
+            a_parts.append((gsel[:, None] + iu[None, :]).ravel())
+            b_parts.append((gsel[:, None] + ju[None, :]).ravel())
+        if not a_parts:
+            return pair_schema.empty_table()
+        ai = np.concatenate(a_parts)
+        bi = np.concatenate(b_parts)
+        a_ids, b_ids = ids_s[ai], ids_s[bi]
+        swap = a_ids > b_ids
+        lo = np.where(swap, b_ids, a_ids)
+        hi = np.where(swap, a_ids, b_ids)
+        keep = lo != hi
+        if emit_sig:
+            raw = b"".join(part_group.column("sig").to_pylist()[i]
+                           for i in order)
+            sig_m = np.frombuffer(raw, dtype=np.uint64).reshape(n, -1)
+            est = (sig_m[ai] == sig_m[bi]).mean(axis=1)
+            keep &= est >= threshold
+        if not keep.any():
+            return pair_schema.empty_table()
+        lo, hi = lo[keep], hi[keep]
+        # in-partition distinct (same pair from several fine buckets):
+        # lexsort + consecutive mask — est is signature-determined, so
+        # duplicates carry identical est and keeping the first is exact
+        p_order = np.lexsort((hi, lo))
+        lo, hi = lo[p_order], hi[p_order]
+        uniq = np.ones(len(lo), dtype=bool)
+        uniq[1:] = (lo[1:] != lo[:-1]) | (hi[1:] != hi[:-1])
+        cols = [pa.array(lo[uniq], pa.string()),
+                pa.array(hi[uniq], pa.string())]
+        if emit_sig:
+            cols.append(pa.array(est[keep][p_order][uniq], pa.float64()))
+        return pa.Table.from_arrays(cols, schema=pair_schema)
 
     pairs = banded.groupby("part").map_groups(emit_pairs,
                                               batch_format="pyarrow")
@@ -313,10 +338,37 @@ def minhash_near_duplicates(ds, *, threshold: float = 0.8,
         # downstream verify_pairs_jaccard dedups on the driver — skip the
         # (doc_a, doc_b) exchange entirely
         return pairs
+
     # a pair can surface from several coarse partitions (different bands)
-    # → dedup on (doc_a, doc_b); tiny input (candidate pairs only)
-    return pairs.groupby(["doc_a", "doc_b"]).map_groups(
-        lambda g: g.slice(0, 1), batch_format="pyarrow")
+    # → distinct on (doc_a, doc_b).  ONE coarse exchange on the pair hash
+    # + vectorized in-bucket sort+mask distinct (the similarity.py:470
+    # pattern) — group calls bounded by the partition count, never one
+    # Python call per distinct pair.
+    def tag_pair(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return b.append_column("_pb", pa.array([], pa.int64()))
+        ha = hash_strings(b.column("doc_a").to_pylist())
+        hb = hash_strings(b.column("doc_b").to_pylist())
+        part = (((ha * np.uint64(0x9E3779B97F4A7C15)) ^ hb)
+                % np.uint64(64)).astype(np.int64)
+        return b.append_column("_pb", pa.array(part))
+
+    def distinct_pairs(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["_pb"])
+        idx = pc.sort_indices(g, sort_keys=[("doc_a", "ascending"),
+                                            ("doc_b", "ascending")])
+        s = g.take(idx)
+        a = np.asarray(s.column("doc_a").to_pylist(), dtype=object)
+        c = np.asarray(s.column("doc_b").to_pylist(), dtype=object)
+        uniq = np.ones(len(s), dtype=bool)
+        if len(s):
+            uniq[1:] = (a[1:] != a[:-1]) | (c[1:] != c[:-1])
+        return s.filter(pa.array(uniq))
+
+    return pairs.map_batches(tag_pair, batch_format="pyarrow",
+                             zero_copy_batch=True) \
+                .groupby("_pb").map_groups(distinct_pairs,
+                                           batch_format="pyarrow")
 
 
 # --- SimHash ----------------------------------------------------------------
