@@ -23,10 +23,13 @@ everything below is pure Python + stdlib ``zlib``/``struct`` + numpy):
   so it reads any 8-bit baseline 1x1-sampled JPEG, not just its own
   output.  Progressive / subsampled / restart-marker files raise
   explicitly.
-* **MP4** — genuinely stubbed behind ``NotImplementedError`` (a video
-  container + H.26x codec is out of scope without libraries); the synth
-  generator emits the deterministic fake format for that mime so the
-  fan-out plumbing stays testable.
+* **MP4** — real ISO-BMFF CONTAINER layer (ISO/IEC 14496-12): the writer
+  emits genuine ftyp/mdat/moov with tkhd + stsd/stts/stsc/stsz/stco
+  sample tables; the demuxer walks any conforming file's chunk/sample
+  tables to slice per-sample payloads out of mdat (single- and
+  multi-chunk layouts, 64-bit largesize boxes).  The H.26x BITSTREAM
+  inside the samples is the one genuinely absent codec — samples stay
+  opaque bytes, which is exactly what frame-level dedup needs.
 
 Batch-size guidance baked into the helpers: binary payloads make rows
 heavy, so these stages default to small ``batch_size`` (64) — size
@@ -890,6 +893,199 @@ def jpeg_decode(data: bytes) -> np.ndarray:
     return np.clip(np.stack([r, g, b], axis=2), 0, 255).astype(np.uint8)
 
 
+# --- MP4 / ISO-BMFF container (demux only — no video CODEC) -----------------
+#
+# A minimal but REAL ISO/IEC 14496-12 box layer: the writer emits
+# ftyp + mdat + moov with genuine tkhd / stsd / stts / stsc / stsz / stco
+# sample tables, and the demuxer walks any conforming file's chunk/sample
+# tables to slice per-sample payloads straight out of mdat — exactly what
+# a frame-dedup fan-out needs, with the bitstream decode (H.26x) remaining
+# the one genuinely absent codec (samples stay opaque bytes).  Reference
+# parity target: the 1→N frame fan-out shape of FrameSampleStage.
+
+
+def _box(typ: bytes, payload: bytes) -> bytes:
+    return struct.pack(">I", len(payload) + 8) + typ + payload
+
+
+def _fullbox(typ: bytes, version: int, flags: int, payload: bytes) -> bytes:
+    return _box(typ, struct.pack(">B3s", version,
+                                 flags.to_bytes(3, "big")) + payload)
+
+
+def mp4_encode(frames: list[bytes], width: int, height: int, *,
+               samples_per_chunk: int = 0) -> bytes:
+    """Opaque sample payloads → a real ISO-BMFF container (one video
+    track, 25 fps timeline, 'mp4v' sample description).  By default all
+    samples share one chunk; ``samples_per_chunk`` > 0 splits mdat into
+    multiple chunks so the demuxer's stsc/stco walk is exercised on
+    multi-chunk layouts too."""
+    n = len(frames)
+    spc = samples_per_chunk if samples_per_chunk > 0 else max(n, 1)
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 0x200)
+                + b"isom" + b"iso2" + b"mp41")
+    mdat_payload = b"".join(frames)
+    mdat_off = len(ftyp) + 8               # first sample's file offset
+    # chunk layout: ceil(n/spc) chunks of spc samples (last may be short)
+    sizes = [len(f) for f in frames]
+    chunk_offsets, pos, i = [], mdat_off, 0
+    while i < n:
+        chunk_offsets.append(pos)
+        pos += sum(sizes[i:i + spc])
+        i += spc
+    if not chunk_offsets:
+        chunk_offsets = [mdat_off]
+
+    timescale, dur = 25, n                 # 1 tick per frame @ 25 fps
+    mvhd = _fullbox(b"mvhd", 0, 0, struct.pack(
+        ">IIII", 0, 0, 1000, n * 40)       # creation/mod, ts=1000, ms dur
+        + struct.pack(">iH2x8x36x24x", 0x00010000, 0x0100)
+        + struct.pack(">I", 2))            # next track id
+    tkhd = _fullbox(b"tkhd", 0, 7, struct.pack(
+        ">IIIII", 0, 0, 1, 0, n * 40)
+        + b"\x00" * 8                      # reserved
+        + struct.pack(">hhhH", 0, 0, 0, 0)
+        + struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0,
+                      0x40000000)
+        + struct.pack(">II", width << 16, height << 16))
+    mdhd = _fullbox(b"mdhd", 0, 0, struct.pack(
+        ">IIII", 0, 0, timescale, dur) + struct.pack(">HH", 0x55C4, 0))
+    hdlr = _fullbox(b"hdlr", 0, 0, struct.pack(">I", 0) + b"vide"
+                    + b"\x00" * 12 + b"mdv\x00")
+    vmhd = _fullbox(b"vmhd", 0, 1, struct.pack(">HHHH", 0, 0, 0, 0))
+    dref = _fullbox(b"dref", 0, 0, struct.pack(">I", 1)
+                    + _fullbox(b"url ", 0, 1, b""))
+    dinf = _box(b"dinf", dref)
+    # stsd: one 'mp4v' VisualSampleEntry (opaque — no ES descriptors)
+    sample_entry = (struct.pack(">6xH", 1)              # data_ref_index
+                    + struct.pack(">HH12x", 0, 0)
+                    + struct.pack(">HH", width, height)
+                    + struct.pack(">II", 0x480000, 0x480000)
+                    + struct.pack(">I", 0) + struct.pack(">H", 1)
+                    + b"\x00" * 32
+                    + struct.pack(">Hh", 24, -1))
+    stsd = _fullbox(b"stsd", 0, 0, struct.pack(">I", 1)
+                    + _box(b"mp4v", sample_entry))
+    stts = _fullbox(b"stts", 0, 0, struct.pack(">III", 1, n, 1)
+                    if n else struct.pack(">I", 0))
+    # stsc runs: [(first_chunk, samples_per_chunk, 1)] — one run unless
+    # the last chunk is short, which needs its own run
+    runs = []
+    if n:
+        n_chunks = len(chunk_offsets)
+        last = n - spc * (n_chunks - 1)
+        runs.append((1, min(spc, n), 1))
+        if n_chunks > 1 and last != spc:
+            runs.append((n_chunks, last, 1))
+    stsc = _fullbox(b"stsc", 0, 0, struct.pack(">I", len(runs))
+                    + b"".join(struct.pack(">III", *r) for r in runs))
+    stsz = _fullbox(b"stsz", 0, 0, struct.pack(">II", 0, n)
+                    + b"".join(struct.pack(">I", s) for s in sizes))
+    stco = _fullbox(b"stco", 0, 0, struct.pack(">I", len(chunk_offsets))
+                    + b"".join(struct.pack(">I", o)
+                               for o in chunk_offsets))
+    stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
+    minf = _box(b"minf", vmhd + dinf + stbl)
+    mdia = _box(b"mdia", mdhd + hdlr + minf)
+    trak = _box(b"trak", tkhd + mdia)
+    moov = _box(b"moov", mvhd + trak)
+    return ftyp + _box(b"mdat", mdat_payload) + moov
+
+
+def _walk_boxes(buf: bytes, start: int, end: int):
+    """Yield (type, payload_start, payload_end) for each box in range;
+    handles 64-bit largesize and size==0 (extends to end)."""
+    pos = start
+    while pos + 8 <= end:
+        size = struct.unpack_from(">I", buf, pos)[0]
+        typ = buf[pos + 4:pos + 8]
+        hdr = 8
+        if size == 1:
+            if pos + 16 > end:
+                raise ValueError("MP4: truncated largesize box")
+            size = struct.unpack_from(">Q", buf, pos + 8)[0]
+            hdr = 16
+        elif size == 0:
+            size = end - pos
+        if size < hdr or pos + size > end:
+            raise ValueError("MP4: box overruns file")
+        yield typ, pos + hdr, pos + size
+        pos += size
+
+
+def _find_box(buf: bytes, start: int, end: int, *path: bytes):
+    for typ, s, e in _walk_boxes(buf, start, end):
+        if typ == path[0]:
+            if len(path) == 1:
+                return s, e
+            return _find_box(buf, s, e, *path[1:])
+    raise ValueError(f"MP4: missing box {b'/'.join(path)!r}")
+
+
+def mp4_demux(payload: bytes) -> tuple[int, int, list[bytes]]:
+    """ISO-BMFF container → (width, height, sample payloads), by the
+    real stsz/stsc/stco sample-table walk — no bitstream decode.  Raises
+    ``ValueError`` on malformed tables (offsets outside the file,
+    truncated boxes)."""
+    end = len(payload)
+    moov = _find_box(payload, 0, end, b"moov")
+    trak = _find_box(payload, *moov, b"trak")
+    tk = _find_box(payload, *trak, b"tkhd")
+    ver = payload[tk[0]]
+    # width/height are the last two 16.16 fixed-point fields of tkhd
+    w_off = tk[1] - 8
+    width = struct.unpack_from(">I", payload, w_off)[0] >> 16
+    height = struct.unpack_from(">I", payload, w_off + 4)[0] >> 16
+    if ver not in (0, 1):
+        raise ValueError("MP4: unknown tkhd version")
+    stbl = _find_box(payload, *trak, b"mdia", b"minf", b"stbl")
+
+    def full_payload(typ: bytes) -> tuple[int, int]:
+        s, e = _find_box(payload, *stbl, typ)
+        return s + 4, e                     # skip version+flags
+
+    s, e = full_payload(b"stsz")
+    uniform, n = struct.unpack_from(">II", payload, s)
+    if uniform:
+        sizes = [uniform] * n
+    else:
+        if s + 8 + 4 * n > e:
+            raise ValueError("MP4: stsz table truncated")
+        sizes = list(struct.unpack_from(f">{n}I", payload, s + 8))
+    s, e = full_payload(b"stco")
+    n_chunks = struct.unpack_from(">I", payload, s)[0]
+    if s + 4 + 4 * n_chunks > e:
+        raise ValueError("MP4: stco table truncated")
+    offsets = list(struct.unpack_from(f">{n_chunks}I", payload, s + 4))
+    s, e = full_payload(b"stsc")
+    n_runs = struct.unpack_from(">I", payload, s)[0]
+    if s + 4 + 12 * n_runs > e:
+        raise ValueError("MP4: stsc table truncated")
+    runs = [struct.unpack_from(">III", payload, s + 4 + 12 * i)
+            for i in range(n_runs)]
+    # expand stsc runs → samples per chunk
+    per_chunk = []
+    for i, (first, spc, _desc) in enumerate(runs):
+        until = (runs[i + 1][0] if i + 1 < len(runs) else n_chunks + 1)
+        per_chunk.extend([spc] * (until - first))
+    frames, si = [], 0
+    for ci, chunk_off in enumerate(offsets):
+        pos = chunk_off
+        for _ in range(per_chunk[ci] if ci < len(per_chunk) else 0):
+            if si >= n:
+                break
+            sz = sizes[si]
+            if pos + sz > end:
+                raise ValueError("MP4: sample overruns file")
+            frames.append(payload[pos:pos + sz])
+            pos += sz
+            si += 1
+    if si != n:
+        raise ValueError(
+            f"MP4: sample tables inconsistent ({si} located, {n} declared)")
+    return width, height, frames
+
+
 _MAGIC = b"FAKEMEDIA1"
 
 
@@ -940,6 +1136,17 @@ def synth_media_batch(asset_ids: list[str], mimes: list[str],
             noise = rng.integers(0, 16, (h, w, 3))
             payloads.append(jpeg_encode(
                 np.clip(base + noise, 0, 255).astype(np.uint8)))
+        elif mime == "video/mp4":
+            n_frames = int(rng.integers(3, 9))
+            w, h = int(rng.integers(16, 64)), int(rng.integers(16, 64))
+            frames = [rng.integers(0, 256, int(rng.integers(48, 160)),
+                                   dtype=np.uint8).tobytes()
+                      for _ in range(n_frames)]
+            # alternate single- and multi-chunk layouts so both stsc
+            # shapes exist in every corpus
+            spc = 2 if rng.integers(0, 2) else 0
+            payloads.append(mp4_encode(frames, w, h,
+                                       samples_per_chunk=spc))
         else:
             w, h = int(rng.integers(16, 512)), int(rng.integers(16, 512))
             body = rng.integers(0, 256, int(rng.integers(64, 1024)),
@@ -985,14 +1192,18 @@ class DecodeStage:
         if payload[:2] == b"\xff\xd8":
             arr = jpeg_decode(payload)
             return arr.shape[1], arr.shape[0]
+        if payload[4:8] == b"ftyp":
+            w, h, _frames = mp4_demux(payload)
+            return w, h
         if payload[:len(_MAGIC)] == _MAGIC:
             w = int.from_bytes(payload[10:12], "big")
             h = int.from_bytes(payload[12:14], "big")
             return w, h
         raise NotImplementedError(
-            "no codec for this format in this environment (MP4 needs "
-            "pyav); PNG, BMP, WAV, GIF, QOI and baseline JPEG decode "
-            "natively")
+            "no codec for this format in this environment (the H.26x "
+            "BITSTREAM inside MP4 samples stays opaque — pyav would "
+            "slot in here); PNG, BMP, WAV, GIF, QOI, baseline JPEG and "
+            "the ISO-BMFF container layer decode natively")
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         widths, heights, sizes, oks = [], [], [], []
@@ -1113,10 +1324,18 @@ class ResizeStage:
                         for f in frames])
                     out.append(gif_encode(resized))
                     continue
+                if payload[4:8] == b"ftyp":
+                    # container-level resize: samples are opaque (no
+                    # bitstream decode), so rewrite the declared track
+                    # dims — the honest MP4 analog of a resize stage
+                    _w0, _h0, frames = mp4_demux(payload)
+                    out.append(mp4_encode(frames, self.w, self.h))
+                    continue
                 if payload[:len(_MAGIC)] != _MAGIC:
                     raise NotImplementedError(
-                        "no resize codec for this format (MP4 needs "
-                        "pyav); PNG/BMP/QOI/GIF/JPEG resize natively")
+                        "no resize codec for this format (the H.26x "
+                        "bitstream is opaque); PNG/BMP/QOI/GIF/JPEG "
+                        "resize natively, MP4 rewrites container dims")
             except (NotImplementedError, ValueError):
                 if self.strict:
                     raise
@@ -1151,10 +1370,12 @@ class FrameSampleStage:
     map_batches output length is free.
 
     Animated GIF: REAL demux — frames decode from genuine LZW bytes and
-    every ``stride``-th one re-encodes as a standalone PNG row.  Fake
-    container: the body is treated as concatenated fixed-size frames.
-    Other formats (MP4) raise in strict mode — a real implementation
-    slots pyav into the same stage."""
+    every ``stride``-th one re-encodes as a standalone PNG row.  MP4:
+    REAL ISO-BMFF demux — per-sample payloads slice straight out of mdat
+    via the stsz/stsc/stco tables (the samples stay opaque bytes; a
+    bitstream decoder like pyav would slot in right after the slice).
+    Fake container: the body is treated as concatenated fixed-size
+    frames.  Anything else raises in strict mode."""
 
     def __init__(self, stride: int = 2, strict: bool = True):
         assert stride >= 1
@@ -1172,11 +1393,23 @@ class FrameSampleStage:
                     idxs.append(j)
                     frames.append(png_encode(stack[j]))
                 continue
+            if payload[4:8] == b"ftyp":
+                try:
+                    _w, _h, samples = mp4_demux(payload)
+                except ValueError:
+                    if self.strict:
+                        raise
+                    continue               # corrupt container: skip asset
+                for j in range(0, len(samples), self.stride):
+                    ids.append(aid)
+                    idxs.append(j)
+                    frames.append(samples[j])
+                continue
             if payload[:len(_MAGIC)] != _MAGIC:
                 if self.strict:
                     raise NotImplementedError(
-                        "real video frame extraction is stubbed in this "
-                        "environment; plug pyav into FrameSampleStage")
+                        "frame extraction needs a known container (GIF, "
+                        "ISO-BMFF/MP4, or the synthetic format)")
                 continue
             body = payload[14:]
             n_frames = len(body) // _FRAME_BYTES

@@ -1302,11 +1302,11 @@ def contamination_pairs(sf_dir: str):
 
 def media_frames(sf_dir: str):
     """Multimodal fan-out plumbing: synth payloads → resize (1:1 stage) →
-    frame-sample (1→N fan-out rows) → per-asset frame counts.  Two
-    container paths run side by side: animated GIF is a REAL demux
-    (genuine LZW frames decoded from bytes, re-encoded as PNG rows) and
-    mp4 uses the deterministic fake container (a real MP4 demuxer is
-    genuinely absent here).  Rows-only (no SQL analog)."""
+    frame-sample (1→N fan-out rows) → per-asset frame counts.  Two REAL
+    container demuxes run side by side: animated GIF (genuine LZW frames
+    decoded from bytes, re-encoded as PNG rows) and MP4 (ISO-BMFF
+    stsz/stsc/stco sample-table walk slicing opaque samples out of
+    mdat).  Rows-only (no SQL analog)."""
     import ray.data
 
     from mdvalidate_ray.corpus import assets_table

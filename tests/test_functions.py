@@ -283,15 +283,26 @@ def test_media_decode_and_features(ray_session):
 def test_media_decode_strict_raises_on_stubbed_format(ray_session):
     from mdvalidate_ray.functions.media import DecodeStage
 
+    # a TRUNCATED MP4 (ftyp but no moov) is a corrupt container now that
+    # the ISO-BMFF layer is real — ValueError, not a codec gap
     mp4 = pa.Table.from_arrays(
         [pa.array(["a"]), pa.array(["video/mp4"]),
          pa.array([b"\x00\x00\x00\x18ftypmp42...."], pa.binary())],
         names=["asset_id", "mime", "payload"])
     stage = DecodeStage(strict=True)
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):
         stage(mp4)
     lenient = DecodeStage(strict=False)
     assert lenient(mp4).column("ok").to_pylist() == [False]
+
+    # an unknown format is still the honest NotImplementedError gap
+    unk = pa.Table.from_arrays(
+        [pa.array(["u"]), pa.array(["video/webm"]),
+         pa.array([b"\x1aE\xdf\xa3 not a known container"], pa.binary())],
+        names=["asset_id", "mime", "payload"])
+    with pytest.raises(NotImplementedError):
+        stage(unk)
+    assert lenient(unk).column("ok").to_pylist() == [False]
 
     # truncated JPEG is now a CORRUPT file (the codec is real), not a gap
     bad_jpeg = pa.Table.from_arrays(
@@ -420,16 +431,16 @@ def test_media_resize_and_frame_sample(ray_session):
         synth_media_batch,
     )
 
+    from mdvalidate_ray.functions.media import mp4_demux
+
     tbl = synth_media_batch([f"asset-{i:04d}" for i in range(40)],
                             ["video/mp4"] * 40)
     resized = resize_media(ray.data.from_arrow(tbl), width=64,
                            height=64).take_all()
     assert len(resized) == 40
     for r in resized:
-        p = r["payload"]
-        assert p[:len(_MAGIC)] == _MAGIC
-        assert int.from_bytes(p[10:12], "big") == 64
-        assert int.from_bytes(p[12:14], "big") == 64
+        w, h, _fr = mp4_demux(r["payload"])   # real ISO-BMFF container
+        assert (w, h) == (64, 64)
 
     frames = sample_frames(resize_media(ray.data.from_arrow(tbl),
                                         width=64, height=64),
@@ -438,7 +449,7 @@ def test_media_resize_and_frame_sample(ray_session):
     by_asset = {}
     for f in frames:
         by_asset.setdefault(f["asset_id"], []).append(f["frame_index"])
-        assert len(f["frame"]) == _FRAME_BYTES
+        assert 40 <= len(f["frame"]) < 160    # synth sample-size range
     # strided, 0-based, even indices only
     for idxs in by_asset.values():
         assert sorted(idxs) == idxs
@@ -461,17 +472,30 @@ def test_media_resize_strict_raises_on_real_format(ray_session):
         ResizeStage,
     )
 
+    # truncated ftyp = corrupt container now that ISO-BMFF is real
     real = pa.Table.from_pylist(
         [{"asset_id": "a", "mime": "video/mp4",
           "payload": b"\x00\x00\x00\x18ftypmp42xxxx"}],
         schema=MEDIA_SCHEMA)
-    with _pt.raises(NotImplementedError):
+    with _pt.raises(ValueError):
         ResizeStage(32, 32)(real)
-    with _pt.raises(NotImplementedError):
+    with _pt.raises(ValueError):
         FrameSampleStage()(real)
     # non-strict: resize passes through, frame-sample skips
     assert ResizeStage(32, 32, strict=False)(real).num_rows == 1
     assert FrameSampleStage(strict=False)(real).num_rows == 0
+
+    # a genuinely unknown format stays the honest codec gap
+    unk = pa.Table.from_pylist(
+        [{"asset_id": "u", "mime": "video/webm",
+          "payload": b"\x1aE\xdf\xa3 matroska-ish bytes"}],
+        schema=MEDIA_SCHEMA)
+    with _pt.raises(NotImplementedError):
+        ResizeStage(32, 32)(unk)
+    with _pt.raises(NotImplementedError):
+        FrameSampleStage()(unk)
+    assert ResizeStage(32, 32, strict=False)(unk).num_rows == 1
+    assert FrameSampleStage(strict=False)(unk).num_rows == 0
 
 
 def test_connected_components_chain_transitivity(ray_session):
@@ -2164,3 +2188,77 @@ def test_greedy_coverage_empty_last_doc(ray_session):
         # docs 2 and 3 have no bigrams → never picked; 0 and 1 both
         # contribute one new bigram each after the first pick
         assert set(picked) == {0, 1}, (blocks, picked)
+
+
+def test_mp4_container_roundtrip_and_stages(ray_session):
+    """The ISO-BMFF layer is REAL: encode→demux returns the exact sample
+    payloads and declared dims for single- and multi-chunk layouts; the
+    decode / resize / frame-sample stages all ride the container."""
+    import ray.data
+
+    from mdvalidate_ray.functions.media import (DecodeStage,
+                                                FrameSampleStage,
+                                                ResizeStage, mp4_demux,
+                                                mp4_encode)
+
+    rng = np.random.default_rng(7)
+    frames = [rng.integers(0, 256, int(n), dtype=np.uint8).tobytes()
+              for n in rng.integers(40, 200, 7)]
+    for spc in (0, 2, 3, 7):        # one chunk, short last chunk, exact
+        payload = mp4_encode(frames, 33, 21, samples_per_chunk=spc)
+        w, h, got = mp4_demux(payload)
+        assert (w, h) == (33, 21)
+        assert got == frames, f"spc={spc}"
+
+    payload = mp4_encode(frames, 33, 21, samples_per_chunk=2)
+    tbl = pa.Table.from_arrays(
+        [pa.array(["v0"]), pa.array(["video/mp4"]),
+         pa.array([payload], pa.binary())],
+        names=["asset_id", "mime", "payload"])
+
+    dec = DecodeStage(strict=True)(tbl)
+    assert dec.column("width").to_pylist() == [33]
+    assert dec.column("height").to_pylist() == [21]
+    assert dec.column("ok").to_pylist() == [True]
+
+    # container-level resize rewrites dims, preserves every sample byte
+    res = ResizeStage(width=8, height=6, strict=True)(tbl)
+    w2, h2, got2 = mp4_demux(res.column("payload").to_pylist()[0])
+    assert (w2, h2) == (8, 6) and got2 == frames
+
+    fs = FrameSampleStage(stride=2, strict=True)(tbl)
+    assert fs.column("frame_index").to_pylist() == [0, 2, 4, 6]
+    assert fs.column("frame").to_pylist() == frames[::2]
+
+    # corrupt table: stco pointing past EOF must raise, not mis-slice
+    bad = bytearray(payload)
+    stco_at = payload.rfind(b"stco")
+    # first chunk offset field (version+flags 4B + count 4B after type)
+    struct_off = stco_at + 4 + 4 + 4
+    bad[struct_off:struct_off + 4] = (len(payload) + 100).to_bytes(4, "big")
+    with pytest.raises(ValueError):
+        mp4_demux(bytes(bad))
+
+
+def test_mp4_in_synth_batch_and_media_pipeline(ray_session):
+    """synth_media_batch emits real MP4 containers for video/mp4 and the
+    end-to-end decode pipeline reports their true declared dims."""
+    import ray.data
+
+    from mdvalidate_ray.functions.media import (decode_media, mp4_demux,
+                                                synth_media_batch)
+
+    ids = [f"vid-{i:03d}" for i in range(20)]
+    tbl = synth_media_batch(ids, ["video/mp4"] * 20)
+    # every payload is a real ISO-BMFF file (and deterministic)
+    tbl2 = synth_media_batch(ids, ["video/mp4"] * 20)
+    assert tbl.equals(tbl2)
+    seen_multi = 0
+    for p in tbl.column("payload").to_pylist():
+        assert p[4:8] == b"ftyp"
+        w, h, fr = mp4_demux(p)
+        assert 16 <= w < 64 and 16 <= h < 64 and 3 <= len(fr) < 9
+        if p.count(b"stsc") and len(fr) > 2:
+            seen_multi += 1
+    decoded = decode_media(ray.data.from_arrow(tbl), strict=True).take_all()
+    assert len(decoded) == 20 and all(r["ok"] for r in decoded)
