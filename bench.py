@@ -444,14 +444,38 @@ def main_scaling(pairs: "list[tuple[int, int]] | None" = None) -> dict:
     }
 
 
+def _persist_headline(obj: dict) -> None:
+    """Also write the parsed result object to a stable repo path —
+    BENCH_r{N}.json is captured from the log tail upstream and has been
+    truncated before (r3 lost the headline line); this file makes the
+    round-over-round table machine-readable regardless."""
+    path = os.environ.get("MDV_BENCH_HEADLINE",
+                          os.path.join(os.path.dirname(
+                              os.path.abspath(__file__)),
+                              "BENCH_HEADLINE_LATEST.json"))
+    try:
+        with open(path, "w") as f:
+            json.dump(obj, f, indent=1)
+    except OSError as exc:
+        log(f"headline persist failed: {exc!r}")
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         pairs = None
         if "--pair" in sys.argv:
             i = sys.argv.index("--pair")
             pairs = [(int(sys.argv[i + 1]), int(sys.argv[i + 2]))]
-        print(json.dumps(main_scaling(pairs)))
+        out = main_scaling(pairs)
+        os.environ.setdefault(
+            "MDV_BENCH_HEADLINE",
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "BENCH_SCALING_LATEST.json"))
+        _persist_headline(out)
+        print(json.dumps(out))
     elif "--headline-only" in sys.argv:
         print(json.dumps(main_single(include_queries=False)))
     else:
-        print(json.dumps(main_single()))
+        out = main_single()
+        _persist_headline(out)
+        print(json.dumps(out))
