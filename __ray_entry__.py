@@ -147,8 +147,9 @@ def _queries_raw() -> dict[str, Callable[[str], Any]]:
         "lev_pairs": Q.lev_pairs,
         "ngram_contamination": Q.ngram_contamination,
         "heavy_hitter_words": Q.heavy_hitter_words,
-        "qty_winsorized": Q.qty_winsorized,
+        "lineitem_zorder_pruned": Q.lineitem_zorder_pruned,
         # --- end of driver window (first 50) ---
+        "qty_winsorized": Q.qty_winsorized,
         "dangling_media": Q.dangling_media,
         "drift_by_lang": Q.drift_by_lang,
         "drift_tdigest": Q.drift_tdigest,
@@ -2385,6 +2386,14 @@ def oracle_sql() -> dict[str, str]:
                    min(b)::BIGINT AS min_b, max(b)::BIGINT AS max_b,
                    min(z)::BIGINT AS min_z, max(z)::BIGINT AS max_z
             FROM p GROUP BY pid ORDER BY pid
+        """,
+        "lineitem_zorder_pruned": """
+            SELECT (l_suppkey % 4)::BIGINT AS sgrp,
+                   count(*)::BIGINT AS n_rows,
+                   round(sum(l_quantity) * 100)::BIGINT AS sum_qty_c100
+            FROM lineitem
+            WHERE l_partkey BETWEEN 17 AND 60
+            GROUP BY 1 ORDER BY 1
         """,
         "join_size_probe": """
             WITH ca AS (SELECT l_orderkey AS k, count(*)::BIGINT AS c

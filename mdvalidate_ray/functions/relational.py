@@ -2480,6 +2480,126 @@ def zorder_partition_stats(ds, *, col_a: str, col_b: str,
         "max_z": pa.array(cols[6], pa.int64())})
 
 
+def write_zordered(ds, path: str, *, col_a: str, col_b: str,
+                   n_partitions: int = 8, **write_kwargs) -> str:
+    """Z-order WRITE layout — the write side of the lakehouse clustering
+    trick whose stats :func:`zorder_partition_stats` reports: every row
+    gets a Morton-curve range partition id (exact boundaries from
+    :func:`quantile_via_selection` over the interleaved z value) and the
+    table lands as one ``_zpid=K/`` parquet directory per partition, so
+    a later reader can prune whole files on a range predicate over
+    EITHER column (see :func:`read_parquet_pruned`).
+
+    Two corpus passes: one to find the z boundaries (selection needs
+    exact ranks), one to tag + write.  All original columns are kept;
+    only the int64 ``_zpid`` partition key is added.  Resumable like
+    every partitioned write here: a failed run can re-write per
+    ``_zpid=K/`` directory.
+
+    Reference parity: the reference has no storage-layout step (it
+    validates documents in place); this is one of the beyond-reference
+    scale operators (SURVEY §2 training-data additions).
+    """
+    import ray
+
+    def with_z_only(batch: pa.Table) -> pa.Table:
+        a = batch.column(col_a).to_numpy(
+            zero_copy_only=False).astype(np.int64) & np.int64(0xFFFF)
+        b = batch.column(col_b).to_numpy(
+            zero_copy_only=False).astype(np.int64) & np.int64(0xFFFF)
+        return pa.table({"z": zorder_values(a, b)})
+
+    zds = ds.select_columns([col_a, col_b]).map_batches(
+        with_z_only, batch_format="pyarrow", zero_copy_batch=True) \
+        .materialize()
+    qs = [i / n_partitions for i in range(1, n_partitions)]
+    bounds = np.asarray(
+        [v for v in quantile_via_selection(zds, "z", qs)
+         if v is not None], dtype=np.float64)
+    b_ref = ray.put(bounds)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        bd = ray.get(b_ref)
+        a = batch.column(col_a).to_numpy(
+            zero_copy_only=False).astype(np.int64) & np.int64(0xFFFF)
+        b = batch.column(col_b).to_numpy(
+            zero_copy_only=False).astype(np.int64) & np.int64(0xFFFF)
+        z = zorder_values(a, b).astype(np.float64)
+        pid = np.searchsorted(bd, z, side="left").astype(np.int64)
+        return batch.append_column("_zpid", pa.array(pid))
+
+    ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True) \
+        .write_parquet(path, partition_cols=["_zpid"], **write_kwargs)
+    return path
+
+
+def read_parquet_pruned(path: str, *, col: str, lo, hi,
+                        columns: "list[str] | None" = None):
+    """Envelope-pruned parquet read — the READ-side payoff of
+    :func:`write_zordered`: scan only parquet FOOTERS (a driver-side
+    metadata pass, the standard planner step — at 100 TB this file list
+    lives in a manifest/catalog table and the same overlap test runs as
+    a tiny metadata query instead), keep the files whose row-group
+    ``[min, max]`` statistics of ``col`` overlap ``[lo, hi]``, and read
+    ONLY those with :func:`ray.data.read_parquet`, applying the residual
+    row filter vectorized inside ``map_batches``.
+
+    Files without usable stats for ``col`` are kept (pruning must never
+    drop rows).  Returns ``(dataset, n_files_total, n_files_read)`` so
+    callers (and tests) can assert the prune actually happened.
+    """
+    import os
+
+    import pyarrow.parquet as pq
+    import ray.data
+
+    # Plain walk, NOT pyarrow dataset discovery: pads.dataset() silently
+    # drops any path component starting with "_" (treated as metadata,
+    # e.g. _metadata/_SUCCESS), which hides the hive "_zpid=K/" dirs
+    # write_zordered produces.
+    frag_files = sorted(
+        os.path.join(root, f)
+        for root, _dirs, files in os.walk(path)
+        for f in files if f.endswith(".parquet"))
+    kept = []
+    for f in frag_files:
+        md = pq.ParquetFile(f).metadata
+        overlap, saw_stats = False, False
+        for rg in range(md.num_row_groups):
+            row_group = md.row_group(rg)
+            for ci in range(row_group.num_columns):
+                c = row_group.column(ci)
+                if c.path_in_schema != col:
+                    continue
+                st = c.statistics
+                if st is None or not st.has_min_max:
+                    overlap = True      # unknown envelope: must keep
+                else:
+                    saw_stats = True
+                    if st.min <= hi and st.max >= lo:
+                        overlap = True
+                break
+            if overlap:
+                break
+        if overlap or not saw_stats:
+            kept.append(f)
+
+    read_paths = kept if kept else frag_files[:1]
+    drop_after = columns is not None and col not in columns
+    read_cols = ([*columns, col] if drop_after else columns)
+
+    def residual(batch: pa.Table) -> pa.Table:
+        v = batch.column(col)
+        mask = pc.and_(pc.greater_equal(v, lo), pc.less_equal(v, hi))
+        out = batch.filter(mask)
+        return out.drop_columns([col]) if drop_after else out
+
+    out = ray.data.read_parquet(read_paths, columns=read_cols) \
+        .map_batches(residual, batch_format="pyarrow",
+                     zero_copy_batch=True)
+    return out, len(frag_files), len(kept)
+
+
 def join_size_exact(ds_a, ds_b, *, key_a: str, key_b: str,
                     n_parts: int = 32) -> dict:
     """EXACT equi-join cardinality WITHOUT running the join:

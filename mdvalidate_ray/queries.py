@@ -4179,6 +4179,69 @@ def lineitem_zorder_stats(sf_dir: str):
                                   col_b="l_suppkey", n_partitions=8)
 
 
+def lineitem_zorder_pruned(sf_dir: str):
+    """READ-side payoff of the z-order layout: lay lineitem out as 16
+    Morton-range parquet partitions on (l_partkey, l_suppkey) in scratch,
+    then answer a narrow l_partkey range query by PRUNING whole files on
+    their footer min/max envelopes before any data is read — the
+    manifest-pruning step a 100-TB reader does against its catalog.  The
+    prune is asserted (fewer files read than written); the returned rows
+    are the surviving data aggregated per supplier group, so the oracle
+    verifies the pruned read loses nothing.  See
+    :func:`mdvalidate_ray.functions.relational.write_zordered` /
+    :func:`read_parquet_pruned`."""
+    import shutil
+    import tempfile
+
+    from mdvalidate_ray.functions.relational import (
+        read_parquet_pruned,
+        write_zordered,
+    )
+
+    lo, hi = 17, 60
+    li = _read(sf_dir, "lineitem").select_columns(
+        ["l_partkey", "l_suppkey", "l_quantity"])
+    scratch = tempfile.mkdtemp(prefix="mdv_zorder_", dir="/tmp")
+    try:
+        write_zordered(li, scratch, col_a="l_partkey", col_b="l_suppkey",
+                       n_partitions=16)
+        pruned, n_total, n_read = read_parquet_pruned(
+            scratch, col="l_partkey", lo=lo, hi=hi,
+            columns=["l_partkey", "l_suppkey", "l_quantity"])
+        if n_read >= n_total:
+            raise AssertionError(
+                f"z-order envelope prune ineffective: read {n_read} of "
+                f"{n_total} files for l_partkey in [{lo}, {hi}]")
+
+        def partial(b: pa.Table) -> pa.Table:
+            import numpy as np
+
+            sg = (b.column("l_suppkey").to_numpy(zero_copy_only=False)
+                  % 4).astype(np.int64)
+            q = b.column("l_quantity").to_numpy(zero_copy_only=False)
+            return pa.table({
+                "sgrp": pa.array(np.arange(4, dtype=np.int64)),
+                "n_p": pa.array(np.bincount(sg, minlength=4)
+                                .astype(np.int64)),
+                "qty_p": pa.array(np.bincount(sg, weights=q,
+                                              minlength=4))})
+
+        parts = pa.concat_tables(
+            pruned.map_batches(partial, batch_format="pyarrow",
+                               zero_copy_batch=True)
+            .iter_batches(batch_format="pyarrow", batch_size=None)) \
+            .to_pandas()
+        g = parts.groupby("sgrp", sort=True).sum().reset_index()
+        g = g[g["n_p"] > 0]
+        return pa.table({
+            "sgrp": pa.array(g["sgrp"].to_numpy(), pa.int64()),
+            "n_rows": pa.array(g["n_p"].to_numpy(), pa.int64()),
+            "sum_qty_c100": pa.array(
+                [int(round(v * 100)) for v in g["qty_p"]], pa.int64())})
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
 def join_size_probe(sf_dir: str):
     """Exact lineitem⋈orders cardinality + skew alarm WITHOUT running
     the join; see

@@ -978,6 +978,57 @@ def test_zorder_pruning_effectiveness(ray_session):
     assert hit <= 4, f"z-order envelopes too loose: {hit}/16 overlap"
 
 
+def test_zorder_write_then_pruned_read(ray_session, tmp_path):
+    """The read-side payoff: a z-ordered layout lets the reader PRUNE
+    whole parquet files on footer envelopes for a range predicate on
+    EITHER clustered column — fewer files actually read, zero rows lost
+    (result identical to a full scan + filter)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from mdvalidate_ray.functions.relational import (
+        read_parquet_pruned,
+        write_zordered,
+    )
+
+    rng = np.random.default_rng(31)
+    n = 20_000
+    x = rng.integers(0, 1000, n).astype(np.int64)
+    y = rng.integers(0, 1000, n).astype(np.int64)
+    v = rng.integers(0, 10**6, n).astype(np.int64)
+    ds = ray.data.from_arrow(pa.table({"x": x, "y": y, "v": v})) \
+        .repartition(8)
+    path = str(tmp_path / "zordered")
+    write_zordered(ds, path, col_a="x", col_b="y", n_partitions=16)
+
+    # prune on BOTH dimensions in turn — single-column sort can only
+    # serve one; Morton layout serves either
+    for col, arr in (("x", x), ("y", y)):
+        pruned, n_total, n_read = read_parquet_pruned(
+            path, col=col, lo=100, hi=199)
+        assert n_total >= 16
+        assert n_read < n_total, (
+            f"no files pruned on {col}: {n_read}/{n_total}")
+        got = pruned.to_pandas().sort_values(["x", "y", "v"]) \
+            .reset_index(drop=True)
+        mask = (arr >= 100) & (arr <= 199)
+        assert len(got) == int(mask.sum())
+        assert int(got["v"].sum()) == int(v[mask].sum())
+
+    # projection that excludes the predicate column still filters on it
+    pruned, _, _ = read_parquet_pruned(path, col="x", lo=100, hi=199,
+                                       columns=["v"])
+    t = pruned.to_pandas()
+    assert list(t.columns) == ["v"]
+    assert int(t["v"].sum()) == int(v[(x >= 100) & (x <= 199)].sum())
+
+    # empty-overlap predicate: nothing matches, reader still works
+    pruned, n_total, n_read = read_parquet_pruned(
+        path, col="x", lo=5000, hi=6000)
+    assert n_read == 0 and pruned.count() == 0
+
+
 def test_join_size_exact_matches_pandas(ray_session):
     """Exact join cardinality equals the actually-executed join size,
     including a hot key (skew alarm = its count product) and keys
