@@ -22,6 +22,14 @@ document fed as text chunks of any size:
   more input arrives (the reference's partial-prefix tolerance);
 * ``farthest_reached_pos`` is the span cursor after the last finalized
   block;
+* char-level partial tolerance INSIDE the open block (the reference's
+  pre-EOF compare, matchers.rs:176-203 / compare_text_contents.rs:88-105):
+  each ``feed`` runs an optimistic probe of the deferred blocks over a
+  provisional flatten of the tail — a matcher split mid-regex resolves
+  (capture exposed in the feed status) at the chunk boundary, a literal
+  whose available chars already diverge (and cannot be repaired by
+  appended input — inline-safe text only) fails DEFINITIVELY at the
+  boundary, and everything else waits;
 * ``finish()`` flattens the remaining tail, walks the remaining blocks,
   adds the end-of-document structural checks, and returns an
   :class:`~mdvalidate_ray.evaluate.evaluator.EvalResult` equal to the
@@ -52,6 +60,23 @@ from mdvalidate_ray.sources.markdown import (
 # not definitions): [label], [text][label]
 _REF_USE_RE = re.compile(r"!?\[([^\]]+)\](?:\[([^\]]*)\])?(?!\()")
 
+# Characters that can never OPEN an inline construct or escape one —
+# text made only of these evolves append-only under more input (no
+# retroactive re-flatten: '[x' -> link, '`x' -> code span, '*x*' ->
+# emphasis, '&amp;' -> entity, '<x>' -> autolink/HTML, '\\x' -> escape
+# are all excluded).  Used to decide when a char-level prefix
+# divergence inside the still-open block is PERMANENT.
+_INLINE_SAFE_RE = re.compile(r"^[^\[\]`*_~<>&\\!]*$")
+
+# violation kinds emitted only after the walker has committed to a
+# textual comparison (kind already matched) — candidates for the
+# char-level definitive test
+_CONTENT_KINDS = frozenset((
+    "content_mismatch_literal", "content_mismatch_prefix",
+    "content_mismatch_suffix", "content_mismatch_matcher"))
+_PREFIXY_KINDS = frozenset((
+    "content_mismatch_literal", "content_mismatch_prefix"))
+
 
 class StreamingUnsupported(RuntimeError):
     """A construct whose meaning depends on input that arrived after its
@@ -59,9 +84,11 @@ class StreamingUnsupported(RuntimeError):
 
 
 class StreamingDocValidator:
-    def __init__(self, schema_text: str, fail_fast: bool = False):
+    def __init__(self, schema_text: str, fail_fast: bool = False,
+                 optimistic: bool = True):
         self.schema = compile_schema(schema_text)
         self.fail_fast = fail_fast
+        self.optimistic = optimistic   # char-level probe at chunk bounds
         self.tail = ""                 # unstable text suffix
         self.spans: list = []          # stable span tuples (global offsets)
         self.block_index = 0           # next schema block to finalize
@@ -160,6 +187,68 @@ class StreamingDocValidator:
                 if self.fail_fast:
                     return
 
+    def _probe_open(self) -> "dict | None":
+        """Char-level partial tolerance at a chunk boundary — the
+        reference's pre-EOF compare (matchers.rs:176–203,
+        helpers/compare_text_contents.rs:88–105) lifted to the span
+        walk: optimistically flatten the UNSTABLE tail, walk the
+        deferred blocks on a scratch context, and classify each
+        violation as *recoverable* (more input could repair it — the
+        reference's "partial match is OK, wait") or *definitive* (no
+        appended input can: the available chars already diverge from a
+        literal/prefix expectation, exactly the reference's
+        ``schema_prefix_partial != input_prefix_str`` early error).
+
+        A probe with zero violations RESOLVES the open block at the
+        boundary — its optimistically-captured matcher values (the
+        reference's partial ``matcher.match_str`` capture) are exposed
+        in the returned status without being committed.
+
+        Soundness (finish() must stay byte-identical to batch):
+        nothing here mutates committed state; a *definitive* verdict
+        additionally requires the violating text to be inline-safe
+        (append-only under more input — ``[li`` may still become a
+        link, so it never early-fails) unless the span is already in
+        the finalized stable prefix, where text is immutable.
+        """
+        base = len(self.spans)
+        probe_spans = list(self.spans)
+        if self.tail:
+            try:
+                for s in markdown_to_spans(
+                        self.tail, _outer_linkdefs=dict(self.linkdefs)):
+                    probe_spans.append((s["kind"], s["text"],
+                                        s.get("media_ref"),
+                                        s.get("offset", 0) + base))
+            except Exception:
+                return None            # unparseable partial tail: wait
+        blocks = self.schema.blocks
+        ctx = _Ctx(spans=probe_spans)
+        ctx.pos = self.span_pos
+        ctx.captures = dict(self.captures)
+        for bi in range(self.block_index, len(blocks)):
+            _eval_blocks(ctx, [blocks[bi]], "", start=bi)
+            if ctx.violations or ctx.pos >= len(probe_spans):
+                break
+        early_fail = False
+        for v in ctx.violations:
+            kind, exp, act = v["kind"], v["expected"], v["actual"]
+            idx = v["span_index"]
+            if idx < base and kind in _CONTENT_KINDS:
+                # stable span: text immutable, comparison committed
+                early_fail = True
+                break
+            if (kind in _PREFIXY_KINDS
+                    and not exp.startswith(act)
+                    and _INLINE_SAFE_RE.match(act)):
+                # the chars we already have diverge (or overrun) the
+                # literal expectation and can only be appended to
+                early_fail = True
+                break
+        return {"resolved": not ctx.violations,
+                "early_fail": early_fail,
+                "captures": ctx.captures if not ctx.violations else {}}
+
     # ---- public surface --------------------------------------------------
 
     def feed(self, chunk: str) -> dict:
@@ -174,10 +263,18 @@ class StreamingDocValidator:
             self._flatten_stable(self.tail[:cut])
             self.tail = self.tail[cut:]
             self._advance(at_eof=False)
+        probe = None
+        if (self.optimistic and not self.failed
+                and self.block_index < len(self.schema.blocks)
+                and (self.tail or self.span_pos < len(self.spans))):
+            probe = self._probe_open()
+            if probe is not None and probe["early_fail"]:
+                self.failed = True
         return {"failed": self.failed,
                 "blocks_done": self.block_index,
                 "farthest_reached_pos": self.farthest_reached_pos,
-                "n_spans": len(self.spans)}
+                "n_spans": len(self.spans),
+                "probe": probe}
 
     def finish(self) -> EvalResult:
         """EOF: flatten the remaining tail, finalize every block, add the

@@ -131,3 +131,102 @@ def test_stream_single_feed_equals_batch():
                               compile_schema(SCHEMA))
         assert (got.passed, got.violations, got.captures) == \
             (want.passed, want.violations, want.captures)
+
+
+# ---------------------------------------------------------------------------
+# Char-level partial tolerance at chunk boundaries (the reference's pre-EOF
+# compare: matchers.rs:176-203, helpers/compare_text_contents.rs:88-105)
+# ---------------------------------------------------------------------------
+
+PARA_MATCHER = "`name:/[a-z ]+/`\n"
+PARA_LITERAL = "Hello world\n"
+
+
+def test_probe_resolves_matcher_mid_regex():
+    """A matcher split mid-regex RESOLVES optimistically at the chunk
+    boundary (capture exposed, nothing committed) instead of deferring
+    every signal to EOF."""
+    v = StreamingDocValidator(PARA_MATCHER)
+    st = v.feed("hel")                      # mid-word, no stable cut
+    assert st["probe"] is not None
+    assert st["probe"]["resolved"] is True
+    assert st["probe"]["captures"] == {"name": "hel"}
+    assert st["probe"]["early_fail"] is False
+    v.feed("lo world\n")
+    res = v.finish()
+    assert res.passed and res.captures == {"name": "hello world"}
+
+
+def test_probe_definitive_literal_divergence_fails_early():
+    """Chars already in hand diverge from the literal expectation ->
+    definitive failure AT the boundary; fail-fast stops reading the
+    stream before EOF."""
+    v = StreamingDocValidator(PARA_LITERAL, fail_fast=True)
+    st = v.feed("Hellx wo")
+    assert st["failed"] is True
+    assert st["probe"]["early_fail"] is True
+    # driver contract: stream truncated before the remaining chunks
+    chunks = ["Hellx wo", "rld\n", "never", "read"]
+    v2 = StreamingDocValidator(PARA_LITERAL, fail_fast=True)
+    consumed = 0
+    for c in chunks:
+        consumed += 1
+        if v2.feed(c)["failed"]:
+            break
+    assert consumed == 1
+    assert not v2.finish().passed
+
+
+def test_probe_prefix_compatible_waits():
+    """An in-prefix partial match is NOT an error before EOF (the
+    reference's 'partial match is OK')."""
+    v = StreamingDocValidator(PARA_LITERAL)
+    st = v.feed("Hello wo")
+    assert st["failed"] is False
+    assert st["probe"]["early_fail"] is False
+    v.feed("rld\n")
+    assert v.finish().passed
+
+
+def test_probe_overlong_literal_fails_early():
+    """Input already LONGER than the literal expectation is definitive
+    (compare_text_contents.rs:91-103 errors on over-long input)."""
+    v = StreamingDocValidator(PARA_LITERAL, fail_fast=True)
+    st = v.feed("Hello world and then some")
+    assert st["failed"] is True and st["probe"]["early_fail"] is True
+
+
+def test_probe_inline_ambiguous_never_early_fails():
+    """'a *bo' diverges char-wise from the flattened 'a bold c' but '*'
+    may still open an emphasis that repairs it -- must wait, and the
+    full stream must pass at every chunk size."""
+    schema = "a *bold* c\n"
+    doc = "a *bold* c\n"
+    v = StreamingDocValidator(schema)
+    st = v.feed("a *bo")
+    assert st["failed"] is False
+    assert st["probe"] is None or st["probe"]["early_fail"] is False
+    v.feed("ld* c\n")
+    assert v.finish().passed
+    for size in (1, 2, 3, 5, 100):
+        assert validate_text_stream(chunked(doc, size), schema).passed
+
+
+def test_probe_early_fail_only_on_batch_failures():
+    """Soundness sweep: an early_fail signal at ANY chunk size for ANY
+    corpus doc implies the batch verdict is a failure too."""
+    for doc in DOCS:
+        want = evaluate_spans(markdown_to_spans(doc),
+                              compile_schema(SCHEMA))
+        for size in (1, 3, 7, 16, 64):
+            v = StreamingDocValidator(SCHEMA)
+            saw_early = False
+            for c in chunked(doc, size):
+                st = v.feed(c)
+                if st["probe"] is not None and st["probe"]["early_fail"]:
+                    saw_early = True
+            res = v.finish()
+            assert (res.passed, res.violations, res.captures) == \
+                (want.passed, want.violations, want.captures), (size,)
+            if saw_early:
+                assert not want.passed, (size, doc[:30])
