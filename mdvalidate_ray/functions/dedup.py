@@ -219,23 +219,27 @@ class MinHashStage:
         return pa.Table.from_arrays(arrays, names=names)
 
 
+# param-keyed (keys repeat across queries, unlike ObjectRef-keyed
+# broadcast caches) but still bounded via the shared per-process LRU so
+# a long driver session sweeping many parameterizations can't leak
+# permutation tables
 _STAGE_CACHE: dict = {}
 
 
 def _minhash_stage_fn(batch: pa.Table, **params) -> pa.Table:
+    from mdvalidate_ray.state.proc_cache import get_or_build
+
     key = ("mh",) + tuple(sorted(params.items()))
-    stage = _STAGE_CACHE.get(key)
-    if stage is None:
-        stage = _STAGE_CACHE.setdefault(key, MinHashStage(**params))
-    return stage(batch)
+    return get_or_build(_STAGE_CACHE, key,
+                        lambda: MinHashStage(**params), keep=4)(batch)
 
 
 def _simhash_stage_fn(batch: pa.Table, **params) -> pa.Table:
+    from mdvalidate_ray.state.proc_cache import get_or_build
+
     key = ("sh",) + tuple(sorted(params.items()))
-    stage = _STAGE_CACHE.get(key)
-    if stage is None:
-        stage = _STAGE_CACHE.setdefault(key, SimHashStage(**params))
-    return stage(batch)
+    return get_or_build(_STAGE_CACHE, key,
+                        lambda: SimHashStage(**params), keep=4)(batch)
 
 
 def minhash_near_duplicates(ds, *, threshold: float = 0.8,

@@ -150,6 +150,40 @@ def test_io_lance_gated(tmp_path, ray_session):
             read_documents("/nonexistent/data.lance")
 
 
+def test_io_read_lance_path_executes_via_stub(tmp_path, ray_session,
+                                              monkeypatch):
+    """Execute the prod-named read path (read_documents('….lance') ->
+    ray.data.read_lance -> LanceDatasource fragment scan) end to end
+    with the API-compatible stub injected as the lance module: multiple
+    fragments become parallel read tasks, column projection flows
+    through scanner options, and the dataset handle round-trips through
+    worker pickling.  The Lance FORMAT itself is out of scope (see
+    sources/lance_stub.py docstring)."""
+    import sys
+
+    from mdvalidate_ray.sources import lance_stub
+    from mdvalidate_ray.sources.io import read_documents
+
+    monkeypatch.setitem(sys.modules, "lance", lance_stub)
+
+    uri = str(tmp_path / "docs.lance")
+    table = pa.table({
+        "doc_id": [f"d{i}" for i in range(1000)],
+        "n": np.arange(1000, dtype=np.int64),
+        "payload": ["x" * 10] * 1000,
+    })
+    lance_stub.write_dataset(table, uri, max_rows_per_file=250)
+
+    ds = read_documents(uri, columns=["doc_id", "n"])
+    got = ds.to_pandas().sort_values("n").reset_index(drop=True)
+    # projection applied to the actual blocks (the declared read-task
+    # schema is unprojected — a known TODO in Ray's LanceDatasource)
+    assert set(got.columns) == {"doc_id", "n"}
+    assert len(got) == 1000
+    assert got["doc_id"].tolist() == [f"d{i}" for i in range(1000)]
+    assert int(got["n"].sum()) == 499500
+
+
 def test_sliding_window_counts(ray_session):
     import datetime
 
