@@ -112,12 +112,12 @@ def _queries_raw() -> dict[str, Callable[[str], Any]]:
         "q19_bracket_revenue": Q.q19_bracket_revenue,
         "top_suppliers_per_nation": Q.top_suppliers_per_nation,
         "len_quantiles_by_source": Q.len_quantiles_by_source,
-        "sample_strata_counts": Q.sample_strata_counts,
         "stratified_fixed_k": Q.stratified_fixed_k,
         "user_running_total": Q.user_running_total,
         "length_ntile": Q.length_ntile,
         "doc_chunks": Q.doc_chunks,
-        "concat_chunk_manifest": Q.concat_chunk_manifest,
+        "pack_shards": Q.pack_shards,
+        "shuffle_head": Q.shuffle_head,
         "segment_dedup_docs": Q.segment_dedup_docs,
         "nation_segment_gap": Q.nation_segment_gap,
         "late_events": Q.late_events,
@@ -149,6 +149,8 @@ def _queries_raw() -> dict[str, Callable[[str], Any]]:
         "heavy_hitter_words": Q.heavy_hitter_words,
         "lineitem_zorder_pruned": Q.lineitem_zorder_pruned,
         # --- end of driver window (first 50) ---
+        "concat_chunk_manifest": Q.concat_chunk_manifest,
+        "sample_strata_counts": Q.sample_strata_counts,
         "qty_winsorized": Q.qty_winsorized,
         "dangling_media": Q.dangling_media,
         "drift_by_lang": Q.drift_by_lang,
@@ -2386,6 +2388,55 @@ def oracle_sql() -> dict[str, str]:
                    min(b)::BIGINT AS min_b, max(b)::BIGINT AS max_b,
                    min(z)::BIGINT AS min_z, max(z)::BIGINT AS max_z
             FROM p GROUP BY pid ORDER BY pid
+        """,
+        "pack_shards": """
+            WITH RECURSIVE
+            params AS (
+              SELECT min(doc_id) AS mn,
+                     ((max(doc_id) - min(doc_id) + 1 + 3) // 4)::BIGINT AS q
+              FROM documents
+            ),
+            d AS (
+              SELECT doc_id,
+                     len(string_split(coalesce(text, ''), ' '))::BIGINT AS n,
+                     ((doc_id - mn) // q)::BIGINT AS bucket
+              FROM documents, params
+            ),
+            c AS (
+              SELECT doc_id, n, bucket,
+                     sum(n) OVER (PARTITION BY bucket
+                                  ORDER BY doc_id)::BIGINT AS c
+              FROM d
+            ),
+            cuts(bucket, cut, bin) AS (
+              SELECT DISTINCT bucket, 0::BIGINT, -1::BIGINT FROM c
+              UNION ALL
+              SELECT cuts.bucket,
+                     coalesce((SELECT max(cc.c) FROM c cc
+                               WHERE cc.bucket = cuts.bucket
+                                 AND cc.c > cuts.cut
+                                 AND cc.c <= cuts.cut + 64),
+                              (SELECT min(cc.c) FROM c cc
+                               WHERE cc.bucket = cuts.bucket
+                                 AND cc.c > cuts.cut)),
+                     cuts.bin + 1
+              FROM cuts
+              WHERE cuts.cut < (SELECT max(cc.c) FROM c cc
+                                WHERE cc.bucket = cuts.bucket)
+            )
+            SELECT c.doc_id, c.n AS n_tokens, c.bucket,
+                   (SELECT min(k.bin) FROM cuts k
+                    WHERE k.bucket = c.bucket AND c.c <= k.cut)::BIGINT
+                       AS bin
+            FROM c ORDER BY c.doc_id
+        """,
+        "shuffle_head": """
+            SELECT row_number() OVER (
+                       ORDER BY md5_number_lower('shuf' || doc_id::VARCHAR),
+                                doc_id)::BIGINT AS rank,
+                   doc_id
+            FROM documents
+            ORDER BY rank LIMIT 20
         """,
         "lineitem_zorder_pruned": """
             SELECT (l_suppkey % 4)::BIGINT AS sgrp,

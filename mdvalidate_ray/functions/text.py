@@ -1232,3 +1232,25 @@ def winnow_fingerprint_stats(ds, *, key: str = "doc_id",
 
     return ds.select_columns([key, column]).map_batches(
         stats, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def deterministic_shuffle(ds, *, key: str = "doc_id", salt: str = "shuf"):
+    """Seeded, reproducible GLOBAL shuffle: range-partitioned SORT on
+    md5-lower-64 of ``salt || key`` (+ key tiebreak) — the 100-TB way to
+    randomize training order.  Unlike ``random_shuffle`` (RNG exchange,
+    different order every run) the permutation is a pure function of
+    (salt, key): stable under re-runs, repartitioning and cluster size,
+    resumable mid-epoch (the order is recomputable), and auditable
+    outside the engine (DuckDB: ``ORDER BY md5_number_lower(salt ||
+    key)``).  New epoch = new salt.  The sort is Ray's range-partitioned
+    exchange; the hash column is 8 bytes/row on the wire."""
+    from mdvalidate_ray.functions.dedup import _md5_token_hashes
+
+    def tag(b: pa.Table) -> pa.Table:
+        keys = [salt + str(v) for v in b.column(key).to_pylist()]
+        h = (_md5_token_hashes(keys) if keys
+             else np.array([], dtype=np.uint64))
+        return b.append_column("_shuf", pa.array(h, pa.uint64()))
+
+    return ds.map_batches(tag, batch_format="pyarrow",
+                          zero_copy_batch=True).sort(["_shuf", key])

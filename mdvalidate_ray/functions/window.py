@@ -881,3 +881,68 @@ def global_ordered_prefix_max(ds, *, key: str, value_col: str,
 
     return tagged.groupby("_bucket").map_groups(per_bucket,
                                                 batch_format="pyarrow")
+
+
+def pack_nextfit(ds, *, key: str, value_col: str, seq_len: int,
+                 n_parts: int = 32):
+    """Greedy NEXT-FIT whole-document sequence packing — the other half
+    of training-data packing next to the concat-and-chunk manifest
+    (:func:`global_ordered_prefix_sum`): documents stay WHOLE (SFT /
+    instruction tuning can't split a sample), bins are filled in key
+    order and closed when the next document would overflow ``seq_len``;
+    a single oversized document gets a bin of its own.
+
+    Distribution contract (the part a naive port gets wrong): next-fit
+    is inherently a sequential scan — a bin's contents depend on every
+    earlier document — so bins are packed WITHIN range buckets of the
+    key order and never cross bucket boundaries.  That is exactly how
+    production packing works (each shard packs independently; at most
+    ``n_parts - 1`` under-full boundary bins, amortized to nothing at
+    scale), and it makes every bucket's packing an independent
+    vectorized task instead of a driver-side scan.  Same range-bucket
+    rule and partitioning assumptions as
+    :func:`global_ordered_prefix_sum` (unique integer key, one bucket
+    per worker heap, dense-enough key range).
+
+    Per bucket the cut positions are found with a searchsorted loop
+    over the cumulative token counts — O(bins log docs), NOT a per-doc
+    Python loop.  Returns one row per document: ``(key, value_col,
+    bucket, bin)`` with ``bin`` local to its bucket (0-based), ties to
+    the SQL twin in queries.pack_bins' recursive-CTE oracle.
+    """
+    from ray.data.aggregate import Max, Min
+
+    narrow = ds.select_columns([key, value_col]).materialize()
+    mm = narrow.aggregate(Min(key), Max(key))
+    mn, mx = int(mm[f"min({key})"]), int(mm[f"max({key})"])
+    q = max(1, -(-(mx - mn + 1) // n_parts))
+
+    def tag(b: pa.Table) -> pa.Table:
+        k = b.column(key).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return b.append_column(
+            "bucket", pa.array((k - mn) // q, pa.int64()))
+
+    tagged = narrow.map_batches(tag, batch_format="pyarrow",
+                                zero_copy_batch=True)
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        s = g.take(pc.sort_indices(g, sort_keys=[(key, "ascending")]))
+        v = s.column(value_col).cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        c = np.cumsum(v)
+        n = len(v)
+        cuts = []                      # end index (exclusive) of each bin
+        i, consumed = 0, 0
+        while i < n:
+            j = int(np.searchsorted(c, consumed + seq_len, side="right"))
+            if j <= i:                 # oversized doc: bin of its own
+                j = i + 1
+            cuts.append(j)
+            consumed = int(c[j - 1])
+            i = j
+        sizes = np.diff(np.concatenate(([0], np.asarray(cuts))))
+        bins = np.repeat(np.arange(len(cuts), dtype=np.int64), sizes)
+        return s.append_column("bin", pa.array(bins, pa.int64()))
+
+    return tagged.groupby("bucket").map_groups(per_bucket,
+                                               batch_format="pyarrow")

@@ -6047,3 +6047,51 @@ def lang_confusion(sf_dir: str):
             names=["lang", "pred_lang", "n"])
 
     return counted.map_batches(finish, batch_format="pyarrow")
+
+
+def pack_shards(sf_dir: str):
+    """Greedy next-fit packing of the GLOBAL doc_id order into
+    shard-local bins (seq_len=64, 4 range buckets) — the epoch-sharding
+    variant next to :func:`pack_bins` (per-source first-fit) and
+    :func:`concat_chunk_manifest` (concat-and-chunk): documents stay
+    whole, bins close when the next doc would overflow, OVERSIZED docs
+    get solo bins, and bins never cross shard boundaries (the per-shard
+    packing contract; see
+    :func:`mdvalidate_ray.functions.window.pack_nextfit`).  Token count
+    = single-space split for integer-exact parity with the
+    recursive-CTE SQL twin."""
+    from mdvalidate_ray.functions.window import pack_nextfit
+
+    docs = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+
+    def ntok(b: pa.Table) -> pa.Table:
+        col = pc.fill_null(pc.cast(b.column("text"), pa.string()), "")
+        n = pc.add(pc.count_substring(col, " "), 1).cast(pa.int64())
+        return pa.Table.from_arrays(
+            [b.column("doc_id").cast(pa.int64()), n],
+            names=["doc_id", "n_tokens"])
+
+    counted = docs.map_batches(ntok, batch_format="pyarrow",
+                               zero_copy_batch=True)
+    return pack_nextfit(counted, key="doc_id", value_col="n_tokens",
+                        seq_len=64, n_parts=4)
+
+
+def shuffle_head(sf_dir: str):
+    """First 20 documents of the deterministic (seeded, reproducible)
+    global training-order shuffle — a range-partitioned sort on
+    md5-lower-64 of ``'shuf' || doc_id``, the resumable 100-TB
+    alternative to ``random_shuffle`` (see
+    :func:`mdvalidate_ray.functions.text.deterministic_shuffle`)."""
+    import numpy as np
+
+    from mdvalidate_ray.functions.text import deterministic_shuffle
+
+    docs = _read(sf_dir, "documents").select_columns(["doc_id"])
+    head = deterministic_shuffle(docs, key="doc_id", salt="shuf") \
+        .limit(20)
+    t = pa.concat_tables(
+        head.iter_batches(batch_format="pyarrow", batch_size=None))
+    return pa.table({
+        "rank": pa.array(np.arange(1, t.num_rows + 1, dtype=np.int64)),
+        "doc_id": t.column("doc_id").cast(pa.int64())})

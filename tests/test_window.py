@@ -757,3 +757,75 @@ def test_cdc_segment_dedup_matches_bruteforce(ray_session, blocks):
         for seg in shared:
             assert seg not in got.set_index("doc_id").loc[
                 20, "clean_text"].split("  ")  # sanity via brute map
+
+
+def test_pack_nextfit_invariants(ray_session):
+    """Greedy next-fit shard packing: every doc assigned exactly once,
+    multi-doc bins never exceed seq_len, oversized docs sit alone,
+    bins are contiguous in key order and never cross buckets, and the
+    assignment is invariant to input partitioning."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from mdvalidate_ray.functions.window import pack_nextfit
+
+    rng = np.random.default_rng(7)
+    n = 5_000
+    keys = np.arange(n, dtype=np.int64)
+    toks = rng.integers(1, 120, n).astype(np.int64)   # some > seq_len
+    seq_len = 100
+    t = pa.table({"k": keys, "n": toks})
+
+    outs = []
+    for parts in (2, 17):
+        ds = ray.data.from_arrow(t).repartition(parts)
+        out = pack_nextfit(ds, key="k", value_col="n",
+                           seq_len=seq_len, n_parts=8)
+        df = out.to_pandas().sort_values("k").reset_index(drop=True)
+        outs.append(df)
+    pd.testing.assert_frame_equal(outs[0], outs[1])   # partition-invariant
+
+    df = outs[0]
+    assert len(df) == n and df["k"].is_unique
+    g = df.groupby(["bucket", "bin"]).agg(
+        fill=("n", "sum"), cnt=("n", "size"),
+        kmin=("k", "min"), kmax=("k", "max"))
+    # capacity: over-full bins must be solo oversized docs
+    over = g[g["fill"] > seq_len]
+    assert (over["cnt"] == 1).all()
+    # bins are contiguous runs in key order within each bucket
+    for bucket, sub in df.groupby("bucket"):
+        sub = sub.sort_values("k")
+        b = sub["bin"].to_numpy()
+        assert (np.diff(b) >= 0).all() and b[0] == 0
+        # next-fit greediness: a bin closes only because the NEXT doc
+        # would overflow (or it holds an oversized doc)
+        fills = sub.groupby("bin")["n"].sum().to_numpy()
+        firsts = sub.groupby("bin")["n"].first().to_numpy()
+        for i in range(len(fills) - 1):
+            assert fills[i] + firsts[i + 1] > seq_len or fills[i] > seq_len
+
+
+def test_deterministic_shuffle_is_stable_permutation(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from mdvalidate_ray.functions.text import deterministic_shuffle
+
+    ids = np.arange(1000, dtype=np.int64)
+    t = pa.table({"doc_id": ids})
+    orders = []
+    for parts in (1, 13):
+        ds = ray.data.from_arrow(t).repartition(parts)
+        out = deterministic_shuffle(ds, key="doc_id", salt="s1")
+        orders.append(out.to_pandas()["doc_id"].tolist())
+    assert orders[0] == orders[1]                      # reproducible
+    assert sorted(orders[0]) == ids.tolist()           # a permutation
+    assert orders[0] != ids.tolist()                   # actually shuffled
+    other = deterministic_shuffle(
+        ray.data.from_arrow(t), key="doc_id", salt="s2") \
+        .to_pandas()["doc_id"].tolist()
+    assert other != orders[0]                          # new salt, new epoch
