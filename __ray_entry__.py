@@ -270,6 +270,9 @@ def _queries_raw() -> dict[str, Callable[[str], Any]]:
         "orders_union_by_name": Q.orders_union_by_name,
         "lineitem_zorder_stats": Q.lineitem_zorder_stats,
         "grouped_split_leakage": Q.grouped_split_leakage,
+        "l_diversity_violations": Q.l_diversity_violations,
+        "dsir_weights": Q.dsir_weights,
+        "lm_perplexity_buckets": Q.lm_perplexity_buckets,
     }
 
 
@@ -2781,5 +2784,85 @@ def oracle_sql() -> dict[str, str]:
             SELECT gram, count(*)::BIGINT AS df
             FROM grams GROUP BY gram
             HAVING count(*) >= 3
+        """,
+        "l_diversity_violations": """
+            SELECT lang, (n_chars // 500)::BIGINT AS len_bucket,
+                   count(DISTINCT source)::BIGINT AS n_sources,
+                   count(*)::BIGINT AS cnt
+            FROM documents
+            GROUP BY 1, 2
+            HAVING count(DISTINCT source) < 3
+        """,
+        "dsir_weights": """
+            WITH tok AS (
+                SELECT doc_id, lang, unnest(list_filter(
+                    string_split_regex(lower(trim(text)), '\\s+'),
+                    x -> x <> '')) AS w
+                FROM documents
+            ),
+            b AS (
+                SELECT doc_id,
+                       (md5_number_lower(w) % 4096)::BIGINT AS bucket,
+                       lang
+                FROM tok
+            ),
+            cnt AS (
+                SELECT bucket, count(*)::BIGINT AS c_raw,
+                       sum(CASE WHEN lang = 'en' THEN 1
+                                ELSE 0 END)::BIGINT AS c_tgt
+                FROM b GROUP BY 1
+            ),
+            tot AS (SELECT sum(c_raw)::BIGINT AS n_raw,
+                           sum(c_tgt)::BIGINT AS n_tgt FROM cnt),
+            lr AS (
+                SELECT bucket,
+                       CAST(floor(((ln(c_tgt + 1) - ln(n_tgt + 4096))
+                                   - (ln(c_raw + 1) - ln(n_raw + 4096)))
+                                  * 1000000 + 0.5) AS BIGINT) AS lr_e6
+                FROM cnt CROSS JOIN tot
+            )
+            SELECT b.doc_id, count(*)::BIGINT AS n_tokens,
+                   sum(lr.lr_e6)::BIGINT AS dsir_e6
+            FROM b JOIN lr USING (bucket)
+            GROUP BY 1
+        """,
+        "lm_perplexity_buckets": """
+            WITH t AS (
+                SELECT doc_id, unnest(l) AS w,
+                       generate_subscripts(l, 1) AS i
+                FROM (
+                    SELECT doc_id, list_filter(
+                        string_split_regex(lower(trim(text)), '\\s+'),
+                        x -> x <> '') AS l
+                    FROM documents
+                )
+            ),
+            v AS (SELECT count(DISTINCT w)::BIGINT AS v FROM t),
+            p AS (
+                SELECT doc_id, w AS a,
+                       lead(w) OVER (PARTITION BY doc_id
+                                     ORDER BY i) AS b
+                FROM t
+            ),
+            bi AS (SELECT a, b, count(*)::BIGINT AS c12
+                   FROM p WHERE b IS NOT NULL GROUP BY 1, 2),
+            ctx AS (SELECT a, sum(c12)::BIGINT AS c1 FROM bi GROUP BY 1),
+            lp AS (
+                SELECT bi.a, bi.b,
+                       CAST(floor((ln(bi.c12 + 1) - ln(ctx.c1 + v.v))
+                                  * 1000000 + 0.5) AS BIGINT) AS lp_e6
+                FROM bi JOIN ctx USING (a) CROSS JOIN v
+            ),
+            scored AS (
+                SELECT p.doc_id, count(*)::BIGINT AS n_bigrams,
+                       sum(-lp.lp_e6)::BIGINT AS nll_e6
+                FROM p JOIN lp ON p.a = lp.a AND p.b = lp.b
+                GROUP BY 1
+            )
+            SELECT doc_id, n_bigrams, nll_e6,
+                   CASE WHEN nll_e6 // n_bigrams < 6500000 THEN 'head'
+                        WHEN nll_e6 // n_bigrams < 7500000 THEN 'middle'
+                        ELSE 'tail' END AS ppl_bucket
+            FROM scored
         """,
     }

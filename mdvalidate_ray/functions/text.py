@@ -1234,6 +1234,262 @@ def winnow_fingerprint_stats(ds, *, key: str = "doc_id",
         stats, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _tokens_of(b: pa.Table, text_col: str):
+    """Shared tokenizer (lower → trim → split ``\\s+`` → drop empties) —
+    byte-identical to the oracle SQL's ``list_filter(string_split_regex(
+    lower(trim(text)), '\\s+'), x -> x <> '')``.  Returns (words Arrow
+    StringArray, parent row indices int64 numpy)."""
+    texts = pc.utf8_lower(pc.utf8_trim_whitespace(
+        pc.cast(b.column(text_col), pa.string())))
+    tokens = pc.split_pattern_regex(texts, r"\s+")
+    flat = (tokens.combine_chunks()
+            if isinstance(tokens, pa.ChunkedArray) else tokens)
+    words = flat.flatten()
+    parents = pc.list_parent_indices(flat)
+    keep = pc.not_equal(words, "")
+    words = words.filter(keep)
+    if isinstance(words, pa.ChunkedArray):
+        words = words.combine_chunks()
+    parents = np.asarray(parents.filter(keep)).astype(np.int64)
+    return words, parents
+
+
+def dsir_importance_weights(ds, *, id_col: str = "doc_id",
+                            text_col: str = "text",
+                            target_col: str = "lang",
+                            target_value: str = "en",
+                            n_buckets: int = 4096):
+    """DSIR data selection (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): per-document log
+    importance weight ``log p_target(x) − log p_raw(x)`` under hashed
+    bag-of-words unigram models — the published recipe for selecting
+    raw web data that "looks like" a target domain (here: the rows
+    whose ``target_col == target_value``).
+
+    Exactness contract: each bucket's log-ratio is quantized to int64
+    ONCE on the driver (``floor(lr·10⁶ + 0.5)``), so the per-document
+    score is an ORDER-FREE integer sum — no float association anywhere
+    in the distributed fold, and the DuckDB oracle reproduces it
+    bit-for-bit (token hashes are md5-lower-64, DuckDB's
+    ``md5_number_lower``).
+
+    Scale shape: pass 1 is a per-batch ``bincount`` combiner over the
+    FIXED n_buckets feature space (each batch ships ≤ n_buckets rows
+    regardless of token count) folded by one coarse-bucket group-sum;
+    the 2·n_buckets-int table reaches the driver (KBs), the quantized
+    log-ratio vector is broadcast once via ``ray.put``, and pass 2
+    scores each doc inside its own batch — no exchange at all.  Both
+    passes hash each UNIQUE token once per batch (hashlib md5 — the
+    oracle-reproducible mode; swap _md5_token_hashes for the vectorized
+    SipHash family when SQL parity is not needed).
+
+    Returns a Dataset (id_col, n_tokens, dsir_e6), one row per doc with
+    ≥1 token."""
+    import ray
+
+    from mdvalidate_ray.functions.dedup import _md5_token_hashes
+    from mdvalidate_ray.functions.relational import bucketed_group_sum
+
+    docs = ds.select_columns([id_col, text_col, target_col])
+    cnt_schema = pa.schema([("bucket", pa.int64()),
+                            ("c_raw", pa.int64()), ("c_tgt", pa.int64())])
+
+    def count_part(b: pa.Table) -> pa.Table:
+        words, parents = _tokens_of(b, text_col)
+        if len(words) == 0:
+            return cnt_schema.empty_table()
+        h = _md5_token_hashes(words.to_pylist())
+        buckets = (h % np.uint64(n_buckets)).astype(np.int64)
+        tgt = pc.fill_null(
+            pc.equal(pc.cast(b.column(target_col), pa.string()),
+                     target_value), False)
+        tgt_rows = np.asarray(tgt.combine_chunks()
+                              if isinstance(tgt, pa.ChunkedArray) else tgt)
+        c_raw = np.bincount(buckets, minlength=n_buckets)
+        c_tgt = np.bincount(buckets[tgt_rows[parents]],
+                            minlength=n_buckets)
+        nz = np.nonzero(c_raw)[0]
+        return pa.Table.from_arrays(
+            [pa.array(nz, pa.int64()),
+             pa.array(c_raw[nz], pa.int64()),
+             pa.array(c_tgt[nz], pa.int64())],
+            names=["bucket", "c_raw", "c_tgt"])
+
+    counts = bucketed_group_sum(
+        docs.map_batches(count_part, batch_format="pyarrow",
+                         zero_copy_batch=True),
+        key="bucket", sum_cols=["c_raw", "c_tgt"], n_parts=4)
+
+    c_raw = np.zeros(n_buckets, dtype=np.int64)
+    c_tgt = np.zeros(n_buckets, dtype=np.int64)
+    for blk in counts.iter_batches(batch_format="pyarrow"):
+        idx = np.asarray(blk.column("bucket"))
+        c_raw[idx] += np.asarray(blk.column("c_raw"))
+        c_tgt[idx] += np.asarray(blk.column("c_tgt"))
+    n_raw, n_tgt = int(c_raw.sum()), int(c_tgt.sum())
+    # per-bucket quantized log-ratio, smoothing add-1 over n_buckets —
+    # expression order mirrors the oracle SQL exactly (each ln is one
+    # libm call on a double; the subtractions are association-fixed)
+    lr = ((np.log(c_tgt + 1.0) - np.log(float(n_tgt + n_buckets)))
+          - (np.log(c_raw + 1.0) - np.log(float(n_raw + n_buckets))))
+    lr_e6 = np.floor(lr * 1_000_000.0 + 0.5).astype(np.int64)
+    lr_ref = ray.put(lr_e6)
+
+    out_schema = pa.schema([(id_col, pa.int64()),
+                            ("n_tokens", pa.int64()),
+                            ("dsir_e6", pa.int64())])
+
+    def score(b: pa.Table) -> pa.Table:
+        words, parents = _tokens_of(b, text_col)
+        if len(words) == 0:
+            return out_schema.empty_table()
+        table = ray.get(lr_ref)            # zero-copy plasma read
+        h = _md5_token_hashes(words.to_pylist())
+        buckets = (h % np.uint64(n_buckets)).astype(np.int64)
+        n_tok = np.bincount(parents, minlength=b.num_rows)
+        sums = np.bincount(parents, weights=table[buckets].astype(
+            np.float64), minlength=b.num_rows).astype(np.int64)
+        keep = n_tok > 0
+        ids = np.asarray(b.column(id_col).to_pandas(),
+                         dtype=np.int64)[keep]
+        return pa.Table.from_arrays(
+            [pa.array(ids), pa.array(n_tok[keep].astype(np.int64)),
+             pa.array(sums[keep])],
+            names=[id_col, "n_tokens", "dsir_e6"])
+
+    return docs.map_batches(score, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+
+def lm_bigram_nll(ds, *, id_col: str = "doc_id", text_col: str = "text",
+                  head_lt_e6: int = 6_500_000,
+                  tail_ge_e6: int = 7_500_000):
+    """CCNet-style LM quality scoring (Wenzek et al. 2020): per-document
+    negative log-likelihood under an add-1-smoothed word-BIGRAM model
+    trained on the corpus itself, bucketed head/middle/tail by fixed
+    avg-NLL thresholds — the perplexity filter web-scale curation runs
+    to rank raw text by "how much does this look like language".
+
+    Exactness contract: each bigram's conditional log-prob
+    ``ln((c₁₂+1)/(c₁+V))`` (c₁ = occurrences of w₁ as a bigram context,
+    V = distinct-unigram vocabulary) is quantized to int64 ONCE on the
+    driver, so per-doc NLL is an order-free integer sum the DuckDB
+    oracle reproduces bit-for-bit.  Because scoring and training use the
+    same corpus, every scored bigram exists in the table (held-out
+    scoring would add the unseen-bigram backoff ``1/(c₁+V)``).
+
+    Scale shape: one bigram count fold (per-batch ``value_counts``
+    combiner → coarse bucketed group-sum — a hot bigram is ONE row per
+    batch in the exchange) plus one distinct-unigram count; the bigram
+    vocabulary table reaches the driver and is broadcast once via
+    ``ray.put`` (bounded by observed-bigram vocab ≪ corpus — hash-bucket
+    the probe join instead if the vocabulary ever outgrows a broadcast,
+    the tfidf df-side pattern); pass 2 scores each doc inside its own
+    batch via one sorted ``searchsorted`` probe — no exchange.
+
+    Returns a Dataset (id_col, n_bigrams, nll_e6, ppl_bucket), one row
+    per doc with ≥1 bigram."""
+    import ray
+
+    from mdvalidate_ray.functions.relational import bucketed_group_sum
+
+    docs = ds.select_columns([id_col, text_col])
+    pair_schema = pa.schema([("g", pa.string()), ("cnt", pa.int64())])
+
+    def bigrams_of(b: pa.Table):
+        words, parents = _tokens_of(b, text_col)
+        if len(words) < 2:
+            return None, None
+        same = parents[1:] == parents[:-1]
+        left = words.slice(0, len(words) - 1).filter(pa.array(same))
+        right = words.slice(1).filter(pa.array(same))
+        if len(left) == 0:
+            return None, None
+        return (pc.binary_join_element_wise(left, right, " "),
+                parents[:-1][same])
+
+    def bi_part(b: pa.Table) -> pa.Table:
+        grams, _ = bigrams_of(b)
+        if grams is None:
+            return pair_schema.empty_table()
+        vc = grams.value_counts()
+        return pa.Table.from_arrays(
+            [vc.field("values"), vc.field("counts").cast(pa.int64())],
+            names=["g", "cnt"])
+
+    def uni_part(b: pa.Table) -> pa.Table:
+        words, _ = _tokens_of(b, text_col)
+        if len(words) == 0:
+            return pair_schema.empty_table()
+        u = words.unique()
+        return pa.Table.from_arrays(
+            [u, pa.array(np.ones(len(u), dtype=np.int64))],
+            names=["g", "cnt"])
+
+    vocab = bucketed_group_sum(
+        docs.map_batches(uni_part, batch_format="pyarrow",
+                         zero_copy_batch=True),
+        key="g", sum_cols=["cnt"], n_parts=8)
+    V = vocab.count()
+
+    bi = bucketed_group_sum(
+        docs.map_batches(bi_part, batch_format="pyarrow",
+                         zero_copy_batch=True),
+        key="g", sum_cols=["cnt"], n_parts=8)
+
+    keys: list[str] = []
+    c12s: list[int] = []
+    for blk in bi.iter_batches(batch_format="pyarrow"):
+        keys.extend(blk.column("g").to_pylist())
+        c12s.extend(blk.column("cnt").to_pylist())
+    out_schema = pa.schema([(id_col, pa.int64()),
+                            ("n_bigrams", pa.int64()),
+                            ("nll_e6", pa.int64()),
+                            ("ppl_bucket", pa.string())])
+    if not keys:
+        return docs.map_batches(
+            lambda b: out_schema.empty_table(), batch_format="pyarrow")
+
+    karr = np.asarray(keys, dtype=object)
+    order = np.argsort(karr)
+    karr = karr[order]
+    c12 = np.asarray(c12s, dtype=np.int64)[order]
+    # context counts: c1(w1) = Σ over bigrams starting with w1 — the
+    # bigram vocab is already on the driver, so this is a local fold
+    w1 = np.asarray([g.split(" ", 1)[0] for g in karr], dtype=object)
+    uniq_w1, inv = np.unique(w1, return_inverse=True)
+    c1 = np.bincount(inv, weights=c12.astype(np.float64)) \
+        .astype(np.int64)[inv]
+    lp = np.log(c12 + 1.0) - np.log(c1.astype(np.float64) + float(V))
+    lp_e6 = np.floor(lp * 1_000_000.0 + 0.5).astype(np.int64)
+    tbl_ref = ray.put((karr, lp_e6))
+
+    def score(b: pa.Table) -> pa.Table:
+        grams, gparents = bigrams_of(b)
+        if grams is None:
+            return out_schema.empty_table()
+        kv, lpv = ray.get(tbl_ref)         # zero-copy plasma read
+        gs = np.asarray(grams.to_pylist(), dtype=object)
+        pos = np.searchsorted(kv, gs)      # always hits: self-scoring
+        nll = np.bincount(gparents, weights=-lpv[pos].astype(np.float64),
+                          minlength=b.num_rows).astype(np.int64)
+        n_bi = np.bincount(gparents, minlength=b.num_rows)
+        keep = n_bi > 0
+        ids = np.asarray(b.column(id_col).to_pandas(),
+                         dtype=np.int64)[keep]
+        avg = nll[keep] // n_bi[keep]
+        bucket = np.where(avg < head_lt_e6, "head",
+                          np.where(avg < tail_ge_e6, "middle", "tail"))
+        return pa.Table.from_arrays(
+            [pa.array(ids), pa.array(n_bi[keep].astype(np.int64)),
+             pa.array(nll[keep]),
+             pa.array(bucket.astype(object), pa.string())],
+            names=[id_col, "n_bigrams", "nll_e6", "ppl_bucket"])
+
+    return docs.map_batches(score, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+
 def deterministic_shuffle(ds, *, key: str = "doc_id", salt: str = "shuf"):
     """Seeded, reproducible GLOBAL shuffle: range-partitioned SORT on
     md5-lower-64 of ``salt || key`` (+ key tiebreak) — the 100-TB way to

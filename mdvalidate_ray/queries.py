@@ -6095,3 +6095,103 @@ def shuffle_head(sf_dir: str):
     return pa.table({
         "rank": pa.array(np.arange(1, t.num_rows + 1, dtype=np.int64)),
         "doc_id": t.column("doc_id").cast(pa.int64())})
+
+
+def l_diversity_violations(sf_dir: str):
+    """Data-governance l-diversity audit (Machanavajjhala et al. 2007):
+    quasi-identifier groups (lang, length-bucket) whose SENSITIVE
+    attribute (source) takes fewer than l=3 distinct values — such
+    groups leak the sensitive value even when k-anonymous.  Two
+    skew-proof coarse-bucket folds: per-batch distinct
+    (QI, sensitive) pair counts → exact pair table → per-QI distinct
+    count + member count; integer counts keep the audit hash-exact."""
+    import numpy as np
+
+    from mdvalidate_ray.functions.relational import bucketed_group_sum
+
+    docs = _read(sf_dir, "documents").select_columns(
+        ["lang", "source", "n_chars"])
+    SEP = "\x1f"
+
+    def pairs(b: pa.Table) -> pa.Table:
+        lb = pc.divide(b.column("n_chars"), 500).cast(pa.int64())
+        key = pc.binary_join_element_wise(
+            pc.cast(b.column("lang"), pa.string()),
+            pc.cast(lb, pa.string()),
+            pc.cast(b.column("source"), pa.string()), SEP)
+        if isinstance(key, pa.ChunkedArray):
+            key = key.combine_chunks()
+        vc = key.value_counts()
+        return pa.Table.from_arrays(
+            [vc.field("values"), vc.field("counts").cast(pa.int64())],
+            names=["k3", "_c"])
+
+    pair_tbl = bucketed_group_sum(
+        docs.map_batches(pairs, batch_format="pyarrow",
+                         zero_copy_batch=True),
+        key="k3", sum_cols=["_c"], n_parts=8)
+
+    def to_qi(b: pa.Table) -> pa.Table:
+        parts = pc.split_pattern(b.column("k3"), SEP)
+        qi = pc.binary_join_element_wise(
+            pc.list_element(parts, 0),
+            pc.cast(pc.list_element(parts, 1), pa.string()), SEP)
+        return pa.Table.from_arrays(
+            [qi, pa.array(np.ones(b.num_rows, dtype=np.int64)),
+             b.column("_c").cast(pa.int64())],
+            names=["qi", "_d", "_c"])
+
+    grouped = bucketed_group_sum(
+        pair_tbl.map_batches(to_qi, batch_format="pyarrow",
+                             zero_copy_batch=True),
+        key="qi", sum_cols=["_d", "_c"], n_parts=8)
+
+    out_schema = pa.schema([("lang", pa.string()),
+                            ("len_bucket", pa.int64()),
+                            ("n_sources", pa.int64()),
+                            ("cnt", pa.int64())])
+
+    def finish(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.less(b.column("_d"), 3))
+        if b.num_rows == 0:
+            return out_schema.empty_table()
+        parts = pc.split_pattern(b.column("qi"), SEP)
+        return pa.Table.from_arrays(
+            [pc.list_element(parts, 0).cast(pa.string()),
+             pc.cast(pc.list_element(parts, 1), pa.int64()),
+             b.column("_d").cast(pa.int64()),
+             b.column("_c").cast(pa.int64())],
+            names=["lang", "len_bucket", "n_sources", "cnt"])
+
+    res = grouped.map_batches(finish, batch_format="pyarrow")
+    # violations are O(QI groups) — collect into ONE schema-stable table
+    # (an all-empty Dataset loses its schema: empty coarse buckets emit
+    # schema-less blocks out of the groupby)
+    blocks = [blk.select(out_schema.names).cast(out_schema)
+              for blk in res.iter_batches(batch_format="pyarrow")
+              if blk.num_rows]
+    return pa.concat_tables([out_schema.empty_table()] + blocks)
+
+
+def dsir_weights(sf_dir: str):
+    """Per-document DSIR importance weight toward the lang='en' target
+    slice (hashed unigram models, 4096 buckets) — the published
+    data-selection score for "pick raw docs that look like the target
+    domain"; see
+    :func:`mdvalidate_ray.functions.text.dsir_importance_weights`."""
+    from mdvalidate_ray.functions.text import dsir_importance_weights
+
+    return dsir_importance_weights(
+        _read(sf_dir, "documents"), id_col="doc_id", text_col="text",
+        target_col="lang", target_value="en", n_buckets=4096)
+
+
+def lm_perplexity_buckets(sf_dir: str):
+    """CCNet-style perplexity filter: per-document NLL under the
+    corpus-trained add-1 word-bigram LM, bucketed head/middle/tail by
+    fixed avg-NLL thresholds; see
+    :func:`mdvalidate_ray.functions.text.lm_bigram_nll`."""
+    from mdvalidate_ray.functions.text import lm_bigram_nll
+
+    return lm_bigram_nll(_read(sf_dir, "documents"),
+                         id_col="doc_id", text_col="text")

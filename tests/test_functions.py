@@ -2262,3 +2262,86 @@ def test_mp4_in_synth_batch_and_media_pipeline(ray_session):
             seen_multi += 1
     decoded = decode_media(ray.data.from_arrow(tbl), strict=True).take_all()
     assert len(decoded) == 20 and all(r["ok"] for r in decoded)
+
+
+def test_dsir_weights_edge_docs_and_sign(ray_session):
+    """DSIR: empty/whitespace docs are dropped; target-typical tokens
+    score higher than off-target tokens; per-doc sum is exact."""
+    import numpy as np
+    import ray
+
+    from mdvalidate_ray.functions.text import dsir_importance_weights
+
+    tbl = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3, 4], pa.int64()),
+        "text": ["aa aa bb", "zz zz zz", "", "   ", "aa"],
+        "lang": ["en", "fr", "en", "fr", "en"],
+    })
+    out = dsir_importance_weights(
+        ray.data.from_arrow(tbl), id_col="doc_id", text_col="text",
+        target_col="lang", target_value="en", n_buckets=64).to_pandas()
+    out = out.set_index("doc_id").sort_index()
+    # docs 2 and 3 have no tokens -> dropped
+    assert list(out.index) == [0, 1, 4]
+    assert out.loc[0, "n_tokens"] == 3
+    assert out.loc[4, "n_tokens"] == 1
+    # 'aa'/'bb' occur mostly in-target, 'zz' only off-target: the pure
+    # off-target doc must score strictly lower per token
+    per_tok_0 = out.loc[0, "dsir_e6"] / out.loc[0, "n_tokens"]
+    per_tok_1 = out.loc[1, "dsir_e6"] / out.loc[1, "n_tokens"]
+    assert per_tok_1 < per_tok_0
+    # exactness: recompute doc 4 (single 'aa' token) by hand
+    from mdvalidate_ray.functions.dedup import _md5_token_hashes
+    toks = ["aa", "aa", "bb", "zz", "zz", "zz", "aa"]
+    tgt = [1, 1, 1, 0, 0, 0, 1]
+    bk = (_md5_token_hashes(toks) % np.uint64(64)).astype(np.int64)
+    c_raw = np.bincount(bk, minlength=64)
+    c_tgt = np.bincount(bk[np.asarray(tgt, bool)], minlength=64)
+    lr = ((np.log(c_tgt + 1.0) - np.log(float(c_tgt.sum() + 64)))
+          - (np.log(c_raw + 1.0) - np.log(float(c_raw.sum() + 64))))
+    lr_e6 = np.floor(lr * 1e6 + 0.5).astype(np.int64)
+    b_aa = int((_md5_token_hashes(["aa"]) % np.uint64(64))[0])
+    assert out.loc[4, "dsir_e6"] == lr_e6[b_aa]
+
+
+def test_lm_bigram_nll_matches_naive(ray_session):
+    """Bigram-LM NLL: single-token and empty docs are dropped; the
+    distributed score equals a naive in-memory add-1 bigram model."""
+    import math
+
+    import numpy as np
+    import ray
+
+    from mdvalidate_ray.functions.text import lm_bigram_nll
+
+    texts = ["the cat sat", "the cat ran", "cat", "", "the the the"]
+    tbl = pa.table({
+        "doc_id": pa.array(list(range(len(texts))), pa.int64()),
+        "text": texts,
+    })
+    out = lm_bigram_nll(ray.data.from_arrow(tbl), id_col="doc_id",
+                        text_col="text").to_pandas()
+    out = out.set_index("doc_id").sort_index()
+    assert list(out.index) == [0, 1, 4]          # docs 2/3 dropped
+
+    # naive model
+    toks = [t.split() for t in texts]
+    bigrams: dict = {}
+    vocab = set()
+    for ws in toks:
+        vocab.update(ws)
+        for a, b in zip(ws, ws[1:]):
+            bigrams[(a, b)] = bigrams.get((a, b), 0) + 1
+    ctx: dict = {}
+    for (a, _), c in bigrams.items():
+        ctx[a] = ctx.get(a, 0) + c
+    V = len(vocab)
+    for i, ws in enumerate(toks):
+        if len(ws) < 2:
+            continue
+        nll = 0
+        for a, b in zip(ws, ws[1:]):
+            lp = math.log(bigrams[(a, b)] + 1.0) - math.log(ctx[a] + V)
+            nll -= int(np.floor(lp * 1e6 + 0.5))
+        assert out.loc[i, "nll_e6"] == nll, i
+        assert out.loc[i, "n_bigrams"] == len(ws) - 1
