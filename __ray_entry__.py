@@ -114,8 +114,9 @@ def _queries_raw() -> dict[str, Callable[[str], Any]]:
         "len_quantiles_by_source": Q.len_quantiles_by_source,
         "stratified_fixed_k": Q.stratified_fixed_k,
         "user_running_total": Q.user_running_total,
-        "length_ntile": Q.length_ntile,
-        "doc_chunks": Q.doc_chunks,
+        "l_diversity_violations": Q.l_diversity_violations,
+        "dsir_weights": Q.dsir_weights,
+        "lm_perplexity_buckets": Q.lm_perplexity_buckets,
         "pack_shards": Q.pack_shards,
         "shuffle_head": Q.shuffle_head,
         "segment_dedup_docs": Q.segment_dedup_docs,
@@ -139,7 +140,6 @@ def _queries_raw() -> dict[str, Callable[[str], Any]]:
         "label_auc": Q.label_auc,
         "calibration_bins": Q.calibration_bins,
         "parity_rates": Q.parity_rates,
-        "user_value_deltas": Q.user_value_deltas,
         "price_quantiles": Q.price_quantiles,
         "orders_snapshot_diff": Q.orders_snapshot_diff,
         "incremental_revalidation": Q.incremental_revalidation,
@@ -270,9 +270,9 @@ def _queries_raw() -> dict[str, Callable[[str], Any]]:
         "orders_union_by_name": Q.orders_union_by_name,
         "lineitem_zorder_stats": Q.lineitem_zorder_stats,
         "grouped_split_leakage": Q.grouped_split_leakage,
-        "l_diversity_violations": Q.l_diversity_violations,
-        "dsir_weights": Q.dsir_weights,
-        "lm_perplexity_buckets": Q.lm_perplexity_buckets,
+        "length_ntile": Q.length_ntile,
+        "doc_chunks": Q.doc_chunks,
+        "user_value_deltas": Q.user_value_deltas,
     }
 
 
