@@ -117,8 +117,8 @@ def _queries_raw() -> dict[str, Callable[[str], Any]]:
         "l_diversity_violations": Q.l_diversity_violations,
         "dsir_weights": Q.dsir_weights,
         "lm_perplexity_buckets": Q.lm_perplexity_buckets,
+        "gopher_quality_flags": Q.gopher_quality_flags,
         "pack_shards": Q.pack_shards,
-        "shuffle_head": Q.shuffle_head,
         "segment_dedup_docs": Q.segment_dedup_docs,
         "nation_segment_gap": Q.nation_segment_gap,
         "late_events": Q.late_events,
@@ -273,6 +273,7 @@ def _queries_raw() -> dict[str, Callable[[str], Any]]:
         "length_ntile": Q.length_ntile,
         "doc_chunks": Q.doc_chunks,
         "user_value_deltas": Q.user_value_deltas,
+        "shuffle_head": Q.shuffle_head,
     }
 
 
@@ -2784,6 +2785,60 @@ def oracle_sql() -> dict[str, str]:
             SELECT gram, count(*)::BIGINT AS df
             FROM grams GROUP BY gram
             HAVING count(*) >= 3
+        """,
+        "gopher_quality_flags": """
+            WITH w AS (
+                SELECT doc_id, coalesce(text, '') AS t,
+                       list_filter(string_split_regex(
+                           trim(coalesce(text, '')), '\\s+'),
+                           x -> x <> '') AS words,
+                       string_split(coalesce(text, ''), chr(10)) AS lines
+                FROM documents
+            ),
+            m AS (
+                SELECT doc_id,
+                       len(words)::BIGINT AS n_words,
+                       coalesce(list_aggregate(list_transform(words,
+                           x -> length(x)), 'sum'), 0)::BIGINT
+                           AS tot_wchars,
+                       len(list_filter(words, x ->
+                           regexp_matches(x, '[a-zA-Z]')))::BIGINT
+                           AS n_alpha,
+                       ((length(t) - length(replace(t, '#', '')))
+                        + (length(t) - length(replace(t, '…', '')))
+                        + ((length(t) - length(replace(t, '...', '')))
+                           // 3))::BIGINT AS n_sym,
+                       len(lines)::BIGINT AS n_lines,
+                       len(list_filter(lines, x ->
+                           starts_with(x, '- ') OR starts_with(x, '* ')
+                           OR starts_with(x, '• ')))::BIGINT AS n_bullet,
+                       len(list_filter(lines, x ->
+                           right(x, 3) = '...'
+                           OR right(x, 1) = '…'))::BIGINT AS n_ell,
+                       len(list_distinct(list_filter(
+                           list_transform(words, x -> lower(x)),
+                           x -> x IN ('the','be','to','of','and','that',
+                                      'have','with'))))::BIGINT AS n_stop
+                FROM w
+            )
+            SELECT doc_id, n_words,
+                   (n_words >= 50 AND n_words <= 100000) AS r_wordcount,
+                   (3 * n_words <= tot_wchars
+                    AND tot_wchars <= 10 * n_words) AS r_meanlen,
+                   (10 * n_sym <= n_words) AS r_symbol,
+                   (10 * n_bullet <= 9 * n_lines) AS r_bullet,
+                   (10 * n_ell <= 3 * n_lines) AS r_ellipsis,
+                   (5 * n_alpha >= 4 * n_words) AS r_alpha,
+                   (n_stop >= 2) AS r_stop,
+                   ((n_words >= 50 AND n_words <= 100000)
+                    AND (3 * n_words <= tot_wchars
+                         AND tot_wchars <= 10 * n_words)
+                    AND (10 * n_sym <= n_words)
+                    AND (10 * n_bullet <= 9 * n_lines)
+                    AND (10 * n_ell <= 3 * n_lines)
+                    AND (5 * n_alpha >= 4 * n_words)
+                    AND (n_stop >= 2)) AS gopher_pass
+            FROM m
         """,
         "l_diversity_violations": """
             SELECT lang, (n_chars // 500)::BIGINT AS len_bucket,

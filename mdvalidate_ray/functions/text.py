@@ -1490,6 +1490,108 @@ def lm_bigram_nll(ds, *, id_col: str = "doc_id", text_col: str = "text",
                             zero_copy_batch=True)
 
 
+_GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have",
+                     "with")
+
+
+def gopher_quality_flags(ds, *, id_col: str = "doc_id",
+                         text_col: str = "text"):
+    """The Gopher quality-rule bundle (Rae et al. 2021 §A1.1, the
+    heuristics RedPajama/Dolma ship as "quality signals"): per-document
+    boolean flags for the seven classic repetition-free rules, plus
+    their conjunction — the cheap pre-filter a web-scale pipeline runs
+    before any model-based scoring.
+
+    All rules are INTEGER comparisons (``10·n_sym ≤ n_words``, never a
+    float ratio), so the DuckDB oracle reproduces the flags
+    bit-for-bit:
+
+    * ``r_wordcount`` — 50 ≤ n_words ≤ 100 000;
+    * ``r_meanlen`` — 3 ≤ mean word length ≤ 10;
+    * ``r_symbol`` — (# + ellipsis) ≤ 0.1·n_words;
+    * ``r_bullet`` — ≤ 90% of lines start with a bullet;
+    * ``r_ellipsis`` — ≤ 30% of lines end with an ellipsis;
+    * ``r_alpha`` — ≥ 80% of words contain an alphabetic char;
+    * ``r_stop`` — ≥ 2 distinct Gopher stop words present;
+    * ``gopher_pass`` — the conjunction.
+
+    Scale shape: one vectorized Arrow pass per batch (split / regex /
+    bincount kernels), zero exchange — every doc is scored inside its
+    own block."""
+    docs = ds.select_columns([id_col, text_col])
+
+    def flags(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        texts = pc.fill_null(pc.cast(b.column(text_col), pa.string()), "")
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+
+        # words (whitespace split, empties dropped — mirrors the SQL)
+        toks = pc.split_pattern_regex(pc.utf8_trim_whitespace(texts),
+                                      r"\s+")
+        words = toks.flatten()
+        wpar = np.asarray(pc.list_parent_indices(toks)).astype(np.int64)
+        keep = np.asarray(pc.not_equal(words, ""))
+        words = words.filter(pa.array(keep))
+        wpar = wpar[keep]
+        n_words = np.bincount(wpar, minlength=n)
+        wlen = np.asarray(pc.utf8_length(words)).astype(np.int64)
+        tot_wchars = np.bincount(wpar, weights=wlen.astype(np.float64),
+                                 minlength=n).astype(np.int64)
+        alpha = np.asarray(pc.match_substring_regex(words, "[a-zA-Z]"))
+        n_alpha = np.bincount(wpar[alpha], minlength=n)
+
+        # symbols over the raw text (non-overlapping counts, both sides)
+        n_sym = (np.asarray(pc.count_substring(texts, "#"))
+                 + np.asarray(pc.count_substring(texts, "…"))
+                 + np.asarray(pc.count_substring(texts, "..."))) \
+            .astype(np.int64)
+
+        # lines
+        lines = pc.split_pattern(texts, "\n")
+        lflat = lines.flatten()
+        lpar = np.asarray(pc.list_parent_indices(lines)).astype(np.int64)
+        n_lines = np.bincount(lpar, minlength=n)
+        bullet = (np.asarray(pc.starts_with(lflat, "- "))
+                  | np.asarray(pc.starts_with(lflat, "* "))
+                  | np.asarray(pc.starts_with(lflat, "• ")))
+        ell = (np.asarray(pc.ends_with(lflat, "..."))
+               | np.asarray(pc.ends_with(lflat, "…")))
+        n_bullet = np.bincount(lpar[bullet], minlength=n)
+        n_ell = np.bincount(lpar[ell], minlength=n)
+
+        # distinct stop words present (8 vectorized equality sweeps)
+        lower = pc.utf8_lower(words)
+        n_stop = np.zeros(n, dtype=np.int64)
+        for sw in _GOPHER_STOPWORDS:
+            hit = np.asarray(pc.equal(lower, sw))
+            n_stop += np.bincount(wpar[hit], minlength=n) > 0
+
+        r_wordcount = (n_words >= 50) & (n_words <= 100_000)
+        r_meanlen = (3 * n_words <= tot_wchars) \
+            & (tot_wchars <= 10 * n_words)
+        r_symbol = 10 * n_sym <= n_words
+        r_bullet = 10 * n_bullet <= 9 * n_lines
+        r_ellipsis = 10 * n_ell <= 3 * n_lines
+        r_alpha = 5 * n_alpha >= 4 * n_words
+        r_stop = n_stop >= 2
+        g = (r_wordcount & r_meanlen & r_symbol & r_bullet & r_ellipsis
+             & r_alpha & r_stop)
+        return pa.Table.from_arrays(
+            [b.column(id_col).cast(pa.int64()),
+             pa.array(n_words.astype(np.int64)),
+             pa.array(r_wordcount), pa.array(r_meanlen),
+             pa.array(r_symbol), pa.array(r_bullet),
+             pa.array(r_ellipsis), pa.array(r_alpha), pa.array(r_stop),
+             pa.array(g)],
+            names=[id_col, "n_words", "r_wordcount", "r_meanlen",
+                   "r_symbol", "r_bullet", "r_ellipsis", "r_alpha",
+                   "r_stop", "gopher_pass"])
+
+    return docs.map_batches(flags, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+
 def deterministic_shuffle(ds, *, key: str = "doc_id", salt: str = "shuf"):
     """Seeded, reproducible GLOBAL shuffle: range-partitioned SORT on
     md5-lower-64 of ``salt || key`` (+ key tiebreak) — the 100-TB way to

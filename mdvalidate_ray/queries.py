@@ -6195,3 +6195,13 @@ def lm_perplexity_buckets(sf_dir: str):
 
     return lm_bigram_nll(_read(sf_dir, "documents"),
                          id_col="doc_id", text_col="text")
+
+
+def gopher_quality_flags(sf_dir: str):
+    """Per-document Gopher quality-rule flags (Rae et al. 2021) over the
+    documents corpus; see
+    :func:`mdvalidate_ray.functions.text.gopher_quality_flags`."""
+    from mdvalidate_ray.functions.text import gopher_quality_flags as g
+
+    return g(_read(sf_dir, "documents"), id_col="doc_id",
+             text_col="text")

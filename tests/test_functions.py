@@ -2345,3 +2345,53 @@ def test_lm_bigram_nll_matches_naive(ray_session):
             nll -= int(np.floor(lp * 1e6 + 0.5))
         assert out.loc[i, "nll_e6"] == nll, i
         assert out.loc[i, "n_bigrams"] == len(ws) - 1
+
+
+def test_gopher_quality_flags_crafted_docs(ray_session):
+    """Each Gopher rule pinned by a crafted doc that flips exactly the
+    targeted flag while keeping the others green (corpus data is too
+    uniform to exercise them); plus an empty doc for the no-crash path."""
+    import ray
+
+    from mdvalidate_ray.functions.text import gopher_quality_flags
+
+    base = ("the quick brown fox jumps over that lazy dog and it can "
+            "have some fun with all of its pals " * 4).split()
+    assert len(base) >= 50
+    texts = [
+        " ".join(base),                              # 0: passes all
+        "the cat and that",                          # 1: too few words
+        " ".join(["abcdefghijkl"] * 58 + ["the", "that"]),  # 2: meanlen
+        " ".join(base) + " #########",               # 3: symbol-heavy
+        "\n".join("- " + " ".join(base[i:i + 6])
+                  for i in range(0, 60, 6)),         # 4: all bullets
+        "\n".join((" ".join(base[i:i + 6])
+                   + ("..." if i < 24 else ""))
+                  for i in range(0, 60, 6)),         # 5: ellipsis lines
+        " ".join(base[:40] + ["12345"] * 20),        # 6: numeric words
+        " ".join(["cat", "dog", "fox", "run", "sky"] * 12),  # 7: no stops
+        "",                                          # 8: empty
+    ]
+    tbl = pa.table({
+        "doc_id": pa.array(list(range(len(texts))), pa.int64()),
+        "text": texts,
+    })
+    out = gopher_quality_flags(
+        ray.data.from_arrow(tbl), id_col="doc_id",
+        text_col="text").to_pandas().set_index("doc_id").sort_index()
+
+    assert bool(out.loc[0, "gopher_pass"])
+    assert all(out.loc[0, c] for c in
+               ["r_wordcount", "r_meanlen", "r_symbol", "r_bullet",
+                "r_ellipsis", "r_alpha", "r_stop"])
+    flips = {1: "r_wordcount", 2: "r_meanlen", 3: "r_symbol",
+             4: "r_bullet", 5: "r_ellipsis", 6: "r_alpha", 7: "r_stop"}
+    for doc, flag in flips.items():
+        assert not bool(out.loc[doc, flag]), (doc, flag)
+        assert not bool(out.loc[doc, "gopher_pass"]), doc
+        others = set(flips.values()) - {flag}
+        assert all(bool(out.loc[doc, c]) for c in others), (doc, flag)
+    # empty doc: zero words, nothing passes wordcount, nothing crashes
+    assert out.loc[8, "n_words"] == 0
+    assert not bool(out.loc[8, "r_wordcount"])
+    assert not bool(out.loc[8, "gopher_pass"])
