@@ -118,6 +118,7 @@ def _queries_raw() -> dict[str, Callable[[str], Any]]:
         "dsir_weights": Q.dsir_weights,
         "lm_perplexity_buckets": Q.lm_perplexity_buckets,
         "gopher_quality_flags": Q.gopher_quality_flags,
+        "gopher_repetition_flags": Q.gopher_repetition_flags,
         "pack_shards": Q.pack_shards,
         "segment_dedup_docs": Q.segment_dedup_docs,
         "nation_segment_gap": Q.nation_segment_gap,
@@ -146,9 +147,9 @@ def _queries_raw() -> dict[str, Callable[[str], Any]]:
         "join_size_probe": Q.join_size_probe,
         "lev_pairs": Q.lev_pairs,
         "ngram_contamination": Q.ngram_contamination,
-        "heavy_hitter_words": Q.heavy_hitter_words,
         "lineitem_zorder_pruned": Q.lineitem_zorder_pruned,
         # --- end of driver window (first 50) ---
+        "heavy_hitter_words": Q.heavy_hitter_words,
         "concat_chunk_manifest": Q.concat_chunk_manifest,
         "sample_strata_counts": Q.sample_strata_counts,
         "qty_winsorized": Q.qty_winsorized,
@@ -2839,6 +2840,112 @@ def oracle_sql() -> dict[str, str]:
                     AND (5 * n_alpha >= 4 * n_words)
                     AND (n_stop >= 2)) AS gopher_pass
             FROM m
+        """,
+        "gopher_repetition_flags": """
+            WITH w AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(
+                           trim(coalesce(text, '')), '\\s+'),
+                           x -> x <> '') AS words,
+                       string_split(coalesce(text, ''), chr(10)) AS lines
+                FROM documents
+            ),
+            base AS (
+                SELECT doc_id, words,
+                       (coalesce(list_aggregate(list_transform(words,
+                            x -> length(x)), 'sum'), 0)
+                        + greatest(len(words) - 1, 0))::BIGINT AS norm_len
+                FROM w
+            ),
+            lg AS (
+                SELECT doc_id, line, count(*) AS c, length(line) AS ll
+                FROM (SELECT doc_id, unnest(lines) AS line FROM w)
+                GROUP BY doc_id, line
+            ),
+            lm AS (
+                SELECT doc_id, sum(c)::BIGINT AS n_lines,
+                       count(*)::BIGINT AS n_distinct,
+                       sum(c * ll)::BIGINT AS tot_line_chars,
+                       sum((c - 1) * ll)::BIGINT AS dup_line_chars
+                FROM lg GROUP BY doc_id
+            ),
+            gc2 AS (
+                SELECT doc_id, max(c * gl)::BIGINT AS cover FROM (
+                    SELECT doc_id, count(*) AS c, length(gram) AS gl
+                    FROM (SELECT doc_id, unnest(list_transform(
+                              range(1, len(words)), i ->
+                              array_to_string(words[i:i+1], ' '))) AS gram
+                          FROM base WHERE len(words) >= 2)
+                    GROUP BY doc_id, gram)
+                GROUP BY doc_id
+            ),
+            gc3 AS (
+                SELECT doc_id, max(c * gl)::BIGINT AS cover FROM (
+                    SELECT doc_id, count(*) AS c, length(gram) AS gl
+                    FROM (SELECT doc_id, unnest(list_transform(
+                              range(1, len(words) - 1), i ->
+                              array_to_string(words[i:i+2], ' '))) AS gram
+                          FROM base WHERE len(words) >= 3)
+                    GROUP BY doc_id, gram)
+                GROUP BY doc_id
+            ),
+            gc4 AS (
+                SELECT doc_id, max(c * gl)::BIGINT AS cover FROM (
+                    SELECT doc_id, count(*) AS c, length(gram) AS gl
+                    FROM (SELECT doc_id, unnest(list_transform(
+                              range(1, len(words) - 2), i ->
+                              array_to_string(words[i:i+3], ' '))) AS gram
+                          FROM base WHERE len(words) >= 4)
+                    GROUP BY doc_id, gram)
+                GROUP BY doc_id
+            ),
+            gd5 AS (
+                SELECT doc_id, sum(c * gl)::BIGINT AS cover FROM (
+                    SELECT doc_id, count(*) AS c, length(gram) AS gl
+                    FROM (SELECT doc_id, unnest(list_transform(
+                              range(1, len(words) - 3), i ->
+                              array_to_string(words[i:i+4], ' '))) AS gram
+                          FROM base WHERE len(words) >= 5)
+                    GROUP BY doc_id, gram HAVING count(*) >= 2)
+                GROUP BY doc_id
+            ),
+            gd10 AS (
+                SELECT doc_id, sum(c * gl)::BIGINT AS cover FROM (
+                    SELECT doc_id, count(*) AS c, length(gram) AS gl
+                    FROM (SELECT doc_id, unnest(list_transform(
+                              range(1, len(words) - 8), i ->
+                              array_to_string(words[i:i+9], ' '))) AS gram
+                          FROM base WHERE len(words) >= 10)
+                    GROUP BY doc_id, gram HAVING count(*) >= 2)
+                GROUP BY doc_id
+            )
+            SELECT b.doc_id, b.norm_len,
+                   coalesce(gc2.cover, 0)::BIGINT AS top2_cover,
+                   coalesce(gd5.cover, 0)::BIGINT AS dup5_cover,
+                   (10 * (lm.n_lines - lm.n_distinct)
+                    <= 3 * lm.n_lines) AS r_dup_line,
+                   (5 * lm.dup_line_chars
+                    <= lm.tot_line_chars) AS r_dup_line_chars,
+                   (5 * coalesce(gc2.cover, 0) <= b.norm_len) AS r_top2,
+                   (50 * coalesce(gc3.cover, 0)
+                    <= 9 * b.norm_len) AS r_top3,
+                   (25 * coalesce(gc4.cover, 0)
+                    <= 4 * b.norm_len) AS r_top4,
+                   (20 * coalesce(gd5.cover, 0)
+                    <= 3 * b.norm_len) AS r_dup5,
+                   (10 * coalesce(gd10.cover, 0) <= b.norm_len) AS r_dup10,
+                   ((10 * (lm.n_lines - lm.n_distinct) <= 3 * lm.n_lines)
+                    AND (5 * lm.dup_line_chars <= lm.tot_line_chars)
+                    AND (5 * coalesce(gc2.cover, 0) <= b.norm_len)
+                    AND (50 * coalesce(gc3.cover, 0) <= 9 * b.norm_len)
+                    AND (25 * coalesce(gc4.cover, 0) <= 4 * b.norm_len)
+                    AND (20 * coalesce(gd5.cover, 0) <= 3 * b.norm_len)
+                    AND (10 * coalesce(gd10.cover, 0) <= b.norm_len))
+                       AS repetition_pass
+            FROM base b JOIN lm USING (doc_id)
+            LEFT JOIN gc2 USING (doc_id) LEFT JOIN gc3 USING (doc_id)
+            LEFT JOIN gc4 USING (doc_id) LEFT JOIN gd5 USING (doc_id)
+            LEFT JOIN gd10 USING (doc_id)
         """,
         "l_diversity_violations": """
             SELECT lang, (n_chars // 500)::BIGINT AS len_bucket,

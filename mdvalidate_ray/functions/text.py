@@ -1592,6 +1592,144 @@ def gopher_quality_flags(ds, *, id_col: str = "doc_id",
                             zero_copy_batch=True)
 
 
+def gopher_repetition_flags(ds, *, id_col: str = "doc_id",
+                            text_col: str = "text"):
+    """The Gopher repetition-rule bundle (Rae et al. 2021 §A1.1, the
+    other half of the quality heuristics in
+    :func:`gopher_quality_flags`): per-document flags for duplicate
+    lines and n-gram over-representation — the signals that catch
+    boilerplate, SEO spam and templated pages before any model runs.
+
+    Definitions (every quantity an integer, so the DuckDB oracle
+    reproduces the flags bit-for-bit; coverage is counted over the
+    single-space-normalized doc length ``norm_len`` = Σ|word| +
+    (n_words−1), and an n-gram's length includes its separators):
+
+    * ``r_dup_line`` — duplicate-line fraction
+      (n_lines − n_distinct_lines)/n_lines ≤ 0.30;
+    * ``r_dup_line_chars`` — chars in repeated line occurrences
+      (Σ over line groups (c−1)·|line|) / total line chars ≤ 0.20;
+    * ``r_top2`` / ``r_top3`` / ``r_top4`` — chars covered by the
+      single heaviest word n-gram, max over grams of c·|gram|,
+      ≤ 0.20 / 0.18 / 0.16 of norm_len (cover-maximizing gram, so
+      count ties can't make the metric nondeterministic);
+    * ``r_dup5`` / ``r_dup10`` — chars covered by ALL duplicated
+      n-grams, Σ over grams with c ≥ 2 of c·|gram|, ≤ 0.15 / 0.10
+      of norm_len (overlaps counted — an upper-bound signal, exactly
+      as both sides define it);
+    * ``repetition_pass`` — the conjunction.
+
+    Scale shape: one vectorized pass per batch — Arrow split /
+    dictionary-encode kernels, n-grams as shifted-slice
+    ``binary_join_element_wise`` (no Python loop over rows or grams),
+    per-(doc, gram) counts via one ``np.unique`` on packed int64
+    keys. Zero exchange; every doc scores inside its own block."""
+    docs = ds.select_columns([id_col, text_col])
+
+    def _group_stats(par: np.ndarray, codes: np.ndarray,
+                     lens: np.ndarray, n: int):
+        """Per-(doc, code) occurrence counts and the length of the
+        group's item; returns (doc_of_group, count, item_len)."""
+        key = (par.astype(np.int64) << np.int64(32)) | codes.astype(
+            np.int64)
+        uniq, first, cnt = np.unique(key, return_index=True,
+                                     return_counts=True)
+        return (uniq >> np.int64(32)).astype(np.int64), cnt, lens[first]
+
+    def flags(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        texts = pc.fill_null(pc.cast(b.column(text_col), pa.string()), "")
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+
+        # --- words (whitespace split, empties dropped) ---
+        toks = pc.split_pattern_regex(pc.utf8_trim_whitespace(texts),
+                                      r"\s+")
+        words = toks.flatten()
+        wpar = np.asarray(pc.list_parent_indices(toks)).astype(np.int64)
+        keep = np.asarray(pc.not_equal(words, ""))
+        words = words.filter(pa.array(keep))
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        wpar = wpar[keep]
+        n_words = np.bincount(wpar, minlength=n)
+        wlen = np.asarray(pc.utf8_length(words)).astype(np.int64)
+        norm_len = (np.bincount(wpar, weights=wlen.astype(np.float64),
+                                minlength=n).astype(np.int64)
+                    + np.maximum(n_words - 1, 0))
+
+        # --- lines: dup-line fraction + dup-line chars ---
+        lines = pc.split_pattern(texts, "\n")
+        lflat = lines.flatten()
+        if isinstance(lflat, pa.ChunkedArray):
+            lflat = lflat.combine_chunks()
+        lpar = np.asarray(pc.list_parent_indices(lines)).astype(np.int64)
+        llen = np.asarray(pc.utf8_length(lflat)).astype(np.int64)
+        n_lines = np.bincount(lpar, minlength=n)
+        tot_line_chars = np.bincount(
+            lpar, weights=llen.astype(np.float64),
+            minlength=n).astype(np.int64)
+        lcodes = np.asarray(pc.dictionary_encode(lflat).indices)
+        gdoc, gcnt, glen_ = _group_stats(lpar, lcodes, llen, n)
+        n_distinct = np.bincount(gdoc, minlength=n)
+        dup_line_chars = np.bincount(
+            gdoc, weights=((gcnt - 1) * glen_).astype(np.float64),
+            minlength=n).astype(np.int64)
+
+        # --- word n-grams: top-cover (k=2,3,4) and dup-cover (5,10) ---
+        wcodes = np.asarray(pc.dictionary_encode(words).indices)
+        m = len(words)
+        top_cover = {}
+        dup_cover = {}
+        for k in (2, 3, 4, 5, 10):
+            npos = max(m - k + 1, 0)
+            out = np.zeros(n, dtype=np.int64)
+            if npos > 0:
+                ok = wpar[:npos] == wpar[k - 1:k - 1 + npos]
+                if ok.any():
+                    parts = [words.slice(j, npos) for j in range(k)]
+                    grams = pc.binary_join_element_wise(*parts, " ")
+                    grams = grams.filter(pa.array(ok))
+                    if isinstance(grams, pa.ChunkedArray):
+                        grams = grams.combine_chunks()
+                    gl = np.asarray(pc.utf8_length(grams)).astype(
+                        np.int64)
+                    gc = np.asarray(pc.dictionary_encode(grams).indices)
+                    d, c, L = _group_stats(wpar[:npos][ok], gc, gl, n)
+                    if k in (2, 3, 4):
+                        np.maximum.at(out, d, c * L)
+                    else:
+                        dup = c >= 2
+                        np.add.at(out, d[dup], (c * L)[dup])
+            if k in (2, 3, 4):
+                top_cover[k] = out
+            else:
+                dup_cover[k] = out
+
+        r_dup_line = 10 * (n_lines - n_distinct) <= 3 * n_lines
+        r_dup_line_chars = 5 * dup_line_chars <= tot_line_chars
+        r_top2 = 5 * top_cover[2] <= norm_len
+        r_top3 = 50 * top_cover[3] <= 9 * norm_len
+        r_top4 = 25 * top_cover[4] <= 4 * norm_len
+        r_dup5 = 20 * dup_cover[5] <= 3 * norm_len
+        r_dup10 = 10 * dup_cover[10] <= norm_len
+        g = (r_dup_line & r_dup_line_chars & r_top2 & r_top3 & r_top4
+             & r_dup5 & r_dup10)
+        return pa.Table.from_arrays(
+            [b.column(id_col).cast(pa.int64()),
+             pa.array(norm_len), pa.array(top_cover[2]),
+             pa.array(dup_cover[5]),
+             pa.array(r_dup_line), pa.array(r_dup_line_chars),
+             pa.array(r_top2), pa.array(r_top3), pa.array(r_top4),
+             pa.array(r_dup5), pa.array(r_dup10), pa.array(g)],
+            names=[id_col, "norm_len", "top2_cover", "dup5_cover",
+                   "r_dup_line", "r_dup_line_chars", "r_top2", "r_top3",
+                   "r_top4", "r_dup5", "r_dup10", "repetition_pass"])
+
+    return docs.map_batches(flags, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+
 def deterministic_shuffle(ds, *, key: str = "doc_id", salt: str = "shuf"):
     """Seeded, reproducible GLOBAL shuffle: range-partitioned SORT on
     md5-lower-64 of ``salt || key`` (+ key tiebreak) — the 100-TB way to

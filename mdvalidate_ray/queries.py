@@ -6205,3 +6205,13 @@ def gopher_quality_flags(sf_dir: str):
 
     return g(_read(sf_dir, "documents"), id_col="doc_id",
              text_col="text")
+
+
+def gopher_repetition_flags(sf_dir: str):
+    """Per-document Gopher repetition-rule flags (dup lines, top / dup
+    n-gram coverage) over the documents corpus; see
+    :func:`mdvalidate_ray.functions.text.gopher_repetition_flags`."""
+    from mdvalidate_ray.functions.text import gopher_repetition_flags as g
+
+    return g(_read(sf_dir, "documents"), id_col="doc_id",
+             text_col="text")

@@ -2395,3 +2395,99 @@ def test_gopher_quality_flags_crafted_docs(ray_session):
     assert out.loc[8, "n_words"] == 0
     assert not bool(out.loc[8, "r_wordcount"])
     assert not bool(out.loc[8, "gopher_pass"])
+
+
+def test_gopher_repetition_flags_matches_naive(ray_session):
+    """Repetition flags pinned against a naive Counter-based reference
+    over crafted + seeded-random docs; every rule must flip both ways
+    somewhere in the suite (corpus data is too clean to exercise dup
+    lines / dup n-grams)."""
+    import random
+    from collections import Counter
+
+    import ray
+
+    from mdvalidate_ray.functions.text import gopher_repetition_flags
+
+    def naive(doc):
+        words = [w for w in doc.strip().split() if w]
+        norm_len = sum(len(w) for w in words) + max(len(words) - 1, 0)
+        lc = Counter(doc.split("\n"))
+        n_lines = sum(lc.values())
+        n_distinct = len(lc)
+        tot_lc = sum(c * len(l) for l, c in lc.items())
+        dup_lc = sum((c - 1) * len(l) for l, c in lc.items())
+        top, dup = {}, {}
+        for k in (2, 3, 4, 5, 10):
+            gc = Counter(" ".join(words[i:i + k])
+                         for i in range(len(words) - k + 1))
+            top[k] = max((c * len(g) for g, c in gc.items()), default=0)
+            dup[k] = sum(c * len(g) for g, c in gc.items() if c >= 2)
+        f = {
+            "norm_len": norm_len, "top2_cover": top[2],
+            "dup5_cover": dup[5],
+            "r_dup_line": 10 * (n_lines - n_distinct) <= 3 * n_lines,
+            "r_dup_line_chars": 5 * dup_lc <= tot_lc,
+            "r_top2": 5 * top[2] <= norm_len,
+            "r_top3": 50 * top[3] <= 9 * norm_len,
+            "r_top4": 25 * top[4] <= 4 * norm_len,
+            "r_dup5": 20 * dup[5] <= 3 * norm_len,
+            "r_dup10": 10 * dup[10] <= norm_len,
+        }
+        f["repetition_pass"] = all(
+            f[c] for c in ["r_dup_line", "r_dup_line_chars", "r_top2",
+                           "r_top3", "r_top4", "r_dup5", "r_dup10"])
+        return f
+
+    rng = random.Random(42)
+    vocab = [f"w{i:03d}" for i in range(40)]
+    texts = [
+        "",                                     # empty
+        "solo",                                 # one word, one line
+        "dup\ndup\ndup\nother line here",       # heavy dup lines
+        " ".join(["spam ham"] * 40),            # pure 2-gram repetition
+        "\n".join(f"line {i} unique tail" for i in range(8)),  # clean
+        " ".join(vocab),                        # all-distinct words
+        ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+         * 6),                                  # repeated 10-gram block
+    ]
+    for _ in range(25):
+        n = rng.randint(0, 60)
+        ws = [rng.choice(vocab) for _ in range(n)]
+        if n and rng.random() < 0.5:            # inject a repeated run
+            run = ws[:rng.randint(1, min(12, n))]
+            ws = ws + run * rng.randint(1, 3)
+        doc = " ".join(ws)
+        if rng.random() < 0.5:                  # break into lines
+            doc = doc.replace(" ", "\n", rng.randint(0, 5))
+        texts.append(doc)
+
+    tbl = pa.table({
+        "doc_id": pa.array(list(range(len(texts))), pa.int64()),
+        "text": texts,
+    })
+    out = gopher_repetition_flags(
+        ray.data.from_arrow(tbl), id_col="doc_id",
+        text_col="text").to_pandas().set_index("doc_id").sort_index()
+
+    flag_cols = ["r_dup_line", "r_dup_line_chars", "r_top2", "r_top3",
+                 "r_top4", "r_dup5", "r_dup10", "repetition_pass"]
+    seen_true = {c: False for c in flag_cols}
+    seen_false = {c: False for c in flag_cols}
+    for i, t in enumerate(texts):
+        exp = naive(t)
+        for col in ["norm_len", "top2_cover", "dup5_cover"]:
+            assert int(out.loc[i, col]) == exp[col], (i, col, t[:60])
+        for col in flag_cols:
+            assert bool(out.loc[i, col]) == exp[col], (i, col, t[:60])
+            seen_true[col] |= exp[col]
+            seen_false[col] |= not exp[col]
+    assert all(seen_true.values()), seen_true
+    missing_false = [c for c, v in seen_false.items() if not v]
+    # dup-line-chars and dup-line are hard to flip with seeded docs alone;
+    # the crafted docs above must flip at least these:
+    assert "r_top2" not in missing_false
+    assert "r_dup5" not in missing_false
+    assert "r_dup10" not in missing_false
+    assert "r_dup_line" not in missing_false
+    assert "repetition_pass" not in missing_false
