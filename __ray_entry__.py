@@ -150,6 +150,7 @@ def _queries_raw() -> dict[str, Callable[[str], Any]]:
         "lineitem_zorder_pruned": Q.lineitem_zorder_pruned,
         # --- end of driver window (first 50) ---
         "heavy_hitter_words": Q.heavy_hitter_words,
+        "c4_line_filter": Q.c4_line_filter,
         "concat_chunk_manifest": Q.concat_chunk_manifest,
         "sample_strata_counts": Q.sample_strata_counts,
         "qty_winsorized": Q.qty_winsorized,
@@ -2840,6 +2841,39 @@ def oracle_sql() -> dict[str, str]:
                     AND (5 * n_alpha >= 4 * n_words)
                     AND (n_stop >= 2)) AS gopher_pass
             FROM m
+        """,
+        "c4_line_filter": """
+            WITH lx AS (
+                SELECT doc_id, unnest(string_split(coalesce(text, ''),
+                                                   chr(10))) AS line
+                FROM documents
+            ),
+            lk AS (
+                SELECT doc_id,
+                       count(*)::BIGINT AS n_lines,
+                       count(*) FILTER (
+                           right(trim(line), 1) IN ('.', '!', '?', '"')
+                           AND len(list_filter(string_split_regex(
+                               trim(line), '\\s+'), x -> x <> '')) >= 5
+                           AND NOT contains(lower(line), 'javascript')
+                       )::BIGINT AS n_kept_lines,
+                       coalesce(sum(length(line)) FILTER (
+                           right(trim(line), 1) IN ('.', '!', '?', '"')
+                           AND len(list_filter(string_split_regex(
+                               trim(line), '\\s+'), x -> x <> '')) >= 5
+                           AND NOT contains(lower(line), 'javascript')
+                       ), 0)::BIGINT AS kept_chars
+                FROM lx GROUP BY doc_id
+            )
+            SELECT d.doc_id, lk.n_lines, lk.n_kept_lines, lk.kept_chars,
+                   contains(lower(coalesce(d.text, '')), 'lorem ipsum')
+                       AS has_lorem,
+                   contains(coalesce(d.text, ''), '{') AS has_brace,
+                   (NOT contains(lower(coalesce(d.text, '')),
+                                 'lorem ipsum')
+                    AND NOT contains(coalesce(d.text, ''), '{')
+                    AND lk.n_kept_lines >= 3) AS doc_kept
+            FROM documents d JOIN lk USING (doc_id)
         """,
         "gopher_repetition_flags": """
             WITH w AS (

@@ -1730,6 +1730,76 @@ def gopher_repetition_flags(ds, *, id_col: str = "doc_id",
                             zero_copy_batch=True)
 
 
+def c4_line_filter(ds, *, id_col: str = "doc_id",
+                   text_col: str = "text"):
+    """The C4 line-level cleaning rules (Raffel et al. 2020 §2.2, the
+    exact heuristics the original TensorFlow pipeline applied to
+    Common Crawl): keep a line iff it ends in terminal punctuation
+    (``.``, ``!``, ``?``, ``"``), has ≥ 5 words, and does not mention
+    "javascript"; keep a DOCUMENT iff it contains neither
+    "lorem ipsum" nor a curly brace and retains ≥ 3 lines.
+
+    Per-doc output (all integers/booleans, so the DuckDB oracle is
+    bit-exact): ``n_lines``, ``n_kept_lines``, ``kept_chars`` (char
+    mass of surviving lines), the three doc-level gates and
+    ``doc_kept``.
+
+    Scale shape: one vectorized Arrow pass per batch — two nested
+    splits (doc→lines, line→words) as flat kernels with parent-index
+    bincounts, zero exchange."""
+    docs = ds.select_columns([id_col, text_col])
+
+    def flags(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        texts = pc.fill_null(pc.cast(b.column(text_col), pa.string()), "")
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+
+        lines = pc.split_pattern(texts, "\n")
+        lflat = lines.flatten()
+        if isinstance(lflat, pa.ChunkedArray):
+            lflat = lflat.combine_chunks()
+        lpar = np.asarray(pc.list_parent_indices(lines)).astype(np.int64)
+        n_lines = np.bincount(lpar, minlength=n)
+
+        # words per line (empties dropped)
+        toks = pc.split_pattern_regex(pc.utf8_trim_whitespace(lflat),
+                                      r"\s+")
+        wpar = np.asarray(pc.list_parent_indices(toks)).astype(np.int64)
+        nonempty = np.asarray(pc.not_equal(toks.flatten(), ""))
+        lwords = np.bincount(wpar[nonempty], minlength=len(lflat))
+
+        trimmed = pc.utf8_trim_whitespace(lflat)
+        terminal = np.zeros(len(lflat), dtype=bool)
+        for p in (".", "!", "?", '"'):
+            terminal |= np.asarray(pc.ends_with(trimmed, p))
+        has_js = np.asarray(pc.match_substring(
+            pc.utf8_lower(lflat), "javascript"))
+        keep = terminal & (lwords >= 5) & ~has_js
+        n_kept = np.bincount(lpar[keep], minlength=n)
+        llen = np.asarray(pc.utf8_length(lflat)).astype(np.int64)
+        kept_chars = np.bincount(
+            lpar[keep], weights=llen[keep].astype(np.float64),
+            minlength=n).astype(np.int64)
+
+        has_lorem = np.asarray(pc.match_substring(
+            pc.utf8_lower(texts), "lorem ipsum"))
+        has_brace = np.asarray(
+            pc.count_substring(texts, "{")).astype(np.int64) > 0
+        doc_kept = ~has_lorem & ~has_brace & (n_kept >= 3)
+        return pa.Table.from_arrays(
+            [b.column(id_col).cast(pa.int64()),
+             pa.array(n_lines.astype(np.int64)),
+             pa.array(n_kept.astype(np.int64)), pa.array(kept_chars),
+             pa.array(has_lorem), pa.array(has_brace),
+             pa.array(doc_kept)],
+            names=[id_col, "n_lines", "n_kept_lines", "kept_chars",
+                   "has_lorem", "has_brace", "doc_kept"])
+
+    return docs.map_batches(flags, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+
 def deterministic_shuffle(ds, *, key: str = "doc_id", salt: str = "shuf"):
     """Seeded, reproducible GLOBAL shuffle: range-partitioned SORT on
     md5-lower-64 of ``salt || key`` (+ key tiebreak) — the 100-TB way to

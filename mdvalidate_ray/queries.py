@@ -6215,3 +6215,13 @@ def gopher_repetition_flags(sf_dir: str):
 
     return g(_read(sf_dir, "documents"), id_col="doc_id",
              text_col="text")
+
+
+def c4_line_filter(sf_dir: str):
+    """Per-document C4 line-cleaning outcome (Raffel et al. 2020) over
+    the documents corpus; see
+    :func:`mdvalidate_ray.functions.text.c4_line_filter`."""
+    from mdvalidate_ray.functions.text import c4_line_filter as f
+
+    return f(_read(sf_dir, "documents"), id_col="doc_id",
+             text_col="text")

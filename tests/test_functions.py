@@ -2491,3 +2491,45 @@ def test_gopher_repetition_flags_matches_naive(ray_session):
     assert "r_dup10" not in missing_false
     assert "r_dup_line" not in missing_false
     assert "repetition_pass" not in missing_false
+
+
+def test_c4_line_filter_crafted_docs(ray_session):
+    """Each C4 rule pinned: terminal punctuation, >=5 words, javascript
+    line drop, lorem-ipsum / curly-brace doc gates, >=3-kept-lines."""
+    import ray
+
+    from mdvalidate_ray.functions.text import c4_line_filter
+
+    good = "this line has at least five words."
+    texts = [
+        "\n".join([good, "also a fine line with a question?",
+                   'quoted line with five good words"']),   # 0: kept doc
+        "\n".join([good, "only four words here.",            # short
+                   "no terminal punctuation on this line",   # no punct
+                   "this JavaScript line has many words here."]),  # js
+        "\n".join([good] * 3) + "\nLorem Ipsum filler text.",  # 2: lorem
+        "\n".join([good] * 3) + "\ncode { brace }",            # 3: brace
+        "\n".join([good] * 2),                                 # 4: 2 kept
+        "",                                                    # 5: empty
+    ]
+    tbl = pa.table({
+        "doc_id": pa.array(list(range(len(texts))), pa.int64()),
+        "text": texts,
+    })
+    out = c4_line_filter(
+        ray.data.from_arrow(tbl), id_col="doc_id",
+        text_col="text").to_pandas().set_index("doc_id").sort_index()
+
+    assert out.loc[0, "n_kept_lines"] == 3 and bool(out.loc[0, "doc_kept"])
+    assert out.loc[0, "kept_chars"] == sum(len(l)
+                                           for l in texts[0].split("\n"))
+    # doc 1: only the first line survives (short / no-punct / js dropped)
+    assert out.loc[1, "n_lines"] == 4 and out.loc[1, "n_kept_lines"] == 1
+    assert not bool(out.loc[1, "doc_kept"])
+    # doc 2: 3 kept lines (the 4-word lorem line is dropped by the
+    # min-words rule), so the lorem gate alone kills the doc
+    assert bool(out.loc[2, "has_lorem"]) and not bool(out.loc[2, "doc_kept"])
+    assert out.loc[2, "n_kept_lines"] == 3
+    assert bool(out.loc[3, "has_brace"]) and not bool(out.loc[3, "doc_kept"])
+    assert out.loc[4, "n_kept_lines"] == 2 and not bool(out.loc[4, "doc_kept"])
+    assert out.loc[5, "n_lines"] == 1 and out.loc[5, "n_kept_lines"] == 0
