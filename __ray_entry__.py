@@ -151,6 +151,7 @@ def _queries_raw() -> dict[str, Callable[[str], Any]]:
         # --- end of driver window (first 50) ---
         "heavy_hitter_words": Q.heavy_hitter_words,
         "c4_line_filter": Q.c4_line_filter,
+        "source_vocab_jaccard": Q.source_vocab_jaccard,
         "concat_chunk_manifest": Q.concat_chunk_manifest,
         "sample_strata_counts": Q.sample_strata_counts,
         "qty_winsorized": Q.qty_winsorized,
@@ -2841,6 +2842,26 @@ def oracle_sql() -> dict[str, str]:
                     AND (5 * n_alpha >= 4 * n_words)
                     AND (n_stop >= 2)) AS gopher_pass
             FROM m
+        """,
+        "source_vocab_jaccard": """
+            WITH sw AS (
+                SELECT DISTINCT source, w FROM (
+                    SELECT source,
+                           unnest(list_filter(string_split_regex(
+                               lower(coalesce(text, '')), '\\s+'),
+                               x -> x <> '')) AS w
+                    FROM documents)
+            ),
+            sz AS (SELECT source, count(*)::BIGINT AS n
+                   FROM sw GROUP BY source)
+            SELECT a.source AS source_a, b.source AS source_b,
+                   za.n AS n_a, zb.n AS n_b,
+                   count(*)::BIGINT AS n_common,
+                   (za.n + zb.n - count(*))::BIGINT AS n_union
+            FROM sw a JOIN sw b ON a.w = b.w AND a.source < b.source
+            JOIN sz za ON za.source = a.source
+            JOIN sz zb ON zb.source = b.source
+            GROUP BY a.source, b.source, za.n, zb.n
         """,
         "c4_line_filter": """
             WITH lx AS (

@@ -6225,3 +6225,101 @@ def c4_line_filter(sf_dir: str):
 
     return f(_read(sf_dir, "documents"), id_col="doc_id",
              text_col="text")
+
+
+def source_vocab_jaccard(sf_dir: str):
+    """Pairwise vocabulary Jaccard between sources — the corpus-overlap
+    matrix a curator reads before mixing crawls (near-identical vocab ⇒
+    the sources are probably the same site scraped twice).  Exact
+    distinct-word set intersection/union per source pair, all integers.
+
+    Plan (the 100-TB shape): per-batch ``dictionary_encode`` collapses
+    each block to its distinct words with a per-source PRESENCE BITMASK
+    (``bitwise_or.at``), so the exchange carries one row per distinct
+    (word, block) — never a token stream.  One coarse ``hash(word) %
+    n_parts`` co-partition ORs the masks per word (each word lands in
+    exactly one bucket), emits a ≤2^|S| mask histogram per bucket, and
+    the driver folds O(n_parts × masks) tiny partials into the |S|²/2
+    pair table.  No all-pairs join, no word ever compared across
+    buckets.  Requires |sources| ≤ 63 (int64 mask) — asserted."""
+    import numpy as np
+
+    from mdvalidate_ray.state.sketches import hash_strings
+
+    n_parts = 16
+    docs = _read(sf_dir, "documents").select_columns(["source", "text"])
+    sources = sorted(docs.unique("source"))
+    assert len(sources) <= 63, "int64 presence mask needs |sources| <= 63"
+    sid = {s: np.int64(1) << np.int64(i) for i, s in enumerate(sources)}
+    empty = pa.schema([("word", pa.string()), ("mask", pa.int64()),
+                       ("_bucket", pa.int64())])
+
+    def marks(b: pa.Table) -> pa.Table:
+        arr = pc.utf8_split_whitespace(pc.utf8_trim_whitespace(
+            pc.utf8_lower(pc.cast(b.column("text"), pa.string()))))
+        arr = arr.combine_chunks() if isinstance(
+            arr, pa.ChunkedArray) else arr
+        words = arr.values
+        par = np.asarray(pc.list_parent_indices(arr)).astype(np.int64)
+        keep = np.asarray(pc.not_equal(words, ""))
+        if not keep.any():
+            return empty.empty_table()
+        words = words.filter(pa.array(keep))
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        par = par[keep]
+        src_masks = np.array(
+            [sid[s] for s in b.column("source").to_pylist()],
+            dtype=np.int64)
+        enc = pc.dictionary_encode(words)
+        codes = np.asarray(enc.indices)
+        dictvals = enc.dictionary
+        acc = np.zeros(len(dictvals), dtype=np.int64)
+        np.bitwise_or.at(acc, codes, src_masks[par])
+        wl = dictvals.to_pylist()
+        bucket = (hash_strings(wl) % np.uint64(n_parts)).astype(np.int64)
+        return pa.Table.from_arrays(
+            [dictvals, pa.array(acc), pa.array(bucket)],
+            names=["word", "mask", "_bucket"])
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        enc = pc.dictionary_encode(g.column("word").combine_chunks())
+        codes = np.asarray(enc.indices)
+        acc = np.zeros(len(enc.dictionary), dtype=np.int64)
+        np.bitwise_or.at(acc, codes, np.asarray(g.column("mask")))
+        masks, cnt = np.unique(acc, return_counts=True)
+        return pa.Table.from_arrays(
+            [pa.array(masks), pa.array(cnt.astype(np.int64))],
+            names=["mask", "cnt"])
+
+    folded: dict = {}
+    for blk in docs.map_batches(
+            marks, batch_format="pyarrow", zero_copy_batch=True) \
+            .groupby("_bucket").map_groups(
+                per_bucket, batch_format="pyarrow") \
+            .iter_batches(batch_format="pyarrow"):
+        for m, c in zip(blk.column("mask").to_pylist(),
+                        blk.column("cnt").to_pylist()):
+            folded[m] = folded.get(m, 0) + c
+
+    masks = np.array(list(folded), dtype=np.int64)
+    cnts = np.array([folded[m] for m in folded], dtype=np.int64)
+    rows = []
+    for i, a in enumerate(sources):
+        n_a = int(cnts[(masks >> i) & 1 == 1].sum())
+        for j in range(i + 1, len(sources)):
+            n_b = int(cnts[(masks >> j) & 1 == 1].sum())
+            both = ((masks >> i) & 1 == 1) & ((masks >> j) & 1 == 1)
+            common = int(cnts[both].sum())
+            if common >= 1:
+                rows.append((a, sources[j], n_a, n_b, common,
+                             n_a + n_b - common))
+    rows.sort()
+    return pa.table({
+        "source_a": pa.array([r[0] for r in rows], pa.string()),
+        "source_b": pa.array([r[1] for r in rows], pa.string()),
+        "n_a": pa.array([r[2] for r in rows], pa.int64()),
+        "n_b": pa.array([r[3] for r in rows], pa.int64()),
+        "n_common": pa.array([r[4] for r in rows], pa.int64()),
+        "n_union": pa.array([r[5] for r in rows], pa.int64()),
+    })

