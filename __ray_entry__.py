@@ -152,6 +152,7 @@ def _queries_raw() -> dict[str, Callable[[str], Any]]:
         "heavy_hitter_words": Q.heavy_hitter_words,
         "c4_line_filter": Q.c4_line_filter,
         "source_vocab_jaccard": Q.source_vocab_jaccard,
+        "pii_scan": Q.pii_scan,
         "concat_chunk_manifest": Q.concat_chunk_manifest,
         "sample_strata_counts": Q.sample_strata_counts,
         "qty_winsorized": Q.qty_winsorized,
@@ -2842,6 +2843,30 @@ def oracle_sql() -> dict[str, str]:
                     AND (5 * n_alpha >= 4 * n_words)
                     AND (n_stop >= 2)) AS gopher_pass
             FROM m
+        """,
+        "pii_scan": """
+            SELECT doc_id,
+                   len(regexp_extract_all(coalesce(text, ''),
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'
+                   ))::BIGINT AS n_email,
+                   len(regexp_extract_all(coalesce(text, ''),
+                       '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b'
+                   ))::BIGINT AS n_ipv4,
+                   len(regexp_extract_all(coalesce(text, ''),
+                       '\\+?\\d{1,3}[- ]\\d{3}[- ]\\d{4}\\b'
+                   ))::BIGINT AS n_phone,
+                   len(regexp_extract_all(coalesce(text, ''),
+                       '\\d{6,}'))::BIGINT AS n_digit_run,
+                   (len(regexp_extract_all(coalesce(text, ''),
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'
+                   )) > 0
+                    OR len(regexp_extract_all(coalesce(text, ''),
+                       '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b'
+                   )) > 0
+                    OR len(regexp_extract_all(coalesce(text, ''),
+                       '\\+?\\d{1,3}[- ]\\d{3}[- ]\\d{4}\\b'
+                   )) > 0) AS has_pii
+            FROM documents
         """,
         "source_vocab_jaccard": """
             WITH sw AS (

@@ -1800,6 +1800,50 @@ def c4_line_filter(ds, *, id_col: str = "doc_id",
                             zero_copy_batch=True)
 
 
+_PII_PATTERNS = (
+    ("n_email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("n_ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"),
+    ("n_phone", r"\+?\d{1,3}[- ]\d{3}[- ]\d{4}\b"),
+    ("n_digit_run", r"\d{6,}"),
+)
+
+
+def pii_scan(ds, *, id_col: str = "doc_id", text_col: str = "text"):
+    """PII pre-redaction scan: per-document non-overlapping match
+    counts for the four classic detector classes (email address, IPv4,
+    phone-shaped number, long digit run) plus a ``has_pii`` gate over
+    the first three — the audit pass a curation pipeline runs to size
+    the scrubbing problem before rewriting any bytes.
+
+    Both sides run the SAME RE2 patterns (pyarrow's
+    ``count_substring_regex`` here, DuckDB's ``regexp_extract_all``
+    in the oracle — both RE2, identical leftmost non-overlapping
+    semantics), so counts are bit-exact.
+
+    Scale shape: four compiled-regex Arrow kernels per batch, zero
+    exchange."""
+    docs = ds.select_columns([id_col, text_col])
+
+    def scan(b: pa.Table) -> pa.Table:
+        texts = pc.fill_null(pc.cast(b.column(text_col), pa.string()), "")
+        cols = [b.column(id_col).cast(pa.int64())]
+        counts = {}
+        for name, pat in _PII_PATTERNS:
+            c = pc.cast(pc.count_substring_regex(texts, pat), pa.int64())
+            counts[name] = c
+            cols.append(c)
+        has = pc.or_(pc.or_(pc.greater(counts["n_email"], 0),
+                            pc.greater(counts["n_ipv4"], 0)),
+                     pc.greater(counts["n_phone"], 0))
+        cols.append(has)
+        return pa.Table.from_arrays(
+            cols, names=[id_col] + [n for n, _ in _PII_PATTERNS]
+            + ["has_pii"])
+
+    return docs.map_batches(scan, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+
 def deterministic_shuffle(ds, *, key: str = "doc_id", salt: str = "shuf"):
     """Seeded, reproducible GLOBAL shuffle: range-partitioned SORT on
     md5-lower-64 of ``salt || key`` (+ key tiebreak) — the 100-TB way to

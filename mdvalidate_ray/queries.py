@@ -6227,6 +6227,16 @@ def c4_line_filter(sf_dir: str):
              text_col="text")
 
 
+def pii_scan(sf_dir: str):
+    """Per-document PII detector counts (email / IPv4 / phone / digit
+    runs) over the documents corpus; see
+    :func:`mdvalidate_ray.functions.text.pii_scan`."""
+    from mdvalidate_ray.functions.text import pii_scan as f
+
+    return f(_read(sf_dir, "documents"), id_col="doc_id",
+             text_col="text")
+
+
 def source_vocab_jaccard(sf_dir: str):
     """Pairwise vocabulary Jaccard between sources — the corpus-overlap
     matrix a curator reads before mixing crawls (near-identical vocab ⇒

@@ -2559,3 +2559,34 @@ def test_source_vocab_jaccard_exact_sets(ray_session, tmp_path):
     assert (r["source_a"], r["source_b"]) == ("A", "B")
     assert (r["n_a"], r["n_b"]) == (3, 3)
     assert (r["n_common"], r["n_union"]) == (2, 4)
+
+
+def test_pii_scan_crafted_docs(ray_session):
+    """PII detectors pinned on crafted docs: one hit per class, counts
+    are non-overlapping, digit runs don't trip has_pii."""
+    import ray
+
+    from mdvalidate_ray.functions.text import pii_scan
+
+    texts = [
+        "contact me at jane.doe+spam@example.co.uk for details",
+        "server at 192.168.0.1 and 10.0.0.255 replied",
+        "call +1 555-1234 or 44 555 1234 today",
+        "order number 123456789 shipped",
+        "clean text with no identifiers at all",
+        "a@b.c is not an email (single-letter tld)",
+    ]
+    tbl = pa.table({
+        "doc_id": pa.array(list(range(len(texts))), pa.int64()),
+        "text": texts,
+    })
+    out = pii_scan(ray.data.from_arrow(tbl), id_col="doc_id",
+                   text_col="text").to_pandas().set_index(
+                       "doc_id").sort_index()
+    assert out.loc[0, "n_email"] == 1 and bool(out.loc[0, "has_pii"])
+    assert out.loc[1, "n_ipv4"] == 2 and bool(out.loc[1, "has_pii"])
+    assert out.loc[2, "n_phone"] == 2 and bool(out.loc[2, "has_pii"])
+    assert out.loc[3, "n_digit_run"] == 1 and not bool(out.loc[3, "has_pii"])
+    assert not out.loc[4, ["n_email", "n_ipv4", "n_phone",
+                           "n_digit_run"]].any()
+    assert out.loc[5, "n_email"] == 0
