@@ -153,6 +153,9 @@ def _queries_raw() -> dict[str, Callable[[str], Any]]:
         "c4_line_filter": Q.c4_line_filter,
         "source_vocab_jaccard": Q.source_vocab_jaccard,
         "pii_scan": Q.pii_scan,
+        "q8_market_share": Q.q8_market_share,
+        "q15_top_supplier": Q.q15_top_supplier,
+        "q17_small_qty_revenue": Q.q17_small_qty_revenue,
         "concat_chunk_manifest": Q.concat_chunk_manifest,
         "sample_strata_counts": Q.sample_strata_counts,
         "qty_winsorized": Q.qty_winsorized,
@@ -2843,6 +2846,71 @@ def oracle_sql() -> dict[str, str]:
                     AND (5 * n_alpha >= 4 * n_words)
                     AND (n_stop >= 2)) AS gopher_pass
             FROM m
+        """,
+        "q8_market_share": """
+            WITH j AS (
+                SELECT year(o_orderdate)::BIGINT AS o_year,
+                       round(l_extendedprice * (1 - l_discount)
+                             * 100)::BIGINT AS rev,
+                       n2.n_name = 'NATION_2' AS is_target
+                FROM lineitem
+                JOIN orders ON l_orderkey = o_orderkey
+                JOIN customer ON o_custkey = c_custkey
+                JOIN nation n1 ON c_nationkey = n1.n_nationkey
+                JOIN region ON n1.n_regionkey = r_regionkey
+                JOIN supplier ON l_suppkey = s_suppkey
+                JOIN nation n2 ON s_nationkey = n2.n_nationkey
+                JOIN part ON l_partkey = p_partkey
+                WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+                  AND o_orderdate >= TIMESTAMP '1995-01-01'
+                  AND o_orderdate <  TIMESTAMP '1997-01-01'
+            )
+            SELECT o_year,
+                   sum(CASE WHEN is_target THEN rev ELSE 0 END)::BIGINT
+                       AS nation_rev_c100,
+                   sum(rev)::BIGINT AS total_rev_c100,
+                   ((2000000 * sum(CASE WHEN is_target THEN rev
+                                        ELSE 0 END) + sum(rev))
+                    // (2 * sum(rev)))::BIGINT AS mkt_share_e6
+            FROM j GROUP BY o_year
+        """,
+        "q15_top_supplier": """
+            WITH r AS (
+                SELECT l_suppkey,
+                       sum(round(l_extendedprice * (1 - l_discount)
+                                 * 100))::BIGINT AS total_revenue_c100
+                FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                  AND l_shipdate <  TIMESTAMP '1996-04-01'
+                GROUP BY l_suppkey
+            )
+            SELECT s_suppkey, s_name, total_revenue_c100
+            FROM supplier JOIN r ON s_suppkey = l_suppkey
+            WHERE total_revenue_c100 =
+                  (SELECT max(total_revenue_c100) FROM r)
+        """,
+        "q17_small_qty_revenue": """
+            WITH li AS (
+                SELECT l_partkey, l_quantity::BIGINT AS qty,
+                       round(l_extendedprice * 100)::BIGINT AS ep
+                FROM lineitem
+                WHERE l_partkey IN (SELECT p_partkey FROM part
+                                    WHERE p_brand = 'Brand#13')
+            ),
+            thr AS (
+                SELECT l_partkey, sum(qty)::BIGINT AS sq,
+                       count(*)::BIGINT AS cn
+                FROM li GROUP BY l_partkey
+            ),
+            small AS (
+                SELECT ep FROM li JOIN thr USING (l_partkey)
+                WHERE 5 * qty * cn < sq
+            )
+            SELECT coalesce(sum(ep), 0)::BIGINT AS total_eprice_c100,
+                   count(*)::BIGINT AS n_small,
+                   ((2 * coalesce(sum(ep), 0) + 7) // 14)::BIGINT
+                       AS avg_yearly_c100
+            FROM small
         """,
         "pii_scan": """
             SELECT doc_id,

@@ -4817,6 +4817,273 @@ def q19_bracket_revenue(sf_dir: str):
         [sum(r["revenue_c100"] for r in parts)], pa.int64())})
 
 
+def q8_market_share(sf_dir: str):
+    """TPC-H Q8 shape: NATION_2's share of PROMO-part revenue sold into
+    the ASIA market, by order year (1995–1996).  Scale plan: the part
+    filter and the region's customer set broadcast as sorted int64
+    arrays (searchsorted probes — the q9/q19 pattern), the supplier→
+    nation map broadcasts once, orders prune on date + region BEFORE
+    the single large×large hash join with the part-filtered lineitem;
+    the per-year (nation, total) partials are two-int rows.  The share
+    is an ×1e6 half-away integer so the hash compare is
+    float-order-proof."""
+    import datetime
+
+    import numpy as np
+    import ray
+
+    from mdvalidate_ray.functions.relational import (bucketed_group_sum,
+                                                     hash_join)
+
+    nation = _dim_table(sf_dir, "nation",
+                        ["n_nationkey", "n_name", "n_regionkey"])
+    region = _dim_table(sf_dir, "region", ["r_regionkey", "r_name"])
+    rkey = region.filter(pc.equal(region.column("r_name"), "ASIA")) \
+        .column("r_regionkey")[0].as_py()
+    rn = nation.filter(pc.equal(pc.cast(nation.column("n_regionkey"),
+                                        pa.int64()), rkey))
+    rn_keys = pc.cast(rn.column("n_nationkey"), pa.int64())
+    target_key = nation.filter(pc.equal(nation.column("n_name"),
+                                        "NATION_2")) \
+        .column("n_nationkey")[0].as_py()
+
+    part_t = _dim_table(sf_dir, "part", ["p_partkey", "p_type"])
+    pkeys = np.sort(part_t.filter(pc.equal(
+        part_t.column("p_type"), "PROMO")).column(
+        "p_partkey").to_numpy(zero_copy_only=False))
+    cust = _dim_table(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    ckeys = np.sort(cust.filter(pc.is_in(
+        pc.cast(cust.column("c_nationkey"), pa.int64()),
+        value_set=rn_keys)).column("c_custkey").to_numpy(
+        zero_copy_only=False))
+    supp = _dim_table(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    sk, sn = _int_key_map(supp.column("s_suppkey"),
+                          pc.cast(supp.column("s_nationkey"), pa.int64()))
+    maps_ref = ray.put((pkeys, ckeys, sk, sn))
+    out_schema = pa.schema(
+        [("o_year", pa.int64()), ("nation_rev_c100", pa.int64()),
+         ("total_rev_c100", pa.int64()), ("mkt_share_e6", pa.int64())])
+    if len(pkeys) == 0 or len(ckeys) == 0:
+        return out_schema.empty_table()
+
+    lo = pa.scalar(datetime.datetime(1995, 1, 1))
+    hi = pa.scalar(datetime.datetime(1997, 1, 1))
+
+    def li_filter(b: pa.Table) -> pa.Table:
+        pk, _, _, _ = ray.get(maps_ref)
+        v = b.column("l_partkey").to_numpy(zero_copy_only=False)
+        if len(v) == 0:
+            return b.slice(0, 0)
+        pos = np.searchsorted(pk, v)
+        pos[pos == len(pk)] = 0
+        return b.filter(pa.array(pk[pos] == v))
+
+    def ord_filter(b: pa.Table) -> pa.Table:
+        _, ck, _, _ = ray.get(maps_ref)
+        b = b.filter(pc.and_(
+            pc.greater_equal(b.column("o_orderdate"), lo),
+            pc.less(b.column("o_orderdate"), hi)))
+        v = b.column("o_custkey").to_numpy(zero_copy_only=False)
+        if len(v):
+            pos = np.searchsorted(ck, v)
+            pos[pos == len(ck)] = 0
+            b = b.filter(pa.array(ck[pos] == v))
+        # empty blocks keep the projected two-column schema too
+        year = pc.cast(pc.year(b.column("o_orderdate")), pa.int64())
+        return pa.Table.from_arrays(
+            [b.column("o_orderkey"), year], names=["o_orderkey", "o_year"])
+
+    li = _read(sf_dir, "lineitem").select_columns(
+        ["l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice",
+         "l_discount"]).map_batches(li_filter, batch_format="pyarrow",
+                                    zero_copy_batch=True)
+    orders = _read(sf_dir, "orders").select_columns(
+        ["o_orderkey", "o_custkey", "o_orderdate"]).map_batches(
+        ord_filter, batch_format="pyarrow", zero_copy_batch=True)
+    joined = hash_join(li, orders, on="l_orderkey",
+                       right_on="o_orderkey", n_parts=8)
+
+    def partial(b: pa.Table) -> pa.Table:
+        empty = pa.table({"k": pa.array([], pa.string()),
+                          "nat": pa.array([], pa.int64()),
+                          "tot": pa.array([], pa.int64())})
+        if b.num_rows == 0:
+            return empty
+        _, _, skeys, snat = ray.get(maps_ref)
+        sv = b.column("l_suppkey").to_numpy(zero_copy_only=False)
+        is_target = snat[np.searchsorted(skeys, sv)] == target_key
+        year = b.column("o_year").to_numpy(zero_copy_only=False)
+        rev = np.asarray(_rev_cents(b), dtype=np.int64)
+        ys = np.unique(year)
+        tot = np.zeros(len(ys), dtype=np.int64)
+        nat = np.zeros(len(ys), dtype=np.int64)
+        idx = np.searchsorted(ys, year)
+        np.add.at(tot, idx, rev)
+        np.add.at(nat, idx[is_target], rev[is_target])
+        return pa.table({"k": pa.array([str(y) for y in ys], pa.string()),
+                         "nat": pa.array(nat), "tot": pa.array(tot)})
+
+    folded = bucketed_group_sum(
+        joined.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True),
+        key="k", sum_cols=["nat", "tot"], n_parts=4)
+    rows = []
+    for r in folded.take_all():
+        n, t = int(r["nat"]), int(r["tot"])
+        rows.append({"o_year": int(r["k"]), "nation_rev_c100": n,
+                     "total_rev_c100": t,
+                     "mkt_share_e6": (2_000_000 * n + t) // (2 * t)})
+    rows.sort(key=lambda r: r["o_year"])
+    return pa.Table.from_pylist(rows, schema=out_schema)
+
+
+def q15_top_supplier(sf_dir: str):
+    """TPC-H Q15 shape: the supplier(s) with maximum revenue over the
+    1996-Q1 ship window (all ties kept).  Scale plan: date filter at
+    the scan, in-batch (suppkey → int-cent revenue) combiners, one
+    coarse suppkey exchange (:func:`bucketed_group_sum`), then the
+    driver folds the ≤|suppliers| totals for the argmax and a broadcast
+    name lookup — no supplier-sized shuffle, no window function."""
+    import datetime
+
+    import numpy as np
+
+    from mdvalidate_ray.functions.relational import bucketed_group_sum
+
+    lo = pa.scalar(datetime.datetime(1996, 1, 1))
+    hi = pa.scalar(datetime.datetime(1996, 4, 1))
+
+    def part(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.and_(
+            pc.greater_equal(b.column("l_shipdate"), lo),
+            pc.less(b.column("l_shipdate"), hi)))
+        if b.num_rows == 0:
+            return pa.table({"k": pa.array([], pa.string()),
+                             "rev": pa.array([], pa.int64())})
+        sv = b.column("l_suppkey").to_numpy(zero_copy_only=False)
+        rev = np.asarray(_rev_cents(b), dtype=np.int64)
+        ks = np.unique(sv)
+        out = np.zeros(len(ks), dtype=np.int64)
+        np.add.at(out, np.searchsorted(ks, sv), rev)
+        return pa.table({"k": pa.array([str(k) for k in ks], pa.string()),
+                         "rev": pa.array(out)})
+
+    folded = bucketed_group_sum(
+        _read(sf_dir, "lineitem").select_columns(
+            ["l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"]
+        ).map_batches(part, batch_format="pyarrow",
+                      zero_copy_batch=True),
+        key="k", sum_cols=["rev"], n_parts=8)
+    totals = {int(r["k"]): int(r["rev"]) for r in folded.take_all()}
+    out_schema = pa.schema(
+        [("s_suppkey", pa.int64()), ("s_name", pa.string()),
+         ("total_revenue_c100", pa.int64())])
+    if not totals:
+        return out_schema.empty_table()
+    best = max(totals.values())
+    supp = _dim_table(sf_dir, "supplier", ["s_suppkey", "s_name"])
+    names = dict(zip(supp.column("s_suppkey").to_pylist(),
+                     supp.column("s_name").to_pylist()))
+    rows = [{"s_suppkey": k, "s_name": names[k],
+             "total_revenue_c100": v}
+            for k, v in sorted(totals.items()) if v == best]
+    return pa.Table.from_pylist(rows, schema=out_schema)
+
+
+def q17_small_qty_revenue(sf_dir: str):
+    """TPC-H Q17 shape: yearly revenue lost if Brand#13 orders below
+    20% of the part's average quantity were no longer filled.  The
+    avg-quantity threshold is evaluated as the INTEGER cross-multiply
+    ``5·qty·cnt < sum_qty`` (quantities are integral), so no float
+    average ever exists to diverge.  Scale plan: brand partkeys
+    broadcast; pass 1 folds per-part (sum_qty, cnt) over the
+    brand-filtered scan (≤|brand parts| rows — same broadcast class as
+    the key set); pass 2 re-scans with the thresholds as a searchsorted
+    probe and emits one int-cent partial per batch.  Two scans of a
+    1/25 slice beat materializing the slice."""
+    import numpy as np
+    import ray
+
+    part_t = _dim_table(sf_dir, "part", ["p_partkey", "p_brand"])
+    pkeys = np.sort(part_t.filter(pc.equal(
+        part_t.column("p_brand"), "Brand#13")).column(
+        "p_partkey").to_numpy(zero_copy_only=False))
+    pk_ref = ray.put(pkeys)
+    out_schema = pa.schema(
+        [("total_eprice_c100", pa.int64()), ("n_small", pa.int64()),
+         ("avg_yearly_c100", pa.int64())])
+    if len(pkeys) == 0:
+        return pa.table({"total_eprice_c100": [0], "n_small": [0],
+                         "avg_yearly_c100": [0]}).cast(out_schema)
+
+    def brand_filter(b: pa.Table) -> pa.Table:
+        pk = ray.get(pk_ref)
+        v = b.column("l_partkey").to_numpy(zero_copy_only=False)
+        if len(v) == 0:
+            return b.slice(0, 0)
+        pos = np.searchsorted(pk, v)
+        pos[pos == len(pk)] = 0
+        return b.filter(pa.array(pk[pos] == v))
+
+    cols = ["l_partkey", "l_quantity", "l_extendedprice"]
+
+    def qty_partial(b: pa.Table) -> pa.Table:
+        v = b.column("l_partkey").to_numpy(zero_copy_only=False)
+        q = b.column("l_quantity").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        ks = np.unique(v)
+        sq = np.zeros(len(ks), dtype=np.int64)
+        cn = np.zeros(len(ks), dtype=np.int64)
+        idx = np.searchsorted(ks, v)
+        np.add.at(sq, idx, q)
+        np.add.at(cn, idx, 1)
+        return pa.table({"pk": pa.array(ks), "sq": pa.array(sq),
+                         "cn": pa.array(cn)})
+
+    agg: dict = {}
+    for blk in _read(sf_dir, "lineitem").select_columns(cols) \
+            .map_batches(brand_filter, batch_format="pyarrow",
+                         zero_copy_batch=True) \
+            .map_batches(qty_partial, batch_format="pyarrow",
+                         zero_copy_batch=True) \
+            .iter_batches(batch_format="pyarrow"):
+        for k, s, c in zip(blk.column("pk").to_pylist(),
+                           blk.column("sq").to_pylist(),
+                           blk.column("cn").to_pylist()):
+            cur = agg.get(k, (0, 0))
+            agg[k] = (cur[0] + s, cur[1] + c)
+
+    tk = np.array(sorted(agg), dtype=np.int64)
+    tsq = np.array([agg[k][0] for k in tk], dtype=np.int64)
+    tcn = np.array([agg[k][1] for k in tk], dtype=np.int64)
+    thr_ref = ray.put((tk, tsq, tcn))
+
+    def small_partial(b: pa.Table) -> pa.Table:
+        keys, sq, cn = ray.get(thr_ref)
+        v = b.column("l_partkey").to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(keys, v)
+        q = b.column("l_quantity").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        small = 5 * q * cn[pos] < sq[pos]
+        cents = pc.cast(_pc_round(pc.multiply(
+            b.column("l_extendedprice"), 100.0)), pa.int64())
+        cents = np.asarray(cents, dtype=np.int64)
+        return pa.table({
+            "s": pa.array([int(cents[small].sum())], pa.int64()),
+            "n": pa.array([int(small.sum())], pa.int64())})
+
+    parts = _read(sf_dir, "lineitem").select_columns(cols) \
+        .map_batches(brand_filter, batch_format="pyarrow",
+                     zero_copy_batch=True) \
+        .map_batches(small_partial, batch_format="pyarrow",
+                     zero_copy_batch=True).take_all()
+    tot = sum(r["s"] for r in parts)
+    n = sum(r["n"] for r in parts)
+    return pa.table({
+        "total_eprice_c100": [tot], "n_small": [n],
+        "avg_yearly_c100": [(2 * tot + 7) // 14]}).cast(out_schema)
+
+
 def churned_rich_customers(sf_dir: str):
     """TPC-H Q22 shape, adapted to this corpus (every customer has
     orders, so 'idle' means churned): per market segment, how many
