@@ -156,6 +156,7 @@ def _queries_raw() -> dict[str, Callable[[str], Any]]:
         "q8_market_share": Q.q8_market_share,
         "q15_top_supplier": Q.q15_top_supplier,
         "q17_small_qty_revenue": Q.q17_small_qty_revenue,
+        "curation_scorecard": Q.curation_scorecard,
         "concat_chunk_manifest": Q.concat_chunk_manifest,
         "sample_strata_counts": Q.sample_strata_counts,
         "qty_winsorized": Q.qty_winsorized,
@@ -285,7 +286,7 @@ def _queries_raw() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    d = {
         "stats_text": """
             SELECT count(*)::BIGINT AS n_rows,
                    coalesce(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END), 0)::BIGINT AS n_null,
@@ -3176,3 +3177,29 @@ def oracle_sql() -> dict[str, str]:
             FROM scored
         """,
     }
+    # the fused curation scorecard's oracle IS the conjunction of the
+    # four rule-family oracles — compose them verbatim so both sides
+    # can never drift apart
+    d["curation_scorecard"] = f"""
+        WITH q AS ({d['gopher_quality_flags']}),
+             r AS ({d['gopher_repetition_flags']}),
+             c AS ({d['c4_line_filter']}),
+             p AS ({d['pii_scan']})
+        SELECT d.source, count(*)::BIGINT AS n_docs,
+               sum(CASE WHEN q.gopher_pass THEN 1 ELSE 0 END)::BIGINT
+                   AS n_quality,
+               sum(CASE WHEN r.repetition_pass THEN 1 ELSE 0 END)::BIGINT
+                   AS n_repetition,
+               sum(CASE WHEN c.doc_kept THEN 1 ELSE 0 END)::BIGINT
+                   AS n_c4_kept,
+               sum(CASE WHEN p.has_pii THEN 1 ELSE 0 END)::BIGINT
+                   AS n_pii,
+               sum(CASE WHEN q.gopher_pass AND r.repetition_pass
+                             AND c.doc_kept AND NOT p.has_pii
+                        THEN 1 ELSE 0 END)::BIGINT AS n_keep
+        FROM documents d
+        JOIN q USING (doc_id) JOIN r USING (doc_id)
+        JOIN c USING (doc_id) JOIN p USING (doc_id)
+        GROUP BY d.source
+    """
+    return d

@@ -1518,7 +1518,15 @@ def gopher_quality_flags(ds, *, id_col: str = "doc_id",
     Scale shape: one vectorized Arrow pass per batch (split / regex /
     bincount kernels), zero exchange — every doc is scored inside its
     own block."""
-    docs = ds.select_columns([id_col, text_col])
+    return ds.select_columns([id_col, text_col]).map_batches(
+        _gopher_quality_kernel(id_col, text_col),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _gopher_quality_kernel(id_col: str, text_col: str):
+    """Per-batch kernel factory behind :func:`gopher_quality_flags`,
+    module-level so the fused curation scorecard can run it in the same
+    scan as the other rule families."""
 
     def flags(b: pa.Table) -> pa.Table:
         n = b.num_rows
@@ -1588,8 +1596,7 @@ def gopher_quality_flags(ds, *, id_col: str = "doc_id",
                    "r_symbol", "r_bullet", "r_ellipsis", "r_alpha",
                    "r_stop", "gopher_pass"])
 
-    return docs.map_batches(flags, batch_format="pyarrow",
-                            zero_copy_batch=True)
+    return flags
 
 
 def gopher_repetition_flags(ds, *, id_col: str = "doc_id",
@@ -1624,7 +1631,14 @@ def gopher_repetition_flags(ds, *, id_col: str = "doc_id",
     ``binary_join_element_wise`` (no Python loop over rows or grams),
     per-(doc, gram) counts via one ``np.unique`` on packed int64
     keys. Zero exchange; every doc scores inside its own block."""
-    docs = ds.select_columns([id_col, text_col])
+    return ds.select_columns([id_col, text_col]).map_batches(
+        _gopher_repetition_kernel(id_col, text_col),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _gopher_repetition_kernel(id_col: str, text_col: str):
+    """Per-batch kernel factory behind :func:`gopher_repetition_flags`
+    (module-level for the fused curation scorecard)."""
 
     def _group_stats(par: np.ndarray, codes: np.ndarray,
                      lens: np.ndarray, n: int):
@@ -1726,8 +1740,7 @@ def gopher_repetition_flags(ds, *, id_col: str = "doc_id",
                    "r_dup_line", "r_dup_line_chars", "r_top2", "r_top3",
                    "r_top4", "r_dup5", "r_dup10", "repetition_pass"])
 
-    return docs.map_batches(flags, batch_format="pyarrow",
-                            zero_copy_batch=True)
+    return flags
 
 
 def c4_line_filter(ds, *, id_col: str = "doc_id",
@@ -1747,7 +1760,14 @@ def c4_line_filter(ds, *, id_col: str = "doc_id",
     Scale shape: one vectorized Arrow pass per batch — two nested
     splits (doc→lines, line→words) as flat kernels with parent-index
     bincounts, zero exchange."""
-    docs = ds.select_columns([id_col, text_col])
+    return ds.select_columns([id_col, text_col]).map_batches(
+        _c4_line_kernel(id_col, text_col),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _c4_line_kernel(id_col: str, text_col: str):
+    """Per-batch kernel factory behind :func:`c4_line_filter`
+    (module-level for the fused curation scorecard)."""
 
     def flags(b: pa.Table) -> pa.Table:
         n = b.num_rows
@@ -1796,8 +1816,7 @@ def c4_line_filter(ds, *, id_col: str = "doc_id",
             names=[id_col, "n_lines", "n_kept_lines", "kept_chars",
                    "has_lorem", "has_brace", "doc_kept"])
 
-    return docs.map_batches(flags, batch_format="pyarrow",
-                            zero_copy_batch=True)
+    return flags
 
 
 _PII_PATTERNS = (
@@ -1822,7 +1841,14 @@ def pii_scan(ds, *, id_col: str = "doc_id", text_col: str = "text"):
 
     Scale shape: four compiled-regex Arrow kernels per batch, zero
     exchange."""
-    docs = ds.select_columns([id_col, text_col])
+    return ds.select_columns([id_col, text_col]).map_batches(
+        _pii_kernel(id_col, text_col),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _pii_kernel(id_col: str, text_col: str):
+    """Per-batch kernel factory behind :func:`pii_scan` (module-level
+    for the fused curation scorecard)."""
 
     def scan(b: pa.Table) -> pa.Table:
         texts = pc.fill_null(pc.cast(b.column(text_col), pa.string()), "")
@@ -1840,8 +1866,7 @@ def pii_scan(ds, *, id_col: str = "doc_id", text_col: str = "text"):
             cols, names=[id_col] + [n for n, _ in _PII_PATTERNS]
             + ["has_pii"])
 
-    return docs.map_batches(scan, batch_format="pyarrow",
-                            zero_copy_batch=True)
+    return scan
 
 
 def deterministic_shuffle(ds, *, key: str = "doc_id", salt: str = "shuf"):

@@ -6504,6 +6504,63 @@ def pii_scan(sf_dir: str):
              text_col="text")
 
 
+def curation_scorecard(sf_dir: str):
+    """The fused curation funnel report: ONE scan of the corpus runs
+    all four rule families (Gopher quality, Gopher repetition, C4 line
+    cleaning, PII) per batch and folds per-source keep counts — the
+    shape a 100-TB pipeline actually runs (four separate scans of the
+    same petabytes would quadruple the read bill; here every family
+    shares the block already in memory).  Per-batch partials are ≤
+    |sources| rows; one coarse source-keyed fold finishes.  The DuckDB
+    oracle is composed verbatim from the four single-family oracles,
+    so the fused pass can never drift from its parts."""
+    import numpy as np
+
+    from mdvalidate_ray.functions.relational import bucketed_group_sum
+    from mdvalidate_ray.functions.text import (_c4_line_kernel,
+                                               _gopher_quality_kernel,
+                                               _gopher_repetition_kernel,
+                                               _pii_kernel)
+
+    qk = _gopher_quality_kernel("doc_id", "text")
+    rk = _gopher_repetition_kernel("doc_id", "text")
+    ck = _c4_line_kernel("doc_id", "text")
+    pk = _pii_kernel("doc_id", "text")
+    docs = _read(sf_dir, "documents").select_columns(
+        ["doc_id", "text", "source"])
+    sums = ["n_docs", "n_quality", "n_repetition", "n_c4_kept",
+            "n_pii", "n_keep"]
+
+    def part(b: pa.Table) -> pa.Table:
+        q = np.asarray(qk(b).column("gopher_pass"))
+        r = np.asarray(rk(b).column("repetition_pass"))
+        c = np.asarray(ck(b).column("doc_kept"))
+        p = np.asarray(pk(b).column("has_pii"))
+        keep = q & r & c & ~p
+        t = pa.Table.from_arrays(
+            [b.column("source"),
+             pa.array(np.ones(b.num_rows, np.int64)),
+             pa.array(q.astype(np.int64)), pa.array(r.astype(np.int64)),
+             pa.array(c.astype(np.int64)),
+             pa.array(p.astype(np.int64)),
+             pa.array(keep.astype(np.int64))],
+            names=["source"] + sums)
+        g = pa.TableGroupBy(t, "source").aggregate(
+            [(c_, "sum") for c_ in sums])
+        return g.rename_columns(["source"] + sums)
+
+    folded = bucketed_group_sum(
+        docs.map_batches(part, batch_format="pyarrow",
+                         zero_copy_batch=True),
+        key="source", sum_cols=sums, n_parts=4)
+    rows = sorted(folded.take_all(), key=lambda r: r["source"])
+    return pa.table({
+        "source": pa.array([r["source"] for r in rows], pa.string()),
+        **{c_: pa.array([int(r[c_]) for r in rows], pa.int64())
+           for c_ in sums},
+    })
+
+
 def source_vocab_jaccard(sf_dir: str):
     """Pairwise vocabulary Jaccard between sources — the corpus-overlap
     matrix a curator reads before mixing crawls (near-identical vocab ⇒
