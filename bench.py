@@ -207,6 +207,12 @@ QUERY_NAMES = [
     "parity_rates", "part_cheapest_paths", "winnow_stats",
     "shard_assignment", "custkey_skew", "ranking_overlap",
     "lang_confusion",
+    # round-4 additions
+    "l_diversity_violations", "dsir_weights", "lm_perplexity_buckets",
+    "gopher_quality_flags", "gopher_repetition_flags", "c4_line_filter",
+    "pii_scan", "curation_scorecard", "source_vocab_jaccard",
+    "pack_shards", "shuffle_head", "lineitem_zorder_pruned",
+    "q8_market_share", "q15_top_supplier", "q17_small_qty_revenue",
 ]
 
 
