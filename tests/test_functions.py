@@ -2483,14 +2483,9 @@ def test_gopher_repetition_flags_matches_naive(ray_session):
             seen_true[col] |= exp[col]
             seen_false[col] |= not exp[col]
     assert all(seen_true.values()), seen_true
-    missing_false = [c for c, v in seen_false.items() if not v]
-    # dup-line-chars and dup-line are hard to flip with seeded docs alone;
-    # the crafted docs above must flip at least these:
-    assert "r_top2" not in missing_false
-    assert "r_dup5" not in missing_false
-    assert "r_dup10" not in missing_false
-    assert "r_dup_line" not in missing_false
-    assert "repetition_pass" not in missing_false
+    # every rule must flip False somewhere in the suite (verified: the
+    # crafted docs flip dup_line/dup_line_chars, the seeded docs the rest)
+    assert all(seen_false.values()), seen_false
 
 
 def test_c4_line_filter_crafted_docs(ray_session):
