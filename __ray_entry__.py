@@ -157,6 +157,7 @@ def _queries_raw() -> dict[str, Callable[[str], Any]]:
         "q15_top_supplier": Q.q15_top_supplier,
         "q17_small_qty_revenue": Q.q17_small_qty_revenue,
         "curation_scorecard": Q.curation_scorecard,
+        "orders_reconciliation": Q.orders_reconciliation,
         "concat_chunk_manifest": Q.concat_chunk_manifest,
         "sample_strata_counts": Q.sample_strata_counts,
         "qty_winsorized": Q.qty_winsorized,
@@ -2847,6 +2848,33 @@ def oracle_sql() -> dict[str, str]:
                     AND (5 * n_alpha >= 4 * n_words)
                     AND (n_stop >= 2)) AS gopher_pass
             FROM m
+        """,
+        "orders_reconciliation": """
+            WITH li AS (
+                SELECT l_orderkey AS k,
+                       sum(round(l_extendedprice * (1 - l_discount)
+                                 * (1 + l_tax) * 100)::BIGINT) AS exp
+                FROM lineitem GROUP BY 1
+            ),
+            j AS (
+                SELECT o_orderpriority AS pri,
+                       round(o_totalprice * 100)::BIGINT AS tot,
+                       (li.k IS NULL) AS missing,
+                       (round(o_totalprice * 100)::BIGINT
+                        - coalesce(li.exp, 0)) AS diff
+                FROM orders LEFT JOIN li ON o_orderkey = li.k
+            )
+            SELECT pri AS o_orderpriority,
+                   count(*)::BIGINT AS n_orders,
+                   sum(CASE WHEN missing THEN 1 ELSE 0 END)::BIGINT
+                       AS n_missing_li,
+                   sum(CASE WHEN NOT missing AND diff = 0
+                            THEN 1 ELSE 0 END)::BIGINT AS n_exact,
+                   sum(CASE WHEN NOT missing AND 100 * abs(diff) <= tot
+                            THEN 1 ELSE 0 END)::BIGINT AS n_within_1pct,
+                   sum(CASE WHEN NOT missing THEN abs(diff)
+                            ELSE 0 END)::BIGINT AS sum_abs_diff_c100
+            FROM j GROUP BY 1
         """,
         "q8_market_share": """
             WITH j AS (

@@ -6504,6 +6504,135 @@ def pii_scan(sf_dir: str):
              text_col="text")
 
 
+def orders_reconciliation(sf_dir: str):
+    """Cross-table financial reconciliation audit: per order priority,
+    how many orders' ``o_totalprice`` exactly / within-1% match the
+    cents sum of their lineitems (``Σ round(eprice·(1−disc)·(1+tax)
+    ·100)``), how many have no lineitems at all, and the total absolute
+    drift — the ledger-vs-detail consistency check every warehouse runs
+    before trusting either table.  All integers (per-row cents rounding
+    is identical on both sides), so the oracle is bit-exact.
+
+    Scale plan: lineitem collapses to per-batch (orderkey → cents)
+    combiners; orders rows and lineitem partials UNION into one stream
+    and co-partition ONCE on ``hash(orderkey) % n_parts`` (the
+    full-outer pattern of user_order_balance — neither side ever
+    broadcasts); each bucket reconciles vectorized and emits ≤
+    |priorities| partial rows; the driver folds O(n_parts × 5)."""
+    import numpy as np
+
+    from mdvalidate_ray.state.sketches import hash_strings  # noqa: F401
+
+    n_parts = 16
+    schema = pa.schema([("k", pa.int64()), ("tot", pa.int64()),
+                        ("pri", pa.string()), ("exp", pa.int64()),
+                        ("is_order", pa.bool_()), ("_b", pa.int64())])
+
+    def _bucket(k: "np.ndarray") -> "np.ndarray":
+        h = (k.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) \
+            >> np.uint64(33)
+        return (h % np.uint64(n_parts)).astype(np.int64)
+
+    def li_part(b: pa.Table) -> pa.Table:
+        cents = pc.cast(_pc_round(pc.multiply(pc.multiply(
+            pc.multiply(b.column("l_extendedprice"),
+                        pc.subtract(pa.scalar(1.0),
+                                    b.column("l_discount"))),
+            pc.add(pa.scalar(1.0), b.column("l_tax"))), 100.0)),
+            pa.int64())
+        k = b.column("l_orderkey").to_numpy(zero_copy_only=False)
+        ks = np.unique(k)
+        s = np.zeros(len(ks), dtype=np.int64)
+        np.add.at(s, np.searchsorted(ks, k),
+                  np.asarray(cents, dtype=np.int64))
+        n = len(ks)
+        return pa.Table.from_arrays(
+            [pa.array(ks), pa.array(np.zeros(n, np.int64)),
+             pa.array([""] * n, pa.string()), pa.array(s),
+             pa.array(np.zeros(n, bool)), pa.array(_bucket(ks))],
+            schema=schema)
+
+    def ord_part(b: pa.Table) -> pa.Table:
+        k = b.column("o_orderkey").to_numpy(zero_copy_only=False)
+        tot = np.asarray(pc.cast(_pc_round(pc.multiply(
+            b.column("o_totalprice"), 100.0)), pa.int64()),
+            dtype=np.int64)
+        n = len(k)
+        return pa.Table.from_arrays(
+            [pa.array(k), pa.array(tot), b.column("o_orderpriority"),
+             pa.array(np.zeros(n, np.int64)),
+             pa.array(np.ones(n, bool)), pa.array(_bucket(k))],
+            schema=schema)
+
+    li = _read(sf_dir, "lineitem").select_columns(
+        ["l_orderkey", "l_extendedprice", "l_discount", "l_tax"]
+    ).map_batches(li_part, batch_format="pyarrow", zero_copy_batch=True)
+    orders = _read(sf_dir, "orders").select_columns(
+        ["o_orderkey", "o_totalprice", "o_orderpriority"]
+    ).map_batches(ord_part, batch_format="pyarrow", zero_copy_batch=True)
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        is_o = np.asarray(g.column("is_order"))
+        k = g.column("k").to_numpy(zero_copy_only=False)
+        exp = g.column("exp").to_numpy(zero_copy_only=False)
+        # fold lineitem partials per orderkey
+        lk, le = k[~is_o], exp[~is_o]
+        uk = np.unique(lk)
+        s = np.zeros(len(uk), dtype=np.int64)
+        np.add.at(s, np.searchsorted(uk, lk), le)
+        # probe each order
+        ok = k[is_o]
+        tot = g.column("tot").to_numpy(zero_copy_only=False)[is_o]
+        pri = np.asarray(g.column("pri").to_pylist(),
+                         dtype=object)[is_o]
+        if len(uk):
+            pos = np.searchsorted(uk, ok)
+            pos_c = np.minimum(pos, len(uk) - 1)
+            found = uk[pos_c] == ok
+            expo = np.where(found, s[pos_c], 0)
+        else:
+            found = np.zeros(len(ok), bool)
+            expo = np.zeros(len(ok), np.int64)
+        diff = tot - expo
+        ups = np.unique(pri) if len(pri) else np.array([], object)
+        rows = []
+        for p in ups:
+            m = pri == p
+            miss = m & ~found
+            hit = m & found
+            rows.append((str(p), int(m.sum()), int(miss.sum()),
+                         int((hit & (diff == 0)).sum()),
+                         int((hit & (100 * np.abs(diff) <= tot)).sum()),
+                         int(np.abs(diff[hit]).sum())))
+        return pa.Table.from_arrays(
+            [pa.array([r[i] for r in rows],
+                      pa.string() if i == 0 else pa.int64())
+             for i in range(6)],
+            names=["o_orderpriority", "n_orders", "n_missing_li",
+                   "n_exact", "n_within_1pct", "sum_abs_diff_c100"])
+
+    folded = li.union(orders).groupby("_b").map_groups(
+        per_bucket, batch_format="pyarrow")
+    agg: dict = {}
+    for r in folded.take_all():
+        cur = agg.get(r["o_orderpriority"], (0, 0, 0, 0, 0))
+        agg[r["o_orderpriority"]] = tuple(
+            cur[i] + r[c] for i, c in enumerate(
+                ["n_orders", "n_missing_li", "n_exact",
+                 "n_within_1pct", "sum_abs_diff_c100"]))
+    pris = sorted(agg)
+    return pa.table({
+        "o_orderpriority": pa.array(pris, pa.string()),
+        "n_orders": pa.array([agg[p][0] for p in pris], pa.int64()),
+        "n_missing_li": pa.array([agg[p][1] for p in pris], pa.int64()),
+        "n_exact": pa.array([agg[p][2] for p in pris], pa.int64()),
+        "n_within_1pct": pa.array([agg[p][3] for p in pris],
+                                  pa.int64()),
+        "sum_abs_diff_c100": pa.array([agg[p][4] for p in pris],
+                                      pa.int64()),
+    })
+
+
 def curation_scorecard(sf_dir: str):
     """The fused curation funnel report: ONE scan of the corpus runs
     all four rule families (Gopher quality, Gopher repetition, C4 line

@@ -2585,3 +2585,47 @@ def test_pii_scan_crafted_docs(ray_session):
     assert not out.loc[4, ["n_email", "n_ipv4", "n_phone",
                            "n_digit_run"]].any()
     assert out.loc[5, "n_email"] == 0
+
+
+def test_orders_reconciliation_crafted(ray_session, tmp_path):
+    """Reconciliation audit pinned on crafted tables: exact match,
+    within-1% drift, large drift, and an order with no lineitems."""
+    import pyarrow.parquet as pq
+
+    from mdvalidate_ray.queries import orders_reconciliation
+
+    orders = pa.table({
+        "o_orderkey": pa.array([1, 2, 3, 4], pa.int64()),
+        "o_custkey": pa.array([1, 1, 1, 1], pa.int64()),
+        "o_orderstatus": ["F"] * 4,
+        "o_totalprice": [100.0, 100.0, 100.0, 55.5],
+        "o_orderdate": pa.array([0] * 4, pa.timestamp("us")),
+        "o_orderpriority": ["1-URGENT", "1-URGENT", "2-HIGH", "2-HIGH"],
+    })
+    # order 1: exact 100.00; order 2: 100.50 (within 1%); order 3:
+    # 200.00 (way off); order 4: no lineitems
+    li = pa.table({
+        "l_orderkey": pa.array([1, 1, 2, 3], pa.int64()),
+        "l_partkey": pa.array([1, 2, 1, 1], pa.int64()),
+        "l_suppkey": pa.array([1, 1, 1, 1], pa.int64()),
+        "l_linenumber": pa.array([1, 2, 1, 1], pa.int32()),
+        "l_quantity": [1.0, 1.0, 1.0, 1.0],
+        "l_extendedprice": [60.0, 40.0, 100.50, 200.0],
+        "l_discount": [0.0, 0.0, 0.0, 0.0],
+        "l_tax": [0.0, 0.0, 0.0, 0.0],
+        "l_returnflag": ["N"] * 4,
+        "l_linestatus": ["O"] * 4,
+        "l_shipdate": pa.array([0] * 4, pa.timestamp("us")),
+    })
+    pq.write_table(orders, tmp_path / "orders.parquet")
+    pq.write_table(li, tmp_path / "lineitem.parquet")
+    out = orders_reconciliation(str(tmp_path)).to_pandas().set_index(
+        "o_orderpriority")
+    u, h = out.loc["1-URGENT"], out.loc["2-HIGH"]
+    assert (u["n_orders"], u["n_missing_li"]) == (2, 0)
+    assert u["n_exact"] == 1                       # order 1
+    assert u["n_within_1pct"] == 2                 # orders 1 and 2
+    assert u["sum_abs_diff_c100"] == 50            # order 2: 50 cents
+    assert (h["n_orders"], h["n_missing_li"]) == (2, 1)   # order 4
+    assert h["n_exact"] == 0 and h["n_within_1pct"] == 0
+    assert h["sum_abs_diff_c100"] == 10000         # order 3: $100 off
