@@ -266,6 +266,7 @@ def _queries_raw() -> dict[str, Callable[[str], Any]]:
         "lineitem_expectations": Q.lineitem_expectations,
         "event_transitions": Q.event_transitions,
         "knn_pq": Q.knn_pq,
+        "knn_hnsw": Q.knn_hnsw,
         "ks_drift_sources": Q.ks_drift_sources,
         "user_daily_ohlc": Q.user_daily_ohlc,
         "lang_length_pct": Q.lang_length_pct,

@@ -1019,6 +1019,171 @@ def knn_ivf_pq(ds, queries: np.ndarray, k: int = 10, *,
                   concurrency=concurrency, index=pq)
 
 
+class HNSWGraph:
+    """Hierarchical Navigable Small World graph (Malkov & Yashunin
+    2018) over a FIXED vector set — the graph-index ANN tier next to
+    IVF's pruning and PQ's compression.  Pure numpy + heapq, fully
+    deterministic: level assignment hashes the KEY (md5 → uniform →
+    geometric), insertion runs in sorted-key order, and every heap
+    tie breaks on (similarity, node index).
+
+    Similarity = cosine on normalized vectors (higher is better), so
+    the search frontier maximizes dot products — consistent with the
+    rest of this module."""
+
+    def __init__(self, keys, vecs: np.ndarray, *, M: int = 16,
+                 ef_construction: int = 64, seed: str = "hnsw"):
+        from mdvalidate_ray.state.sketches import hash_strings
+
+        keys = np.asarray(keys, dtype=np.int64)
+        order = np.argsort(keys, kind="stable")
+        self.keys = keys[order]
+        self.v = _normalize(np.asarray(vecs, dtype=np.float64)[order])
+        n = len(self.keys)
+        self.M = M
+        self.efc = ef_construction
+        if n:
+            h = hash_strings([f"{seed}|{k}" for k in self.keys])
+            u = (h.astype(np.float64) + 0.5) / float(2 ** 64)
+            self.levels = np.minimum(
+                np.floor(-np.log(u) / np.log(M)).astype(np.int64), 32)
+        else:
+            self.levels = np.zeros(0, dtype=np.int64)
+        self.adj: list[list[list[int]]] = []
+        self.entry = -1
+        self.max_level = -1
+        for i in range(n):
+            self._insert(i)
+
+    def _sims(self, q: np.ndarray, idxs) -> np.ndarray:
+        return self.v[np.asarray(idxs)] @ q
+
+    def _search_layer(self, q, entries, ef: int, level: int):
+        """Best-first beam of width ``ef`` on one layer; ``entries`` is
+        a list of (sim, idx) seeds; returns ≤ef (sim, idx) results."""
+        visited = {i for _, i in entries}
+        cand = [(-s, i) for s, i in entries]
+        heapq.heapify(cand)
+        best = list(entries)
+        heapq.heapify(best)          # min-heap: worst kept sim at root
+        adj = self.adj[level]
+        while cand:
+            negs, c = heapq.heappop(cand)
+            if len(best) >= ef and -negs < best[0][0]:
+                break
+            nbrs = [x for x in adj[c] if x not in visited]
+            if not nbrs:
+                continue
+            visited.update(nbrs)
+            for s, x in zip(self._sims(q, nbrs), nbrs):
+                s = float(s)
+                if len(best) < ef or s > best[0][0]:
+                    heapq.heappush(best, (s, x))
+                    if len(best) > ef:
+                        heapq.heappop(best)
+                    heapq.heappush(cand, (-s, x))
+        return best
+
+    def _insert(self, i: int) -> None:
+        lvl = int(self.levels[i])
+        while len(self.adj) <= lvl:
+            self.adj.append([[] for _ in range(len(self.keys))])
+        if self.entry < 0:
+            self.entry, self.max_level = i, lvl
+            return
+        q = self.v[i]
+        ep = [(float(self.v[self.entry] @ q), self.entry)]
+        for lev in range(self.max_level, lvl, -1):
+            ep = self._search_layer(q, ep, 1, lev)
+        for lev in range(min(lvl, self.max_level), -1, -1):
+            cands = self._search_layer(q, ep, self.efc, lev)
+            sel = sorted(cands, key=lambda t: (-t[0], t[1]))[:self.M]
+            cap = self.M * (2 if lev == 0 else 1)
+            for _, j in sel:
+                self.adj[lev][i].append(j)
+                self.adj[lev][j].append(i)
+                if len(self.adj[lev][j]) > cap:
+                    nb = np.asarray(self.adj[lev][j])
+                    sims = self._sims(self.v[j], nb)
+                    keep = np.lexsort((nb, -sims))[:cap]
+                    self.adj[lev][j] = [int(nb[o]) for o in keep]
+            ep = cands
+        if lvl > self.max_level:
+            self.entry, self.max_level = i, lvl
+
+    def search(self, q: np.ndarray, k: int, ef: int = 64):
+        """Top-k (score, key) for one normalized query vector."""
+        if self.entry < 0:
+            return []
+        q = np.asarray(q, dtype=np.float64)
+        ep = [(float(self.v[self.entry] @ q), self.entry)]
+        for lev in range(self.max_level, 0, -1):
+            ep = self._search_layer(q, ep, 1, lev)
+        best = self._search_layer(q, ep, max(ef, k), 0)
+        ranked = sorted(best, key=lambda t: (-t[0], self.keys[t[1]]))[:k]
+        return [(float(s), int(self.keys[i])) for s, i in ranked]
+
+
+def knn_hnsw(ds, queries: np.ndarray, k: int = 10, *,
+             column: str = "embedding", key: str = "vec_id",
+             n_shards: int = 4, M: int = 16, ef_construction: int = 64,
+             ef_search: int = 96) -> pa.Table:
+    """Graph-index approximate top-k (same output schema as
+    :func:`knn_brute_force`): vectors co-partition ONCE by
+    ``key % n_shards``, each shard builds ONE deterministic
+    :class:`HNSWGraph` over its whole partition and beam-searches every
+    query (build amortizes across all queries — never per batch), the
+    driver merges the per-shard candidates.  Deterministic end to end:
+    hash-of-key levels, sorted-key insertion, key tie-breaks.
+
+    Scale shape: the 100-TB serving variant holds the same per-shard
+    graphs in long-lived actors (build once in ``__init__``, answer
+    query streams); for a one-shot batch query the group pass below is
+    the same work without the residency.  Recall contract pinned by
+    test_hnsw_recall."""
+    q = _normalize(np.asarray(queries, dtype=np.float64))
+
+    def tag(b: pa.Table) -> pa.Table:
+        kv = b.column(key).to_numpy(zero_copy_only=False)
+        return b.append_column(
+            "_shard", pa.array((kv % n_shards).astype(np.int64)))
+
+    def per_shard(g: pa.Table) -> pa.Table:
+        keys_np = g.column(key).to_numpy(zero_copy_only=False)
+        vecs = _batch_matrix(g, column)
+        graph = HNSWGraph(keys_np, vecs, M=M,
+                          ef_construction=ef_construction)
+        rows = []
+        for qi in range(q.shape[0]):
+            for s, kk in graph.search(q[qi], k, ef=ef_search):
+                rows.append({"query_id": qi, "key": kk, "score": s})
+        return pa.Table.from_pylist(rows, schema=pa.schema(
+            [("query_id", pa.int64()), ("key", pa.int64()),
+             ("score", pa.float64())]))
+
+    partials = ds.map_batches(tag, batch_format="pyarrow",
+                              zero_copy_batch=True) \
+        .groupby("_shard").map_groups(per_shard, batch_format="pyarrow")
+    heaps: dict[int, list] = {}
+    for row in partials.iter_rows():
+        h = heaps.setdefault(row["query_id"], [])
+        item = (row["score"], -row["key"])
+        if len(h) < k:
+            heapq.heappush(h, item)
+        elif item > h[0]:
+            heapq.heapreplace(h, item)
+    out = []
+    for qi in sorted(heaps):
+        ranked = sorted(((s, -nk) for s, nk in heaps[qi]),
+                        key=lambda t: (-t[0], t[1]))
+        for rank, (score, kk2) in enumerate(ranked):
+            out.append({"query_id": qi, "rank": rank, "key": kk2,
+                        "score": score})
+    return pa.Table.from_pylist(out, schema=pa.schema(
+        [("query_id", pa.int64()), ("rank", pa.int64()),
+         ("key", pa.int64()), ("score", pa.float64())]))
+
+
 def pca_fit(ds, *, column: str = "embedding",
             n_components: int = 8) -> dict:
     """Distributed PCA fit in ONE streaming pass: each batch emits the

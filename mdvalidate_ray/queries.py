@@ -3826,6 +3826,32 @@ def knn_pq(sf_dir: str):
         names=["query_id", "key", "score_m"])
 
 
+def knn_hnsw(sf_dir: str):
+    """Graph-index approximate nearest neighbours (HNSW, Malkov &
+    Yashunin 2018 — the GRAPH tier of the ANN family next to IVF's
+    pruning and PQ's compression): per-shard deterministic small-world
+    graphs, beam search per query, driver top-k merge.  Deterministic
+    (hash-of-key levels, sorted insertion) but approximate —
+    rows-only; the recall-vs-exact contract is pinned by
+    test_hnsw_recall."""
+    import numpy as np
+
+    from mdvalidate_ray.functions.similarity import knn_hnsw as _h
+
+    emb = _read(sf_dir, "embeddings")
+    qrows = sorted(emb.take(16), key=lambda r: r["vec_id"])[:3]
+    queries = np.asarray([r["embedding"] for r in qrows],
+                         dtype=np.float64)
+    out = _h(emb, queries, k=5, n_shards=4)
+    return pa.Table.from_arrays(
+        [pa.array([qrows[r["query_id"]]["vec_id"]
+                   for r in out.to_pylist()], pa.int64()),
+         out.column("key"),
+         _pc_round(pc.multiply(out.column("score"), 1000.0))
+         .cast(pa.int64())],
+        names=["query_id", "key", "score_m"])
+
+
 def ks_drift_sources(sf_dir: str):
     """Exact two-sample KS statistic on document length between sources
     src0 and src1 — the integer-exact hypothesis-test complement of the

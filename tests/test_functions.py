@@ -2629,3 +2629,44 @@ def test_orders_reconciliation_crafted(ray_session, tmp_path):
     assert (h["n_orders"], h["n_missing_li"]) == (2, 1)   # order 4
     assert h["n_exact"] == 0 and h["n_within_1pct"] == 0
     assert h["sum_abs_diff_c100"] == 10000         # order 3: $100 off
+
+
+def test_hnsw_recall(ray_session):
+    """HNSW graph-tier ANN: recall@10 vs exact brute force on a
+    clustered corpus, exact determinism across runs, and the per-shard
+    graph's key tie-break contract (smaller key wins on score ties)."""
+    import numpy as np
+    import ray.data
+
+    from mdvalidate_ray.functions.similarity import (HNSWGraph,
+                                                     knn_brute_force,
+                                                     knn_hnsw,
+                                                     _normalize)
+
+    rng = np.random.default_rng(7)
+    centers = rng.normal(size=(8, 32)).astype(np.float64) * 5
+    blob = np.repeat(centers, 100, axis=0) + rng.normal(
+        size=(800, 32)) * 0.3
+    bds = ray.data.from_arrow(pa.table({
+        "vec_id": pa.array(range(800), pa.int64()),
+        "embedding": pa.array([v.tolist() for v in blob],
+                              pa.list_(pa.float32()))})).repartition(4)
+    queries = blob[[0, 150, 350]]
+    exact = knn_brute_force(bds, queries, k=10).to_pylist()
+    a1 = knn_hnsw(bds, queries, k=10, n_shards=4)
+    a2 = knn_hnsw(bds, queries, k=10, n_shards=4)
+    assert a1.to_pylist() == a2.to_pylist()          # deterministic
+    ap = a1.to_pylist()
+    hits = 0
+    for qi in range(3):
+        e = {r["key"] for r in exact if r["query_id"] == qi}
+        a = {r["key"] for r in ap if r["query_id"] == qi}
+        assert len(a) == 10
+        hits += len(a & e)
+    assert hits >= 27, hits                          # recall@10 >= 0.9
+
+    # direct graph contract: exact-duplicate vectors rank by key
+    dup = np.ones((5, 8))
+    g = HNSWGraph([50, 10, 30, 20, 40], dup, M=4)
+    got = g.search(_normalize(np.ones((1, 8)))[0], 3)
+    assert [k for _, k in got] == [10, 20, 30]
