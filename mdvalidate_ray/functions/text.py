@@ -1690,26 +1690,42 @@ def _gopher_repetition_kernel(id_col: str, text_col: str):
             gdoc, weights=((gcnt - 1) * glen_).astype(np.float64),
             minlength=n).astype(np.int64)
 
-        # --- word n-grams: top-cover (k=2,3,4) and dup-cover (5,10) ---
-        wcodes = np.asarray(pc.dictionary_encode(words).indices)
+        # --- word n-grams: top-cover (k=2,3,4) and dup-cover (5,10),
+        # identities via PREFIX-DOUBLING over dictionary codes (a
+        # k-gram's dense code combines the code of its first a-gram
+        # with the code of the b-gram starting a later, a+b=k) and
+        # lengths via word-length prefix sums + (k−1) separators — no
+        # gram STRING is ever materialized, so the batch never pays
+        # the ~k× text blowup a join kernel would ---
+        wcodes = np.asarray(pc.dictionary_encode(words).indices) \
+            .astype(np.int64)
         m = len(words)
+        wcum = np.concatenate(([0], np.cumsum(wlen)))
+
+        def _recode(a: np.ndarray, bcol: np.ndarray) -> np.ndarray:
+            packed = (a << np.int64(32)) | bcol
+            _, inv = np.unique(packed, return_inverse=True)
+            return inv.astype(np.int64)
+
+        comp = {2: (1, 1), 3: (2, 1), 4: (2, 2), 5: (4, 1), 10: (5, 5)}
+        codes_k = {1: wcodes}
         top_cover = {}
         dup_cover = {}
         for k in (2, 3, 4, 5, 10):
+            a, bb = comp[k]
             npos = max(m - k + 1, 0)
+            if npos > 0:
+                codes_k[k] = _recode(codes_k[a][:npos],
+                                     codes_k[bb][a:a + npos])
+            else:
+                codes_k[k] = np.zeros(0, dtype=np.int64)
             out = np.zeros(n, dtype=np.int64)
             if npos > 0:
                 ok = wpar[:npos] == wpar[k - 1:k - 1 + npos]
                 if ok.any():
-                    parts = [words.slice(j, npos) for j in range(k)]
-                    grams = pc.binary_join_element_wise(*parts, " ")
-                    grams = grams.filter(pa.array(ok))
-                    if isinstance(grams, pa.ChunkedArray):
-                        grams = grams.combine_chunks()
-                    gl = np.asarray(pc.utf8_length(grams)).astype(
-                        np.int64)
-                    gc = np.asarray(pc.dictionary_encode(grams).indices)
-                    d, c, L = _group_stats(wpar[:npos][ok], gc, gl, n)
+                    gl = wcum[k:k + npos] - wcum[:npos] + (k - 1)
+                    d, c, L = _group_stats(wpar[:npos][ok],
+                                           codes_k[k][ok], gl[ok], n)
                     if k in (2, 3, 4):
                         np.maximum.at(out, d, c * L)
                     else:
