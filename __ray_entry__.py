@@ -62,9 +62,17 @@ def _maybe_dump(name: str, fn: Callable[[str], Any]) -> Callable[[str], Any]:
                     t = res
                 elif isinstance(res, pd.DataFrame):
                     t = pa.Table.from_pandas(res, preserve_index=False)
-                else:                      # ray.data.Dataset
-                    t = pa.Table.from_pandas(res.to_pandas(),
-                                             preserve_index=False)
+                else:                      # ray.data.Dataset — collect
+                    # as ARROW blocks: a pandas round-trip would turn
+                    # nullable int64 into float64 and make the dump
+                    # hash differently from the driver's own run
+                    blocks = list(res.iter_batches(
+                        batch_format="pyarrow"))
+                    blocks = [blk for blk in blocks if blk.num_rows]
+                    if blocks:
+                        t = pa.concat_tables(blocks, promote_options="default")
+                    else:
+                        t = res.schema().base_schema.empty_table()
                 os.makedirs(dump_dir, exist_ok=True)
                 pq.write_table(t, os.path.join(dump_dir,
                                                f"{name}.parquet"))
@@ -2996,13 +3004,19 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_id,
                        count(*)::BIGINT AS n_lines,
                        count(*) FILTER (
-                           right(trim(line), 1) IN ('.', '!', '?', '"')
+                           right(trim(line, ' ' || chr(9) || chr(13)
+                                     || chr(10) || chr(11)
+                                     || chr(12)), 1)
+                               IN ('.', '!', '?', '"')
                            AND len(list_filter(string_split_regex(
                                trim(line), '\\s+'), x -> x <> '')) >= 5
                            AND NOT contains(lower(line), 'javascript')
                        )::BIGINT AS n_kept_lines,
                        coalesce(sum(length(line)) FILTER (
-                           right(trim(line), 1) IN ('.', '!', '?', '"')
+                           right(trim(line, ' ' || chr(9) || chr(13)
+                                     || chr(10) || chr(11)
+                                     || chr(12)), 1)
+                               IN ('.', '!', '?', '"')
                            AND len(list_filter(string_split_regex(
                                trim(line), '\\s+'), x -> x <> '')) >= 5
                            AND NOT contains(lower(line), 'javascript')

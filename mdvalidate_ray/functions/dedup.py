@@ -314,8 +314,8 @@ def minhash_near_duplicates(ds, *, threshold: float = 0.8,
         hi = np.where(swap, a_ids, b_ids)
         keep = lo != hi
         if emit_sig:
-            raw = b"".join(part_group.column("sig").to_pylist()[i]
-                           for i in order)
+            sig_list = part_group.column("sig").to_pylist()
+            raw = b"".join(sig_list[i] for i in order)
             sig_m = np.frombuffer(raw, dtype=np.uint64).reshape(n, -1)
             est = (sig_m[ai] == sig_m[bi]).mean(axis=1)
             keep &= est >= threshold

@@ -2597,7 +2597,9 @@ def read_parquet_pruned(path: str, *, col: str, lo, hi,
     out = ray.data.read_parquet(read_paths, columns=read_cols) \
         .map_batches(residual, batch_format="pyarrow",
                      zero_copy_batch=True)
-    return out, len(frag_files), len(kept)
+    # n_files_read = files actually opened (the no-overlap case still
+    # reads one fallback file for the schema, and must say so)
+    return out, len(frag_files), len(read_paths)
 
 
 def join_size_exact(ds_a, ds_b, *, key_a: str, key_b: str,

@@ -30,7 +30,8 @@ def add_token_counts(batch: pa.Table, column: str = "text") -> pa.Table:
     ``n_subwords``: words + one extra per 6 chars of word length beyond 6 —
     a deterministic proxy for BPE segmentation cost (rows-only check)."""
     texts = pc.cast(batch.column(column), pa.string())
-    tokens = pc.split_pattern_regex(pc.utf8_trim_whitespace(texts), r"\s+")
+    tokens = pc.split_pattern_regex(
+        pc.utf8_trim(texts, characters=" "), r"\s+")
     n_tokens = pc.list_value_length(tokens)
     # subword estimate, vectorized: sum over words of ceil(len(word)/6)
     flat = tokens.combine_chunks() if isinstance(tokens, pa.ChunkedArray) else tokens
@@ -70,7 +71,8 @@ def add_quality(batch: pa.Table, column: str = "text") -> pa.Table:
     punct = ratio(r"[^.,!?;:]")
     digit = ratio(r"[^0-9]")
     upper = ratio(r"[^A-Z]")
-    tokens = pc.split_pattern_regex(pc.utf8_trim_whitespace(texts), r"\s+")
+    tokens = pc.split_pattern_regex(
+        pc.utf8_trim(texts, characters=" "), r"\s+")
     n_words = pc.max_element_wise(
         pc.cast(pc.list_value_length(tokens), pa.float64()), 1.0)
     # total non-space chars / words
@@ -1239,8 +1241,8 @@ def _tokens_of(b: pa.Table, text_col: str):
     byte-identical to the oracle SQL's ``list_filter(string_split_regex(
     lower(trim(text)), '\\s+'), x -> x <> '')``.  Returns (words Arrow
     StringArray, parent row indices int64 numpy)."""
-    texts = pc.utf8_lower(pc.utf8_trim_whitespace(
-        pc.cast(b.column(text_col), pa.string())))
+    texts = pc.utf8_lower(pc.utf8_trim(
+        pc.cast(b.column(text_col), pa.string()), characters=" "))
     tokens = pc.split_pattern_regex(texts, r"\s+")
     flat = (tokens.combine_chunks()
             if isinstance(tokens, pa.ChunkedArray) else tokens)
@@ -1535,8 +1537,8 @@ def _gopher_quality_kernel(id_col: str, text_col: str):
             texts = texts.combine_chunks()
 
         # words (whitespace split, empties dropped — mirrors the SQL)
-        toks = pc.split_pattern_regex(pc.utf8_trim_whitespace(texts),
-                                      r"\s+")
+        toks = pc.split_pattern_regex(
+            pc.utf8_trim(texts, characters=" "), r"\s+")
         words = toks.flatten()
         wpar = np.asarray(pc.list_parent_indices(toks)).astype(np.int64)
         keep = np.asarray(pc.not_equal(words, ""))
@@ -1657,8 +1659,8 @@ def _gopher_repetition_kernel(id_col: str, text_col: str):
             texts = texts.combine_chunks()
 
         # --- words (whitespace split, empties dropped) ---
-        toks = pc.split_pattern_regex(pc.utf8_trim_whitespace(texts),
-                                      r"\s+")
+        toks = pc.split_pattern_regex(
+            pc.utf8_trim(texts, characters=" "), r"\s+")
         words = toks.flatten()
         wpar = np.asarray(pc.list_parent_indices(toks)).astype(np.int64)
         keep = np.asarray(pc.not_equal(words, ""))
@@ -1799,13 +1801,18 @@ def _c4_line_kernel(id_col: str, text_col: str):
         n_lines = np.bincount(lpar, minlength=n)
 
         # words per line (empties dropped)
-        toks = pc.split_pattern_regex(pc.utf8_trim_whitespace(lflat),
-                                      r"\s+")
+        toks = pc.split_pattern_regex(
+            pc.utf8_trim(lflat, characters=" "), r"\s+")
         wpar = np.asarray(pc.list_parent_indices(toks)).astype(np.int64)
         nonempty = np.asarray(pc.not_equal(toks.flatten(), ""))
         lwords = np.bincount(wpar[nonempty], minlength=len(lflat))
 
-        trimmed = pc.utf8_trim_whitespace(lflat)
+        # ASCII-whitespace trim, matching the oracle's explicit
+        # trim(line, ' \t\r\n\v\f') — utf8_trim_whitespace would also
+        # strip unicode spaces (NBSP etc.) the SQL leaves alone, and a
+        # plain SQL trim() would leave '\r' (CRLF corpora) that this
+        # side strips
+        trimmed = pc.utf8_trim(lflat, characters=" \t\r\n\v\f")
         terminal = np.zeros(len(lflat), dtype=bool)
         for p in (".", "!", "?", '"'):
             terminal |= np.asarray(pc.ends_with(trimmed, p))

@@ -4937,7 +4937,17 @@ def q8_market_share(sf_dir: str):
             return empty
         _, _, skeys, snat = ray.get(maps_ref)
         sv = b.column("l_suppkey").to_numpy(zero_copy_only=False)
-        is_target = snat[np.searchsorted(skeys, sv)] == target_key
+        pos = np.searchsorted(skeys, sv)
+        pos[pos == len(skeys)] = 0
+        # a dangling suppkey must not count toward either sum — mirror
+        # the oracle's inner JOIN supplier
+        ok_s = skeys[pos] == sv
+        if not ok_s.all():           # drop dangling rows from BOTH sums
+            b = b.filter(pa.array(ok_s))
+            if b.num_rows == 0:
+                return empty
+            pos, sv = pos[ok_s], sv[ok_s]
+        is_target = snat[pos] == target_key
         year = b.column("o_year").to_numpy(zero_copy_only=False)
         rev = np.asarray(_rev_cents(b), dtype=np.int64)
         ys = np.unique(year)
@@ -6547,8 +6557,6 @@ def orders_reconciliation(sf_dir: str):
     |priorities| partial rows; the driver folds O(n_parts × 5)."""
     import numpy as np
 
-    from mdvalidate_ray.state.sketches import hash_strings  # noqa: F401
-
     n_parts = 16
     schema = pa.schema([("k", pa.int64()), ("tot", pa.int64()),
                         ("pri", pa.string()), ("exp", pa.int64()),
@@ -6744,8 +6752,13 @@ def source_vocab_jaccard(sf_dir: str):
                        ("_bucket", pa.int64())])
 
     def marks(b: pa.Table) -> pa.Table:
-        arr = pc.utf8_split_whitespace(pc.utf8_trim_whitespace(
-            pc.utf8_lower(pc.cast(b.column("text"), pa.string()))))
+        # RE2 '\s+' split on a space-only trim — byte-identical to the
+        # oracle's string_split_regex(lower(text), '\s+') tokenization
+        # (utf8_split_whitespace would also split NBSP-class unicode
+        # whitespace the oracle's RE2 leaves alone)
+        arr = pc.split_pattern_regex(pc.utf8_trim(
+            pc.utf8_lower(pc.cast(b.column("text"), pa.string())),
+            characters=" "), r"\s+")
         arr = arr.combine_chunks() if isinstance(
             arr, pa.ChunkedArray) else arr
         words = arr.values

@@ -1057,10 +1057,11 @@ def test_zorder_write_then_pruned_read(ray_session, tmp_path):
     assert list(t.columns) == ["v"]
     assert int(t["v"].sum()) == int(v[(x >= 100) & (x <= 199)].sum())
 
-    # empty-overlap predicate: nothing matches, reader still works
+    # empty-overlap predicate: nothing matches, reader still works;
+    # n_read reports the ONE fallback file actually opened for schema
     pruned, n_total, n_read = read_parquet_pruned(
         path, col="x", lo=5000, hi=6000)
-    assert n_read == 0 and pruned.count() == 0
+    assert n_read == 1 and pruned.count() == 0
 
 
 def test_join_size_exact_matches_pandas(ray_session):
