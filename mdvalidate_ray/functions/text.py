@@ -544,8 +544,11 @@ def jaccard_search(ds, query_text: str, *, key: str = "doc_id",
                             ("uni", pa.int64()), ("score", pa.int64())])
 
     def score(b: pa.Table) -> pa.Table:
-        arr = pc.utf8_split_whitespace(pc.utf8_trim_whitespace(
-            pc.utf8_lower(pc.cast(b.column(text_col), pa.string()))))
+        # RE2 '\s+' on a space-only trim — byte-identical to the
+        # oracle's string_split_regex tokenization on ALL inputs
+        arr = pc.split_pattern_regex(pc.utf8_trim(
+            pc.utf8_lower(pc.cast(b.column(text_col), pa.string())),
+            characters=" "), r"\s+")
         arr = arr.combine_chunks() if isinstance(
             arr, pa.ChunkedArray) else arr
         words = np.asarray(arr.values.to_pylist(), dtype=object)
@@ -631,8 +634,11 @@ def bm25_search(ds, query_text: str, *, key: str = "doc_id",
 
     def _doc_words(b: pa.Table):
         """(words flat object array, per-doc counts) for a batch."""
-        arr = pc.utf8_split_whitespace(pc.utf8_trim_whitespace(
-            pc.utf8_lower(pc.cast(b.column(text_col), pa.string()))))
+        # RE2 '\s+' on a space-only trim — byte-identical to the
+        # oracle's string_split_regex tokenization on ALL inputs
+        arr = pc.split_pattern_regex(pc.utf8_trim(
+            pc.utf8_lower(pc.cast(b.column(text_col), pa.string())),
+            characters=" "), r"\s+")
         arr = arr.combine_chunks() if isinstance(
             arr, pa.ChunkedArray) else arr
         words = np.asarray(arr.values.to_pylist(), dtype=object)
@@ -742,8 +748,8 @@ def pmi_collocations(ds, *, text_col: str = "text", min_count: int = 5,
     docs = ds.select_columns([text_col])
 
     def words_of(b: pa.Table):
-        texts = pc.utf8_lower(pc.utf8_trim_whitespace(
-            pc.cast(b.column(text_col), pa.string())))
+        texts = pc.utf8_lower(pc.utf8_trim(
+            pc.cast(b.column(text_col), pa.string()), characters=" "))
         tokens = pc.split_pattern_regex(texts, r"\s+")
         flat = (tokens.combine_chunks()
                 if isinstance(tokens, pa.ChunkedArray) else tokens)
@@ -877,8 +883,8 @@ def bpe_learn(ds, *, text_col: str = "text", n_merges: int = 50,
     empty = pa.schema([("w", pa.string()), ("cnt", pa.int64())])
 
     def wc(b: pa.Table) -> pa.Table:
-        texts = pc.utf8_lower(pc.utf8_trim_whitespace(
-            pc.cast(b.column(text_col), pa.string())))
+        texts = pc.utf8_lower(pc.utf8_trim(
+            pc.cast(b.column(text_col), pa.string()), characters=" "))
         tokens = pc.split_pattern_regex(texts, r"\s+")
         flat = (tokens.combine_chunks()
                 if isinstance(tokens, pa.ChunkedArray) else tokens)
@@ -1018,8 +1024,8 @@ def bpe_encode_counts(ds, merges: list[dict], *, id_col: str = "doc_id",
             lambda: ({p: i for i, p in enumerate(ray.get(merges_ref))},
                      {}))
         ranks, memo = state
-        texts = pc.utf8_lower(pc.utf8_trim_whitespace(
-            pc.cast(b.column(text_col), pa.string())))
+        texts = pc.utf8_lower(pc.utf8_trim(
+            pc.cast(b.column(text_col), pa.string()), characters=" "))
         tokens = pc.split_pattern_regex(texts, r"\s+")
         tokens = (tokens.combine_chunks()
                   if isinstance(tokens, pa.ChunkedArray) else tokens)
