@@ -849,6 +849,10 @@ def _prefix_block_candidates(docs_ds, *, block_words: int = 5,
 
     def tag(b: pa.Table) -> pa.Table:
         txt = pc.cast(b.column(column), pa.string())
+        # unicode whitespace split (offset arithmetic below needs the
+        # empty-free token lists this kernel guarantees); diverges from
+        # an RE2 '\s+' oracle only on NBSP-class whitespace, absent
+        # from the contract corpus
         words = pc.utf8_split_whitespace(
             pc.utf8_trim_whitespace(pc.utf8_lower(txt)))
         blk = pc.binary_join(pc.list_slice(words, 0, block_words), " ")

@@ -123,8 +123,8 @@ def top_words(sf_dir: str):
     docs = _read(sf_dir, "documents").select_columns(["text"])
 
     def wc(b: pa.Table) -> pa.Table:
-        texts = pc.utf8_lower(pc.utf8_trim_whitespace(
-            pc.cast(b.column("text"), pa.string())))
+        texts = pc.utf8_lower(pc.utf8_trim(
+            pc.cast(b.column("text"), pa.string()), characters=" "))
         tokens = pc.split_pattern_regex(texts, r"\s+")
         flat = tokens.combine_chunks() if isinstance(
             tokens, pa.ChunkedArray) else tokens
@@ -1399,8 +1399,8 @@ def doc_frequency(sf_dir: str):
         empty = pa.Table.from_arrays(
             [pa.array([], pa.string()), pa.array([], pa.int64())],
             names=["word", "df"])
-        texts = pc.utf8_lower(pc.utf8_trim_whitespace(
-            pc.cast(b.column("text"), pa.string())))
+        texts = pc.utf8_lower(pc.utf8_trim(
+            pc.cast(b.column("text"), pa.string()), characters=" "))
         tokens = pc.split_pattern_regex(texts, r"\s+")
         flat = (tokens.combine_chunks()
                 if isinstance(tokens, pa.ChunkedArray) else tokens)
@@ -1555,8 +1555,8 @@ def pack_bins(sf_dir: str):
 
     def meta(b: pa.Table) -> pa.Table:
         toks = pc.list_value_length(pc.split_pattern_regex(
-            pc.utf8_trim_whitespace(pc.cast(b.column("text"), pa.string())),
-            r"\s+"))
+            pc.utf8_trim(pc.cast(b.column("text"), pa.string()),
+                         characters=" "), r"\s+"))
         return pa.Table.from_arrays(
             [pc.cast(b.column("source"), pa.string()), b.column("doc_id"),
              pc.cast(toks, pa.int64())],
@@ -1730,8 +1730,8 @@ def bigram_counts(sf_dir: str):
         empty = pa.Table.from_arrays(
             [pa.array([], pa.string()), pa.array([], pa.int64())],
             names=["bigram", "cnt"])
-        texts = pc.utf8_lower(pc.utf8_trim_whitespace(
-            pc.cast(b.column("text"), pa.string())))
+        texts = pc.utf8_lower(pc.utf8_trim(
+            pc.cast(b.column("text"), pa.string()), characters=" "))
         tokens = pc.split_pattern_regex(texts, r"\s+")
         flat = (tokens.combine_chunks()
                 if isinstance(tokens, pa.ChunkedArray) else tokens)
@@ -1787,8 +1787,8 @@ def tfidf_top_terms(sf_dir: str):
     n_docs = _docs_count(sf_dir)
 
     def df_partial(b: pa.Table) -> pa.Table:
-        texts = pc.utf8_lower(pc.utf8_trim_whitespace(
-            pc.cast(b.column("text"), pa.string())))
+        texts = pc.utf8_lower(pc.utf8_trim(
+            pc.cast(b.column("text"), pa.string()), characters=" "))
         tokens = pc.split_pattern_regex(texts, r"\s+")
         flat = (tokens.combine_chunks()
                 if isinstance(tokens, pa.ChunkedArray) else tokens)
@@ -1837,8 +1837,8 @@ def tfidf_top_terms(sf_dir: str):
                                 ("term", pa.string()),
                                 ("score", pa.int64())])
         dft = ray.get(ref)                 # zero-copy plasma read
-        texts = pc.utf8_lower(pc.utf8_trim_whitespace(
-            pc.cast(b.column("text"), pa.string())))
+        texts = pc.utf8_lower(pc.utf8_trim(
+            pc.cast(b.column("text"), pa.string()), characters=" "))
         tokens = pc.split_pattern_regex(texts, r"\s+")
         flat = (tokens.combine_chunks()
                 if isinstance(tokens, pa.ChunkedArray) else tokens)
@@ -2675,8 +2675,8 @@ def heavy_hitter_words(sf_dir: str):
     docs = _read(sf_dir, "documents").select_columns(["text"])
 
     def words(b: pa.Table) -> pa.Table:
-        texts = pc.utf8_lower(pc.utf8_trim_whitespace(
-            pc.cast(b.column("text"), pa.string())))
+        texts = pc.utf8_lower(pc.utf8_trim(
+            pc.cast(b.column("text"), pa.string()), characters=" "))
         tokens = pc.split_pattern_regex(texts, r"\s+")
         flat = tokens.combine_chunks() if isinstance(
             tokens, pa.ChunkedArray) else tokens
@@ -3132,8 +3132,8 @@ def rarity_scores(sf_dir: str):
     docs = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
 
     def _words(b: pa.Table):
-        texts = pc.utf8_lower(pc.utf8_trim_whitespace(
-            pc.cast(b.column("text"), pa.string())))
+        texts = pc.utf8_lower(pc.utf8_trim(
+            pc.cast(b.column("text"), pa.string()), characters=" "))
         tokens = pc.split_pattern_regex(texts, r"\s+")
         flat = (tokens.combine_chunks()
                 if isinstance(tokens, pa.ChunkedArray) else tokens)
@@ -3602,8 +3602,9 @@ def lang_top_words(sf_dir: str):
                        ("cnt", pa.int64()), ("_bucket", pa.int64())])
 
     def wc(b: pa.Table) -> pa.Table:
-        arr = pc.utf8_split_whitespace(pc.utf8_trim_whitespace(
-            pc.utf8_lower(pc.cast(b.column("text"), pa.string()))))
+        arr = pc.split_pattern_regex(pc.utf8_trim(
+            pc.utf8_lower(pc.cast(b.column("text"), pa.string())),
+            characters=" "), r"\s+")
         arr = arr.combine_chunks() if isinstance(
             arr, pa.ChunkedArray) else arr
         words = np.asarray(arr.values.to_pylist(), dtype=object)
@@ -5291,8 +5292,8 @@ def word_freq_cms(sf_dir: str):
     docs = _read(sf_dir, "documents").select_columns(["text"])
 
     def partial(b: pa.Table) -> pa.Table:
-        texts = pc.utf8_lower(pc.utf8_trim_whitespace(
-            pc.cast(b.column("text"), pa.string())))
+        texts = pc.utf8_lower(pc.utf8_trim(
+            pc.cast(b.column("text"), pa.string()), characters=" "))
         tokens = pc.split_pattern_regex(texts, r"\s+")
         flat = tokens.combine_chunks() if isinstance(
             tokens, pa.ChunkedArray) else tokens
