@@ -125,6 +125,12 @@ def incremental_validate(old_docs, new_docs, *, schema_text: str,
 
     survivors = semi_join_keys(new_docs, todo, left_key=key,
                                right_key=key)
+    if concurrency is None:
+        # size the evaluator pool to the CHANGE SET, not the machine:
+        # a 0.1%-changed snapshot should not pay a full actor-pool
+        # spin-up (the diff is materialized, so this count is free)
+        n_todo = todo.count()
+        concurrency = (1, max(1, min(8, n_todo // 512 + 1)))
     validated = validate_dataset(survivors, schema_text,
                                  batch_size=batch_size,
                                  concurrency=concurrency)
