@@ -166,6 +166,8 @@ def _queries_raw() -> dict[str, Callable[[str], Any]]:
         "q17_small_qty_revenue": Q.q17_small_qty_revenue,
         "curation_scorecard": Q.curation_scorecard,
         "orders_reconciliation": Q.orders_reconciliation,
+        "doc_word_entropy": Q.doc_word_entropy,
+        "user_interarrival_stats": Q.user_interarrival_stats,
         "concat_chunk_manifest": Q.concat_chunk_manifest,
         "sample_strata_counts": Q.sample_strata_counts,
         "qty_winsorized": Q.qty_winsorized,
@@ -2857,6 +2859,39 @@ def oracle_sql() -> dict[str, str]:
                     AND (5 * n_alpha >= 4 * n_words)
                     AND (n_stop >= 2)) AS gopher_pass
             FROM m
+        """,
+        "user_interarrival_stats": """
+            WITH o AS (
+                SELECT user_id, epoch_us(ts) AS tus,
+                       lag(epoch_us(ts)) OVER (
+                           PARTITION BY user_id
+                           ORDER BY ts, event_id) AS pus
+                FROM events
+            ),
+            g AS (
+                SELECT user_id, (tus - pus) // 1000000 AS gap
+                FROM o WHERE pus IS NOT NULL
+            )
+            SELECT user_id, count(*)::BIGINT AS n_gaps,
+                   min(gap)::BIGINT AS min_gap_s,
+                   max(gap)::BIGINT AS max_gap_s,
+                   sum(gap)::BIGINT AS sum_gap_s,
+                   sum(gap * gap)::BIGINT AS sum_gap_sq
+            FROM g GROUP BY user_id
+        """,
+        "doc_word_entropy": """
+            WITH w AS (
+                SELECT doc_id,
+                       unnest(list_filter(string_split_regex(
+                           lower(coalesce(text, '')), '\\s+'),
+                           x -> x <> '')) AS word
+                FROM documents
+            )
+            SELECT doc_id, count(*)::BIGINT AS n_words,
+                   count(DISTINCT word)::BIGINT AS n_distinct,
+                   CAST(floor(entropy(word) * 10000 + 0.5) AS BIGINT)
+                       AS entropy_e4
+            FROM w GROUP BY doc_id
         """,
         "orders_reconciliation": """
             WITH li AS (

@@ -213,7 +213,8 @@ QUERY_NAMES = [
     "pii_scan", "curation_scorecard", "source_vocab_jaccard",
     "pack_shards", "shuffle_head", "lineitem_zorder_pruned",
     "q8_market_share", "q15_top_supplier", "q17_small_qty_revenue",
-    "orders_reconciliation", "knn_hnsw",
+    "orders_reconciliation", "knn_hnsw", "doc_word_entropy",
+    "user_interarrival_stats",
 ]
 
 

@@ -6541,6 +6541,129 @@ def pii_scan(sf_dir: str):
              text_col="text")
 
 
+def doc_word_entropy(sf_dir: str):
+    """Per-document lexical diversity: Shannon entropy of the word
+    distribution (plus exact n_words / n_distinct) — the
+    type-token-ratio upgrade a curation pipeline uses to separate
+    fluent prose (high entropy) from keyword-stuffed or templated text
+    (low).  Entropy evaluates in float64 over EXACT integer counts in
+    one pass (``log2 n − Σ c·log2 c / n``) and ships as an ×10⁴
+    half-away integer; the oracle is DuckDB's own per-group
+    ``entropy(word)`` identity on the same tokens — the
+    source_lang_mi convention, per document.
+
+    Scale shape: per-batch dictionary-encode + packed-key np.unique
+    (no per-doc loop), zero exchange."""
+    import numpy as np
+
+    docs = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+
+    def score(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        texts = pc.utf8_lower(pc.utf8_trim(
+            pc.fill_null(pc.cast(b.column("text"), pa.string()), ""),
+            characters=" "))
+        toks = pc.split_pattern_regex(texts, r"\s+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        words = toks.flatten()
+        par = np.asarray(pc.list_parent_indices(toks)).astype(np.int64)
+        keep = np.asarray(pc.not_equal(words, ""))
+        words = words.filter(pa.array(keep))
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        par = par[keep]
+        n_words = np.bincount(par, minlength=n)
+        codes = np.asarray(pc.dictionary_encode(words).indices)
+        key = (par << np.int64(32)) | codes.astype(np.int64)
+        uniq, cnt = np.unique(key, return_counts=True)
+        gdoc = (uniq >> np.int64(32)).astype(np.int64)
+        n_distinct = np.bincount(gdoc, minlength=n)
+        s = np.zeros(n, dtype=np.float64)
+        np.add.at(s, gdoc, cnt * np.log2(cnt))
+        nz = n_words > 0
+        h = np.zeros(n, dtype=np.float64)
+        h[nz] = np.log2(n_words[nz]) - s[nz] / n_words[nz]
+        e4 = np.floor(h * 10000.0 + 0.5).astype(np.int64)
+        out = pa.Table.from_arrays(
+            [b.column("doc_id").cast(pa.int64()),
+             pa.array(n_words.astype(np.int64)),
+             pa.array(n_distinct.astype(np.int64)), pa.array(e4)],
+            names=["doc_id", "n_words", "n_distinct", "entropy_e4"])
+        # empty docs are absent from the oracle's unnest — drop them
+        return out.filter(pa.array(nz))
+
+    return docs.map_batches(score, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+
+def user_interarrival_stats(sf_dir: str):
+    """Per-user inter-arrival gap moments (count / min / max / Σ / Σ²
+    of whole-second gaps between consecutive events in (ts, event_id)
+    order) — the burstiness/regularity profile behind bot detection and
+    session-timeout tuning, kept as EXACT integer moments so the
+    LAG-window oracle is bit-equal (the float burstiness index
+    (σ−μ)/(σ+μ) is one division away for any consumer).
+
+    Scale shape: ONE user-keyed coarse co-partition (the
+    event_transitions pattern), per-bucket vectorized lexsort +
+    shifted-array diffs — no per-user loop; users with a single event
+    have no gaps and are absent, exactly as the SQL's LAG-filter
+    drops them."""
+    import numpy as np
+
+    n_parts = 16
+    ev = _read(sf_dir, "events").select_columns(
+        ["user_id", "ts", "event_id"])
+
+    def tag(b: pa.Table) -> pa.Table:
+        u = b.column("user_id").to_numpy(zero_copy_only=False)
+        h = (u.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) \
+            >> np.uint64(33)
+        return b.append_column(
+            "_b", pa.array((h % np.uint64(n_parts)).astype(np.int64)))
+
+    out_schema = pa.schema(
+        [("user_id", pa.int64()), ("n_gaps", pa.int64()),
+         ("min_gap_s", pa.int64()), ("max_gap_s", pa.int64()),
+         ("sum_gap_s", pa.int64()), ("sum_gap_sq", pa.int64())])
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        u = g.column("user_id").to_numpy(zero_copy_only=False)
+        ts = g.column("ts").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        eid = g.column("event_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, u))
+        u, ts = u[order], ts[order]
+        if len(u) < 2:
+            return out_schema.empty_table()
+        same = u[1:] == u[:-1]
+        gap = (ts[1:] - ts[:-1]) // 1_000_000
+        uu, inv = np.unique(u, return_inverse=True)
+        gidx = inv[1:][same]
+        gg = gap[same]
+        k = len(uu)
+        n_gaps = np.bincount(gidx, minlength=k)
+        s1 = np.zeros(k, np.int64)
+        np.add.at(s1, gidx, gg)
+        s2 = np.zeros(k, np.int64)
+        np.add.at(s2, gidx, gg * gg)
+        mn = np.full(k, np.iinfo(np.int64).max)
+        np.minimum.at(mn, gidx, gg)
+        mx = np.full(k, np.iinfo(np.int64).min)
+        np.maximum.at(mx, gidx, gg)
+        hasg = n_gaps > 0
+        return pa.Table.from_arrays(
+            [pa.array(uu[hasg]), pa.array(n_gaps[hasg].astype(np.int64)),
+             pa.array(mn[hasg]), pa.array(mx[hasg]),
+             pa.array(s1[hasg]), pa.array(s2[hasg])],
+            schema=out_schema)
+
+    return ev.map_batches(tag, batch_format="pyarrow",
+                          zero_copy_batch=True) \
+        .groupby("_b").map_groups(per_bucket, batch_format="pyarrow")
+
+
 def orders_reconciliation(sf_dir: str):
     """Cross-table financial reconciliation audit: per order priority,
     how many orders' ``o_totalprice`` exactly / within-1% match the

@@ -2670,3 +2670,62 @@ def test_hnsw_recall(ray_session):
     g = HNSWGraph([50, 10, 30, 20, 40], dup, M=4)
     got = g.search(_normalize(np.ones((1, 8)))[0], 3)
     assert [k for _, k in got] == [10, 20, 30]
+
+
+def test_doc_word_entropy_crafted(ray_session, tmp_path):
+    """Lexical entropy pinned on closed-form docs: uniform pair = 1.0
+    exactly, constant doc = 0, mixed doc = hand-computed e4, empty doc
+    absent from the output."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    from mdvalidate_ray.queries import doc_word_entropy
+
+    tbl = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "text": ["alpha beta", "same same same same", "a a b", ""],
+        "lang": ["en"] * 4, "source": ["s"] * 4,
+        "n_chars": pa.array([10, 19, 5, 0], pa.int64()),
+    })
+    pq.write_table(tbl, tmp_path / "documents.parquet")
+    out = doc_word_entropy(str(tmp_path)).to_pandas().set_index(
+        "doc_id").sort_index()
+    assert list(out.index) == [0, 1, 2]          # empty doc dropped
+    assert out.loc[0, "entropy_e4"] == 10000     # uniform pair = 1 bit
+    assert (out.loc[0, "n_words"], out.loc[0, "n_distinct"]) == (2, 2)
+    assert out.loc[1, "entropy_e4"] == 0         # constant doc
+    h = math.log2(3) - (2 * math.log2(2)) / 3    # counts 2,1 over n=3
+    assert out.loc[2, "entropy_e4"] == int(math.floor(h * 1e4 + 0.5))
+
+
+def test_user_interarrival_stats_crafted(ray_session, tmp_path):
+    """Inter-arrival moments pinned: known gaps, a same-timestamp tie
+    (gap 0 via event_id order), and a single-event user absent."""
+    import pyarrow.parquet as pq
+
+    from mdvalidate_ray.queries import user_interarrival_stats
+
+    us = int(1e6)
+    rows = [
+        (1, 0, 0), (2, 10 * us, 0), (3, 40 * us, 0),   # user 0: gaps 10, 30
+        (4, 5 * us, 7), (5, 5 * us, 7),                # user 7: tie -> gap 0
+        (6, 99 * us, 42),                              # user 42: single
+    ]
+    tbl = pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        "user_id": pa.array([r[2] for r in rows], pa.int64()),
+        "event_type": ["x"] * len(rows),
+        "value": [1.0] * len(rows),
+        "props": ["{}"] * len(rows),
+    })
+    pq.write_table(tbl, tmp_path / "events.parquet")
+    out = user_interarrival_stats(str(tmp_path)).to_pandas().set_index(
+        "user_id").sort_index()
+    assert list(out.index) == [0, 7]               # user 42 absent
+    assert (out.loc[0, "n_gaps"], out.loc[0, "min_gap_s"],
+            out.loc[0, "max_gap_s"], out.loc[0, "sum_gap_s"],
+            out.loc[0, "sum_gap_sq"]) == (2, 10, 30, 40, 1000)
+    assert (out.loc[7, "n_gaps"], out.loc[7, "sum_gap_s"],
+            out.loc[7, "sum_gap_sq"]) == (1, 0, 0)
