@@ -168,6 +168,7 @@ def _queries_raw() -> dict[str, Callable[[str], Any]]:
         "orders_reconciliation": Q.orders_reconciliation,
         "doc_word_entropy": Q.doc_word_entropy,
         "user_interarrival_stats": Q.user_interarrival_stats,
+        "user_spend_drawup": Q.user_spend_drawup,
         "concat_chunk_manifest": Q.concat_chunk_manifest,
         "sample_strata_counts": Q.sample_strata_counts,
         "qty_winsorized": Q.qty_winsorized,
@@ -2859,6 +2860,30 @@ def oracle_sql() -> dict[str, str]:
                     AND (5 * n_alpha >= 4 * n_words)
                     AND (n_stop >= 2)) AS gopher_pass
             FROM m
+        """,
+        "user_spend_drawup": """
+            WITH c AS (
+                SELECT user_id, ts, event_id,
+                       sum(round(value * 100)::BIGINT) OVER (
+                           PARTITION BY user_id
+                           ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS cum
+                FROM events
+            ),
+            m AS (
+                SELECT user_id, cum,
+                       min(cum) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS rmin,
+                       max(cum) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS rmax
+                FROM c
+            )
+            SELECT user_id, count(*)::BIGINT AS n_events,
+                   max(cum - rmin)::BIGINT AS max_drawup_c100,
+                   max(rmax - cum)::BIGINT AS max_drawdown_c100
+            FROM m GROUP BY user_id
         """,
         "user_interarrival_stats": """
             WITH o AS (

@@ -6664,6 +6664,90 @@ def user_interarrival_stats(sf_dir: str):
         .groupby("_b").map_groups(per_bucket, batch_format="pyarrow")
 
 
+def user_spend_drawup(sf_dir: str):
+    """Per-user maximum DRAWUP and DRAWDOWN of the cumulative
+    event-value series (largest rise above a running minimum / largest
+    fall below a running maximum, exact integer cents, events in
+    (ts, event_id) order) — the change-magnitude profile behind spree /
+    churn-slump detection, and the CUSUM primitive in exact arithmetic.
+
+    Scale shape: ONE user-keyed co-partition; inside a bucket the
+    per-user running extrema are fully vectorized with the
+    segment-offset trick (each user's values shift by segment_index ×
+    2⁴⁴ so one global ``np.minimum.accumulate`` cannot leak across
+    users — cents sums stay ≪ 2⁴⁴, asserted).  The oracle is the
+    two-layer window SQL (cumsum → running extrema → grouped max),
+    bit-equal because everything is int64."""
+    import numpy as np
+
+    n_parts = 16
+    ev = _read(sf_dir, "events").select_columns(
+        ["user_id", "ts", "event_id", "value"])
+
+    def tag(b: pa.Table) -> pa.Table:
+        u = b.column("user_id").to_numpy(zero_copy_only=False)
+        h = (u.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) \
+            >> np.uint64(33)
+        cents = pc.cast(_pc_round(pc.multiply(
+            b.column("value"), 100.0)), pa.int64())
+        return pa.Table.from_arrays(
+            [b.column("user_id"), b.column("ts"), b.column("event_id"),
+             cents,
+             pa.array((h % np.uint64(n_parts)).astype(np.int64))],
+            names=["user_id", "ts", "event_id", "cents", "_b"])
+
+    out_schema = pa.schema(
+        [("user_id", pa.int64()), ("n_events", pa.int64()),
+         ("max_drawup_c100", pa.int64()),
+         ("max_drawdown_c100", pa.int64())])
+    SEG = np.int64(1) << np.int64(44)
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        u = g.column("user_id").to_numpy(zero_copy_only=False)
+        ts = g.column("ts").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        eid = g.column("event_id").to_numpy(zero_copy_only=False)
+        cents = g.column("cents").to_numpy(zero_copy_only=False)
+        if len(u) == 0:
+            return out_schema.empty_table()
+        order = np.lexsort((eid, ts, u))
+        u, cents = u[order], cents[order]
+        uu, inv = np.unique(u, return_inverse=True)
+        seg_start = np.zeros(len(u), bool)
+        seg_start[0] = True
+        seg_start[1:] = u[1:] != u[:-1]
+        # per-user cumsum: global cumsum minus each segment's base
+        # (base forward-filled by np.repeat — sign-safe, unlike a
+        # maximum.accumulate carry)
+        cum = np.cumsum(cents)
+        starts_idx = np.flatnonzero(seg_start)
+        seg_base = cum[starts_idx] - cents[starts_idx]
+        seg_len = np.diff(np.append(starts_idx, len(u)))
+        cum = cum - np.repeat(seg_base, seg_len)
+        assert np.abs(cum).max() < int(SEG) // 4, \
+            "cents sums exceed the segment-offset headroom"
+        # running extrema with per-segment reset: the offset must put
+        # EARLIER segments on the losing side of the accumulate — above
+        # for a running min (−shift), below for a running max (+shift)
+        shift = inv.astype(np.int64) * SEG
+        rmin = np.minimum.accumulate(cum - shift) + shift
+        rmax = np.maximum.accumulate(cum + shift) - shift
+        k = len(uu)
+        n_ev = np.bincount(inv, minlength=k)
+        up = np.zeros(k, np.int64)
+        np.maximum.at(up, inv, cum - rmin)
+        dn = np.zeros(k, np.int64)
+        np.maximum.at(dn, inv, rmax - cum)
+        return pa.Table.from_arrays(
+            [pa.array(uu), pa.array(n_ev.astype(np.int64)),
+             pa.array(up), pa.array(dn)],
+            schema=out_schema)
+
+    return ev.map_batches(tag, batch_format="pyarrow",
+                          zero_copy_batch=True) \
+        .groupby("_b").map_groups(per_bucket, batch_format="pyarrow")
+
+
 def orders_reconciliation(sf_dir: str):
     """Cross-table financial reconciliation audit: per order priority,
     how many orders' ``o_totalprice`` exactly / within-1% match the

@@ -2729,3 +2729,39 @@ def test_user_interarrival_stats_crafted(ray_session, tmp_path):
             out.loc[0, "sum_gap_sq"]) == (2, 10, 30, 40, 1000)
     assert (out.loc[7, "n_gaps"], out.loc[7, "sum_gap_s"],
             out.loc[7, "sum_gap_sq"]) == (1, 0, 0)
+
+
+def test_user_spend_drawup_crafted(ray_session, tmp_path):
+    """Drawup/drawdown pinned with mixed-sign values (the corpus is
+    all-positive, so the drawdown branch and the running-min segment
+    reset only get exercised here): hand-walked series, plus a
+    second user proving extrema never leak across the segment offset."""
+    import pyarrow.parquet as pq
+
+    from mdvalidate_ray.queries import user_spend_drawup
+
+    # user 0 series (cents): +500, -300, +400, -600, +100
+    # cum: 500, 200, 600, 0, 100
+    # rmin: 500, 200, 200, 0, 0 -> drawup max = 600-200 = 400
+    # rmax: 500, 500, 600, 600, 600 -> drawdown max = 600-0 = 600
+    # user 1 (huge values, would leak into user 0 without the reset):
+    # +100000 then -100000 -> cum starts AT its peak, so drawup is 0
+    # (rise above a PRIOR minimum only) and drawdown is 100000
+    vals = [5.0, -3.0, 4.0, -6.0, 1.0, 1000.0, -1000.0]
+    users = [0, 0, 0, 0, 0, 1, 1]
+    tbl = pa.table({
+        "event_id": pa.array(list(range(len(vals))), pa.int64()),
+        "ts": pa.array([i * 10**6 for i in range(len(vals))],
+                       pa.timestamp("us")),
+        "user_id": pa.array(users, pa.int64()),
+        "event_type": ["x"] * len(vals),
+        "value": vals,
+        "props": ["{}"] * len(vals),
+    })
+    pq.write_table(tbl, tmp_path / "events.parquet")
+    out = user_spend_drawup(str(tmp_path)).to_pandas().set_index(
+        "user_id").sort_index()
+    assert (out.loc[0, "n_events"], out.loc[0, "max_drawup_c100"],
+            out.loc[0, "max_drawdown_c100"]) == (5, 400, 600)
+    assert (out.loc[1, "max_drawup_c100"],
+            out.loc[1, "max_drawdown_c100"]) == (0, 100000)
