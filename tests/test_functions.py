@@ -2765,3 +2765,49 @@ def test_user_spend_drawup_crafted(ray_session, tmp_path):
             out.loc[0, "max_drawdown_c100"]) == (5, 400, 600)
     assert (out.loc[1, "max_drawup_c100"],
             out.loc[1, "max_drawdown_c100"]) == (0, 100000)
+
+
+def test_user_spend_drawup_matches_naive_random(ray_session, tmp_path):
+    """Segment-offset running extrema vs a naive per-user walk over a
+    seeded random mixed-sign corpus with interleaved users, duplicate
+    timestamps, and single-event users."""
+    import random
+
+    import pyarrow.parquet as pq
+
+    from mdvalidate_ray.queries import user_spend_drawup
+
+    rng = random.Random(11)
+    rows = []
+    for eid in range(400):
+        rows.append((eid, rng.randint(0, 50) * 10**6,
+                     rng.randint(0, 12),
+                     round(rng.uniform(-50, 50), 2)))
+    tbl = pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        "user_id": pa.array([r[2] for r in rows], pa.int64()),
+        "event_type": ["x"] * len(rows),
+        "value": [r[3] for r in rows],
+        "props": ["{}"] * len(rows),
+    })
+    pq.write_table(tbl, tmp_path / "events.parquet")
+    out = user_spend_drawup(str(tmp_path)).to_pandas().set_index(
+        "user_id").sort_index()
+
+    # naive reference
+    per_user: dict = {}
+    for eid, ts, uid, val in sorted(rows, key=lambda r: (r[2], r[1],
+                                                         r[0])):
+        cents = int(round(val * 100))
+        cum, rmin, rmax, up, dn, n = per_user.get(
+            uid, (0, None, None, 0, 0, 0))
+        cum += cents
+        rmin = cum if rmin is None else min(rmin, cum)
+        rmax = cum if rmax is None else max(rmax, cum)
+        per_user[uid] = (cum, rmin, rmax, max(up, cum - rmin),
+                         max(dn, rmax - cum), n + 1)
+    for uid, (_, _, _, up, dn, n) in sorted(per_user.items()):
+        assert out.loc[uid, "n_events"] == n, uid
+        assert out.loc[uid, "max_drawup_c100"] == up, uid
+        assert out.loc[uid, "max_drawdown_c100"] == dn, uid
