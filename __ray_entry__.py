@@ -169,6 +169,7 @@ def _queries_raw() -> dict[str, Callable[[str], Any]]:
         "doc_word_entropy": Q.doc_word_entropy,
         "user_interarrival_stats": Q.user_interarrival_stats,
         "user_spend_drawup": Q.user_spend_drawup,
+        "vocab_growth": Q.vocab_growth,
         "concat_chunk_manifest": Q.concat_chunk_manifest,
         "sample_strata_counts": Q.sample_strata_counts,
         "qty_winsorized": Q.qty_winsorized,
@@ -2860,6 +2861,26 @@ def oracle_sql() -> dict[str, str]:
                     AND (5 * n_alpha >= 4 * n_words)
                     AND (n_stop >= 2)) AS gopher_pass
             FROM m
+        """,
+        "vocab_growth": """
+            WITH w AS (
+                SELECT doc_id,
+                       unnest(list_filter(string_split_regex(
+                           lower(coalesce(text, '')), '\\s+'),
+                           x -> x <> '')) AS word
+                FROM documents
+            ),
+            fw AS (SELECT word, min(doc_id) AS fd FROM w GROUP BY word),
+            d AS (
+                SELECT (fd * 10 // (SELECT count(*) FROM documents))
+                           ::BIGINT AS decile,
+                       count(*)::BIGINT AS new_words
+                FROM fw GROUP BY 1
+            )
+            SELECT decile, new_words,
+                   sum(new_words) OVER (ORDER BY decile
+                       ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_words
+            FROM d
         """,
         "user_spend_drawup": """
             WITH c AS (

@@ -214,7 +214,7 @@ QUERY_NAMES = [
     "pack_shards", "shuffle_head", "lineitem_zorder_pruned",
     "q8_market_share", "q15_top_supplier", "q17_small_qty_revenue",
     "orders_reconciliation", "knn_hnsw", "doc_word_entropy",
-    "user_interarrival_stats", "user_spend_drawup",
+    "user_interarrival_stats", "user_spend_drawup", "vocab_growth",
 ]
 
 

@@ -6748,6 +6748,82 @@ def user_spend_drawup(sf_dir: str):
         .groupby("_b").map_groups(per_bucket, batch_format="pyarrow")
 
 
+def vocab_growth(sf_dir: str):
+    """Heaps'-law vocabulary growth: new and cumulative distinct words
+    per doc-id decile of the corpus — the saturation curve that tells a
+    curator whether more crawl still buys new content (flat tail ⇒
+    heavy duplication; the dedup-ROI estimate).  Exact: a word belongs
+    to the decile of its FIRST document.
+
+    Scale shape: per-batch (word → min doc_id) combiners via
+    dictionary codes + ``np.minimum.at`` (a hot word is ONE row per
+    batch in the exchange), one coarse word-hash co-partition folds
+    global first-occurrences (each word in exactly one bucket), each
+    bucket emits a ≤10-row decile histogram, the driver folds
+    O(buckets × 10) ints and prefix-sums."""
+    import numpy as np
+
+    from mdvalidate_ray.state.sketches import hash_strings
+
+    n_parts = 16
+    n_docs = _docs_count(sf_dir)
+    docs = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+
+    def part(b: pa.Table) -> pa.Table:
+        texts = pc.utf8_lower(pc.utf8_trim(
+            pc.fill_null(pc.cast(b.column("text"), pa.string()), ""),
+            characters=" "))
+        toks = pc.split_pattern_regex(texts, r"\s+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        words = toks.flatten()
+        par = np.asarray(pc.list_parent_indices(toks)).astype(np.int64)
+        keep = np.asarray(pc.not_equal(words, ""))
+        words = words.filter(pa.array(keep))
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        did = b.column("doc_id").to_numpy(zero_copy_only=False)[par[keep]]
+        enc = pc.dictionary_encode(words)
+        codes = np.asarray(enc.indices)
+        first = np.full(len(enc.dictionary), np.iinfo(np.int64).max)
+        np.minimum.at(first, codes, did)
+        wl = enc.dictionary.to_pylist()
+        bucket = (hash_strings(wl) % np.uint64(n_parts)).astype(np.int64)
+        return pa.Table.from_arrays(
+            [enc.dictionary, pa.array(first), pa.array(bucket)],
+            names=["word", "fd", "_b"])
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        enc = pc.dictionary_encode(g.column("word").combine_chunks())
+        codes = np.asarray(enc.indices)
+        first = np.full(len(enc.dictionary), np.iinfo(np.int64).max)
+        np.minimum.at(first, codes,
+                      g.column("fd").to_numpy(zero_copy_only=False))
+        dec = first * 10 // n_docs
+        du, cnt = np.unique(dec, return_counts=True)
+        return pa.Table.from_arrays(
+            [pa.array(du.astype(np.int64)),
+             pa.array(cnt.astype(np.int64))],
+            names=["decile", "new_words"])
+
+    agg: dict = {}
+    for blk in docs.map_batches(part, batch_format="pyarrow",
+                                zero_copy_batch=True) \
+            .groupby("_b").map_groups(per_bucket,
+                                      batch_format="pyarrow") \
+            .iter_batches(batch_format="pyarrow"):
+        for d_, c_ in zip(blk.column("decile").to_pylist(),
+                          blk.column("new_words").to_pylist()):
+            agg[d_] = agg.get(d_, 0) + c_
+    ds_ = sorted(agg)
+    cums = np.cumsum([agg[d] for d in ds_])
+    return pa.table({
+        "decile": pa.array(ds_, pa.int64()),
+        "new_words": pa.array([agg[d] for d in ds_], pa.int64()),
+        "cum_words": pa.array(cums.astype(np.int64)),
+    })
+
+
 def orders_reconciliation(sf_dir: str):
     """Cross-table financial reconciliation audit: per order priority,
     how many orders' ``o_totalprice`` exactly / within-1% match the

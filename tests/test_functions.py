@@ -2811,3 +2811,26 @@ def test_user_spend_drawup_matches_naive_random(ray_session, tmp_path):
         assert out.loc[uid, "n_events"] == n, uid
         assert out.loc[uid, "max_drawup_c100"] == up, uid
         assert out.loc[uid, "max_drawdown_c100"] == dn, uid
+
+
+def test_vocab_growth_crafted(ray_session, tmp_path):
+    """Heaps-curve deciles pinned: words are attributed to the decile
+    of their FIRST document even when repeated later, and cum_words is
+    the prefix sum (the corpus saturates in decile 0, so only this
+    crafted table exercises multi-decile growth)."""
+    import pyarrow.parquet as pq
+
+    from mdvalidate_ray.queries import vocab_growth
+
+    texts = ["a b", "a", "a b", "c", "a c", "a", "a", "d d", "a", "a"]
+    tbl = pa.table({
+        "doc_id": pa.array(list(range(10)), pa.int64()),
+        "text": texts, "lang": ["en"] * 10, "source": ["s"] * 10,
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    })
+    pq.write_table(tbl, tmp_path / "documents.parquet")
+    out = vocab_growth(str(tmp_path)).to_pandas().set_index("decile")
+    # first docs: a->0, b->0, c->3, d->7
+    assert list(out.index) == [0, 3, 7]
+    assert list(out["new_words"]) == [2, 1, 1]
+    assert list(out["cum_words"]) == [2, 3, 4]
