@@ -317,7 +317,16 @@ def minhash_near_duplicates(ds, *, threshold: float = 0.8,
             sig_list = part_group.column("sig").to_pylist()
             raw = b"".join(sig_list[i] for i in order)
             sig_m = np.frombuffer(raw, dtype=np.uint64).reshape(n, -1)
-            est = (sig_m[ai] == sig_m[bi]).mean(axis=1)
+            # chunk the (n_pairs × num_perm) gathers: a capped fine
+            # bucket can still yield ~12.5M pairs, and materializing
+            # both gather matrices at once would transiently cost
+            # pairs×num_perm×8 B×2 (multi-GB) that the scoring never
+            # needs to hold together
+            est = np.empty(len(ai), dtype=np.float64)
+            step = 1 << 20
+            for s in range(0, len(ai), step):
+                e = s + step
+                est[s:e] = (sig_m[ai[s:e]] == sig_m[bi[s:e]]).mean(axis=1)
             keep &= est >= threshold
         if not keep.any():
             return pair_schema.empty_table()

@@ -920,6 +920,11 @@ def mp4_encode(frames: list[bytes], width: int, height: int, *,
     samples share one chunk; ``samples_per_chunk`` > 0 splits mdat into
     multiple chunks so the demuxer's stsc/stco walk is exercised on
     multi-chunk layouts too."""
+    if not (0 < width < 65536 and 0 < height < 65536):
+        # tkhd packs dims as 16.16 fixed-point in 4 bytes; out-of-range
+        # must be a ValueError (ResizeStage's non-strict skip handles
+        # that), not a struct.error escaping the stage
+        raise ValueError(f"mp4 dims out of range: {width}x{height}")
     n = len(frames)
     spc = samples_per_chunk if samples_per_chunk > 0 else max(n, 1)
     ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 0x200)

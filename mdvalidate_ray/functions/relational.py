@@ -2561,6 +2561,8 @@ def read_parquet_pruned(path: str, *, col: str, lo, hi,
         os.path.join(root, f)
         for root, _dirs, files in os.walk(path)
         for f in files if f.endswith(".parquet"))
+    if not frag_files:
+        raise ValueError(f"no parquet files under {path}")
     kept = []
     for f in frag_files:
         md = pq.ParquetFile(f).metadata

@@ -1917,4 +1917,6 @@ def deterministic_shuffle(ds, *, key: str = "doc_id", salt: str = "shuf"):
         return b.append_column("_shuf", pa.array(h, pa.uint64()))
 
     return ds.map_batches(tag, batch_format="pyarrow",
-                          zero_copy_batch=True).sort(["_shuf", key])
+                          zero_copy_batch=True).sort(["_shuf", key]) \
+        .drop_columns(["_shuf"])    # internal state must not leak into
+                                    # the returned training order

@@ -5021,9 +5021,13 @@ def q15_top_supplier(sf_dir: str):
     supp = _dim_table(sf_dir, "supplier", ["s_suppkey", "s_name"])
     names = dict(zip(supp.column("s_suppkey").to_pylist(),
                      supp.column("s_name").to_pylist()))
+    # best is the max over the FULL revenue view (the oracle's scalar
+    # subquery), but the emit join is inner: a dangling l_suppkey can
+    # set the bar yet must not emit a row (mirrors q8's dangling probe)
     rows = [{"s_suppkey": k, "s_name": names[k],
              "total_revenue_c100": v}
-            for k, v in sorted(totals.items()) if v == best]
+            for k, v in sorted(totals.items())
+            if v == best and k in names]
     return pa.Table.from_pylist(rows, schema=out_schema)
 
 

@@ -81,9 +81,12 @@ class _Scanner:
         self._columns = columns
 
     def to_reader(self) -> _ScannerReader:
+        # eager list, not a generator: a re-iterated one-shot generator
+        # would silently yield zero batches on the second pass (real
+        # RecordBatchReaders raise; silent emptiness loses rows)
         return _ScannerReader(
-            pq.read_table(f._path, columns=self._columns)
-            for f in self._fragments)
+            [pq.read_table(f._path, columns=self._columns)
+             for f in self._fragments])
 
 
 class LanceDataset:

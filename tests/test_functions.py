@@ -2834,3 +2834,63 @@ def test_vocab_growth_crafted(ray_session, tmp_path):
     assert list(out.index) == [0, 3, 7]
     assert list(out["new_words"]) == [2, 1, 1]
     assert list(out["cum_words"]) == [2, 3, 4]
+
+
+def test_q15_dangling_suppkey_mirrors_inner_join_oracle(ray_session,
+                                                        tmp_path):
+    """Q15's argmax scans the FULL revenue view (the oracle's scalar
+    subquery) but the emit join with supplier is inner: a dangling
+    l_suppkey may set the revenue bar yet must never emit a row —
+    review finding: ``names[k]`` used to KeyError on the dangling key
+    instead of dropping it."""
+    import datetime
+
+    import pyarrow.parquet as pq
+
+    from mdvalidate_ray.queries import q15_top_supplier
+
+    ts = pa.array([datetime.datetime(1996, 2, 1)] * 3, pa.timestamp("us"))
+    supp = pa.table({"s_suppkey": pa.array([1, 2], pa.int64()),
+                     "s_name": ["alpha", "beta"]})
+    pq.write_table(supp, tmp_path / "supplier.parquet")
+
+    # dangling key 99 holds the max -> bar is set, zero rows emitted
+    li = pa.table({"l_suppkey": pa.array([1, 2, 99], pa.int64()),
+                   "l_extendedprice": [100.0, 50.0, 500.0],
+                   "l_discount": [0.0, 0.0, 0.0], "l_shipdate": ts})
+    pq.write_table(li, tmp_path / "lineitem.parquet")
+    out = q15_top_supplier(str(tmp_path))
+    assert out.num_rows == 0
+    assert out.schema.names == ["s_suppkey", "s_name",
+                                "total_revenue_c100"]
+
+    # dangling key below the max -> the real winner still emits
+    li2 = pa.table({"l_suppkey": pa.array([1, 2, 99], pa.int64()),
+                    "l_extendedprice": [500.0, 50.0, 100.0],
+                    "l_discount": [0.0, 0.0, 0.0], "l_shipdate": ts})
+    pq.write_table(li2, tmp_path / "lineitem.parquet")
+    out2 = q15_top_supplier(str(tmp_path))
+    assert out2.to_pylist() == [{"s_suppkey": 1, "s_name": "alpha",
+                                 "total_revenue_c100": 50000}]
+
+
+def test_mp4_encode_rejects_out_of_range_dims():
+    """tkhd packs dims as 16.16 fixed-point: width/height outside
+    [1, 65535] must raise ValueError (which non-strict stages skip),
+    never struct.error (which would escape and kill the stage)."""
+    from mdvalidate_ray.functions.media import ResizeStage, mp4_encode
+
+    for w, h in ((70000, 21), (33, 70000), (0, 21), (33, -1)):
+        with pytest.raises(ValueError):
+            mp4_encode([b"x"], w, h)
+
+    payload = mp4_encode([b"abc", b"de"], 33, 21)
+    tbl = pa.Table.from_arrays(
+        [pa.array(["v0"]), pa.array(["video/mp4"]),
+         pa.array([payload], pa.binary())],
+        names=["asset_id", "mime", "payload"])
+    # non-strict: oversize target marks the row skipped (payload kept)
+    res = ResizeStage(width=70000, height=70000, strict=False)(tbl)
+    assert res.column("payload").to_pylist() == [payload]
+    with pytest.raises(ValueError):
+        ResizeStage(width=70000, height=70000, strict=True)(tbl)

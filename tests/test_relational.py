@@ -1337,3 +1337,36 @@ def test_unpivot_resolves_value_type_once(ray_session):
     rows = sorted(map(tuple, (r.values() for r in out.take_all())))
     assert rows == [(1, "a", 1.5), (1, "b", 3.0),
                     (2, "a", 2.5), (2, "b", 4.0)]
+
+
+def test_lance_stub_reader_survives_reiteration(tmp_path):
+    """A retried Ray read task may consume the same reader object
+    twice; the stub's to_reader() used to wrap a one-shot generator
+    whose second pass silently yielded ZERO batches (rows vanish, no
+    error).  Pin: both passes yield the same rows."""
+    import pyarrow as pa
+
+    from mdvalidate_ray.sources import lance_stub
+
+    uri = str(tmp_path / "d.lance")
+    lance_stub.write_dataset(
+        pa.table({"k": list(range(100))}), uri, max_rows_per_file=30)
+    reader = lance_stub.LanceDataset(uri).scanner(columns=["k"]) \
+        .to_reader()
+    first = [b.num_rows for b in reader]
+    second = [b.num_rows for b in reader]
+    assert sum(first) == 100
+    assert second == first
+
+
+def test_read_parquet_pruned_empty_dir_raises(tmp_path):
+    """An empty/failed layout must fail loudly with the path in the
+    message, not crash deep inside ray.data.read_parquet([])."""
+    import pytest
+
+    from mdvalidate_ray.functions.relational import read_parquet_pruned
+
+    d = tmp_path / "nothing"
+    d.mkdir()
+    with pytest.raises(ValueError, match="no parquet files"):
+        read_parquet_pruned(str(d), col="x", lo=0, hi=1)

@@ -821,7 +821,10 @@ def test_deterministic_shuffle_is_stable_permutation(ray_session):
     for parts in (1, 13):
         ds = ray.data.from_arrow(t).repartition(parts)
         out = deterministic_shuffle(ds, key="doc_id", salt="s1")
-        orders.append(out.to_pandas()["doc_id"].tolist())
+        df = out.to_pandas()
+        # internal sort key must not leak into the returned order
+        assert list(df.columns) == ["doc_id"]
+        orders.append(df["doc_id"].tolist())
     assert orders[0] == orders[1]                      # reproducible
     assert sorted(orders[0]) == ids.tolist()           # a permutation
     assert orders[0] != ids.tolist()                   # actually shuffled
