@@ -296,6 +296,8 @@ def _queries_raw() -> dict[str, Callable[[str], Any]]:
         "doc_chunks": Q.doc_chunks,
         "user_value_deltas": Q.user_value_deltas,
         "shuffle_head": Q.shuffle_head,
+        "benford_order_totals": Q.benford_order_totals,
+        "events_daily_outliers": Q.events_daily_outliers,
     }
 
 
@@ -3299,6 +3301,39 @@ def oracle_sql() -> dict[str, str]:
                         WHEN nll_e6 // n_bigrams < 7500000 THEN 'middle'
                         ELSE 'tail' END AS ppl_bucket
             FROM scored
+        """,
+        "benford_order_totals": """
+            WITH c AS (
+                SELECT round(o_totalprice * 100)::BIGINT AS cents
+                FROM orders
+            ),
+            d AS (
+                SELECT substr(cents::VARCHAR, 1, 1)::BIGINT AS digit,
+                       count(*)::BIGINT AS cnt
+                FROM c GROUP BY 1
+            ),
+            t AS (SELECT sum(cnt)::BIGINT AS total FROM d)
+            SELECT digit, cnt,
+                   ((2 * cnt * 1000000 + total)
+                    // (2 * total))::BIGINT AS prop_e6
+            FROM d, t ORDER BY digit
+        """,
+        "events_daily_outliers": """
+            WITH d AS (
+                SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+                       count(*)::BIGINT AS cnt
+                FROM events GROUP BY 1, 2
+            ),
+            s AS (
+                SELECT event_type, count(*)::BIGINT AS n,
+                       sum(cnt)::BIGINT AS s, sum(cnt * cnt)::BIGINT AS q
+                FROM d GROUP BY 1
+            )
+            SELECT d.event_type, d.day, d.cnt,
+                   (CASE WHEN (s.n * d.cnt - s.s) * (s.n * d.cnt - s.s)
+                              > 9 * (s.n * s.q - s.s * s.s)
+                         THEN 1 ELSE 0 END)::BIGINT AS is_outlier
+            FROM d JOIN s USING (event_type)
         """,
     }
     # the fused curation scorecard's oracle IS the conjunction of the

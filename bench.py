@@ -215,6 +215,7 @@ QUERY_NAMES = [
     "q8_market_share", "q15_top_supplier", "q17_small_qty_revenue",
     "orders_reconciliation", "knn_hnsw", "doc_word_entropy",
     "user_interarrival_stats", "user_spend_drawup", "vocab_growth",
+    "benford_order_totals", "events_daily_outliers",
 ]
 
 

@@ -7113,3 +7113,81 @@ def source_vocab_jaccard(sf_dir: str):
         "n_common": pa.array([r[4] for r in rows], pa.int64()),
         "n_union": pa.array([r[5] for r in rows], pa.int64()),
     })
+
+
+def benford_order_totals(sf_dir: str):
+    """Benford's-law first-digit audit of order totals (the classic
+    financial-fraud / synthetic-data smoke test): distribution of the
+    leading digit of the int-cent total, with an EXACT ×1e6 proportion
+    via the integer half-away identity ``round(a/b) = (2a+b) // (2b)``
+    (a,b > 0) — no float division exists on either side, so the oracle
+    is bit-exact by construction.  Scale plan: per-batch digit
+    histograms (≤9 rows each) fold on the driver — O(9 × blocks)
+    partials regardless of input size; the digit is taken from the
+    decimal STRING of the cents (same substr both sides), immune to
+    log10 boundary error at exact powers of ten."""
+    ords = _read(sf_dir, "orders").select_columns(["o_totalprice"])
+
+    def part(b: pa.Table) -> pa.Table:
+        cents = _pc_round(pc.multiply(b.column("o_totalprice"),
+                                      100.0)).cast(pa.int64())
+        digit = pc.utf8_slice_codeunits(pc.cast(cents, pa.string()), 0, 1)
+        g = pa.TableGroupBy(pa.table({"digit": digit}),
+                            ["digit"]).aggregate([([], "count_all")])
+        return g.rename_columns(["digit", "cnt"])
+
+    folded: dict[str, int] = {}
+    for blk in ords.map_batches(part, batch_format="pyarrow",
+                                zero_copy_batch=True) \
+            .iter_batches(batch_format="pyarrow"):
+        for d, c in zip(blk.column("digit").to_pylist(),
+                        blk.column("cnt").to_pylist()):
+            folded[d] = folded.get(d, 0) + c
+    total = sum(folded.values())
+    digits = sorted(folded)
+    return pa.table({
+        "digit": pa.array([int(d) for d in digits], pa.int64()),
+        "cnt": pa.array([folded[d] for d in digits], pa.int64()),
+        "prop_e6": pa.array(
+            [(2 * folded[d] * 1_000_000 + total) // (2 * total)
+             for d in digits], pa.int64()),
+    })
+
+
+def events_daily_outliers(sf_dir: str):
+    """Per-event-type daily-volume anomaly flags — the monitoring
+    primitive over the engine's own daily rollup.  A day is an outlier
+    when its count sits more than 3 population-σ from the type's mean;
+    the test is evaluated in EXACT integers by squaring both sides:
+    ``(n·x − s)² > 9·(n·q − s²)`` with s = Σcnt, q = Σcnt² — no sqrt,
+    no float σ, so the SQL twin is bit-identical (n=1 degenerates to
+    0 > 0 = stable).  Scale plan: the daily rollup is the events_daily
+    combiner pipeline (≤ types×days partials cross the exchange); the
+    per-type moment fold and flag pass run on the driver over those
+    O(types×days) rows — at 100 TB the same flag is one broadcast of
+    ≤|types| moment triples and a second map over the rollup."""
+    daily = events_daily(sf_dir)
+    rows = daily.take_all()                      # ≤ types×days
+    by_type: dict[str, list] = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(
+            (r["day"], int(r["cnt"])))
+    et_out, day_out, cnt_out, flag_out = [], [], [], []
+    for et in sorted(by_type):
+        days = sorted(by_type[et])
+        n = len(days)
+        s = sum(c for _, c in days)
+        q = sum(c * c for _, c in days)
+        var_n2 = n * q - s * s                   # n² × population var
+        for day, c in days:
+            dev = n * c - s                      # n × (x − mean)
+            et_out.append(et)
+            day_out.append(day)
+            cnt_out.append(c)
+            flag_out.append(1 if dev * dev > 9 * var_n2 else 0)
+    return pa.table({
+        "event_type": pa.array(et_out, pa.string()),
+        "day": pa.array(day_out, pa.string()),
+        "cnt": pa.array(cnt_out, pa.int64()),
+        "is_outlier": pa.array(flag_out, pa.int64()),
+    })

@@ -2894,3 +2894,61 @@ def test_mp4_encode_rejects_out_of_range_dims():
     assert res.column("payload").to_pylist() == [payload]
     with pytest.raises(ValueError):
         ResizeStage(width=70000, height=70000, strict=True)(tbl)
+
+
+def test_benford_first_digit_exact_proportions(ray_session, tmp_path):
+    """Benford audit pinned on crafted totals: leading digit comes from
+    the decimal string of the CENTS (so $0.95 -> digit 9, $10.00 ->
+    digit 1), and the ×1e6 proportion uses the exact integer half-away
+    identity (thirds round 333333 / 666667)."""
+    import pyarrow.parquet as pq
+
+    from mdvalidate_ray.queries import benford_order_totals
+
+    # cents: 1000, 1999, 9500 -> digits 1, 1, 9
+    orders = pa.table({"o_totalprice": [10.00, 19.99, 95.00]})
+    pq.write_table(orders, tmp_path / "orders.parquet")
+    out = benford_order_totals(str(tmp_path)).to_pydict()
+    assert out["digit"] == [1, 9]
+    assert out["cnt"] == [2, 1]
+    # 2/3 and 1/3 of 1e6, half away from zero
+    assert out["prop_e6"] == [666667, 333333]
+
+
+def test_events_daily_outliers_exact_3sigma_boundary(ray_session,
+                                                     tmp_path):
+    """The 3σ flag is the strict integer inequality (n·x−s)² > 9(nq−s²).
+    A single spike over an otherwise-flat type has z² = n−1 exactly, so
+    n=10 lands ON the boundary (must NOT flag, any spike size) and n=11
+    crosses it (must flag the spike only); a 2-day type can never flag."""
+    import datetime
+
+    import pyarrow.parquet as pq
+
+    from mdvalidate_ray.queries import events_daily_outliers
+
+    rows_type, rows_ts = [], []
+
+    def add(et, day_idx, n_events):
+        for _ in range(n_events):
+            rows_type.append(et)
+            rows_ts.append(datetime.datetime(2024, 1, day_idx))
+
+    for d in range(1, 10):          # boundary: 9 flat days + spike
+        add("boundary", d, 1)
+    add("boundary", 10, 21)
+    for d in range(1, 11):          # flagged: 10 flat days + spike
+        add("flagged", d, 5)
+    add("flagged", 11, 50)
+    add("twoday", 1, 1)             # n=2: dev² = d², 9·var = 9d²
+    add("twoday", 2, 400)
+    pq.write_table(pa.table({
+        "event_type": pa.array(rows_type, pa.string()),
+        "ts": pa.array(rows_ts, pa.timestamp("us")),
+    }), tmp_path / "events.parquet")
+
+    out = events_daily_outliers(str(tmp_path)).to_pandas()
+    flagged = out[out["is_outlier"] == 1]
+    assert list(flagged["event_type"]) == ["flagged"]
+    assert list(flagged["day"]) == ["2024-01-11"]
+    assert list(flagged["cnt"]) == [50]
