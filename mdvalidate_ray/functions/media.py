@@ -1291,6 +1291,15 @@ class ResizeStage:
     → 1 row out."""
 
     def __init__(self, width: int, height: int, strict: bool = True):
+        # every supported container packs dims in 2-byte fields (PNG is
+        # wider, but GIF/JPEG/BMP/mp4/the fake format are not): reject
+        # impossible targets at CONSTRUCTION, not per-row — an
+        # out-of-range target is caller error, and the per-row path
+        # would otherwise die on `.to_bytes(2, ...)` OverflowError in
+        # branches outside the strict/non-strict try
+        if not (0 < width < 65536 and 0 < height < 65536):
+            raise ValueError(
+                f"resize target out of range: {width}x{height}")
         self.w = width
         self.h = height
         self.strict = strict

@@ -67,10 +67,21 @@ class LanceFragment:
 
 
 class _ScannerReader:
+    """One-shot, like a real ``RecordBatchReader``: a second iteration
+    raises instead of silently yielding nothing (which would hide a
+    double-consumption row-loss bug) or replaying (which real readers
+    never do — the stub must not be more forgiving than the library it
+    stands in for)."""
+
     def __init__(self, tables):
         self._tables = tables
+        self._consumed = False
 
     def __iter__(self):
+        if self._consumed:
+            raise ValueError("reader already consumed (one-shot, like "
+                             "pyarrow RecordBatchReader)")
+        self._consumed = True
         for t in self._tables:
             yield from t.to_batches()
 

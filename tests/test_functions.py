@@ -2874,26 +2874,29 @@ def test_q15_dangling_suppkey_mirrors_inner_join_oracle(ray_session,
                                  "total_revenue_c100": 50000}]
 
 
-def test_mp4_encode_rejects_out_of_range_dims():
-    """tkhd packs dims as 16.16 fixed-point: width/height outside
-    [1, 65535] must raise ValueError (which non-strict stages skip),
-    never struct.error (which would escape and kill the stage)."""
+def test_resize_rejects_out_of_range_dims_at_construction():
+    """Every supported container packs dims in 2-byte fields: targets
+    outside [1, 65535] are caller error and must raise ValueError at
+    ResizeStage CONSTRUCTION (strict or not) and in mp4_encode — never
+    struct.error / OverflowError escaping a per-row try and killing the
+    whole map_batches task."""
     from mdvalidate_ray.functions.media import ResizeStage, mp4_encode
 
     for w, h in ((70000, 21), (33, 70000), (0, 21), (33, -1)):
         with pytest.raises(ValueError):
             mp4_encode([b"x"], w, h)
-
+        with pytest.raises(ValueError):
+            ResizeStage(width=w, height=h, strict=False)
+        with pytest.raises(ValueError):
+            ResizeStage(width=w, height=h, strict=True)
+    # in-range construction still works end to end on an mp4 container
     payload = mp4_encode([b"abc", b"de"], 33, 21)
     tbl = pa.Table.from_arrays(
         [pa.array(["v0"]), pa.array(["video/mp4"]),
          pa.array([payload], pa.binary())],
         names=["asset_id", "mime", "payload"])
-    # non-strict: oversize target marks the row skipped (payload kept)
-    res = ResizeStage(width=70000, height=70000, strict=False)(tbl)
-    assert res.column("payload").to_pylist() == [payload]
-    with pytest.raises(ValueError):
-        ResizeStage(width=70000, height=70000, strict=True)(tbl)
+    res = ResizeStage(width=8, height=6, strict=True)(tbl)
+    assert res.column("payload").to_pylist() != [payload]
 
 
 def test_benford_first_digit_exact_proportions(ray_session, tmp_path):

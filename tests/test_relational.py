@@ -1339,12 +1339,14 @@ def test_unpivot_resolves_value_type_once(ray_session):
                     (2, "a", 2.5), (2, "b", 4.0)]
 
 
-def test_lance_stub_reader_survives_reiteration(tmp_path):
-    """A retried Ray read task may consume the same reader object
-    twice; the stub's to_reader() used to wrap a one-shot generator
-    whose second pass silently yielded ZERO batches (rows vanish, no
-    error).  Pin: both passes yield the same rows."""
+def test_lance_stub_reader_is_one_shot_and_loud(tmp_path):
+    """The stub's reader must behave like a real RecordBatchReader:
+    one full pass, then a RE-iteration RAISES — silently yielding zero
+    batches (the old generator wrap) hides double-consumption row loss,
+    and replaying would make the stub more forgiving than the library
+    it stands in for."""
     import pyarrow as pa
+    import pytest
 
     from mdvalidate_ray.sources import lance_stub
 
@@ -1353,10 +1355,9 @@ def test_lance_stub_reader_survives_reiteration(tmp_path):
         pa.table({"k": list(range(100))}), uri, max_rows_per_file=30)
     reader = lance_stub.LanceDataset(uri).scanner(columns=["k"]) \
         .to_reader()
-    first = [b.num_rows for b in reader]
-    second = [b.num_rows for b in reader]
-    assert sum(first) == 100
-    assert second == first
+    assert sum(b.num_rows for b in reader) == 100
+    with pytest.raises(ValueError, match="already consumed"):
+        list(reader)
 
 
 def test_read_parquet_pruned_empty_dir_raises(tmp_path):
