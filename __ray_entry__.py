@@ -141,13 +141,13 @@ def _queries_raw() -> dict[str, Callable[[str], Any]]:
         "winnow_stats": Q.winnow_stats,
         "shard_assignment": Q.shard_assignment,
         "custkey_skew": Q.custkey_skew,
-        "ranking_overlap": Q.ranking_overlap,
-        "lang_confusion": Q.lang_confusion,
-        "coverage_picks": Q.coverage_picks,
-        "golden_records": Q.golden_records,
+        "q2_min_cost_supplier": Q.q2_min_cost_supplier,
+        "q11_important_parts": Q.q11_important_parts,
+        "q12_late_priority": Q.q12_late_priority,
+        "q20_excess_suppliers": Q.q20_excess_suppliers,
+        "q21_waiting_supplier": Q.q21_waiting_supplier,
+        "q22_idle_customers": Q.q22_idle_customers,
         "k_anonymity_violations": Q.k_anonymity_violations,
-        "label_auc": Q.label_auc,
-        "calibration_bins": Q.calibration_bins,
         "parity_rates": Q.parity_rates,
         "price_quantiles": Q.price_quantiles,
         "orders_snapshot_diff": Q.orders_snapshot_diff,
@@ -157,6 +157,12 @@ def _queries_raw() -> dict[str, Callable[[str], Any]]:
         "ngram_contamination": Q.ngram_contamination,
         "lineitem_zorder_pruned": Q.lineitem_zorder_pruned,
         # --- end of driver window (first 50) ---
+        "ranking_overlap": Q.ranking_overlap,
+        "lang_confusion": Q.lang_confusion,
+        "coverage_picks": Q.coverage_picks,
+        "golden_records": Q.golden_records,
+        "label_auc": Q.label_auc,
+        "calibration_bins": Q.calibration_bins,
         "heavy_hitter_words": Q.heavy_hitter_words,
         "c4_line_filter": Q.c4_line_filter,
         "source_vocab_jaccard": Q.source_vocab_jaccard,
@@ -3032,6 +3038,135 @@ def oracle_sql() -> dict[str, str]:
                    ((2 * coalesce(sum(ep), 0) + 7) // 14)::BIGINT
                        AS avg_yearly_c100
             FROM small
+        """,
+        "q2_min_cost_supplier": """
+            WITH eligible_parts AS (
+                SELECT p_partkey FROM part
+                WHERE p_type = 'STANDARD' AND p_size >= 40
+            ),
+            region_supp AS (
+                SELECT s_suppkey, s_name, n_name,
+                       round(s_acctbal * 100)::BIGINT AS s_acctbal_c100
+                FROM supplier JOIN nation ON s_nationkey = n_nationkey
+                WHERE n_regionkey = (SELECT r_regionkey FROM region
+                                     WHERE r_name = 'EUROPE')
+            ),
+            pair_cost AS (
+                SELECT l_partkey, l_suppkey,
+                       min((2 * round(l_extendedprice * 100)::BIGINT
+                            * 10000 + l_quantity::BIGINT)
+                           // (2 * l_quantity::BIGINT))::BIGINT AS cost_e4
+                FROM lineitem
+                WHERE l_partkey IN (SELECT p_partkey FROM eligible_parts)
+                  AND l_suppkey IN (SELECT s_suppkey FROM region_supp)
+                GROUP BY l_partkey, l_suppkey
+            ),
+            best AS (
+                SELECT l_partkey, min(cost_e4) AS min_cost
+                FROM pair_cost GROUP BY l_partkey
+            )
+            SELECT p.l_partkey AS p_partkey, r.s_suppkey, r.s_name,
+                   r.n_name, r.s_acctbal_c100, p.cost_e4
+            FROM pair_cost p
+            JOIN best b ON p.l_partkey = b.l_partkey
+                       AND p.cost_e4 = b.min_cost
+            JOIN region_supp r ON p.l_suppkey = r.s_suppkey
+            ORDER BY r.s_acctbal_c100 DESC, r.n_name, r.s_name,
+                     p.l_partkey
+        """,
+        "q11_important_parts": """
+            WITH v AS (
+                SELECT l_partkey,
+                       sum(round(l_extendedprice * 100))::BIGINT
+                           AS value_c100
+                FROM lineitem
+                WHERE l_suppkey IN (
+                    SELECT s_suppkey FROM supplier
+                    JOIN nation ON s_nationkey = n_nationkey
+                    WHERE n_regionkey = 2)
+                GROUP BY l_partkey
+            )
+            SELECT l_partkey, value_c100 FROM v
+            WHERE 2 * value_c100 * (SELECT count(*) FROM v)
+                  > 3 * (SELECT sum(value_c100) FROM v)
+            ORDER BY value_c100 DESC, l_partkey
+        """,
+        "q12_late_priority": """
+            SELECT l_returnflag,
+                   sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                            THEN 1 ELSE 0 END)::BIGINT
+                       AS high_line_count,
+                   sum(CASE WHEN o_orderpriority
+                            NOT IN ('1-URGENT','2-HIGH')
+                            THEN 1 ELSE 0 END)::BIGINT AS low_line_count
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_shipdate >= o_orderdate + INTERVAL 90 DAY
+              AND l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate <  TIMESTAMP '1997-01-01'
+            GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "q20_excess_suppliers": """
+            WITH q AS (
+                SELECT l_partkey, l_suppkey,
+                       sum(l_quantity::BIGINT)::BIGINT AS qty
+                FROM lineitem
+                WHERE l_partkey IN (SELECT p_partkey FROM part
+                                    WHERE p_name LIKE 'small %')
+                  AND l_shipdate >= TIMESTAMP '1996-01-01'
+                  AND l_shipdate <  TIMESTAMP '1997-01-01'
+                GROUP BY l_partkey, l_suppkey
+            ),
+            tot AS (SELECT l_partkey, sum(qty)::BIGINT AS part_qty
+                    FROM q GROUP BY l_partkey),
+            hits AS (
+                SELECT q.l_suppkey, count(*)::BIGINT AS n_parts_excess
+                FROM q JOIN tot USING (l_partkey)
+                WHERE 4 * q.qty > tot.part_qty GROUP BY q.l_suppkey
+            )
+            SELECT s_suppkey, s_name, n_parts_excess
+            FROM hits JOIN supplier ON l_suppkey = s_suppkey
+            ORDER BY s_suppkey
+        """,
+        "q21_waiting_supplier": """
+            WITH fl AS (
+                SELECT l_orderkey, l_suppkey, l_shipdate
+                FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                WHERE o_orderstatus = 'F'
+            ),
+            waits AS (
+                SELECT DISTINCT l1.l_orderkey, l1.l_suppkey
+                FROM fl l1
+                WHERE EXISTS (SELECT 1 FROM fl l2
+                              WHERE l2.l_orderkey = l1.l_orderkey
+                                AND l2.l_suppkey <> l1.l_suppkey)
+                  AND NOT EXISTS (SELECT 1 FROM fl l3
+                                  WHERE l3.l_orderkey = l1.l_orderkey
+                                    AND l3.l_suppkey <> l1.l_suppkey
+                                    AND l3.l_shipdate >= l1.l_shipdate)
+            )
+            SELECT s_suppkey, s_name, count(*)::BIGINT AS numwait
+            FROM waits JOIN supplier ON l_suppkey = s_suppkey
+            GROUP BY s_suppkey, s_name
+            ORDER BY numwait DESC, s_suppkey
+        """,
+        "q22_idle_customers": """
+            WITH pool AS (
+                SELECT c_custkey, c_nationkey::BIGINT AS cntrycode,
+                       round(c_acctbal * 100)::BIGINT AS bal_c100
+                FROM customer
+                WHERE c_nationkey IN (1,3,5,7,9,11,13)
+            ),
+            pos AS (SELECT count(*)::BIGINT AS n_pos,
+                           sum(bal_c100)::BIGINT AS sum_pos
+                    FROM pool WHERE bal_c100 > 0)
+            SELECT cntrycode, count(*)::BIGINT AS numcust,
+                   sum(bal_c100)::BIGINT AS totacctbal_c100
+            FROM pool, pos
+            WHERE bal_c100 * n_pos > sum_pos
+              AND NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey
+                                AND o_orderdate >= TIMESTAMP '2000-01-01')
+            GROUP BY cntrycode ORDER BY cntrycode
         """,
         "pii_scan": """
             SELECT doc_id,

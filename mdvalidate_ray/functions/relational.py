@@ -789,11 +789,25 @@ def bucketed_group_sum(ds, *, key: str, sum_cols: list[str],
     ``(key, *sum_cols)`` before folding, so the float-addition order
     does not depend on block arrival order.
     """
+    return bucketed_group_agg(ds, key=key, agg_cols=sum_cols,
+                              aggs=["sum"] * len(sum_cols),
+                              out_names=out_names, n_parts=n_parts)
+
+
+def bucketed_group_agg(ds, *, key: str, agg_cols: list[str],
+                       aggs: list[str],
+                       out_names: list[str] | None = None,
+                       n_parts: int = 32):
+    """:func:`bucketed_group_sum` generalized to any decomposable Arrow
+    group aggregate (``sum`` / ``min`` / ``max``) per column — same ONE
+    coarse ``hash(key) % n_parts`` exchange, same vectorized in-bucket
+    fold, same skew-proofness.  Inputs are expected to be per-batch
+    partials of the same aggregate (min of mins is min, etc.)."""
     import numpy as np
 
     from mdvalidate_ray.state.sketches import hash_strings
 
-    out_names = out_names or sum_cols
+    out_names = out_names or agg_cols
 
     def tag(b: pa.Table) -> pa.Table:
         col = b.column(key)
@@ -810,9 +824,9 @@ def bucketed_group_sum(ds, *, key: str, sum_cols: list[str],
     def per_bucket(g: pa.Table) -> pa.Table:
         g = g.drop_columns(["_bucket"])
         g = g.take(pc.sort_indices(
-            g, sort_keys=[(c, "ascending") for c in [key] + sum_cols]))
+            g, sort_keys=[(c, "ascending") for c in [key] + agg_cols]))
         agg = pa.TableGroupBy(g, key).aggregate(
-            [(c, "sum") for c in sum_cols])
+            list(zip(agg_cols, aggs)))
         return agg.rename_columns([key] + list(out_names))
 
     return ds.map_batches(tag, batch_format="pyarrow",

@@ -5125,6 +5125,608 @@ def q17_small_qty_revenue(sf_dir: str):
         "avg_yearly_c100": [(2 * tot + 7) // 14]}).cast(out_schema)
 
 
+def q2_min_cost_supplier(sf_dir: str):
+    """TPC-H Q2 shape (this corpus has no partsupp, so supply cost is
+    the OBSERVED minimum unit price over a (part, supplier)'s lineitems
+    — the exact rational ep_c100·10⁴/qty rounded half-away as ONE
+    integer expression ``(2·ep_c100·10000 + qty) // (2·qty)``, so no
+    float division exists on either side): for STANDARD parts of size
+    ≥ 40, the EUROPE-region supplier(s) achieving each part's minimum
+    cost, ties kept exactly like the SQL's equi-probe.  Scale plan:
+    both dimension filters broadcast (eligible partkeys + region
+    suppkeys — dimension-bounded); the lineitem scan prunes to 4
+    columns and pre-combines each batch to (part,supp)-min partials, so
+    ONE coarse fused-key exchange folds the pair minima
+    (:func:`bucketed_group_agg` min); the per-part argmin runs as a
+    SECOND coarse exchange keyed on partkey — pair rows are
+    O(parts × region suppliers), nothing driver-sized until the final
+    qualifying rows, which ARE the answer."""
+    import numpy as np
+    import ray
+
+    from mdvalidate_ray.functions.relational import bucketed_group_agg
+
+    part_t = _dim_table(sf_dir, "part", ["p_partkey", "p_type", "p_size"])
+    keep = pc.and_(pc.equal(part_t.column("p_type"), "STANDARD"),
+                   pc.greater_equal(part_t.column("p_size"), 40))
+    pk = np.sort(part_t.filter(keep).column("p_partkey").to_numpy(
+        zero_copy_only=False))
+
+    region_t = _dim_table(sf_dir, "region", ["r_regionkey", "r_name"])
+    rk = region_t.filter(pc.equal(region_t.column("r_name"), "EUROPE")) \
+                 .column("r_regionkey")[0].as_py()
+    nation = _dim_table(sf_dir, "nation",
+                        ["n_nationkey", "n_name", "n_regionkey"])
+    nat = nation.filter(pc.equal(nation.column("n_regionkey"), rk))
+    nat_names = dict(zip(nat.column("n_nationkey").to_pylist(),
+                         nat.column("n_name").to_pylist()))
+    supp = _dim_table(sf_dir, "supplier",
+                      ["s_suppkey", "s_name", "s_nationkey", "s_acctbal"])
+    supp = supp.filter(pc.is_in(
+        pc.cast(supp.column("s_nationkey"), pa.int64()),
+        value_set=pa.array(list(nat_names), pa.int64())))
+    sk = np.sort(supp.column("s_suppkey").to_numpy(zero_copy_only=False))
+    bal_c100 = pc.cast(_pc_round(pc.multiply(
+        supp.column("s_acctbal"), 100.0)), pa.int64()).to_pylist()
+    s_meta = {int(k): (nm, int(nk), int(bal)) for k, nm, nk, bal in zip(
+        supp.column("s_suppkey").to_pylist(),
+        supp.column("s_name").to_pylist(),
+        supp.column("s_nationkey").to_pylist(), bal_c100)}
+    out_schema = pa.schema(
+        [("p_partkey", pa.int64()), ("s_suppkey", pa.int64()),
+         ("s_name", pa.string()), ("n_name", pa.string()),
+         ("s_acctbal_c100", pa.int64()), ("cost_e4", pa.int64())])
+    if len(pk) == 0 or len(sk) == 0:
+        return out_schema.empty_table()
+    assert int(pk.max()) < (1 << 42) and int(sk.max()) < (1 << 20), \
+        "q2: fused (partkey<<20 | suppkey) key needs wider packing"
+    maps_ref = ray.put((pk, sk))
+    empty_pair = pa.table({"k": pa.array([], pa.int64()),
+                           "cost_e4": pa.array([], pa.int64())})
+
+    def pair_min(b: pa.Table) -> pa.Table:
+        pkeys, skeys = ray.get(maps_ref)
+        pv = b.column("l_partkey").to_numpy(zero_copy_only=False)
+        if len(pv) == 0:
+            return empty_pair
+        pos = np.searchsorted(pkeys, pv)
+        pos[pos == len(pkeys)] = 0
+        m = pkeys[pos] == pv
+        sv = b.column("l_suppkey").to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(skeys, sv)
+        pos[pos == len(skeys)] = 0
+        m &= skeys[pos] == sv
+        b = b.filter(pa.array(m))
+        if b.num_rows == 0:
+            return empty_pair
+        ep = np.asarray(pc.cast(_pc_round(pc.multiply(
+            b.column("l_extendedprice"), 100.0)), pa.int64()),
+            dtype=np.int64)
+        q = b.column("l_quantity").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        cost = (2 * ep * 10000 + q) // (2 * q)
+        k = (b.column("l_partkey").to_numpy(zero_copy_only=False)
+             .astype(np.int64) << 20) \
+            | b.column("l_suppkey").to_numpy(
+                zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((cost, k))
+        ks, first = np.unique(k[order], return_index=True)
+        return pa.table({"k": pa.array(ks, pa.int64()),
+                         "cost_e4": pa.array(cost[order][first],
+                                             pa.int64())})
+
+    pairs = bucketed_group_agg(
+        _read(sf_dir, "lineitem").select_columns(
+            ["l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"])
+        .map_batches(pair_min, batch_format="pyarrow",
+                     zero_copy_batch=True),
+        key="k", agg_cols=["cost_e4"], aggs=["min"], n_parts=8)
+
+    n_buckets = 8
+
+    def tag_part(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "k" not in b.schema.names:
+            return pa.table({"p_partkey": pa.array([], pa.int64()),
+                             "s_suppkey": pa.array([], pa.int64()),
+                             "cost_e4": pa.array([], pa.int64()),
+                             "_b": pa.array([], pa.int64())})
+        k = b.column("k").to_numpy(zero_copy_only=False)
+        p = k >> 20
+        h = (p.astype(np.uint64)
+             * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)
+        return pa.table({
+            "p_partkey": pa.array(p, pa.int64()),
+            "s_suppkey": pa.array(k & ((1 << 20) - 1), pa.int64()),
+            "cost_e4": b.column("cost_e4"),
+            "_b": pa.array((h % np.uint64(n_buckets)).astype("int64"))})
+
+    def argmin_group(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["_b"])
+        p = g.column("p_partkey").to_numpy(zero_copy_only=False)
+        c = g.column("cost_e4").to_numpy(zero_copy_only=False)
+        order = np.lexsort((c, p))
+        p_s, c_s = p[order], c[order]
+        starts = np.flatnonzero(np.concatenate(
+            ([True], p_s[1:] != p_s[:-1])))
+        part_min = c_s[starts]
+        idx = np.searchsorted(p_s[starts], p_s)
+        keep = c_s == part_min[idx]
+        return g.take(pa.array(order[keep]))
+
+    winners = pairs.map_batches(tag_part, batch_format="pyarrow",
+                                zero_copy_batch=True) \
+        .groupby("_b").map_groups(argmin_group, batch_format="pyarrow")
+    rows = []
+    for r in winners.take_all():
+        nm, nk, bal = s_meta[int(r["s_suppkey"])]
+        rows.append({"p_partkey": int(r["p_partkey"]),
+                     "s_suppkey": int(r["s_suppkey"]), "s_name": nm,
+                     "n_name": nat_names[nk], "s_acctbal_c100": bal,
+                     "cost_e4": int(r["cost_e4"])})
+    rows.sort(key=lambda r: (-r["s_acctbal_c100"], r["n_name"],
+                             r["s_name"], r["p_partkey"]))
+    return pa.Table.from_pylist(rows, schema=out_schema)
+
+
+def q11_important_parts(sf_dir: str):
+    """TPC-H Q11 shape (no partsupp — 'stock value' is the shipped
+    extendedprice cents from region-2 suppliers): parts whose value
+    exceeds 1.5× the mean part value, the HAVING-vs-scalar-subquery
+    pattern as the exact integer cross-multiply
+    ``2·value·n_parts > 3·Σvalue``.  Scale plan: region suppkeys
+    broadcast; per-batch partkey→cents combiners; ONE coarse bucketed
+    fold; the folded table is O(parts with region sales), so the
+    threshold scalars and the filter run on the driver-held result,
+    which feeds the answer directly.  At 10⁹ parts the two scalars
+    fold from ≤buckets partials and broadcast back into a distributed
+    filter pass instead (documented seam)."""
+    import numpy as np
+    import ray
+
+    from mdvalidate_ray.functions.relational import bucketed_group_sum
+
+    nation = _dim_table(sf_dir, "nation", ["n_nationkey", "n_regionkey"])
+    nks = nation.filter(pc.equal(nation.column("n_regionkey"), 2)) \
+                .column("n_nationkey").to_pylist()
+    supp = _dim_table(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    supp = supp.filter(pc.is_in(
+        pc.cast(supp.column("s_nationkey"), pa.int64()),
+        value_set=pa.array([int(x) for x in nks], pa.int64())))
+    sk = np.sort(supp.column("s_suppkey").to_numpy(zero_copy_only=False))
+    sk_ref = ray.put(sk)
+    empty = pa.table({"l_partkey": pa.array([], pa.int64()),
+                      "value_c100": pa.array([], pa.int64())})
+
+    def partial(b: pa.Table) -> pa.Table:
+        skeys = ray.get(sk_ref)
+        sv = b.column("l_suppkey").to_numpy(zero_copy_only=False)
+        if len(sv) == 0 or len(skeys) == 0:
+            return empty
+        pos = np.searchsorted(skeys, sv)
+        pos[pos == len(skeys)] = 0
+        b = b.filter(pa.array(skeys[pos] == sv))
+        if b.num_rows == 0:
+            return empty
+        ep = np.asarray(pc.cast(_pc_round(pc.multiply(
+            b.column("l_extendedprice"), 100.0)), pa.int64()),
+            dtype=np.int64)
+        p = b.column("l_partkey").to_numpy(zero_copy_only=False)
+        ks = np.unique(p)
+        s = np.zeros(len(ks), dtype=np.int64)
+        np.add.at(s, np.searchsorted(ks, p), ep)
+        return pa.table({"l_partkey": pa.array(ks, pa.int64()),
+                         "value_c100": pa.array(s)})
+
+    folded = bucketed_group_sum(
+        _read(sf_dir, "lineitem").select_columns(
+            ["l_partkey", "l_suppkey", "l_extendedprice"])
+        .map_batches(partial, batch_format="pyarrow",
+                     zero_copy_batch=True),
+        key="l_partkey", sum_cols=["value_c100"], n_parts=8).take_all()
+    n = len(folded)
+    tot = sum(r["value_c100"] for r in folded)
+    rows = [{"l_partkey": int(r["l_partkey"]),
+             "value_c100": int(r["value_c100"])} for r in folded
+            if 2 * r["value_c100"] * n > 3 * tot]
+    rows.sort(key=lambda r: (-r["value_c100"], r["l_partkey"]))
+    return pa.Table.from_pylist(rows, schema=pa.schema(
+        [("l_partkey", pa.int64()), ("value_c100", pa.int64())]))
+
+
+def q12_late_priority(sf_dir: str):
+    """TPC-H Q12 shape (no l_shipmode/commitdate in this corpus — the
+    mode axis is l_returnflag and 'late' means shipped ≥ 90 days after
+    the order date): per returnflag, how many late-shipped 1996 lines
+    belong to high-priority (1-URGENT/2-HIGH) vs lower-priority orders
+    — the join + CASE-sum report.  Scale plan: lineitem prunes to 3
+    columns and date-filters BEFORE the one large×large hash join to
+    orders (pruned to 3); the late test is a vectorized int64-µs
+    compare; per-batch (flag, high, low) partials (≤|flags| rows each)
+    fold in one tiny bucketed exchange."""
+    import datetime
+
+    import numpy as np
+
+    from mdvalidate_ray.functions.relational import (bucketed_group_sum,
+                                                     hash_join)
+
+    lo = datetime.datetime(1996, 1, 1)
+    hi = datetime.datetime(1997, 1, 1)
+
+    def ship_1996(b: pa.Table) -> pa.Table:
+        col = b.column("l_shipdate")
+        return b.filter(pc.and_(pc.greater_equal(col, pa.scalar(lo)),
+                                pc.less(col, pa.scalar(hi))))
+
+    li = _read(sf_dir, "lineitem").select_columns(
+        ["l_orderkey", "l_returnflag", "l_shipdate"]).map_batches(
+        ship_1996, batch_format="pyarrow", zero_copy_batch=True)
+    orders = _read(sf_dir, "orders").select_columns(
+        ["o_orderkey", "o_orderdate", "o_orderpriority"])
+    joined = hash_join(li, orders, on="l_orderkey",
+                       right_on="o_orderkey", n_parts=8)
+    late_us = 90 * 86_400 * 1_000_000
+    empty = pa.table({"l_returnflag": pa.array([], pa.string()),
+                      "high_line_count": pa.array([], pa.int64()),
+                      "low_line_count": pa.array([], pa.int64())})
+
+    def partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return empty
+        ship = b.column("l_shipdate").to_numpy(
+            zero_copy_only=False).astype("datetime64[us]").view("int64")
+        od = b.column("o_orderdate").to_numpy(
+            zero_copy_only=False).astype("datetime64[us]").view("int64")
+        late = ship >= od + late_us
+        high = np.asarray(pc.is_in(
+            b.column("o_orderpriority"),
+            value_set=pa.array(["1-URGENT", "2-HIGH"])))
+        t = pa.table({
+            "l_returnflag": b.column("l_returnflag"),
+            "high_line_count": pa.array(
+                (late & high).astype(np.int64)),
+            "low_line_count": pa.array(
+                (late & ~high).astype(np.int64))})
+        g = pa.TableGroupBy(t, "l_returnflag").aggregate(
+            [("high_line_count", "sum"), ("low_line_count", "sum")])
+        g = g.rename_columns(
+            ["l_returnflag", "high_line_count", "low_line_count"])
+        return g.filter(pc.or_(
+            pc.greater(g.column("high_line_count"), 0),
+            pc.greater(g.column("low_line_count"), 0)))
+
+    return bucketed_group_sum(
+        joined.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True),
+        key="l_returnflag",
+        sum_cols=["high_line_count", "low_line_count"], n_parts=2)
+
+
+def q20_excess_suppliers(sf_dir: str):
+    """TPC-H Q20 shape (no partsupp.availqty — 'excess availability'
+    means the supplier shipped MORE THAN 1/4 of a 'small %' part's
+    total 1996 volume, the integer cross-multiply
+    ``4·pair_qty > part_qty``): suppliers holding such a dominant share
+    of at least one small part, with how many such parts — the nested
+    semi-join chain.  Scale plan: prefix partkeys broadcast; per-batch
+    (part,supp)→qty combiners; ONE coarse fused-key fold; a SECOND
+    coarse exchange keyed on partkey computes per-part totals and the
+    share flags entirely in-bucket (pair rows are O(parts×suppliers));
+    per-supplier counts fold in a third tiny exchange, O(suppliers)."""
+    import datetime
+
+    import numpy as np
+    import ray
+
+    from mdvalidate_ray.functions.relational import bucketed_group_sum
+
+    part_t = _dim_table(sf_dir, "part", ["p_partkey", "p_name"])
+    pk = np.sort(part_t.filter(pc.starts_with(
+        part_t.column("p_name"), "small ")).column("p_partkey")
+        .to_numpy(zero_copy_only=False))
+    supp_t = _dim_table(sf_dir, "supplier", ["s_suppkey", "s_name"])
+    s_names = dict(zip(supp_t.column("s_suppkey").to_pylist(),
+                       supp_t.column("s_name").to_pylist()))
+    out_schema = pa.schema([("s_suppkey", pa.int64()),
+                            ("s_name", pa.string()),
+                            ("n_parts_excess", pa.int64())])
+    if len(pk) == 0:
+        return out_schema.empty_table()
+    assert int(pk.max()) < (1 << 42), "q20: fused key needs wider packing"
+    pk_ref = ray.put(pk)
+    lo = datetime.datetime(1996, 1, 1)
+    hi = datetime.datetime(1997, 1, 1)
+    empty = pa.table({"k": pa.array([], pa.int64()),
+                      "qty": pa.array([], pa.int64())})
+
+    def pair_qty(b: pa.Table) -> pa.Table:
+        col = b.column("l_shipdate")
+        b = b.filter(pc.and_(pc.greater_equal(col, pa.scalar(lo)),
+                             pc.less(col, pa.scalar(hi))))
+        pkeys = ray.get(pk_ref)
+        pv = b.column("l_partkey").to_numpy(zero_copy_only=False)
+        if len(pv) == 0:
+            return empty
+        pos = np.searchsorted(pkeys, pv)
+        pos[pos == len(pkeys)] = 0
+        b = b.filter(pa.array(pkeys[pos] == pv))
+        if b.num_rows == 0:
+            return empty
+        k = (b.column("l_partkey").to_numpy(zero_copy_only=False)
+             .astype(np.int64) << 20) \
+            | b.column("l_suppkey").to_numpy(
+                zero_copy_only=False).astype(np.int64)
+        q = b.column("l_quantity").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        ks = np.unique(k)
+        s = np.zeros(len(ks), dtype=np.int64)
+        np.add.at(s, np.searchsorted(ks, k), q)
+        return pa.table({"k": pa.array(ks, pa.int64()),
+                         "qty": pa.array(s)})
+
+    pairs = bucketed_group_sum(
+        _read(sf_dir, "lineitem").select_columns(
+            ["l_partkey", "l_suppkey", "l_quantity", "l_shipdate"])
+        .map_batches(pair_qty, batch_format="pyarrow",
+                     zero_copy_batch=True),
+        key="k", sum_cols=["qty"], n_parts=8)
+
+    n_buckets = 8
+
+    def tag_part(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "k" not in b.schema.names:
+            return pa.table({"p": pa.array([], pa.int64()),
+                             "s": pa.array([], pa.int64()),
+                             "qty": pa.array([], pa.int64()),
+                             "_b": pa.array([], pa.int64())})
+        k = b.column("k").to_numpy(zero_copy_only=False)
+        p = k >> 20
+        h = (p.astype(np.uint64)
+             * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)
+        return pa.table({
+            "p": pa.array(p, pa.int64()),
+            "s": pa.array(k & ((1 << 20) - 1), pa.int64()),
+            "qty": b.column("qty"),
+            "_b": pa.array((h % np.uint64(n_buckets)).astype("int64"))})
+
+    def excess_group(g: pa.Table) -> pa.Table:
+        p = g.column("p").to_numpy(zero_copy_only=False)
+        s = g.column("s").to_numpy(zero_copy_only=False)
+        q = g.column("qty").to_numpy(zero_copy_only=False)
+        order = np.argsort(p, kind="stable")
+        p_s, s_s, q_s = p[order], s[order], q[order]
+        starts = np.flatnonzero(np.concatenate(
+            ([True], p_s[1:] != p_s[:-1])))
+        tot = np.add.reduceat(q_s, starts)
+        idx = np.searchsorted(p_s[starts], p_s)
+        hit = 4 * q_s > tot[idx]
+        sk, cnt = np.unique(s_s[hit], return_counts=True)
+        return pa.table({"s_suppkey": pa.array(sk, pa.int64()),
+                         "n_parts_excess": pa.array(
+                             cnt.astype(np.int64))})
+
+    per_supp = bucketed_group_sum(
+        pairs.map_batches(tag_part, batch_format="pyarrow",
+                          zero_copy_batch=True)
+        .groupby("_b").map_groups(excess_group, batch_format="pyarrow"),
+        key="s_suppkey", sum_cols=["n_parts_excess"], n_parts=4)
+    rows = [{"s_suppkey": int(r["s_suppkey"]),
+             "s_name": s_names[int(r["s_suppkey"])],
+             "n_parts_excess": int(r["n_parts_excess"])}
+            for r in per_supp.take_all()]
+    rows.sort(key=lambda r: r["s_suppkey"])
+    return pa.Table.from_pylist(rows, schema=out_schema)
+
+
+def q21_waiting_supplier(sf_dir: str):
+    """TPC-H Q21 shape (no receipt/commit dates in this corpus — the
+    supplier who 'kept the order waiting' is the one whose ship date is
+    STRICTLY the latest): per supplier, the number of finished ('F')
+    multi-supplier orders where that supplier uniquely shipped last —
+    the EXISTS (another supplier) + NOT-EXISTS (another supplier at or
+    after my date) pair over the same fact table.  Scale plan: the
+    F-orderkey set flows through tiered
+    :func:`~mdvalidate_ray.functions.relational.semi_join_keys`
+    (broadcast exact set / Bloom + co-partitioned verify); per-batch
+    (order,supp)→max-ship combiners; ONE coarse fused-key max fold; a
+    SECOND coarse exchange on orderkey decides per-order uniqueness of
+    the max entirely in-bucket; per-supplier counts fold in a third
+    tiny exchange, O(suppliers)."""
+    import numpy as np
+
+    from mdvalidate_ray.functions.relational import (bucketed_group_agg,
+                                                     bucketed_group_sum,
+                                                     semi_join_keys)
+
+    keys_ds = _read(sf_dir, "orders").select_columns(
+        ["o_orderkey", "o_orderstatus"]).map_batches(
+        lambda b: pa.TableGroupBy(
+            b.filter(pc.equal(b.column("o_orderstatus"), "F"))
+             .select(["o_orderkey"]), "o_orderkey").aggregate([]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    li = _read(sf_dir, "lineitem").select_columns(
+        ["l_orderkey", "l_suppkey", "l_shipdate"])
+    fl = semi_join_keys(li, keys_ds, left_key="l_orderkey",
+                        right_key="o_orderkey")
+    empty = pa.table({"k": pa.array([], pa.int64()),
+                      "ship_us": pa.array([], pa.int64())})
+
+    def pair_max(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return empty
+        ok = b.column("l_orderkey").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        sv = b.column("l_suppkey").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        assert ok.max() < (1 << 42) and sv.max() < (1 << 20), \
+            "q21: fused (orderkey<<20 | suppkey) key needs wider packing"
+        k = (ok << 20) | sv
+        ship = b.column("l_shipdate").to_numpy(
+            zero_copy_only=False).astype("datetime64[us]").view("int64")
+        order = np.lexsort((ship, k))
+        ks, first, cnt = np.unique(k[order], return_index=True,
+                                   return_counts=True)
+        last = first + cnt - 1
+        return pa.table({"k": pa.array(ks, pa.int64()),
+                         "ship_us": pa.array(ship[order][last],
+                                             pa.int64())})
+
+    pair_ship = bucketed_group_agg(
+        fl.map_batches(pair_max, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        key="k", agg_cols=["ship_us"], aggs=["max"], n_parts=8)
+
+    n_buckets = 8
+
+    def tag_order(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "k" not in b.schema.names:
+            return pa.table({"o": pa.array([], pa.int64()),
+                             "s": pa.array([], pa.int64()),
+                             "ship_us": pa.array([], pa.int64()),
+                             "_b": pa.array([], pa.int64())})
+        k = b.column("k").to_numpy(zero_copy_only=False)
+        o = k >> 20
+        h = (o.astype(np.uint64)
+             * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)
+        return pa.table({
+            "o": pa.array(o, pa.int64()),
+            "s": pa.array(k & ((1 << 20) - 1), pa.int64()),
+            "ship_us": b.column("ship_us"),
+            "_b": pa.array((h % np.uint64(n_buckets)).astype("int64"))})
+
+    def waiting_group(g: pa.Table) -> pa.Table:
+        o = g.column("o").to_numpy(zero_copy_only=False)
+        s = g.column("s").to_numpy(zero_copy_only=False)
+        ship = g.column("ship_us").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ship, o))
+        o_s, s_s, t_s = o[order], s[order], ship[order]
+        starts = np.flatnonzero(np.concatenate(
+            ([True], o_s[1:] != o_s[:-1])))
+        cnt = np.diff(np.concatenate((starts, [len(o_s)])))
+        omax = np.maximum.reduceat(t_s, starts)
+        idx = np.searchsorted(o_s[starts], o_s)
+        at_max = t_s == omax[idx]
+        n_at_max = np.add.reduceat(at_max.astype(np.int64), starts)
+        # rows here are per-(order, supplier) maxima, so cnt IS the
+        # distinct-supplier count of the order
+        win = at_max & (cnt[idx] >= 2) & (n_at_max[idx] == 1)
+        sk, c = np.unique(s_s[win], return_counts=True)
+        return pa.table({"s_suppkey": pa.array(sk, pa.int64()),
+                         "numwait": pa.array(c.astype(np.int64))})
+
+    per_supp = bucketed_group_sum(
+        pair_ship.map_batches(tag_order, batch_format="pyarrow",
+                              zero_copy_batch=True)
+        .groupby("_b").map_groups(waiting_group, batch_format="pyarrow"),
+        key="s_suppkey", sum_cols=["numwait"], n_parts=4)
+    supp_t = _dim_table(sf_dir, "supplier", ["s_suppkey", "s_name"])
+    s_names = dict(zip(supp_t.column("s_suppkey").to_pylist(),
+                       supp_t.column("s_name").to_pylist()))
+    rows = [{"s_suppkey": int(r["s_suppkey"]),
+             "s_name": s_names[int(r["s_suppkey"])],
+             "numwait": int(r["numwait"])} for r in per_supp.take_all()]
+    rows.sort(key=lambda r: (-r["numwait"], r["s_suppkey"]))
+    return pa.Table.from_pylist(rows, schema=pa.schema(
+        [("s_suppkey", pa.int64()), ("s_name", pa.string()),
+         ("numwait", pa.int64())]))
+
+
+def q22_idle_customers(sf_dir: str):
+    """TPC-H Q22 shape: per 'country code' (the nationkey, over a fixed
+    7-code IN list), count and total balance of customers whose balance
+    exceeds the mean POSITIVE balance of the code pool (the scalar
+    subquery as the integer cross-multiply ``bal·n_pos > Σ_pos`` — no
+    float mean exists) and who placed NO order since 2000-01-01 — the
+    NOT-EXISTS anti-join.  Scale plan: customer scans prune to 3
+    columns with an in-batch code filter; the mean folds from one-row
+    per-batch (n_pos, Σ_pos) partials; the recent-buyer custkey set
+    (distinct, active-customer-bounded) broadcasts for an exact
+    per-batch anti-probe — past broadcast scale the same rows
+    co-partition through referential.exact_antijoin's bucket tier
+    (documented seam); ≤7-row per-batch partials fold once."""
+    import datetime
+
+    import numpy as np
+    import ray
+
+    from mdvalidate_ray.functions.relational import bucketed_group_sum
+
+    codes = [1, 3, 5, 7, 9, 11, 13]
+    code_set = pa.array(codes, pa.int64())
+    cutoff = datetime.datetime(2000, 1, 1)
+
+    buyers_parts = _read(sf_dir, "orders").select_columns(
+        ["o_custkey", "o_orderdate"]).map_batches(
+        lambda b: pa.table({"o_custkey": pa.array(np.unique(
+            b.filter(pc.greater_equal(b.column("o_orderdate"),
+                                      pa.scalar(cutoff)))
+             .column("o_custkey").to_numpy(zero_copy_only=False)),
+            pa.int64())}),
+        batch_format="pyarrow", zero_copy_batch=True).take_all()
+    buyers = np.unique(np.array(
+        [r["o_custkey"] for r in buyers_parts], dtype=np.int64))
+    buyers_ref = ray.put(buyers)
+
+    def pool(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_in(pc.cast(b.column("c_nationkey"),
+                                      pa.int64()), value_set=code_set))
+        bal = pc.cast(_pc_round(pc.multiply(
+            b.column("c_acctbal"), 100.0)), pa.int64())
+        return pa.table({
+            "cntrycode": pc.cast(b.column("c_nationkey"), pa.int64()),
+            "c_custkey": b.column("c_custkey"),
+            "bal_c100": bal})
+
+    cust = _read(sf_dir, "customer").select_columns(
+        ["c_custkey", "c_nationkey", "c_acctbal"]).map_batches(
+        pool, batch_format="pyarrow", zero_copy_batch=True)
+
+    def pos_partial(b: pa.Table) -> pa.Table:
+        v = b.column("bal_c100").to_numpy(zero_copy_only=False)
+        p = v[v > 0]
+        return pa.table({"n_pos": pa.array([len(p)], pa.int64()),
+                         "sum_pos": pa.array([int(p.sum())], pa.int64())})
+
+    parts = cust.map_batches(pos_partial, batch_format="pyarrow",
+                             zero_copy_batch=True).take_all()
+    n_pos = sum(r["n_pos"] for r in parts)
+    sum_pos = sum(r["sum_pos"] for r in parts)
+
+    empty = pa.table({"cntrycode": pa.array([], pa.int64()),
+                      "numcust": pa.array([], pa.int64()),
+                      "totacctbal_c100": pa.array([], pa.int64())})
+
+    def partial(b: pa.Table) -> pa.Table:
+        bv = ray.get(buyers_ref)
+        bal = b.column("bal_c100").to_numpy(zero_copy_only=False)
+        keep = bal * n_pos > sum_pos
+        ck = b.column("c_custkey").to_numpy(zero_copy_only=False)
+        if len(bv):
+            pos = np.searchsorted(bv, ck)
+            pos[pos == len(bv)] = 0
+            keep &= bv[pos] != ck
+        b = b.filter(pa.array(keep))
+        if b.num_rows == 0:
+            return empty
+        code = b.column("cntrycode").to_numpy(zero_copy_only=False)
+        bal = b.column("bal_c100").to_numpy(zero_copy_only=False)
+        ks = np.unique(code)
+        idx = np.searchsorted(ks, code)
+        cnt = np.zeros(len(ks), dtype=np.int64)
+        tot = np.zeros(len(ks), dtype=np.int64)
+        np.add.at(cnt, idx, 1)
+        np.add.at(tot, idx, bal)
+        return pa.table({"cntrycode": pa.array(ks, pa.int64()),
+                         "numcust": pa.array(cnt),
+                         "totacctbal_c100": pa.array(tot)})
+
+    return bucketed_group_sum(
+        cust.map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True),
+        key="cntrycode", sum_cols=["numcust", "totacctbal_c100"],
+        n_parts=2)
+
+
 def churned_rich_customers(sf_dir: str):
     """TPC-H Q22 shape, adapted to this corpus (every customer has
     orders, so 'idle' means churned): per market segment, how many

@@ -2955,3 +2955,131 @@ def test_events_daily_outliers_exact_3sigma_boundary(ray_session,
     assert list(flagged["event_type"]) == ["flagged"]
     assert list(flagged["day"]) == ["2024-01-11"]
     assert list(flagged["cnt"]) == [50]
+
+
+def test_q2_argmin_ties_and_region_filter(ray_session, tmp_path):
+    """Q2 shape pinned on crafted tables: per-part argmin keeps ALL
+    tying region suppliers, the cheaper out-of-region supplier is
+    invisible, non-eligible parts never appear, and the unit cost is
+    the exact rational (2·ep_c100·10⁴ + qty) // (2·qty)."""
+    import datetime
+
+    import pyarrow.parquet as pq
+
+    from mdvalidate_ray.queries import q2_min_cost_supplier
+
+    pq.write_table(pa.table({
+        "r_regionkey": pa.array([0, 3], pa.int32()),
+        "r_name": ["AFRICA", "EUROPE"],
+    }), tmp_path / "region.parquet")
+    pq.write_table(pa.table({
+        "n_nationkey": pa.array([1, 2], pa.int32()),
+        "n_name": ["NATION_1", "NATION_2"],
+        "n_regionkey": pa.array([3, 0], pa.int32()),
+    }), tmp_path / "nation.parquet")
+    pq.write_table(pa.table({
+        "s_suppkey": pa.array([1, 2, 3], pa.int64()),
+        "s_name": ["S1", "S2", "S3"],
+        "s_nationkey": pa.array([1, 1, 2], pa.int32()),
+        "s_acctbal": [10.0, 5.0, 99.0],
+    }), tmp_path / "supplier.parquet")
+    pq.write_table(pa.table({
+        "p_partkey": pa.array([1, 2, 3], pa.int64()),
+        "p_type": ["STANDARD", "STANDARD", "PROMO"],
+        "p_size": pa.array([40, 39, 50], pa.int32()),
+    }), tmp_path / "part.parquet")
+    ts = pa.array([datetime.datetime(1996, 6, 1)] * 6, pa.timestamp("us"))
+    pq.write_table(pa.table({
+        # part 1: s1 min over two lines = 2e6, s2 single line ties at
+        # 2e6, s3 cheapest of all but OUT of region; parts 2/3 ineligible
+        "l_partkey": pa.array([1, 1, 1, 1, 2, 3], pa.int64()),
+        "l_suppkey": pa.array([1, 1, 2, 3, 1, 1], pa.int64()),
+        "l_quantity": [2.0, 1.0, 3.0, 1.0, 1.0, 1.0],
+        "l_extendedprice": [4.0, 3.0, 6.0, 0.01, 1.0, 1.0],
+        "l_shipdate": ts,
+    }), tmp_path / "lineitem.parquet")
+
+    out = q2_min_cost_supplier(str(tmp_path)).to_pandas()
+    assert list(out["p_partkey"]) == [1, 1]
+    # acctbal-desc ordering: S1 (1000 c100) before S2 (500 c100)
+    assert list(out["s_suppkey"]) == [1, 2]
+    assert list(out["cost_e4"]) == [2_000_000, 2_000_000]
+    assert list(out["n_name"]) == ["NATION_1", "NATION_1"]
+    assert list(out["s_acctbal_c100"]) == [1000, 500]
+
+
+def test_q20_share_boundary_and_date_filter(ray_session, tmp_path):
+    """Q20 shape: exactly-1/4 share does NOT qualify (strict
+    cross-multiply), >1/4 does, and out-of-window lines are invisible."""
+    import datetime
+
+    import pyarrow.parquet as pq
+
+    from mdvalidate_ray.queries import q20_excess_suppliers
+
+    pq.write_table(pa.table({
+        "p_partkey": pa.array([1, 2], pa.int64()),
+        "p_name": ["small thing", "large thing"],
+    }), tmp_path / "part.parquet")
+    pq.write_table(pa.table({
+        "s_suppkey": pa.array([1, 2], pa.int64()),
+        "s_name": ["S1", "S2"],
+    }), tmp_path / "supplier.parquet")
+    in_win = datetime.datetime(1996, 6, 1)
+    out_win = datetime.datetime(1995, 6, 1)
+    pq.write_table(pa.table({
+        # part 1 in-window total 100: s1 holds 25 (== 1/4, excluded),
+        # s2 holds 75 (> 1/4).  s1's huge 1995 line must not count.
+        # part 2 is not a 'small %' part at all.
+        "l_partkey": pa.array([1, 1, 1, 2], pa.int64()),
+        "l_suppkey": pa.array([1, 2, 1, 1], pa.int64()),
+        "l_quantity": [25.0, 75.0, 500.0, 50.0],
+        "l_shipdate": pa.array([in_win, in_win, out_win, in_win],
+                               pa.timestamp("us")),
+    }), tmp_path / "lineitem.parquet")
+
+    out = q20_excess_suppliers(str(tmp_path)).to_pandas()
+    assert list(out["s_suppkey"]) == [2]
+    assert list(out["n_parts_excess"]) == [1]
+
+
+def test_q21_unique_latest_shipper_semantics(ray_session, tmp_path):
+    """Q21 shape pinned on crafted orders: a cross-supplier tie at the
+    max ship date excludes the order, a single-supplier order never
+    counts (no EXISTS partner), non-'F' orders are invisible, and a
+    supplier tying ITSELF at the max still wins (the NOT-EXISTS is
+    over other suppliers only)."""
+    import datetime
+
+    import pyarrow.parquet as pq
+
+    from mdvalidate_ray.queries import q21_waiting_supplier
+
+    def d(day):
+        return datetime.datetime(1996, 1, day)
+
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "o_orderstatus": ["F", "F", "F", "O", "F"],
+    }), tmp_path / "orders.parquet")
+    pq.write_table(pa.table({
+        "s_suppkey": pa.array([1, 2, 3], pa.int64()),
+        "s_name": ["S1", "S2", "S3"],
+    }), tmp_path / "supplier.parquet")
+    rows = [
+        (1, 1, d(1)), (1, 2, d(5)),              # order 1: s2 wins
+        (2, 1, d(5)), (2, 2, d(5)),              # order 2: tie -> nobody
+        (3, 1, d(1)), (3, 1, d(9)),              # order 3: solo -> nobody
+        (4, 1, d(1)), (4, 2, d(9)),              # order 4: not 'F'
+        (5, 1, d(9)), (5, 1, d(9)),              # order 5: s1 self-tie
+        (5, 2, d(3)), (5, 3, d(2)),              #   at max still wins
+    ]
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+        "l_suppkey": pa.array([r[1] for r in rows], pa.int64()),
+        "l_shipdate": pa.array([r[2] for r in rows], pa.timestamp("us")),
+    }), tmp_path / "lineitem.parquet")
+
+    out = q21_waiting_supplier(str(tmp_path)).to_pandas()
+    got = dict(zip(out["s_suppkey"], out["numwait"]))
+    assert got == {1: 1, 2: 1}
