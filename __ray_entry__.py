@@ -147,8 +147,8 @@ def _queries_raw() -> dict[str, Callable[[str], Any]]:
         "q20_excess_suppliers": Q.q20_excess_suppliers,
         "q21_waiting_supplier": Q.q21_waiting_supplier,
         "q22_idle_customers": Q.q22_idle_customers,
+        "knn_int_topk": Q.knn_int_topk,
         "k_anonymity_violations": Q.k_anonymity_violations,
-        "parity_rates": Q.parity_rates,
         "price_quantiles": Q.price_quantiles,
         "orders_snapshot_diff": Q.orders_snapshot_diff,
         "incremental_revalidation": Q.incremental_revalidation,
@@ -157,6 +157,7 @@ def _queries_raw() -> dict[str, Callable[[str], Any]]:
         "ngram_contamination": Q.ngram_contamination,
         "lineitem_zorder_pruned": Q.lineitem_zorder_pruned,
         # --- end of driver window (first 50) ---
+        "parity_rates": Q.parity_rates,
         "ranking_overlap": Q.ranking_overlap,
         "lang_confusion": Q.lang_confusion,
         "coverage_picks": Q.coverage_picks,
@@ -3038,6 +3039,30 @@ def oracle_sql() -> dict[str, str]:
                    ((2 * coalesce(sum(ep), 0) + 7) // 14)::BIGINT
                        AS avg_yearly_c100
             FROM small
+        """,
+        "knn_int_topk": """
+            WITH q AS (
+                SELECT vec_id AS query_id,
+                       list_transform(embedding,
+                           x -> round(x::DOUBLE * 1000)) AS qv
+                FROM embeddings WHERE vec_id < 8
+            ),
+            c AS (
+                SELECT vec_id,
+                       list_transform(embedding,
+                           x -> round(x::DOUBLE * 1000)) AS cv
+                FROM embeddings
+            ),
+            s AS (
+                SELECT q.query_id, c.vec_id,
+                       list_dot_product(q.qv, c.cv)::BIGINT AS score_e6
+                FROM q, c WHERE c.vec_id <> q.query_id
+            )
+            SELECT query_id,
+                   (row_number() OVER (PARTITION BY query_id
+                        ORDER BY score_e6 DESC, vec_id))::BIGINT AS rank,
+                   vec_id, score_e6
+            FROM s QUALIFY rank <= 10 ORDER BY query_id, rank
         """,
         "q2_min_cost_supplier": """
             WITH eligible_parts AS (

@@ -109,6 +109,79 @@ def knn_brute_force(ds, queries: np.ndarray, k: int = 10, *,
          ("key", pa.int64()), ("score", pa.float64())]))
 
 
+def quantize_e3(m: np.ndarray) -> np.ndarray:
+    """round-half-away(x · 1000) as int64 — bit-identical to DuckDB's
+    ``round(x::DOUBLE * 1000)`` on the same float32 input (f32→f64 is
+    exact, the f64 multiply is the same IEEE op both sides)."""
+    v = np.asarray(m, dtype=np.float64) * 1000.0
+    return np.where(v >= 0, np.floor(v + 0.5),
+                    np.ceil(v - 0.5)).astype(np.int64)
+
+
+def _int_topk_partial(batch: pa.Table, *, q_int, q_keys, k: int,
+                      column: str, key: str) -> pa.Table:
+    """Per-batch local integer top-k for :func:`knn_int_exact`."""
+    m = quantize_e3(_batch_matrix(batch, column))
+    keys_np = batch.column(key).to_numpy(zero_copy_only=False).astype(
+        np.int64)
+    scores = q_int @ m.T                            # (nq, batch) int64
+    rows = []
+    for qi in range(q_int.shape[0]):
+        cand = keys_np != q_keys[qi]                # a query never
+        if not cand.any():                          # matches itself
+            continue
+        ck, cs = keys_np[cand], scores[qi][cand]
+        order = np.lexsort((ck, -cs))[:k]
+        for j in order:
+            rows.append({"query_id": int(q_keys[qi]),
+                         "key": int(ck[j]), "score_e6": int(cs[j])})
+    return pa.Table.from_pylist(rows, schema=pa.schema(
+        [("query_id", pa.int64()), ("key", pa.int64()),
+         ("score_e6", pa.int64())]))
+
+
+def knn_int_exact(ds, queries: np.ndarray, query_keys: np.ndarray,
+                  k: int = 10, *, column: str = "embedding",
+                  key: str = "vec_id") -> pa.Table:
+    """Exact maximum-inner-product top-k with INTEGER scores — the
+    SQL-oracled correctness gate next to :func:`knn_brute_force`'s
+    float-cosine surface: both the query matrix and every corpus batch
+    quantize to round-half-away ×1000 int64, scores are integer dot
+    products (no float accumulation order to diverge, DuckDB
+    ``list_dot_product`` over the same transform is bit-identical),
+    ranking is (score desc, key asc) with self-matches excluded.
+
+    Returns (query_id, rank[1-based], vec_id, score_e6) sorted by
+    (query_id, rank).  Scale plan: the query matrix broadcasts via the
+    task closure (tiny); each batch emits ≤ k·n_queries partial rows;
+    the driver heap-merges O(blocks · k · n_queries) rows — corpus
+    vectors never leave their workers."""
+    q_int = quantize_e3(queries)
+    q_keys = np.asarray(query_keys, dtype=np.int64)
+    partials = ds.map_batches(
+        _int_topk_partial,
+        fn_kwargs=dict(q_int=q_int, q_keys=q_keys, k=k, column=column,
+                       key=key),
+        batch_format="pyarrow", zero_copy_batch=True)
+    heaps: dict[int, list] = {}
+    for row in partials.iter_rows():
+        h = heaps.setdefault(row["query_id"], [])
+        item = (row["score_e6"], -row["key"])
+        if len(h) < k:
+            heapq.heappush(h, item)
+        elif item > h[0]:
+            heapq.heapreplace(h, item)
+    out = []
+    for qi in sorted(heaps):
+        ranked = sorted(heaps[qi], key=lambda t: (-t[0], -t[1]))
+        for rank, (score, nk) in enumerate(ranked, 1):
+            out.append({"query_id": qi, "rank": rank, "vec_id": -nk,
+                        "score_e6": score})
+    return pa.Table.from_pylist(out, schema=pa.schema(
+        [("query_id", pa.int64()), ("rank", pa.int64()),
+         ("vec_id", pa.int64()), ("score_e6", pa.int64())]))
+
+
 class IVFIndex:
     """Tiny IVF: k-means centroids from a driver-side sample (numpy Lloyd
     iterations, deterministic seed)."""

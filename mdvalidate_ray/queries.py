@@ -1071,6 +1071,32 @@ def knn(sf_dir: str):
         names=["query_id", "key", "score_m"])
 
 
+def knn_int_topk(sf_dir: str):
+    """Exact maximum-inner-product top-10 with a BIT-EXACT SQL oracle —
+    the similarity-search correctness gate (the float-cosine `knn`
+    entry drops ranks and compares milli-rounded scores; this one is
+    hash-exact end to end): embeddings quantize to round-half-away
+    ×1000 int64 on both sides, scores are integer dot products, ranking
+    is (score desc, vec_id asc) with self-matches excluded.  Scale
+    plan: the 8-query int matrix ships in the task closure; per-batch
+    int64 matmul emits ≤ k·n_queries partial rows; the driver
+    heap-merges O(blocks·k·queries) rows — corpus vectors never move."""
+    import numpy as np
+
+    from mdvalidate_ray.functions.similarity import knn_int_exact
+
+    emb = _read(sf_dir, "embeddings")
+    qrows = sorted(
+        emb.map_batches(
+            lambda b: b.filter(pc.less(b.column("vec_id"), 8)),
+            batch_format="pyarrow", zero_copy_batch=True).take_all(),
+        key=lambda r: r["vec_id"])
+    queries = np.asarray([r["embedding"] for r in qrows],
+                         dtype=np.float64)
+    qkeys = np.asarray([r["vec_id"] for r in qrows], dtype=np.int64)
+    return knn_int_exact(emb, queries, qkeys, k=10)
+
+
 def knn_ivf(sf_dir: str):
     """IVF-pruned approximate nearest neighbours (the ANN scale path):
     k-means centroids from a sample, per-batch cluster assignment prunes

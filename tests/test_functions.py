@@ -3083,3 +3083,27 @@ def test_q21_unique_latest_shipper_semantics(ray_session, tmp_path):
     out = q21_waiting_supplier(str(tmp_path)).to_pandas()
     got = dict(zip(out["s_suppkey"], out["numwait"]))
     assert got == {1: 1, 2: 1}
+
+
+def test_knn_int_exact_ties_and_self_exclusion(ray_session):
+    """Integer MIPS top-k: duplicate vectors tie on score and the
+    SMALLER vec_id ranks first; a query never returns itself; scores
+    are the exact integer dot of the ×1000 quantized vectors."""
+    import numpy as np
+    import ray.data
+
+    from mdvalidate_ray.functions.similarity import knn_int_exact
+
+    vecs = np.array([[1.0, 0.0], [0.6, 0.8], [0.6, 0.8], [0.0, 1.0]],
+                    dtype=np.float32)
+    t = pa.table({"vec_id": pa.array([0, 1, 2, 3], pa.int64()),
+                  "embedding": pa.array([list(map(float, v))
+                                         for v in vecs],
+                                        pa.list_(pa.float32()))})
+    ds = ray.data.from_arrow(t)
+    out = knn_int_exact(ds, vecs[:1], np.array([0]), k=3).to_pylist()
+    assert [r["vec_id"] for r in out] == [1, 2, 3]   # tie: 1 before 2
+    assert [r["rank"] for r in out] == [1, 2, 3]
+    # 1000·[1000,0] @ [600,800] = 600000; self (vec 0) absent
+    assert out[0]["score_e6"] == 600_000 == out[1]["score_e6"]
+    assert all(r["vec_id"] != 0 for r in out)
