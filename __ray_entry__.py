@@ -148,7 +148,7 @@ def _queries_raw() -> dict[str, Callable[[str], Any]]:
         "q21_waiting_supplier": Q.q21_waiting_supplier,
         "q22_idle_customers": Q.q22_idle_customers,
         "knn_int_topk": Q.knn_int_topk,
-        "k_anonymity_violations": Q.k_anonymity_violations,
+        "hard_negatives": Q.hard_negatives,
         "price_quantiles": Q.price_quantiles,
         "orders_snapshot_diff": Q.orders_snapshot_diff,
         "incremental_revalidation": Q.incremental_revalidation,
@@ -157,6 +157,7 @@ def _queries_raw() -> dict[str, Callable[[str], Any]]:
         "ngram_contamination": Q.ngram_contamination,
         "lineitem_zorder_pruned": Q.lineitem_zorder_pruned,
         # --- end of driver window (first 50) ---
+        "k_anonymity_violations": Q.k_anonymity_violations,
         "parity_rates": Q.parity_rates,
         "ranking_overlap": Q.ranking_overlap,
         "lang_confusion": Q.lang_confusion,
@@ -3039,6 +3040,31 @@ def oracle_sql() -> dict[str, str]:
                    ((2 * coalesce(sum(ep), 0) + 7) // 14)::BIGINT
                        AS avg_yearly_c100
             FROM small
+        """,
+        "hard_negatives": """
+            WITH q AS (
+                SELECT vec_id AS query_id, label AS qlabel,
+                       list_transform(embedding,
+                           x -> round(x::DOUBLE * 1000)) AS qv
+                FROM embeddings WHERE vec_id < 8
+            ),
+            c AS (
+                SELECT vec_id, label,
+                       list_transform(embedding,
+                           x -> round(x::DOUBLE * 1000)) AS cv
+                FROM embeddings
+            ),
+            s AS (
+                SELECT q.query_id, c.vec_id,
+                       list_dot_product(q.qv, c.cv)::BIGINT AS score_e6
+                FROM q, c
+                WHERE c.vec_id <> q.query_id AND c.label <> q.qlabel
+            )
+            SELECT query_id,
+                   (row_number() OVER (PARTITION BY query_id
+                        ORDER BY score_e6 DESC, vec_id))::BIGINT AS rank,
+                   vec_id, score_e6
+            FROM s QUALIFY rank <= 10 ORDER BY query_id, rank
         """,
         "knn_int_topk": """
             WITH q AS (

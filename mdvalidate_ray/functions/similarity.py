@@ -119,16 +119,22 @@ def quantize_e3(m: np.ndarray) -> np.ndarray:
 
 
 def _int_topk_partial(batch: pa.Table, *, q_int, q_keys, k: int,
-                      column: str, key: str) -> pa.Table:
+                      column: str, key: str, label_col=None,
+                      q_labels=None) -> pa.Table:
     """Per-batch local integer top-k for :func:`knn_int_exact`."""
     m = quantize_e3(_batch_matrix(batch, column))
     keys_np = batch.column(key).to_numpy(zero_copy_only=False).astype(
         np.int64)
+    labels_np = (batch.column(label_col).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+        if label_col is not None else None)
     scores = q_int @ m.T                            # (nq, batch) int64
     rows = []
     for qi in range(q_int.shape[0]):
         cand = keys_np != q_keys[qi]                # a query never
-        if not cand.any():                          # matches itself
+        if labels_np is not None:                   # matches itself
+            cand &= labels_np != q_labels[qi]       # hard-negative mode
+        if not cand.any():
             continue
         ck, cs = keys_np[cand], scores[qi][cand]
         order = np.lexsort((ck, -cs))[:k]
@@ -142,14 +148,18 @@ def _int_topk_partial(batch: pa.Table, *, q_int, q_keys, k: int,
 
 def knn_int_exact(ds, queries: np.ndarray, query_keys: np.ndarray,
                   k: int = 10, *, column: str = "embedding",
-                  key: str = "vec_id") -> pa.Table:
+                  key: str = "vec_id", label_col: str | None = None,
+                  q_labels: np.ndarray | None = None) -> pa.Table:
     """Exact maximum-inner-product top-k with INTEGER scores — the
     SQL-oracled correctness gate next to :func:`knn_brute_force`'s
     float-cosine surface: both the query matrix and every corpus batch
     quantize to round-half-away ×1000 int64, scores are integer dot
     products (no float accumulation order to diverge, DuckDB
     ``list_dot_product`` over the same transform is bit-identical),
-    ranking is (score desc, key asc) with self-matches excluded.
+    ranking is (score desc, key asc) with self-matches excluded.  With
+    ``label_col``/``q_labels`` set, same-label candidates are ALSO
+    excluded — hard-negative mining for contrastive training (the most
+    query-similar vectors of a DIFFERENT class).
 
     Returns (query_id, rank[1-based], vec_id, score_e6) sorted by
     (query_id, rank).  Scale plan: the query matrix broadcasts via the
@@ -161,7 +171,9 @@ def knn_int_exact(ds, queries: np.ndarray, query_keys: np.ndarray,
     partials = ds.map_batches(
         _int_topk_partial,
         fn_kwargs=dict(q_int=q_int, q_keys=q_keys, k=k, column=column,
-                       key=key),
+                       key=key, label_col=label_col,
+                       q_labels=(None if q_labels is None else
+                                 np.asarray(q_labels, dtype=np.int64))),
         batch_format="pyarrow", zero_copy_batch=True)
     heaps: dict[int, list] = {}
     for row in partials.iter_rows():

@@ -1097,6 +1097,33 @@ def knn_int_topk(sf_dir: str):
     return knn_int_exact(emb, queries, qkeys, k=10)
 
 
+def hard_negatives(sf_dir: str):
+    """Hard-negative mining for contrastive training — for each of the
+    first 8 vectors, the 10 most similar vectors of a DIFFERENT label
+    (the classic in-batch-negatives upgrade): same integer-exact MIPS
+    machinery as :func:`knn_int_topk` (×1000 half-away quantization,
+    int64 dot products, (score desc, vec_id asc) ranking) plus the
+    label-mismatch mask, so ranks and scores hash-match the SQL
+    bit-for-bit.  Scale plan identical: queries in the task closure,
+    ≤ k·n_queries partial rows per batch, driver heap merge."""
+    import numpy as np
+
+    from mdvalidate_ray.functions.similarity import knn_int_exact
+
+    emb = _read(sf_dir, "embeddings")
+    qrows = sorted(
+        emb.map_batches(
+            lambda b: b.filter(pc.less(b.column("vec_id"), 8)),
+            batch_format="pyarrow", zero_copy_batch=True).take_all(),
+        key=lambda r: r["vec_id"])
+    queries = np.asarray([r["embedding"] for r in qrows],
+                         dtype=np.float64)
+    qkeys = np.asarray([r["vec_id"] for r in qrows], dtype=np.int64)
+    qlabels = np.asarray([r["label"] for r in qrows], dtype=np.int64)
+    return knn_int_exact(emb, queries, qkeys, k=10, label_col="label",
+                         q_labels=qlabels)
+
+
 def knn_ivf(sf_dir: str):
     """IVF-pruned approximate nearest neighbours (the ANN scale path):
     k-means centroids from a sample, per-batch cluster assignment prunes
