@@ -140,7 +140,6 @@ def _queries_raw() -> dict[str, Callable[[str], Any]]:
         "part_kcore": Q.part_kcore,
         "winnow_stats": Q.winnow_stats,
         "shard_assignment": Q.shard_assignment,
-        "custkey_skew": Q.custkey_skew,
         "q2_min_cost_supplier": Q.q2_min_cost_supplier,
         "q11_important_parts": Q.q11_important_parts,
         "q12_late_priority": Q.q12_late_priority,
@@ -149,6 +148,7 @@ def _queries_raw() -> dict[str, Callable[[str], Any]]:
         "q22_idle_customers": Q.q22_idle_customers,
         "knn_int_topk": Q.knn_int_topk,
         "hard_negatives": Q.hard_negatives,
+        "mixture_rates": Q.mixture_rates,
         "price_quantiles": Q.price_quantiles,
         "orders_snapshot_diff": Q.orders_snapshot_diff,
         "incremental_revalidation": Q.incremental_revalidation,
@@ -157,6 +157,7 @@ def _queries_raw() -> dict[str, Callable[[str], Any]]:
         "ngram_contamination": Q.ngram_contamination,
         "lineitem_zorder_pruned": Q.lineitem_zorder_pruned,
         # --- end of driver window (first 50) ---
+        "custkey_skew": Q.custkey_skew,
         "k_anonymity_violations": Q.k_anonymity_violations,
         "parity_rates": Q.parity_rates,
         "ranking_overlap": Q.ranking_overlap,
@@ -3040,6 +3041,26 @@ def oracle_sql() -> dict[str, str]:
                    ((2 * coalesce(sum(ep), 0) + 7) // 14)::BIGINT
                        AS avg_yearly_c100
             FROM small
+        """,
+        "mixture_rates": """
+            WITH c AS (
+                SELECT source, count(*)::BIGINT AS n_docs
+                FROM documents GROUP BY source
+            ),
+            m AS (SELECT min(n_docs)::BIGINT AS n_min FROM c),
+            r AS (
+                SELECT source, n_docs,
+                       round(10000.0 * sqrt(n_min::DOUBLE / n_docs))
+                           ::BIGINT AS rate_bp
+                FROM c, m
+            )
+            SELECT r.source, r.n_docs, r.rate_bp,
+                   sum(CASE WHEN md5_number_lower('mix' || d.doc_id)
+                                 % 10000 < r.rate_bp
+                            THEN 1 ELSE 0 END)::BIGINT AS n_kept
+            FROM documents d JOIN r USING (source)
+            GROUP BY r.source, r.n_docs, r.rate_bp
+            ORDER BY r.source
         """,
         "hard_negatives": """
             WITH q AS (

@@ -1315,6 +1315,66 @@ def redact_digits(sf_dir: str):
     return docs.map_batches(do, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def mixture_rates(sf_dir: str):
+    """Temperature-based data-mixing rates DERIVED from the corpus
+    itself (the auto-tuned upgrade of mixture_counts' hand-set table):
+    per-source keep rate ``round(10⁴·sqrt(n_min/n_s))`` basis points —
+    sqrt-temperature (T=2) sampling toward uniform, expressed WITHOUT
+    any cross-source float sum (division and sqrt are correctly-rounded
+    IEEE ops, so DuckDB computes the identical bits), then the
+    deterministic md5 sample actually applied at those rates.  Returns
+    (source, n_docs, rate_bp, n_kept).  Scale plan: per-batch source
+    count partials → one tiny fold (O(sources)); rates broadcast back
+    in the task closure; second scan emits ≤|sources| kept-count
+    partials per batch — membership is a pure (salt, doc_id) function,
+    stable under repartitioning."""
+    import numpy as np
+
+    from mdvalidate_ray.functions.dedup import _md5_token_hashes
+    from mdvalidate_ray.functions.relational import bucketed_group_sum
+
+    docs = _read(sf_dir, "documents").select_columns(["doc_id", "source"])
+
+    def cnt_partial(b: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(b.select(["source"]), "source").aggregate(
+            [([], "count_all")])
+        return g.rename_columns(["source", "n_docs"])
+
+    counts = {r["source"]: int(r["n_docs"]) for r in bucketed_group_sum(
+        docs.map_batches(cnt_partial, batch_format="pyarrow",
+                         zero_copy_batch=True),
+        key="source", sum_cols=["n_docs"], n_parts=4).take_all()}
+    n_min = min(counts.values())
+    rates = {s: int(_half_away(float(
+        np.multiply(10000.0, np.sqrt(np.divide(float(n_min),
+                                               float(n)))))))
+        for s, n in counts.items()}
+
+    def kept_partial(b: pa.Table) -> pa.Table:
+        srcs = b.column("source").to_pylist()
+        keys = ["mix" + str(v) for v in b.column("doc_id").to_pylist()]
+        if not keys:
+            return pa.table({"source": pa.array([], pa.string()),
+                             "n_kept": pa.array([], pa.int64())})
+        h = _md5_token_hashes(keys) % np.uint64(10000)
+        rb = np.fromiter((rates[s] for s in srcs), dtype=np.uint64,
+                         count=len(srcs))
+        t = pa.table({"source": pa.array(srcs, pa.string()),
+                      "n_kept": pa.array((h < rb).astype(np.int64))})
+        g = pa.TableGroupBy(t, "source").aggregate([("n_kept", "sum")])
+        return g.rename_columns(["source", "n_kept"])
+
+    kept = {r["source"]: int(r["n_kept"]) for r in bucketed_group_sum(
+        docs.map_batches(kept_partial, batch_format="pyarrow",
+                         zero_copy_batch=True),
+        key="source", sum_cols=["n_kept"], n_parts=4).take_all()}
+    rows = [{"source": s, "n_docs": counts[s], "rate_bp": rates[s],
+             "n_kept": kept.get(s, 0)} for s in sorted(counts)]
+    return pa.Table.from_pylist(rows, schema=pa.schema(
+        [("source", pa.string()), ("n_docs", pa.int64()),
+         ("rate_bp", pa.int64()), ("n_kept", pa.int64())]))
+
+
 def mixture_counts(sf_dir: str):
     """Weighted corpus mixture: keep 20% of documents from sources
     src0–src9 and 5% from the rest, membership a pure (salt, doc_id)
