@@ -159,6 +159,7 @@ def _queries_raw() -> dict[str, Callable[[str], Any]]:
         # --- end of driver window (first 50) ---
         "custkey_skew": Q.custkey_skew,
         "k_anonymity_violations": Q.k_anonymity_violations,
+        "mmr_picks": Q.mmr_picks,
         "parity_rates": Q.parity_rates,
         "ranking_overlap": Q.ranking_overlap,
         "lang_confusion": Q.lang_confusion,

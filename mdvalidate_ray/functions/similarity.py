@@ -194,6 +194,108 @@ def knn_int_exact(ds, queries: np.ndarray, query_keys: np.ndarray,
          ("vec_id", pa.int64()), ("score_e6", pa.int64())]))
 
 
+def mmr_select(ds, query: np.ndarray, k: int = 10, *, lam_pct: int = 70,
+               column: str = "embedding", key: str = "vec_id",
+               exclude_keys: tuple = ()) -> pa.Table:
+    """Maximal-marginal-relevance selection (Carbonell & Goldstein,
+    SIGIR 1998) — pick ``k`` vectors greedily maximizing
+    ``lam·relevance − (1−lam)·redundancy``, the diversity-aware
+    retrieval/curation primitive next to greedy_coverage_selection's
+    vocabulary coverage.  Integer-exact and deterministic:
+    ``mmr(x) = lam_pct·rel(x) − (100−lam_pct)·max_{s∈S} sim(x,s)``
+    where rel/sim are int64 dot products of ×1000 half-away-quantized
+    vectors (:func:`quantize_e3`) and ties break to the smaller key;
+    the first pick is the pure-relevance argmax (empty-S penalty 0).
+
+    Ray shape mirrors greedy_coverage_selection's cached-iteration
+    pattern: ONE pass quantizes each block to (key, rel, int-vector)
+    and materializes it into the object store; each of the k rounds
+    broadcasts the selected matrix (≤ k·dim int64 — tiny) via
+    ``ray.put`` and runs a task wave computing per-block
+    (best mmr, key, vector) partials, so per round only #blocks small
+    tuples reach the driver and corpus vectors never re-ship.  Round
+    count is k, not data-sized; no shuffle anywhere.
+
+    Returns ``(rank, key, rel_e6, mmr_e8)`` — mmr is in 10⁻⁸ units
+    (the ×100 of lam_pct on top of the ×10⁶ quantized dot)."""
+    import ray
+
+    q_int = quantize_e3(np.asarray(query, dtype=np.float64).reshape(1, -1))
+    mu = 100 - lam_pct
+    excl = set(int(x) for x in exclude_keys)
+
+    def featurize(b: pa.Table) -> pa.Table:
+        m = quantize_e3(_batch_matrix(b, column))
+        keys_np = b.column(key).to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        if excl:
+            keep = ~np.isin(keys_np, np.fromiter(excl, dtype=np.int64))
+            m, keys_np = m[keep], keys_np[keep]
+        rel = (q_int @ m.T)[0]
+        n, d = m.shape
+        offs = np.arange(n + 1, dtype=np.int32) * d
+        return pa.Table.from_arrays(
+            [pa.array(keys_np), pa.array(rel),
+             pa.ListArray.from_arrays(pa.array(offs),
+                                      pa.array(m.reshape(-1)))],
+            names=["_key", "_rel", "_v"])
+
+    feats = ds.select_columns([key, column]).map_batches(
+        featurize, batch_format="pyarrow").materialize()
+    refs = feats.to_arrow_refs()
+
+    def block_best(tbl: pa.Table, sel_ref, chosen_ref) -> tuple:
+        if tbl.num_rows == 0 or "_key" not in tbl.schema.names:
+            return None
+        sel = ray.get(sel_ref) if not isinstance(
+            sel_ref, np.ndarray) else sel_ref
+        chosen = ray.get(chosen_ref) if not isinstance(
+            chosen_ref, np.ndarray) else chosen_ref
+        keys_np = tbl.column("_key").to_numpy(zero_copy_only=False)
+        rel = tbl.column("_rel").to_numpy(zero_copy_only=False)
+        lv = tbl.column("_v").combine_chunks()
+        m = lv.flatten().to_numpy(zero_copy_only=False).reshape(
+            len(keys_np), -1)
+        if len(chosen):            # drop already-selected rows (a
+            pos = np.searchsorted(chosen, keys_np)   # sentinel score
+            pos[pos == len(chosen)] = 0    # would wrap under negation)
+            keep = chosen[pos] != keys_np
+            keys_np, rel, m = keys_np[keep], rel[keep], m[keep]
+            if not len(keys_np):
+                return None
+        if sel.shape[0]:
+            maxsim = (m @ sel.T).max(axis=1)
+        else:
+            maxsim = np.zeros(len(keys_np), dtype=np.int64)
+        score = lam_pct * rel - mu * maxsim
+        order = np.lexsort((keys_np, -score))
+        i = int(order[0])
+        return (int(score[i]), int(keys_np[i]), int(rel[i]),
+                m[i].copy())
+
+    best_task = ray.remote(num_cpus=1)(block_best)
+    sel = np.zeros((0, q_int.shape[1]), dtype=np.int64)
+    chosen = np.zeros(0, dtype=np.int64)
+    picks = []
+    for _ in range(k):
+        sref, cref = ray.put(sel), ray.put(chosen)
+        parts = [p for p in ray.get(
+            [best_task.remote(r, sref, cref) for r in refs])
+            if p is not None]
+        if not parts:
+            break
+        score, kv, rel, vec = max(parts, key=lambda p: (p[0], -p[1]))
+        picks.append((len(picks) + 1, kv, rel, score))
+        sel = np.vstack([sel, vec[None, :]])
+        chosen = np.sort(np.append(chosen, kv))
+    return pa.Table.from_arrays(
+        [pa.array([p[0] for p in picks], pa.int64()),
+         pa.array([p[1] for p in picks], pa.int64()),
+         pa.array([p[2] for p in picks], pa.int64()),
+         pa.array([p[3] for p in picks], pa.int64())],
+        names=["rank", key, "rel_e6", "mmr_e8"])
+
+
 class IVFIndex:
     """Tiny IVF: k-means centroids from a driver-side sample (numpy Lloyd
     iterations, deterministic seed)."""

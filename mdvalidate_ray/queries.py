@@ -1124,6 +1124,26 @@ def hard_negatives(sf_dir: str):
                          q_labels=qlabels)
 
 
+def mmr_picks(sf_dir: str):
+    """Diversity-aware retrieval: the 16 maximal-marginal-relevance
+    picks for vector 0's embedding (λ=0.7) — greedy
+    ``0.7·rel − 0.3·max-sim-to-selected`` over integer-exact quantized
+    dot products, ties to the smaller vec_id.  Greedy MMR is inherently
+    sequential (each pick changes the penalty), so no SQL twin exists —
+    rows-only; the semantics are pinned by a naive all-in-memory
+    differential test (test_mmr_select_matches_naive)."""
+    import numpy as np
+
+    from mdvalidate_ray.functions.similarity import mmr_select
+
+    emb = _read(sf_dir, "embeddings")
+    q = emb.map_batches(
+        lambda b: b.filter(pc.equal(b.column("vec_id"), 0)),
+        batch_format="pyarrow", zero_copy_batch=True).take_all()
+    query = np.asarray(q[0]["embedding"], dtype=np.float64)
+    return mmr_select(emb, query, k=16, lam_pct=70, exclude_keys=(0,))
+
+
 def knn_ivf(sf_dir: str):
     """IVF-pruned approximate nearest neighbours (the ANN scale path):
     k-means centroids from a sample, per-batch cluster assignment prunes

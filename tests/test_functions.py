@@ -3107,3 +3107,46 @@ def test_knn_int_exact_ties_and_self_exclusion(ray_session):
     # 1000·[1000,0] @ [600,800] = 600000; self (vec 0) absent
     assert out[0]["score_e6"] == 600_000 == out[1]["score_e6"]
     assert all(r["vec_id"] != 0 for r in out)
+
+
+def test_mmr_select_matches_naive(ray_session):
+    """MMR greedy selection vs a naive all-in-memory walk on a seeded
+    random corpus — exact integer score, pick order, and tie rule."""
+    import numpy as np
+    import ray.data
+
+    from mdvalidate_ray.functions.similarity import mmr_select, quantize_e3
+
+    rng = np.random.default_rng(7)
+    n, d, k, lam = 120, 8, 9, 70
+    vecs = rng.normal(size=(n, d)).astype(np.float32)
+    vecs[11] = vecs[5]            # duplicate: key tie on every score
+    ids = np.arange(n, dtype=np.int64)
+    query = vecs[0].astype(np.float64)
+
+    t = pa.table({"vec_id": pa.array(ids),
+                  "embedding": pa.array([list(map(float, v))
+                                         for v in vecs],
+                                        pa.list_(pa.float32()))})
+    got = mmr_select(ray.data.from_arrow(t).repartition(5), query,
+                     k=k, lam_pct=lam, exclude_keys=(0,)).to_pylist()
+
+    qz = quantize_e3(query.reshape(1, -1))[0]
+    mz = quantize_e3(vecs.astype(np.float64))
+    rel = mz @ qz
+    cand = [i for i in range(n) if i != 0]
+    sel: list[int] = []
+    naive = []
+    for rank in range(1, k + 1):
+        best = None
+        for i in cand:
+            if i in sel:
+                continue
+            pen = max((int(mz[i] @ mz[j]) for j in sel), default=0)
+            sc = lam * int(rel[i]) - (100 - lam) * pen
+            if best is None or (sc, -i) > (best[0], -best[1]):
+                best = (sc, i)
+        sel.append(best[1])
+        naive.append({"rank": rank, "vec_id": best[1],
+                      "rel_e6": int(rel[best[1]]), "mmr_e8": best[0]})
+    assert got == naive
