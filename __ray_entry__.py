@@ -160,6 +160,7 @@ def _queries_raw() -> dict[str, Callable[[str], Any]]:
         "custkey_skew": Q.custkey_skew,
         "k_anonymity_violations": Q.k_anonymity_violations,
         "mmr_picks": Q.mmr_picks,
+        "quality_classifier": Q.quality_classifier,
         "parity_rates": Q.parity_rates,
         "ranking_overlap": Q.ranking_overlap,
         "lang_confusion": Q.lang_confusion,

@@ -194,6 +194,101 @@ def knn_int_exact(ds, queries: np.ndarray, query_keys: np.ndarray,
          ("vec_id", pa.int64()), ("score_e6", pa.int64())]))
 
 
+def logreg_train(ds, *, column: str = "embedding",
+                 label_col: str = "label", positive_label: int = 0,
+                 epochs: int = 20, lr: float = 0.5,
+                 l2: float = 1e-3) -> dict:
+    """Distributed full-batch logistic-regression trainer — the
+    quality-classifier piece of a curation pipeline (the fasttext-style
+    linear probe: train on labeled vectors here, score the corpus with
+    the existing linear scorer).  Gradient descent from w₀ = 0 with a
+    bias feature, L2 on the non-bias weights.
+
+    Ray shape mirrors kmeans_fit's cached-iteration pattern: ONE pass
+    materializes the pruned (vector, y) blocks into the object store;
+    each epoch broadcasts the (dim+1)-vector of weights via ``ray.put``
+    and runs a task wave computing per-block (Xᵀ(σ(Xw)−y), Σ logloss,
+    n_correct, n) partials — per epoch only #blocks small tuples reach
+    the driver, which folds them in CANONICAL block order (the ref list
+    order is fixed by the materialized blocks, so float sums are
+    run-invariant) and takes one step.  Nothing corpus-sized moves and
+    there is no shuffle; epoch count bounds the rounds.
+
+    Deterministic: given the same block layout the result is
+    bit-identical to a single-process numpy run over the same blocks
+    (pinned by test_logreg_train_matches_naive); across layouts the
+    float fold order changes, so runs agree to ~1e-12, not bitwise —
+    the documented float-iteration contract (same as kmeans).
+
+    Returns {"weights" (dim+1, bias last), "loss_per_epoch",
+    "n_correct_per_epoch", "n"}."""
+    import ray
+
+    def featurize(b: pa.Table) -> pa.Table:
+        m = _batch_matrix(b, column).astype(np.float64)
+        y = (b.column(label_col).to_numpy(zero_copy_only=False)
+             .astype(np.int64) == positive_label).astype(np.float64)
+        n, d = m.shape
+        offs = np.arange(n + 1, dtype=np.int32) * d
+        return pa.Table.from_arrays(
+            [pa.array(y),
+             pa.ListArray.from_arrays(pa.array(offs),
+                                      pa.array(m.reshape(-1)))],
+            names=["_y", "_x"])
+
+    feats = ds.select_columns([column, label_col]).map_batches(
+        featurize, batch_format="pyarrow").materialize()
+    refs = [r for r in feats.to_arrow_refs()]
+
+    def block_grad(tbl: pa.Table, w_ref) -> tuple | None:
+        if tbl.num_rows == 0 or "_y" not in tbl.schema.names:
+            return None
+        w = ray.get(w_ref) if not isinstance(w_ref, np.ndarray) else w_ref
+        y = tbl.column("_y").to_numpy(zero_copy_only=False)
+        lv = tbl.column("_x").combine_chunks()
+        x = lv.flatten().to_numpy(zero_copy_only=False).reshape(
+            len(y), -1)
+        z = x @ w[:-1] + w[-1]
+        p = 1.0 / (1.0 + np.exp(-z))
+        r = p - y
+        g = np.concatenate([x.T @ r, [r.sum()]])
+        # log-loss via the stable softplus form log(1+e^z) − y·z
+        loss = float(np.sum(np.logaddexp(0.0, z) - y * z))
+        correct = int(np.sum((p >= 0.5) == (y == 1.0)))
+        return g, loss, correct, len(y)
+
+    grad_task = ray.remote(num_cpus=1)(block_grad)
+    # dim probe from the first non-empty block
+    dim = None
+    for r in refs:
+        t = ray.get(r)
+        if t.num_rows and "_x" in t.schema.names:
+            dim = len(t.column("_x")[0])
+            break
+    if dim is None:
+        raise ValueError("logreg_train: empty input dataset")
+    w = np.zeros(dim + 1, dtype=np.float64)
+    losses, corrects, n_total = [], [], 0
+    for _ in range(epochs):
+        wref = ray.put(w)
+        parts = [p for p in ray.get(
+            [grad_task.remote(r, wref) for r in refs]) if p is not None]
+        g = np.zeros_like(w)
+        loss, correct, n_total = 0.0, 0, 0
+        for gb, lb, cb, nb in parts:     # canonical ref-list order
+            g += gb
+            loss += lb
+            correct += cb
+            n_total += nb
+        g /= n_total
+        g[:-1] += l2 * w[:-1]
+        w = w - lr * g
+        losses.append(loss / n_total)
+        corrects.append(correct)
+    return {"weights": w, "loss_per_epoch": losses,
+            "n_correct_per_epoch": corrects, "n": n_total}
+
+
 def mmr_select(ds, query: np.ndarray, k: int = 10, *, lam_pct: int = 70,
                column: str = "embedding", key: str = "vec_id",
                exclude_keys: tuple = ()) -> pa.Table:

@@ -1124,6 +1124,25 @@ def hard_negatives(sf_dir: str):
                          q_labels=qlabels)
 
 
+def quality_classifier(sf_dir: str):
+    """Quality-classifier training curve: distributed full-batch
+    logistic regression (label 0 vs rest) over the embeddings table —
+    per-epoch loss (×10⁹ half-away integer) and epoch-start accuracy
+    count.  Rows-only (iterative float optimization has no SQL twin);
+    the exactness contract — bit-identical to a single-process numpy
+    run over the same blocks, canonical fold order — is pinned by
+    test_logreg_train_matches_naive."""
+    from mdvalidate_ray.functions.similarity import logreg_train
+
+    out = logreg_train(_read(sf_dir, "embeddings"), epochs=12)
+    rows = [{"epoch": i + 1, "loss_e9": _half_away(ls * 1e9),
+             "n_correct": int(nc)} for i, (ls, nc) in enumerate(
+        zip(out["loss_per_epoch"], out["n_correct_per_epoch"]))]
+    return pa.Table.from_pylist(rows, schema=pa.schema(
+        [("epoch", pa.int64()), ("loss_e9", pa.int64()),
+         ("n_correct", pa.int64())]))
+
+
 def mmr_picks(sf_dir: str):
     """Diversity-aware retrieval: the 16 maximal-marginal-relevance
     picks for vector 0's embedding (λ=0.7) — greedy

@@ -3150,3 +3150,52 @@ def test_mmr_select_matches_naive(ray_session):
         naive.append({"rank": rank, "vec_id": best[1],
                       "rel_e6": int(rel[best[1]]), "mmr_e8": best[0]})
     assert got == naive
+
+
+def test_logreg_train_matches_naive(ray_session):
+    """Distributed logistic regression vs a single-process numpy mirror
+    over the same (single) block: weights, losses and accuracy counts
+    are BIT-identical; across block layouts results agree to 1e-9 and
+    the loss curve decreases."""
+    import numpy as np
+    import ray.data
+
+    from mdvalidate_ray.functions.similarity import logreg_train
+
+    rng = np.random.default_rng(3)
+    n, d = 200, 6
+    x = rng.normal(size=(n, d)).astype(np.float32)
+    w_true = rng.normal(size=d)
+    y_lab = (x.astype(np.float64) @ w_true + 0.3 * rng.normal(size=n)
+             > 0).astype(np.int32)
+    t = pa.table({"label": pa.array(y_lab, pa.int32()),
+                  "embedding": pa.array([list(map(float, v))
+                                         for v in x],
+                                        pa.list_(pa.float32()))})
+    epochs, lr, l2 = 8, 0.5, 1e-3
+    got = logreg_train(ray.data.from_arrow(t).repartition(1),
+                       positive_label=1, epochs=epochs, lr=lr, l2=l2)
+
+    xf = x.astype(np.float64)
+    yf = (y_lab == 1).astype(np.float64)
+    w = np.zeros(d + 1)
+    losses, corrects = [], []
+    for _ in range(epochs):
+        z = xf @ w[:-1] + w[-1]
+        p = 1.0 / (1.0 + np.exp(-z))
+        r = p - yf
+        g = np.concatenate([xf.T @ r, [r.sum()]]) / n
+        g[:-1] += l2 * w[:-1]
+        losses.append(float(np.sum(np.logaddexp(0.0, z) - yf * z)) / n)
+        corrects.append(int(np.sum((p >= 0.5) == (yf == 1.0))))
+        w = w - lr * g
+    assert got["loss_per_epoch"] == losses          # bit-exact
+    assert got["n_correct_per_epoch"] == corrects
+    assert np.array_equal(got["weights"], w)
+    assert losses[-1] < losses[0]                   # it actually learns
+    assert corrects[-1] > 0.8 * n
+
+    multi = logreg_train(ray.data.from_arrow(t).repartition(5),
+                         positive_label=1, epochs=epochs, lr=lr, l2=l2)
+    np.testing.assert_allclose(multi["weights"], w, rtol=0, atol=1e-9)
+    assert multi["n_correct_per_epoch"][-1] == corrects[-1]
