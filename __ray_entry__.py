@@ -161,6 +161,7 @@ def _queries_raw() -> dict[str, Callable[[str], Any]]:
         "k_anonymity_violations": Q.k_anonymity_violations,
         "mmr_picks": Q.mmr_picks,
         "quality_classifier": Q.quality_classifier,
+        "events_trend_mk": Q.events_trend_mk,
         "parity_rates": Q.parity_rates,
         "ranking_overlap": Q.ranking_overlap,
         "lang_confusion": Q.lang_confusion,
@@ -3043,6 +3044,36 @@ def oracle_sql() -> dict[str, str]:
                    ((2 * coalesce(sum(ep), 0) + 7) // 14)::BIGINT
                        AS avg_yearly_c100
             FROM small
+        """,
+        "events_trend_mk": """
+            WITH d AS (
+                SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+                       count(*)::BIGINT AS cnt
+                FROM events GROUP BY 1, 2
+            ),
+            s AS (
+                SELECT a.event_type,
+                       sum(CASE WHEN b.cnt > a.cnt THEN 1
+                                WHEN b.cnt < a.cnt THEN -1
+                                ELSE 0 END)::BIGINT AS s_stat
+                FROM d a JOIN d b ON a.event_type = b.event_type
+                                 AND b.day > a.day
+                GROUP BY a.event_type
+            ),
+            t AS (
+                SELECT event_type, cnt, count(*)::BIGINT AS tie
+                FROM d GROUP BY event_type, cnt
+            ),
+            v AS (
+                SELECT event_type, sum(tie)::BIGINT AS n_days,
+                       (sum(tie) * (sum(tie) - 1) * (2 * sum(tie) + 5)
+                        - sum(tie * (tie - 1) * (2 * tie + 5)))::BIGINT
+                           AS var18
+                FROM t GROUP BY event_type
+            )
+            SELECT v.event_type, v.n_days,
+                   coalesce(s.s_stat, 0)::BIGINT AS s_stat, v.var18
+            FROM v LEFT JOIN s USING (event_type) ORDER BY event_type
         """,
         "mixture_rates": """
             WITH c AS (

@@ -7945,3 +7945,40 @@ def events_daily_outliers(sf_dir: str):
         "cnt": pa.array(cnt_out, pa.int64()),
         "is_outlier": pa.array(flag_out, pa.int64()),
     })
+
+
+def events_trend_mk(sf_dir: str):
+    """Per-event-type Mann–Kendall trend statistic over the daily
+    rollup — the nonparametric monotone-trend monitor (Mann 1945,
+    Kendall 1975) in EXACT integers: ``S = Σ_{i<j} sign(c_j − c_i)``
+    over days in order, and the tie-corrected variance numerator
+    ``var18 = n(n−1)(2n+5) − Σ_t t(t−1)(2t+5)`` (18·Var(S)) — no float
+    anywhere, so the self-join SQL twin is bit-identical.  Scale plan:
+    identical to events_daily_outliers — the rollup's combiner pipeline
+    bounds the exchange at types×days partials; the O(days²)-per-type
+    pairwise fold runs vectorized on the driver over those rows (at
+    10⁶ days per type, switch to the O(n log n) inversion-count form —
+    S = P − Q is computable from a merge sort; documented seam)."""
+    import numpy as np
+
+    daily = events_daily(sf_dir)
+    by_type: dict[str, list] = {}
+    for r in daily.take_all():                   # ≤ types×days
+        by_type.setdefault(r["event_type"], []).append(
+            (r["day"], int(r["cnt"])))
+    rows = []
+    for et in sorted(by_type):
+        days = sorted(by_type[et])               # ISO strings sort right
+        c = np.array([x for _, x in days], dtype=np.int64)
+        n = len(c)
+        diff = np.sign(c[None, :] - c[:, None])
+        s_stat = int(np.triu(diff, k=1).sum())
+        _, ties = np.unique(c, return_counts=True)
+        t = ties.astype(np.int64)
+        var18 = int(n * (n - 1) * (2 * n + 5)
+                    - int((t * (t - 1) * (2 * t + 5)).sum()))
+        rows.append({"event_type": et, "n_days": n, "s_stat": s_stat,
+                     "var18": var18})
+    return pa.Table.from_pylist(rows, schema=pa.schema(
+        [("event_type", pa.string()), ("n_days", pa.int64()),
+         ("s_stat", pa.int64()), ("var18", pa.int64())]))

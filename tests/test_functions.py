@@ -3199,3 +3199,37 @@ def test_logreg_train_matches_naive(ray_session):
                          positive_label=1, epochs=epochs, lr=lr, l2=l2)
     np.testing.assert_allclose(multi["weights"], w, rtol=0, atol=1e-9)
     assert multi["n_correct_per_epoch"][-1] == corrects[-1]
+
+
+def test_events_trend_mk_crafted(ray_session, tmp_path):
+    """Mann–Kendall S and tie-corrected var18 hand-checked: counts
+    [1,2,2,3] give S=5, var18 = 4·3·13 − 2·1·9 = 138; a decreasing
+    series gives negative S."""
+    import datetime
+
+    import pyarrow.parquet as pq
+
+    from mdvalidate_ray.queries import events_trend_mk
+
+    rows_type, rows_ts = [], []
+
+    def add(et, day, n):
+        for i in range(n):
+            rows_type.append(et)
+            rows_ts.append(datetime.datetime(2024, 1, day, 0, i))
+
+    for day, n in [(1, 1), (2, 2), (3, 2), (4, 3)]:
+        add("up", day, n)
+    for day, n in [(1, 3), (2, 1)]:
+        add("down", day, n)
+    pq.write_table(pa.table({
+        "event_type": pa.array(rows_type, pa.string()),
+        "ts": pa.array(rows_ts, pa.timestamp("us")),
+    }), tmp_path / "events.parquet")
+
+    out = {r["event_type"]: r for r in
+           events_trend_mk(str(tmp_path)).to_pylist()}
+    assert (out["up"]["s_stat"], out["up"]["var18"],
+            out["up"]["n_days"]) == (5, 138, 4)
+    assert out["down"]["s_stat"] == -1
+    assert out["down"]["var18"] == 2 * 1 * 9      # no ties, n=2
