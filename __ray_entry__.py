@@ -162,6 +162,7 @@ def _queries_raw() -> dict[str, Callable[[str], Any]]:
         "mmr_picks": Q.mmr_picks,
         "quality_classifier": Q.quality_classifier,
         "events_trend_mk": Q.events_trend_mk,
+        "orders_priority_mad": Q.orders_priority_mad,
         "parity_rates": Q.parity_rates,
         "ranking_overlap": Q.ranking_overlap,
         "lang_confusion": Q.lang_confusion,
@@ -3044,6 +3045,24 @@ def oracle_sql() -> dict[str, str]:
                    ((2 * coalesce(sum(ep), 0) + 7) // 14)::BIGINT
                        AS avg_yearly_c100
             FROM small
+        """,
+        "orders_priority_mad": """
+            WITH o AS (
+                SELECT o_orderpriority,
+                       round(o_totalprice * 100)::BIGINT AS c
+                FROM orders
+            ),
+            m AS (
+                SELECT o_orderpriority, count(*)::BIGINT AS n,
+                       quantile_disc(c, 0.5)::BIGINT AS med_c100
+                FROM o GROUP BY 1
+            )
+            SELECT m.o_orderpriority, m.n, m.med_c100,
+                   quantile_disc(abs(o.c - m.med_c100), 0.5)::BIGINT
+                       AS mad_c100
+            FROM o JOIN m USING (o_orderpriority)
+            GROUP BY m.o_orderpriority, m.n, m.med_c100
+            ORDER BY m.o_orderpriority
         """,
         "events_trend_mk": """
             WITH d AS (

@@ -7947,6 +7947,60 @@ def events_daily_outliers(sf_dir: str):
     })
 
 
+def orders_priority_mad(sf_dir: str):
+    """Robust per-group location and spread: exact LOWER-median and MAD
+    (median absolute deviation) of the order total in integer cents per
+    priority — quantile_disc semantics (sorted[⌊(n−1)/2⌋]) on both
+    levels, so the two-level SQL twin is bit-exact with no
+    interpolation float.  Scale plan: ONE coarse co-partition on
+    hash(priority) of the 2-column (priority, cents) projection — exact
+    medians need the group's values together (documented
+    group-fits-in-worker assumption; past that, per-group
+    :func:`~mdvalidate_ray.functions.relational.quantile_via_selection`
+    computes both levels in a few distributed selection passes);
+    in-bucket work is one np.sort + segment indexing, no per-row
+    Python."""
+    import numpy as np
+
+    from mdvalidate_ray.state.sketches import hash_strings
+
+    def tag(b: pa.Table) -> pa.Table:
+        pr = b.column("o_orderpriority").to_pylist()
+        cents = pc.cast(_pc_round(pc.multiply(
+            b.column("o_totalprice"), 100.0)), pa.int64())
+        bucket = ((hash_strings(pr) % np.uint64(4)).astype("int64")
+                  if pr else np.zeros(0, dtype="int64"))
+        return pa.table({"p": pa.array(pr, pa.string()), "c": cents,
+                         "_b": pa.array(bucket)})
+
+    def fold(g: pa.Table) -> pa.Table:
+        uniq, codes = np.unique(g.column("p").to_pylist(),
+                                return_inverse=True)
+        c = g.column("c").to_numpy(zero_copy_only=False)
+        order = np.lexsort((c, codes))
+        p_s, c_s = codes[order], c[order]
+        starts = np.flatnonzero(np.concatenate(
+            ([True], p_s[1:] != p_s[:-1])))
+        ends = np.append(starts[1:], len(p_s))
+        rows = []
+        for st, en in zip(starts, ends):
+            seg = c_s[st:en]
+            m = len(seg)
+            med = int(seg[(m - 1) // 2])          # seg already sorted
+            dev = np.sort(np.abs(seg - med))
+            rows.append({"o_orderpriority": str(uniq[p_s[st]]), "n": m,
+                         "med_c100": med,
+                         "mad_c100": int(dev[(m - 1) // 2])})
+        return pa.Table.from_pylist(rows, schema=pa.schema(
+            [("o_orderpriority", pa.string()), ("n", pa.int64()),
+             ("med_c100", pa.int64()), ("mad_c100", pa.int64())]))
+
+    return _read(sf_dir, "orders").select_columns(
+        ["o_orderpriority", "o_totalprice"]).map_batches(
+        tag, batch_format="pyarrow", zero_copy_batch=True) \
+        .groupby("_b").map_groups(fold, batch_format="pyarrow")
+
+
 def events_trend_mk(sf_dir: str):
     """Per-event-type Mann–Kendall trend statistic over the daily
     rollup — the nonparametric monotone-trend monitor (Mann 1945,
