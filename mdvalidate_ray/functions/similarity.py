@@ -229,6 +229,8 @@ def logreg_train(ds, *, column: str = "embedding",
         y = (b.column(label_col).to_numpy(zero_copy_only=False)
              .astype(np.int64) == positive_label).astype(np.float64)
         n, d = m.shape
+        assert n * d < (1 << 31), \
+            "logreg_train: block too large for int32 list offsets"
         offs = np.arange(n + 1, dtype=np.int32) * d
         return pa.Table.from_arrays(
             [pa.array(y),
@@ -258,15 +260,12 @@ def logreg_train(ds, *, column: str = "embedding",
         return g, loss, correct, len(y)
 
     grad_task = ray.remote(num_cpus=1)(block_grad)
-    # dim probe from the first non-empty block
-    dim = None
-    for r in refs:
-        t = ray.get(r)
-        if t.num_rows and "_x" in t.schema.names:
-            dim = len(t.column("_x")[0])
-            break
-    if dim is None:
+    # dim probe: one ROW, not a block — pulling a whole featurized
+    # block to the driver would contradict "nothing corpus-sized moves"
+    probe = feats.take(1)
+    if not probe:
         raise ValueError("logreg_train: empty input dataset")
+    dim = len(probe[0]["_x"])
     w = np.zeros(dim + 1, dtype=np.float64)
     losses, corrects, n_total = [], [], 0
     for _ in range(epochs):
@@ -328,6 +327,8 @@ def mmr_select(ds, query: np.ndarray, k: int = 10, *, lam_pct: int = 70,
             m, keys_np = m[keep], keys_np[keep]
         rel = (q_int @ m.T)[0]
         n, d = m.shape
+        assert n * d < (1 << 31), \
+            "mmr_select: block too large for int32 list offsets"
         offs = np.arange(n + 1, dtype=np.int32) * d
         return pa.Table.from_arrays(
             [pa.array(keys_np), pa.array(rel),

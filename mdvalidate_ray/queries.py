@@ -5513,14 +5513,19 @@ def q12_late_priority(sf_dir: str):
     li = _read(sf_dir, "lineitem").select_columns(
         ["l_orderkey", "l_returnflag", "l_shipdate"]).map_batches(
         ship_1996, batch_format="pyarrow", zero_copy_batch=True)
-    orders = _read(sf_dir, "orders").select_columns(
-        ["o_orderkey", "o_orderdate", "o_orderpriority"])
-    joined = hash_join(li, orders, on="l_orderkey",
-                       right_on="o_orderkey", n_parts=8)
     late_us = 90 * 86_400 * 1_000_000
     empty = pa.table({"l_returnflag": pa.array([], pa.string()),
                       "high_line_count": pa.array([], pa.int64()),
                       "low_line_count": pa.array([], pa.int64())})
+    # Ray's hash join cannot finalize an all-empty side (the q7 note) —
+    # and here the drain is DATA-dependent (the date window), so probe
+    # with a streaming limit(1) before committing to the join
+    if li.limit(1).count() == 0:
+        return empty
+    orders = _read(sf_dir, "orders").select_columns(
+        ["o_orderkey", "o_orderdate", "o_orderpriority"])
+    joined = hash_join(li, orders, on="l_orderkey",
+                       right_on="o_orderkey", n_parts=8)
 
     def partial(b: pa.Table) -> pa.Table:
         if b.num_rows == 0:
@@ -5604,10 +5609,12 @@ def q20_excess_suppliers(sf_dir: str):
         b = b.filter(pa.array(pkeys[pos] == pv))
         if b.num_rows == 0:
             return empty
+        sv = b.column("l_suppkey").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        assert sv.max() < (1 << 20), \
+            "q20: fused (partkey<<20 | suppkey) key needs wider packing"
         k = (b.column("l_partkey").to_numpy(zero_copy_only=False)
-             .astype(np.int64) << 20) \
-            | b.column("l_suppkey").to_numpy(
-                zero_copy_only=False).astype(np.int64)
+             .astype(np.int64) << 20) | sv
         q = b.column("l_quantity").to_numpy(
             zero_copy_only=False).astype(np.int64)
         ks = np.unique(k)
@@ -5662,10 +5669,13 @@ def q20_excess_suppliers(sf_dir: str):
                           zero_copy_batch=True)
         .groupby("_b").map_groups(excess_group, batch_format="pyarrow"),
         key="s_suppkey", sum_cols=["n_parts_excess"], n_parts=4)
+    # dangling l_suppkey rows drop like the oracle's inner JOIN supplier
+    # (the q8/q15 corpus hazard)
     rows = [{"s_suppkey": int(r["s_suppkey"]),
              "s_name": s_names[int(r["s_suppkey"])],
              "n_parts_excess": int(r["n_parts_excess"])}
-            for r in per_supp.take_all()]
+            for r in per_supp.take_all()
+            if int(r["s_suppkey"]) in s_names]
     rows.sort(key=lambda r: r["s_suppkey"])
     return pa.Table.from_pylist(rows, schema=out_schema)
 
@@ -5774,9 +5784,11 @@ def q21_waiting_supplier(sf_dir: str):
     supp_t = _dim_table(sf_dir, "supplier", ["s_suppkey", "s_name"])
     s_names = dict(zip(supp_t.column("s_suppkey").to_pylist(),
                        supp_t.column("s_name").to_pylist()))
+    # dangling l_suppkey rows drop like the oracle's inner JOIN supplier
     rows = [{"s_suppkey": int(r["s_suppkey"]),
              "s_name": s_names[int(r["s_suppkey"])],
-             "numwait": int(r["numwait"])} for r in per_supp.take_all()]
+             "numwait": int(r["numwait"])} for r in per_supp.take_all()
+            if int(r["s_suppkey"]) in s_names]
     rows.sort(key=lambda r: (-r["numwait"], r["s_suppkey"]))
     return pa.Table.from_pylist(rows, schema=pa.schema(
         [("s_suppkey", pa.int64()), ("s_name", pa.string()),

@@ -3233,3 +3233,63 @@ def test_events_trend_mk_crafted(ray_session, tmp_path):
             out["up"]["n_days"]) == (5, 138, 4)
     assert out["down"]["s_stat"] == -1
     assert out["down"]["var18"] == 2 * 1 * 9      # no ties, n=2
+
+
+def test_q12_q20_q21_corpus_edges(ray_session, tmp_path):
+    """Review-hardening edges: q12 returns empty (not a hash-join
+    finalize crash) when the date window drains lineitem; q20/q21 drop
+    dangling l_suppkey rows exactly like their oracles' inner joins."""
+    import datetime
+
+    import pyarrow.parquet as pq
+
+    from mdvalidate_ray.queries import (q12_late_priority,
+                                        q20_excess_suppliers,
+                                        q21_waiting_supplier)
+
+    out_95 = datetime.datetime(1995, 6, 1)
+    in_96 = datetime.datetime(1996, 6, 1)
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([1, 2], pa.int64()),
+        "o_orderstatus": ["F", "F"],
+        "o_orderdate": pa.array([out_95] * 2, pa.timestamp("us")),
+        "o_orderpriority": ["1-URGENT", "5-LOW"],
+    }), tmp_path / "orders.parquet")
+    pq.write_table(pa.table({
+        "s_suppkey": pa.array([1], pa.int64()),
+        "s_name": ["S1"],
+    }), tmp_path / "supplier.parquet")
+    pq.write_table(pa.table({
+        "p_partkey": pa.array([1], pa.int64()),
+        "p_name": ["small thing"],
+    }), tmp_path / "part.parquet")
+    # all lines ship OUTSIDE 1996 -> q12's lineitem side drains fully;
+    # suppkey 9 dangles (no supplier row) and uniquely ships last
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array([1, 1, 2, 2], pa.int64()),
+        "l_partkey": pa.array([1, 1, 1, 1], pa.int64()),
+        "l_suppkey": pa.array([1, 9, 1, 9], pa.int64()),
+        "l_quantity": [1.0, 9.0, 1.0, 9.0],
+        "l_returnflag": ["N"] * 4,
+        "l_shipdate": pa.array([out_95, out_95, out_95, out_95],
+                               pa.timestamp("us")),
+    }), tmp_path / "lineitem.parquet")
+    out = q12_late_priority(str(tmp_path))
+    assert (out if isinstance(out, pa.Table)
+            else pa.Table.from_pylist(out.take_all())).num_rows == 0
+
+    out = q21_waiting_supplier(str(tmp_path)).to_pylist()
+    assert out == []          # only the dangling supplier "wins"
+
+    # re-ship inside 1996: dangling supplier 9 holds >1/4 of part 1 but
+    # must not appear; supplier 1 holds 2/20 (not excess)
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array([1, 1, 2, 2], pa.int64()),
+        "l_partkey": pa.array([1, 1, 1, 1], pa.int64()),
+        "l_suppkey": pa.array([1, 9, 1, 9], pa.int64()),
+        "l_quantity": [1.0, 9.0, 1.0, 9.0],
+        "l_returnflag": ["N"] * 4,
+        "l_shipdate": pa.array([in_96] * 4, pa.timestamp("us")),
+    }), tmp_path / "lineitem.parquet")
+    out = q20_excess_suppliers(str(tmp_path)).to_pylist()
+    assert out == []
