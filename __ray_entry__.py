@@ -160,6 +160,7 @@ def _queries_raw() -> dict[str, Callable[[str], Any]]:
         "custkey_skew": Q.custkey_skew,
         "k_anonymity_violations": Q.k_anonymity_violations,
         "mmr_picks": Q.mmr_picks,
+        "kcenter_picks": Q.kcenter_picks,
         "quality_classifier": Q.quality_classifier,
         "events_trend_mk": Q.events_trend_mk,
         "orders_priority_mad": Q.orders_priority_mad,

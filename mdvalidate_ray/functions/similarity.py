@@ -392,6 +392,128 @@ def mmr_select(ds, query: np.ndarray, k: int = 10, *, lam_pct: int = 70,
         names=["rank", key, "rel_e6", "mmr_e8"])
 
 
+def kcenter_select(ds, k: int = 10, *, column: str = "embedding",
+                   key: str = "vec_id", seed_key: int | None = None
+                   ) -> pa.Table:
+    """Greedy k-center / farthest-point sampling (Gonzalez 1985, the
+    2-approximation) — the pure-coverage coreset primitive next to
+    :func:`mmr_select`'s relevance-diversity blend: starting from
+    ``seed_key`` (default: the smallest key), repeatedly pick the point
+    whose minimum squared distance to the selected set is LARGEST.
+    Integer-exact and deterministic: with ×1000 half-away-quantized
+    vectors, ``d²(x,s) = |x|² + |s|² − 2·x·s`` is a pure int64
+    expression, and ties break to the smaller key.
+
+    Ray shape: the mmr_select cached-iteration pattern — one quantize
+    pass materializes (key, |x|², vector) blocks; each round broadcasts
+    the selected matrix (≤ k·dim int64) and a task wave computes
+    per-block (max min-d², key) partials; #blocks tuples reach the
+    driver per round, corpus vectors never re-ship.  Each round
+    rescans all t selected (O(k²·n) total dot products) — the
+    actor-resident incremental variant (each actor keeps its block's
+    running min-d² and folds in only the newest center) is the scale
+    path for large k.
+
+    Returns ``(rank, key, min_d2_e6)`` — min_d2 of each pick to the
+    set selected before it (the seed's is 0 by convention)."""
+    import ray
+
+    def featurize(b: pa.Table) -> pa.Table:
+        m = quantize_e3(_batch_matrix(b, column))
+        keys_np = b.column(key).to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        n, d = m.shape
+        assert n * d < (1 << 31), \
+            "kcenter_select: block too large for int32 list offsets"
+        offs = np.arange(n + 1, dtype=np.int32) * d
+        return pa.Table.from_arrays(
+            [pa.array(keys_np), pa.array((m * m).sum(axis=1)),
+             pa.ListArray.from_arrays(pa.array(offs),
+                                      pa.array(m.reshape(-1)))],
+            names=["_key", "_sq", "_v"])
+
+    feats = ds.select_columns([key, column]).map_batches(
+        featurize, batch_format="pyarrow").materialize()
+    refs = feats.to_arrow_refs()
+
+    def block_far(tbl: pa.Table, sel_ref, sel_sq_ref, chosen_ref
+                  ) -> tuple | None:
+        if tbl.num_rows == 0 or "_key" not in tbl.schema.names:
+            return None
+        sel = ray.get(sel_ref) if not isinstance(
+            sel_ref, np.ndarray) else sel_ref
+        sel_sq = ray.get(sel_sq_ref) if not isinstance(
+            sel_sq_ref, np.ndarray) else sel_sq_ref
+        chosen = ray.get(chosen_ref) if not isinstance(
+            chosen_ref, np.ndarray) else chosen_ref
+        keys_np = tbl.column("_key").to_numpy(zero_copy_only=False)
+        sq = tbl.column("_sq").to_numpy(zero_copy_only=False)
+        lv = tbl.column("_v").combine_chunks()
+        m = lv.flatten().to_numpy(zero_copy_only=False).reshape(
+            len(keys_np), -1)
+        if len(chosen):
+            pos = np.searchsorted(chosen, keys_np)
+            pos[pos == len(chosen)] = 0
+            keep = chosen[pos] != keys_np
+            keys_np, sq, m = keys_np[keep], sq[keep], m[keep]
+            if not len(keys_np):
+                return None
+        d2 = (sq[:, None] + sel_sq[None, :] - 2 * (m @ sel.T)).min(axis=1)
+        order = np.lexsort((keys_np, -d2))
+        i = int(order[0])
+        return (int(d2[i]), int(keys_np[i]), m[i].copy(), int(sq[i]))
+
+    def block_seed(tbl: pa.Table, want: int) -> tuple | None:
+        if tbl.num_rows == 0 or "_key" not in tbl.schema.names:
+            return None
+        keys_np = tbl.column("_key").to_numpy(zero_copy_only=False)
+        hit = np.flatnonzero(keys_np == want) if want >= 0 else \
+            np.array([int(np.argmin(keys_np))])
+        if not len(hit):
+            return None
+        i = int(hit[0])
+        lv = tbl.column("_v").combine_chunks()
+        m = lv.flatten().to_numpy(zero_copy_only=False).reshape(
+            len(keys_np), -1)
+        return (int(keys_np[i]), m[i].copy(),
+                int(tbl.column("_sq")[i].as_py()))
+
+    far_task = ray.remote(num_cpus=1)(block_far)
+    seed_task = ray.remote(num_cpus=1)(block_seed)
+
+    want = -1 if seed_key is None else int(seed_key)
+    cands = [c for c in ray.get(
+        [seed_task.remote(r, want) for r in refs]) if c is not None]
+    if not cands:
+        return pa.schema([("rank", pa.int64()), (key, pa.int64()),
+                          ("min_d2_e6", pa.int64())]).empty_table()
+    if seed_key is None:
+        cands.sort(key=lambda c: c[0])
+    k0, v0, sq0 = cands[0]
+    sel = v0[None, :].astype(np.int64)
+    sel_sq = np.array([sq0], dtype=np.int64)
+    chosen = np.array([k0], dtype=np.int64)
+    picks = [(1, int(k0), 0)]
+    for _ in range(1, k):
+        sref, qref, cref = (ray.put(sel), ray.put(sel_sq),
+                            ray.put(chosen))
+        parts = [p for p in ray.get(
+            [far_task.remote(r, sref, qref, cref) for r in refs])
+            if p is not None]
+        if not parts:
+            break
+        d2, kv, vec, vsq = max(parts, key=lambda p: (p[0], -p[1]))
+        picks.append((len(picks) + 1, int(kv), int(d2)))
+        sel = np.vstack([sel, vec[None, :]])
+        sel_sq = np.append(sel_sq, vsq)
+        chosen = np.sort(np.append(chosen, kv))
+    return pa.Table.from_arrays(
+        [pa.array([p[0] for p in picks], pa.int64()),
+         pa.array([p[1] for p in picks], pa.int64()),
+         pa.array([p[2] for p in picks], pa.int64())],
+        names=["rank", key, "min_d2_e6"])
+
+
 class IVFIndex:
     """Tiny IVF: k-means centroids from a driver-side sample (numpy Lloyd
     iterations, deterministic seed)."""

@@ -1143,6 +1143,18 @@ def quality_classifier(sf_dir: str):
          ("n_correct", pa.int64())]))
 
 
+def kcenter_picks(sf_dir: str):
+    """Coreset selection: 16 greedy k-center / farthest-point picks
+    over the embeddings (seeded at the smallest vec_id) — pure-coverage
+    diversity with exact int64 squared distances of ×1000-quantized
+    vectors, smaller-key ties.  Rows-only (greedy is inherently
+    sequential); semantics pinned by the naive all-in-memory
+    differential (test_kcenter_select_matches_naive)."""
+    from mdvalidate_ray.functions.similarity import kcenter_select
+
+    return kcenter_select(_read(sf_dir, "embeddings"), k=16)
+
+
 def mmr_picks(sf_dir: str):
     """Diversity-aware retrieval: the 16 maximal-marginal-relevance
     picks for vector 0's embedding (λ=0.7) — greedy

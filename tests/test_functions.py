@@ -3293,3 +3293,43 @@ def test_q12_q20_q21_corpus_edges(ray_session, tmp_path):
     }), tmp_path / "lineitem.parquet")
     out = q20_excess_suppliers(str(tmp_path)).to_pylist()
     assert out == []
+
+
+def test_kcenter_select_matches_naive(ray_session):
+    """Greedy farthest-point sampling vs a naive all-in-memory walk:
+    exact integer min-d², pick order, seed convention and tie rule."""
+    import numpy as np
+    import ray.data
+
+    from mdvalidate_ray.functions.similarity import (kcenter_select,
+                                                     quantize_e3)
+
+    rng = np.random.default_rng(11)
+    n, d, k = 90, 5, 8
+    vecs = rng.normal(size=(n, d)).astype(np.float32)
+    vecs[40] = vecs[17]           # duplicate: d²=0 forever, key ties
+    ids = np.arange(n, dtype=np.int64)
+    t = pa.table({"vec_id": pa.array(ids),
+                  "embedding": pa.array([list(map(float, v))
+                                         for v in vecs],
+                                        pa.list_(pa.float32()))})
+    got = kcenter_select(ray.data.from_arrow(t).repartition(4),
+                         k=k).to_pylist()
+
+    mz = quantize_e3(vecs.astype(np.float64))
+    sq = (mz * mz).sum(axis=1)
+    sel = [0]                     # seed = smallest key
+    naive = [{"rank": 1, "vec_id": 0, "min_d2_e6": 0}]
+    for rank in range(2, k + 1):
+        best = None
+        for i in range(n):
+            if i in sel:
+                continue
+            d2 = min(int(sq[i] + sq[j] - 2 * (mz[i] @ mz[j]))
+                     for j in sel)
+            if best is None or (d2, -i) > (best[0], -best[1]):
+                best = (d2, i)
+        sel.append(best[1])
+        naive.append({"rank": rank, "vec_id": best[1],
+                      "min_d2_e6": best[0]})
+    assert got == naive
