@@ -216,6 +216,11 @@ QUERY_NAMES = [
     "orders_reconciliation", "knn_hnsw", "doc_word_entropy",
     "user_interarrival_stats", "user_spend_drawup", "vocab_growth",
     "benford_order_totals", "events_daily_outliers",
+    "q2_min_cost_supplier", "q11_important_parts", "q12_late_priority",
+    "q20_excess_suppliers", "q21_waiting_supplier", "q22_idle_customers",
+    "knn_int_topk", "hard_negatives", "mixture_rates", "mmr_picks",
+    "quality_classifier", "events_trend_mk", "orders_priority_mad",
+    "kcenter_picks",
 ]
 
 
