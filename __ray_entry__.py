@@ -164,6 +164,7 @@ def _queries_raw() -> dict[str, Callable[[str], Any]]:
         "quality_classifier": Q.quality_classifier,
         "events_trend_mk": Q.events_trend_mk,
         "orders_priority_mad": Q.orders_priority_mad,
+        "price_eqdepth_hist": Q.price_eqdepth_hist,
         "parity_rates": Q.parity_rates,
         "ranking_overlap": Q.ranking_overlap,
         "lang_confusion": Q.lang_confusion,
@@ -3046,6 +3047,40 @@ def oracle_sql() -> dict[str, str]:
                    ((2 * coalesce(sum(ep), 0) + 7) // 14)::BIGINT
                        AS avg_yearly_c100
             FROM small
+        """,
+        "price_eqdepth_hist": """
+            WITH c AS (
+                SELECT round(l_extendedprice * 100)::BIGINT AS c
+                FROM lineitem
+            ),
+            e AS (
+                SELECT quantile_disc(c, 0.125)::BIGINT AS e0,
+                       quantile_disc(c, 0.250)::BIGINT AS e1,
+                       quantile_disc(c, 0.375)::BIGINT AS e2,
+                       quantile_disc(c, 0.500)::BIGINT AS e3,
+                       quantile_disc(c, 0.625)::BIGINT AS e4,
+                       quantile_disc(c, 0.750)::BIGINT AS e5,
+                       quantile_disc(c, 0.875)::BIGINT AS e6
+                FROM c
+            ),
+            b AS (
+                SELECT ((c > e0)::INT + (c > e1)::INT + (c > e2)::INT
+                        + (c > e3)::INT + (c > e4)::INT + (c > e5)::INT
+                        + (c > e6)::INT)::BIGINT AS bucket
+                FROM c, e
+            )
+            SELECT bucket,
+                   (CASE bucket
+                        WHEN 0 THEN (SELECT e0 FROM e)
+                        WHEN 1 THEN (SELECT e1 FROM e)
+                        WHEN 2 THEN (SELECT e2 FROM e)
+                        WHEN 3 THEN (SELECT e3 FROM e)
+                        WHEN 4 THEN (SELECT e4 FROM e)
+                        WHEN 5 THEN (SELECT e5 FROM e)
+                        WHEN 6 THEN (SELECT e6 FROM e)
+                        ELSE -1 END)::BIGINT AS hi_c100,
+                   count(*)::BIGINT AS n
+            FROM b GROUP BY bucket ORDER BY bucket
         """,
         "orders_priority_mad": """
             WITH o AS (

@@ -7971,6 +7971,56 @@ def events_daily_outliers(sf_dir: str):
     })
 
 
+def price_eqdepth_hist(sf_dir: str):
+    """Equi-DEPTH (equal-frequency) 8-bucket histogram of lineitem
+    extendedprice cents — the optimizer-statistics primitive next to
+    hist_text_len's equi-width bins: bucket edges are the exact
+    quantile_disc values at i/8, and a row's bucket is ``Σ(c > edgeᵢ)``
+    — pure integer compares on both sides, so edge ties land
+    identically and the SQL twin is bit-exact.  Scale plan: edges via
+    exact_quantiles' value-count fold (documented bounded-cardinality
+    assumption; quantile_via_selection is the unbounded seam), edges
+    broadcast in the task closure, per-batch ≤8-row count partials fold
+    once — two passes over a 1-column projection."""
+    import numpy as np
+
+    from mdvalidate_ray.functions.relational import (bucketed_group_sum,
+                                                     exact_quantiles)
+
+    def cents(b: pa.Table) -> pa.Table:
+        return pa.table({"c": pc.cast(_pc_round(pc.multiply(
+            b.column("l_extendedprice"), 100.0)), pa.int64())})
+
+    def cds():
+        return _read(sf_dir, "lineitem").select_columns(
+            ["l_extendedprice"]).map_batches(
+            cents, batch_format="pyarrow", zero_copy_batch=True)
+
+    edges = exact_quantiles(cds(), "c", [i / 8 for i in range(1, 8)])
+    e = np.array(edges, dtype=np.int64)
+
+    def part(b: pa.Table) -> pa.Table:
+        c = b.column("c").to_numpy(zero_copy_only=False)
+        bucket = (c[:, None] > e[None, :]).sum(axis=1)
+        ks, n = np.unique(bucket, return_counts=True)
+        return pa.table({"bucket": pa.array(ks.astype(np.int64)),
+                         "n": pa.array(n.astype(np.int64))})
+
+    folded = bucketed_group_sum(
+        cds().map_batches(part, batch_format="pyarrow",
+                          zero_copy_batch=True),
+        key="bucket", sum_cols=["n"], n_parts=2).take_all()
+    by_b = {int(r["bucket"]): int(r["n"]) for r in folded}
+    # emit only non-empty buckets: heavy edge ties can starve a bucket,
+    # and the SQL GROUP BY has no row for it
+    rows = [{"bucket": i,
+             "hi_c100": int(e[i]) if i < 7 else -1,
+             "n": by_b[i]} for i in range(8) if i in by_b]
+    return pa.Table.from_pylist(rows, schema=pa.schema(
+        [("bucket", pa.int64()), ("hi_c100", pa.int64()),
+         ("n", pa.int64())]))
+
+
 def orders_priority_mad(sf_dir: str):
     """Robust per-group location and spread: exact LOWER-median and MAD
     (median absolute deviation) of the order total in integer cents per

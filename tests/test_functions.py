@@ -3333,3 +3333,24 @@ def test_kcenter_select_matches_naive(ray_session):
         naive.append({"rank": rank, "vec_id": best[1],
                       "min_d2_e6": best[0]})
     assert got == naive
+
+
+def test_price_eqdepth_hist_ties_starve_bucket(ray_session, tmp_path):
+    """Equi-depth histogram under heavy ties: when one value holds
+    >3/8 of the mass, consecutive quantile edges coincide, a bucket
+    starves, and the output omits it exactly like the SQL GROUP BY."""
+    import pyarrow.parquet as pq
+
+    from mdvalidate_ray.queries import price_eqdepth_hist
+
+    # 40 rows of 1.00, then 2.00..9.00 — e0..e2 are all 100
+    prices = [1.0] * 40 + [float(x) for x in range(2, 10)]
+    pq.write_table(pa.table({"l_extendedprice": prices}),
+                   tmp_path / "lineitem.parquet")
+    out = price_eqdepth_hist(str(tmp_path)).to_pylist()
+    assert sum(r["n"] for r in out) == len(prices)
+    got_buckets = [r["bucket"] for r in out]
+    assert 0 in got_buckets
+    assert len(got_buckets) < 8          # starved buckets omitted
+    b0 = out[0]
+    assert b0["bucket"] == 0 and b0["hi_c100"] == 100 and b0["n"] == 40
