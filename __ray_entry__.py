@@ -165,6 +165,7 @@ def _queries_raw() -> dict[str, Callable[[str], Any]]:
         "events_trend_mk": Q.events_trend_mk,
         "orders_priority_mad": Q.orders_priority_mad,
         "price_eqdepth_hist": Q.price_eqdepth_hist,
+        "order_discount_proration": Q.order_discount_proration,
         "parity_rates": Q.parity_rates,
         "ranking_overlap": Q.ranking_overlap,
         "lang_confusion": Q.lang_confusion,
@@ -3047,6 +3048,39 @@ def oracle_sql() -> dict[str, str]:
                    ((2 * coalesce(sum(ep), 0) + 7) // 14)::BIGINT
                        AS avg_yearly_c100
             FROM small
+        """,
+        "order_discount_proration": """
+            WITH li AS (
+                SELECT l_orderkey, l_linenumber::BIGINT AS l_linenumber,
+                       round(l_extendedprice * 100)::BIGINT AS ep
+                FROM lineitem
+            ),
+            o AS (
+                SELECT o_orderkey,
+                       ((2 * round(o_totalprice * 100)::BIGINT + 100)
+                        // 200)::BIGINT AS rebate
+                FROM orders
+            ),
+            j AS (
+                SELECT l_orderkey, l_linenumber, ep, rebate,
+                       sum(ep) OVER (PARTITION BY l_orderkey)::BIGINT
+                           AS s
+                FROM li JOIN o ON l_orderkey = o_orderkey
+            ),
+            b AS (
+                SELECT l_orderkey, l_linenumber,
+                       (rebate * ep) // s AS base,
+                       rebate - sum((rebate * ep) // s)
+                           OVER (PARTITION BY l_orderkey) AS leftover,
+                       row_number() OVER (PARTITION BY l_orderkey
+                           ORDER BY (rebate * ep) % s DESC,
+                                    l_linenumber) AS rk
+                FROM j
+            )
+            SELECT l_orderkey, l_linenumber,
+                   (base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END)
+                       ::BIGINT AS alloc_c100
+            FROM b
         """,
         "price_eqdepth_hist": """
             WITH c AS (

@@ -220,7 +220,7 @@ QUERY_NAMES = [
     "q20_excess_suppliers", "q21_waiting_supplier", "q22_idle_customers",
     "knn_int_topk", "hard_negatives", "mixture_rates", "mmr_picks",
     "quality_classifier", "events_trend_mk", "orders_priority_mad",
-    "kcenter_picks", "price_eqdepth_hist",
+    "kcenter_picks", "price_eqdepth_hist", "order_discount_proration",
 ]
 
 

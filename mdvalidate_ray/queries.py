@@ -7971,6 +7971,90 @@ def events_daily_outliers(sf_dir: str):
     })
 
 
+def order_discount_proration(sf_dir: str):
+    """Exact integer PRORATION (largest-remainder / Hamilton
+    apportionment): allocate each order's 1%-of-total rebate (half-away
+    cents) across its lineitems proportional to extendedprice —
+    ``base = ⌊R·epᵢ/S⌋`` plus one extra cent to the ``R − Σbase``
+    largest remainders, ties to the smaller linenumber.  Per-order
+    allocations sum to the rebate EXACTLY — the apportionment shape
+    behind revenue attribution, seat allocation and cost spreading,
+    with a window-function SQL twin that is bit-identical.  Scale plan:
+    ONE large×large hash join attaches the order rebate, then ONE
+    coarse orderkey-hash co-partition colocates each order's lines;
+    in-bucket work is lexsort + segment reduceat — no per-order Python
+    loop."""
+    import numpy as np
+
+    from mdvalidate_ray.functions.relational import hash_join
+
+    li = _read(sf_dir, "lineitem").select_columns(
+        ["l_orderkey", "l_linenumber", "l_extendedprice"]).map_batches(
+        lambda b: pa.table({
+            "l_orderkey": b.column("l_orderkey"),
+            "l_linenumber": pc.cast(b.column("l_linenumber"),
+                                    pa.int64()),
+            "ep": pc.cast(_pc_round(pc.multiply(
+                b.column("l_extendedprice"), 100.0)), pa.int64())}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    orders = _read(sf_dir, "orders").select_columns(
+        ["o_orderkey", "o_totalprice"]).map_batches(
+        lambda b: pa.table({
+            "o_orderkey": b.column("o_orderkey"),
+            "rebate": pc.cast(pc.divide(pc.add(pc.multiply(pc.cast(
+                _pc_round(pc.multiply(b.column("o_totalprice"), 100.0)),
+                pa.int64()), 2), 100), 200), pa.int64())}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    joined = hash_join(li, orders, on="l_orderkey",
+                       right_on="o_orderkey", n_parts=8)
+
+    n_buckets = 16
+
+    def tag(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "l_orderkey" not in b.schema.names:
+            return pa.table({"l_orderkey": pa.array([], pa.int64()),
+                             "l_linenumber": pa.array([], pa.int64()),
+                             "ep": pa.array([], pa.int64()),
+                             "rebate": pa.array([], pa.int64()),
+                             "_b": pa.array([], pa.int64())})
+        o = b.column("l_orderkey").to_numpy(zero_copy_only=False)
+        h = (o.astype(np.uint64)
+             * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)
+        return b.select(["l_orderkey", "l_linenumber", "ep", "rebate"]) \
+            .append_column("_b", pa.array(
+                (h % np.uint64(n_buckets)).astype("int64")))
+
+    def prorate(g: pa.Table) -> pa.Table:
+        o = g.column("l_orderkey").to_numpy(zero_copy_only=False)
+        ln = g.column("l_linenumber").to_numpy(zero_copy_only=False)
+        ep = g.column("ep").to_numpy(zero_copy_only=False)
+        rb = g.column("rebate").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ln, o))
+        o_s, ln_s, ep_s, rb_s = o[order], ln[order], ep[order], rb[order]
+        starts = np.flatnonzero(np.concatenate(
+            ([True], o_s[1:] != o_s[:-1])))
+        idx = np.searchsorted(o_s[starts], o_s)
+        s = np.add.reduceat(ep_s, starts)[idx]     # per-order Σep
+        prod = rb_s * ep_s
+        base = prod // s
+        rem = prod % s
+        leftover = (rb_s[starts]
+                    - np.add.reduceat(base, starts))[idx]
+        # rank within order by (remainder desc, linenumber asc)
+        rorder = np.lexsort((ln_s, -rem, o_s))
+        rank = np.empty(len(o_s), dtype=np.int64)
+        pos = np.arange(len(o_s), dtype=np.int64)
+        rank[rorder] = pos - starts[idx[rorder]]
+        alloc = base + (rank < leftover)
+        return pa.table({"l_orderkey": pa.array(o_s, pa.int64()),
+                         "l_linenumber": pa.array(ln_s, pa.int64()),
+                         "alloc_c100": pa.array(alloc.astype(np.int64))})
+
+    return joined.map_batches(tag, batch_format="pyarrow",
+                              zero_copy_batch=True) \
+        .groupby("_b").map_groups(prorate, batch_format="pyarrow")
+
+
 def price_eqdepth_hist(sf_dir: str):
     """Equi-DEPTH (equal-frequency) 8-bucket histogram of lineitem
     extendedprice cents — the optimizer-statistics primitive next to

@@ -3354,3 +3354,32 @@ def test_price_eqdepth_hist_ties_starve_bucket(ray_session, tmp_path):
     assert len(got_buckets) < 8          # starved buckets omitted
     b0 = out[0]
     assert b0["bucket"] == 0 and b0["hi_c100"] == 100 and b0["n"] == 40
+
+
+def test_order_discount_proration_crafted(ray_session, tmp_path):
+    """Hamilton apportionment pinned by hand: bases floor, the leftover
+    cents go to the largest remainders with linenumber tie-break, and
+    every order's allocations sum exactly to its rebate."""
+    import pyarrow.parquet as pq
+
+    from mdvalidate_ray.queries import order_discount_proration
+
+    # order 1: totalprice 100.00 -> rebate 100 cents; eps 1.00/1.00/1.00
+    #   (S=300): base 33 each, leftover 1 -> equal remainders, tie ->
+    #   linenumber 1 gets 34
+    # order 2: totalprice 10.00 -> rebate 10; eps 7.00/3.00 (S=1000):
+    #   bases 7 and 3, leftover 0 -> exact
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([1, 2], pa.int64()),
+        "o_totalprice": [100.0, 10.0],
+    }), tmp_path / "orders.parquet")
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array([1, 1, 1, 2, 2], pa.int64()),
+        "l_linenumber": pa.array([1, 2, 3, 1, 2], pa.int32()),
+        "l_extendedprice": [1.0, 1.0, 1.0, 7.0, 3.0],
+    }), tmp_path / "lineitem.parquet")
+    out = {(r["l_orderkey"], r["l_linenumber"]): r["alloc_c100"]
+           for r in order_discount_proration(
+               str(tmp_path)).to_pandas().to_dict("records")}
+    assert out == {(1, 1): 34, (1, 2): 33, (1, 3): 33,
+                   (2, 1): 7, (2, 2): 3}
