@@ -166,6 +166,7 @@ def _queries_raw() -> dict[str, Callable[[str], Any]]:
         "orders_priority_mad": Q.orders_priority_mad,
         "price_eqdepth_hist": Q.price_eqdepth_hist,
         "order_discount_proration": Q.order_discount_proration,
+        "user_type_scd2": Q.user_type_scd2,
         "parity_rates": Q.parity_rates,
         "ranking_overlap": Q.ranking_overlap,
         "lang_confusion": Q.lang_confusion,
@@ -3048,6 +3049,28 @@ def oracle_sql() -> dict[str, str]:
                    ((2 * coalesce(sum(ep), 0) + 7) // 14)::BIGINT
                        AS avg_yearly_c100
             FROM small
+        """,
+        "user_type_scd2": """
+            WITH e AS (
+                SELECT user_id, event_id, event_type,
+                       epoch_us(ts)::BIGINT AS ts_us,
+                       lag(event_type) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id) AS prev_type
+                FROM events
+            ),
+            ch AS (
+                SELECT user_id, event_type, ts_us, event_id
+                FROM e
+                WHERE prev_type IS NULL OR prev_type <> event_type
+            )
+            SELECT user_id,
+                   row_number() OVER (PARTITION BY user_id
+                       ORDER BY ts_us, event_id)::BIGINT AS version,
+                   event_type, ts_us AS valid_from_us,
+                   coalesce(lead(ts_us) OVER (PARTITION BY user_id
+                       ORDER BY ts_us, event_id), -1)::BIGINT
+                       AS valid_to_us
+            FROM ch
         """,
         "order_discount_proration": """
             WITH li AS (

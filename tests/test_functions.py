@@ -3383,3 +3383,50 @@ def test_order_discount_proration_crafted(ray_session, tmp_path):
                str(tmp_path)).to_pandas().to_dict("records")}
     assert out == {(1, 1): 34, (1, 2): 33, (1, 3): 33,
                    (2, 1): 7, (2, 2): 3}
+
+
+def test_user_type_scd2_crafted(ray_session, tmp_path):
+    """SCD-2 collapse pinned by hand: consecutive same-type events fold
+    into one interval, a type flip opens a new version, re-appearing
+    types get fresh versions, the last interval stays open (-1), and a
+    same-timestamp tie resolves by event_id."""
+    import datetime
+
+    import pyarrow.parquet as pq
+
+    from mdvalidate_ray.queries import user_type_scd2
+
+    def ts(m):
+        return datetime.datetime(2024, 1, 1, 0, m)
+
+    rows = [
+        # user 1: a a b a  -> versions a[0,2) b[2,3) a[3,-1)
+        (1, 1, "a", ts(0)), (2, 1, "a", ts(1)),
+        (3, 1, "b", ts(2)), (4, 1, "a", ts(3)),
+        # user 2: same-ts tie -> event_id order decides (5 before 6):
+        # c then d -> two versions
+        (5, 2, "c", ts(0)), (6, 2, "d", ts(0)),
+    ]
+    pq.write_table(pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "user_id": pa.array([r[1] for r in rows], pa.int64()),
+        "event_type": pa.array([r[2] for r in rows], pa.string()),
+        "ts": pa.array([r[3] for r in rows], pa.timestamp("us")),
+    }), tmp_path / "events.parquet")
+
+    out = sorted(user_type_scd2(str(tmp_path)).take_all(),
+                 key=lambda r: (r["user_id"], r["version"]))
+    us = lambda m: ts(m).replace(  # noqa: E731
+        tzinfo=datetime.timezone.utc).timestamp() * 1_000_000
+
+    def iv(r):
+        return (r["user_id"], r["version"], r["event_type"],
+                r["valid_from_us"], r["valid_to_us"])
+
+    assert [iv(r) for r in out] == [
+        (1, 1, "a", int(us(0)), int(us(2))),
+        (1, 2, "b", int(us(2)), int(us(3))),
+        (1, 3, "a", int(us(3)), -1),
+        (2, 1, "c", int(us(0)), int(us(0))),
+        (2, 2, "d", int(us(0)), -1),
+    ]
