@@ -167,6 +167,7 @@ def _queries_raw() -> dict[str, Callable[[str], Any]]:
         "price_eqdepth_hist": Q.price_eqdepth_hist,
         "order_discount_proration": Q.order_discount_proration,
         "user_type_scd2": Q.user_type_scd2,
+        "star_join_checksum": Q.star_join_checksum,
         "parity_rates": Q.parity_rates,
         "ranking_overlap": Q.ranking_overlap,
         "lang_confusion": Q.lang_confusion,
@@ -3049,6 +3050,26 @@ def oracle_sql() -> dict[str, str]:
                    ((2 * coalesce(sum(ep), 0) + 7) // 14)::BIGINT
                        AS avg_yearly_c100
             FROM small
+        """,
+        "star_join_checksum": """
+            WITH w AS (
+                SELECT l_orderkey::VARCHAR || '|'
+                       || l_linenumber::VARCHAR || '|' || p_name || '|'
+                       || s_name || '|' || n_name || '|' || r_name
+                           AS row_str
+                FROM lineitem
+                JOIN part ON l_partkey = p_partkey
+                JOIN supplier ON l_suppkey = s_suppkey
+                JOIN nation ON s_nationkey = n_nationkey
+                JOIN region ON n_regionkey = r_regionkey
+            ),
+            h AS (SELECT md5_number_lower(row_str)::HUGEINT AS h FROM w)
+            SELECT count(*)::BIGINT AS n_rows,
+                   (((sum(h // 4294967296) % 2305843009213693951)
+                     * (4294967296 % 2305843009213693951)
+                     + sum(h % 4294967296)) % 2305843009213693951)
+                       ::BIGINT AS checksum_m61
+            FROM h
         """,
         "user_type_scd2": """
             WITH e AS (

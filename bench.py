@@ -221,7 +221,7 @@ QUERY_NAMES = [
     "knn_int_topk", "hard_negatives", "mixture_rates", "mmr_picks",
     "quality_classifier", "events_trend_mk", "orders_priority_mad",
     "kcenter_picks", "price_eqdepth_hist", "order_discount_proration",
-    "user_type_scd2",
+    "user_type_scd2", "star_join_checksum",
 ]
 
 

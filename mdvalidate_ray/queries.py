@@ -7971,6 +7971,89 @@ def events_daily_outliers(sf_dir: str):
     })
 
 
+def star_join_checksum(sf_dir: str):
+    """Star-schema denormalization VERIFIED by checksum: widen every
+    lineitem with part / supplier / nation / region names (the three
+    dimension hops all broadcast — the canonical star join, zero
+    shuffle), md5-hash each wide row, and fold (row count, Σhash mod
+    2⁶¹−1) — a fact-table-sized transform whose result is two integers,
+    so the SQL twin proves EVERY wide row matched without moving any of
+    them.  Per-batch partials split the uint64 hashes into hi/lo-32
+    sums (exact in int64 up to 2⁵² rows/batch); the driver folds Python
+    ints.  Scale plan: dims broadcast once via ray.put; one pruned
+    3-column fact scan; ≤1 partial row per batch."""
+    import numpy as np
+    import ray
+
+    from mdvalidate_ray.functions.dedup import _md5_token_hashes
+
+    P = (1 << 61) - 1
+    part_t = _dim_table(sf_dir, "part", ["p_partkey", "p_name"])
+    supp_t = _dim_table(sf_dir, "supplier", ["s_suppkey", "s_name",
+                                             "s_nationkey"])
+    nation = _dim_table(sf_dir, "nation",
+                        ["n_nationkey", "n_name", "n_regionkey"])
+    region = _dim_table(sf_dir, "region", ["r_regionkey", "r_name"])
+    n_names = dict(zip(nation.column("n_nationkey").to_pylist(),
+                       nation.column("n_name").to_pylist()))
+    r_names = dict(zip(region.column("r_regionkey").to_pylist(),
+                       region.column("r_name").to_pylist()))
+    n_region = dict(zip(nation.column("n_nationkey").to_pylist(),
+                        nation.column("n_regionkey").to_pylist()))
+    pk, pname = _int_key_map(part_t.column("p_partkey"),
+                             part_t.column("p_name"))
+    sk = np.sort(supp_t.column("s_suppkey").to_numpy(
+        zero_copy_only=False))
+    s_order = np.argsort(supp_t.column("s_suppkey").to_numpy(
+        zero_copy_only=False), kind="stable")
+    sname = np.asarray(supp_t.column("s_name").to_pylist(),
+                       dtype=object)[s_order]
+    snat = supp_t.column("s_nationkey").to_numpy(
+        zero_copy_only=False).astype(np.int64)[s_order]
+    maps_ref = ray.put((pk, pname, sk, sname, snat, n_names, r_names,
+                        n_region))
+
+    def partial(b: pa.Table) -> pa.Table:
+        pkeys, pn, skeys, sn, sv_nat, nn, rn, nr = ray.get(maps_ref)
+        pv = b.column("l_partkey").to_numpy(zero_copy_only=False)
+        sv = b.column("l_suppkey").to_numpy(zero_copy_only=False)
+        pi = np.searchsorted(pkeys, pv)
+        pi[pi == len(pkeys)] = 0
+        si = np.searchsorted(skeys, sv)
+        si[si == len(skeys)] = 0
+        # dangling fact keys drop like the oracle's inner joins
+        m = (pkeys[pi] == pv) & (skeys[si] == sv)
+        ok = b.column("l_orderkey").to_numpy(zero_copy_only=False)[m]
+        ln = b.column("l_linenumber").to_numpy(
+            zero_copy_only=False).astype(np.int64)[m]
+        pi, si = pi[m], si[m]
+        rows = [f"{o}|{li}|{pn[p]}|{sn[s]}|{nn[int(sv_nat[s])]}"
+                f"|{rn[int(nr[int(sv_nat[s])])]}"
+                for o, li, p, s in zip(ok, ln, pi, si)]
+        if not rows:
+            return pa.table({"n": pa.array([0], pa.int64()),
+                             "hi": pa.array([0], pa.int64()),
+                             "lo": pa.array([0], pa.int64())})
+        h = _md5_token_hashes(rows)
+        return pa.table({
+            "n": pa.array([len(rows)], pa.int64()),
+            "hi": pa.array([int((h >> np.uint64(32)).sum(
+                dtype=np.uint64))], pa.int64()),
+            "lo": pa.array([int((h & np.uint64(0xFFFFFFFF)).sum(
+                dtype=np.uint64))], pa.int64())})
+
+    parts = _read(sf_dir, "lineitem").select_columns(
+        ["l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"]) \
+        .map_batches(partial, batch_format="pyarrow",
+                     zero_copy_batch=True).take_all()
+    n = sum(r["n"] for r in parts)
+    hi = sum(r["hi"] for r in parts)
+    lo = sum(r["lo"] for r in parts)
+    checksum = ((hi % P) * ((1 << 32) % P) + lo) % P
+    return pa.table({"n_rows": pa.array([n], pa.int64()),
+                     "checksum_m61": pa.array([checksum], pa.int64())})
+
+
 def user_type_scd2(sf_dir: str):
     """Slowly-changing-dimension TYPE-2 builder from a change stream:
     per user, collapse the event sequence (ordered by ts, event_id)
