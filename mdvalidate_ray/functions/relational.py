@@ -958,7 +958,8 @@ def group_count_distinct(ds, *, group_col: str, distinct_col: str,
 
 
 def hash_join(left_ds, right_ds, *, on: str, right_on: str | None = None,
-              n_parts: int = 32, join_type: str = "inner"):
+              n_parts: int = 32, join_type: str = "inner",
+              empty_probe: bool = False):
     """Large×large equi-join: both sides hash-partition on the key across
     ``n_parts`` shuffle aggregators (Ray Data's native hash join — the
     genuine all-to-all exchange).  This is the LAST-RESORT join tier:
@@ -971,8 +972,24 @@ def hash_join(left_ds, right_ds, *, on: str, right_on: str | None = None,
     Known Ray Data limitation: a side that is ENTIRELY empty (e.g. a
     pushed-down filter matched nothing) makes the hash aggregator's
     finalize raise — its empty partitions carry no schema.  Callers
-    whose filters can legitimately drain a side should early-out on a
-    driver-side emptiness check first (see q7_nation_volume)."""
+    whose dimension filters can drain a side knowably should early-out
+    on a driver-side check (see q7_nation_volume); callers whose drain
+    is DATA-dependent (a date window, a pushed-down predicate) pass
+    ``empty_probe=True``: a streaming ``limit(1)`` probe of each side
+    (stops at the first row, so it costs one short partial execution)
+    short-circuits to an empty dataset carrying both sides' columns."""
+    if empty_probe:
+        if join_type != "inner":
+            raise ValueError("empty_probe supports inner joins only")
+        if (left_ds.limit(1).count() == 0
+                or right_ds.limit(1).count() == 0):
+            import ray.data
+
+            ls = left_ds.schema().base_schema
+            rs = right_ds.schema().base_schema
+            fields = list(ls) + [f for f in rs
+                                 if f.name not in ls.names]
+            return ray.data.from_arrow(pa.schema(fields).empty_table())
     return left_ds.join(
         right_ds, join_type=join_type, num_partitions=n_parts,
         on=(on,), right_on=((right_on,) if right_on else None))

@@ -194,6 +194,40 @@ def knn_int_exact(ds, queries: np.ndarray, query_keys: np.ndarray,
          ("vec_id", pa.int64()), ("score_e6", pa.int64())]))
 
 
+def _pack_matrix_col(m: np.ndarray) -> pa.ListArray:
+    """(n, d) matrix → Arrow list column, one fixed-width list per row —
+    the shared vector-packing step of the cached-iteration operators
+    (logreg_train / mmr_select / kcenter_select)."""
+    n, d = m.shape
+    assert n * d < (1 << 31), \
+        "block too large for int32 list offsets — lower the block size"
+    offs = np.arange(n + 1, dtype=np.int32) * d
+    return pa.ListArray.from_arrays(pa.array(offs),
+                                    pa.array(m.reshape(-1)))
+
+
+def _unwrap_np(ref) -> np.ndarray:
+    """ray.get an ObjectRef unless the broadcast already arrived inline."""
+    import ray
+
+    return ray.get(ref) if not isinstance(ref, np.ndarray) else ref
+
+
+def _drop_chosen(chosen: np.ndarray, keys_np: np.ndarray, *arrays):
+    """Filter rows whose key is in the sorted ``chosen`` set (a sentinel
+    score would wrap under negation in the lexsort — see mmr_select).
+    Returns (keys, *arrays) filtered, or None when nothing remains."""
+    if len(chosen):
+        pos = np.searchsorted(chosen, keys_np)
+        pos[pos == len(chosen)] = 0
+        keep = chosen[pos] != keys_np
+        keys_np = keys_np[keep]
+        if not len(keys_np):
+            return None
+        arrays = tuple(a[keep] for a in arrays)
+    return (keys_np,) + arrays
+
+
 def logreg_train(ds, *, column: str = "embedding",
                  label_col: str = "label", positive_label: int = 0,
                  epochs: int = 20, lr: float = 0.5,
@@ -225,18 +259,15 @@ def logreg_train(ds, *, column: str = "embedding",
     import ray
 
     def featurize(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"_y": pa.array([], pa.float64()),
+                             "_x": pa.array([],
+                                            pa.list_(pa.float64()))})
         m = _batch_matrix(b, column).astype(np.float64)
         y = (b.column(label_col).to_numpy(zero_copy_only=False)
              .astype(np.int64) == positive_label).astype(np.float64)
-        n, d = m.shape
-        assert n * d < (1 << 31), \
-            "logreg_train: block too large for int32 list offsets"
-        offs = np.arange(n + 1, dtype=np.int32) * d
-        return pa.Table.from_arrays(
-            [pa.array(y),
-             pa.ListArray.from_arrays(pa.array(offs),
-                                      pa.array(m.reshape(-1)))],
-            names=["_y", "_x"])
+        return pa.Table.from_arrays([pa.array(y), _pack_matrix_col(m)],
+                                    names=["_y", "_x"])
 
     feats = ds.select_columns([column, label_col]).map_batches(
         featurize, batch_format="pyarrow").materialize()
@@ -319,6 +350,10 @@ def mmr_select(ds, query: np.ndarray, k: int = 10, *, lam_pct: int = 70,
     excl = set(int(x) for x in exclude_keys)
 
     def featurize(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"_key": pa.array([], pa.int64()),
+                             "_rel": pa.array([], pa.int64()),
+                             "_v": pa.array([], pa.list_(pa.int64()))})
         m = quantize_e3(_batch_matrix(b, column))
         keys_np = b.column(key).to_numpy(zero_copy_only=False).astype(
             np.int64)
@@ -326,14 +361,8 @@ def mmr_select(ds, query: np.ndarray, k: int = 10, *, lam_pct: int = 70,
             keep = ~np.isin(keys_np, np.fromiter(excl, dtype=np.int64))
             m, keys_np = m[keep], keys_np[keep]
         rel = (q_int @ m.T)[0]
-        n, d = m.shape
-        assert n * d < (1 << 31), \
-            "mmr_select: block too large for int32 list offsets"
-        offs = np.arange(n + 1, dtype=np.int32) * d
         return pa.Table.from_arrays(
-            [pa.array(keys_np), pa.array(rel),
-             pa.ListArray.from_arrays(pa.array(offs),
-                                      pa.array(m.reshape(-1)))],
+            [pa.array(keys_np), pa.array(rel), _pack_matrix_col(m)],
             names=["_key", "_rel", "_v"])
 
     feats = ds.select_columns([key, column]).map_batches(
@@ -343,22 +372,17 @@ def mmr_select(ds, query: np.ndarray, k: int = 10, *, lam_pct: int = 70,
     def block_best(tbl: pa.Table, sel_ref, chosen_ref) -> tuple:
         if tbl.num_rows == 0 or "_key" not in tbl.schema.names:
             return None
-        sel = ray.get(sel_ref) if not isinstance(
-            sel_ref, np.ndarray) else sel_ref
-        chosen = ray.get(chosen_ref) if not isinstance(
-            chosen_ref, np.ndarray) else chosen_ref
+        sel = _unwrap_np(sel_ref)
+        chosen = _unwrap_np(chosen_ref)
         keys_np = tbl.column("_key").to_numpy(zero_copy_only=False)
         rel = tbl.column("_rel").to_numpy(zero_copy_only=False)
         lv = tbl.column("_v").combine_chunks()
         m = lv.flatten().to_numpy(zero_copy_only=False).reshape(
             len(keys_np), -1)
-        if len(chosen):            # drop already-selected rows (a
-            pos = np.searchsorted(chosen, keys_np)   # sentinel score
-            pos[pos == len(chosen)] = 0    # would wrap under negation)
-            keep = chosen[pos] != keys_np
-            keys_np, rel, m = keys_np[keep], rel[keep], m[keep]
-            if not len(keys_np):
-                return None
+        kept = _drop_chosen(chosen, keys_np, rel, m)
+        if kept is None:
+            return None
+        keys_np, rel, m = kept
         if sel.shape[0]:
             maxsim = (m @ sel.T).max(axis=1)
         else:
@@ -419,17 +443,16 @@ def kcenter_select(ds, k: int = 10, *, column: str = "embedding",
     import ray
 
     def featurize(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"_key": pa.array([], pa.int64()),
+                             "_sq": pa.array([], pa.int64()),
+                             "_v": pa.array([], pa.list_(pa.int64()))})
         m = quantize_e3(_batch_matrix(b, column))
         keys_np = b.column(key).to_numpy(zero_copy_only=False).astype(
             np.int64)
-        n, d = m.shape
-        assert n * d < (1 << 31), \
-            "kcenter_select: block too large for int32 list offsets"
-        offs = np.arange(n + 1, dtype=np.int32) * d
         return pa.Table.from_arrays(
             [pa.array(keys_np), pa.array((m * m).sum(axis=1)),
-             pa.ListArray.from_arrays(pa.array(offs),
-                                      pa.array(m.reshape(-1)))],
+             _pack_matrix_col(m)],
             names=["_key", "_sq", "_v"])
 
     feats = ds.select_columns([key, column]).map_batches(
@@ -440,24 +463,18 @@ def kcenter_select(ds, k: int = 10, *, column: str = "embedding",
                   ) -> tuple | None:
         if tbl.num_rows == 0 or "_key" not in tbl.schema.names:
             return None
-        sel = ray.get(sel_ref) if not isinstance(
-            sel_ref, np.ndarray) else sel_ref
-        sel_sq = ray.get(sel_sq_ref) if not isinstance(
-            sel_sq_ref, np.ndarray) else sel_sq_ref
-        chosen = ray.get(chosen_ref) if not isinstance(
-            chosen_ref, np.ndarray) else chosen_ref
+        sel = _unwrap_np(sel_ref)
+        sel_sq = _unwrap_np(sel_sq_ref)
+        chosen = _unwrap_np(chosen_ref)
         keys_np = tbl.column("_key").to_numpy(zero_copy_only=False)
         sq = tbl.column("_sq").to_numpy(zero_copy_only=False)
         lv = tbl.column("_v").combine_chunks()
         m = lv.flatten().to_numpy(zero_copy_only=False).reshape(
             len(keys_np), -1)
-        if len(chosen):
-            pos = np.searchsorted(chosen, keys_np)
-            pos[pos == len(chosen)] = 0
-            keep = chosen[pos] != keys_np
-            keys_np, sq, m = keys_np[keep], sq[keep], m[keep]
-            if not len(keys_np):
-                return None
+        kept = _drop_chosen(chosen, keys_np, sq, m)
+        if kept is None:
+            return None
+        keys_np, sq, m = kept
         d2 = (sq[:, None] + sel_sq[None, :] - 2 * (m @ sel.T)).min(axis=1)
         order = np.lexsort((keys_np, -d2))
         i = int(order[0])

@@ -1171,6 +1171,9 @@ def mmr_picks(sf_dir: str):
     q = emb.map_batches(
         lambda b: b.filter(pc.equal(b.column("vec_id"), 0)),
         batch_format="pyarrow", zero_copy_batch=True).take_all()
+    if not q:
+        raise ValueError(
+            "mmr_picks: query convention needs a row with vec_id == 0")
     query = np.asarray(q[0]["embedding"], dtype=np.float64)
     return mmr_select(emb, query, k=16, lam_pct=70, exclude_keys=(0,))
 
@@ -5529,15 +5532,13 @@ def q12_late_priority(sf_dir: str):
     empty = pa.table({"l_returnflag": pa.array([], pa.string()),
                       "high_line_count": pa.array([], pa.int64()),
                       "low_line_count": pa.array([], pa.int64())})
-    # Ray's hash join cannot finalize an all-empty side (the q7 note) —
-    # and here the drain is DATA-dependent (the date window), so probe
-    # with a streaming limit(1) before committing to the join
-    if li.limit(1).count() == 0:
-        return empty
     orders = _read(sf_dir, "orders").select_columns(
         ["o_orderkey", "o_orderdate", "o_orderpriority"])
+    # the date window can drain lineitem entirely — hash_join's
+    # empty_probe short-circuits instead of crashing in finalize
     joined = hash_join(li, orders, on="l_orderkey",
-                       right_on="o_orderkey", n_parts=8)
+                       right_on="o_orderkey", n_parts=8,
+                       empty_probe=True)
 
     def partial(b: pa.Table) -> pa.Table:
         if b.num_rows == 0:
@@ -7979,9 +7980,11 @@ def star_join_checksum(sf_dir: str):
     2⁶¹−1) — a fact-table-sized transform whose result is two integers,
     so the SQL twin proves EVERY wide row matched without moving any of
     them.  Per-batch partials split the uint64 hashes into hi/lo-32
-    sums (exact in int64 up to 2⁵² rows/batch); the driver folds Python
-    ints.  Scale plan: dims broadcast once via ray.put; one pruned
-    3-column fact scan; ≤1 partial row per batch."""
+    sums — each term < 2³², so the int64 partial is exact up to ~2³¹
+    rows per BATCH (blocks here are orders of magnitude smaller); the
+    driver folds Python ints, so the cross-batch total is unbounded.
+    Scale plan: dims broadcast once via ray.put; one pruned 4-column
+    fact scan; ≤1 partial row per batch."""
     import numpy as np
     import ray
 
@@ -8002,19 +8005,27 @@ def star_join_checksum(sf_dir: str):
                         nation.column("n_regionkey").to_pylist()))
     pk, pname = _int_key_map(part_t.column("p_partkey"),
                              part_t.column("p_name"))
-    sk = np.sort(supp_t.column("s_suppkey").to_numpy(
-        zero_copy_only=False))
-    s_order = np.argsort(supp_t.column("s_suppkey").to_numpy(
-        zero_copy_only=False), kind="stable")
-    sname = np.asarray(supp_t.column("s_name").to_pylist(),
-                       dtype=object)[s_order]
-    snat = supp_t.column("s_nationkey").to_numpy(
-        zero_copy_only=False).astype(np.int64)[s_order]
-    maps_ref = ray.put((pk, pname, sk, sname, snat, n_names, r_names,
-                        n_region))
+    # resolve supplier → nation → region names ONCE, dropping suppliers
+    # whose dim-to-dim keys dangle — their fact rows then drop exactly
+    # like the oracle's chained inner joins
+    s_rows = sorted(
+        (int(k), nm, n_names[int(nk)],
+         r_names[int(n_region[int(nk)])])
+        for k, nm, nk in zip(supp_t.column("s_suppkey").to_pylist(),
+                             supp_t.column("s_name").to_pylist(),
+                             supp_t.column("s_nationkey").to_pylist())
+        if int(nk) in n_names and int(nk) in n_region
+        and int(n_region[int(nk)]) in r_names)
+    sk = np.array([r[0] for r in s_rows], dtype=np.int64)
+    sfull = np.asarray([f"{nm}|{nn}|{rn}" for _, nm, nn, rn in s_rows],
+                       dtype=object)
+    if len(sk) == 0 or len(pk) == 0:     # every fact row would drop
+        return pa.table({"n_rows": pa.array([0], pa.int64()),
+                         "checksum_m61": pa.array([0], pa.int64())})
+    maps_ref = ray.put((pk, pname, sk, sfull))
 
     def partial(b: pa.Table) -> pa.Table:
-        pkeys, pn, skeys, sn, sv_nat, nn, rn, nr = ray.get(maps_ref)
+        pkeys, pn, skeys, sfl = ray.get(maps_ref)
         pv = b.column("l_partkey").to_numpy(zero_copy_only=False)
         sv = b.column("l_suppkey").to_numpy(zero_copy_only=False)
         pi = np.searchsorted(pkeys, pv)
@@ -8027,8 +8038,7 @@ def star_join_checksum(sf_dir: str):
         ln = b.column("l_linenumber").to_numpy(
             zero_copy_only=False).astype(np.int64)[m]
         pi, si = pi[m], si[m]
-        rows = [f"{o}|{li}|{pn[p]}|{sn[s]}|{nn[int(sv_nat[s])]}"
-                f"|{rn[int(nr[int(sv_nat[s])])]}"
+        rows = [f"{o}|{li}|{pn[p]}|{sfl[s]}"
                 for o, li, p, s in zip(ok, ln, pi, si)]
         if not rows:
             return pa.table({"n": pa.array([0], pa.int64()),
