@@ -8220,48 +8220,54 @@ def price_eqdepth_hist(sf_dir: str):
     hist_text_len's equi-width bins: bucket edges are the exact
     quantile_disc values at i/8, and a row's bucket is ``Σ(c > edgeᵢ)``
     — pure integer compares on both sides, so edge ties land
-    identically and the SQL twin is bit-exact.  Scale plan: edges via
-    exact_quantiles' value-count fold (documented bounded-cardinality
-    assumption; quantile_via_selection is the unbounded seam), edges
-    broadcast in the task closure, per-batch ≤8-row count partials fold
-    once — two passes over a 1-column projection."""
+    identically and the SQL twin is bit-exact.  Scale plan: ONE pruned
+    scan emits per-batch (value, count) combiners; the driver folds the
+    distinct-cents table and derives edges AND bucket counts from the
+    same cumsum — no shuffle, no second scan (bounded-cardinality
+    assumption, the same contract as exact_quantiles;
+    quantile_via_selection is the unbounded seam)."""
     import numpy as np
 
-    from mdvalidate_ray.functions.relational import (bucketed_group_sum,
-                                                     exact_quantiles)
+    def vc_partial(b: pa.Table) -> pa.Table:
+        c = pc.cast(_pc_round(pc.multiply(
+            b.column("l_extendedprice"), 100.0)), pa.int64())
+        v, n = np.unique(np.asarray(c, dtype=np.int64),
+                         return_counts=True)
+        return pa.table({"c": pa.array(v),
+                         "cnt": pa.array(n.astype(np.int64))})
 
-    def cents(b: pa.Table) -> pa.Table:
-        return pa.table({"c": pc.cast(_pc_round(pc.multiply(
-            b.column("l_extendedprice"), 100.0)), pa.int64())})
-
-    def cds():
-        return _read(sf_dir, "lineitem").select_columns(
-            ["l_extendedprice"]).map_batches(
-            cents, batch_format="pyarrow", zero_copy_batch=True)
-
-    edges = exact_quantiles(cds(), "c", [i / 8 for i in range(1, 8)])
-    e = np.array(edges, dtype=np.int64)
-
-    def part(b: pa.Table) -> pa.Table:
-        c = b.column("c").to_numpy(zero_copy_only=False)
-        bucket = (c[:, None] > e[None, :]).sum(axis=1)
-        ks, n = np.unique(bucket, return_counts=True)
-        return pa.table({"bucket": pa.array(ks.astype(np.int64)),
-                         "n": pa.array(n.astype(np.int64))})
-
-    folded = bucketed_group_sum(
-        cds().map_batches(part, batch_format="pyarrow",
-                          zero_copy_batch=True),
-        key="bucket", sum_cols=["n"], n_parts=2).take_all()
-    by_b = {int(r["bucket"]): int(r["n"]) for r in folded}
+    blocks = [blk for blk in _read(sf_dir, "lineitem").select_columns(
+        ["l_extendedprice"]).map_batches(
+        vc_partial, batch_format="pyarrow",
+        zero_copy_batch=True).iter_batches(batch_format="pyarrow")
+        if blk.num_rows]
+    out_schema = pa.schema([("bucket", pa.int64()),
+                            ("hi_c100", pa.int64()), ("n", pa.int64())])
+    if not blocks:
+        return out_schema.empty_table()
+    merged = pa.concat_tables(blocks)
+    vs = merged.column("c").to_numpy(zero_copy_only=False)
+    cs = merged.column("cnt").to_numpy(zero_copy_only=False)
+    order = np.argsort(vs, kind="stable")
+    vs, cs = vs[order], cs[order]
+    starts = np.flatnonzero(np.concatenate(([True], vs[1:] != vs[:-1])))
+    vals = vs[starts]
+    cnts = np.add.reduceat(cs, starts)
+    cum = np.cumsum(cnts)
+    n_total = int(cum[-1])
+    # quantile_disc: the value at 1-indexed position ceil(q·n)
+    e = np.array([vals[np.searchsorted(
+        cum, max(int(np.ceil(i / 8 * n_total)), 1), side="left")]
+        for i in range(1, 8)], dtype=np.int64)
+    bucket_of = (vals[:, None] > e[None, :]).sum(axis=1)
+    by_b = {int(b): int(cnts[bucket_of == b].sum())
+            for b in np.unique(bucket_of)}
     # emit only non-empty buckets: heavy edge ties can starve a bucket,
     # and the SQL GROUP BY has no row for it
     rows = [{"bucket": i,
              "hi_c100": int(e[i]) if i < 7 else -1,
              "n": by_b[i]} for i in range(8) if i in by_b]
-    return pa.Table.from_pylist(rows, schema=pa.schema(
-        [("bucket", pa.int64()), ("hi_c100", pa.int64()),
-         ("n", pa.int64())]))
+    return pa.Table.from_pylist(rows, schema=out_schema)
 
 
 def orders_priority_mad(sf_dir: str):
