@@ -519,17 +519,25 @@ def k_core(edges_ds, *, k: int, col_a: str = "u", col_b: str = "v",
     then shrinking): per-batch endpoint count combiner → one
     :func:`~mdvalidate_ray.functions.relational.bucketed_group_sum`
     exchange gives exact degrees; the PEEL FRONTIER (nodes with
-    ``deg < k``) folds to the driver — it is bounded by
-    ``broadcast_threshold`` (the frontier is the set removed THIS
-    round, not the cumulative removal; a graph whose every round peels
-    more than the threshold needs the co-partitioned variant: semi-join
-    the edge list against the frontier on ``hash(node) % n_parts``,
-    the stages/referential.py anti-join tier) — broadcasts sorted via
-    ``ray.put``, and one vectorized ``np.searchsorted`` filter drops
-    edges touching peeled nodes.  Already-peeled nodes have no edges
-    left, so each round only ships its own frontier.  Terminates when a
-    round peels nothing; ``max_rounds`` guards pathological
-    chain-shaped graphs (each round peels ≥1 node, so rounds ≤ nodes).
+    ``deg < k``) is the set removed THIS round, not the cumulative
+    removal.  Frontier handling is TIERED on ``broadcast_threshold``:
+
+    * ``|frontier| <= broadcast_threshold`` — the frontier folds to the
+      driver, broadcasts sorted via ``ray.put``, and one vectorized
+      ``np.searchsorted`` filter drops edges touching peeled nodes.
+    * larger — the frontier never reaches the driver: the peel rows
+      stay a Dataset and the drop is TWO co-partitioned anti-join
+      passes (the stages/referential.py exact_antijoin shape with
+      int keys): edges and frontier rows tagged-union on
+      ``hash(endpoint) % n_parts`` — first keyed on ``a``, then on
+      ``b`` — and each bucket group filters its edges against its
+      sorted peel slice.  Both tiers produce the identical edge set
+      (pinned by test_k_core_forced_copartition_tier_parity).
+
+    Already-peeled nodes have no edges left, so each round only ships
+    its own frontier.  Terminates when a round peels nothing;
+    ``max_rounds`` guards pathological chain-shaped graphs (each round
+    peels ≥1 node, so rounds ≤ nodes).
 
     Returns a Dataset of surviving ``(node, deg)`` rows — the degrees
     WITHIN the k-core (all ≥ k).  Exact-integer, so a recursive-CTE SQL
@@ -561,42 +569,93 @@ def k_core(edges_ds, *, k: int, col_a: str = "u", col_b: str = "v",
             [pa.array(uniq), pa.array(cnt.astype(np.int64))],
             names=["a", "deg"])
 
+    def drop_copartition(edges, peel_ds, on: str):
+        """One co-partitioned anti-join pass: drop edge rows whose
+        ``on``-endpoint appears in ``peel_ds`` (column ``a``) without
+        the peel set ever reaching the driver.  Tagged union on
+        ``hash(endpoint) % n_parts`` (the multiply-shift hash
+        bucketed_group_sum uses, so peel rows land with their edges),
+        then a vectorized sorted-peel ``searchsorted`` filter per
+        bucket group."""
+        def tag_edge(b: pa.Table) -> pa.Table:
+            v = b.column(on).to_numpy(zero_copy_only=False) \
+                 .astype(np.uint64)
+            h = (v * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)
+            return pa.table({
+                "a": b.column("a"), "b": b.column("b"),
+                "_peel": pa.array(np.zeros(b.num_rows, dtype=bool)),
+                "_bk": pa.array((h % np.uint64(n_parts)).astype(
+                    np.int64))})
+
+        def tag_peel(b: pa.Table) -> pa.Table:
+            v = b.column("a").to_numpy(zero_copy_only=False)
+            h = (v.astype(np.uint64)
+                 * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)
+            return pa.table({
+                "a": pa.array(v.astype(np.int64)),
+                "b": pa.array(np.zeros(len(v), dtype=np.int64)),
+                "_peel": pa.array(np.ones(len(v), dtype=bool)),
+                "_bk": pa.array((h % np.uint64(n_parts)).astype(
+                    np.int64))})
+
+        def anti(g: pa.Table) -> pa.Table:
+            is_peel = g.column("_peel").to_numpy(zero_copy_only=False)
+            pe = np.sort(g.column("a").to_numpy(
+                zero_copy_only=False)[is_peel])
+            e = g.filter(pa.array(~is_peel))
+            if len(pe) == 0:
+                return e.select(["a", "b"])
+            x = e.column(on).to_numpy(zero_copy_only=False)
+            ix = np.searchsorted(pe, x)
+            hit = (ix < len(pe)) & (pe[np.minimum(ix, len(pe) - 1)] == x)
+            return e.filter(pa.array(~hit)).select(["a", "b"])
+
+        tagged = edges.map_batches(tag_edge, batch_format="pyarrow",
+                                   zero_copy_batch=True).union(
+            peel_ds.select_columns(["a"]).map_batches(
+                tag_peel, batch_format="pyarrow", zero_copy_batch=True))
+        return tagged.groupby("_bk").map_groups(
+            anti, batch_format="pyarrow")
+
     for _ in range(max_rounds):
         degs = bucketed_group_sum(
             cur.map_batches(deg_partial, batch_format="pyarrow",
                             zero_copy_batch=True),
             key="a", sum_cols=["deg"], n_parts=n_parts).materialize()
-        frontier_chunks: list[np.ndarray] = []
-        n_frontier = 0
-        for blk in degs.filter(expr=f"deg < {k}").iter_batches(
-                batch_format="pyarrow"):
-            arr = blk.column("a").to_numpy(zero_copy_only=False)
-            n_frontier += len(arr)
-            if n_frontier > broadcast_threshold:
-                raise ValueError(
-                    f"peel frontier exceeds broadcast_threshold="
-                    f"{broadcast_threshold}; co-partition the frontier "
-                    "semi-join instead (see docstring)")
-            frontier_chunks.append(arr)
+        peel_ds = degs.filter(expr=f"deg < {k}").materialize()
+        n_frontier = peel_ds.count()
         if n_frontier == 0:
             return degs.map_batches(
                 lambda t: t.rename_columns(["node", "deg"]),
                 batch_format="pyarrow", zero_copy_batch=True)
-        peel = np.sort(np.concatenate(frontier_chunks))
-        peel_ref = ray.put(peel)
+        if n_frontier > broadcast_threshold:
+            # co-partitioned tier: two anti-join passes (a, then b);
+            # the frontier never folds to the driver
+            nxt = drop_copartition(
+                drop_copartition(cur, peel_ds, "a"),
+                peel_ds, "b").materialize()
+        else:
+            frontier_chunks = [
+                blk.column("a").to_numpy(zero_copy_only=False)
+                for blk in peel_ds.iter_batches(batch_format="pyarrow")
+                if blk.num_rows]
+            peel = np.sort(np.concatenate(frontier_chunks))
+            peel_ref = ray.put(peel)
 
-        def drop(b: pa.Table) -> pa.Table:
-            p = ray.get(peel_ref)
-            a = b.column("a").to_numpy(zero_copy_only=False)
-            bb = b.column("b").to_numpy(zero_copy_only=False)
-            ia = np.searchsorted(p, a)
-            ib = np.searchsorted(p, bb)
-            hit_a = (ia < len(p)) & (p[np.minimum(ia, len(p) - 1)] == a)
-            hit_b = (ib < len(p)) & (p[np.minimum(ib, len(p) - 1)] == bb)
-            return b.filter(pa.array(~(hit_a | hit_b)))
+            def drop(b: pa.Table) -> pa.Table:
+                p = ray.get(peel_ref)
+                a = b.column("a").to_numpy(zero_copy_only=False)
+                bb = b.column("b").to_numpy(zero_copy_only=False)
+                ia = np.searchsorted(p, a)
+                ib = np.searchsorted(p, bb)
+                hit_a = (ia < len(p)) & \
+                    (p[np.minimum(ia, len(p) - 1)] == a)
+                hit_b = (ib < len(p)) & \
+                    (p[np.minimum(ib, len(p) - 1)] == bb)
+                return b.filter(pa.array(~(hit_a | hit_b)))
 
-        nxt = cur.map_batches(drop, batch_format="pyarrow",
-                              zero_copy_batch=True).materialize()
+            nxt = cur.map_batches(drop, batch_format="pyarrow",
+                                  zero_copy_batch=True).materialize()
         cur = nxt
         if cur.count() == 0:
             return ray.data.from_arrow(pa.schema(

@@ -1462,6 +1462,46 @@ def test_k_core_matches_naive_peeling(ray_session):
     assert len(empty) == 0
 
 
+def test_k_core_forced_copartition_tier_parity(ray_session):
+    """broadcast_threshold=0 forces EVERY round through the
+    co-partitioned frontier anti-join (the past-the-driver-budget
+    tier); results must be identical to the broadcast tier on a graph
+    whose peeling cascades over several rounds."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from mdvalidate_ray.functions.graph import k_core
+
+    # 6-clique + two chains hanging off it + isolated triangle + noise
+    edges = [(a, b) for a in range(6) for b in range(a + 1, 6)]
+    edges += [(5, 30), (30, 31), (31, 32), (32, 33)]
+    edges += [(0, 40), (40, 41)]
+    edges += [(50, 51), (51, 52), (50, 52)]
+    rng = np.random.default_rng(11)
+    extra = {(int(a), int(b)) for a, b in
+             rng.integers(60, 120, (60, 2)) if a < b}
+    edges += sorted(extra)
+    t = pa.table({"u": pa.array([e[0] for e in edges], pa.int64()),
+                  "v": pa.array([e[1] for e in edges], pa.int64())})
+
+    for k in (2, 3):
+        base = k_core(ray.data.from_arrow(t).repartition(4),
+                      k=k, n_parts=4).to_pandas()
+        forced = k_core(ray.data.from_arrow(t).repartition(4),
+                        k=k, n_parts=4,
+                        broadcast_threshold=0).to_pandas()
+        bm = dict(zip(base["node"].astype(int), base["deg"].astype(int)))
+        fm = dict(zip(forced["node"].astype(int),
+                      forced["deg"].astype(int)))
+        assert bm == fm and len(bm) > 0, f"k={k}"
+
+    # forced tier also agrees on the everything-peels case
+    empty = k_core(ray.data.from_arrow(t), k=50, n_parts=2,
+                   broadcast_threshold=0).to_pandas()
+    assert len(empty) == 0
+
+
 def test_jaccard_search_matches_naive(ray_session):
     """Distributed top-k retrieval equals a naive per-doc Jaccard
     ranking (distinct-token semantics, zero-overlap docs dropped,
