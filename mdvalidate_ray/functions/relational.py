@@ -2063,6 +2063,252 @@ def quantile_via_selection(ds, column: str, qs, *, budget: int = 200_000,
     return [s["ans"] for s in st]
 
 
+def grouped_rank_via_selection(ds, *, group_col: str, value_col: str,
+                               rank_of, center: dict | None = None,
+                               budget: int = 200_000,
+                               sample_per_block: int = 128,
+                               n_probes: int = 31,
+                               max_rounds: int = 40,
+                               max_groups: int = 100_000) -> dict:
+    """PER-GROUP exact order statistic by distributed multi-pivot
+    selection — the tier :func:`quantile_via_selection` documents for
+    grouped robust statistics when ONE GROUP'S values exceed a worker
+    (so the co-partition-and-sort plan of e.g. orders_priority_mad
+    cannot hold a group in memory).  Group CARDINALITY must be
+    driver-boundable (``max_groups``); group SIZE is unbounded — no
+    group's rows ever co-locate, and nothing corpus-sized reaches the
+    driver.
+
+    ``rank_of(n) -> r`` maps a group's row count to the 1-indexed rank
+    of the wanted statistic in the group's sorted values (e.g.
+    ``lambda n: (n - 1) // 2 + 1`` is the exact LOWER median —
+    quantile_disc semantics).  ``center`` (optional, group -> number)
+    selects over the DERIVED value ``|x - center[g]|`` instead of x —
+    the second level of a MAD — computed in-batch against a broadcast
+    map, so the derived column never materializes.
+
+    Same per-round plan as the ungrouped function, state per group:
+    pass 0 pools per-(block, group) (count, min, max, strided sample)
+    partials; each round is ONE corpus pass folding exact per-group
+    ``count(x <= p)`` at ``n_probes`` interior points per live group
+    (per-batch group-sliced ``np.searchsorted`` — rows never leave
+    their worker); a bracket proven to hold its rank with ``<= budget``
+    in-range rows finishes by collecting just that range.
+
+    Returns ``{group: (n, value)}`` (value is a float; exact for
+    integer-cent inputs ≤ 2**53)."""
+    import ray
+
+    data = ds.select_columns([group_col, value_col])
+    center_ref = ray.put(center) if center is not None else None
+
+    def group_slices(b: pa.Table):
+        """Yield (group_value, sorted float64 values) per group present
+        in the batch, with the optional |x - center| derivation."""
+        if b.num_rows == 0:
+            return
+        # groups key as STRINGS end to end (driver state, broadcast
+        # maps, the returned dict) so int/str group columns behave
+        # identically
+        gv = np.asarray([str(x) for x in
+                         b.column(group_col).to_pylist()], dtype=object)
+        x = b.column(value_col).to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        ok = ~np.asarray(b.column(value_col).is_null())
+        gv, x = gv[ok], x[ok]
+        cmap = ray.get(center_ref) if center_ref is not None else None
+        uniq, codes = np.unique(gv, return_inverse=True)
+        order = np.argsort(codes, kind="stable")
+        codes_s, x_s = codes[order], x[order]
+        starts = np.flatnonzero(np.concatenate(
+            ([True], codes_s[1:] != codes_s[:-1])))
+        ends = np.append(starts[1:], len(codes_s))
+        for st, en, g in zip(starts, ends, uniq[codes_s[starts]]):
+            vals = x_s[st:en]
+            if cmap is not None:
+                c = cmap.get(g)
+                if c is None:
+                    continue
+                vals = np.abs(vals - float(c))
+            yield g, np.sort(vals)
+
+    # ---- pass 0: per-group n / min / max / pooled sample ----
+    part_schema = pa.schema([("g", pa.string()), ("kind", pa.int64()),
+                             ("v", pa.float64())])
+
+    def sample_part(b: pa.Table) -> pa.Table:
+        gs, kinds, vs = [], [], []
+        for g, srt in group_slices(b):
+            n = len(srt)
+            m = min(sample_per_block, n)
+            samp = srt[np.linspace(0, n - 1, m).astype(np.int64)]
+            gs.extend([str(g)] * (3 + m))
+            kinds.extend([0, 1, 2] + [3] * m)
+            vs.extend([float(n), float(srt[0]), float(srt[-1])])
+            vs.extend(samp.tolist())
+        return pa.table({"g": pa.array(gs, pa.string()),
+                         "kind": pa.array(kinds, pa.int64()),
+                         "v": pa.array(vs, pa.float64())},
+                        schema=part_schema)
+
+    info: dict = {}
+    for blk in data.map_batches(sample_part, batch_format="pyarrow",
+                                zero_copy_batch=True).iter_batches(
+                                    batch_format="pyarrow"):
+        gg = blk.column("g").to_pylist()
+        kind = np.asarray(blk.column("kind").combine_chunks())
+        v = np.asarray(blk.column("v").combine_chunks())
+        for i, g in enumerate(gg):
+            s = info.setdefault(g, {"n": 0, "min": np.inf,
+                                    "max": -np.inf, "pool": []})
+            if kind[i] == 0:
+                s["n"] += int(v[i])
+            elif kind[i] == 1:
+                s["min"] = min(s["min"], float(v[i]))
+            elif kind[i] == 2:
+                s["max"] = max(s["max"], float(v[i]))
+            else:
+                s["pool"].append(float(v[i]))
+            if len(info) > max_groups:
+                raise ValueError(
+                    f"group cardinality exceeds max_groups="
+                    f"{max_groups}")
+    if not info:
+        return {}
+
+    groups = sorted(info)
+    ranks = {g: max(int(rank_of(info[g]["n"])), 1) for g in groups}
+    st = {}
+    for g in groups:
+        s = info[g]
+        pool = np.sort(np.array(s["pool"]))
+        lo_floor = np.nextafter(s["min"], -np.inf)
+        margin = max(3, len(pool) // 64)
+        pos = int(round(ranks[g] / s["n"] * (len(pool) - 1))) \
+            if len(pool) else 0
+        lo = pool[max(pos - margin, 0)] if len(pool) else lo_floor
+        hi = pool[min(pos + margin, len(pool) - 1)] \
+            if len(pool) else s["max"]
+        st[g] = {"lo": min(float(lo), s["max"]), "hi": float(hi),
+                 "c_lo": None, "ans": None,
+                 "floor": lo_floor, "gmax": s["max"]}
+
+    def probe_points(lo: float, hi: float) -> np.ndarray:
+        pts = np.linspace(lo, hi, n_probes + 2)[1:]
+        pts = np.unique(pts[(pts > lo) & (pts <= hi)])
+        if len(pts) < n_probes // 2:
+            chain, x = [], lo
+            for _ in range(n_probes + 2):
+                x = np.nextafter(x, np.inf)
+                chain.append(x)
+                if x >= hi:
+                    break
+            pts = np.unique(np.clip(np.array(chain), lo, hi))
+        if len(pts) == 0 or pts[-1] < hi:
+            pts = np.append(pts, hi)
+        return pts
+
+    def count_round(probes: dict) -> dict:
+        """probes: group -> increasing points.  ONE corpus pass; exact
+        per-group #(x <= p) folded with np.add.at."""
+        glist = sorted(probes)
+        offs = np.r_[0, np.cumsum([len(probes[g]) for g in glist])]
+        goff = {g: int(offs[i]) for i, g in enumerate(glist)}
+        pr_ref = ray.put({g: np.asarray(probes[g]) for g in glist})
+        off_ref = ray.put(goff)
+
+        def cnt(b: pa.Table) -> pa.Table:
+            pr = ray.get(pr_ref)
+            go = ray.get(off_ref)
+            idxs, cs = [], []
+            for g, srt in group_slices(b):
+                pts = pr.get(g)
+                if pts is None:
+                    continue
+                c = np.searchsorted(srt, pts,
+                                    side="right").astype(np.int64)
+                idxs.append(go[g] + np.arange(len(pts),
+                                              dtype=np.int64))
+                cs.append(c)
+            if not idxs:
+                return pa.schema([("i", pa.int64()),
+                                  ("c", pa.int64())]).empty_table()
+            return pa.table({"i": pa.array(np.concatenate(idxs)),
+                             "c": pa.array(np.concatenate(cs))})
+
+        tot = np.zeros(int(offs[-1]), dtype=np.int64)
+        for blk in data.map_batches(cnt, batch_format="pyarrow",
+                                    zero_copy_batch=True).iter_batches(
+                                        batch_format="pyarrow"):
+            np.add.at(tot,
+                      np.asarray(blk.column("i").combine_chunks()),
+                      np.asarray(blk.column("c").combine_chunks()))
+        return {g: tot[goff[g]:goff[g] + len(probes[g])]
+                for g in glist}
+
+    for _ in range(max_rounds):
+        live = [g for g in groups
+                if st[g]["ans"] is None and st[g]["c_lo"] is None]
+        if not live:
+            break
+        probes = {g: np.r_[st[g]["lo"],
+                           probe_points(st[g]["lo"], st[g]["hi"])]
+                  for g in live}
+        counts = count_round(probes)
+        for g in live:
+            s, r, cc, pp = st[g], ranks[g], counts[g], probes[g]
+            c_lo, c_hi = int(cc[0]), int(cc[-1])
+            if not (c_lo < r <= c_hi):
+                s["lo"], s["hi"] = s["floor"], s["gmax"]
+                continue
+            below = cc < r
+            new_lo_i = int(np.flatnonzero(below)[-1])
+            new_hi_i = int(np.flatnonzero(~below)[0])
+            s["lo"], c_lo = float(pp[new_lo_i]), int(cc[new_lo_i])
+            s["hi"], c_hi = float(pp[new_hi_i]), int(cc[new_hi_i])
+            if c_hi - c_lo <= budget:
+                s["c_lo"] = c_lo
+            elif s["hi"] <= np.nextafter(s["lo"], np.inf):
+                s["ans"] = s["hi"]
+    if any(st[g]["ans"] is None and st[g]["c_lo"] is None
+           for g in groups):
+        raise RuntimeError(f"grouped selection did not converge in "
+                           f"{max_rounds} rounds")
+    pending = [g for g in groups if st[g]["ans"] is None]
+    if pending:
+        br_ref = ray.put({g: (st[g]["lo"], st[g]["hi"])
+                          for g in pending})
+
+        def collect(b: pa.Table) -> pa.Table:
+            br = ray.get(br_ref)
+            gs, vs = [], []
+            for g, srt in group_slices(b):
+                w = br.get(g)
+                if w is None:
+                    continue
+                hit = srt[(srt > w[0]) & (srt <= w[1])]
+                gs.extend([str(g)] * len(hit))
+                vs.append(hit)
+            if not gs:
+                return pa.schema([("g", pa.string()),
+                                  ("v", pa.float64())]).empty_table()
+            return pa.table({"g": pa.array(gs, pa.string()),
+                             "v": pa.array(np.concatenate(vs))})
+
+        buckets: dict = {g: [] for g in pending}
+        for blk in data.map_batches(collect, batch_format="pyarrow",
+                                    zero_copy_batch=True).iter_batches(
+                                        batch_format="pyarrow"):
+            gg = blk.column("g").to_pylist()
+            vv = np.asarray(blk.column("v").combine_chunks())
+            for i, g in enumerate(gg):
+                buckets[g].append(float(vv[i]))
+        for g in pending:
+            vals = np.sort(np.array(buckets[g]))
+            st[g]["ans"] = float(vals[ranks[g] - st[g]["c_lo"] - 1])
+    return {g: (info[g]["n"], st[g]["ans"]) for g in groups}
+
+
 def resample_ffill_daily(ds, *, key: str, ts_col: str, value_col: str,
                          tiebreak: str, scale: int = 100,
                          n_parts: int = 32):

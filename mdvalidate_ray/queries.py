@@ -8270,22 +8270,51 @@ def price_eqdepth_hist(sf_dir: str):
     return pa.Table.from_pylist(rows, schema=out_schema)
 
 
-def orders_priority_mad(sf_dir: str):
+def orders_priority_mad(sf_dir: str, *, force_selection: bool = False):
     """Robust per-group location and spread: exact LOWER-median and MAD
     (median absolute deviation) of the order total in integer cents per
     priority — quantile_disc semantics (sorted[⌊(n−1)/2⌋]) on both
     levels, so the two-level SQL twin is bit-exact with no
     interpolation float.  Scale plan: ONE coarse co-partition on
     hash(priority) of the 2-column (priority, cents) projection — exact
-    medians need the group's values together (documented
-    group-fits-in-worker assumption; past that, per-group
-    :func:`~mdvalidate_ray.functions.relational.quantile_via_selection`
-    computes both levels in a few distributed selection passes);
-    in-bucket work is one np.sort + segment indexing, no per-row
-    Python."""
+    medians need the group's values together (group-fits-in-worker
+    assumption); PAST that,
+    :func:`~mdvalidate_ray.functions.relational.grouped_rank_via_selection`
+    computes both levels by per-group distributed selection — median
+    first, then MAD as selection over the in-batch-derived
+    ``|x − med_g|`` — with no group ever co-locating
+    (``force_selection=True``; bit-equal to the default tier, pinned by
+    test_priority_mad_forced_selection_tier_parity); in-bucket work is
+    one np.sort + segment indexing, no per-row Python."""
     import numpy as np
 
     from mdvalidate_ray.state.sketches import hash_strings
+
+    if force_selection:
+        from mdvalidate_ray.functions.relational import (
+            grouped_rank_via_selection)
+
+        def to_cents(b: pa.Table) -> pa.Table:
+            return pa.table({
+                "p": pc.cast(b.column("o_orderpriority"), pa.string()),
+                "c": pc.cast(_pc_round(pc.multiply(
+                    b.column("o_totalprice"), 100.0)), pa.int64())})
+
+        cents = _read(sf_dir, "orders").select_columns(
+            ["o_orderpriority", "o_totalprice"]).map_batches(
+            to_cents, batch_format="pyarrow", zero_copy_batch=True)
+        lower_med = lambda n: (n - 1) // 2 + 1   # noqa: E731
+        med = grouped_rank_via_selection(
+            cents, group_col="p", value_col="c", rank_of=lower_med)
+        mad = grouped_rank_via_selection(
+            cents, group_col="p", value_col="c", rank_of=lower_med,
+            center={g: v for g, (_, v) in med.items()})
+        rows = [{"o_orderpriority": g, "n": med[g][0],
+                 "med_c100": int(med[g][1]),
+                 "mad_c100": int(mad[g][1])} for g in sorted(med)]
+        return pa.Table.from_pylist(rows, schema=pa.schema(
+            [("o_orderpriority", pa.string()), ("n", pa.int64()),
+             ("med_c100", pa.int64()), ("mad_c100", pa.int64())]))
 
     def tag(b: pa.Table) -> pa.Table:
         pr = b.column("o_orderpriority").to_pylist()

@@ -837,6 +837,87 @@ def test_quantile_via_selection_forced_bisection_and_ties(ray_session):
     assert quantile_via_selection(empty, "x", [0.5]) == [None]
 
 
+def test_grouped_rank_via_selection_matches_numpy(ray_session):
+    """Per-group distributed selection equals the per-group sorted-rank
+    answer on skewed group sizes, both for the raw value and for the
+    |x - center| derivation (the MAD second level); a tiny budget
+    forces count-only narrowing rounds."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from mdvalidate_ray.functions.relational import (
+        grouped_rank_via_selection)
+
+    rng = np.random.default_rng(19)
+    sizes = {"a": 4000, "b": 700, "c": 31, "d": 1}
+    gs, xs = [], []
+    for g, n in sizes.items():
+        gs.extend([g] * n)
+        xs.append(np.round(rng.normal(size=n) * 1e4))  # int-valued, ties
+    x = np.concatenate(xs)
+    ds = ray.data.from_arrow(pa.table(
+        {"g": pa.array(gs, pa.string()),
+         "x": pa.array(x, pa.float64())})).repartition(7)
+
+    lower_med = lambda n: (n - 1) // 2 + 1           # noqa: E731
+    got = grouped_rank_via_selection(
+        ds, group_col="g", value_col="x", rank_of=lower_med,
+        budget=40, sample_per_block=8)
+    meds = {}
+    off = 0
+    for g, n in sizes.items():
+        seg = np.sort(x[off:off + n])
+        meds[g] = float(seg[(n - 1) // 2])
+        assert got[g] == (n, meds[g]), g
+        off += n
+
+    # MAD level: selection over the derived |x - med_g|
+    got_mad = grouped_rank_via_selection(
+        ds, group_col="g", value_col="x", rank_of=lower_med,
+        center=meds, budget=40, sample_per_block=8)
+    off = 0
+    for g, n in sizes.items():
+        dev = np.sort(np.abs(x[off:off + n] - meds[g]))
+        assert got_mad[g] == (n, float(dev[(n - 1) // 2])), g
+        off += n
+
+    # int group columns key as strings too
+    ids = ray.data.from_arrow(pa.table(
+        {"g": pa.array([1, 1, 1, 2, 2], pa.int64()),
+         "x": pa.array([5.0, 1.0, 3.0, 9.0, 2.0])}))
+    gi = grouped_rank_via_selection(
+        ids, group_col="g", value_col="x", rank_of=lower_med)
+    assert gi == {"1": (3, 3.0), "2": (2, 2.0)}
+
+    assert grouped_rank_via_selection(
+        ray.data.from_arrow(pa.table(
+            {"g": pa.array([], pa.string()),
+             "x": pa.array([], pa.float64())})),
+        group_col="g", value_col="x", rank_of=lower_med) == {}
+
+
+def test_priority_mad_forced_selection_tier_parity(ray_session):
+    """orders_priority_mad(force_selection=True) — the
+    group-exceeds-worker tier that never co-locates a group — is
+    bit-equal to the default co-partition-and-sort tier at sf0.001."""
+    import os
+
+    import pytest
+
+    sf_dir = "/root/testdata/sf0.001"
+    if not os.path.isdir(sf_dir):
+        pytest.skip("testdata missing")
+    from mdvalidate_ray.queries import orders_priority_mad
+
+    base = orders_priority_mad(sf_dir).to_pandas() \
+        .sort_values("o_orderpriority").reset_index(drop=True)
+    forced = orders_priority_mad(sf_dir, force_selection=True) \
+        .to_pandas().sort_values("o_orderpriority") \
+        .reset_index(drop=True)
+    assert base.equals(forced) and len(base) > 0
+
+
 def test_resample_ffill_daily_matches_naive(ray_session):
     """Gap filling equals a naive per-user scan: multi-event days keep
     the (ts, tiebreak)-greatest value, gaps forward-fill to the next
