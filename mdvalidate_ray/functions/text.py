@@ -914,8 +914,9 @@ def bpe_learn(ds, *, text_col: str = "text", n_merges: int = 50,
             if n_rows > max_vocab_rows:
                 raise ValueError(
                     f"word-count table exceeds max_vocab_rows="
-                    f"{max_vocab_rows}; shard the BPE fit by word-hash "
-                    "range and merge the learned tables")
+                    f"{max_vocab_rows}; use bpe_learn_sharded (the "
+                    "word-hash-sharded trainer — bit-identical merges, "
+                    "vocabulary never reaches the driver)")
             if c >= min_word_count:
                 words.append(list(w))
                 counts.append(int(c))
@@ -967,6 +968,164 @@ def bpe_learn(ds, *, text_col: str = "text", n_merges: int = 50,
             words[wi] = out
         pair_cnt.pop((a, b), None)
         pair_words.pop((a, b), None)
+    return merges
+
+
+def bpe_learn_sharded(ds, *, text_col: str = "text",
+                      n_merges: int = 50, min_word_count: int = 1,
+                      n_shards: int = 4) -> list[dict]:
+    """:func:`bpe_learn` past the driver's ``max_vocab_rows`` budget —
+    the shard-by-word-hash tier its overflow error names, producing
+    BIT-IDENTICAL merges (pinned by
+    test_bpe_sharded_matches_driver_loop).
+
+    The (word, count) table folds exactly as in bpe_learn, then routes
+    DISTRIBUTED (each fold batch pushes its rows by
+    ``hash(word) % n_shards`` straight to long-lived shard actors —
+    the vocabulary never reaches the driver).  Each actor keeps its
+    words plus the local inverted pair→words index; the driver holds
+    only the GLOBAL pair-count dict (distinct-symbol-pairs sized, far
+    below vocabulary size).  Per merge round: driver argmax by
+    ``(count, -lexicographic pair)`` → broadcast the winning pair →
+    each shard applies it to its own words and returns pair-count
+    DELTAS → driver folds.  Pair counts are additive, each word lives
+    on exactly one shard, and the per-word merge rewrite is
+    order-independent, so shard arrival order cannot change any
+    count — determinism is inherited from the driver-side tie rule.
+
+    Cost: ``n_merges`` rounds × ``n_shards`` actor calls, each touching
+    only the words containing the winning pair (same incremental
+    contract as the driver loop)."""
+    import ray
+
+    from mdvalidate_ray.functions.relational import bucketed_group_sum
+    from mdvalidate_ray.state.sketches import hash_strings
+
+    empty = pa.schema([("w", pa.string()), ("cnt", pa.int64())])
+
+    def wc(b: pa.Table) -> pa.Table:
+        texts = pc.utf8_lower(pc.utf8_trim(
+            pc.cast(b.column(text_col), pa.string()), characters=" "))
+        tokens = pc.split_pattern_regex(texts, r"\s+")
+        flat = (tokens.combine_chunks()
+                if isinstance(tokens, pa.ChunkedArray) else tokens)
+        words = flat.flatten()
+        words = words.filter(pc.not_equal(words, ""))
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        if len(words) == 0:
+            return empty.empty_table()
+        vc = words.value_counts()
+        return pa.Table.from_arrays(
+            [vc.field("values"), vc.field("counts").cast(pa.int64())],
+            names=["w", "cnt"])
+
+    folded = bucketed_group_sum(
+        ds.select_columns([text_col]).map_batches(
+            wc, batch_format="pyarrow", zero_copy_batch=True),
+        key="w", sum_cols=["cnt"])
+
+    # num_cpus=0: the shards are STATE holders driven by short driver
+    # rounds — reserving CPU shares would starve the word-count fold's
+    # tasks on small clusters (classic actor/task deadlock)
+    @ray.remote(num_cpus=0)
+    class BPEShard:
+        def __init__(self):
+            self.words: list[list[str]] = []
+            self.counts: list[int] = []
+            self.pair_cnt: dict = {}
+            self.pair_words: dict = {}
+
+        def add(self, ws: list[str], cs: list[int]) -> int:
+            for w, c in zip(ws, cs):
+                wi = len(self.words)
+                syms = list(w)
+                self.words.append(syms)
+                self.counts.append(int(c))
+                for pr in zip(syms, syms[1:]):
+                    self.pair_cnt[pr] = self.pair_cnt.get(pr, 0) + c
+                    self.pair_words.setdefault(pr, set()).add(wi)
+            return len(self.words)
+
+        def initial_counts(self) -> list:
+            return [(a, b, c) for (a, b), c in self.pair_cnt.items()]
+
+        def apply(self, a: str, b: str) -> list:
+            """Rewrite every local word containing (a, b); return
+            pair-count deltas."""
+            delta: dict = {}
+            ab = a + b
+            for wi in list(self.pair_words.get((a, b), ())):
+                syms, c = self.words[wi], self.counts[wi]
+                out, i = [], 0
+                while i < len(syms):
+                    if (i < len(syms) - 1 and syms[i] == a
+                            and syms[i + 1] == b):
+                        out.append(ab)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                for pr in zip(syms, syms[1:]):
+                    self.pair_cnt[pr] -= c
+                    delta[pr] = delta.get(pr, 0) - c
+                    if self.pair_cnt[pr] <= 0:
+                        self.pair_words.get(pr, set()).discard(wi)
+                for pr in zip(out, out[1:]):
+                    self.pair_cnt[pr] = self.pair_cnt.get(pr, 0) + c
+                    delta[pr] = delta.get(pr, 0) + c
+                    self.pair_words.setdefault(pr, set()).add(wi)
+                self.words[wi] = out
+            self.pair_cnt.pop((a, b), None)
+            self.pair_words.pop((a, b), None)
+            return [(x, y, d) for (x, y), d in delta.items() if d]
+
+    shards = [BPEShard.remote() for _ in range(n_shards)]
+
+    def route(b: pa.Table) -> pa.Table:
+        """Push this fold batch's words to their hash-owned shards;
+        the batch itself reduces to a one-row count."""
+        ws = b.column("w").to_pylist()
+        cs = b.column("cnt").to_pylist()
+        keep = [(w, int(c)) for w, c in zip(ws, cs)
+                if c >= min_word_count]
+        pending = []
+        if keep:
+            sid = (hash_strings([w for w, _ in keep])
+                   % np.uint64(n_shards)).astype(np.int64)
+            for s in np.unique(sid):
+                sub = [keep[i] for i in np.flatnonzero(sid == s)]
+                pending.append(shards[int(s)].add.remote(
+                    [w for w, _ in sub], [c for _, c in sub]))
+        ray.get(pending)      # delivery barrier before the batch ends
+        return pa.table({"n": pa.array([len(keep)], pa.int64())})
+
+    folded.map_batches(route, batch_format="pyarrow").take_all()
+
+    pair_cnt: dict = {}
+    for part in ray.get([s.initial_counts.remote() for s in shards]):
+        for a, b, c in part:
+            pair_cnt[(a, b)] = pair_cnt.get((a, b), 0) + c
+
+    merges = []
+    for rank in range(n_merges):
+        best = None
+        for p, c in pair_cnt.items():
+            if c <= 0:
+                continue
+            if best is None or c > best[0] or (c == best[0]
+                                               and p < best[1]):
+                best = (c, p)
+        if best is None:
+            break
+        c_best, (a, b) = best
+        merges.append({"rank": rank, "left": a, "right": b,
+                       "count": int(c_best)})
+        for part in ray.get([s.apply.remote(a, b) for s in shards]):
+            for x, y, d in part:
+                pair_cnt[(x, y)] = pair_cnt.get((x, y), 0) + d
+        pair_cnt.pop((a, b), None)
+    del shards
     return merges
 
 

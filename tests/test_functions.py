@@ -1865,6 +1865,40 @@ def test_bpe_learn_matches_naive(ray_session):
         "text": pa.array(texts)})).repartition(2), n_merges=12)
 
 
+def test_bpe_sharded_matches_driver_loop(ray_session):
+    """bpe_learn_sharded — the past-max_vocab_rows word-hash tier where
+    the vocabulary never reaches the driver — produces bit-identical
+    merges to the driver-loop trainer, for several shard counts and a
+    min_word_count filter."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from mdvalidate_ray.functions.text import bpe_learn, bpe_learn_sharded
+
+    rng = np.random.default_rng(53)
+    base = ["banana", "bandana", "ananas", "cabana", "aaa", "aaaa",
+            "abracadabra", "cadence", "dance", "brand"]
+    texts = [" ".join(rng.choice(base, rng.integers(2, 9)))
+             for _ in range(120)]
+    t = pa.table({"text": pa.array(texts)})
+
+    want = bpe_learn(ray.data.from_arrow(t).repartition(5), n_merges=15)
+    assert len(want) == 15
+    for n_shards in (1, 3, 7):
+        got = bpe_learn_sharded(
+            ray.data.from_arrow(t).repartition(4), n_merges=15,
+            n_shards=n_shards)
+        assert got == want, f"n_shards={n_shards}"
+
+    # min_word_count drops rare words identically on both tiers
+    want2 = bpe_learn(ray.data.from_arrow(t), n_merges=8,
+                      min_word_count=30)
+    got2 = bpe_learn_sharded(ray.data.from_arrow(t), n_merges=8,
+                             min_word_count=30, n_shards=3)
+    assert got2 == want2
+
+
 def test_union_by_name_schema_evolution(ray_session):
     """Union-by-name pads missing columns with NULL, widens int32 →
     int64 / float32 → float64, keeps first-seen column order, and
