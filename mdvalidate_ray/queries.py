@@ -5808,7 +5808,9 @@ def q21_waiting_supplier(sf_dir: str):
          ("numwait", pa.int64())]))
 
 
-def q22_idle_customers(sf_dir: str):
+def q22_idle_customers(sf_dir: str, *,
+                       broadcast_threshold: int = 50_000_000,
+                       n_parts: int = 16):
     """TPC-H Q22 shape: per 'country code' (the nationkey, over a fixed
     7-code IN list), count and total balance of customers whose balance
     exceeds the mean POSITIVE balance of the code pool (the scalar
@@ -5816,11 +5818,20 @@ def q22_idle_customers(sf_dir: str):
     float mean exists) and who placed NO order since 2000-01-01 — the
     NOT-EXISTS anti-join.  Scale plan: customer scans prune to 3
     columns with an in-batch code filter; the mean folds from one-row
-    per-batch (n_pos, Σ_pos) partials; the recent-buyer custkey set
-    (distinct, active-customer-bounded) broadcasts for an exact
-    per-batch anti-probe — past broadcast scale the same rows
-    co-partition through referential.exact_antijoin's bucket tier
-    (documented seam); ≤7-row per-batch partials fold once."""
+    per-batch (n_pos, Σ_pos) partials; the anti-join is TIERED on the
+    recent-buyer custkey count:
+
+    * ``<= broadcast_threshold`` — the distinct buyer set folds to the
+      driver and broadcasts for an exact per-batch anti-probe.
+    * larger — buyer keys NEVER fold: the rich-customer rows and the
+      per-batch-deduped buyer keys tagged-union on
+      ``hash(custkey) % n_parts`` (referential.exact_antijoin's bucket
+      shape with int keys); each bucket group anti-joins against its
+      sorted buyer slice and PRE-AGGREGATES to ≤7 (code, cnt, tot)
+      partials, so the final exchange is unchanged.  Both tiers are
+      bit-equal (test_q22_forced_copartition_tier_parity).
+
+    ≤7-row per-batch partials fold once."""
     import datetime
 
     import numpy as np
@@ -5832,17 +5843,22 @@ def q22_idle_customers(sf_dir: str):
     code_set = pa.array(codes, pa.int64())
     cutoff = datetime.datetime(2000, 1, 1)
 
-    buyers_parts = _read(sf_dir, "orders").select_columns(
+    buyers_ds = _read(sf_dir, "orders").select_columns(
         ["o_custkey", "o_orderdate"]).map_batches(
         lambda b: pa.table({"o_custkey": pa.array(np.unique(
             b.filter(pc.greater_equal(b.column("o_orderdate"),
                                       pa.scalar(cutoff)))
              .column("o_custkey").to_numpy(zero_copy_only=False)),
             pa.int64())}),
-        batch_format="pyarrow", zero_copy_batch=True).take_all()
-    buyers = np.unique(np.array(
-        [r["o_custkey"] for r in buyers_parts], dtype=np.int64))
-    buyers_ref = ray.put(buyers)
+        batch_format="pyarrow", zero_copy_batch=True).materialize()
+    n_buyer_rows = buyers_ds.count()
+    use_broadcast = n_buyer_rows <= broadcast_threshold
+    if use_broadcast:
+        buyers = np.unique(np.concatenate(
+            [blk.column("o_custkey").to_numpy(zero_copy_only=False)
+             for blk in buyers_ds.iter_batches(batch_format="pyarrow")
+             if blk.num_rows] or [np.zeros(0, dtype=np.int64)]))
+        buyers_ref = ray.put(buyers)
 
     def pool(b: pa.Table) -> pa.Table:
         b = b.filter(pc.is_in(pc.cast(b.column("c_nationkey"),
@@ -5873,16 +5889,8 @@ def q22_idle_customers(sf_dir: str):
                       "numcust": pa.array([], pa.int64()),
                       "totacctbal_c100": pa.array([], pa.int64())})
 
-    def partial(b: pa.Table) -> pa.Table:
-        bv = ray.get(buyers_ref)
-        bal = b.column("bal_c100").to_numpy(zero_copy_only=False)
-        keep = bal * n_pos > sum_pos
-        ck = b.column("c_custkey").to_numpy(zero_copy_only=False)
-        if len(bv):
-            pos = np.searchsorted(bv, ck)
-            pos[pos == len(bv)] = 0
-            keep &= bv[pos] != ck
-        b = b.filter(pa.array(keep))
+    def agg_partial(b: pa.Table) -> pa.Table:
+        """(cntrycode, bal_c100) rows → ≤7 (code, cnt, tot) partials."""
         if b.num_rows == 0:
             return empty
         code = b.column("cntrycode").to_numpy(zero_copy_only=False)
@@ -5897,9 +5905,69 @@ def q22_idle_customers(sf_dir: str):
                          "numcust": pa.array(cnt),
                          "totacctbal_c100": pa.array(tot)})
 
+    if use_broadcast:
+        def partial(b: pa.Table) -> pa.Table:
+            bv = ray.get(buyers_ref)
+            bal = b.column("bal_c100").to_numpy(zero_copy_only=False)
+            keep = bal * n_pos > sum_pos
+            ck = b.column("c_custkey").to_numpy(zero_copy_only=False)
+            if len(bv):
+                pos = np.searchsorted(bv, ck)
+                pos[pos == len(bv)] = 0
+                keep &= bv[pos] != ck
+            return agg_partial(b.filter(pa.array(keep)))
+
+        return bucketed_group_sum(
+            cust.map_batches(partial, batch_format="pyarrow",
+                             zero_copy_batch=True),
+            key="cntrycode", sum_cols=["numcust", "totacctbal_c100"],
+            n_parts=2)
+
+    # ---- co-partitioned tier: buyer keys never fold to the driver ----
+    def _bk(v: np.ndarray) -> pa.Array:
+        h = (v.astype(np.uint64)
+             * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)
+        return pa.array((h % np.uint64(n_parts)).astype(np.int64))
+
+    def tag_rich(b: pa.Table) -> pa.Table:
+        bal = b.column("bal_c100").to_numpy(zero_copy_only=False)
+        b = b.filter(pa.array(bal * n_pos > sum_pos))
+        ck = b.column("c_custkey").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "c_custkey": b.column("c_custkey"),
+            "cntrycode": b.column("cntrycode"),
+            "bal_c100": b.column("bal_c100"),
+            "_buyer": pa.array(np.zeros(b.num_rows, dtype=bool)),
+            "_bk": _bk(ck)})
+
+    def tag_buyer(b: pa.Table) -> pa.Table:
+        ck = b.column("o_custkey").to_numpy(zero_copy_only=False)
+        z = pa.array(np.zeros(len(ck), dtype=np.int64))
+        return pa.table({
+            "c_custkey": b.column("o_custkey"), "cntrycode": z,
+            "bal_c100": z,
+            "_buyer": pa.array(np.ones(len(ck), dtype=bool)),
+            "_bk": _bk(ck)})
+
+    def anti_agg(g: pa.Table) -> pa.Table:
+        is_b = g.column("_buyer").to_numpy(zero_copy_only=False)
+        bv = np.sort(g.column("c_custkey").to_numpy(
+            zero_copy_only=False)[is_b])
+        c = g.filter(pa.array(~is_b))
+        ck = c.column("c_custkey").to_numpy(zero_copy_only=False)
+        if len(bv):
+            pos = np.searchsorted(bv, ck)
+            pos[pos == len(bv)] = 0
+            c = c.filter(pa.array(bv[pos] != ck))
+        return agg_partial(c)
+
+    tagged = cust.map_batches(tag_rich, batch_format="pyarrow",
+                              zero_copy_batch=True).union(
+        buyers_ds.map_batches(tag_buyer, batch_format="pyarrow",
+                              zero_copy_batch=True))
     return bucketed_group_sum(
-        cust.map_batches(partial, batch_format="pyarrow",
-                         zero_copy_batch=True),
+        tagged.groupby("_bk").map_groups(anti_agg,
+                                         batch_format="pyarrow"),
         key="cntrycode", sum_cols=["numcust", "totacctbal_c100"],
         n_parts=2)
 

@@ -918,6 +918,28 @@ def test_priority_mad_forced_selection_tier_parity(ray_session):
     assert base.equals(forced) and len(base) > 0
 
 
+def test_q22_forced_copartition_tier_parity(ray_session):
+    """q22_idle_customers(broadcast_threshold=0) — the
+    buyer-set-exceeds-driver tier where recent-buyer keys co-partition
+    with the rich-customer rows instead of folding — is bit-equal to
+    the broadcast anti-probe tier at sf0.001."""
+    import os
+
+    import pytest
+
+    sf_dir = "/root/testdata/sf0.001"
+    if not os.path.isdir(sf_dir):
+        pytest.skip("testdata missing")
+    from mdvalidate_ray.queries import q22_idle_customers
+
+    base = q22_idle_customers(sf_dir).to_pandas() \
+        .sort_values("cntrycode").reset_index(drop=True)
+    forced = q22_idle_customers(sf_dir, broadcast_threshold=0,
+                                n_parts=5).to_pandas() \
+        .sort_values("cntrycode").reset_index(drop=True)
+    assert base.equals(forced) and len(base) > 0
+
+
 def test_resample_ffill_daily_matches_naive(ray_session):
     """Gap filling equals a naive per-user scan: multi-event days keep
     the (ts, tiebreak)-greatest value, gaps forward-fill to the next
