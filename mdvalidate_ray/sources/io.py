@@ -9,7 +9,11 @@ via :mod:`mdvalidate_ray.sources.lance_stub` (an API-compatible shim of
 the exact pylance surface Ray's LanceDatasource touches, injected as
 ``sys.modules["lance"]``); the Lance v2 columnar FORMAT itself is not
 reimplemented — running against real ``.lance`` data requires an
-environment with the actual wheel.
+environment with the actual wheel.  Round-5 decision (see
+``LANCE_DECISION.md`` at the repo root): Lance is dropped from the
+VERIFIED I/O contract — no wheel exists here and none can be installed —
+and this code path is kept prod-named and stub-pinned so a wheel-bearing
+environment needs zero code changes.
 Writers emit partition-keyed layouts for resumability
 (:mod:`mdvalidate_ray.pipelines.checkpoint`).
 """
