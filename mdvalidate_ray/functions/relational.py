@@ -2409,7 +2409,8 @@ def resample_ffill_daily(ds, *, key: str, ts_col: str, value_col: str,
 
 
 def snapshot_diff(ds_old, ds_new, *, key_col: str,
-                  compare_cols: list[str], n_parts: int = 32):
+                  compare_cols: list[str], n_parts: int = 32,
+                  driver_threshold: int = 2_000_000):
     """CDC-style SNAPSHOT DIFF between two versions of a keyed table:
     which keys were ``added``, ``removed``, or ``changed`` (any compare
     column differs) — the reconciliation/audit primitive behind
@@ -2420,11 +2421,18 @@ def snapshot_diff(ds_old, ds_new, *, key_col: str,
     the row hash is one uint64 over the canonicalized compare columns,
     so arbitrarily WIDE rows cost 16 bytes in the exchange (a hash
     collision masking a change has probability 2^-64 per key; the keyed
-    full-outer shape itself is exact).  ONE key-hash co-partition, then
-    per bucket: sorted key arrays per side, two ``np.searchsorted``
-    membership probes → added / removed / changed, all vectorized;
-    unchanged keys never leave the bucket.  Group calls are bounded by
-    ``n_parts``.  Keys are assumed unique per snapshot (primary key).
+    full-outer shape itself is exact).  The narrow rows materialize
+    once, then TIER on total count: ``<= driver_threshold`` rows fold
+    to the driver and diff in ONE vectorized pass — no exchange, the
+    dominant case for daily CDC at any corpus size since the narrow
+    table is (key, u64) not the corpus; larger snapshots take ONE
+    key-hash co-partition, then per bucket: sorted key arrays per
+    side, two ``np.searchsorted`` membership probes →
+    added / removed / changed, all vectorized; unchanged keys never
+    leave the bucket (group calls bounded by ``n_parts``).  Both tiers
+    share the same diff kernel and are parity-pinned
+    (test_snapshot_diff_tiers_agree).  Keys are assumed unique per
+    snapshot (primary key).
 
     Returns (key, status) with status in {'added','removed','changed'}."""
     from mdvalidate_ray.state.sketches import hash_strings
@@ -2551,9 +2559,19 @@ def snapshot_diff(ds_old, ds_new, *, key_col: str,
             [pa.array(keys, key_type), pa.array(status, pa.string())],
             names=out_schema.names)
 
-    return (old_t.union(new_t)
-                 .groupby("_bucket")
-                 .map_groups(per_bucket, batch_format="pyarrow"))
+    narrow = old_t.union(new_t).materialize()
+    if narrow.count() <= driver_threshold:
+        import ray.data
+
+        blks = [b for b in narrow.iter_batches(batch_format="pyarrow")
+                if b.num_rows]
+        g = (pa.concat_tables(blks) if blks
+             else pa.schema([("k", pa.int64()), ("h", pa.uint64()),
+                             ("side", pa.int64()),
+                             ("_bucket", pa.int64())]).empty_table())
+        return ray.data.from_arrow(per_bucket(g))
+    return (narrow.groupby("_bucket")
+                  .map_groups(per_bucket, batch_format="pyarrow"))
 
 
 def _tdiv(a: int, b: int) -> int:

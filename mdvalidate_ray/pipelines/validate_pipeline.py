@@ -125,15 +125,23 @@ def incremental_validate(old_docs, new_docs, *, schema_text: str,
 
     survivors = semi_join_keys(new_docs, todo, left_key=key,
                                right_key=key)
+    use_tasks = False
     if concurrency is None:
-        # size the evaluator pool to the CHANGE SET, not the machine:
-        # a 0.1%-changed snapshot should not pay a full actor-pool
-        # spin-up (the diff is materialized, so this count is free)
+        # size the evaluator stage to the CHANGE SET, not the machine
+        # (the diff is materialized, so this count is free): small
+        # change sets — the whole point of CDC — skip the actor pool
+        # entirely and run the kernel as warm tasks with the
+        # per-process compiled-schema cache; past that, a pool sized
+        # to the set
         n_todo = todo.count()
-        concurrency = (1, max(1, min(8, n_todo // 512 + 1)))
+        if n_todo <= 50_000:
+            use_tasks = True
+        else:
+            concurrency = (1, max(1, min(8, n_todo // 128 + 1)))
     validated = validate_dataset(survivors, schema_text,
                                  batch_size=batch_size,
-                                 concurrency=concurrency)
+                                 concurrency=concurrency,
+                                 use_tasks=use_tasks)
 
     # status ('added' vs 'changed') rides back via a broadcast map of
     # the todo keys — bounded by the CHANGE SET, not the corpus; at

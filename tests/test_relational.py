@@ -1024,6 +1024,49 @@ def test_snapshot_diff_statuses_and_string_keys(ray_session):
         "a": "removed", "b": "changed", "c": "added"}
 
 
+def test_snapshot_diff_tiers_agree(ray_session):
+    """driver_threshold=0 forces the co-partition exchange tier; the
+    default small-side driver tier must classify identically on the
+    same snapshots (both kernels share per_bucket), including an
+    empty-both-sides diff."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from mdvalidate_ray.functions.relational import snapshot_diff
+
+    rng = np.random.default_rng(67)
+    ko = np.arange(500, dtype=np.int64)
+    vo = rng.integers(0, 50, 500)
+    kn = np.concatenate([ko[ko % 9 != 0],            # some removed
+                         np.arange(500, 540)])       # some added
+    vn = np.concatenate([vo[ko % 9 != 0], rng.integers(0, 50, 40)])
+    vn = vn.copy()
+    vn[::13] += 100                                   # some changed
+    old = pa.table({"k": pa.array(ko), "v": pa.array(vo)})
+    new = pa.table({"k": pa.array(kn), "v": pa.array(vn)})
+
+    a = snapshot_diff(ray.data.from_arrow(old).repartition(4),
+                      ray.data.from_arrow(new).repartition(3),
+                      key_col="k", compare_cols=["v"]).to_pandas()
+    b = snapshot_diff(ray.data.from_arrow(old).repartition(4),
+                      ray.data.from_arrow(new).repartition(3),
+                      key_col="k", compare_cols=["v"],
+                      driver_threshold=0, n_parts=4).to_pandas()
+    am = dict(zip(a["k"].astype(int), a["status"]))
+    bm = dict(zip(b["k"].astype(int), b["status"]))
+    assert am == bm and len(am) > 0
+    assert set(am.values()) == {"added", "removed", "changed"}
+
+    empty = pa.table({"k": pa.array([], pa.int64()),
+                      "v": pa.array([], pa.int64())})
+    for thr in (0, 10**6):
+        got = snapshot_diff(ray.data.from_arrow(empty),
+                            ray.data.from_arrow(empty), key_col="k",
+                            compare_cols=["v"], driver_threshold=thr)
+        assert got.count() == 0
+
+
 def test_grouped_ols_matches_numpy_and_handles_degenerates(ray_session):
     """Exact-rational grouped OLS equals np.polyfit (to scaled-int
     truncation), negative slopes truncate toward zero like DuckDB //,
