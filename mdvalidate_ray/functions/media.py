@@ -1100,8 +1100,10 @@ def synth_media_batch(asset_ids: list[str], mimes: list[str],
     codecs (``image/png`` → genuine PNG, ``image/bmp`` → genuine BMP,
     ``audio/wav`` → genuine RIFF/WAVE PCM16, ``image/qoi`` → genuine
     QOI, ``image/gif`` → genuine animated GIF, ``image/jpeg`` → genuine
-    baseline JFIF) and the 10-byte-magic fake format for the one stubbed
-    mime (mp4)."""
+    baseline JFIF, ``video/mp4`` → real ISO-BMFF container with opaque
+    samples, ``video/mjpeg`` → real ISO-BMFF container whose samples
+    are genuine baseline JPEG frames) and the 10-byte-magic fake format
+    for anything else."""
     payloads = []
     for aid, mime in zip(asset_ids, mimes):
         # crc32, not builtin hash(): hash() is randomized per process
@@ -1149,6 +1151,23 @@ def synth_media_batch(asset_ids: list[str], mimes: list[str],
                       for _ in range(n_frames)]
             # alternate single- and multi-chunk layouts so both stsc
             # shapes exist in every corpus
+            spc = 2 if rng.integers(0, 2) else 0
+            payloads.append(mp4_encode(frames, w, h,
+                                       samples_per_chunk=spc))
+        elif mime == "video/mjpeg":
+            # MJPEG-in-MP4: every sample is a REAL baseline JPEG frame
+            # — the plausible real container shape that decodes end to
+            # end through the demux + pure-Python JPEG codec
+            n_frames = int(rng.integers(3, 7))
+            w = int(rng.integers(16, 33)) & ~7 or 16
+            h = int(rng.integers(16, 33)) & ~7 or 16
+            yy, xx = np.mgrid[0:h, 0:w]
+            frames = []
+            for fi in range(n_frames):
+                base = np.stack([(yy * 3 + xx + 7 * fi) % 256,
+                                 (xx * 2 + fi) % 256,
+                                 ((xx + yy) * 2) % 256], axis=2)
+                frames.append(jpeg_encode(base.astype(np.uint8)))
             spc = 2 if rng.integers(0, 2) else 0
             payloads.append(mp4_encode(frames, w, h,
                                        samples_per_chunk=spc))
@@ -1339,10 +1358,19 @@ class ResizeStage:
                     out.append(gif_encode(resized))
                     continue
                 if payload[4:8] == b"ftyp":
-                    # container-level resize: samples are opaque (no
-                    # bitstream decode), so rewrite the declared track
-                    # dims — the honest MP4 analog of a resize stage
                     _w0, _h0, frames = mp4_demux(payload)
+                    if frames and all(f[:2] == b"\xff\xd8"
+                                      for f in frames):
+                        # MJPEG-in-MP4: the samples ARE baseline JPEG —
+                        # real per-frame decode → nearest resize →
+                        # re-encode through the pure-Python codec
+                        frames = [jpeg_encode(np.stack([
+                            _resize_nearest(a[..., c], self.w, self.h)
+                            for c in range(a.shape[2])], axis=2))
+                            for a in map(jpeg_decode, frames)]
+                    # else container-level resize: samples are opaque
+                    # (no bitstream decode), so rewrite the declared
+                    # track dims — the honest MP4 analog of a resize
                     out.append(mp4_encode(frames, self.w, self.h))
                     continue
                 if payload[:len(_MAGIC)] != _MAGIC:
@@ -1386,10 +1414,12 @@ class FrameSampleStage:
     Animated GIF: REAL demux — frames decode from genuine LZW bytes and
     every ``stride``-th one re-encodes as a standalone PNG row.  MP4:
     REAL ISO-BMFF demux — per-sample payloads slice straight out of mdat
-    via the stsz/stsc/stco tables (the samples stay opaque bytes; a
-    bitstream decoder like pyav would slot in right after the slice).
-    Fake container: the body is treated as concatenated fixed-size
-    frames.  Anything else raises in strict mode."""
+    via the stsz/stsc/stco tables; MJPEG samples (baseline JPEG SOI)
+    then pay a REAL frame decode through the pure-Python JPEG codec and
+    emit PNG rows — the full container→codec chain; other sample
+    formats stay opaque bytes (an H.26x decoder would slot in at the
+    same seam).  Fake container: the body is treated as concatenated
+    fixed-size frames.  Anything else raises in strict mode."""
 
     def __init__(self, stride: int = 2, strict: bool = True):
         assert stride >= 1
@@ -1417,7 +1447,14 @@ class FrameSampleStage:
                 for j in range(0, len(samples), self.stride):
                     ids.append(aid)
                     idxs.append(j)
-                    frames.append(samples[j])
+                    if samples[j][:2] == b"\xff\xd8":
+                        # MJPEG-in-MP4: real frame codec behind the
+                        # demux — decode the baseline JPEG sample and
+                        # emit a standalone PNG row (same output
+                        # convention as the GIF branch)
+                        frames.append(png_encode(jpeg_decode(samples[j])))
+                    else:
+                        frames.append(samples[j])
                 continue
             if payload[:len(_MAGIC)] != _MAGIC:
                 if self.strict:

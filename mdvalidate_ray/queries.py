@@ -1485,15 +1485,19 @@ def media_frames(sf_dir: str):
 
     n = _docs_count(sf_dir)
     assets = assets_table(n)
-    # remap the jpeg slice to animated GIF so the real multi-frame codec
-    # path is exercised next to the fake mp4 container
-    mimes = ["image/gif" if m == "image/jpeg" else m
+    # remap the jpeg slice to animated GIF and the png slice to
+    # MJPEG-in-MP4 so all three REAL multi-frame paths run side by
+    # side: GIF (LZW frame decode), opaque-sample MP4 (pure demux),
+    # and MJPEG MP4 (demux + real baseline-JPEG frame decode)
+    remap = {"image/jpeg": "image/gif", "image/png": "video/mjpeg"}
+    mimes = [remap.get(m, m)
              for m in assets.column("mime").to_pylist()[:100]]
     media = synth_media_batch(assets.column("asset_id").to_pylist()[:100],
                               mimes)
     media = media.filter(pc.is_in(media.column("mime"),
                                   value_set=pa.array(["video/mp4",
-                                                      "image/gif"])))
+                                                      "image/gif",
+                                                      "video/mjpeg"])))
     ds = resize_media(ray.data.from_arrow(media), width=16, height=16)
     frames = sample_frames(ds, stride=2)
 

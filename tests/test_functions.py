@@ -2338,6 +2338,58 @@ def test_mp4_in_synth_batch_and_media_pipeline(ray_session):
     assert len(decoded) == 20 and all(r["ok"] for r in decoded)
 
 
+def test_mjpeg_in_mp4_decodes_end_to_end(ray_session):
+    """MJPEG-in-MP4: ISO-BMFF demux + REAL baseline-JPEG frame decode.
+    FrameSampleStage emits decodable PNG rows whose pixels match the
+    original JPEG frames' decode; ResizeStage re-encodes every sample
+    at the new dims; synth 'video/mjpeg' payloads ride the full
+    media_frames pipeline."""
+    import numpy as np
+
+    from mdvalidate_ray.functions.media import (FrameSampleStage,
+                                                ResizeStage, jpeg_decode,
+                                                jpeg_encode, mp4_demux,
+                                                mp4_encode, png_decode,
+                                                synth_media_batch)
+
+    # hand-built MJPEG container: 5 gradient frames
+    yy, xx = np.mgrid[0:24, 0:16]
+    frames = [jpeg_encode(np.stack(
+        [(yy * 3 + xx + 9 * i) % 256, (xx * 2) % 256,
+         ((xx + yy) * 2 + i) % 256], axis=2).astype(np.uint8))
+        for i in range(5)]
+    payload = mp4_encode(frames, 16, 24, samples_per_chunk=2)
+    tbl = pa.Table.from_arrays(
+        [pa.array(["mj0"]), pa.array(["video/mjpeg"]),
+         pa.array([payload], pa.binary())],
+        names=["asset_id", "mime", "payload"])
+
+    fs = FrameSampleStage(stride=2, strict=True)(tbl)
+    assert fs.column("frame_index").to_pylist() == [0, 2, 4]
+    for row, j in zip(fs.column("frame").to_pylist(), (0, 2, 4)):
+        got = png_decode(row)                 # PNG row, real pixels
+        want = jpeg_decode(frames[j])
+        assert got.shape == (24, 16, 3)
+        assert np.array_equal(got, want), j
+
+    res = ResizeStage(width=16, height=16, strict=True)(tbl)
+    w2, h2, samples = mp4_demux(res.column("payload").to_pylist()[0])
+    assert (w2, h2) == (16, 16) and len(samples) == 5
+    for s in samples:                         # re-encoded real JPEGs
+        assert s[:2] == b"\xff\xd8"
+        assert jpeg_decode(s).shape == (16, 16, 3)
+
+    # synth mime is deterministic and demux-consistent
+    ids = [f"mj-{i:02d}" for i in range(8)]
+    t1 = synth_media_batch(ids, ["video/mjpeg"] * 8)
+    assert t1.equals(synth_media_batch(ids, ["video/mjpeg"] * 8))
+    for p in t1.column("payload").to_pylist():
+        w, h, fr = mp4_demux(p)
+        assert all(f[:2] == b"\xff\xd8" for f in fr)
+        for f in fr:
+            assert jpeg_decode(f).shape == (h, w, 3)
+
+
 def test_dsir_weights_edge_docs_and_sign(ray_session):
     """DSIR: empty/whitespace docs are dropped; target-typical tokens
     score higher than off-target tokens; per-doc sum is exact."""
