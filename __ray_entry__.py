@@ -106,11 +106,14 @@ def _queries_raw() -> dict[str, Callable[[str], Any]]:
         # selection, snapshot diff). Previously driver-green entries
         # moved below the window; full-catalog evidence lives in
         # SWEEP_r{N}.json. ---
+        # (round 5: planted_skew_salted — the forced-salting evidence
+        # query — rotates INTO the window; supplier_moving_qty, r4
+        # driver-green, moves below.)
         "validate_verdicts": Q.validate_verdicts,
         "validate_violations": Q.validate_violations,
         "curation_funnel": Q.curation_funnel,
         "violation_report": Q.violation_report,
-        "supplier_moving_qty": Q.supplier_moving_qty,
+        "planted_skew_salted": Q.planted_skew_salted,
         "q7_nation_volume": Q.q7_nation_volume,
         "q9_profit_by_nation_year": Q.q9_profit_by_nation_year,
         "q13_order_count_distribution": Q.q13_order_count_distribution,
@@ -157,6 +160,7 @@ def _queries_raw() -> dict[str, Callable[[str], Any]]:
         "ngram_contamination": Q.ngram_contamination,
         "lineitem_zorder_pruned": Q.lineitem_zorder_pruned,
         # --- end of driver window (first 50) ---
+        "supplier_moving_qty": Q.supplier_moving_qty,
         "custkey_skew": Q.custkey_skew,
         "k_anonymity_violations": Q.k_anonymity_violations,
         "mmr_picks": Q.mmr_picks,
@@ -1406,6 +1410,14 @@ def oracle_sql() -> dict[str, str]:
                     WHERE r1.r <= d.depth AND r2.r <= d.depth)::BIGINT
                        AS n_overlap
             FROM d
+        """,
+        "planted_skew_salted": """
+            SELECT k, cnt FROM (
+                SELECT CASE WHEN o_orderkey % 3 <> 0 THEN 0
+                            ELSE o_custkey END::BIGINT AS k,
+                       count(*)::BIGINT AS cnt
+                FROM orders GROUP BY 1 HAVING count(*) > 1
+            ) ORDER BY cnt DESC, k LIMIT 20
         """,
         "custkey_skew": """
             WITH c AS (

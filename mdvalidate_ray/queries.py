@@ -7098,6 +7098,58 @@ def custkey_skew(sf_dir: str):
                                   pa.int64())})
 
 
+def planted_skew_salted(sf_dir: str):
+    """Skew-SALTING evidence on a PLANTED hot key: two thirds of
+    orders rows collapse onto partition key 0 (the remainder keep
+    their custkey), and the query must (a) catch the hot key with the
+    sampled-histogram detector (stages/skew.detect_hot_keys — the
+    SURVEY §4 north-star) and (b) aggregate through the SALTED
+    duplicate-scan plan (uniqueness.duplicate_keys(salt_buckets=N):
+    key-independent salt before the shuffle, unsalt by a second fold)
+    — the function RAISES if detection misses or salting does not
+    engage, so a green driver row proves the salted path executed on
+    real skew.  Output: top-20 duplicated keys by (count desc, key
+    asc) — exact SQL twin."""
+    import numpy as np
+
+    from mdvalidate_ray.functions.relational import topk_table
+    from mdvalidate_ray.stages.skew import detect_hot_keys
+    from mdvalidate_ray.stages.uniqueness import duplicate_keys
+
+    def plant(b: pa.Table) -> pa.Table:
+        k = b.column("o_orderkey").to_numpy(zero_copy_only=False)
+        c = b.column("o_custkey").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        return pa.table({"k": pa.array(np.where(k % 3 != 0, 0, c))})
+
+    # one narrow int64 column: materialize so the detector pass and the
+    # salted aggregate read the same plasma blocks instead of
+    # re-deriving (8 B/row — object-store-bounded at any corpus size)
+    planted = _read(sf_dir, "orders").select_columns(
+        ["o_orderkey", "o_custkey"]).map_batches(
+        plant, batch_format="pyarrow", zero_copy_batch=True) \
+        .materialize()
+    n_rows = planted.count()
+    # the planted key holds ~2/3 of all rows; a >10%-of-rows threshold
+    # flags it at every scale with a 6x noise margin while staying far
+    # above any natural custkey
+    hot = detect_hot_keys(planted, "k",
+                          hot_threshold=max(50, n_rows // 10))
+    if "0" not in hot:
+        raise RuntimeError(
+            f"sampled-histogram detector missed the planted hot key "
+            f"(found {hot!r})")
+    salt_buckets = max(8, min(64, 8 * len(hot)))
+    dups = duplicate_keys(planted, "k", salt_buckets=salt_buckets)
+    top = topk_table(dups, 20, [("cnt", "descending"),
+                                ("k", "ascending")])
+    idx = pc.sort_indices(top, sort_keys=[("cnt", "descending"),
+                                          ("k", "ascending")])
+    out = top.take(idx.slice(0, min(20, top.num_rows)))
+    return pa.table({"k": out.column("k").cast(pa.int64()),
+                     "cnt": out.column("cnt").cast(pa.int64())})
+
+
 def ranking_overlap(sf_dir: str):
     """Rank-agreement profile between two rankings of the SAME user
     population — top-20 by total event value vs top-20 by event count:
