@@ -123,3 +123,87 @@ def test_job_entrypoint_runs_and_resumes(ray_session, tmp_path):
     p2 = subprocess.run(cmd, capture_output=True, text=True, timeout=300)
     rep2 = json.loads(p2.stdout.strip().splitlines()[-1])
     assert rep2 == rep                     # resume: identical report
+
+
+def test_job_chaos_kill_midrun_resume_equals_fresh(ray_session, tmp_path):
+    """B7 at JOB scope: SIGKILL the validate_job subprocess after the
+    manifest shows the first partition done (a real mid-run crash, not
+    a simulated max_partitions cut), re-run the same command to
+    completion, and prove the resumed output equals a fresh
+    uninterrupted run — identical global report, identical sorted
+    verdict rows, identical per-partition manifest lineage+metrics."""
+    import json
+    import signal
+    import subprocess
+    import sys
+    import time
+    from pathlib import Path
+
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from mdvalidate_ray.corpus import assets_table, ray_documents
+
+    corpus = tmp_path / "corpus"
+    ray_documents(1500, override_num_blocks=6).write_parquet(str(corpus))
+    pq.write_table(assets_table(1500), str(tmp_path / "assets.parquet"))
+    job = Path(__file__).resolve().parents[1] / "jobs" / "validate_job.py"
+
+    def cmd(out):
+        return [sys.executable, str(job), "--input", str(corpus),
+                "--assets", str(tmp_path / "assets.parquet"),
+                "--output", str(out), "--partitions", "6",
+                "--local-cpus", "4"]
+
+    out_kill = tmp_path / "killed"
+    manifest = out_kill / "manifest.jsonl"
+    proc = subprocess.Popen(cmd(out_kill), stdout=subprocess.PIPE,
+                            stderr=subprocess.PIPE)
+    killed_mid = False
+    deadline = time.time() + 240
+    while time.time() < deadline and proc.poll() is None:
+        if manifest.exists():
+            lines = [l for l in manifest.read_text().splitlines() if l]
+            if lines:                     # >=1 partition durable: crash
+                if len(lines) < 6:
+                    killed_mid = True
+                proc.send_signal(signal.SIGKILL)
+                break
+        time.sleep(0.05)
+    proc.wait(timeout=60)
+    assert killed_mid, "job finished before the kill landed; " \
+        "raise partition count"
+    n_done = len([l for l in manifest.read_text().splitlines() if l])
+    assert 1 <= n_done < 6
+
+    # resume after the crash: finished partitions skip, the rest run
+    pr = subprocess.run(cmd(out_kill), capture_output=True, text=True,
+                        timeout=300)
+    rep_resumed = json.loads(pr.stdout.strip().splitlines()[-1])
+
+    # fresh uninterrupted run for the equality target
+    out_full = tmp_path / "full"
+    pf = subprocess.run(cmd(out_full), capture_output=True, text=True,
+                        timeout=300)
+    rep_full = json.loads(pf.stdout.strip().splitlines()[-1])
+
+    assert rep_resumed == rep_full and rep_full["complete"]
+    assert rep_full["rows"] == 1500
+
+    def verdict_rows(out):
+        ds = ray.data.read_parquet(str(Path(out) / "verdicts"))
+        return sorted((r["doc_id"], r["passed"], r["captures"],
+                       r["n_violations"]) for r in ds.take_all())
+
+    assert verdict_rows(out_kill) == verdict_rows(out_full)
+
+    def manifest_recs(out):
+        recs = [json.loads(l) for l in
+                (Path(out) / "manifest.jsonl").read_text().splitlines()
+                if l]
+        keep = ("partition_id", "lineage", "rows", "status",
+                "n_passed", "n_violations", "hll", "kll")
+        return sorted(({k: r.get(k) for k in keep} for r in recs),
+                      key=lambda r: r["partition_id"])
+
+    assert manifest_recs(out_kill) == manifest_recs(out_full)
