@@ -222,6 +222,19 @@ QUERY_NAMES = [
     "quality_classifier", "events_trend_mk", "orders_priority_mad",
     "kcenter_picks", "price_eqdepth_hist", "order_discount_proration",
     "user_type_scd2", "star_join_checksum",
+    # round-5 additions
+    "planted_skew_salted",
+]
+
+# the document-family queries for the 10x bench tier (--tier10x): the
+# most expensive catalog entries whose ONLY input is documents.parquet,
+# so a replicated 10x documents table scales them honestly (fact tables
+# can't be replicated without inventing foreign-key structure)
+TIER10X_QUERIES = [
+    "incremental_revalidation", "violation_report", "curation_funnel",
+    "lang_confusion", "minhash_pairs", "segment_dedup_docs",
+    "bpe_token_stats", "dsir_weights", "lm_perplexity_buckets",
+    "doc_frequency",
 ]
 
 
@@ -405,6 +418,87 @@ def _scaling_pair(lo: int, hi: int, num_docs: int) -> dict:
     }
 
 
+def ensure_tier10x_sf(base_sf: str) -> str:
+    """A 10x-scale sf dir for the document-family queries: the base
+    documents table replicated 10 times with doc_id offsets (text
+    payloads repeat — volume scales, vocabulary doesn't, which slightly
+    UNDERSTATES tokenizer-table costs and is noted in BASELINE.md)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    path = "/tmp/mdv_tier10x_sf"
+    marker = os.path.join(path, "_DONE")
+    if os.path.exists(marker):
+        return path
+    os.makedirs(path, exist_ok=True)
+    base = pq.read_table(os.path.join(base_sf, "documents.parquet"))
+    n = base.num_rows
+    copies = []
+    for k in range(10):
+        t = base
+        idx = t.schema.get_field_index("doc_id")
+        t = t.set_column(idx, "doc_id",
+                         pc.add(t.column("doc_id"), k * n))
+        copies.append(t)
+    big = pa.concat_tables(copies)
+    pq.write_table(big, os.path.join(path, "documents.parquet"),
+                   row_group_size=20_000)
+    with open(marker, "w") as f:
+        f.write(str(big.num_rows))
+    log(f"tier10x sf dir: {big.num_rows} docs -> {path}")
+    return path
+
+
+def main_tier10x() -> dict:
+    """The 10x bench tier (VERDICT r4 #5): the fused headline suite at
+    10^7 docs (10x the headline corpus — past page-cache comfort, so
+    block sizing and object-store spill behavior are actually
+    exercised) with per-phase worker-seconds, plus the 10 most
+    expensive document-family catalog queries over a 10x-replicated
+    documents table."""
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             logging_level="ERROR")
+    _quiet_data_context()
+    _pin_fsspec_http_stub()
+    try:
+        import pyarrow.parquet as pq
+
+        base_rows = pq.ParquetFile(
+            f"{SF_DIR}/documents.parquet").metadata.num_rows
+        num_docs = base_rows * DOCS_MULTIPLIER * 10
+        ensure_corpus(num_docs)
+        headline = run_headline(num_docs, NUM_CPUS)
+
+        tier_sf = ensure_tier10x_sf(SF_DIR)
+        import __ray_entry__ as entrymod
+
+        fns = entrymod.queries()
+        queries = {}
+        for name in TIER10X_QUERIES:
+            t0 = time.monotonic()
+            res = fns[name](tier_sf)
+            if hasattr(res, "count") and not hasattr(res, "num_rows"):
+                res.count()
+            queries[name] = round(time.monotonic() - t0, 3)
+            log(f"tier10x query {name}: {queries[name]}s")
+        return {
+            "metric": "10x tier: fused suite at 10^7 docs "
+                      "+ doc-family queries at 10x documents",
+            "value": headline["wall_sec"],
+            "unit": "sec",
+            "docs_per_sec": headline["docs_per_sec"],
+            "headline_10x": headline,
+            "queries_10x_docs": queries,
+            "sf": SF_DIR,
+            "num_cpus": NUM_CPUS,
+        }
+    finally:
+        ray.shutdown()
+
+
 def main_scaling(pairs: "list[tuple[int, int]] | None" = None) -> dict:
     """Fresh process per parallelism level, same cached corpus.
 
@@ -486,6 +580,14 @@ if __name__ == "__main__":
             "MDV_BENCH_HEADLINE",
             os.path.join(os.path.dirname(os.path.abspath(__file__)),
                          "BENCH_SCALING_LATEST.json"))
+        _persist_headline(out)
+        print(json.dumps(out))
+    elif "--tier10x" in sys.argv:
+        out = main_tier10x()
+        os.environ.setdefault(
+            "MDV_BENCH_HEADLINE",
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "BENCH_TIER10X_LATEST.json"))
         _persist_headline(out)
         print(json.dumps(out))
     elif "--headline-only" in sys.argv:
