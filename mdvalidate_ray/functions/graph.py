@@ -665,24 +665,30 @@ def k_core(edges_ds, *, k: int, col_a: str = "u", col_b: str = "v",
 
 def bfs_hops(edges_ds, *, seed: int, col_a: str = "u", col_b: str = "v",
              max_rounds: int = 6, local_threshold: int = 2_000_000,
-             n_parts: int = 32) -> pa.Table:
+             n_parts: int = 32,
+             broadcast_threshold: int = 100_000_000) -> pa.Table:
     """Unweighted single-source shortest hop counts — frontier-expansion
     BFS over an undirected edge set: ``(node, hops)`` for every node
     reachable from ``seed`` within ``max_rounds`` hops (the seed itself
     at 0).  The reachability / blast-radius primitive alongside
     PageRank (influence), k-core (density) and components (identity).
 
-    Per round the (sorted nodes, dist) state broadcasts ONCE
-    (``ray.put`` of two numpy arrays); one vectorized pass over the
-    cached edge blocks emits each block's newly-reached nodes
-    (``searchsorted`` gather — edges never re-shuffle, rounds =
-    O(diameter) ≤ max_rounds); the driver unions ≤ |new nodes| ids.
-    In-process tier below ``local_threshold`` symmetrized edges (the
-    connected_components tradeoff: per-round Dataset/task launches
-    dominate small graphs).  Broadcast ceiling and the partitioned
-    alternative are the same as documented on connected_components —
-    the frontier co-partitions with edges by hash(node) past ~10⁸
-    nodes."""
+    THREE tiers on graph size:
+
+    * ``<= local_threshold`` symmetrized edges — fully in-process (the
+      connected_components tradeoff: per-round Dataset/task launches
+      dominate small graphs).
+    * above that — per round the (sorted nodes, dist) state broadcasts
+      ONCE (``ray.put`` of two numpy arrays); one vectorized pass over
+      the cached edge blocks emits each block's newly-reached nodes
+      (``searchsorted`` gather — edges never re-shuffle, rounds =
+      O(diameter) ≤ max_rounds); the driver unions ≤ |new nodes| ids.
+    * node set past ``broadcast_threshold`` — NOTHING node-sized on the
+      driver: the (node, dist) state stays a Dataset, and each round is
+      two co-partitioned exchanges — frontier⋈edges on ``hash(src)``
+      (expand) then candidates anti-join the visited set on
+      ``hash(node)`` (dedup) — the k_core frontier shape.  All tiers
+      bit-equal (test_bfs_forced_copartition_tier_parity)."""
     import ray
 
     def sym(b: pa.Table) -> pa.Table:
@@ -728,7 +734,7 @@ def bfs_hops(edges_ds, *, seed: int, col_a: str = "u", col_b: str = "v",
             if len(new) == 0:
                 break
             dist[new] = r + 1
-    else:
+    elif n_edges <= broadcast_threshold:
         refs = edges.to_arrow_refs()
         # node vector from per-block unique partials: only node-sized
         # arrays reach the driver, never edge blocks (src set == node
@@ -752,11 +758,125 @@ def bfs_hops(edges_ds, *, seed: int, col_a: str = "u", col_b: str = "v",
             if len(new) == 0:
                 break
             dist[new] = r + 1
+    else:
+        return _bfs_copartition(edges, seed=seed,
+                                max_rounds=max_rounds, n_parts=n_parts)
     mask = dist >= 0
     return pa.Table.from_arrays(
         [pa.array(nodes[mask], pa.int64()),
          pa.array(dist[mask], pa.int64())],
         names=["node", "hops"])
+
+
+def _bfs_copartition(edges, *, seed: int, max_rounds: int,
+                     n_parts: int) -> pa.Table:
+    """bfs_hops' past-the-driver-budget tier: the (node, dist) state
+    stays a Dataset; per round ONE hash(src) co-partition expands the
+    frontier against the symmetric edge list and ONE hash(node)
+    co-partition anti-joins the candidates against the visited set —
+    nothing node-sized ever folds to the driver (the final collect is
+    the RESULT, which the caller asked for in table form)."""
+    import ray.data
+
+    def bk(v: np.ndarray) -> pa.Array:
+        h = (v.astype(np.uint64)
+             * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)
+        return pa.array((h % np.uint64(n_parts)).astype(np.int64))
+
+    dist_schema = pa.schema([("node", pa.int64()), ("dist", pa.int64())])
+    dist_ds = ray.data.from_arrow(pa.table(
+        {"node": pa.array([int(seed)], pa.int64()),
+         "dist": pa.array([0], pa.int64())})).materialize()
+
+    def tag_edges(b: pa.Table) -> pa.Table:
+        s = b.column("src").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "src": b.column("src"), "dst": b.column("dst"),
+            "_f": pa.array(np.zeros(b.num_rows, dtype=bool)),
+            "_bk": bk(s)})
+
+    def tag_frontier(b: pa.Table) -> pa.Table:
+        v = b.column("node").to_numpy(zero_copy_only=False)
+        z = pa.array(np.zeros(len(v), dtype=np.int64))
+        return pa.table({"src": b.column("node"), "dst": z,
+                         "_f": pa.array(np.ones(len(v), dtype=bool)),
+                         "_bk": bk(v)})
+
+    def expand(g: pa.Table) -> pa.Table:
+        is_f = g.column("_f").to_numpy(zero_copy_only=False)
+        fr = np.sort(g.column("src").to_numpy(
+            zero_copy_only=False)[is_f])
+        if len(fr) == 0:
+            return pa.schema([("node", pa.int64())]).empty_table()
+        e = g.filter(pa.array(~is_f))
+        s = e.column("src").to_numpy(zero_copy_only=False)
+        i = np.searchsorted(fr, s)
+        hit = (i < len(fr)) & (fr[np.minimum(i, len(fr) - 1)] == s)
+        d = e.column("dst").to_numpy(zero_copy_only=False)[hit]
+        return pa.table({"node": pa.array(np.unique(d))})
+
+    def tag_cand(b: pa.Table) -> pa.Table:
+        v = b.column("node").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "node": b.column("node"),
+            "_seen": pa.array(np.zeros(len(v), dtype=bool)),
+            "_bk": bk(v)})
+
+    def tag_seen(b: pa.Table) -> pa.Table:
+        v = b.column("node").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "node": b.column("node"),
+            "_seen": pa.array(np.ones(len(v), dtype=bool)),
+            "_bk": bk(v)})
+
+    for r in range(max_rounds):
+        frontier = dist_ds.filter(expr=f"dist == {r}").materialize()
+        if frontier.count() == 0:
+            break
+        cand = edges.map_batches(
+            tag_edges, batch_format="pyarrow",
+            zero_copy_batch=True).union(
+            frontier.select_columns(["node"]).map_batches(
+                tag_frontier, batch_format="pyarrow",
+                zero_copy_batch=True)) \
+            .groupby("_bk").map_groups(expand, batch_format="pyarrow")
+
+        rr = r + 1
+
+        def anti(g: pa.Table, rr=rr) -> pa.Table:
+            seen_m = g.column("_seen").to_numpy(zero_copy_only=False)
+            seen = np.sort(g.column("node").to_numpy(
+                zero_copy_only=False)[seen_m])
+            c = np.unique(g.column("node").to_numpy(
+                zero_copy_only=False)[~seen_m])
+            if len(seen):
+                i = np.searchsorted(seen, c)
+                hit = (i < len(seen)) & \
+                    (seen[np.minimum(i, len(seen) - 1)] == c)
+                c = c[~hit]
+            return pa.table({"node": pa.array(c),
+                             "dist": pa.array(np.full(
+                                 len(c), rr, dtype=np.int64))},
+                            schema=dist_schema)
+
+        new = cand.map_batches(tag_cand, batch_format="pyarrow",
+                               zero_copy_batch=True).union(
+            dist_ds.select_columns(["node"]).map_batches(
+                tag_seen, batch_format="pyarrow",
+                zero_copy_batch=True)) \
+            .groupby("_bk").map_groups(anti, batch_format="pyarrow") \
+            .materialize()
+        if new.count() == 0:
+            break
+        dist_ds = dist_ds.union(new).materialize()
+
+    blks = [b for b in dist_ds.iter_batches(batch_format="pyarrow")
+            if b.num_rows]
+    out = pa.concat_tables(blks) if blks else dist_schema.empty_table()
+    idx = pc.sort_indices(out, sort_keys=[("node", "ascending")])
+    out = out.take(idx)
+    return pa.Table.from_arrays(
+        [out.column("node"), out.column("dist")], names=["node", "hops"])
 
 
 def bellman_ford_costs(edges_ds, *, seed: int, col_a: str = "u",

@@ -8477,6 +8477,55 @@ def orders_priority_mad(sf_dir: str, *, force_selection: bool = False):
         .groupby("_b").map_groups(fold, batch_format="pyarrow")
 
 
+def _strict_inversions(c) -> int:
+    """#{i<j : c_i > c_j} in O(n log² n): divide-and-conquer with a
+    vectorized ``searchsorted`` cross count per merge level (each
+    level's halves are already sorted, so cross-half inversions are
+    one batched binary search — no per-pair work, no Python inner
+    loop)."""
+    import numpy as np
+
+    c = np.asarray(c, dtype=np.int64)
+
+    def rec(a: np.ndarray) -> tuple[int, np.ndarray]:
+        n = len(a)
+        if n <= 1:
+            return 0, a
+        m = n // 2
+        il, left = rec(a[:m])
+        ir, right = rec(a[m:])
+        # pairs (i in left, j in right) with left_i > right_j
+        cross = int(np.searchsorted(right, left, side="left").sum())
+        merged = np.concatenate([left, right])
+        merged.sort(kind="stable")
+        return il + ir + cross, merged
+
+    return rec(c)[0]
+
+
+def mann_kendall_s(c) -> int:
+    """Exact Mann–Kendall ``S = Σ_{i<j} sign(c_j − c_i)`` — TIERED on
+    length: the O(n²) vectorized pairwise sign matrix below 2048
+    points, the O(n log² n) inversion-count identity above it
+    (``S = pairs_total − pairs_tied − 2·inversions`` — the promoted
+    form of the seam events_trend_mk's docstring used to name; both
+    tiers bit-equal, pinned by test_mann_kendall_inversion_tier)."""
+    import numpy as np
+
+    c = np.asarray(c, dtype=np.int64)
+    n = len(c)
+    if n < 2:
+        return 0
+    if n < 2048:
+        diff = np.sign(c[None, :] - c[:, None])
+        return int(np.triu(diff, k=1).sum())
+    _, ties = np.unique(c, return_counts=True)
+    t = ties.astype(np.int64)
+    pairs_total = n * (n - 1) // 2
+    pairs_tied = int((t * (t - 1) // 2).sum())
+    return pairs_total - pairs_tied - 2 * _strict_inversions(c)
+
+
 def events_trend_mk(sf_dir: str):
     """Per-event-type Mann–Kendall trend statistic over the daily
     rollup — the nonparametric monotone-trend monitor (Mann 1945,
@@ -8485,10 +8534,10 @@ def events_trend_mk(sf_dir: str):
     ``var18 = n(n−1)(2n+5) − Σ_t t(t−1)(2t+5)`` (18·Var(S)) — no float
     anywhere, so the self-join SQL twin is bit-identical.  Scale plan:
     identical to events_daily_outliers — the rollup's combiner pipeline
-    bounds the exchange at types×days partials; the O(days²)-per-type
-    pairwise fold runs vectorized on the driver over those rows (at
-    10⁶ days per type, switch to the O(n log n) inversion-count form —
-    S = P − Q is computable from a merge sort; documented seam)."""
+    bounds the exchange at types×days partials; the per-type fold runs
+    on the driver over those rows through :func:`mann_kendall_s`, which
+    switches from the O(n²) sign matrix to the O(n log² n)
+    inversion-count form past 2048 days (both tiers parity-pinned)."""
     import numpy as np
 
     daily = events_daily(sf_dir)
@@ -8501,8 +8550,7 @@ def events_trend_mk(sf_dir: str):
         days = sorted(by_type[et])               # ISO strings sort right
         c = np.array([x for _, x in days], dtype=np.int64)
         n = len(c)
-        diff = np.sign(c[None, :] - c[:, None])
-        s_stat = int(np.triu(diff, k=1).sum())
+        s_stat = mann_kendall_s(c)
         _, ties = np.unique(c, return_counts=True)
         t = ties.astype(np.int64)
         var18 = int(n * (n - 1) * (2 * n + 5)

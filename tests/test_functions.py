@@ -2390,6 +2390,40 @@ def test_mjpeg_in_mp4_decodes_end_to_end(ray_session):
             assert jpeg_decode(f).shape == (h, w, 3)
 
 
+def test_mann_kendall_inversion_tier(ray_session):
+    """mann_kendall_s's O(n log² n) inversion-count tier (n >= 2048)
+    equals the O(n²) pairwise sign sum on tie-heavy, monotone,
+    constant, and adversarial sequences; the small-n tier is the
+    pairwise form itself."""
+    import numpy as np
+
+    from mdvalidate_ray.queries import _strict_inversions, mann_kendall_s
+
+    def naive_s(c):
+        c = np.asarray(c, dtype=np.int64)
+        return int(np.triu(np.sign(c[None, :] - c[:, None]), k=1).sum())
+
+    rng = np.random.default_rng(83)
+    cases = [
+        rng.integers(0, 7, 3000),                  # heavy ties, > tier
+        rng.integers(-10**6, 10**6, 2500),         # distinct-ish
+        np.arange(2200),                           # strictly increasing
+        np.arange(2200)[::-1].copy(),              # strictly decreasing
+        np.zeros(2100, dtype=np.int64),            # all tied
+        np.r_[np.zeros(1500), np.ones(1500)],      # two blocks
+    ]
+    for c in cases:
+        assert mann_kendall_s(c) == naive_s(c)
+    # small-n sequences take the pairwise tier; spot-check vs naive
+    for c in (rng.integers(0, 4, 97), np.array([5]), np.array([], int)):
+        assert mann_kendall_s(c) == naive_s(c) if len(c) > 1 \
+            else mann_kendall_s(c) == 0
+    # inversion kernel directly
+    assert _strict_inversions([3, 1, 2]) == 2
+    assert _strict_inversions([1, 1, 1]) == 0
+    assert _strict_inversions([]) == 0
+
+
 def test_dsir_weights_edge_docs_and_sign(ray_session):
     """DSIR: empty/whitespace docs are dropped; target-typical tokens
     score higher than off-target tokens; per-doc sum is exact."""

@@ -1322,6 +1322,46 @@ def test_bfs_hops_matches_bruteforce(ray_session, blocks):
     assert got.get(54) == 5 and 55 not in got   # cap stops the chain
 
 
+def test_bfs_forced_copartition_tier_parity(ray_session):
+    """local_threshold=0 + broadcast_threshold=0 forces the fully
+    co-partitioned frontier tier (the past-driver-budget plan where
+    (node, dist) stays a Dataset); results must equal the in-process
+    tier on a graph with a hop-capped chain and an unreachable
+    island."""
+    import ray.data
+
+    from mdvalidate_ray.functions.graph import bfs_hops
+
+    rng = np.random.default_rng(41)
+    edges = {(int(a), int(b)) for a, b in rng.integers(0, 30, (80, 2))
+             if a != b}
+    chain = [0, 60, 61, 62, 63, 64, 65]
+    edges.update((min(x, y), max(x, y))
+                 for x, y in zip(chain, chain[1:]))
+    edges.update([(90, 91), (91, 92)])          # unreachable island
+    tbl = pa.table({"u": pa.array([e[0] for e in edges], pa.int64()),
+                    "v": pa.array([e[1] for e in edges], pa.int64())})
+    ds = ray.data.from_arrow(tbl).repartition(7)
+
+    base = sorted(map(tuple, (r.values() for r in
+                  bfs_hops(ds, seed=0, max_rounds=4).to_pylist())))
+    forced = sorted(map(tuple, (r.values() for r in
+                    bfs_hops(ds, seed=0, max_rounds=4,
+                             local_threshold=0, broadcast_threshold=0,
+                             n_parts=5).to_pylist())))
+    assert base == forced and len(base) > 1
+    assert all(h <= 4 for _, h in forced)
+    assert not any(n in (90, 91, 92) for n, _ in forced)
+
+    # seed-only graph degenerate: seed with no edges at all
+    lone = ray.data.from_arrow(pa.table(
+        {"u": pa.array([7], pa.int64()),
+         "v": pa.array([8], pa.int64())}))
+    got = bfs_hops(lone, seed=3, max_rounds=2, local_threshold=0,
+                   broadcast_threshold=0).to_pylist()
+    assert got == [{"node": 3, "hops": 0}]
+
+
 @pytest.mark.parametrize("blocks", [1, 6])
 def test_bellman_ford_matches_bruteforce(ray_session, blocks):
     import heapq
