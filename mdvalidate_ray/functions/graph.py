@@ -879,10 +879,136 @@ def _bfs_copartition(edges, *, seed: int, max_rounds: int,
         [out.column("node"), out.column("dist")], names=["node", "hops"])
 
 
+def _bellman_ford_copartition(edges, *, seed: int, max_rounds: int,
+                              n_parts: int) -> pa.Table:
+    """bellman_ford_costs' past-the-driver-budget tier: the (node,
+    cost) state stays a Dataset; per round ONE hash(src) co-partition
+    relaxes the improved-node frontier against the symmetric weighted
+    edge list (per-bucket pre-min per destination) and ONE hash(node)
+    co-partition min-merges the candidates into the state, flagging
+    improvements to form the next frontier.  Nothing node-sized ever
+    folds to the driver; the final collect is the caller's result."""
+    import ray.data
+
+    INF = np.int64(2 ** 62)
+
+    def bk(v: np.ndarray) -> pa.Array:
+        h = (v.astype(np.uint64)
+             * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)
+        return pa.array((h % np.uint64(n_parts)).astype(np.int64))
+
+    st_schema = pa.schema([("node", pa.int64()), ("cost", pa.int64())])
+    seed_tbl = pa.table({"node": pa.array([int(seed)], pa.int64()),
+                         "cost": pa.array([0], pa.int64())})
+    state = ray.data.from_arrow(seed_tbl).materialize()
+    frontier = state
+
+    def tag_edges(b: pa.Table) -> pa.Table:
+        s = b.column("src").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "src": b.column("src"), "dst": b.column("dst"),
+            "w": b.column("w"),
+            "_f": pa.array(np.zeros(b.num_rows, dtype=bool)),
+            "_bk": bk(s)})
+
+    def tag_frontier(b: pa.Table) -> pa.Table:
+        v = b.column("node").to_numpy(zero_copy_only=False)
+        z = pa.array(np.zeros(len(v), dtype=np.int64))
+        return pa.table({"src": b.column("node"), "dst": z,
+                         "w": b.column("cost"),
+                         "_f": pa.array(np.ones(len(v), dtype=bool)),
+                         "_bk": bk(v)})
+
+    def relax(g: pa.Table) -> pa.Table:
+        is_f = g.column("_f").to_numpy(zero_copy_only=False)
+        fn = g.column("src").to_numpy(zero_copy_only=False)[is_f]
+        fc = g.column("w").to_numpy(zero_copy_only=False)[is_f]
+        o = np.argsort(fn, kind="stable")
+        fn, fc = fn[o], fc[o]
+        if len(fn) == 0:
+            return st_schema.empty_table()
+        e = g.filter(pa.array(~is_f))
+        s = e.column("src").to_numpy(zero_copy_only=False)
+        i = np.searchsorted(fn, s)
+        hit = (i < len(fn)) & (fn[np.minimum(i, len(fn) - 1)] == s)
+        if not hit.any():
+            return st_schema.empty_table()
+        d = e.column("dst").to_numpy(zero_copy_only=False)[hit]
+        c = fc[i[hit]] + e.column("w").to_numpy(
+            zero_copy_only=False)[hit]
+        u, inv = np.unique(d, return_inverse=True)
+        pre = np.full(len(u), INF, dtype=np.int64)
+        np.minimum.at(pre, inv, c)
+        return pa.table({"node": pa.array(u), "cost": pa.array(pre)},
+                        schema=st_schema)
+
+    def tag_state(b: pa.Table) -> pa.Table:
+        v = b.column("node").to_numpy(zero_copy_only=False)
+        return pa.table({"node": b.column("node"),
+                         "cost": b.column("cost"),
+                         "_st": pa.array(np.ones(len(v), dtype=bool)),
+                         "_bk": bk(v)})
+
+    def tag_cand(b: pa.Table) -> pa.Table:
+        v = b.column("node").to_numpy(zero_copy_only=False)
+        return pa.table({"node": b.column("node"),
+                         "cost": b.column("cost"),
+                         "_st": pa.array(np.zeros(len(v), dtype=bool)),
+                         "_bk": bk(v)})
+
+    merged_schema = pa.schema([("node", pa.int64()),
+                               ("cost", pa.int64()),
+                               ("imp", pa.bool_())])
+
+    def merge(g: pa.Table) -> pa.Table:
+        nodes_np = g.column("node").to_numpy(zero_copy_only=False)
+        cost_np = g.column("cost").to_numpy(zero_copy_only=False)
+        is_st = g.column("_st").to_numpy(zero_copy_only=False)
+        u, inv = np.unique(nodes_np, return_inverse=True)
+        old = np.full(len(u), INF, dtype=np.int64)
+        np.minimum.at(old, inv[is_st], cost_np[is_st])
+        cand = np.full(len(u), INF, dtype=np.int64)
+        np.minimum.at(cand, inv[~is_st], cost_np[~is_st])
+        new = np.minimum(old, cand)
+        return pa.table({"node": pa.array(u), "cost": pa.array(new),
+                         "imp": pa.array(cand < old)},
+                        schema=merged_schema)
+
+    for _ in range(max_rounds):
+        if frontier.count() == 0:
+            break
+        cand = edges.map_batches(
+            tag_edges, batch_format="pyarrow",
+            zero_copy_batch=True).union(
+            frontier.map_batches(tag_frontier, batch_format="pyarrow",
+                                 zero_copy_batch=True)) \
+            .groupby("_bk").map_groups(relax, batch_format="pyarrow")
+        merged = state.map_batches(tag_state, batch_format="pyarrow",
+                                   zero_copy_batch=True).union(
+            cand.map_batches(tag_cand, batch_format="pyarrow",
+                             zero_copy_batch=True)) \
+            .groupby("_bk").map_groups(merge, batch_format="pyarrow") \
+            .materialize()
+        frontier = merged.map_batches(
+            lambda b: b.filter(b.column("imp")).select(
+                ["node", "cost"]),
+            batch_format="pyarrow", zero_copy_batch=True).materialize()
+        state = merged.select_columns(["node", "cost"]).materialize()
+
+    blks = [b for b in state.iter_batches(batch_format="pyarrow")
+            if b.num_rows]
+    out = pa.concat_tables(blks) if blks else st_schema.empty_table()
+    idx = pc.sort_indices(out, sort_keys=[("node", "ascending")])
+    return out.take(idx).select(["node", "cost"])
+
+
 def bellman_ford_costs(edges_ds, *, seed: int, col_a: str = "u",
                        col_b: str = "v", weight_col: str | None = None,
                        max_rounds: int = 3,
-                       local_threshold: int = 2_000_000) -> pa.Table:
+                       local_threshold: int = 2_000_000,
+                       n_parts: int = 32,
+                       broadcast_threshold: int = 100_000_000
+                       ) -> pa.Table:
     """Weighted single-source shortest-path costs — Bellman-Ford
     relaxation rounds over an undirected edge set, the MIN-PLUS
     semiring companion to :func:`bfs_hops` (which is the boolean/
@@ -891,13 +1017,19 @@ def bellman_ford_costs(edges_ds, *, seed: int, col_a: str = "u",
     truncation a hop-tracking recursive SQL oracle expresses, so
     integer weights make the comparison exact.
 
-    Same execution shape as bfs_hops: per round the sorted (nodes,
-    cost) state broadcasts once and each cached edge block emits its
-    per-destination relaxation partials (``np.minimum`` folds — one
-    ``np.minimum.at`` per block, no per-edge Python); the driver
-    min-folds ≤ |nodes| candidates.  In-process tier below
-    ``local_threshold`` edges; same broadcast ceiling notes as
-    connected_components."""
+    Same three tiers as bfs_hops: in-process below
+    ``local_threshold`` edges; broadcast rounds above it (the sorted
+    (nodes, cost) state broadcasts once per round, each cached edge
+    block emits per-destination ``np.minimum`` relaxation partials —
+    no per-edge Python — and the driver min-folds ≤ |nodes|
+    candidates); and past ``broadcast_threshold`` the fully
+    CO-PARTITIONED tier where the (node, cost) state stays a Dataset
+    and each round is frontier⋈edges on ``hash(src)`` + a min-merge on
+    ``hash(node)`` — nothing node-sized on the driver.  Relaxing only
+    from the previous round's IMPROVED nodes is cost-state-equivalent
+    to full-state relaxation (a ≤r-edge path extends a ≤r−1-edge one),
+    so all tiers are bit-equal
+    (test_bellman_forced_copartition_tier_parity)."""
     import ray
 
     def sym(b: pa.Table) -> pa.Table:
@@ -945,6 +1077,11 @@ def bellman_ford_costs(edges_ds, *, seed: int, col_a: str = "u",
         return pa.Table.from_arrays(
             [pa.array([seed], pa.int64()), pa.array([0], pa.int64())],
             names=["node", "cost"])
+
+    if n_edges > broadcast_threshold:
+        return _bellman_ford_copartition(edges, seed=seed,
+                                         max_rounds=max_rounds,
+                                         n_parts=n_parts)
 
     use_local = n_edges <= local_threshold
     if use_local:

@@ -1362,6 +1362,43 @@ def test_bfs_forced_copartition_tier_parity(ray_session):
     assert got == [{"node": 3, "hops": 0}]
 
 
+def test_bellman_forced_copartition_tier_parity(ray_session):
+    """broadcast_threshold=0 forces Bellman-Ford through the fully
+    co-partitioned tier (state stays a Dataset; frontier-only
+    relaxation) — bit-equal to the default tiers including the
+    max_rounds ≤-r-edge-path truncation and the default
+    endpoint-derived weights."""
+    import ray.data
+
+    from mdvalidate_ray.functions.graph import bellman_ford_costs
+
+    rng = np.random.default_rng(59)
+    edges = {(int(a), int(b)) for a, b in rng.integers(0, 28, (90, 2))
+             if a != b}
+    chain = [0, 70, 71, 72, 73, 74]
+    edges.update((min(x, y), max(x, y))
+                 for x, y in zip(chain, chain[1:]))
+    tbl = pa.table({"u": pa.array([e[0] for e in edges], pa.int64()),
+                    "v": pa.array([e[1] for e in edges], pa.int64()),
+                    "w": pa.array([(e[0] * 7 + e[1]) % 9 + 1
+                                   for e in edges], pa.int64())})
+    ds = ray.data.from_arrow(tbl).repartition(6)
+
+    for rounds in (2, 3, 4):
+        for wcol in (None, "w"):
+            base = sorted(map(tuple, (r.values() for r in
+                          bellman_ford_costs(
+                              ds, seed=0, weight_col=wcol,
+                              max_rounds=rounds).to_pylist())))
+            forced = sorted(map(tuple, (r.values() for r in
+                            bellman_ford_costs(
+                                ds, seed=0, weight_col=wcol,
+                                max_rounds=rounds,
+                                broadcast_threshold=0,
+                                n_parts=5).to_pylist())))
+            assert base == forced and len(base) > 1, (rounds, wcol)
+
+
 @pytest.mark.parametrize("blocks", [1, 6])
 def test_bellman_ford_matches_bruteforce(ray_session, blocks):
     import heapq
