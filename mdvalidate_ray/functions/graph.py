@@ -32,10 +32,190 @@ import pyarrow as pa
 import pyarrow.compute as pc  # noqa: F401  (parity with sibling modules)
 
 
+def _pagerank_copartition(edges, *, damping: float, n_iter: int,
+                          n_parts: int) -> pa.Table:
+    """pagerank's past-the-driver-budget tier: the (node, deg, rank)
+    state stays a Dataset.  Per iteration: share rows co-partition with
+    the materialized edge list on ``hash(src)`` (per-bucket
+    per-destination contribution pre-sums), then the state and the
+    contribution partials co-partition on ``hash(node)`` and each
+    bucket folds its partials in sorted (node, contrib) order before
+    applying the rank update — deterministic, and nothing node-sized
+    ever reaches the driver (only the scalar dangling mass folds per
+    round)."""
+    import ray.data
+
+    def bk(v: np.ndarray) -> pa.Array:
+        h = (v.astype(np.uint64)
+             * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)
+        return pa.array((h % np.uint64(n_parts)).astype(np.int64))
+
+    # ---- build the (node, deg) state: out-degrees + dst-only nodes --
+    def deg_part(b: pa.Table) -> pa.Table:
+        src = np.asarray(b.column("src"), dtype=np.int64)
+        u, c = np.unique(src, return_counts=True)
+        return pa.table({"node": pa.array(u),
+                         "deg": pa.array(c.astype(np.int64))})
+
+    def dst_part(b: pa.Table) -> pa.Table:
+        d = np.unique(np.asarray(b.column("dst"), dtype=np.int64))
+        return pa.table({"node": pa.array(d),
+                         "deg": pa.array(np.zeros(len(d),
+                                                  dtype=np.int64))})
+
+    def tag_node(b: pa.Table) -> pa.Table:
+        v = b.column("node").to_numpy(zero_copy_only=False)
+        return b.append_column("_bk", bk(v))
+
+    def fold_deg(g: pa.Table) -> pa.Table:
+        nodes_np = g.column("node").to_numpy(zero_copy_only=False)
+        deg_np = g.column("deg").to_numpy(zero_copy_only=False)
+        u, inv = np.unique(nodes_np, return_inverse=True)
+        acc = np.zeros(len(u), dtype=np.int64)
+        np.add.at(acc, inv, deg_np)
+        return pa.table({"node": pa.array(u), "deg": pa.array(acc)})
+
+    deg_state = edges.map_batches(
+        deg_part, batch_format="pyarrow", zero_copy_batch=True).union(
+        edges.map_batches(dst_part, batch_format="pyarrow",
+                          zero_copy_batch=True)) \
+        .map_batches(tag_node, batch_format="pyarrow",
+                     zero_copy_batch=True) \
+        .groupby("_bk").map_groups(fold_deg, batch_format="pyarrow") \
+        .materialize()
+    n = deg_state.count()
+    if n == 0:
+        return pa.Table.from_arrays(
+            [pa.array([], pa.int64()), pa.array([], pa.float64())],
+            names=["node", "rank"])
+
+    state = deg_state.map_batches(
+        lambda b: b.append_column(
+            "rank", pa.array(np.full(b.num_rows, 1.0 / n))),
+        batch_format="pyarrow", zero_copy_batch=True).materialize()
+
+    part_schema = pa.schema([("node", pa.int64()),
+                             ("contrib", pa.float64())])
+
+    def tag_edges(b: pa.Table) -> pa.Table:
+        s = b.column("src").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "src": b.column("src"), "dst": b.column("dst"),
+            "sh": pa.array(np.zeros(b.num_rows, dtype=np.float64)),
+            "_s": pa.array(np.zeros(b.num_rows, dtype=bool)),
+            "_bk": bk(s)})
+
+    def tag_share(b: pa.Table) -> pa.Table:
+        v = b.column("node").to_numpy(zero_copy_only=False)
+        deg_np = b.column("deg").to_numpy(zero_copy_only=False)
+        r = b.column("rank").to_numpy(zero_copy_only=False)
+        z = pa.array(np.zeros(len(v), dtype=np.int64))
+        return pa.table({
+            "src": b.column("node"), "dst": z,
+            "sh": pa.array(r / np.maximum(deg_np, 1)),
+            "_s": pa.array(np.ones(len(v), dtype=bool)),
+            "_bk": bk(v)})
+
+    def contrib(g: pa.Table) -> pa.Table:
+        is_s = g.column("_s").to_numpy(zero_copy_only=False)
+        sn = g.column("src").to_numpy(zero_copy_only=False)[is_s]
+        sv = g.column("sh").to_numpy(zero_copy_only=False)[is_s]
+        o = np.argsort(sn, kind="stable")
+        sn, sv = sn[o], sv[o]
+        e = g.filter(pa.array(~is_s))
+        if len(sn) == 0 or e.num_rows == 0:
+            return part_schema.empty_table()
+        src = e.column("src").to_numpy(zero_copy_only=False)
+        i = np.searchsorted(sn, src)
+        # state covers every src by construction
+        share = sv[i]
+        dst = e.column("dst").to_numpy(zero_copy_only=False)
+        u, inv = np.unique(dst, return_inverse=True)
+        acc = np.zeros(len(u), dtype=np.float64)
+        np.add.at(acc, inv, share)
+        return pa.table({"node": pa.array(u), "contrib": pa.array(acc)},
+                        schema=part_schema)
+
+    def dangling_part(b: pa.Table) -> pa.Table:
+        deg_np = b.column("deg").to_numpy(zero_copy_only=False)
+        r = b.column("rank").to_numpy(zero_copy_only=False)
+        return pa.table({"d": pa.array(
+            [float(r[deg_np == 0].sum())], pa.float64())})
+
+    for _ in range(n_iter):
+        dangling = sum(
+            r["d"] for r in state.map_batches(
+                dangling_part, batch_format="pyarrow",
+                zero_copy_batch=True).take_all())
+
+        partials = edges.map_batches(
+            tag_edges, batch_format="pyarrow",
+            zero_copy_batch=True).union(
+            state.map_batches(tag_share, batch_format="pyarrow",
+                              zero_copy_batch=True)) \
+            .groupby("_bk").map_groups(contrib, batch_format="pyarrow")
+
+        def tag_state(b: pa.Table) -> pa.Table:
+            v = b.column("node").to_numpy(zero_copy_only=False)
+            return pa.table({
+                "node": b.column("node"),
+                "x": pc.cast(b.column("deg"), pa.float64()),
+                "_st": pa.array(np.ones(len(v), dtype=bool)),
+                "_bk": bk(v)})
+
+        def tag_part(b: pa.Table) -> pa.Table:
+            v = b.column("node").to_numpy(zero_copy_only=False)
+            return pa.table({
+                "node": b.column("node"), "x": b.column("contrib"),
+                "_st": pa.array(np.zeros(len(v), dtype=bool)),
+                "_bk": bk(v)})
+
+        def merge(g: pa.Table, dangling=dangling) -> pa.Table:
+            nodes_np = g.column("node").to_numpy(zero_copy_only=False)
+            x = g.column("x").to_numpy(zero_copy_only=False)
+            is_st = g.column("_st").to_numpy(zero_copy_only=False)
+            u = np.unique(nodes_np[is_st])
+            deg_out = np.zeros(len(u), dtype=np.int64)
+            di = np.searchsorted(u, nodes_np[is_st])
+            deg_out[di] = x[is_st].astype(np.int64)
+            # sorted fold of contribution partials: deterministic
+            # float-addition order regardless of block arrival
+            cn, cv = nodes_np[~is_st], x[~is_st]
+            o = np.lexsort((cv, cn))
+            cn, cv = cn[o], cv[o]
+            incoming = np.zeros(len(u), dtype=np.float64)
+            if len(cn):
+                starts = np.flatnonzero(np.concatenate(
+                    ([True], cn[1:] != cn[:-1])))
+                sums = np.add.reduceat(cv, starts)
+                incoming[np.searchsorted(u, cn[starts])] = sums
+            rank = ((1.0 - damping) / n
+                    + damping * (incoming + dangling / n))
+            return pa.table({"node": pa.array(u),
+                             "deg": pa.array(deg_out),
+                             "rank": pa.array(rank)})
+
+        state = state.map_batches(tag_state, batch_format="pyarrow",
+                                  zero_copy_batch=True).union(
+            partials.map_batches(tag_part, batch_format="pyarrow",
+                                 zero_copy_batch=True)) \
+            .groupby("_bk").map_groups(merge, batch_format="pyarrow") \
+            .materialize()
+
+    blks = [b for b in state.select_columns(
+        ["node", "rank"]).iter_batches(batch_format="pyarrow")
+        if b.num_rows]
+    out = (pa.concat_tables(blks) if blks else pa.schema(
+        [("node", pa.int64()), ("rank", pa.float64())]).empty_table())
+    idx = pc.sort_indices(out, sort_keys=[("node", "ascending")])
+    return out.take(idx)
+
+
 def pagerank(edges_ds, *, col_a: str = "src", col_b: str = "dst",
              damping: float = 0.85, n_iter: int = 10,
              symmetric: bool = True, n_parts: int = 16,
-             local_threshold: int = 2_000_000) -> pa.Table:
+             local_threshold: int = 2_000_000,
+             broadcast_threshold: int = 100_000_000) -> pa.Table:
     """PageRank over an edge Dataset → (node, rank) table.
 
     ``symmetric=True`` treats edges as undirected (each edge contributes
@@ -43,12 +223,22 @@ def pagerank(edges_ds, *, col_a: str = "src", col_b: str = "dst",
     ``symmetric=False`` dangling mass is redistributed uniformly (the
     standard correction) so ranks still sum to 1.
 
-    Size tier (same rationale as ``connected_components``): at or below
-    ``local_threshold`` symmetrized edges, the edge set is no bigger
-    than one rank broadcast, so k per-iteration Dataset launches are
-    pure overhead — collect the arrays once and run the identical
-    iteration in-process.  Parity is pinned by the differential test
-    (which forces both tiers).
+    THREE size tiers (same rationale as ``connected_components``): at
+    or below ``local_threshold`` symmetrized edges, the edge set is no
+    bigger than one rank broadcast, so k per-iteration Dataset launches
+    are pure overhead — collect the arrays once and run the identical
+    iteration in-process.  Above it, the rank vector lives on the
+    driver and broadcasts per iteration while contributions fold
+    through ``bucketed_group_sum``.  Past ``broadcast_threshold``
+    edges, the (node, deg, rank) state STAYS a Dataset: each iteration
+    is one share⋈edges co-partition on ``hash(src)`` (per-bucket
+    per-destination pre-sums) and one state∪partials min-merge on
+    ``hash(node)`` with a sorted in-bucket fold — nothing node-sized on
+    the driver; only the scalar dangling mass folds per round.  The
+    in-bucket fold sorts (node, contrib) before summing, so float
+    results match the broadcast tier to ~1e-12 (different addition
+    grouping; pinned with that tolerance by
+    test_pagerank_forced_copartition_tier_parity).
     """
     import ray
 
@@ -65,6 +255,9 @@ def pagerank(edges_ds, *, col_a: str = "src", col_b: str = "dst",
 
     edges = edges_ds.map_batches(sym, batch_format="pyarrow",
                                  zero_copy_batch=True).materialize()
+    if edges.count() > broadcast_threshold:
+        return _pagerank_copartition(edges, damping=damping,
+                                     n_iter=n_iter, n_parts=n_parts)
     if edges.count() <= local_threshold:
         tbls = [t for t in ray.get(edges.to_arrow_refs()) if t.num_rows]
         if not tbls:

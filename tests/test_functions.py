@@ -2390,6 +2390,38 @@ def test_mjpeg_in_mp4_decodes_end_to_end(ray_session):
             assert jpeg_decode(f).shape == (h, w, 3)
 
 
+def test_pagerank_forced_copartition_tier_parity(ray_session):
+    """broadcast_threshold=0 forces pagerank through the fully
+    co-partitioned tier (state stays a Dataset; sorted in-bucket
+    contribution folds); ranks match the default tier to 1e-12 on both
+    the symmetric and the directed+dangling graphs."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from mdvalidate_ray.functions.graph import pagerank
+
+    rng = np.random.default_rng(71)
+    edges = {(int(a), int(b)) for a, b in rng.integers(0, 40, (120, 2))
+             if a != b}
+    edges.update([(0, 100), (100, 101)])    # directed mode: 101 dangles
+    tbl = pa.table({"src": pa.array([e[0] for e in edges], pa.int64()),
+                    "dst": pa.array([e[1] for e in edges], pa.int64())})
+    ds = ray.data.from_arrow(tbl).repartition(6)
+
+    for symmetric in (True, False):
+        base = pagerank(ds, symmetric=symmetric,
+                        n_iter=3).to_pandas().set_index("node")
+        forced = pagerank(ds, symmetric=symmetric, n_iter=3,
+                          broadcast_threshold=0,
+                          n_parts=5).to_pandas().set_index("node")
+        assert sorted(base.index) == sorted(forced.index)
+        fa = forced.loc[base.index, "rank"].to_numpy()
+        ba = base["rank"].to_numpy()
+        assert np.allclose(fa, ba, rtol=0, atol=1e-12), symmetric
+        assert abs(fa.sum() - 1.0) < 1e-9
+
+
 def test_mann_kendall_inversion_tier(ray_session):
     """mann_kendall_s's O(n log² n) inversion-count tier (n >= 2048)
     equals the O(n²) pairwise sign sum on tie-heavy, monotone,
