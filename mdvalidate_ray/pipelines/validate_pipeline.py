@@ -9,6 +9,7 @@ the checkpointed/resumable form lives in
 from __future__ import annotations
 
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from mdvalidate_ray.corpus import flagship_schema_text
 from mdvalidate_ray.stages.drift import drift_check, kll_spans_per_doc
@@ -91,7 +92,8 @@ def incremental_validate(old_docs, new_docs, *, schema_text: str,
                          key: str = "doc_id",
                          content_col: str = "spans",
                          batch_size: int | None = None,
-                         concurrency=None):
+                         concurrency=None,
+                         status_broadcast_threshold: int = 20_000_000):
     """INCREMENTAL re-validation: validate only what MOVED between two
     corpus snapshots — the CDC composition that makes a 10^12-doc
     validation run affordable when 0.1% of documents changed (the
@@ -143,26 +145,100 @@ def incremental_validate(old_docs, new_docs, *, schema_text: str,
                                  concurrency=concurrency,
                                  use_tasks=use_tasks)
 
-    # status ('added' vs 'changed') rides back via a broadcast map of
-    # the todo keys — bounded by the CHANGE SET, not the corpus; at
-    # change sets past driver memory, carry status through a second
-    # semi-join tag column instead
-    kv = {}
-    for blk in todo.iter_batches(batch_format="pyarrow"):
-        for k_, s_ in zip(blk.column(key).to_pylist(),
-                          blk.column("status").to_pylist()):
-            kv[k_] = s_
-    kv_ref = ray.put(kv)
+    # status ('added' vs 'changed') rides back TIERED on the change-set
+    # size: below ``status_broadcast_threshold`` keys, a broadcast map
+    # (bounded by the CHANGE SET, not the corpus); past it, a
+    # hash-partitioned equi-join of the validated rows against the
+    # (key, status) diff rows — nothing change-set-sized on the driver
+    # (both tiers bit-equal: test_incremental_status_join_tier_parity)
+    if todo.count() <= status_broadcast_threshold:
+        kv = {}
+        for blk in todo.iter_batches(batch_format="pyarrow"):
+            for k_, s_ in zip(blk.column(key).to_pylist(),
+                              blk.column("status").to_pylist()):
+                kv[k_] = s_
+        kv_ref = ray.put(kv)
 
-    def add_status(b: pa.Table) -> pa.Table:
-        mp = ray.get(kv_ref)
-        st = [mp.get(x, "changed") for x in b.column(key).to_pylist()]
-        return b.append_column("status", pa.array(st, pa.string()))
+        def add_status(b: pa.Table) -> pa.Table:
+            mp = ray.get(kv_ref)
+            st = [mp.get(x, "changed")
+                  for x in b.column(key).to_pylist()]
+            return b.append_column("status",
+                                   pa.array(st, pa.string()))
 
+        verdicts = validated.map_batches(add_status,
+                                         batch_format="pyarrow",
+                                         zero_copy_batch=True)
+    else:
+        # tagged-union co-partition on hash(key) — Arrow's native join
+        # kernel rejects nested non-key columns (violations is
+        # list<struct>), so the tier is the house anti-join shape:
+        # status rows and validated rows land in the same bucket and a
+        # vectorized searchsorted attaches the status; the nested
+        # columns ride through untouched
+        import numpy as np
+
+        from mdvalidate_ray.stages.validate import VALIDATED_SCHEMA
+        from mdvalidate_ray.state.sketches import hash_strings
+
+        n_parts = 32
+
+        def _bk(keys: list) -> pa.Array:
+            if not keys:
+                return pa.array([], pa.int64())
+            return pa.array((hash_strings([str(x) for x in keys])
+                             % np.uint64(n_parts)).astype("int64"))
+
+        def tag_v(b: pa.Table) -> pa.Table:
+            ks = b.column(key).to_pylist()
+            return b.append_column(
+                "status", pa.array([""] * b.num_rows, pa.string())) \
+                .append_column("_srow", pa.array(
+                    np.zeros(b.num_rows, dtype=bool))) \
+                .append_column("_bk", _bk(ks))
+
+        def tag_s(b: pa.Table) -> pa.Table:
+            ks = b.column(key).to_pylist()
+            cols = {}
+            for f in VALIDATED_SCHEMA:
+                cols[f.name] = (b.column(key).cast(pa.string())
+                                if f.name == key
+                                else pa.nulls(b.num_rows, f.type))
+            cols["status"] = b.column("status")
+            cols["_srow"] = pa.array(np.ones(b.num_rows, dtype=bool))
+            cols["_bk"] = _bk(ks)
+            return pa.table(cols)
+
+        def attach(g: pa.Table) -> pa.Table:
+            is_s = g.column("_srow")
+            srows = g.filter(is_s)
+            vrows = g.filter(pc.invert(is_s))
+            if vrows.num_rows == 0:
+                return vrows.drop_columns(["_srow", "_bk"])
+            sk = np.array(srows.column(key).to_pylist())
+            sv = np.array(srows.column("status").to_pylist())
+            o = np.argsort(sk, kind="stable")
+            sk, sv = sk[o], sv[o]
+            vk = np.array(vrows.column(key).to_pylist())
+            st = np.full(len(vk), "changed", dtype=object)
+            if len(sk):
+                i = np.searchsorted(sk, vk)
+                hit = (i < len(sk)) & \
+                    (sk[np.minimum(i, len(sk) - 1)] == vk)
+                st[hit] = sv[i[hit]]
+            out = vrows.set_column(
+                vrows.schema.get_field_index("status"), "status",
+                pa.array([str(x) for x in st], pa.string()))
+            return out.drop_columns(["_srow", "_bk"])
+
+        verdicts = validated.map_batches(
+            tag_v, batch_format="pyarrow",
+            zero_copy_batch=True).union(
+            todo.map_batches(tag_s, batch_format="pyarrow",
+                             zero_copy_batch=True)) \
+            .groupby("_bk").map_groups(attach, batch_format="pyarrow")
     return {
-        "verdicts": validated.map_batches(add_status,
-                                          batch_format="pyarrow",
-                                          zero_copy_batch=True),
+        "verdicts": verdicts,
         "removed": removed,
         "diff": diff,
     }

@@ -5439,18 +5439,21 @@ def q2_min_cost_supplier(sf_dir: str):
     return pa.Table.from_pylist(rows, schema=out_schema)
 
 
-def q11_important_parts(sf_dir: str):
+def q11_important_parts(sf_dir: str, *,
+                        driver_threshold: int = 50_000_000):
     """TPC-H Q11 shape (no partsupp — 'stock value' is the shipped
     extendedprice cents from region-2 suppliers): parts whose value
     exceeds 1.5× the mean part value, the HAVING-vs-scalar-subquery
     pattern as the exact integer cross-multiply
     ``2·value·n_parts > 3·Σvalue``.  Scale plan: region suppkeys
     broadcast; per-batch partkey→cents combiners; ONE coarse bucketed
-    fold; the folded table is O(parts with region sales), so the
-    threshold scalars and the filter run on the driver-held result,
-    which feeds the answer directly.  At 10⁹ parts the two scalars
-    fold from ≤buckets partials and broadcast back into a distributed
-    filter pass instead (documented seam)."""
+    fold.  TIERED finish on the folded cardinality (parts with region
+    sales): ``<= driver_threshold`` rows collect and the scalars +
+    filter run on the driver; past it (the 10⁹-part case) the folded
+    table STAYS a Dataset — the two scalars fold from one-row
+    per-batch (n, Σ) partials and broadcast back into a distributed
+    filter pass, with only the qualifying rows collected.  Both tiers
+    bit-equal (test_q11_forced_distributed_filter_tier)."""
     import numpy as np
     import ray
 
@@ -5488,20 +5491,54 @@ def q11_important_parts(sf_dir: str):
         return pa.table({"l_partkey": pa.array(ks, pa.int64()),
                          "value_c100": pa.array(s)})
 
-    folded = bucketed_group_sum(
+    folded_ds = bucketed_group_sum(
         _read(sf_dir, "lineitem").select_columns(
             ["l_partkey", "l_suppkey", "l_extendedprice"])
         .map_batches(partial, batch_format="pyarrow",
                      zero_copy_batch=True),
-        key="l_partkey", sum_cols=["value_c100"], n_parts=8).take_all()
-    n = len(folded)
-    tot = sum(r["value_c100"] for r in folded)
-    rows = [{"l_partkey": int(r["l_partkey"]),
-             "value_c100": int(r["value_c100"])} for r in folded
-            if 2 * r["value_c100"] * n > 3 * tot]
-    rows.sort(key=lambda r: (-r["value_c100"], r["l_partkey"]))
-    return pa.Table.from_pylist(rows, schema=pa.schema(
-        [("l_partkey", pa.int64()), ("value_c100", pa.int64())]))
+        key="l_partkey", sum_cols=["value_c100"], n_parts=8) \
+        .materialize()
+    out_schema = pa.schema(
+        [("l_partkey", pa.int64()), ("value_c100", pa.int64())])
+    if folded_ds.count() <= driver_threshold:
+        folded = folded_ds.take_all()
+        n = len(folded)
+        tot = sum(r["value_c100"] for r in folded)
+        rows = [{"l_partkey": int(r["l_partkey"]),
+                 "value_c100": int(r["value_c100"])} for r in folded
+                if 2 * r["value_c100"] * n > 3 * tot]
+        rows.sort(key=lambda r: (-r["value_c100"], r["l_partkey"]))
+        return pa.Table.from_pylist(rows, schema=out_schema)
+    # distributed-filter tier: scalars from one-row per-batch partials,
+    # broadcast back; only qualifying rows ever reach the driver
+    scalars = folded_ds.map_batches(
+        lambda b: pa.table({
+            "n": pa.array([b.num_rows], pa.int64()),
+            "tot": pa.array([int(pc.sum(b.column(
+                "value_c100")).as_py() or 0)], pa.int64())}),
+        batch_format="pyarrow", zero_copy_batch=True).take_all()
+    n = sum(r["n"] for r in scalars)
+    tot = sum(r["tot"] for r in scalars)
+
+    # exact integer rewrite of 2·v·n > 3·tot (whose product overflows
+    # int64): for integer v, that is v > (3·tot) // (2·n) in BOTH the
+    # divisible and non-divisible cases — one vectorized compare, the
+    # threshold a Python bigint folded once on the driver
+    thr = (3 * tot) // (2 * n)
+
+    def dist_filter(b: pa.Table) -> pa.Table:
+        v = b.column("value_c100").to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(v > thr)).select(
+            ["l_partkey", "value_c100"])
+
+    hits = [blk for blk in folded_ds.map_batches(
+        dist_filter, batch_format="pyarrow",
+        zero_copy_batch=True).iter_batches(batch_format="pyarrow")
+        if blk.num_rows]
+    out = pa.concat_tables(hits) if hits else out_schema.empty_table()
+    idx = pc.sort_indices(out, sort_keys=[
+        ("value_c100", "descending"), ("l_partkey", "ascending")])
+    return out.take(idx).select(["l_partkey", "value_c100"])
 
 
 def q12_late_priority(sf_dir: str):

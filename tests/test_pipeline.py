@@ -172,3 +172,28 @@ def test_incremental_validate_parity(ray_session):
     assert removed == v1_ids - v2_ids
     # every changed doc really is different in v2 (edited rule: idx%7)
     assert all(d in v1_ids for d in changed)
+
+
+def test_incremental_status_join_tier_parity(ray_session):
+    """status_broadcast_threshold=0 forces the change-set-past-driver
+    tier (status attached by a hash-partitioned join instead of a
+    broadcast map); the (doc_id, passed, n_violations, status) rows
+    must be identical to the broadcast tier."""
+    from mdvalidate_ray.corpus import flagship_schema_text
+    from mdvalidate_ray.pipelines.validate_pipeline import (
+        incremental_validate,
+    )
+    from mdvalidate_ray.queries import _corpus_versions
+
+    v1, v2 = _corpus_versions("/root/testdata/sf0.001")
+    cols = ["doc_id", "passed", "n_violations", "status"]
+    base = incremental_validate(
+        v1, v2, schema_text=flagship_schema_text())["verdicts"] \
+        .select_columns(cols).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    forced = incremental_validate(
+        v1, v2, schema_text=flagship_schema_text(),
+        status_broadcast_threshold=0)["verdicts"] \
+        .select_columns(cols).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert base.equals(forced) and len(base) > 0

@@ -918,6 +918,26 @@ def test_priority_mad_forced_selection_tier_parity(ray_session):
     assert base.equals(forced) and len(base) > 0
 
 
+def test_q11_forced_distributed_filter_tier(ray_session):
+    """q11_important_parts(driver_threshold=0) — the 10⁹-part tier
+    where the folded per-part table never collects and the HAVING
+    scalars broadcast into a distributed filter — is bit-equal to the
+    driver-finish tier at sf0.001."""
+    import os
+
+    import pytest
+
+    sf_dir = "/root/testdata/sf0.001"
+    if not os.path.isdir(sf_dir):
+        pytest.skip("testdata missing")
+    from mdvalidate_ray.queries import q11_important_parts
+
+    base = q11_important_parts(sf_dir).to_pandas()
+    forced = q11_important_parts(sf_dir,
+                                 driver_threshold=0).to_pandas()
+    assert base.equals(forced) and len(base) > 0
+
+
 def test_q22_forced_copartition_tier_parity(ray_session):
     """q22_idle_customers(broadcast_threshold=0) — the
     buyer-set-exceeds-driver tier where recent-buyer keys co-partition
