@@ -1500,23 +1500,39 @@ def connected_components(edges_ds, *, col_a: str = "src",
         names=["node", "component"])
 
 
-def purge_exact_duplicates(ds, column: str = "text", key: str = "doc_id"):
+def purge_exact_duplicates(ds, column: str = "text", key: str = "doc_id",
+                           *, broadcast_threshold: int = 50_000_000,
+                           n_parts: int = 64):
     """End-to-end exact dedup: the corpus minus every non-representative
     duplicate (keep = smallest numeric ``key`` per byte-identical group).
 
-    Scale shape: :func:`exact_duplicate_groups` already bounds its output
-    to DUPLICATED documents only (a tiny fraction of any real corpus), so
-    the drop set — every group member except its representative —
-    broadcasts via ``ray.put`` into a streaming ``map_batches`` filter;
-    the corpus itself is never shuffled or materialized.  For a corpus
-    whose duplicate set alone exceeds worker memory, swap the broadcast
-    for the Bloom + co-partitioned anti-join tier in
-    :mod:`mdvalidate_ray.stages.referential` (same contract)."""
+    Scale shape, TIERED on the drop-set size
+    (:func:`exact_duplicate_groups` bounds it to DUPLICATED documents
+    only — a tiny fraction of any real corpus):
+
+    * ``<= broadcast_threshold`` — the drop set broadcasts via
+      ``ray.put`` into a streaming ``map_batches`` filter; the corpus
+      is never shuffled or materialized.
+    * larger (a corpus whose duplicate set alone exceeds worker
+      memory) — the drop keys NEVER fold: one
+      :func:`~mdvalidate_ray.functions.relational.copartition_antijoin`
+      exchange filters the corpus against the drop-key Dataset.  Both
+      tiers bit-equal (test_purge_forced_copartition_tier)."""
     import ray
 
+    drops_ds = duplicate_group_edges(
+        exact_duplicate_groups(ds, column, key)).map_batches(
+        lambda b: pa.table({"dst": b.column("dst")}),
+        batch_format="pyarrow", zero_copy_batch=True).materialize()
+    if drops_ds.count() > broadcast_threshold:
+        from mdvalidate_ray.functions.relational import (
+            copartition_antijoin)
+
+        return copartition_antijoin(ds, drops_ds, key=key,
+                                    keys_col="dst", n_parts=n_parts)
+
     drop: list[int] = []
-    for row in duplicate_group_edges(
-            exact_duplicate_groups(ds, column, key)).take_all():
+    for row in drops_ds.take_all():
         drop.append(int(row["dst"]))          # dst = non-min members
     drop_ref = ray.put(np.asarray(sorted(drop), dtype=np.int64))
 

@@ -2063,6 +2063,80 @@ def quantile_via_selection(ds, column: str, qs, *, budget: int = 200_000,
     return [s["ans"] for s in st]
 
 
+def copartition_antijoin(ds, keys_ds, *, key: str,
+                         keys_col: str | None = None,
+                         n_parts: int = 64):
+    """Drop every row of ``ds`` whose ``key`` appears in ``keys_ds`` —
+    WITHOUT the key set ever folding to the driver: both sides
+    tagged-union co-partition on ``hash(key) % n_parts`` (the
+    stages/referential.py anti-join shape made generic) and each bucket
+    group filters its data rows against its sorted key slice with one
+    ``np.searchsorted``.  Works for int or string keys and preserves
+    every data column INCLUDING nested types (no Arrow join kernel is
+    involved — nested non-key columns are exactly what
+    ``pa.Table.join`` rejects).  The key side is padded to the data
+    schema with typed nulls, so a null-typed column in the output marks
+    nothing: key rows never survive the filter."""
+    keys_col = keys_col or key
+    schema = ds.schema().base_schema
+
+    def _bucket(col) -> pa.Array:
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if pa.types.is_integer(col.type):
+            v = col.to_numpy(zero_copy_only=False).astype(np.uint64)
+            h = (v * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)
+        else:
+            from mdvalidate_ray.state.sketches import hash_strings
+
+            vals = [str(x) for x in col.to_pylist()]
+            h = (hash_strings(vals) if vals
+                 else np.zeros(0, dtype=np.uint64))
+        return pa.array((h % np.uint64(n_parts)).astype("int64"))
+
+    def tag_data(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "_isk", pa.array(np.zeros(b.num_rows, dtype=bool))) \
+            .append_column("_bk", _bucket(b.column(key)))
+
+    def tag_keys(b: pa.Table) -> pa.Table:
+        kv = b.column(keys_col)
+        cols = {}
+        for f in schema:
+            cols[f.name] = (kv.cast(f.type) if f.name == key
+                            else pa.nulls(b.num_rows, f.type))
+        cols["_isk"] = pa.array(np.ones(b.num_rows, dtype=bool))
+        cols["_bk"] = _bucket(kv)
+        return pa.table(cols)
+
+    def anti(g: pa.Table) -> pa.Table:
+        isk = g.column("_isk")
+        keys_t = g.filter(isk)
+        data = g.filter(pc.invert(isk))
+        if data.num_rows == 0:
+            return data.drop_columns(["_isk", "_bk"])
+        if keys_t.num_rows:
+            kc = keys_t.column(key)
+            dc = data.column(key)
+            if pa.types.is_integer(dc.type):
+                ks = np.sort(kc.to_numpy(zero_copy_only=False))
+                dv = dc.to_numpy(zero_copy_only=False)
+            else:
+                ks = np.sort(np.array(kc.to_pylist()))
+                dv = np.array(dc.to_pylist())
+            i = np.searchsorted(ks, dv)
+            hit = (i < len(ks)) & \
+                (ks[np.minimum(i, len(ks) - 1)] == dv)
+            data = data.filter(pa.array(~hit))
+        return data.drop_columns(["_isk", "_bk"])
+
+    return ds.map_batches(tag_data, batch_format="pyarrow",
+                          zero_copy_batch=True).union(
+        keys_ds.map_batches(tag_keys, batch_format="pyarrow",
+                            zero_copy_batch=True)) \
+        .groupby("_bk").map_groups(anti, batch_format="pyarrow")
+
+
 def grouped_rank_via_selection(ds, *, group_col: str, value_col: str,
                                rank_of, center: dict | None = None,
                                budget: int = 200_000,

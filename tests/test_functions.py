@@ -597,6 +597,21 @@ def test_purge_exact_duplicates_keeps_min_representative(ray_session, docs):
         sorted(by_text.values())
 
 
+def test_purge_forced_copartition_tier(ray_session, docs):
+    """broadcast_threshold=0 forces the drop set through the
+    copartition_antijoin tier (drop keys never fold to the driver);
+    the surviving rows are identical to the broadcast tier."""
+    from mdvalidate_ray.functions.dedup import purge_exact_duplicates
+
+    aug = _with_planted_dups(docs)
+    base = sorted(r["doc_id"] for r in purge_exact_duplicates(
+        aug, "text", "doc_id").take_all())
+    forced = sorted(r["doc_id"] for r in purge_exact_duplicates(
+        aug, "text", "doc_id", broadcast_threshold=0,
+        n_parts=5).take_all())
+    assert base == forced and len(base) > 0
+
+
 def test_repetition_stats_match_naive(docs):
     import pyarrow as pa
 
