@@ -8375,7 +8375,7 @@ def order_discount_proration(sf_dir: str):
         .groupby("_b").map_groups(prorate, batch_format="pyarrow")
 
 
-def price_eqdepth_hist(sf_dir: str):
+def price_eqdepth_hist(sf_dir: str, *, force_selection: bool = False):
     """Equi-DEPTH (equal-frequency) 8-bucket histogram of lineitem
     extendedprice cents — the optimizer-statistics primitive next to
     hist_text_len's equi-width bins: bucket edges are the exact
@@ -8385,9 +8385,60 @@ def price_eqdepth_hist(sf_dir: str):
     scan emits per-batch (value, count) combiners; the driver folds the
     distinct-cents table and derives edges AND bucket counts from the
     same cumsum — no shuffle, no second scan (bounded-cardinality
-    assumption, the same contract as exact_quantiles;
-    quantile_via_selection is the unbounded seam)."""
+    assumption, the same contract as exact_quantiles).  PAST that
+    contract —
+    an unbounded-cardinality column — ``force_selection=True`` takes
+    the promoted tier: exact edges from
+    :func:`~mdvalidate_ray.functions.relational.quantile_via_selection`
+    (nothing distinct-value-sized on the driver) plus ONE counting pass
+    for the cumulative counts at the 7 edges; bit-equal to the default
+    (test_eqdepth_forced_selection_tier_parity)."""
     import numpy as np
+
+    out_schema_sel = pa.schema([("bucket", pa.int64()),
+                                ("hi_c100", pa.int64()),
+                                ("n", pa.int64())])
+    if force_selection:
+        import ray
+
+        from mdvalidate_ray.functions.relational import (
+            quantile_via_selection)
+
+        def to_cents(b: pa.Table) -> pa.Table:
+            return pa.table({"c": pc.cast(_pc_round(pc.multiply(
+                b.column("l_extendedprice"), 100.0)), pa.int64())})
+
+        cents = _read(sf_dir, "lineitem").select_columns(
+            ["l_extendedprice"]).map_batches(
+            to_cents, batch_format="pyarrow",
+            zero_copy_batch=True).materialize()
+        qs = [i / 8 for i in range(1, 8)]
+        edges = quantile_via_selection(cents, "c", qs)
+        if edges[0] is None:
+            return out_schema_sel.empty_table()
+        e = np.array([int(v) for v in edges], dtype=np.int64)
+        e_ref = ray.put(e)
+
+        def cnt(b: pa.Table) -> pa.Table:
+            ee = ray.get(e_ref)
+            v = np.sort(b.column("c").to_numpy(zero_copy_only=False))
+            c = np.searchsorted(v, ee, side="right").astype(np.int64)
+            return pa.table({
+                "i": pa.array(np.arange(8, dtype=np.int64)),
+                "c": pa.array(np.r_[c, np.int64(len(v))])})
+
+        cum = np.zeros(8, dtype=np.int64)
+        for blk in cents.map_batches(cnt, batch_format="pyarrow",
+                                     zero_copy_batch=True).iter_batches(
+                                         batch_format="pyarrow"):
+            np.add.at(cum, np.asarray(blk.column("i").combine_chunks()),
+                      np.asarray(blk.column("c").combine_chunks()))
+        counts = np.diff(np.r_[np.int64(0), cum])
+        rows = [{"bucket": i,
+                 "hi_c100": int(e[i]) if i < 7 else -1,
+                 "n": int(counts[i])}
+                for i in range(8) if counts[i] > 0]
+        return pa.Table.from_pylist(rows, schema=out_schema_sel)
 
     def vc_partial(b: pa.Table) -> pa.Table:
         c = pc.cast(_pc_round(pc.multiply(

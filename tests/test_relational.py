@@ -918,6 +918,26 @@ def test_priority_mad_forced_selection_tier_parity(ray_session):
     assert base.equals(forced) and len(base) > 0
 
 
+def test_eqdepth_forced_selection_tier_parity(ray_session):
+    """price_eqdepth_hist(force_selection=True) — the
+    unbounded-cardinality tier built on quantile_via_selection plus one
+    counting pass — is bit-equal to the default distinct-value-fold
+    tier at sf0.001."""
+    import os
+
+    import pytest
+
+    sf_dir = "/root/testdata/sf0.001"
+    if not os.path.isdir(sf_dir):
+        pytest.skip("testdata missing")
+    from mdvalidate_ray.queries import price_eqdepth_hist
+
+    base = price_eqdepth_hist(sf_dir).to_pandas()
+    forced = price_eqdepth_hist(sf_dir,
+                                force_selection=True).to_pandas()
+    assert base.equals(forced) and len(base) > 0
+
+
 def test_q11_forced_distributed_filter_tier(ray_session):
     """q11_important_parts(driver_threshold=0) — the 10⁹-part tier
     where the folded per-part table never collects and the HAVING
