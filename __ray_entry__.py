@@ -172,6 +172,8 @@ def _queries_raw() -> dict[str, Callable[[str], Any]]:
         "order_discount_proration": Q.order_discount_proration,
         "user_type_scd2": Q.user_type_scd2,
         "star_join_checksum": Q.star_join_checksum,
+        # round-5 additions (planted_skew_salted sits in the window)
+        "image_phash_dups": Q.image_phash_dups,
         "parity_rates": Q.parity_rates,
         "ranking_overlap": Q.ranking_overlap,
         "lang_confusion": Q.lang_confusion,

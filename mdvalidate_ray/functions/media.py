@@ -1654,3 +1654,188 @@ def extract_audio_features(ds, *, strict: bool = True,
                           fn_constructor_kwargs={"strict": strict},
                           batch_size=batch_size, batch_format="pyarrow",
                           zero_copy_batch=True, concurrency=concurrency)
+
+
+# --- perceptual image hashing (dHash) + near-duplicate pairing --------------
+
+def gray_u8(arr: np.ndarray) -> np.ndarray:
+    """(h, w, 3) uint8 → (h, w) uint8 integer-mean grayscale (exact
+    ``(r+g+b)//3`` — deterministic, no float weights)."""
+    if arr.ndim == 2:
+        return arr
+    return ((arr[..., 0].astype(np.uint16) + arr[..., 1]
+             + arr[..., 2]) // 3).astype(np.uint8)
+
+
+def dhash64(arr: np.ndarray) -> int:
+    """64-bit DIFFERENCE hash (dHash) of a decoded image: grayscale →
+    9×8 nearest-neighbor downsample → horizontal gradient sign bits,
+    row-major, bit i = row*8+col.  The standard perceptual fingerprint:
+    stable under re-encoding, scaling and small noise, so near-copies
+    land within a small hamming radius while distinct images scatter
+    uniformly over 2^64."""
+    g = gray_u8(np.asarray(arr))
+    small = _resize_nearest(g, 9, 8)          # (8 rows, 9 cols)
+    bits = (small[:, 1:] > small[:, :-1]).astype(np.uint64).ravel()
+    return int((bits << np.arange(64, dtype=np.uint64)).sum())
+
+
+class DHashStage:
+    """binary payload → (asset_id, dhash) — actor-pool perceptual
+    fingerprinting through the REAL codecs (PNG / BMP / QOI / baseline
+    JPEG; animated GIF hashes its FIRST frame — the thumbnail
+    convention).  The hash is reinterpreted uint64→int64 so it rides
+    Arrow int64 columns.  ``strict=False`` skips undecodable rows."""
+
+    def __init__(self, strict: bool = True):
+        self.strict = strict
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, hs = [], []
+        for aid, payload in zip(batch.column("asset_id").to_pylist(),
+                                batch.column("payload").to_pylist()):
+            try:
+                if payload[:8] == _PNG_SIG:
+                    arr = png_decode(payload)
+                elif payload[:2] == b"BM":
+                    arr = bmp_decode(payload)
+                elif payload[:4] == _QOI_MAGIC:
+                    arr = qoi_decode(payload)
+                elif payload[:2] == b"\xff\xd8":
+                    arr = jpeg_decode(payload)
+                elif payload[:6] in (b"GIF89a", b"GIF87a"):
+                    arr = gif_decode(payload)[0]
+                else:
+                    raise NotImplementedError(
+                        "no decoder for this payload in DHashStage")
+            except (NotImplementedError, ValueError):
+                if self.strict:
+                    raise
+                continue
+            ids.append(aid)
+            hs.append(np.uint64(dhash64(arr)).astype(np.int64))
+        return pa.table({
+            "asset_id": pa.array(ids, pa.string()),
+            "dhash": pa.array(np.array(hs, dtype=np.int64)
+                              if hs else np.zeros(0, np.int64))})
+
+
+def phash_near_duplicates(hash_ds, *, max_hamming: int = 6,
+                          key: str = "asset_id",
+                          hash_col: str = "dhash",
+                          n_parts: int = 32,
+                          max_bucket: int = 512) -> "object":
+    """Perceptual near-duplicate PAIRS over a (key, 64-bit hash) table —
+    the image analog of :func:`~mdvalidate_ray.functions.dedup.
+    simhash_near_duplicates`: every distinct pair with
+    ``hamming(h_a, h_b) <= max_hamming``.
+
+    Pigeonhole banding: the 64 bits split into ``max_hamming + 1``
+    contiguous bands, so any qualifying pair agrees on at least one
+    whole band; candidate keys co-partition on
+    ``hash(band, band_value) % n_parts`` (ONE coarse exchange, group
+    calls bounded by ``n_parts``), each (band, value) run expands
+    size-classed triu pairs (runs capped at ``max_bucket`` — a cap
+    would be LOSSY, so overflow raises rather than silently truncating)
+    and verifies exact hamming via vectorized XOR+unpackbits.
+    Cross-band duplicate candidates dedup on the driver over the PAIR
+    set (bounded by true near-dups + band collisions, not the corpus).
+
+    Returns an Arrow table (key_a, key_b, hamming), key_a < key_b,
+    sorted."""
+    bands = max_hamming + 1
+    width = 64 // bands
+    from mdvalidate_ray.state.sketches import hash_strings
+
+    def band_rows(b: pa.Table) -> pa.Table:
+        h = b.column(hash_col).to_numpy(
+            zero_copy_only=False).astype(np.uint64)
+        k = b.column(key).to_pylist()
+        n = len(h)
+        if n == 0:
+            return pa.schema([("bi", pa.int64()), ("bv", pa.int64()),
+                              ("k", pa.string()), ("h", pa.int64()),
+                              ("_bk", pa.int64())]).empty_table()
+        bis, bvs, ks, hs = [], [], [], []
+        for bi in range(bands):
+            shift = np.uint64(bi * width)
+            mask = np.uint64((1 << width) - 1)
+            bv = ((h >> shift) & mask).astype(np.int64)
+            bis.append(np.full(n, bi, dtype=np.int64))
+            bvs.append(bv)
+            ks.extend(k)
+            hs.append(h.astype(np.int64))
+        bi_a = np.concatenate(bis)
+        bv_a = np.concatenate(bvs)
+        bucket = (hash_strings([f"{a}|{v}" for a, v in
+                                zip(bi_a, bv_a)])
+                  % np.uint64(n_parts)).astype(np.int64)
+        return pa.table({"bi": pa.array(bi_a), "bv": pa.array(bv_a),
+                         "k": pa.array(ks, pa.string()),
+                         "h": pa.array(np.concatenate(hs)),
+                         "_bk": pa.array(bucket)})
+
+    pair_schema = pa.schema([("key_a", pa.string()),
+                             ("key_b", pa.string()),
+                             ("hamming", pa.int64())])
+
+    def emit_pairs(g: pa.Table) -> pa.Table:
+        bi = g.column("bi").to_numpy(zero_copy_only=False)
+        bv = g.column("bv").to_numpy(zero_copy_only=False)
+        ks = np.array(g.column("k").to_pylist())
+        h = g.column("h").to_numpy(
+            zero_copy_only=False).astype(np.uint64)
+        order = np.lexsort((ks, bv, bi))
+        bi, bv, ks, h = bi[order], bv[order], ks[order], h[order]
+        starts = np.flatnonzero(np.concatenate(
+            ([True], (bi[1:] != bi[:-1]) | (bv[1:] != bv[:-1]))))
+        ends = np.append(starts[1:], len(bi))
+        out_a, out_b, out_d = [], [], []
+        for s, e in zip(starts, ends):
+            m = e - s
+            if m < 2:
+                continue
+            if m > max_bucket:
+                raise ValueError(
+                    f"phash band run size {m} exceeds max_bucket="
+                    f"{max_bucket}; raise max_bucket (a cap would drop "
+                    "pairs)")
+            kk, hh = ks[s:e], h[s:e]
+            ia, ib = np.triu_indices(m, k=1)
+            x = hh[ia] ^ hh[ib]
+            d = np.unpackbits(x.view(np.uint8)).reshape(len(x), 8 * 8) \
+                .sum(axis=1).astype(np.int64)
+            keep = d <= max_hamming
+            out_a.extend(kk[ia[keep]])
+            out_b.extend(kk[ib[keep]])
+            out_d.extend(d[keep].tolist())
+        if not out_a:
+            return pair_schema.empty_table()
+        return pa.table({"key_a": pa.array(out_a, pa.string()),
+                         "key_b": pa.array(out_b, pa.string()),
+                         "hamming": pa.array(out_d, pa.int64())},
+                        schema=pair_schema)
+
+    partials = hash_ds.map_batches(
+        band_rows, batch_format="pyarrow", zero_copy_batch=True) \
+        .groupby("_bk").map_groups(emit_pairs, batch_format="pyarrow")
+    seen = {}
+    for r in partials.take_all():       # bounded by pairs, not corpus
+        a, bb = r["key_a"], r["key_b"]
+        if a > bb:
+            a, bb = bb, a
+        seen[(a, bb)] = int(r["hamming"])
+    rows = [{"key_a": a, "key_b": bb, "hamming": d}
+            for (a, bb), d in sorted(seen.items())]
+    return pa.Table.from_pylist(rows, schema=pair_schema)
+
+
+def dhash_media(ds, *, strict: bool = True, batch_size: int = 64,
+                concurrency=(1, 4)):
+    """Actor-pool perceptual fingerprinting stage (binary in,
+    (asset_id, dhash int64) out) — small batches per the multimodal
+    batch-sizing rule."""
+    return ds.map_batches(DHashStage,
+                          fn_constructor_kwargs={"strict": strict},
+                          batch_size=batch_size, batch_format="pyarrow",
+                          zero_copy_batch=True, concurrency=concurrency)

@@ -3453,6 +3453,57 @@ def frame_dups(sf_dir: str):
     return duplicate_frames(frames_ds)
 
 
+def image_phash_dups(sf_dir: str):
+    """Perceptual-hash IMAGE near-dup — the multimodal analog of
+    simhash text near-dup and the near-dup sibling of
+    :func:`frame_dups`' exact pixel dedup: synthesize a deterministic
+    image corpus with PLANTED near-copies (every 4th asset re-encodes
+    its predecessor's pixels in a DIFFERENT real codec with a small
+    perturbed patch — the re-encoded-thumbnail duplication mode of
+    scraped image corpora), fingerprint through the real decoders with
+    the 64-bit dHash (functions/media.py::DHashStage), and pair by
+    pigeonhole banding + exact vectorized hamming verify
+    (phash_near_duplicates).  Rows-only: the pixels pass through real
+    codecs (PNG/QOI/JPEG), which has no SQL analog; the planted-pair
+    composition, the dHash bit contract, and the cross-codec
+    hamming-0 identity are pinned by test_dhash_* instead."""
+    import numpy as np
+    import ray.data
+
+    from mdvalidate_ray.functions.media import (dhash_media, jpeg_encode,
+                                                phash_near_duplicates,
+                                                png_encode, qoi_encode)
+
+    n_assets = min(80, max(_docs_count(sf_dir), 8))
+    ids, payloads = [], []
+    prev = None
+    for i in range(n_assets):
+        rng = np.random.default_rng((9191, i))
+        if i % 4 == 1 and prev is not None:
+            img = prev.copy()                 # near-copy: small patch
+            img[2:4, 3:5] = 255 - img[2:4, 3:5]
+            payloads.append(qoi_encode(img))  # different codec
+        elif i % 4 == 3:
+            # blocky low-frequency random (DCT-friendly, and — unlike a
+            # monotone gradient, whose dHash is the SAME for every
+            # asset — distinct per asset)
+            coarse = rng.integers(0, 256, (4, 4, 3))
+            base = np.kron(coarse, np.ones((6, 6, 1), dtype=np.int64))
+            payloads.append(jpeg_encode(base.astype(np.uint8)))
+        else:
+            img = rng.integers(0, 256, (24, 24, 3), dtype=np.uint8)
+            payloads.append(png_encode(img))
+            prev = img
+        ids.append(f"img{i:04d}")
+    media = pa.Table.from_arrays(
+        [pa.array(ids, pa.string()),
+         pa.array(["image/*"] * n_assets, pa.string()),
+         pa.array(payloads, pa.binary())],
+        names=["asset_id", "mime", "payload"])
+    hashes = dhash_media(ray.data.from_arrow(media))
+    return phash_near_duplicates(hashes, max_hamming=10)
+
+
 def label_centroid_dots(sf_dir: str):
     """Exact-integer cross-group embedding similarity: int8-quantize
     every vector (same rule as :func:`embedding_int8` — proven

