@@ -1720,7 +1720,7 @@ class DHashStage:
                               if hs else np.zeros(0, np.int64))})
 
 
-def phash_near_duplicates(hash_ds, *, max_hamming: int = 6,
+def phash_near_duplicates(hash_ds, *, max_hamming: int = 3,
                           key: str = "asset_id",
                           hash_col: str = "dhash",
                           n_parts: int = 32,
@@ -1740,6 +1740,15 @@ def phash_near_duplicates(hash_ds, *, max_hamming: int = 6,
     and verifies exact hamming via vectorized XOR+unpackbits.
     Cross-band duplicate candidates dedup on the driver over the PAIR
     set (bounded by true near-dups + band collisions, not the corpus).
+
+    SCALE CONTRACT (the multi-index-hashing tradeoff): expected random
+    collisions per band value ≈ n / 2^(64/(m+1)), so web-scale corpora
+    need ``max_hamming <= 3`` (16-bit bands — the simhash contract:
+    ~n/65536 keys per value, triu bounded) — that is the default.
+    Wider radii on millions+ of images require chaining (cluster at
+    radius 3, then re-pair representatives) rather than raising m here;
+    the ``max_bucket`` guard raises before a hot band value can go
+    quadratic silently.
 
     Returns an Arrow table (key_a, key_b, hamming), key_a < key_b,
     sorted."""

@@ -3501,6 +3501,9 @@ def image_phash_dups(sf_dir: str):
          pa.array(payloads, pa.binary())],
         names=["asset_id", "mime", "payload"])
     hashes = dhash_media(ray.data.from_arrow(media))
+    # radius 10 is the SMALL-corpus setting (5-bit bands); web-scale
+    # uses the function's default radius-3 / 16-bit-band contract and
+    # chains stages — see phash_near_duplicates' scale note
     return phash_near_duplicates(hashes, max_hamming=10)
 
 
