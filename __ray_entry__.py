@@ -174,6 +174,7 @@ def _queries_raw() -> dict[str, Callable[[str], Any]]:
         "star_join_checksum": Q.star_join_checksum,
         # round-5 additions (planted_skew_salted sits in the window)
         "image_phash_dups": Q.image_phash_dups,
+        "audio_fp_dups": Q.audio_fp_dups,
         "parity_rates": Q.parity_rates,
         "ranking_overlap": Q.ranking_overlap,
         "lang_confusion": Q.lang_confusion,

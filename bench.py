@@ -223,7 +223,7 @@ QUERY_NAMES = [
     "kcenter_picks", "price_eqdepth_hist", "order_discount_proration",
     "user_type_scd2", "star_join_checksum",
     # round-5 additions
-    "planted_skew_salted", "image_phash_dups",
+    "planted_skew_salted", "image_phash_dups", "audio_fp_dups",
 ]
 
 # the document-family queries for the 10x bench tier (--tier10x): the

@@ -1848,3 +1848,160 @@ def dhash_media(ds, *, strict: bool = True, batch_size: int = 64,
                           fn_constructor_kwargs={"strict": strict},
                           batch_size=batch_size, batch_format="pyarrow",
                           zero_copy_batch=True, concurrency=concurrency)
+
+
+# --- audio spectral fingerprinting + near-duplicate pairing -----------------
+
+_FP_BAND_EDGES = np.array([1, 3, 6, 12, 24, 48, 80, 110, 129])
+
+
+def audio_fingerprints(samples: np.ndarray, *, frame: int = 256,
+                       hop: int = 128, shingle: int = 4) -> np.ndarray:
+    """Shazam-lite spectral fingerprint of a PCM16 sample array
+    ``(n, n_ch)``: mono mix → ``frame``-sample windows every ``hop``
+    samples → |rFFT| energy in 8 log-spaced bands → a 6-bit symbol per
+    frame: the DOMINANT band (3 bits) plus the global peak BIN's fine
+    position mod 8 (3 bits) — both argmaxes, so the symbol is
+    amplitude-invariant (scaling moves every bin equally) while
+    carrying enough entropy that independent clips rarely collide →
+    overlapping ``shingle``-symbol n-grams mixed into uint64s.  Returns the SORTED UNIQUE shingle-hash
+    set (the document's fingerprint); two recordings of the same audio
+    share most shingles, independent clips share almost none."""
+    x = np.asarray(samples)
+    if x.ndim == 2:
+        x = x.mean(axis=1)
+    x = x.astype(np.float64)
+    n_frames = (len(x) - frame) // hop + 1
+    if n_frames < shingle:
+        return np.zeros(0, dtype=np.uint64)
+    idx = np.arange(frame)[None, :] + hop * np.arange(n_frames)[:, None]
+    win = np.hanning(frame)
+    spec = np.abs(np.fft.rfft(x[idx] * win[None, :], axis=1))
+    e2 = spec * spec
+    band = np.stack([e2[:, a:b].sum(axis=1) for a, b in
+                     zip(_FP_BAND_EDGES[:-1], _FP_BAND_EDGES[1:])],
+                    axis=1)
+    peak = spec.argmax(axis=1).astype(np.uint64)      # 0..128 per frame
+    sym = (band.argmax(axis=1).astype(np.uint64) << np.uint64(3)) \
+        | (peak % np.uint64(8))                       # 6 bits per frame
+    packed = np.zeros(n_frames - shingle + 1, dtype=np.uint64)
+    for j in range(shingle):
+        packed |= sym[j:j + len(packed)] << np.uint64(6 * j)
+    # position-free mix so shingle value 0 does not collapse
+    mixed = (packed + np.uint64(1)) * np.uint64(0x9E3779B97F4A7C15)
+    return np.unique(mixed)
+
+
+class AudioFPStage:
+    """WAV payload → (asset_id, fp uint64-as-int64) fingerprint rows —
+    the 1→N fan-out analog of FrameSampleStage for audio; decode runs
+    through the real RIFF/PCM16 parser.  ``strict=False`` skips
+    undecodable payloads."""
+
+    def __init__(self, strict: bool = True, frame: int = 256,
+                 hop: int = 128, shingle: int = 4):
+        self.strict = strict
+        self.frame, self.hop, self.shingle = frame, hop, shingle
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, fps = [], []
+        for aid, payload in zip(batch.column("asset_id").to_pylist(),
+                                batch.column("payload").to_pylist()):
+            try:
+                samples, _rate = wav_decode_samples(payload)
+            except ValueError:
+                if self.strict:
+                    raise
+                continue
+            h = audio_fingerprints(samples, frame=self.frame,
+                                   hop=self.hop, shingle=self.shingle)
+            ids.extend([aid] * len(h))
+            fps.append(h.astype(np.int64))
+        return pa.table({
+            "asset_id": pa.array(ids, pa.string()),
+            "fp": pa.array(np.concatenate(fps) if fps
+                           else np.zeros(0, np.int64))})
+
+
+def audio_near_duplicates(fp_ds, *, min_shared: int = 10,
+                          max_posting: int = 64,
+                          n_parts: int = 32):
+    """Audio near-duplicate PAIRS from fingerprint rows — the inverted-
+    index join (trigram_posting_pairs' shape over spectral shingles):
+    asset pairs sharing ≥ ``min_shared`` distinct shingle hashes.
+
+    ONE coarse ``hash(fp) % n_parts`` co-partition; per bucket each
+    fp's posting (capped at ``max_posting`` — a boilerplate shingle
+    shared by everything carries no pairing information, the same
+    df-cap contract as trigram blocking) expands sorted triu pairs
+    with per-bucket pre-counts; an exact
+    :func:`~mdvalidate_ray.functions.relational.bucketed_group_sum`
+    folds the per-pair shared counts.  Returns (key_a, key_b,
+    n_shared) with n_shared ≥ min_shared, key_a < key_b, sorted."""
+    from mdvalidate_ray.functions.relational import bucketed_group_sum
+    from mdvalidate_ray.state.sketches import hash_strings
+
+    def tag(b: pa.Table) -> pa.Table:
+        h = b.column("fp").to_numpy(
+            zero_copy_only=False).astype(np.uint64)
+        bk = ((h * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)) \
+            % np.uint64(n_parts)
+        return pa.table({"fp": b.column("fp"),
+                         "asset_id": b.column("asset_id"),
+                         "_bk": pa.array(bk.astype(np.int64))})
+
+    pair_schema = pa.schema([("pair", pa.string()), ("c", pa.int64())])
+
+    def pairs_partial(g: pa.Table) -> pa.Table:
+        fp = g.column("fp").to_numpy(zero_copy_only=False)
+        ks = np.array(g.column("asset_id").to_pylist())
+        order = np.lexsort((ks, fp))
+        fp, ks = fp[order], ks[order]
+        starts = np.flatnonzero(np.concatenate(
+            ([True], fp[1:] != fp[:-1])))
+        ends = np.append(starts[1:], len(fp))
+        cnt: dict = {}
+        for s, e in zip(starts, ends):
+            m = e - s
+            if m < 2 or m > max_posting:      # df-capped boilerplate
+                continue
+            kk = ks[s:e]
+            ia, ib = np.triu_indices(m, k=1)
+            for a, b in zip(kk[ia], kk[ib]):
+                if a != b:
+                    p = f"{a}\x1f{b}"
+                    cnt[p] = cnt.get(p, 0) + 1
+        if not cnt:
+            return pair_schema.empty_table()
+        return pa.table({"pair": pa.array(list(cnt), pa.string()),
+                         "c": pa.array([cnt[p] for p in cnt],
+                                       pa.int64())}, schema=pair_schema)
+
+    folded = bucketed_group_sum(
+        fp_ds.map_batches(tag, batch_format="pyarrow",
+                          zero_copy_batch=True)
+        .groupby("_bk").map_groups(pairs_partial,
+                                   batch_format="pyarrow"),
+        key="pair", sum_cols=["c"], n_parts=max(4, n_parts // 4))
+    rows = []
+    for r in folded.take_all():               # bounded by pairs
+        if r["c"] >= min_shared:
+            a, b = r["pair"].split("\x1f")
+            rows.append({"key_a": a, "key_b": b,
+                         "n_shared": int(r["c"])})
+    rows.sort(key=lambda r: (r["key_a"], r["key_b"]))
+    return pa.Table.from_pylist(rows, schema=pa.schema(
+        [("key_a", pa.string()), ("key_b", pa.string()),
+         ("n_shared", pa.int64())]))
+
+
+def audio_fp_media(ds, *, strict: bool = True, batch_size: int = 64,
+                   concurrency=(1, 4), **fp_kw):
+    """Actor-pool audio fingerprinting stage (binary WAV in,
+    (asset_id, fp) rows out) — small batches per the multimodal
+    batch-sizing rule."""
+    return ds.map_batches(AudioFPStage,
+                          fn_constructor_kwargs={"strict": strict,
+                                                 **fp_kw},
+                          batch_size=batch_size, batch_format="pyarrow",
+                          zero_copy_batch=True, concurrency=concurrency)

@@ -3507,6 +3507,61 @@ def image_phash_dups(sf_dir: str):
     return phash_near_duplicates(hashes, max_hamming=10)
 
 
+def audio_fp_dups(sf_dir: str):
+    """Audio NEAR-dup — the third leg of the multimodal dedup triple
+    (text simhash / image dHash / audio spectral shingles): synthesize
+    deterministic tone-sequence WAVs with PLANTED near-copies (every
+    3rd asset is its predecessor at 0.4× volume with low-level noise —
+    the re-encoded/re-levelled duplication mode of scraped audio),
+    fingerprint through the real RIFF/PCM16 decoder
+    (functions/media.py::AudioFPStage — dominant-spectral-band shingle
+    hashes, amplitude-invariant by construction), and pair via the
+    inverted-index shared-shingle join (audio_near_duplicates).
+    Rows-only: FFT band energies have no SQL analog; the planted-pair
+    composition and the volume-invariance contract are pinned by
+    test_audio_fp_* instead."""
+    import numpy as np
+    import ray.data
+
+    from mdvalidate_ray.functions.media import (audio_fp_media,
+                                                audio_near_duplicates,
+                                                wav_encode)
+
+    def tone_seq(rng: np.random.Generator, n_chunks: int = 40,
+                 chunk: int = 256) -> np.ndarray:
+        # SHORT chunks: the dominant band changes every ~2 frames, so
+        # the shingle sequence is high-entropy and independent clips
+        # share ~0 shingles (long steady tones made every clip share
+        # constant-run boilerplate shingles)
+        t = np.arange(chunk)
+        parts = []
+        for _ in range(n_chunks):
+            f = float(rng.uniform(0.02, 0.45))     # cycles/sample
+            parts.append(np.sin(2 * np.pi * f * t) * 12000)
+        return np.concatenate(parts)
+
+    n_assets = min(60, max(_docs_count(sf_dir), 9))
+    ids, payloads = [], []
+    prev = None
+    for i in range(n_assets):
+        rng = np.random.default_rng((7373, i))
+        if i % 3 == 1 and prev is not None:
+            x = prev * 0.4 + rng.normal(0, 60, len(prev))
+        else:
+            x = tone_seq(rng)
+            prev = x
+        ids.append(f"aud{i:04d}")
+        payloads.append(wav_encode(
+            np.clip(x, -32768, 32767).astype(np.int16)))
+    media = pa.Table.from_arrays(
+        [pa.array(ids, pa.string()),
+         pa.array(["audio/wav"] * n_assets, pa.string()),
+         pa.array(payloads, pa.binary())],
+        names=["asset_id", "mime", "payload"])
+    fps = audio_fp_media(ray.data.from_arrow(media))
+    return audio_near_duplicates(fps, min_shared=10)
+
+
 def label_centroid_dots(sf_dir: str):
     """Exact-integer cross-group embedding similarity: int8-quantize
     every vector (same rule as :func:`embedding_int8` — proven

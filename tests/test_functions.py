@@ -2476,6 +2476,75 @@ def test_image_phash_dups_query_plants(ray_session):
     assert n >= 10 and all(r["hamming"] <= 10 for r in out)
 
 
+def test_audio_fp_invariance_and_pairs(ray_session):
+    """Spectral shingle fingerprints are amplitude-invariant (0.4×
+    volume → near-identical shingle set on tone audio), a planted
+    re-levelled copy pairs with its source with high shared count, and
+    independent tone sequences do not pair."""
+    import numpy as np
+    import ray.data
+
+    from mdvalidate_ray.functions.media import (audio_fingerprints,
+                                                audio_fp_media,
+                                                audio_near_duplicates,
+                                                wav_encode)
+
+    rng = np.random.default_rng(29)
+    t = np.arange(256)
+
+    def seq(r):
+        return np.concatenate([
+            np.sin(2 * np.pi * float(r.uniform(0.02, 0.45)) * t) * 12000
+            for _ in range(40)])
+
+    x = seq(rng)
+    xi = np.clip(x, -32768, 32767).astype(np.int16)
+    xq = np.clip(x * 0.4, -32768, 32767).astype(np.int16)
+    fa = audio_fingerprints(xi)
+    fb = audio_fingerprints(xq)
+    inter = len(np.intersect1d(fa, fb))
+    assert len(fa) > 20 and inter >= 0.9 * len(fa)   # volume-invariant
+
+    # pipeline: 6 independent + 2 planted copies
+    ids, pl = [], []
+    prev = None
+    for i in range(8):
+        r = np.random.default_rng((555, i))
+        if i in (3, 6):
+            y = prev * 0.4 + r.normal(0, 60, len(prev))
+        else:
+            y = seq(r)
+            prev = y
+        ids.append(f"w{i}")
+        pl.append(wav_encode(np.clip(y, -32768, 32767).astype(np.int16)))
+    tbl = pa.table({"asset_id": pa.array(ids, pa.string()),
+                    "mime": pa.array(["audio/wav"] * 8, pa.string()),
+                    "payload": pa.array(pl, pa.binary())})
+    fps = audio_fp_media(ray.data.from_arrow(tbl).repartition(3))
+    pairs = audio_near_duplicates(fps, min_shared=10).to_pylist()
+    got = {(r["key_a"], r["key_b"]) for r in pairs}
+    assert ("w2", "w3") in got and ("w5", "w6") in got
+    for a, b in got:
+        assert (a, b) in {("w2", "w3"), ("w5", "w6")}, (a, b)
+
+    # degenerate: too-short audio yields no shingles, no crash
+    assert len(audio_fingerprints(np.zeros(100, np.int16))) == 0
+
+
+def test_audio_fp_dups_query_plants(ray_session):
+    """The catalog query pairs exactly predecessor/copy (i ≡ 1 mod 3)."""
+    from mdvalidate_ray.queries import audio_fp_dups
+
+    out = audio_fp_dups("/root/testdata/sf0.001").to_pylist()
+    assert len(out) >= 5
+    import re
+
+    for r in out:
+        ia = int(re.sub(r"\D", "", r["key_a"]))
+        ib = int(re.sub(r"\D", "", r["key_b"]))
+        assert ib == ia + 1 and ib % 3 == 1, r
+
+
 def test_pagerank_forced_copartition_tier_parity(ray_session):
     """broadcast_threshold=0 forces pagerank through the fully
     co-partitioned tier (state stays a Dataset; sorted in-bucket
