@@ -427,10 +427,15 @@ def ensure_tier10x_sf(base_sf: str) -> str:
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
-    path = "/tmp/mdv_tier10x_sf"
+    # path keyed by the base sf dir: a stale 10x table built from a
+    # DIFFERENT $GRAFT_SF_DIR must never be silently reused
+    tag = base_sf.strip("/").replace("/", "_")
+    path = f"/tmp/mdv_tier10x_sf_{tag}"
     marker = os.path.join(path, "_DONE")
     if os.path.exists(marker):
-        return path
+        with open(marker) as f:
+            if f.read().startswith(f"{base_sf}:"):
+                return path
     os.makedirs(path, exist_ok=True)
     base = pq.read_table(os.path.join(base_sf, "documents.parquet"))
     n = base.num_rows
@@ -445,7 +450,7 @@ def ensure_tier10x_sf(base_sf: str) -> str:
     pq.write_table(big, os.path.join(path, "documents.parquet"),
                    row_group_size=20_000)
     with open(marker, "w") as f:
-        f.write(str(big.num_rows))
+        f.write(f"{base_sf}:{big.num_rows}")
     log(f"tier10x sf dir: {big.num_rows} docs -> {path}")
     return path
 

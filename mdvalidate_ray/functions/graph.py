@@ -45,10 +45,10 @@ def _pagerank_copartition(edges, *, damping: float, n_iter: int,
     round)."""
     import ray.data
 
+    from mdvalidate_ray.state.sketches import bucket_int64
+
     def bk(v: np.ndarray) -> pa.Array:
-        h = (v.astype(np.uint64)
-             * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)
-        return pa.array((h % np.uint64(n_parts)).astype(np.int64))
+        return pa.array(bucket_int64(v, n_parts))
 
     # ---- build the (node, deg) state: out-degrees + dst-only nodes --
     def deg_part(b: pa.Table) -> pa.Table:
@@ -762,54 +762,6 @@ def k_core(edges_ds, *, k: int, col_a: str = "u", col_b: str = "v",
             [pa.array(uniq), pa.array(cnt.astype(np.int64))],
             names=["a", "deg"])
 
-    def drop_copartition(edges, peel_ds, on: str):
-        """One co-partitioned anti-join pass: drop edge rows whose
-        ``on``-endpoint appears in ``peel_ds`` (column ``a``) without
-        the peel set ever reaching the driver.  Tagged union on
-        ``hash(endpoint) % n_parts`` (the multiply-shift hash
-        bucketed_group_sum uses, so peel rows land with their edges),
-        then a vectorized sorted-peel ``searchsorted`` filter per
-        bucket group."""
-        def tag_edge(b: pa.Table) -> pa.Table:
-            v = b.column(on).to_numpy(zero_copy_only=False) \
-                 .astype(np.uint64)
-            h = (v * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)
-            return pa.table({
-                "a": b.column("a"), "b": b.column("b"),
-                "_peel": pa.array(np.zeros(b.num_rows, dtype=bool)),
-                "_bk": pa.array((h % np.uint64(n_parts)).astype(
-                    np.int64))})
-
-        def tag_peel(b: pa.Table) -> pa.Table:
-            v = b.column("a").to_numpy(zero_copy_only=False)
-            h = (v.astype(np.uint64)
-                 * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)
-            return pa.table({
-                "a": pa.array(v.astype(np.int64)),
-                "b": pa.array(np.zeros(len(v), dtype=np.int64)),
-                "_peel": pa.array(np.ones(len(v), dtype=bool)),
-                "_bk": pa.array((h % np.uint64(n_parts)).astype(
-                    np.int64))})
-
-        def anti(g: pa.Table) -> pa.Table:
-            is_peel = g.column("_peel").to_numpy(zero_copy_only=False)
-            pe = np.sort(g.column("a").to_numpy(
-                zero_copy_only=False)[is_peel])
-            e = g.filter(pa.array(~is_peel))
-            if len(pe) == 0:
-                return e.select(["a", "b"])
-            x = e.column(on).to_numpy(zero_copy_only=False)
-            ix = np.searchsorted(pe, x)
-            hit = (ix < len(pe)) & (pe[np.minimum(ix, len(pe) - 1)] == x)
-            return e.filter(pa.array(~hit)).select(["a", "b"])
-
-        tagged = edges.map_batches(tag_edge, batch_format="pyarrow",
-                                   zero_copy_batch=True).union(
-            peel_ds.select_columns(["a"]).map_batches(
-                tag_peel, batch_format="pyarrow", zero_copy_batch=True))
-        return tagged.groupby("_bk").map_groups(
-            anti, batch_format="pyarrow")
-
     for _ in range(max_rounds):
         degs = bucketed_group_sum(
             cur.map_batches(deg_partial, batch_format="pyarrow",
@@ -822,11 +774,21 @@ def k_core(edges_ds, *, k: int, col_a: str = "u", col_b: str = "v",
                 lambda t: t.rename_columns(["node", "deg"]),
                 batch_format="pyarrow", zero_copy_batch=True)
         if n_frontier > broadcast_threshold:
-            # co-partitioned tier: two anti-join passes (a, then b);
-            # the frontier never folds to the driver
-            nxt = drop_copartition(
-                drop_copartition(cur, peel_ds, "a"),
-                peel_ds, "b").materialize()
+            # co-partitioned tier: two generic anti-join passes (drop
+            # rows whose a — then b — endpoint is peeled); the frontier
+            # never folds to the driver
+            from mdvalidate_ray.functions.relational import (
+                copartition_antijoin)
+
+            # materialize between passes: copartition_antijoin reads
+            # ds.schema(), which on a lazy groupby output would probe-
+            # execute the first pass a second time
+            first = copartition_antijoin(
+                cur, peel_ds, key="a", keys_col="a",
+                n_parts=n_parts).materialize()
+            nxt = copartition_antijoin(
+                first, peel_ds, key="b", keys_col="a",
+                n_parts=n_parts).materialize()
         else:
             frontier_chunks = [
                 blk.column("a").to_numpy(zero_copy_only=False)
@@ -876,8 +838,10 @@ def bfs_hops(edges_ds, *, seed: int, col_a: str = "u", col_b: str = "v",
       the cached edge blocks emits each block's newly-reached nodes
       (``searchsorted`` gather — edges never re-shuffle, rounds =
       O(diameter) ≤ max_rounds); the driver unions ≤ |new nodes| ids.
-    * node set past ``broadcast_threshold`` — NOTHING node-sized on the
-      driver: the (node, dist) state stays a Dataset, and each round is
+    * symmetrized EDGE count past ``broadcast_threshold`` (the gate is
+      the edge count — already known from the materialized edge list;
+      nodes ≤ 2·edges bounds the state the broadcast tier would hold)
+      — NOTHING node-sized on the driver: the (node, dist) state stays a Dataset, and each round is
       two co-partitioned exchanges — frontier⋈edges on ``hash(src)``
       (expand) then candidates anti-join the visited set on
       ``hash(node)`` (dedup) — the k_core frontier shape.  All tiers
@@ -971,10 +935,10 @@ def _bfs_copartition(edges, *, seed: int, max_rounds: int,
     the RESULT, which the caller asked for in table form)."""
     import ray.data
 
+    from mdvalidate_ray.state.sketches import bucket_int64
+
     def bk(v: np.ndarray) -> pa.Array:
-        h = (v.astype(np.uint64)
-             * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)
-        return pa.array((h % np.uint64(n_parts)).astype(np.int64))
+        return pa.array(bucket_int64(v, n_parts))
 
     dist_schema = pa.schema([("node", pa.int64()), ("dist", pa.int64())])
     dist_ds = ray.data.from_arrow(pa.table(
@@ -1085,10 +1049,10 @@ def _bellman_ford_copartition(edges, *, seed: int, max_rounds: int,
 
     INF = np.int64(2 ** 62)
 
+    from mdvalidate_ray.state.sketches import bucket_int64
+
     def bk(v: np.ndarray) -> pa.Array:
-        h = (v.astype(np.uint64)
-             * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)
-        return pa.array((h % np.uint64(n_parts)).astype(np.int64))
+        return pa.array(bucket_int64(v, n_parts))
 
     st_schema = pa.schema([("node", pa.int64()), ("cost", pa.int64())])
     seed_tbl = pa.table({"node": pa.array([int(seed)], pa.int64()),

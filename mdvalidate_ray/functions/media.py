@@ -1754,7 +1754,6 @@ def phash_near_duplicates(hash_ds, *, max_hamming: int = 3,
     sorted."""
     bands = max_hamming + 1
     width = 64 // bands
-    from mdvalidate_ray.state.sketches import hash_strings
 
     def band_rows(b: pa.Table) -> pa.Table:
         h = b.column(hash_col).to_numpy(
@@ -1776,9 +1775,12 @@ def phash_near_duplicates(hash_ds, *, max_hamming: int = 3,
             hs.append(h.astype(np.int64))
         bi_a = np.concatenate(bis)
         bv_a = np.concatenate(bvs)
-        bucket = (hash_strings([f"{a}|{v}" for a, v in
-                                zip(bi_a, bv_a)])
-                  % np.uint64(n_parts)).astype(np.int64)
+        # vectorized integer bucket of (band, value) — no per-row
+        # Python strings on the corpus-scale hot path
+        from mdvalidate_ray.state.sketches import bucket_int64
+
+        bucket = bucket_int64((bi_a.astype(np.int64) << 32) | bv_a,
+                              n_parts)
         return pa.table({"bi": pa.array(bi_a), "bv": pa.array(bv_a),
                          "k": pa.array(ks, pa.string()),
                          "h": pa.array(np.concatenate(hs)),
@@ -1852,7 +1854,23 @@ def dhash_media(ds, *, strict: bool = True, batch_size: int = 64,
 
 # --- audio spectral fingerprinting + near-duplicate pairing -----------------
 
+# log-spaced band edges for frame=256 (129 rFFT bins); other frame
+# sizes scale them proportionally — see _fp_band_edges
 _FP_BAND_EDGES = np.array([1, 3, 6, 12, 24, 48, 80, 110, 129])
+
+
+def _fp_band_edges(frame: int) -> np.ndarray:
+    """Band edges scaled to ``frame``'s rFFT bin count (frame//2 + 1);
+    for frame=256 this is exactly _FP_BAND_EDGES.  Raises on frames too
+    small to keep 8 distinct bands (the hardcoded table previously
+    zeroed the upper bands silently for frame < 256)."""
+    nbins = frame // 2 + 1
+    edges = np.maximum((_FP_BAND_EDGES * nbins) // 129, 1)
+    edges[-1] = nbins
+    if len(np.unique(edges)) != len(edges):
+        raise ValueError(
+            f"frame={frame} too small for 8 distinct spectral bands")
+    return edges
 
 
 def audio_fingerprints(samples: np.ndarray, *, frame: int = 256,
@@ -1878,9 +1896,9 @@ def audio_fingerprints(samples: np.ndarray, *, frame: int = 256,
     win = np.hanning(frame)
     spec = np.abs(np.fft.rfft(x[idx] * win[None, :], axis=1))
     e2 = spec * spec
+    be = _fp_band_edges(frame)
     band = np.stack([e2[:, a:b].sum(axis=1) for a, b in
-                     zip(_FP_BAND_EDGES[:-1], _FP_BAND_EDGES[1:])],
-                    axis=1)
+                     zip(be[:-1], be[1:])], axis=1)
     peak = spec.argmax(axis=1).astype(np.uint64)      # 0..128 per frame
     sym = (band.argmax(axis=1).astype(np.uint64) << np.uint64(3)) \
         | (peak % np.uint64(8))                       # 6 bits per frame

@@ -2076,22 +2076,28 @@ def copartition_antijoin(ds, keys_ds, *, key: str,
     involved — nested non-key columns are exactly what
     ``pa.Table.join`` rejects).  The key side is padded to the data
     schema with typed nulls, so a null-typed column in the output marks
-    nothing: key rows never survive the filter."""
+    nothing: key rows never survive the filter.  NULL data keys match
+    nothing (SQL NOT-IN-with-known-keys semantics: the row is KEPT) and
+    bucket to 0; null rows in ``keys_ds`` are ignored."""
     keys_col = keys_col or key
     schema = ds.schema().base_schema
 
     def _bucket(col) -> pa.Array:
+        from mdvalidate_ray.state.sketches import (bucket_int64,
+                                                   hash_strings)
+
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
         if pa.types.is_integer(col.type):
-            v = col.to_numpy(zero_copy_only=False).astype(np.uint64)
-            h = (v * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)
-        else:
-            from mdvalidate_ray.state.sketches import hash_strings
-
-            vals = [str(x) for x in col.to_pylist()]
-            h = (hash_strings(vals) if vals
-                 else np.zeros(0, dtype=np.uint64))
+            v = col.to_numpy(zero_copy_only=False)
+            if v.dtype.kind == "f":
+                # null integer slots surface as NaN; park them in
+                # bucket 0 (a null key can never match anyway)
+                v = np.nan_to_num(v, nan=0.0)
+            return pa.array(bucket_int64(v.astype(np.int64), n_parts))
+        vals = ["" if x is None else str(x) for x in col.to_pylist()]
+        h = (hash_strings(vals) if vals
+             else np.zeros(0, dtype=np.uint64))
         return pa.array((h % np.uint64(n_parts)).astype("int64"))
 
     def tag_data(b: pa.Table) -> pa.Table:
@@ -2116,18 +2122,25 @@ def copartition_antijoin(ds, keys_ds, *, key: str,
         if data.num_rows == 0:
             return data.drop_columns(["_isk", "_bk"])
         if keys_t.num_rows:
-            kc = keys_t.column(key)
+            kc = keys_t.column(key).drop_null()
             dc = data.column(key)
+            dnull = np.asarray(dc.is_null())   # null keys match nothing
             if pa.types.is_integer(dc.type):
-                ks = np.sort(kc.to_numpy(zero_copy_only=False))
-                dv = dc.to_numpy(zero_copy_only=False)
+                ks = np.sort(kc.to_numpy(zero_copy_only=False)
+                             .astype(np.int64))
+                dvv = dc.to_numpy(zero_copy_only=False)
+                if dvv.dtype.kind == "f":
+                    dvv = np.nan_to_num(dvv, nan=0.0)
+                dv = dvv.astype(np.int64)
             else:
                 ks = np.sort(np.array(kc.to_pylist()))
-                dv = np.array(dc.to_pylist())
-            i = np.searchsorted(ks, dv)
-            hit = (i < len(ks)) & \
-                (ks[np.minimum(i, len(ks) - 1)] == dv)
-            data = data.filter(pa.array(~hit))
+                dv = np.array(["" if x is None else str(x)
+                               for x in dc.to_pylist()])
+            if len(ks):
+                i = np.searchsorted(ks, dv)
+                hit = (i < len(ks)) & \
+                    (ks[np.minimum(i, len(ks) - 1)] == dv)
+                data = data.filter(pa.array(~(hit & ~dnull)))
         return data.drop_columns(["_isk", "_bk"])
 
     return ds.map_batches(tag_data, batch_format="pyarrow",
@@ -2202,7 +2215,12 @@ def grouped_rank_via_selection(ds, *, group_col: str, value_col: str,
             if cmap is not None:
                 c = cmap.get(g)
                 if c is None:
-                    continue
+                    # a silent skip would DROP the group from the
+                    # result; centers are keyed by STRINGIFIED group
+                    raise ValueError(
+                        f"grouped_rank_via_selection: no center for "
+                        f"group {g!r} (center keys must be the "
+                        "stringified group values)")
                 vals = np.abs(vals - float(c))
             yield g, np.sort(vals)
 
@@ -2637,8 +2655,12 @@ def snapshot_diff(ds_old, ds_new, *, key_col: str,
     if narrow.count() <= driver_threshold:
         import ray.data
 
-        blks = [b for b in narrow.iter_batches(batch_format="pyarrow")
-                if b.num_rows]
+        # keep schema-ful EMPTY blocks: they carry the true key type,
+        # so an empty diff still emits a correctly-typed key column
+        # (string-keyed empty snapshots previously fell back to int64)
+        blks = list(narrow.iter_batches(batch_format="pyarrow"))
+        blks = [b for b in blks if b.num_rows] or \
+            [b for b in blks if b.schema.names]
         g = (pa.concat_tables(blks) if blks
              else pa.schema([("k", pa.int64()), ("h", pa.uint64()),
                              ("side", pa.int64()),

@@ -6074,10 +6074,10 @@ def q22_idle_customers(sf_dir: str, *,
             n_parts=2)
 
     # ---- co-partitioned tier: buyer keys never fold to the driver ----
+    from mdvalidate_ray.state.sketches import bucket_int64
+
     def _bk(v: np.ndarray) -> pa.Array:
-        h = (v.astype(np.uint64)
-             * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)
-        return pa.array((h % np.uint64(n_parts)).astype(np.int64))
+        return pa.array(bucket_int64(v, n_parts))
 
     def tag_rich(b: pa.Table) -> pa.Table:
         bal = b.column("bal_c100").to_numpy(zero_copy_only=False)
@@ -7259,7 +7259,8 @@ def planted_skew_salted(sf_dir: str):
     import numpy as np
 
     from mdvalidate_ray.functions.relational import topk_table
-    from mdvalidate_ray.stages.skew import detect_hot_keys
+    from mdvalidate_ray.stages.skew import (detect_hot_keys,
+                                            salt_buckets_for)
     from mdvalidate_ray.stages.uniqueness import duplicate_keys
 
     def plant(b: pa.Table) -> pa.Table:
@@ -7279,19 +7280,19 @@ def planted_skew_salted(sf_dir: str):
     # the planted key holds ~2/3 of all rows; a >10%-of-rows threshold
     # flags it at every scale with a 6x noise margin while staying far
     # above any natural custkey
-    hot = detect_hot_keys(planted, "k",
-                          hot_threshold=max(50, n_rows // 10))
+    threshold = max(50, n_rows // 10)
+    hot = detect_hot_keys(planted, "k", hot_threshold=threshold)
     if "0" not in hot:
         raise RuntimeError(
             f"sampled-histogram detector missed the planted hot key "
             f"(found {hot!r})")
-    salt_buckets = max(8, min(64, 8 * len(hot)))
+    salt_buckets = salt_buckets_for(hot)   # one detector scan, one rule
+    if not salt_buckets:
+        raise RuntimeError("salting did not engage on the planted key")
     dups = duplicate_keys(planted, "k", salt_buckets=salt_buckets)
-    top = topk_table(dups, 20, [("cnt", "descending"),
+    # topk_table already returns the final (cnt desc, k asc) top-20
+    out = topk_table(dups, 20, [("cnt", "descending"),
                                 ("k", "ascending")])
-    idx = pc.sort_indices(top, sort_keys=[("cnt", "descending"),
-                                          ("k", "ascending")])
-    out = top.take(idx.slice(0, min(20, top.num_rows)))
     return pa.table({"k": out.column("k").cast(pa.int64()),
                      "cnt": out.column("cnt").cast(pa.int64())})
 

@@ -46,10 +46,16 @@ def detect_hot_keys(ds, key: str, *, sample_fraction: float = 0.05,
                   if c / frac >= hot_threshold)
 
 
+def salt_buckets_for(hot_keys: list) -> int | None:
+    """The salting rule given an already-detected hot-key list (shared
+    by auto_salt_buckets and callers that ran the detector themselves —
+    ONE place to change the heuristic)."""
+    if not hot_keys:
+        return None
+    return max(8, min(64, 8 * len(hot_keys)))
+
+
 def auto_salt_buckets(ds, key: str, **kw) -> int | None:
     """Convenience: pick a salt bucket count when hot keys are present
     (None = no salting needed)."""
-    hot = detect_hot_keys(ds, key, **kw)
-    if not hot:
-        return None
-    return max(8, min(64, 8 * len(hot)))
+    return salt_buckets_for(detect_hot_keys(ds, key, **kw))
