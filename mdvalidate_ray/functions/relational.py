@@ -2655,16 +2655,29 @@ def snapshot_diff(ds_old, ds_new, *, key_col: str,
     if narrow.count() <= driver_threshold:
         import ray.data
 
-        # keep schema-ful EMPTY blocks: they carry the true key type,
-        # so an empty diff still emits a correctly-typed key column
-        # (string-keyed empty snapshots previously fell back to int64)
-        blks = list(narrow.iter_batches(batch_format="pyarrow"))
-        blks = [b for b in blks if b.num_rows] or \
-            [b for b in blks if b.schema.names]
-        g = (pa.concat_tables(blks) if blks
-             else pa.schema([("k", pa.int64()), ("h", pa.uint64()),
-                             ("side", pa.int64()),
-                             ("_bucket", pa.int64())]).empty_table())
+        # preserve the true key type on EMPTY diffs: iter_batches can
+        # yield nothing for an all-empty materialized dataset, so fall
+        # back to the dataset-level schema (string-keyed empty
+        # snapshots previously emitted an int64 key column)
+        blks = [b for b in narrow.iter_batches(batch_format="pyarrow")
+                if b.num_rows]
+        if blks:
+            g = pa.concat_tables(blks)
+        else:
+            # Ray DROPS empty blocks (map_batches never ran, narrow has
+            # no schema), so recover the key type from the INPUT — a
+            # schema probe is cheap here because both sides are empty
+            kt = pa.int64()
+            try:
+                in_sch = getattr(ds_new.schema(), "base_schema", None)
+                if in_sch is not None and not pa.types.is_integer(
+                        in_sch.field(key_col).type):
+                    kt = pa.string()
+            except Exception:
+                pass
+            g = pa.schema([("k", kt), ("h", pa.uint64()),
+                           ("side", pa.int64()),
+                           ("_bucket", pa.int64())]).empty_table()
         return ray.data.from_arrow(per_bucket(g))
     return (narrow.groupby("_bucket")
                   .map_groups(per_bucket, batch_format="pyarrow"))

@@ -938,6 +938,53 @@ def test_eqdepth_forced_selection_tier_parity(ray_session):
     assert base.equals(forced) and len(base) > 0
 
 
+def test_copartition_antijoin_null_and_string_keys(ray_session):
+    """Null data keys match nothing and are KEPT (previously a
+    TypeError in the searchsorted probe); string and int key columns
+    both work; null rows in the key side are ignored."""
+    import pyarrow as pa
+    import ray.data
+
+    from mdvalidate_ray.functions.relational import copartition_antijoin
+
+    ds = ray.data.from_arrow(pa.table({
+        "k": pa.array(["a", "b", "c", None, "d"], pa.string()),
+        "v": pa.array([1, 2, 3, 4, 5], pa.int64())}))
+    keys = ray.data.from_arrow(pa.table({
+        "k": pa.array(["b", None, "d"], pa.string())}))
+    out = copartition_antijoin(ds, keys, key="k",
+                               n_parts=3).to_pandas()
+    assert sorted(out["v"].tolist()) == [1, 3, 4]   # null row kept
+
+    ids = ray.data.from_arrow(pa.table({
+        "k": pa.array([10, 20, None, 40], pa.int64()),
+        "v": pa.array([1, 2, 3, 4], pa.int64())}))
+    ikeys = ray.data.from_arrow(pa.table({
+        "k": pa.array([20, 40], pa.int64())}))
+    out2 = copartition_antijoin(ids, ikeys, key="k",
+                                n_parts=2).to_pandas()
+    assert sorted(out2["v"].tolist()) == [1, 3]
+
+
+def test_snapshot_diff_empty_keeps_key_type(ray_session):
+    """An empty diff of STRING-keyed snapshots emits a string-typed key
+    column (previously fabricated as int64), so day-over-day diff
+    unions cannot schema-mismatch on an empty day."""
+    import pyarrow as pa
+    import ray.data
+
+    from mdvalidate_ray.functions.relational import snapshot_diff
+
+    empty = pa.table({"doc_id": pa.array([], pa.string()),
+                      "v": pa.array([], pa.int64())})
+    out = snapshot_diff(ray.data.from_arrow(empty),
+                        ray.data.from_arrow(empty),
+                        key_col="doc_id", compare_cols=["v"])
+    sch = out.schema().base_schema
+    assert sch.field("doc_id").type == pa.string()
+    assert out.count() == 0
+
+
 def test_q11_forced_distributed_filter_tier(ray_session):
     """q11_important_parts(driver_threshold=0) — the 10⁹-part tier
     where the folded per-part table never collects and the HAVING
