@@ -67,25 +67,29 @@ def _corpus(sf_dir: str, **kw):
 
 # --- validation engine (rows-only; the span walk is not SQL) ----------------
 
-def validate_verdicts(sf_dir: str):
+def _validated_corpus(sf_dir: str):
+    """Corpus + validation with the stage tier sized to the CORPUS:
+    small corpora (the catalog's sf dirs) run the shared kernel as warm
+    tasks — an actor-pool spin-up would dominate a sub-second stage —
+    while large ones keep the fixed pool (stages/validate.py
+    use_tasks contract, same threshold as incremental_validate)."""
     from mdvalidate_ray.corpus import flagship_schema_text
     from mdvalidate_ray.stages.validate import validate_dataset
 
-    _, docs = _corpus(sf_dir)
-    validated = validate_dataset(docs, flagship_schema_text())
-    return validated.select_columns(
+    n, docs = _corpus(sf_dir)
+    return validate_dataset(docs, flagship_schema_text(),
+                            use_tasks=n <= 50_000)
+
+
+def validate_verdicts(sf_dir: str):
+    return _validated_corpus(sf_dir).select_columns(
         ["doc_id", "passed", "captures", "n_spans", "n_violations"])
 
 
 def validate_violations(sf_dir: str):
-    from mdvalidate_ray.corpus import flagship_schema_text
-    from mdvalidate_ray.stages.validate import (
-        validate_dataset,
-        violations_dataset,
-    )
+    from mdvalidate_ray.stages.validate import violations_dataset
 
-    _, docs = _corpus(sf_dir)
-    return violations_dataset(validate_dataset(docs, flagship_schema_text()))
+    return violations_dataset(_validated_corpus(sf_dir))
 
 
 def dangling_media(sf_dir: str):
@@ -3762,15 +3766,11 @@ def violation_report(sf_dir: str):
     output order."""
     import numpy as np
 
-    from mdvalidate_ray.corpus import flagship_schema_text
-    from mdvalidate_ray.stages.validate import (validate_dataset,
-                                                violations_dataset)
+    from mdvalidate_ray.stages.validate import violations_dataset
     from mdvalidate_ray.state.sketches import hash_strings
 
     n_parts = 16
-    _, docs = _corpus(sf_dir)
-    viols = violations_dataset(validate_dataset(docs,
-                                                flagship_schema_text()))
+    viols = violations_dataset(_validated_corpus(sf_dir))
 
     def triple_partial(b: pa.Table) -> pa.Table:
         g = b.select(["kind", "constraint_id", "doc_id"]).group_by(
