@@ -34,179 +34,186 @@ import pyarrow.compute as pc  # noqa: F401  (parity with sibling modules)
 
 def _pagerank_copartition(edges, *, damping: float, n_iter: int,
                           n_parts: int) -> pa.Table:
-    """pagerank's past-the-driver-budget tier: the (node, deg, rank)
-    state stays a Dataset.  Per iteration: share rows co-partition with
-    the materialized edge list on ``hash(src)`` (per-bucket
-    per-destination contribution pre-sums), then the state and the
-    contribution partials co-partition on ``hash(node)`` and each
-    bucket folds its partials in sorted (node, contrib) order before
-    applying the rank update — deterministic, and nothing node-sized
-    ever reaches the driver (only the scalar dangling mass folds per
-    round)."""
-    import ray.data
+    """pagerank's past-the-driver-budget tier — the CACHED-EDGE-BUCKET
+    iteration (the kmeans/mmr cached-round pattern applied to a graph):
+
+    * SETUP, once: every materialized edge block splits into
+      ``n_parts`` hash(src) sub-tables via ``num_returns`` tasks, so
+      per-bucket edge refs live in plasma for the whole run — edges
+      are NEVER re-shuffled per iteration (the naive state-as-Dataset
+      variant re-exchanged the full edge list every round, which
+      measured ~100× the broadcast tier at 1.7M edges);
+      the (node, deg) state splits the same way, one state table ref
+      per bucket.
+    * PER ITERATION, two task waves and only NODE-sized data moves:
+      wave 1, one task per src-bucket, maps its state's shares into
+      its cached edge blocks and emits ``n_parts`` per-dst-bucket
+      contribution partials (``num_returns`` → refs, nothing through
+      the driver); wave 2, one task per dst-bucket, folds its incoming
+      partials in sorted (node, contrib) order — deterministic float
+      addition — applies the rank update, and returns (new state ref,
+      scalar dangling partial).  The driver handles only object refs
+      and two scalars per round.
+
+    The same upgrade applies verbatim to the bfs/bellman/k-core
+    co-partition tiers (their per-round frontier is the analog of the
+    share wave); pagerank is the exemplar because it is the most
+    iteration-heavy.  Deterministic to ~1e-12 vs the broadcast tier
+    (different float-addition grouping;
+    test_pagerank_forced_copartition_tier_parity)."""
+    import ray
 
     from mdvalidate_ray.state.sketches import bucket_int64
 
-    def bk(v: np.ndarray) -> pa.Array:
-        return pa.array(bucket_int64(v, n_parts))
+    # ---- setup: split edges and build per-bucket (node, deg) state --
+    @ray.remote(num_cpus=1)
+    def split_edges(tbl: pa.Table):
+        if tbl.num_rows == 0:
+            e = pa.schema([("src", pa.int64()),
+                           ("dst", pa.int64())]).empty_table()
+            return tuple(e for _ in range(n_parts))
+        src = np.asarray(tbl.column("src"), dtype=np.int64)
+        bk_v = bucket_int64(src, n_parts)
+        return tuple(tbl.filter(pa.array(bk_v == b))
+                     for b in range(n_parts))
 
-    # ---- build the (node, deg) state: out-degrees + dst-only nodes --
-    def deg_part(b: pa.Table) -> pa.Table:
-        src = np.asarray(b.column("src"), dtype=np.int64)
+    @ray.remote(num_cpus=1)
+    def deg_split(tbl: pa.Table):
+        """Per-block (node, deg) partials, split by hash(node)."""
+        if tbl.num_rows == 0:
+            e = pa.schema([("node", pa.int64()),
+                           ("deg", pa.int64())]).empty_table()
+            return tuple(e for _ in range(n_parts))
+        src = np.asarray(tbl.column("src"), dtype=np.int64)
+        dst = np.asarray(tbl.column("dst"), dtype=np.int64)
         u, c = np.unique(src, return_counts=True)
-        return pa.table({"node": pa.array(u),
-                         "deg": pa.array(c.astype(np.int64))})
+        du = np.unique(dst)
+        nodes = np.concatenate([u, du])
+        degs = np.concatenate([c.astype(np.int64),
+                               np.zeros(len(du), dtype=np.int64)])
+        bk_v = bucket_int64(nodes, n_parts)
+        return tuple(pa.table({"node": pa.array(nodes[bk_v == b]),
+                               "deg": pa.array(degs[bk_v == b])})
+                     for b in range(n_parts))
 
-    def dst_part(b: pa.Table) -> pa.Table:
-        d = np.unique(np.asarray(b.column("dst"), dtype=np.int64))
-        return pa.table({"node": pa.array(d),
-                         "deg": pa.array(np.zeros(len(d),
-                                                  dtype=np.int64))})
-
-    def tag_node(b: pa.Table) -> pa.Table:
-        v = b.column("node").to_numpy(zero_copy_only=False)
-        return b.append_column("_bk", bk(v))
-
-    def fold_deg(g: pa.Table) -> pa.Table:
-        nodes_np = g.column("node").to_numpy(zero_copy_only=False)
-        deg_np = g.column("deg").to_numpy(zero_copy_only=False)
+    @ray.remote(num_cpus=1)
+    def init_state(*pieces):
+        """Fold one bucket's (node, deg) partials into its state."""
+        t = pa.concat_tables(list(pieces))
+        nodes_np = t.column("node").to_numpy(zero_copy_only=False)
+        deg_np = t.column("deg").to_numpy(zero_copy_only=False)
         u, inv = np.unique(nodes_np, return_inverse=True)
         acc = np.zeros(len(u), dtype=np.int64)
         np.add.at(acc, inv, deg_np)
         return pa.table({"node": pa.array(u), "deg": pa.array(acc)})
 
-    deg_state = edges.map_batches(
-        deg_part, batch_format="pyarrow", zero_copy_batch=True).union(
-        edges.map_batches(dst_part, batch_format="pyarrow",
-                          zero_copy_batch=True)) \
-        .map_batches(tag_node, batch_format="pyarrow",
-                     zero_copy_batch=True) \
-        .groupby("_bk").map_groups(fold_deg, batch_format="pyarrow") \
-        .materialize()
-    n = deg_state.count()
+    blocks = [r for r in edges.to_arrow_refs()]
+    if not blocks:
+        return pa.Table.from_arrays(
+            [pa.array([], pa.int64()), pa.array([], pa.float64())],
+            names=["node", "rank"])
+    e_splits = [split_edges.options(num_returns=n_parts).remote(b)
+                for b in blocks]
+    edge_refs = [[sp[b] for sp in e_splits] for b in range(n_parts)]
+    d_splits = [deg_split.options(num_returns=n_parts).remote(b)
+                for b in blocks]
+    state_refs = [init_state.remote(*[sp[b] for sp in d_splits])
+                  for b in range(n_parts)]
+    sizes = ray.get([ray.remote(num_cpus=0)(
+        lambda t: t.num_rows).remote(s_) for s_ in state_refs])
+    n = int(sum(sizes))
     if n == 0:
         return pa.Table.from_arrays(
             [pa.array([], pa.int64()), pa.array([], pa.float64())],
             names=["node", "rank"])
 
-    state = deg_state.map_batches(
-        lambda b: b.append_column(
-            "rank", pa.array(np.full(b.num_rows, 1.0 / n))),
-        batch_format="pyarrow", zero_copy_batch=True).materialize()
+    @ray.remote(num_cpus=1)
+    def add_rank(state: pa.Table):
+        r0 = np.full(state.num_rows, 1.0 / n)
+        d0 = state.column("deg").to_numpy(zero_copy_only=False)
+        return (state.append_column("rank", pa.array(r0)),
+                float(r0[d0 == 0].sum()))
 
-    part_schema = pa.schema([("node", pa.int64()),
-                             ("contrib", pa.float64())])
+    init = [add_rank.options(num_returns=2).remote(s_)
+            for s_ in state_refs]
+    state_refs = [i[0] for i in init]
+    dangling = float(sum(ray.get([i[1] for i in init])))
 
-    def tag_edges(b: pa.Table) -> pa.Table:
-        s = b.column("src").to_numpy(zero_copy_only=False)
-        return pa.table({
-            "src": b.column("src"), "dst": b.column("dst"),
-            "sh": pa.array(np.zeros(b.num_rows, dtype=np.float64)),
-            "_s": pa.array(np.zeros(b.num_rows, dtype=bool)),
-            "_bk": bk(s)})
+    # ---- per-iteration task waves --------------------------------
+    @ray.remote(num_cpus=1)
+    def contrib(state: pa.Table, *edge_tbls):
+        sn = state.column("node").to_numpy(zero_copy_only=False)
+        deg_np = state.column("deg").to_numpy(zero_copy_only=False)
+        r = state.column("rank").to_numpy(zero_copy_only=False)
+        share = r / np.maximum(deg_np, 1)
+        acc: dict = {}
+        for et in edge_tbls:
+            if et.num_rows == 0:
+                continue
+            src = np.asarray(et.column("src"), dtype=np.int64)
+            dst = np.asarray(et.column("dst"), dtype=np.int64)
+            sh = share[np.searchsorted(sn, src)]
+            bk_v = bucket_int64(dst, n_parts)
+            for b in np.unique(bk_v):
+                m = bk_v == b
+                u, inv = np.unique(dst[m], return_inverse=True)
+                a = np.zeros(len(u), dtype=np.float64)
+                np.add.at(a, inv, sh[m])
+                prev = acc.get(int(b))
+                if prev is None:
+                    acc[int(b)] = [u, a]
+                else:
+                    # merge into the running per-bucket partial
+                    cu = np.concatenate([prev[0], u])
+                    ca = np.concatenate([prev[1], a])
+                    o = np.argsort(cu, kind="stable")
+                    cu, ca = cu[o], ca[o]
+                    st = np.flatnonzero(np.concatenate(
+                        ([True], cu[1:] != cu[:-1])))
+                    acc[int(b)] = [cu[st], np.add.reduceat(ca, st)]
+        empty = pa.schema([("node", pa.int64()),
+                           ("contrib", pa.float64())]).empty_table()
+        return tuple(
+            pa.table({"node": pa.array(acc[b][0]),
+                      "contrib": pa.array(acc[b][1])})
+            if b in acc else empty for b in range(n_parts))
 
-    def tag_share(b: pa.Table) -> pa.Table:
-        v = b.column("node").to_numpy(zero_copy_only=False)
-        deg_np = b.column("deg").to_numpy(zero_copy_only=False)
-        r = b.column("rank").to_numpy(zero_copy_only=False)
-        z = pa.array(np.zeros(len(v), dtype=np.int64))
-        return pa.table({
-            "src": b.column("node"), "dst": z,
-            "sh": pa.array(r / np.maximum(deg_np, 1)),
-            "_s": pa.array(np.ones(len(v), dtype=bool)),
-            "_bk": bk(v)})
-
-    def contrib(g: pa.Table) -> pa.Table:
-        is_s = g.column("_s").to_numpy(zero_copy_only=False)
-        sn = g.column("src").to_numpy(zero_copy_only=False)[is_s]
-        sv = g.column("sh").to_numpy(zero_copy_only=False)[is_s]
-        o = np.argsort(sn, kind="stable")
-        sn, sv = sn[o], sv[o]
-        e = g.filter(pa.array(~is_s))
-        if len(sn) == 0 or e.num_rows == 0:
-            return part_schema.empty_table()
-        src = e.column("src").to_numpy(zero_copy_only=False)
-        i = np.searchsorted(sn, src)
-        # state covers every src by construction
-        share = sv[i]
-        dst = e.column("dst").to_numpy(zero_copy_only=False)
-        u, inv = np.unique(dst, return_inverse=True)
-        acc = np.zeros(len(u), dtype=np.float64)
-        np.add.at(acc, inv, share)
-        return pa.table({"node": pa.array(u), "contrib": pa.array(acc)},
-                        schema=part_schema)
-
-    def dangling_part(b: pa.Table) -> pa.Table:
-        deg_np = b.column("deg").to_numpy(zero_copy_only=False)
-        r = b.column("rank").to_numpy(zero_copy_only=False)
-        return pa.table({"d": pa.array(
-            [float(r[deg_np == 0].sum())], pa.float64())})
-
-    for _ in range(n_iter):
-        dangling = sum(
-            r["d"] for r in state.map_batches(
-                dangling_part, batch_format="pyarrow",
-                zero_copy_batch=True).take_all())
-
-        partials = edges.map_batches(
-            tag_edges, batch_format="pyarrow",
-            zero_copy_batch=True).union(
-            state.map_batches(tag_share, batch_format="pyarrow",
-                              zero_copy_batch=True)) \
-            .groupby("_bk").map_groups(contrib, batch_format="pyarrow")
-
-        def tag_state(b: pa.Table) -> pa.Table:
-            v = b.column("node").to_numpy(zero_copy_only=False)
-            return pa.table({
-                "node": b.column("node"),
-                "x": pc.cast(b.column("deg"), pa.float64()),
-                "_st": pa.array(np.ones(len(v), dtype=bool)),
-                "_bk": bk(v)})
-
-        def tag_part(b: pa.Table) -> pa.Table:
-            v = b.column("node").to_numpy(zero_copy_only=False)
-            return pa.table({
-                "node": b.column("node"), "x": b.column("contrib"),
-                "_st": pa.array(np.zeros(len(v), dtype=bool)),
-                "_bk": bk(v)})
-
-        def merge(g: pa.Table, dangling=dangling) -> pa.Table:
-            nodes_np = g.column("node").to_numpy(zero_copy_only=False)
-            x = g.column("x").to_numpy(zero_copy_only=False)
-            is_st = g.column("_st").to_numpy(zero_copy_only=False)
-            u = np.unique(nodes_np[is_st])
-            deg_out = np.zeros(len(u), dtype=np.int64)
-            di = np.searchsorted(u, nodes_np[is_st])
-            deg_out[di] = x[is_st].astype(np.int64)
-            # sorted fold of contribution partials: deterministic
-            # float-addition order regardless of block arrival
-            cn, cv = nodes_np[~is_st], x[~is_st]
+    @ray.remote(num_cpus=1)
+    def merge(state: pa.Table, dang: float, *contrib_tbls):
+        u = state.column("node").to_numpy(zero_copy_only=False)
+        deg_np = state.column("deg").to_numpy(zero_copy_only=False)
+        parts = [t for t in contrib_tbls if t.num_rows]
+        incoming = np.zeros(len(u), dtype=np.float64)
+        if parts:
+            ct = pa.concat_tables(parts)
+            cn = ct.column("node").to_numpy(zero_copy_only=False)
+            cv = ct.column("contrib").to_numpy(zero_copy_only=False)
             o = np.lexsort((cv, cn))
             cn, cv = cn[o], cv[o]
-            incoming = np.zeros(len(u), dtype=np.float64)
-            if len(cn):
-                starts = np.flatnonzero(np.concatenate(
-                    ([True], cn[1:] != cn[:-1])))
-                sums = np.add.reduceat(cv, starts)
-                incoming[np.searchsorted(u, cn[starts])] = sums
-            rank = ((1.0 - damping) / n
-                    + damping * (incoming + dangling / n))
-            return pa.table({"node": pa.array(u),
-                             "deg": pa.array(deg_out),
-                             "rank": pa.array(rank)})
+            st = np.flatnonzero(np.concatenate(
+                ([True], cn[1:] != cn[:-1])))
+            incoming[np.searchsorted(u, cn[st])] =                 np.add.reduceat(cv, st)
+        rank = ((1.0 - damping) / n
+                + damping * (incoming + dang / n))
+        out = pa.table({"node": state.column("node"),
+                        "deg": state.column("deg"),
+                        "rank": pa.array(rank)})
+        return out, float(rank[deg_np == 0].sum())
 
-        state = state.map_batches(tag_state, batch_format="pyarrow",
-                                  zero_copy_batch=True).union(
-            partials.map_batches(tag_part, batch_format="pyarrow",
-                                 zero_copy_batch=True)) \
-            .groupby("_bk").map_groups(merge, batch_format="pyarrow") \
-            .materialize()
+    for _ in range(n_iter):
+        waves = [contrib.options(num_returns=n_parts).remote(
+            state_refs[b], *edge_refs[b]) for b in range(n_parts)]
+        outs = [merge.options(num_returns=2).remote(
+            state_refs[b2], dangling,
+            *[waves[b][b2] for b in range(n_parts)])
+            for b2 in range(n_parts)]
+        state_refs = [o[0] for o in outs]
+        dangling = float(sum(ray.get([o[1] for o in outs])))
 
-    blks = [b for b in state.select_columns(
-        ["node", "rank"]).iter_batches(batch_format="pyarrow")
-        if b.num_rows]
-    out = (pa.concat_tables(blks) if blks else pa.schema(
-        [("node", pa.int64()), ("rank", pa.float64())]).empty_table())
+    tbls = [t for t in ray.get(state_refs) if t.num_rows]
+    out = (pa.concat_tables(tbls).select(["node", "rank"]) if tbls
+           else pa.table({"node": pa.array([], pa.int64()),
+                          "rank": pa.array([], pa.float64())}))
     idx = pc.sort_indices(out, sort_keys=[("node", "ascending")])
     return out.take(idx)
 
