@@ -732,7 +732,11 @@ def k_core(edges_ds, *, k: int, col_a: str = "u", col_b: str = "v",
       ``hash(endpoint) % n_parts`` — first keyed on ``a``, then on
       ``b`` — and each bucket group filters its edges against its
       sorted peel slice.  Both tiers produce the identical edge set
-      (pinned by test_k_core_forced_copartition_tier_parity).
+      (pinned by test_k_core_forced_copartition_tier_parity).  This
+      tier re-exchanges the edge list every round; an iteration-heavy
+      deployment should adopt _pagerank_copartition's cached-edge-
+      bucket pattern (edges split once into plasma, only the frontier
+      moves per round).
 
     Already-peeled nodes have no edges left, so each round only ships
     its own frontier.  Terminates when a round peels nothing;
@@ -1193,7 +1197,9 @@ def bellman_ford_costs(edges_ds, *, seed: int, col_a: str = "u",
     from the previous round's IMPROVED nodes is cost-state-equivalent
     to full-state relaxation (a ≤r-edge path extends a ≤r−1-edge one),
     so all tiers are bit-equal
-    (test_bellman_forced_copartition_tier_parity)."""
+    (test_bellman_forced_copartition_tier_parity).  Iteration-heavy
+    deployments should adopt _pagerank_copartition's cached-edge-
+    bucket pattern (edges split once, only state moves per round)."""
     import ray
 
     def sym(b: pa.Table) -> pa.Table:
