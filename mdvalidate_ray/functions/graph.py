@@ -927,11 +927,14 @@ def bfs_hops(edges_ds, *, seed: int, col_a: str = "u", col_b: str = "v",
     * symmetrized EDGE count past ``broadcast_threshold`` (the gate is
       the edge count — already known from the materialized edge list;
       nodes ≤ 2·edges bounds the state the broadcast tier would hold)
-      — NOTHING node-sized on the driver: the (node, dist) state stays a Dataset, and each round is
-      two co-partitioned exchanges — frontier⋈edges on ``hash(src)``
-      (expand) then candidates anti-join the visited set on
-      ``hash(node)`` (dedup) — the k_core frontier shape.  All tiers
-      bit-equal (test_bfs_forced_copartition_tier_parity)."""
+      — NOTHING node-sized on the driver: :func:`_bfs_copartition`,
+      the cached-edge-bucket frontier expansion (edges split once by
+      ``hash(src)`` into plasma refs; per round one expand wave routes
+      candidate destinations to their ``hash(node)`` buckets via
+      ``num_returns`` refs and one anti-join wave merges them into the
+      per-bucket visited state — only frontier-sized tables move,
+      edges never re-exchange).  All tiers bit-equal
+      (test_bfs_forced_copartition_tier_parity)."""
     import ray
 
     def sym(b: pa.Table) -> pa.Table:
@@ -1013,236 +1016,115 @@ def bfs_hops(edges_ds, *, seed: int, col_a: str = "u", col_b: str = "v",
 
 def _bfs_copartition(edges, *, seed: int, max_rounds: int,
                      n_parts: int) -> pa.Table:
-    """bfs_hops' past-the-driver-budget tier: the (node, dist) state
-    stays a Dataset; per round ONE hash(src) co-partition expands the
-    frontier against the symmetric edge list and ONE hash(node)
-    co-partition anti-joins the candidates against the visited set —
-    nothing node-sized ever folds to the driver (the final collect is
-    the RESULT, which the caller asked for in table form)."""
-    import ray.data
+    """bfs_hops' past-the-driver-budget tier in the CACHED-EDGE-BUCKET
+    pattern (_pagerank_copartition's shape): edges split ONCE by
+    ``hash(src)`` into per-bucket plasma refs; per round, one task per
+    bucket expands its LOCAL frontier slice against its cached edges
+    (a frontier node's out-edges live in its own bucket by
+    construction) and routes candidate destinations to their
+    ``hash(node)`` buckets via ``num_returns`` refs; a second wave
+    anti-joins candidates against each bucket's local visited set.
+    Only frontier/candidate-sized tables move; edges are never
+    re-exchanged and nothing node-sized reaches the driver (one count
+    per bucket per round)."""
+    import ray
 
     from mdvalidate_ray.state.sketches import bucket_int64
 
-    def bk(v: np.ndarray) -> pa.Array:
-        return pa.array(bucket_int64(v, n_parts))
-
     dist_schema = pa.schema([("node", pa.int64()), ("dist", pa.int64())])
-    dist_ds = ray.data.from_arrow(pa.table(
-        {"node": pa.array([int(seed)], pa.int64()),
-         "dist": pa.array([0], pa.int64())})).materialize()
 
-    def tag_edges(b: pa.Table) -> pa.Table:
-        s = b.column("src").to_numpy(zero_copy_only=False)
-        return pa.table({
-            "src": b.column("src"), "dst": b.column("dst"),
-            "_f": pa.array(np.zeros(b.num_rows, dtype=bool)),
-            "_bk": bk(s)})
+    @ray.remote(num_cpus=1)
+    def split(tbl: pa.Table):
+        if tbl.num_rows == 0:
+            e = pa.schema([("src", pa.int64()),
+                           ("dst", pa.int64())]).empty_table()
+            return tuple(e for _ in range(n_parts))
+        src = tbl.column("src").to_numpy(zero_copy_only=False)
+        bk_v = bucket_int64(src, n_parts)
+        return tuple(tbl.filter(pa.array(bk_v == b))
+                     for b in range(n_parts))
 
-    def tag_frontier(b: pa.Table) -> pa.Table:
-        v = b.column("node").to_numpy(zero_copy_only=False)
-        z = pa.array(np.zeros(len(v), dtype=np.int64))
-        return pa.table({"src": b.column("node"), "dst": z,
-                         "_f": pa.array(np.ones(len(v), dtype=bool)),
-                         "_bk": bk(v)})
+    @ray.remote(num_cpus=1)
+    def consolidate(*pieces):
+        t = pa.concat_tables(list(pieces))
+        # pre-sort by src once so every round's probe is one
+        # searchsorted against a sorted column
+        idx = pc.sort_indices(t, sort_keys=[("src", "ascending")])
+        return t.take(idx)
 
-    def expand(g: pa.Table) -> pa.Table:
-        is_f = g.column("_f").to_numpy(zero_copy_only=False)
-        fr = np.sort(g.column("src").to_numpy(
-            zero_copy_only=False)[is_f])
-        if len(fr) == 0:
-            return pa.schema([("node", pa.int64())]).empty_table()
-        e = g.filter(pa.array(~is_f))
-        s = e.column("src").to_numpy(zero_copy_only=False)
-        i = np.searchsorted(fr, s)
-        hit = (i < len(fr)) & (fr[np.minimum(i, len(fr) - 1)] == s)
-        d = e.column("dst").to_numpy(zero_copy_only=False)[hit]
-        return pa.table({"node": pa.array(np.unique(d))})
+    @ray.remote(num_cpus=1)
+    def expand(edges_tbl: pa.Table, frontier: pa.Table):
+        if frontier.num_rows == 0 or edges_tbl.num_rows == 0:
+            e = pa.table({"node": pa.array([], pa.int64())})
+            return tuple(e for _ in range(n_parts))
+        fr = np.sort(frontier.column("node").to_numpy(
+            zero_copy_only=False))
+        src = edges_tbl.column("src").to_numpy(zero_copy_only=False)
+        i = np.searchsorted(fr, src)
+        hit = (i < len(fr)) & (fr[np.minimum(i, len(fr) - 1)] == src)
+        d = np.unique(edges_tbl.column("dst").to_numpy(
+            zero_copy_only=False)[hit])
+        bk_v = bucket_int64(d, n_parts)
+        return tuple(pa.table({"node": pa.array(d[bk_v == b])})
+                     for b in range(n_parts))
 
-    def tag_cand(b: pa.Table) -> pa.Table:
-        v = b.column("node").to_numpy(zero_copy_only=False)
-        return pa.table({
-            "node": b.column("node"),
-            "_seen": pa.array(np.zeros(len(v), dtype=bool)),
-            "_bk": bk(v)})
+    @ray.remote(num_cpus=1)
+    def anti_new(state: pa.Table, rr: int, *cands):
+        c = np.unique(np.concatenate(
+            [t.column("node").to_numpy(zero_copy_only=False)
+             for t in cands] or [np.zeros(0, dtype=np.int64)]))
+        if len(c) == 0:
+            return state, dist_schema.empty_table(), 0
+        seen = np.sort(state.column("node").to_numpy(
+            zero_copy_only=False))
+        if len(seen):
+            i = np.searchsorted(seen, c)
+            hit = (i < len(seen)) &                 (seen[np.minimum(i, len(seen) - 1)] == c)
+            c = c[~hit]
+        new = pa.table({"node": pa.array(c),
+                        "dist": pa.array(np.full(len(c), rr,
+                                                 dtype=np.int64))},
+                       schema=dist_schema)
+        return pa.concat_tables([state, new]), new, int(len(c))
 
-    def tag_seen(b: pa.Table) -> pa.Table:
-        v = b.column("node").to_numpy(zero_copy_only=False)
-        return pa.table({
-            "node": b.column("node"),
-            "_seen": pa.array(np.ones(len(v), dtype=bool)),
-            "_bk": bk(v)})
+    blocks = list(edges.to_arrow_refs())
+    splits = [split.options(num_returns=n_parts).remote(b)
+              for b in blocks]
+    e_refs = [consolidate.remote(*[sp[b] for sp in splits])
+              for b in range(n_parts)]
+
+    seed_b = int(bucket_int64(np.array([seed], dtype=np.int64),
+                              n_parts)[0])
+    empty_state = dist_schema.empty_table()
+    seed_tbl = pa.table({"node": pa.array([int(seed)], pa.int64()),
+                         "dist": pa.array([0], pa.int64())},
+                        schema=dist_schema)
+    state_refs = [ray.put(seed_tbl if b == seed_b else empty_state)
+                  for b in range(n_parts)]
+    frontier_refs = [ray.put(
+        seed_tbl.select(["node"]) if b == seed_b else
+        pa.table({"node": pa.array([], pa.int64())}))
+        for b in range(n_parts)]
 
     for r in range(max_rounds):
-        frontier = dist_ds.filter(expr=f"dist == {r}").materialize()
-        if frontier.count() == 0:
+        waves = [expand.options(num_returns=n_parts).remote(
+            e_refs[b], frontier_refs[b]) for b in range(n_parts)]
+        outs = [anti_new.options(num_returns=3).remote(
+            state_refs[b2], r + 1,
+            *[waves[b][b2] for b in range(n_parts)])
+            for b2 in range(n_parts)]
+        state_refs = [o[0] for o in outs]
+        frontier_refs = [o[1] for o in outs]
+        n_new = int(sum(ray.get([o[2] for o in outs])))
+        if n_new == 0:
             break
-        cand = edges.map_batches(
-            tag_edges, batch_format="pyarrow",
-            zero_copy_batch=True).union(
-            frontier.select_columns(["node"]).map_batches(
-                tag_frontier, batch_format="pyarrow",
-                zero_copy_batch=True)) \
-            .groupby("_bk").map_groups(expand, batch_format="pyarrow")
 
-        rr = r + 1
-
-        def anti(g: pa.Table, rr=rr) -> pa.Table:
-            seen_m = g.column("_seen").to_numpy(zero_copy_only=False)
-            seen = np.sort(g.column("node").to_numpy(
-                zero_copy_only=False)[seen_m])
-            c = np.unique(g.column("node").to_numpy(
-                zero_copy_only=False)[~seen_m])
-            if len(seen):
-                i = np.searchsorted(seen, c)
-                hit = (i < len(seen)) & \
-                    (seen[np.minimum(i, len(seen) - 1)] == c)
-                c = c[~hit]
-            return pa.table({"node": pa.array(c),
-                             "dist": pa.array(np.full(
-                                 len(c), rr, dtype=np.int64))},
-                            schema=dist_schema)
-
-        new = cand.map_batches(tag_cand, batch_format="pyarrow",
-                               zero_copy_batch=True).union(
-            dist_ds.select_columns(["node"]).map_batches(
-                tag_seen, batch_format="pyarrow",
-                zero_copy_batch=True)) \
-            .groupby("_bk").map_groups(anti, batch_format="pyarrow") \
-            .materialize()
-        if new.count() == 0:
-            break
-        dist_ds = dist_ds.union(new).materialize()
-
-    blks = [b for b in dist_ds.iter_batches(batch_format="pyarrow")
-            if b.num_rows]
-    out = pa.concat_tables(blks) if blks else dist_schema.empty_table()
+    tbls = [t for t in ray.get(state_refs) if t.num_rows]
+    out = pa.concat_tables(tbls) if tbls else dist_schema.empty_table()
     idx = pc.sort_indices(out, sort_keys=[("node", "ascending")])
     out = out.take(idx)
     return pa.Table.from_arrays(
         [out.column("node"), out.column("dist")], names=["node", "hops"])
-
-
-def _bellman_ford_copartition(edges, *, seed: int, max_rounds: int,
-                              n_parts: int) -> pa.Table:
-    """bellman_ford_costs' past-the-driver-budget tier: the (node,
-    cost) state stays a Dataset; per round ONE hash(src) co-partition
-    relaxes the improved-node frontier against the symmetric weighted
-    edge list (per-bucket pre-min per destination) and ONE hash(node)
-    co-partition min-merges the candidates into the state, flagging
-    improvements to form the next frontier.  Nothing node-sized ever
-    folds to the driver; the final collect is the caller's result."""
-    import ray.data
-
-    INF = np.int64(2 ** 62)
-
-    from mdvalidate_ray.state.sketches import bucket_int64
-
-    def bk(v: np.ndarray) -> pa.Array:
-        return pa.array(bucket_int64(v, n_parts))
-
-    st_schema = pa.schema([("node", pa.int64()), ("cost", pa.int64())])
-    seed_tbl = pa.table({"node": pa.array([int(seed)], pa.int64()),
-                         "cost": pa.array([0], pa.int64())})
-    state = ray.data.from_arrow(seed_tbl).materialize()
-    frontier = state
-
-    def tag_edges(b: pa.Table) -> pa.Table:
-        s = b.column("src").to_numpy(zero_copy_only=False)
-        return pa.table({
-            "src": b.column("src"), "dst": b.column("dst"),
-            "w": b.column("w"),
-            "_f": pa.array(np.zeros(b.num_rows, dtype=bool)),
-            "_bk": bk(s)})
-
-    def tag_frontier(b: pa.Table) -> pa.Table:
-        v = b.column("node").to_numpy(zero_copy_only=False)
-        z = pa.array(np.zeros(len(v), dtype=np.int64))
-        return pa.table({"src": b.column("node"), "dst": z,
-                         "w": b.column("cost"),
-                         "_f": pa.array(np.ones(len(v), dtype=bool)),
-                         "_bk": bk(v)})
-
-    def relax(g: pa.Table) -> pa.Table:
-        is_f = g.column("_f").to_numpy(zero_copy_only=False)
-        fn = g.column("src").to_numpy(zero_copy_only=False)[is_f]
-        fc = g.column("w").to_numpy(zero_copy_only=False)[is_f]
-        o = np.argsort(fn, kind="stable")
-        fn, fc = fn[o], fc[o]
-        if len(fn) == 0:
-            return st_schema.empty_table()
-        e = g.filter(pa.array(~is_f))
-        s = e.column("src").to_numpy(zero_copy_only=False)
-        i = np.searchsorted(fn, s)
-        hit = (i < len(fn)) & (fn[np.minimum(i, len(fn) - 1)] == s)
-        if not hit.any():
-            return st_schema.empty_table()
-        d = e.column("dst").to_numpy(zero_copy_only=False)[hit]
-        c = fc[i[hit]] + e.column("w").to_numpy(
-            zero_copy_only=False)[hit]
-        u, inv = np.unique(d, return_inverse=True)
-        pre = np.full(len(u), INF, dtype=np.int64)
-        np.minimum.at(pre, inv, c)
-        return pa.table({"node": pa.array(u), "cost": pa.array(pre)},
-                        schema=st_schema)
-
-    def tag_state(b: pa.Table) -> pa.Table:
-        v = b.column("node").to_numpy(zero_copy_only=False)
-        return pa.table({"node": b.column("node"),
-                         "cost": b.column("cost"),
-                         "_st": pa.array(np.ones(len(v), dtype=bool)),
-                         "_bk": bk(v)})
-
-    def tag_cand(b: pa.Table) -> pa.Table:
-        v = b.column("node").to_numpy(zero_copy_only=False)
-        return pa.table({"node": b.column("node"),
-                         "cost": b.column("cost"),
-                         "_st": pa.array(np.zeros(len(v), dtype=bool)),
-                         "_bk": bk(v)})
-
-    merged_schema = pa.schema([("node", pa.int64()),
-                               ("cost", pa.int64()),
-                               ("imp", pa.bool_())])
-
-    def merge(g: pa.Table) -> pa.Table:
-        nodes_np = g.column("node").to_numpy(zero_copy_only=False)
-        cost_np = g.column("cost").to_numpy(zero_copy_only=False)
-        is_st = g.column("_st").to_numpy(zero_copy_only=False)
-        u, inv = np.unique(nodes_np, return_inverse=True)
-        old = np.full(len(u), INF, dtype=np.int64)
-        np.minimum.at(old, inv[is_st], cost_np[is_st])
-        cand = np.full(len(u), INF, dtype=np.int64)
-        np.minimum.at(cand, inv[~is_st], cost_np[~is_st])
-        new = np.minimum(old, cand)
-        return pa.table({"node": pa.array(u), "cost": pa.array(new),
-                         "imp": pa.array(cand < old)},
-                        schema=merged_schema)
-
-    for _ in range(max_rounds):
-        if frontier.count() == 0:
-            break
-        cand = edges.map_batches(
-            tag_edges, batch_format="pyarrow",
-            zero_copy_batch=True).union(
-            frontier.map_batches(tag_frontier, batch_format="pyarrow",
-                                 zero_copy_batch=True)) \
-            .groupby("_bk").map_groups(relax, batch_format="pyarrow")
-        merged = state.map_batches(tag_state, batch_format="pyarrow",
-                                   zero_copy_batch=True).union(
-            cand.map_batches(tag_cand, batch_format="pyarrow",
-                             zero_copy_batch=True)) \
-            .groupby("_bk").map_groups(merge, batch_format="pyarrow") \
-            .materialize()
-        frontier = merged.map_batches(
-            lambda b: b.filter(b.column("imp")).select(
-                ["node", "cost"]),
-            batch_format="pyarrow", zero_copy_batch=True).materialize()
-        state = merged.select_columns(["node", "cost"]).materialize()
-
-    blks = [b for b in state.iter_batches(batch_format="pyarrow")
-            if b.num_rows]
-    out = pa.concat_tables(blks) if blks else st_schema.empty_table()
-    idx = pc.sort_indices(out, sort_keys=[("node", "ascending")])
-    return out.take(idx).select(["node", "cost"])
 
 
 def bellman_ford_costs(edges_ds, *, seed: int, col_a: str = "u",
