@@ -1127,6 +1127,129 @@ def _bfs_copartition(edges, *, seed: int, max_rounds: int,
         [out.column("node"), out.column("dist")], names=["node", "hops"])
 
 
+def _bellman_ford_copartition(edges, *, seed: int, max_rounds: int,
+                              n_parts: int) -> pa.Table:
+    """bellman_ford_costs' past-the-driver-budget tier: the (node,
+    cost) state stays a Dataset; per round ONE hash(src) co-partition
+    relaxes the improved-node frontier against the symmetric weighted
+    edge list (per-bucket pre-min per destination) and ONE hash(node)
+    co-partition min-merges the candidates into the state, flagging
+    improvements to form the next frontier.  Nothing node-sized ever
+    folds to the driver; the final collect is the caller's result."""
+    import ray.data
+
+    INF = np.int64(2 ** 62)
+
+    from mdvalidate_ray.state.sketches import bucket_int64
+
+    def bk(v: np.ndarray) -> pa.Array:
+        return pa.array(bucket_int64(v, n_parts))
+
+    st_schema = pa.schema([("node", pa.int64()), ("cost", pa.int64())])
+    seed_tbl = pa.table({"node": pa.array([int(seed)], pa.int64()),
+                         "cost": pa.array([0], pa.int64())})
+    state = ray.data.from_arrow(seed_tbl).materialize()
+    frontier = state
+
+    def tag_edges(b: pa.Table) -> pa.Table:
+        s = b.column("src").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "src": b.column("src"), "dst": b.column("dst"),
+            "w": b.column("w"),
+            "_f": pa.array(np.zeros(b.num_rows, dtype=bool)),
+            "_bk": bk(s)})
+
+    def tag_frontier(b: pa.Table) -> pa.Table:
+        v = b.column("node").to_numpy(zero_copy_only=False)
+        z = pa.array(np.zeros(len(v), dtype=np.int64))
+        return pa.table({"src": b.column("node"), "dst": z,
+                         "w": b.column("cost"),
+                         "_f": pa.array(np.ones(len(v), dtype=bool)),
+                         "_bk": bk(v)})
+
+    def relax(g: pa.Table) -> pa.Table:
+        is_f = g.column("_f").to_numpy(zero_copy_only=False)
+        fn = g.column("src").to_numpy(zero_copy_only=False)[is_f]
+        fc = g.column("w").to_numpy(zero_copy_only=False)[is_f]
+        o = np.argsort(fn, kind="stable")
+        fn, fc = fn[o], fc[o]
+        if len(fn) == 0:
+            return st_schema.empty_table()
+        e = g.filter(pa.array(~is_f))
+        s = e.column("src").to_numpy(zero_copy_only=False)
+        i = np.searchsorted(fn, s)
+        hit = (i < len(fn)) & (fn[np.minimum(i, len(fn) - 1)] == s)
+        if not hit.any():
+            return st_schema.empty_table()
+        d = e.column("dst").to_numpy(zero_copy_only=False)[hit]
+        c = fc[i[hit]] + e.column("w").to_numpy(
+            zero_copy_only=False)[hit]
+        u, inv = np.unique(d, return_inverse=True)
+        pre = np.full(len(u), INF, dtype=np.int64)
+        np.minimum.at(pre, inv, c)
+        return pa.table({"node": pa.array(u), "cost": pa.array(pre)},
+                        schema=st_schema)
+
+    def tag_state(b: pa.Table) -> pa.Table:
+        v = b.column("node").to_numpy(zero_copy_only=False)
+        return pa.table({"node": b.column("node"),
+                         "cost": b.column("cost"),
+                         "_st": pa.array(np.ones(len(v), dtype=bool)),
+                         "_bk": bk(v)})
+
+    def tag_cand(b: pa.Table) -> pa.Table:
+        v = b.column("node").to_numpy(zero_copy_only=False)
+        return pa.table({"node": b.column("node"),
+                         "cost": b.column("cost"),
+                         "_st": pa.array(np.zeros(len(v), dtype=bool)),
+                         "_bk": bk(v)})
+
+    merged_schema = pa.schema([("node", pa.int64()),
+                               ("cost", pa.int64()),
+                               ("imp", pa.bool_())])
+
+    def merge(g: pa.Table) -> pa.Table:
+        nodes_np = g.column("node").to_numpy(zero_copy_only=False)
+        cost_np = g.column("cost").to_numpy(zero_copy_only=False)
+        is_st = g.column("_st").to_numpy(zero_copy_only=False)
+        u, inv = np.unique(nodes_np, return_inverse=True)
+        old = np.full(len(u), INF, dtype=np.int64)
+        np.minimum.at(old, inv[is_st], cost_np[is_st])
+        cand = np.full(len(u), INF, dtype=np.int64)
+        np.minimum.at(cand, inv[~is_st], cost_np[~is_st])
+        new = np.minimum(old, cand)
+        return pa.table({"node": pa.array(u), "cost": pa.array(new),
+                         "imp": pa.array(cand < old)},
+                        schema=merged_schema)
+
+    for _ in range(max_rounds):
+        if frontier.count() == 0:
+            break
+        cand = edges.map_batches(
+            tag_edges, batch_format="pyarrow",
+            zero_copy_batch=True).union(
+            frontier.map_batches(tag_frontier, batch_format="pyarrow",
+                                 zero_copy_batch=True)) \
+            .groupby("_bk").map_groups(relax, batch_format="pyarrow")
+        merged = state.map_batches(tag_state, batch_format="pyarrow",
+                                   zero_copy_batch=True).union(
+            cand.map_batches(tag_cand, batch_format="pyarrow",
+                             zero_copy_batch=True)) \
+            .groupby("_bk").map_groups(merge, batch_format="pyarrow") \
+            .materialize()
+        frontier = merged.map_batches(
+            lambda b: b.filter(b.column("imp")).select(
+                ["node", "cost"]),
+            batch_format="pyarrow", zero_copy_batch=True).materialize()
+        state = merged.select_columns(["node", "cost"]).materialize()
+
+    blks = [b for b in state.iter_batches(batch_format="pyarrow")
+            if b.num_rows]
+    out = pa.concat_tables(blks) if blks else st_schema.empty_table()
+    idx = pc.sort_indices(out, sort_keys=[("node", "ascending")])
+    return out.take(idx).select(["node", "cost"])
+
+
 def bellman_ford_costs(edges_ds, *, seed: int, col_a: str = "u",
                        col_b: str = "v", weight_col: str | None = None,
                        max_rounds: int = 3,
